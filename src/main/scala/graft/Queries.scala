@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark builder plus (optionally) the ANSI-SQL
+  * oracle the driver runs in DuckDB on the same parquet tables. Column
+  * names and row ordering must match the oracle exactly (driver compares
+  * by sorted column name + value hash).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String]) {
+
+  def tuple: (String, (SparkSession, String) => DataFrame) = name -> run
+}
+
+object Q {
+  /** A query whose text is valid in BOTH Spark SQL and DuckDB: Spark
+    * executes the same string the oracle does. Used for subquery-heavy
+    * shapes the DataFrame API cannot express (correlated scalar/EXISTS). */
+  def shared(name: String, sql: String): Q =
+    Q(name, (s, dir) => { Tables.registerAll(s, dir); s.sql(sql) }, Some(sql))
+
+  /** DataFrame-built query with a separate oracle string. */
+  def df(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+
+  /** Query with no SQL-expressible oracle (driver does rows-only check). */
+  def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+}

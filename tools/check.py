@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: read Verify's parquet
+dumps, run each oracle SQL in DuckDB over the same fixture tables, and
+compare (sorted columns, sorted rows, exact values).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = con.execute(
+                f"select * from '{out_dir}/{name}/*.parquet'")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            want = con.execute(sql)
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(got_rows, got_cols)
+        wc, wr = canon(want_rows, want_cols)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows {len(gr)} != {len(wr)}")
+            print(f"  got : {gr[:3]}")
+            print(f"  want: {wr[:3]}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (g, w) in enumerate(zip(gr, wr)):
+            if not all(eq(x, y) for x, y in zip(g, w)):
+                bad = (i, g, w)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} differs")
+            print(f"  got : {bad[1]}")
+            print(f"  want: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
