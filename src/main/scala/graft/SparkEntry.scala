@@ -7,7 +7,7 @@ object SparkEntry {
 
   /** Every verifiable query the engine exposes (grows per SURVEY.md §2). */
   def allQueries: Seq[Q] =
-    graft.tpch.Tpch.queries
+    graft.tpch.Tpch.queries ++ graft.operators.Relational.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

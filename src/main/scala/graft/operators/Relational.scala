@@ -1,0 +1,524 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Money._
+
+/** Per-operator coverage for SURVEY.md §2's inventory: each logical
+  * operator, scalar function, and predicate the reference plans
+  * (doradb-plan/src/lgc/op.rs:162-216, doradb-expr/src/func.rs:2-27,
+  * doradb-expr/src/pred.rs:5-58) gets a small oracle-checked query.
+  *
+  * Dialect notes (Spark vs the DuckDB oracle) that shaped these:
+  * - double→bigint CAST truncates in Spark but rounds in DuckDB → both
+  *   sides use floor() first;
+  * - `<=>` is `IS NOT DISTINCT FROM`; `rlike` is `regexp_matches`;
+  *   `div` is `//`; bitwise `^` is `xor()` (DuckDB `^` is power);
+  * - ASC sorts place NULLS FIRST in Spark but LAST in DuckDB → nullable
+  *   sort keys are always explicit.
+  */
+object Relational {
+
+  // ---- Setop {Union, Except, Intersect} × {All, Distinct} --------------
+  // (reference: lgc/setop.rs:7-33)
+
+  val setopUnionAll: Q = Q.df(
+    "setop_union_all",
+    """select n_nationkey as k from nation where n_regionkey < 2
+      |union all
+      |select n_nationkey as k from nation where n_nationkey < 10
+      |order by k""".stripMargin) { (s, dir) =>
+    val n = Tables.df(s, dir, "nation")
+    n.filter(col("n_regionkey") < 2).select(col("n_nationkey").as("k"))
+      .unionAll(n.filter(col("n_nationkey") < 10).select(col("n_nationkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  val setopUnionDistinct: Q = Q.df(
+    "setop_union_distinct",
+    """select n_nationkey as k from nation where n_regionkey < 2
+      |union
+      |select n_nationkey as k from nation where n_nationkey < 10
+      |order by k""".stripMargin) { (s, dir) =>
+    val n = Tables.df(s, dir, "nation")
+    n.filter(col("n_regionkey") < 2).select(col("n_nationkey").as("k"))
+      .union(n.filter(col("n_nationkey") < 10).select(col("n_nationkey").as("k")))
+      .distinct()
+      .orderBy(col("k"))
+  }
+
+  val setopExcept: Q = Q.df(
+    "setop_except",
+    """select n_regionkey as k from nation where n_nationkey < 20
+      |except
+      |select n_regionkey as k from nation where n_nationkey < 3
+      |order by k""".stripMargin) { (s, dir) =>
+    val n = Tables.df(s, dir, "nation")
+    n.filter(col("n_nationkey") < 20).select(col("n_regionkey").as("k"))
+      .except(n.filter(col("n_nationkey") < 3).select(col("n_regionkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  val setopExceptAll: Q = Q.df(
+    "setop_except_all",
+    """select n_regionkey as k from nation where n_nationkey < 20
+      |except all
+      |select n_regionkey as k from nation where n_nationkey < 3
+      |order by k""".stripMargin) { (s, dir) =>
+    val n = Tables.df(s, dir, "nation")
+    n.filter(col("n_nationkey") < 20).select(col("n_regionkey").as("k"))
+      .exceptAll(n.filter(col("n_nationkey") < 3).select(col("n_regionkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  val setopIntersect: Q = Q.df(
+    "setop_intersect",
+    """select n_regionkey as k from nation where n_nationkey < 20
+      |intersect
+      |select n_regionkey as k from nation where n_nationkey >= 3
+      |order by k""".stripMargin) { (s, dir) =>
+    val n = Tables.df(s, dir, "nation")
+    n.filter(col("n_nationkey") < 20).select(col("n_regionkey").as("k"))
+      .intersect(n.filter(col("n_nationkey") >= 3).select(col("n_regionkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  val setopIntersectAll: Q = Q.df(
+    "setop_intersect_all",
+    """select n_regionkey as k from nation where n_nationkey < 20
+      |intersect all
+      |select n_regionkey as k from nation where n_nationkey >= 3
+      |order by k""".stripMargin) { (s, dir) =>
+    val n = Tables.df(s, dir, "nation")
+    n.filter(col("n_nationkey") < 20).select(col("n_regionkey").as("k"))
+      .intersectAll(n.filter(col("n_nationkey") >= 3).select(col("n_regionkey").as("k")))
+      .orderBy(col("k"))
+  }
+
+  // ---- Join kinds (reference: join/mod.rs:14-24) ------------------------
+
+  val joinFullOuter: Q = Q.df(
+    "join_full_outer",
+    s"""select c_custkey, o_custkey, total
+       |from (select c_custkey from customer where c_custkey < 100) c
+       |full outer join (
+       |  select o_custkey, cast(sum(${sqlM("o_totalprice")}) as double) as total
+       |  from orders where o_custkey between 50 and 150 group by o_custkey) o
+       |on c_custkey = o_custkey
+       |order by c_custkey asc nulls first, o_custkey asc nulls first""".stripMargin) { (s, dir) =>
+    val c = Tables.df(s, dir, "customer").filter(col("c_custkey") < 100)
+      .select(col("c_custkey"))
+    val o = Tables.df(s, dir, "orders").filter(col("o_custkey").between(50, 150))
+      .groupBy(col("o_custkey")).agg(dsum(m(col("o_totalprice"))).as("total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_custkey").asc_nulls_first)
+  }
+
+  val joinCross: Q = Q.df(
+    "join_cross",
+    """select r_name, seg from region
+      |cross join (select distinct c_mktsegment as seg from customer) s
+      |order by r_name, seg""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "region")
+      .crossJoin(Tables.df(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg")).distinct())
+      .select(col("r_name"), col("seg"))
+      .orderBy(col("r_name"), col("seg"))
+  }
+
+  val joinSemi: Q = Q.df(
+    "join_semi",
+    """select c_custkey, c_name from customer
+      |where exists (select * from orders
+      |              where o_custkey = c_custkey and o_orderstatus = 'P')
+      |order by c_custkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "customer")
+      .join(Tables.df(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val joinAnti: Q = Q.df(
+    "join_anti",
+    """select c_custkey, c_name from customer
+      |where not exists (select * from orders
+      |                  where o_custkey = c_custkey and o_orderstatus = 'P')
+      |order by c_custkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "customer")
+      .join(Tables.df(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** USING/NATURAL joins normalize to equi-conds at build in the reference
+    * (lgc/builder.rs:686-848); same here via a renamed join column. */
+  val joinUsing: Q = Q.df(
+    "join_using",
+    """select n_name, r_name from nation
+      |join (select r_regionkey as n_regionkey, r_name from region) r
+      |using (n_regionkey)
+      |order by n_name""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "nation")
+      .join(Tables.df(s, dir, "region")
+          .withColumnRenamed("r_regionkey", "n_regionkey"),
+        Seq("n_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .orderBy(col("n_name"))
+  }
+
+  // ---- Distinct / Sort / Limit / Offset / top-k -------------------------
+
+  val distinctRows: Q = Q.df(
+    "distinct_rows",
+    """select distinct o_orderstatus, o_orderpriority from orders
+      |order by o_orderstatus, o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  val sortLimitOffset: Q = Q.df(
+    "sort_limit_offset",
+    """select o_orderkey, o_totalprice from orders
+      |order by o_totalprice desc, o_orderkey
+      |limit 10 offset 5""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(5).limit(10)
+  }
+
+  /** Sort.limit fusion (lgc/op.rs:186-190) → Spark TakeOrderedAndProject. */
+  val topK: Q = Q.df(
+    "topk_orders",
+    """select o_orderkey, o_totalprice from orders
+      |order by o_totalprice desc, o_orderkey
+      |limit 25""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  // ---- Row op: SELECT without FROM (lgc/op.rs:201-202) ------------------
+
+  val rowConstant: Q = Q.shared(
+    "row_constant",
+    "select 1 as one, 'graft' as name, cast(2.5 as double) as x")
+
+  // ---- Aggr extras: HAVING, DISTINCT aggregates -------------------------
+
+  val havingFilter: Q = Q.df(
+    "having_count",
+    """select o_custkey, count(*) as cnt from orders
+      |group by o_custkey having count(*) > 15
+      |order by o_custkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 15)
+      .orderBy(col("o_custkey"))
+  }
+
+  val aggDistinct: Q = Q.df(
+    "agg_distinct",
+    s"""select l_returnflag,
+       |  count(distinct l_suppkey) as distinct_supp,
+       |  cast(sum(distinct ${sqlM("l_quantity")}) as double) as sum_dist_qty,
+       |  cast(count(*) as bigint) as cnt
+       |from lineitem group by l_returnflag
+       |order by l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("distinct_supp"),
+        sum_distinct(m(col("l_quantity"))).cast("double").as("sum_dist_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---- Subqueries: scalar Attach, quantified ALL/ANY --------------------
+
+  /** Non-correlated scalar subquery = the reference's Attach op
+    * (lgc/op.rs:197-200). */
+  val subqScalar: Q = Q.shared(
+    "subq_scalar_attach",
+    s"""select o_orderkey, o_totalprice from orders
+       |where o_totalprice > 1.5 * (
+       |  select cast(sum(${sqlM("o_totalprice")}) as double) / count(*) from orders)
+       |order by o_orderkey""".stripMargin)
+
+  /** Quantified `> ALL (subquery)` — Spark lacks ALL/ANY, so the engine
+    * rewrites to a MAX scalar (SURVEY §7.3); the oracle runs real ALL. */
+  val subqGtAll: Q = Q.df(
+    "subq_quantified_all",
+    """select s_suppkey, s_name, s_acctbal from supplier
+      |where s_acctbal > all (select c_acctbal from customer where c_nationkey = 1 and c_custkey < 300)
+      |order by s_suppkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""select s_suppkey, s_name, s_acctbal from supplier
+            |where s_acctbal > (select max(c_acctbal) from customer where c_nationkey = 1 and c_custkey < 300)
+            |order by s_suppkey""".stripMargin)
+  }
+
+  /** Quantified `< ANY (subquery)` → rewritten to `< MAX(...)`. */
+  val subqLtAny: Q = Q.df(
+    "subq_quantified_any",
+    """select s_suppkey, s_name, s_acctbal from supplier
+      |where s_acctbal < any (select c_acctbal from customer where c_nationkey = 2)
+      |order by s_suppkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""select s_suppkey, s_name, s_acctbal from supplier
+            |where s_acctbal < (select max(c_acctbal) from customer where c_nationkey = 2)
+            |order by s_suppkey""".stripMargin)
+  }
+
+  /** Correlated IN subquery (SubqKind::In — doradb-expr/src/expr.rs:547). */
+  val subqInCorrelated: Q = Q.shared(
+    "subq_in_correlated",
+    """select o_orderkey, o_custkey from orders o
+      |where o_orderkey in (
+      |  select l_orderkey from lineitem
+      |  where l_orderkey = o.o_orderkey and l_quantity > 49)
+      |order by o_orderkey""".stripMargin)
+
+  // ---- CTE, multi-referenced (CTE-as-macro, lgc/query.rs:188-228) -------
+
+  val cteMultiRef: Q = Q.shared(
+    "cte_multi_ref",
+    s"""with big as (
+       |  select o_custkey, count(*) as n_big from orders
+       |  where o_totalprice > 200000 group by o_custkey)
+       |select a.o_custkey, a.n_big,
+       |  (select count(*) from big) as total_big_customers
+       |from big a
+       |where a.n_big > (select cast(sum(n_big) as double) / count(*) from big)
+       |order by a.o_custkey""".stripMargin)
+
+  // ---- Expressions: CASE, CAST, EXTRACT, SUBSTRING, arithmetic ---------
+
+  val exprCase: Q = Q.shared(
+    "expr_case_forms",
+    """select o_orderkey,
+      |  case o_orderstatus when 'F' then 'finished' when 'O' then 'open'
+      |       else 'other' end as status_word,
+      |  case when o_totalprice > 300000 then 'big'
+      |       when o_totalprice > 100000 then 'mid' else 'small' end as size_class
+      |from orders order by o_orderkey limit 500""".stripMargin)
+
+  val exprCast: Q = Q.df(
+    "expr_cast",
+    """select o_orderkey,
+      |  cast(floor(o_totalprice) as bigint) as price_floor,
+      |  cast(o_orderkey as varchar) as key_str,
+      |  cast(o_orderdate as date) as odate
+      |from orders order by o_orderkey limit 300""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).cast("long").as("price_floor"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_orderdate").cast("date").as("odate"))
+      .orderBy(col("o_orderkey")).limit(300)
+  }
+
+  /** Extract: all units the reference parses (ast.rs:251-296) that both
+    * engines agree on bit-for-bit. */
+  val exprExtract: Q = Q.df(
+    "expr_extract_units",
+    """select event_id,
+      |  cast(extract(year from ts) as bigint) as y,
+      |  cast(extract(quarter from ts) as bigint) as q,
+      |  cast(extract(month from ts) as bigint) as mo,
+      |  cast(extract(week from ts) as bigint) as wk,
+      |  cast(extract(doy from ts) as bigint) as doy,
+      |  cast(extract(day from ts) as bigint) as d,
+      |  cast(extract(hour from ts) as bigint) as h,
+      |  cast(extract(minute from ts) as bigint) as mi,
+      |  cast(floor(extract(second from ts)) as bigint) as sec
+      |from events order by event_id limit 1000""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .select(
+        col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        quarter(col("ts")).cast("long").as("q"),
+        month(col("ts")).cast("long").as("mo"),
+        weekofyear(col("ts")).cast("long").as("wk"),
+        dayofyear(col("ts")).cast("long").as("doy"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("mi"),
+        second(col("ts")).cast("long").as("sec"))
+      .orderBy(col("event_id")).limit(1000)
+  }
+
+  val exprString: Q = Q.shared(
+    "expr_string_funcs",
+    """select p_partkey,
+      |  upper(p_name) as uname, lower(p_brand) as lbrand,
+      |  substring(p_name, 1, 5) as pfx,
+      |  cast(length(p_name) as bigint) as len,
+      |  concat(p_brand, ':', p_type) as bt
+      |from part order by p_partkey limit 300""".stripMargin)
+
+  /** Arithmetic incl. IntDiv and the bit ops (func.rs:2-27). DuckDB
+    * spells them differently, so the oracle diverges syntactically. */
+  val exprArith: Q = Q.df(
+    "expr_arith_bits",
+    """select n_nationkey,
+      |  cast(n_nationkey + 7 as bigint) as add7,
+      |  cast(n_nationkey - 3 as bigint) as sub3,
+      |  cast(n_nationkey * 2 as bigint) as mul2,
+      |  cast(n_nationkey as double) / 4.0 as div4,
+      |  cast(n_nationkey // 4 as bigint) as idiv4,
+      |  cast(n_nationkey % 5 as bigint) as mod5,
+      |  cast(-n_nationkey as bigint) as neg,
+      |  cast(n_nationkey & 6 as bigint) as band,
+      |  cast(n_nationkey | 9 as bigint) as bor,
+      |  cast(xor(n_nationkey, 5) as bigint) as bxor,
+      |  cast(~n_nationkey as bigint) as binv,
+      |  cast(n_nationkey << 2 as bigint) as shl,
+      |  cast(n_nationkey >> 1 as bigint) as shr
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(
+        k,
+        (k + 7).cast("long").as("add7"),
+        (k - 3).cast("long").as("sub3"),
+        (k * 2).cast("long").as("mul2"),
+        (k.cast("double") / 4.0).as("div4"),
+        expr("n_nationkey div 4").cast("long").as("idiv4"),
+        (k % 5).cast("long").as("mod5"),
+        (-k).cast("long").as("neg"),
+        k.bitwiseAND(6).cast("long").as("band"),
+        k.bitwiseOR(9).cast("long").as("bor"),
+        k.bitwiseXOR(5).cast("long").as("bxor"),
+        bitwise_not(k).cast("long").as("binv"),
+        shiftleft(k, 2).cast("long").as("shl"),
+        shiftright(k, 1).cast("long").as("shr"))
+      .orderBy(k)
+  }
+
+  /** Interval arithmetic + date_trunc (Interval type, datatype lib.rs:487). */
+  val exprInterval: Q = Q.shared(
+    "expr_interval_arith",
+    """select o_orderkey,
+      |  o_orderdate + interval 30 day as due_30d,
+      |  o_orderdate - interval 2 month as back_2mo,
+      |  cast(date_trunc('month', o_orderdate) as timestamp) as month_start
+      |from orders order by o_orderkey limit 300""".stripMargin)
+
+  // ---- Predicates (pred.rs:5-58) ----------------------------------------
+
+  val predSurface: Q = Q.shared(
+    "pred_surface",
+    """select p_partkey, p_name, p_type, p_size from part
+      |where p_name like 'red%' and p_name not like '%ring%'
+      |  and p_type in ('ECONOMY', 'PROMO') and p_size between 10 and 40
+      |  and p_retailprice is not null
+      |order by p_partkey""".stripMargin)
+
+  val predRegexp: Q = Q.df(
+    "pred_regexp",
+    """select p_partkey, p_name from part
+      |where regexp_matches(p_name, '^(red|blue) .*(t|g)$')
+      |order by p_partkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "part")
+      .filter(col("p_name").rlike("^(red|blue) .*(t|g)$"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** `<=>` (SafeEqual, pred.rs:5-58) with genuinely NULL inputs. */
+  val predNullSafeEq: Q = Q.df(
+    "pred_null_safe_eq",
+    """select n_nationkey,
+      |  nullif(n_regionkey, 2) is not distinct from nullif(n_nationkey % 3, 2) as nse,
+      |  nullif(n_regionkey, 2) is null as lhs_null
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val lhs = nullif(col("n_regionkey"), lit(2))
+    val rhs = nullif(col("n_nationkey") % 3, lit(2))
+    Tables.df(s, dir, "nation")
+      .select(col("n_nationkey"), (lhs <=> rhs).as("nse"), lhs.isNull.as("lhs_null"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Logical XOR with 3VL (Pred::Xor, pred.rs:8): boolean `<>` matches
+    * MySQL XOR's null semantics — NULL if either side is NULL. */
+  val predLogicalXor: Q = Q.shared(
+    "pred_logical_xor",
+    """select p_partkey,
+      |  (p_size > 25) <> (p_retailprice > 950.0) as lxor
+      |from part order by p_partkey limit 300""".stripMargin)
+
+  /** IS TRUE / IS NOT TRUE forms (pred.rs) — engine uses `<=> true`,
+    * oracle the equivalent coalesce. */
+  val predIsTrue: Q = Q.df(
+    "pred_is_true",
+    """select n_nationkey,
+      |  coalesce(nullif(n_regionkey, 2) > 1, false) as is_true,
+      |  not coalesce(nullif(n_regionkey, 2) > 1, false) as is_not_true,
+      |  coalesce(not (nullif(n_regionkey, 2) > 1), false) as is_false
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val p = nullif(col("n_regionkey"), lit(2)) > 1
+    Tables.df(s, dir, "nation")
+      .select(
+        col("n_nationkey"),
+        (p <=> lit(true)).as("is_true"),
+        (!(p <=> lit(true))).as("is_not_true"),
+        (p <=> lit(false)).as("is_false"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  // ---- Windows (beyond-reference surface, SURVEY §2.9) ------------------
+
+  val windowRank: Q = Q.shared(
+    "window_rank_topn",
+    """select c_custkey, o_orderkey, o_totalprice, rnk from (
+      |  select o_custkey as c_custkey, o_orderkey, o_totalprice,
+      |    cast(rank() over (partition by o_custkey
+      |                      order by o_totalprice desc, o_orderkey) as bigint) as rnk
+      |  from orders) w
+      |where rnk <= 3
+      |order by c_custkey, rnk, o_orderkey""".stripMargin)
+
+  val windowRunningSum: Q = Q.shared(
+    "window_running_sum",
+    s"""select o_custkey, o_orderkey,
+       |  cast(sum(${sqlM("o_totalprice")}) over (
+       |    partition by o_custkey order by o_orderdate, o_orderkey
+       |    rows between unbounded preceding and current row) as double) as running_total
+       |from orders
+       |where o_custkey < 50
+       |order by o_custkey, o_orderkey""".stripMargin)
+
+  /** Tumbling-window aggregation over the events table — the batch form
+    * of the Structured Streaming query in graft.streaming. */
+  val windowTumblingEvents: Q = Q.df(
+    "window_tumbling_events",
+    s"""select date_trunc('hour', ts) as wstart, event_type,
+       |  count(*) as cnt,
+       |  cast(sum(${sqlM("value")}) as double) as total
+       |from events group by date_trunc('hour', ts), event_type
+       |order by wstart, event_type""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(m(col("value"))).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    setopUnionAll, setopUnionDistinct, setopExcept, setopExceptAll,
+    setopIntersect, setopIntersectAll,
+    joinFullOuter, joinCross, joinSemi, joinAnti, joinUsing,
+    distinctRows, sortLimitOffset, topK, rowConstant,
+    havingFilter, aggDistinct,
+    subqScalar, subqGtAll, subqLtAny, subqInCorrelated, cteMultiRef,
+    exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
+    predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
+    windowRank, windowRunningSum, windowTumblingEvents)
+}
