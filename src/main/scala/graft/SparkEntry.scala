@@ -7,7 +7,12 @@ object SparkEntry {
 
   /** Every verifiable query the engine exposes (grows per SURVEY.md §2). */
   def allQueries: Seq[Q] =
-    graft.tpch.Tpch.queries ++ graft.operators.Relational.queries
+    graft.tpch.Tpch.queries ++
+      graft.operators.Relational.queries ++
+      graft.operators.Dedup.queries ++
+      graft.operators.Similarity.queries ++
+      graft.operators.TextAnalysis.queries ++
+      graft.operators.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the documents pipeline: token
+  * counting, shingling, language-ID heuristic, quality scoring,
+  * fingerprinting. All built from codegen'd Spark SQL functions (split,
+  * transform, filter, aggregate, xxhash64) — no UDFs — so they run
+  * inside whole-stage codegen and scale linearly with partitions.
+  */
+object Text {
+
+  /** Whitespace tokens (fixture text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token estimate: word pieces + standalone punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]")).cast("long")
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
+  /** Karp–Rabin-style rolling fingerprint of the token stream: fold-left
+    * acc*31 + h(token) mod 2^40. Bounded modular accumulation keeps the
+    * arithmetic exact under ANSI mode (no long overflow); deterministic
+    * and order-sensitive. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      pmod(acc * 31L + xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)),
+        lit(1L << 40)))
+
+  /** Content fingerprint as md5 of the lowercased text (exact dedup key;
+    * identical hex in any engine). */
+  def md5Fingerprint(text: Column): Column = md5(lower(text).cast("binary"))
+
+  // ---- Language ID (n-gram/stopword heuristic) --------------------------
+
+  /** Tiny per-language stopword lists; membership counts over tokens. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "un", "une", "est", "et"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "se", "no"))
+
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t =>
+      t.isin(stopwords(lang).map(x => x: Any): _*))).cast("long")
+
+  /** Argmax over language scores with fixed tie-break order en>de>fr>es;
+    * 'und' (undetermined) when no stopword hits at all. */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, "en")
+    val de = stopwordHits(text, "de")
+    val fr = stopwordHits(text, "fr")
+    val es = stopwordHits(text, "es")
+    when(en === 0 && de === 0 && fr === 0 && es === 0, lit("und"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** SQL mirror of [[langId]]/[[stopwordHits]] for the DuckDB oracle. */
+  def sqlStopwordHits(textCol: String, lang: String): String = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"cast(len(list_filter(str_split($textCol, ' '), t -> t in ($list))) as bigint)"
+  }
+
+  // ---- Quality scoring ---------------------------------------------------
+
+  /** Punctuation characters count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^\\w\\s]")).cast("long")
+
+  /** Mean token length: (chars - separators) / tokens, as double. */
+  def avgTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text).cast("long") - (n - 1)).cast("double") / n.cast("double")
+  }
+
+  /** Heuristic document quality in [0,1]: length band + word-shape band +
+    * stopword density, fixed-order double arithmetic (oracle-exact). */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val stopRatio = stopwordHits(text, "en").cast("double") / n.cast("double")
+    when(n.between(20, 1000), lit(0.4)).otherwise(lit(0.0)) +
+      when(avgTokenLen(text).between(3.0, 10.0), lit(0.3)).otherwise(lit(0.0)) +
+      stopRatio * 0.3
+  }
+}

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns using Spark
+  * higher-order functions — fully codegen'd, no UDFs, no driver-side
+  * work, so every operation scales with partition parallelism.
+  *
+  * All arithmetic is done in double with strict left-to-right fold
+  * order (`aggregate` is a sequential fold), which keeps results
+  * deterministic and reproducible across engines.
+  */
+object Vectors {
+
+  /** Cast array<float> → array<double> (deterministic widening). */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Dot product: fold-left sum of element-wise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity = dot / (|a| * |b|); inputs should be asDouble. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

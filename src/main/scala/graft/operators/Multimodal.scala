@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Multimodal column plumbing: media as opaque binary columns with typed
+  * metadata, processed partition-parallel through the typed Dataset API.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (it derives "dimensions" from the
+  * payload bytes). Everything around it — binary column schema, case
+  * class encoders, per-partition batch processing shape, partition
+  * parallelism — is real Spark plumbing a codec would drop into: swap
+  * `decodeStub` for a JNI/javax.imageio call and nothing else changes.
+  */
+object Multimodal {
+
+  /** A media object: opaque payload + kind tag (image/audio/video). */
+  final case class Media(doc_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded metadata + fixed-dim feature vector. */
+  final case class MediaMeta(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      features: Array[Float])
+
+  /** Fixture adapter: fake a binary media table from documents (payload =
+    * UTF-8 bytes). At 100 TB this would be a parquet/iceberg table with a
+    * real binary column; the pipeline below is unchanged. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Media]
+  }
+
+  /** ==== STUB ==== A real implementation would decode image headers
+    * (e.g. PNG IHDR) here. This deterministic fake reads "dimensions"
+    * from the first payload bytes so tests and oracles stay exact. */
+  private def decodeStub(m: Media): MediaMeta = {
+    val w = if (m.payload.nonEmpty) (m.payload(0) & 0xff).toLong else 0L
+    val h = if (m.payload.length > 1) (m.payload(1) & 0xff).toLong else 0L
+    MediaMeta(m.doc_id, m.kind, m.payload.length.toLong, w, h,
+      featureStub(m.payload))
+  }
+
+  /** ==== STUB ==== stand-in for a feature extractor (CLIP et al.):
+    * 8 deterministic floats from byte samples. */
+  private def featureStub(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length
+    Array.tabulate(8) { j =>
+      if (n == 0) 0f else (payload(j % n) & 0xff) / 255.0f
+    }
+  }
+
+  /** Decode runs per-partition over the iterator (the "batch"): no
+    * driver-side work, parallelism = input partitions. */
+  def decodeAll(media: Dataset[Media]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Metadata extraction end-to-end through the binary pipeline. The
+    * oracle recomputes the stub's outputs from the text column. */
+  val multimodalMeta: Q = Q.df(
+    "multimodal_meta",
+    """select doc_id, cast(octet_length(encode(text)) as bigint) as n_bytes,
+      |  cast(ascii(substring(text, 1, 1)) as bigint) as width,
+      |  cast(ascii(substring(text, 2, 1)) as bigint) as height
+      |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    decodeAll(mediaTable(s, dir))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature tensor extraction (binary → array<float>); rows-only. */
+  val multimodalFeatures: Q = Q.rowsOnly("multimodal_features") { (s, dir) =>
+    decodeAll(mediaTable(s, dir))
+      .select(col("doc_id"), col("features"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Vectors._
+
+/** Similarity search over the embeddings table (array<float>, 64-dim).
+  *
+  * - Brute-force cosine top-k is the exactness baseline: broadcast the
+  *   (small) query set against the full corpus — one pass, no shuffle of
+  *   the corpus, scales linearly with corpus partitions.
+  * - LSH (random hyperplanes) is the 100 TB path: candidates come from a
+  *   bucket equi-join instead of a cross join, trading recall for a
+  *   shuffle keyed on a compact signature. Verified for recall in the
+  *   spec suite, not by the SQL oracle.
+  * - Near-dup pairs (cosine >= threshold) use the same kernels.
+  *
+  * All vector math is codegen'd higher-order functions (Vectors.scala)
+  * in strict fold-left double order — bit-identical to the DuckDB
+  * oracle's list_sum/list_transform.
+  */
+object Similarity {
+
+  val TopK = 10
+  val NumQueries = 10 // query set = vec_id < 10
+  val CosineDupThreshold = 0.45
+
+  private def cosExpr(a: Column, b: Column): Column = cosine(a, b)
+
+  /** Brute-force exact top-k neighbors for each query vector. */
+  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val annBruteForce: Q = Q.df(
+    "ann_cosine_topk",
+    s"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+       |q as (select * from e where vec_id < $NumQueries),
+       |pairs as (
+       |  select q.vec_id as query_id, c.vec_id as neighbor_id,
+       |    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+       |      / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(c.v, x -> x * x)))) as cos
+       |  from q, e c where q.vec_id <> c.vec_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+       |from (select *, cast(row_number() over (
+       |        partition by query_id order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin) { (s, dir) =>
+    bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** All near-duplicate pairs by cosine >= threshold (embedding dedup).
+    * O(n²/2) compare here; at scale the LSH bucket join below bounds the
+    * candidate set instead. */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("d1"), asDouble(col("embedding")).as("v1"))
+    val b = emb.select(col("vec_id").as("d2"), asDouble(col("embedding")).as("v2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("cos", cosExpr(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val dedupEmbeddingCosine: Q = Q.df(
+    "dedup_embedding_cosine",
+    s"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+       |select a.vec_id as d1, b.vec_id as d2,
+       |  round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) as cos_sim
+       |from e a join e b on a.vec_id < b.vec_id
+       |where list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= $CosineDupThreshold
+       |order by d1, d2""".stripMargin) { (s, dir) =>
+    cosinePairs(Tables.df(s, dir, "embeddings"), CosineDupThreshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---- LSH (random hyperplanes) — the scale path -------------------------
+
+  val NumPlanes = 12
+
+  /** Deterministic pseudo-random hyperplanes (seed 42), dim 64. */
+  private def planes: Seq[Seq[Double]] = {
+    val rnd = new Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket id per vector: bit i = (v · plane_i) >= 0. */
+  def lshBucket(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via bucket equi-join: only same-bucket candidates are scored.
+    * Approximate by construction → rows-only check + recall spec. */
+  def lshTopK(emb: DataFrame, k: Int): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v")))
+    val queries = withBucket.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val cands = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
+    queries.join(cands, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val annLsh: Q = Q.rowsOnly("ann_lsh_topk") { (s, dir) =>
+    lshTopK(Tables.df(s, dir, "embeddings"), TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queries: Seq[Q] = Seq(annBruteForce, dedupEmbeddingCosine, annLsh)
+}

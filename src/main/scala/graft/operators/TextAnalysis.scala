@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Text
+
+/** Text-analysis operators over the documents table: token counting,
+  * language ID, quality scoring, fingerprinting (SURVEY north-star set).
+  * Every computation is a codegen'd column expression — one scan pass,
+  * no shuffle, embarrassingly parallel at any scale.
+  */
+object TextAnalysis {
+
+  val textTokens: Q = Q.df(
+    "text_tokens",
+    """select doc_id,
+      |  cast(len(str_split(text, ' ')) as bigint) as n_tokens,
+      |  cast(len(regexp_extract_all(text, '\w+|[^\w\s]')) as bigint) as n_bpe,
+      |  cast(length(text) as bigint) as n_chars
+      |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangId: Q = Q.df(
+    "text_langid", {
+      val en = Text.sqlStopwordHits("text", "en")
+      val de = Text.sqlStopwordHits("text", "de")
+      val fr = Text.sqlStopwordHits("text", "fr")
+      val es = Text.sqlStopwordHits("text", "es")
+      s"""select doc_id, lang,
+         |  case when $en = 0 and $de = 0 and $fr = 0 and $es = 0 then 'und'
+         |       when $en >= $de and $en >= $fr and $en >= $es then 'en'
+         |       when $de >= $fr and $de >= $es then 'de'
+         |       when $fr >= $es then 'fr'
+         |       else 'es' end as lang_pred,
+         |  $en as hits_en
+         |from documents order by doc_id""".stripMargin
+    }) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        Text.langId(col("text")).as("lang_pred"),
+        Text.stopwordHits(col("text"), "en").as("hits_en"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQuality: Q = Q.df(
+    "text_quality", {
+      val stop = Text.sqlStopwordHits("text", "en")
+      val nTok = "cast(len(str_split(text, ' ')) as bigint)"
+      val avgLen =
+        s"cast(length(text) - ($nTok - 1) as double) / cast($nTok as double)"
+      val stopRatio = s"cast($stop as double) / cast($nTok as double)"
+      s"""select doc_id,
+         |  $avgLen as avg_token_len,
+         |  cast(len(regexp_extract_all(text, '[^\\w\\s]')) as bigint) as punct_cnt,
+         |  (case when $nTok between 20 and 1000 then cast(0.4 as double)
+         |        else cast(0.0 as double) end)
+         |  + (case when $avgLen between cast(3.0 as double) and cast(10.0 as double)
+         |          then cast(0.3 as double) else cast(0.0 as double) end)
+         |  + $stopRatio * cast(0.3 as double) as quality
+         |from documents order by doc_id""".stripMargin
+    }) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        Text.avgTokenLen(col("text")).as("avg_token_len"),
+        Text.punctCount(col("text")).as("punct_cnt"),
+        Text.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFingerprint: Q = Q.df(
+    "text_fingerprint",
+    """select doc_id, md5(lower(text)) as fp
+      |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), Text.md5Fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** 64-bit rolling hash of the token stream — engine-internal hash, so
+    * rows-only check here; determinism is asserted in the spec suite. */
+  val textRollingFingerprint: Q = Q.rowsOnly("text_fingerprint_rolling") {
+    (s, dir) =>
+      Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(textTokens, textLangId, textQuality, textFingerprint,
+      textRollingFingerprint)
+}
