@@ -28,7 +28,7 @@ object Tables {
       // values are microsecond-precision).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -20,12 +20,17 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("\\w+|[^\\w\\s]")).cast("long")
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * Docs shorter than n tokens yield an empty set (guard needed: ANSI
+    * mode rejects out-of-range element_at, and sequence(0, negative)
+    * would count downward). */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*)))
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Karp–Rabin-style rolling fingerprint of the token stream: fold-left

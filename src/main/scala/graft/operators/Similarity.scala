@@ -100,33 +100,53 @@ object Similarity {
 
   // ---- LSH (random hyperplanes) — the scale path -------------------------
 
-  val NumPlanes = 12
+  /** L hash tables × b sign bits each: a vector lands in one bucket per
+    * table; candidates are the union of same-bucket vectors over the L
+    * tables. More tables → higher recall; fewer bits → denser buckets.
+    * (Same trade-off as MinHash banding.) */
+  val NumTables = 8
+  val BitsPerTable = 6
 
   /** Deterministic pseudo-random hyperplanes (seed 42), dim 64. */
-  private def planes: Seq[Seq[Double]] = {
+  private def planes: Seq[Seq[Seq[Double]]] = {
     val rnd = new Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Seq.fill(64)(rnd.nextGaussian())))
   }
 
-  /** Sign-bit bucket id per vector: bit i = (v · plane_i) >= 0. */
-  def lshBucket(v: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  /** Per-table sign-bit bucket: bit i = (v · plane_i) >= 0. */
+  private def tableBucket(v: Column, table: Int): Column =
+    planes(table).zipWithIndex.map { case (p, i) =>
       val planeLit = array(p.map(lit): _*)
       when(dot(v, planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN via bucket equi-join: only same-bucket candidates are scored.
-    * Approximate by construction → rows-only check + recall spec. */
+  /** (vec_id, v, table, bucket) — one row per table. */
+  def lshKeys(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("table"), tableBucket(col("v"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.table"), col("tb.bucket"))
+
+  /** ANN via bucket equi-join: only same-bucket candidates (union over
+    * tables) are scored. Approximate by construction → rows-only check +
+    * recall spec. At 100 TB the bucket join replaces the O(n·q) scan and
+    * shuffles on the compact (table, bucket) key. */
   def lshTopK(emb: DataFrame, k: Int): DataFrame = {
-    val withBucket = emb.select(col("vec_id"),
-      asDouble(col("embedding")).as("v"))
-      .withColumn("bucket", lshBucket(col("v")))
-    val queries = withBucket.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val cands = withBucket
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
-    queries.join(cands, Seq("bucket"))
+    val keys = lshKeys(emb)
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // candidate id pairs first (dedup before carrying vectors around)
+    val pairs = keys.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+      .join(keys.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // a pair may collide in several tables
+    pairs
+      .join(broadcast(vecs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))), Seq("query_id"))
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("v").as("cv")),
+        Seq("neighbor_id"))
       .withColumn("cos", cosExpr(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Money._
+import graft.Q
+import graft.Tables
+
+/** Structured Streaming over the events table (beyond-reference surface:
+  * the reference has no streaming concept at all — SURVEY §2.9).
+  *
+  * Each transform is defined on a plain DataFrame/Dataset so the SAME
+  * code runs in batch (driver verification against the DuckDB oracle)
+  * and under `readStream` (spec suite, via MemoryStream). Watermarks
+  * bound state; aggregations are keyed on (window/session, key) so state
+  * is hash-partitioned across executors — no driver-side state at any
+  * scale.
+  */
+object EventsStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserActivity(
+      user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling-window counts with a 1h watermark (streaming-safe). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(m(col("value"))).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Session aggregation via the built-in session_window (gap-merged). */
+  def sessions(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), dsum(m(col("value"))).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user activity
+    * totals (the KeyValueGroupedDataset stateful-API surface). */
+  def runningUserActivity(events: Dataset[Event]): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserActivity]) =>
+          val prev = state.getOption.getOrElse(UserActivity(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserActivity(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch form of [[sessions]] for the driver's oracle gate; the DuckDB
+    * mirror reconstructs gap-sessions with lag + cumulative sum. */
+  val sessionizeEvents: Q = Q.df(
+    "sessionize_events",
+    s"""with marked as (
+       |  select user_id, ts, value,
+       |    case when lag(ts) over (partition by user_id order by ts) is null
+       |           or ts - lag(ts) over (partition by user_id order by ts)
+       |              > interval 10 minute
+       |         then 1 else 0 end as new_s
+       |  from events),
+       |numbered as (
+       |  select user_id, ts, value,
+       |    sum(new_s) over (partition by user_id order by ts
+       |                     rows unbounded preceding) as sid
+       |  from marked)
+       |select user_id, min(ts) as session_start, max(ts) as session_end,
+       |  count(*) as n_events,
+       |  cast(sum(${sqlM("value")}) as double) as total_value
+       |from numbered
+       |group by user_id, sid
+       |order by user_id, session_start""".stripMargin) { (s, dir) =>
+    sessions(Tables.df(s, dir, "events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val queries: Seq[Q] = Seq(sessionizeEvents)
+}

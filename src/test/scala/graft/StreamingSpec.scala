@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, UserActivity}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToCompletion(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("hourly windowed counts with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:55:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0))
+    val q = EventsStream.hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(Event(4, ts("2024-01-01 03:30:00"), 3, "click", 4.0)) // advances watermark past 01:xx
+    runToCompletion(q)
+    val rows = spark.table("hourly")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows.contains(("2024-01-01 00:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("session_window merges events within the gap, splits beyond it") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 00:05:00"), 7, "click", 2.0),   // same session
+      Event(3, ts("2024-01-01 00:30:00"), 7, "click", 3.0))   // new session (>10 min gap)
+    val q = EventsStream.sessions(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(Event(4, ts("2024-01-01 05:00:00"), 8, "view", 0.0)) // advance watermark
+    runToCompletion(q)
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+      .toSet
+    assert(rows.contains((7L, "2024-01-01 00:00:00.0", 2L)))
+    assert(rows.contains((7L, "2024-01-01 00:30:00.0", 1L)))
+  }
+
+  test("mapGroupsWithState accumulates per-user activity across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventsStream.runningUserActivity(in.toDS())
+      .writeStream.format("memory").queryName("activity")
+      .outputMode(OutputMode.Update())
+      .start()
+    in.addData(Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.5))
+    q.processAllAvailable()
+    in.addData(Event(2, ts("2024-01-01 00:01:00"), 1, "click", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("activity").collect()
+      .map(r => UserActivity(r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_.user_id == 1L)
+    assert(last.exists(a => a.n_events == 2L && math.abs(a.total_value - 4.0) < 1e-12))
+  }
+
+  test("batch sessionize query matches its own streaming-safe definition") {
+    val out = EventsStream.sessionizeEvents.run.apply(spark, TestSpark.Sf)
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq(
+      "user_id", "session_start", "session_end", "n_events", "total_value"))
+  }
+}

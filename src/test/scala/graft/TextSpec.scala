@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = one("hello world, this is 42!")
+      .select(Text.tokenCount(col("text")), Text.bpeTokenCount(col("text")))
+      .collect()(0)
+    assert(r.getLong(0) == 5)          // whitespace tokens
+    assert(r.getLong(1) == 7)          // hello world , this is 42 ! → 5 words + 2 punct
+  }
+
+  test("shingles: n=3 over a 5-token doc gives 3 distinct trigrams") {
+    val r = one("a b c d e")
+      .select(Text.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(r == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("shingles: doc shorter than n yields empty array, not an error") {
+    val r = one("a b").select(Text.shingles(col("text"), 3))
+      .collect()(0).getSeq[String](0)
+    assert(r.isEmpty)
+  }
+
+  test("rolling fingerprint: deterministic, order-sensitive, bounded") {
+    val fp = (s: String) =>
+      one(s).select(Text.rollingFingerprint(col("text"))).collect()(0).getLong(0)
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+    assert(fp("a b c") >= 0 && fp("a b c") < (1L << 40))
+  }
+
+  test("langId picks the language with most stopword hits; und when none") {
+    assert(one("the cat sat on the mat and it was good")
+      .select(Text.langId(col("text"))).collect()(0).getString(0) == "en")
+    assert(one("der hund ist nicht mit der katze und der maus")
+      .select(Text.langId(col("text"))).collect()(0).getString(0) == "de")
+    assert(one("xyzzy plugh qwerty")
+      .select(Text.langId(col("text"))).collect()(0).getString(0) == "und")
+  }
+
+  test("quality score stays in [0, 1]") {
+    val scores = Tables.df(spark, TestSpark.Sf, "documents")
+      .select(Text.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.nonEmpty && scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
