@@ -20,6 +20,14 @@ object Vectors {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Dot product for a known dimension, folding over a constant index
+    * array instead of materializing zip_with's product array — no per-row
+    * allocation, which matters when evaluated O(n²) times. Identical
+    * multiply/add order to [[dot]], so bit-identical results. */
+  def dotIdx(a: Column, b: Column, dim: Int): Column =
+    aggregate(lit((0 until dim).toArray), lit(0.0),
+      (acc, i) => acc + element_at(a, i + 1) * element_at(b, i + 1))
+
   /** Squared L2 norm. */
   def normSq(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)

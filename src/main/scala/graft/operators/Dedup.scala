@@ -51,12 +51,16 @@ object Dedup {
       explode(Text.shingles(col("text"), ShingleN)).as("shingle"))
 
   /** All pairs with trigram Jaccard >= threshold, via inverted index:
-    * join on shingle → per-pair common count → |A∪B| = |A|+|B|-common. */
+    * join on shingle → per-pair common count → |A∪B| = |A|+|B|-common.
+    * The join/shuffle key is the 64-bit shingle hash, not the string —
+    * less shuffle volume, cheaper compares (collisions are ~1e-10 for a
+    * bounded-vocab trigram space and would only perturb one count). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs)
+    val sh = shingleSets(docs).select(col("doc_id"),
+      xxhash64(col("shingle")).as("sh"))
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("doc_id").as("d1"), col("shingle"))
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+    val common = sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
     common
@@ -94,8 +98,13 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------------
 
-  val NumHashes = 128
-  val Bands = 32 // rows per band r = 128/32 = 4
+  // k=64, 16 bands of r=4: candidate-recall miss prob at jaccard 0.85 is
+  // (1 - 0.85^4)^16 ≈ 8e-6; candidates are then verified EXACTLY, so
+  // signature size only buys recall, not precision — 64 halves the
+  // signature-aggregation cost vs 128 with no observable recall loss on
+  // a corpus whose near-dup pairs sit at j >= 0.85.
+  val NumHashes = 64
+  val Bands = 16 // rows per band r = 64/16 = 4
 
   /** Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod P over a
     * 32-bit base hash; a bounded so a*x never overflows a signed long. */
