@@ -13,7 +13,8 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Multimodal.queries ++
-      graft.streaming.EventsStream.queries
+      graft.streaming.EventsStream.queries ++
+      graft.types.TypesQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -21,12 +21,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Dynamic conf required by the events fixture. Our own sessions set
+    * it at bootstrap ([[graft.Session.builder]]); the guarded set below
+    * only fires for externally-constructed sessions (the driver's),
+    * so repeated df() calls never mutate an already-correct session. */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
       // rejects; read the raw int64 nanos and convert (exact: fixture
       // values are microsecond-precision).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (spark.conf.get(NanosConf, "false") != "true")
+        spark.conf.set(NanosConf, "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
@@ -35,4 +42,50 @@ object Tables {
   /** Register every table as a temp view named after the table. Idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Catalog database carrying ANALYZE statistics for the CBO.
+    *
+    * The reference's flagship feature is cost-based join reorder
+    * (doradb-plan/src/join/reorder/{greedy,dpsize,dphyp}.rs); Spark's
+    * counterpart,
+    * CostBasedJoinReorder, needs rowCount/NDV statistics, which temp
+    * views cannot carry. So the TPC-H core tables are ALSO registered as
+    * EXTERNAL catalog tables (metadata only — the data stays in the
+    * fixture parquet) and ANALYZEd: row counts plus column stats (with
+    * histograms, Session.scala) on the join-key and filter columns the
+    * reorder cost model consults. Stats collection is a metadata scan +
+    * one aggregation pass per table — at 100 TB it runs as a normal
+    * distributed job and is amortized over every query planned after. */
+  val StatsDb = "tpch_cbo"
+
+  /** Join-key and filter columns the reorder cost model consults.
+    * Date columns (o_orderdate, l_shipdate) are deliberately EXCLUDED:
+    * the fixtures store them as TIMESTAMP_NTZ, and Spark 4.1.2's
+    * FilterEstimation has no match arm for TimestampNTZType — column
+    * stats on them crash optimization with a MatchError; without stats
+    * the estimator falls back to default selectivity and the reorder
+    * still runs on rowCount + key NDVs. */
+  private val statCols: Map[String, String] = Map(
+    "region" -> "r_regionkey, r_name",
+    "nation" -> "n_nationkey, n_regionkey, n_name",
+    "customer" -> "c_custkey, c_nationkey, c_mktsegment, c_acctbal",
+    "supplier" -> "s_suppkey, s_nationkey, s_acctbal",
+    "part" -> "p_partkey, p_type, p_size, p_brand",
+    "orders" -> "o_orderkey, o_custkey, o_orderstatus",
+    "lineitem" -> "l_orderkey, l_suppkey, l_partkey, l_quantity")
+
+  /** Create + ANALYZE the stats catalog for `dir`; no-op when already
+    * registered for the same dir in this session. */
+  def registerStats(spark: SparkSession, dir: String): Unit = synchronized {
+    if (spark.conf.getOption("graft.cbo.dir").contains(dir)) return
+    spark.sql(s"DROP DATABASE IF EXISTS $StatsDb CASCADE")
+    spark.sql(s"CREATE DATABASE $StatsDb")
+    statCols.foreach { case (t, cols) =>
+      spark.sql(
+        s"CREATE TABLE $StatsDb.$t USING parquet LOCATION '$dir/$t.parquet'")
+      spark.sql(s"ANALYZE TABLE $StatsDb.$t COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE $StatsDb.$t COMPUTE STATISTICS FOR COLUMNS $cols")
+    }
+    spark.conf.set("graft.cbo.dir", dir)
+  }
 }

@@ -79,11 +79,27 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Feature tensor extraction (binary → array<float>); rows-only. */
-  val multimodalFeatures: Q = Q.rowsOnly("multimodal_features") { (s, dir) =>
+  /** Feature tensor extraction (binary → array<float>), exploded to
+    * scalar rows `(doc_id, feature_idx, byte_value)` so the driver
+    * harness can canonicalize the result (a raw array<float> column is
+    * unsortable in its pandas compare — the round-1 red row).
+    * `byte_value = round(f * 255)` recovers the exact source byte from
+    * the stub feature `f = byte/255f`, making the check integer-exact;
+    * the float array itself stays covered by the spec suite. The
+    * oracle recomputes the stub from the text bytes, mirroring
+    * [[multimodalMeta]]. */
+  val multimodalFeatures: Q = Q.df(
+    "multimodal_features",
+    """select doc_id, cast(j - 1 as bigint) as feature_idx,
+      |  cast(ascii(substring(text,
+      |    ((j - 1) % octet_length(encode(text))) + 1, 1)) as bigint) as byte_value
+      |from documents, range(1, 9) t(j)
+      |order by doc_id, feature_idx""".stripMargin) { (s, dir) =>
     decodeAll(mediaTable(s, dir))
-      .select(col("doc_id"), col("features"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), posexplode(col("features")))
+      .select(col("doc_id"), col("pos").cast("long").as("feature_idx"),
+        round(col("col").cast("double") * 255.0).cast("long").as("byte_value"))
+      .orderBy(col("doc_id"), col("feature_idx"))
   }
 
   val queries: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)

@@ -169,6 +169,69 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Explicit RIGHT JOIN — the reference's builder normalizes RIGHT to a
+    * flipped LEFT at build time (lgc/builder.rs:686-848); Spark plans it
+    * directly. Nations without suppliers surface with NULL supplier
+    * columns (nullable sort keys are explicit per the dialect notes). */
+  val joinRight: Q = Q.shared(
+    "join_right",
+    """select s_suppkey, s_name, n_nationkey, n_name
+      |from supplier right join nation on s_nationkey = n_nationkey
+      |order by n_nationkey, s_suppkey asc nulls first""".stripMargin)
+
+  /** NATURAL JOIN — normalized to equi-conds on the shared column names
+    * (lgc/builder.rs:686-848). TPC-H columns are prefix-named, so the
+    * shared key is exposed via aliased derived tables. */
+  val joinNatural: Q = Q.shared(
+    "join_natural",
+    """select nationkey, n_name, s_name
+      |from (select n_nationkey as nationkey, n_name from nation) n
+      |natural join (select s_nationkey as nationkey, s_name from supplier) s
+      |order by nationkey, s_name""".stripMargin)
+
+  /** EXISTS under a disjunction — the exact shape the reference's Mark
+    * join kind exists for (join/mod.rs:20-22): the subquery result must
+    * surface as a boolean column (Catalyst ExistenceJoin, plan-spec'd)
+    * because it cannot decay to a plain semi join. */
+  val predExistsDisjunction: Q = Q.shared(
+    "pred_exists_disjunction",
+    """select c_custkey, c_acctbal from customer
+      |where c_acctbal > 9000
+      |   or exists (select 1 from orders
+      |              where o_custkey = c_custkey and o_totalprice > 400000)
+      |order by c_custkey""".stripMargin)
+
+  /** Cost-based join reorder (reference: doradb-plan/src/join/reorder/
+    * {greedy,dpsize,dphyp}.rs) — the SQL lists tables in a deliberately
+    * bad order (two fact tables first, the selective region filter
+    * last); with CBO + ANALYZE stats (Tables.registerStats) Catalyst's
+    * CostBasedJoinReorder rewrites the join tree by cardinality, which
+    * PlanSpec asserts. The oracle runs the same SQL on the plain views —
+    * join order never changes the result. */
+  /** The deliberately badly-ordered 6-table join text, parameterized by
+    * catalog prefix ("" for the DuckDB oracle / plain views,
+    * "tpch_cbo." for the stats-bearing catalog tables). Public so the
+    * plan spec can assert the reorder fires on the same text. */
+  def joinReorderSql(prefix: String): String =
+    s"""select n_name, count(*) as cnt,
+         |  cast(sum(${sqlDiscPrice("l_extendedprice", "l_discount")}) as double) as revenue
+         |from ${prefix}lineitem
+         |join ${prefix}orders on l_orderkey = o_orderkey
+         |join ${prefix}customer on o_custkey = c_custkey
+         |join ${prefix}supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+         |join ${prefix}nation on s_nationkey = n_nationkey
+         |join ${prefix}region on n_regionkey = r_regionkey
+         |where r_name = 'ASIA'
+         |  and o_orderdate >= date '1994-01-01' and o_orderdate < date '1995-01-01'
+         |group by n_name
+       |order by n_name""".stripMargin
+
+  val joinReorderCbo: Q =
+    Q.df("join_reorder_cbo", joinReorderSql("")) { (s, dir) =>
+      Tables.registerStats(s, dir)
+      s.sql(joinReorderSql(s"${Tables.StatsDb}."))
+    }
+
   // ---- Distinct / Sort / Limit / Offset / top-k -------------------------
 
   val distinctRows: Q = Q.df(
@@ -251,7 +314,12 @@ object Relational {
        |order by o_orderkey""".stripMargin)
 
   /** Quantified `> ALL (subquery)` — Spark lacks ALL/ANY, so the engine
-    * rewrites to a MAX scalar (SURVEY §7.3); the oracle runs real ALL. */
+    * rewrites to a NOT EXISTS anti-join, which is equivalent under FULL
+    * standard semantics (a MAX-scalar rewrite is not: ALL is vacuously
+    * TRUE over an empty subquery where max yields NULL, and a NULL in
+    * the subquery — or a NULL lhs with a non-empty subquery — makes ALL
+    * unknown while max would ignore it). Keep the row iff no subquery
+    * row fails-or-unknowns the compare; the oracle runs real ALL. */
   val subqGtAll: Q = Q.df(
     "subq_quantified_all",
     """select s_suppkey, s_name, s_acctbal from supplier
@@ -259,11 +327,15 @@ object Relational {
       |order by s_suppkey""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql("""select s_suppkey, s_name, s_acctbal from supplier
-            |where s_acctbal > (select max(c_acctbal) from customer where c_nationkey = 1 and c_custkey < 300)
+            |where not exists (
+            |  select 1 from customer where c_nationkey = 1 and c_custkey < 300
+            |    and (c_acctbal >= s_acctbal or c_acctbal is null or s_acctbal is null))
             |order by s_suppkey""".stripMargin)
   }
 
-  /** Quantified `< ANY (subquery)` → rewritten to `< MAX(...)`. */
+  /** Quantified `< ANY (subquery)` → EXISTS with the compare inside:
+    * exact ANY semantics (FALSE over empty set, unknown compares never
+    * match), unlike a MAX-scalar rewrite. */
   val subqLtAny: Q = Q.df(
     "subq_quantified_any",
     """select s_suppkey, s_name, s_acctbal from supplier
@@ -271,7 +343,9 @@ object Relational {
       |order by s_suppkey""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql("""select s_suppkey, s_name, s_acctbal from supplier
-            |where s_acctbal < (select max(c_acctbal) from customer where c_nationkey = 2)
+            |where exists (
+            |  select 1 from customer where c_nationkey = 2
+            |    and s_acctbal < c_acctbal)
             |order by s_suppkey""".stripMargin)
   }
 
@@ -515,6 +589,7 @@ object Relational {
     setopUnionAll, setopUnionDistinct, setopExcept, setopExceptAll,
     setopIntersect, setopIntersectAll,
     joinFullOuter, joinCross, joinSemi, joinAnti, joinUsing,
+    joinRight, joinNatural, predExistsDisjunction, joinReorderCbo,
     distinctRows, sortLimitOffset, topK, rowConstant,
     havingFilter, aggDistinct,
     subqScalar, subqGtAll, subqLtAny, subqInCorrelated, cteMultiRef,

@@ -92,35 +92,40 @@ object Similarity {
   }
 
   /** All near-duplicate pairs by cosine >= threshold (embedding dedup).
-    * O(n²/2) compare here; at scale the LSH bucket join below bounds the
-    * candidate set instead. */
-  /** All-pairs is inherently quadratic, so this one operator drops to a
-    * broadcast + mapPartitions kernel (the pattern Spark MLlib uses for
-    * dense similarity): the corpus ships once per executor as a broadcast
-    * (n·dim·8 bytes — fine up to ~1M vectors; beyond that use the LSH
-    * path), and each partition runs a tight primitive-double loop instead
-    * of materializing 25M joined rows of 512-byte arrays. The fold order
-    * matches [[dot]] exactly, so results stay bit-identical to the
-    * declarative form and the DuckDB oracle. */
-  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    *
+    * Exact all-pairs is inherently O(n²) compare, but it needs NO
+    * driver-side state: the corpus is split into `blocks` id-hash blocks
+    * and the B·(B+1)/2 ordered block pairs become an equi-join key, so
+    * every vector pair meets in exactly one task. Per-task memory and
+    * work are bounded by (n/B)² regardless of corpus size; shuffle
+    * volume is ~B/2 copies of the (already-normalized) vectors, never
+    * the pair matrix. Scale by raising B: tasks grow as B², per-task
+    * cost shrinks as 1/B². For corpora where even that is too much, the
+    * recall-trading path is the hyperplane-LSH candidate join below.
+    * The dot fold order matches the DuckDB oracle exactly (same kernel
+    * as [[bruteForceTopK]], which hash-matches).
+    */
+  def cosinePairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    val brd = spark.sparkContext.broadcast(unit.collect().sortBy(_._1))
-    unit.mapPartitions { it =>
-      it.flatMap { case (d1, u1) =>
-        brd.value.iterator
-          .filter(_._1 > d1)
-          .map { case (d2, u2) =>
-            var acc = 0.0
-            var i = 0
-            while (i < u1.length) { acc += u1(i) * u2(i); i += 1 }
-            (d1, d2, acc)
-          }
-          .filter(_._3 >= threshold)
-      }
-    }.toDF("d1", "d2", "cos")
-      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos_sim"))
+    val unit = withUnit(emb)
+      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+    val blockPairs = (for { a <- 0 until blocks; b <- a until blocks }
+      yield (a, b)).toDF("b1", "b2")
+    // each side replicated to every block pair it participates in; the
+    // (b1, b2) composite key gives B·(B+1)/2-way join parallelism
+    val left = unit.select(col("vec_id").as("i1"), col("u").as("u1"),
+        col("blk").as("b1")).join(broadcast(blockPairs), Seq("b1"))
+    val right = unit.select(col("vec_id").as("i2"), col("u").as("u2"),
+        col("blk").as("b2")).join(broadcast(blockPairs), Seq("b2"))
+    left.join(right, Seq("b1", "b2"))
+      // cross-block pairs appear once (b1 < b2); same-block needs i1 < i2
+      .filter(col("b1") =!= col("b2") || col("i1") < col("i2"))
+      .withColumn("cos", cosExpr(col("u1"), col("u2")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("i1"), col("i2")).as("d1"),
+        greatest(col("i1"), col("i2")).as("d2"),
+        round(col("cos"), 6).as("cos_sim"))
   }
 
   val dedupEmbeddingCosine: Q = Q.df(

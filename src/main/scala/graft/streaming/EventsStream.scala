@@ -67,14 +67,17 @@ object EventsStream {
   }
 
   /** Batch form of [[sessions]] for the driver's oracle gate; the DuckDB
-    * mirror reconstructs gap-sessions with lag + cumulative sum. */
+    * mirror reconstructs gap-sessions with lag + cumulative sum. The gap
+    * predicate is `>=`: session_window's window is [t, t+gap), so two
+    * events EXACTLY gap apart start separate sessions — `> gap` in the
+    * oracle would merge them and flip the compare on an exact-gap pair. */
   val sessionizeEvents: Q = Q.df(
     "sessionize_events",
     s"""with marked as (
        |  select user_id, ts, value,
        |    case when lag(ts) over (partition by user_id order by ts) is null
        |           or ts - lag(ts) over (partition by user_id order by ts)
-       |              > interval 10 minute
+       |              >= interval 10 minute
        |         then 1 else 0 end as new_s
        |  from events),
        |numbered as (

@@ -1,0 +1,34 @@
+package graft.types
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Driver-checkable surface for the type-mapping layer: values spanning
+  * each unsigned range flow losslessly through [[TypeMap]]'s widened
+  * Spark types. The oracle spells the same widened types in DuckDB
+  * (which has native unsigned types but identical widened semantics).
+  */
+object TypesQueries {
+  import TypeMap.PreciseType
+
+  val typesUnsignedWidening: Q = Q.df(
+    "types_unsigned_widening",
+    """select doc_id,
+      |  cast(doc_id % 256 as smallint) as u8_w,
+      |  cast(doc_id % 65536 as int) as u16_w,
+      |  cast(doc_id % 4294967296 as bigint) as u32_w,
+      |  cast(doc_id as decimal(20,0)) as u64_w
+      |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    def w(bytes: Int) = TypeMap.toSpark(PreciseType.Int(bytes, unsigned = true))
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        (col("doc_id") % 256).cast(w(1)).as("u8_w"),
+        (col("doc_id") % 65536).cast(w(2)).as("u16_w"),
+        (col("doc_id") % 4294967296L).cast(w(4)).as("u32_w"),
+        col("doc_id").cast(w(8)).as("u64_w"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(typesUnsignedWidening)
+}

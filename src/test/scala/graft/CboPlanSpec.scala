@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Plan-shape proof for the two round-2 optimizer surfaces:
+  * - Mark join (reference join/mod.rs:20-22): EXISTS under a
+  *   disjunction must plan as Catalyst's ExistenceJoin — it cannot
+  *   decay to a plain semi join because the EXISTS result feeds a
+  *   boolean OR.
+  * - Cost-based join reorder (reference join/reorder/{greedy,dpsize,
+  *   dphyp}.rs → Catalyst CostBasedJoinReorder): given ANALYZE row/
+  *   column statistics, a badly-ordered 6-table join text must be
+  *   rewritten into a different join order.
+  */
+class CboPlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("EXISTS under disjunction plans as ExistenceJoin (Mark join)") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val sql = Relational.predExistsDisjunction.oracle.get
+    val plan = spark.sql(sql).queryExecution.optimizedPlan.toString
+    assert(plan.contains("ExistenceJoin"),
+      s"expected ExistenceJoin in:\n$plan")
+  }
+
+  /** Leaf relation order = syntactic join order after optimization. */
+  private def leafOrder(plan: LogicalPlan): Seq[String] =
+    plan.collectLeaves().map(_.toString.linesIterator.next())
+
+  test("ANALYZE stats are registered (rowCount + column NDV)") {
+    Tables.registerStats(spark, TestSpark.Sf)
+    val stats = spark.table(s"${Tables.StatsDb}.lineitem")
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_ > 0), s"no rowCount in $stats")
+    assert(stats.attributeStats.nonEmpty, "no column statistics")
+  }
+
+  test("CBO join reorder rewrites the badly-ordered join") {
+    Tables.registerStats(spark, TestSpark.Sf)
+    val sql = Relational.joinReorderSql(s"${Tables.StatsDb}.")
+    def planWith(reorder: Boolean): LogicalPlan = {
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+      try spark.sql(sql).queryExecution.optimizedPlan
+      finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    }
+    val without = leafOrder(planWith(reorder = false))
+    val withRe = leafOrder(planWith(reorder = true))
+    assert(withRe != without,
+      s"join order unchanged by CostBasedJoinReorder:\n$without")
+  }
+}

@@ -17,9 +17,18 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("multimodal stub pipeline yields features of fixed dimension") {
-    val out = graft.operators.Multimodal.multimodalFeatures.run
-      .apply(spark, TestSpark.Sf)
-    val feats = out.collect().map(_.getSeq[Float](1))
-    assert(feats.nonEmpty && feats.forall(_.length == 8))
+    import graft.operators.Multimodal
+    // the typed pipeline itself: every decoded row carries an 8-dim array
+    val metas = Multimodal.decodeAll(Multimodal.mediaTable(spark, TestSpark.Sf))
+      .collect()
+    assert(metas.nonEmpty && metas.forall(_.features.length == 8))
+    // the driver-checkable exploded form: 8 scalar rows per doc, bytes 0-255
+    val out = Multimodal.multimodalFeatures.run.apply(spark, TestSpark.Sf)
+      .collect()
+    assert(out.length == metas.length * 8)
+    assert(out.forall { r =>
+      val idx = r.getLong(1); val b = r.getLong(2)
+      idx >= 0 && idx < 8 && b >= 0 && b <= 255
+    })
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's own e2e corpus is `sql/tpch1.sql..tpch22.sql` parsed
+  * and planned verbatim (doradb-tpch-tests/tests/parse.rs,
+  * tests/build_lgc.rs:7-22, tests/rule_optimize.rs:164-181 — the
+  * reference cannot execute them, its physical layer is todo!()). This
+  * spec proves our SQL front door accepts the same dialect surface:
+  * every file is parsed, name-resolved and rule-optimized by Catalyst
+  * against the full canonical TPC-H schema (sql/tpch_ddl.sql), including
+  * `partsupp` and the columns the parquet fixtures omit.
+  */
+class ReferenceSqlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def t(fields: (String, DataType)*): StructType =
+    StructType(fields.map { case (n, d) => StructField(n, d) })
+
+  private val money = DecimalType(15, 2)
+
+  /** Full canonical TPC-H schema per /root/reference/sql/tpch_ddl.sql. */
+  private val schemas: Map[String, StructType] = Map(
+    "nation" -> t("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType, "n_comment" -> StringType),
+    "region" -> t("r_regionkey" -> IntegerType, "r_name" -> StringType,
+      "r_comment" -> StringType),
+    "part" -> t("p_partkey" -> IntegerType, "p_name" -> StringType,
+      "p_mfgr" -> StringType, "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_container" -> StringType,
+      "p_retailprice" -> money, "p_comment" -> StringType),
+    "supplier" -> t("s_suppkey" -> IntegerType, "s_name" -> StringType,
+      "s_address" -> StringType, "s_nationkey" -> IntegerType,
+      "s_phone" -> StringType, "s_acctbal" -> money, "s_comment" -> StringType),
+    "partsupp" -> t("ps_partkey" -> IntegerType, "ps_suppkey" -> IntegerType,
+      "ps_availqty" -> IntegerType, "ps_supplycost" -> money,
+      "ps_comment" -> StringType),
+    "customer" -> t("c_custkey" -> IntegerType, "c_name" -> StringType,
+      "c_address" -> StringType, "c_nationkey" -> IntegerType,
+      "c_phone" -> StringType, "c_acctbal" -> money,
+      "c_mktsegment" -> StringType, "c_comment" -> StringType),
+    "orders" -> t("o_orderkey" -> LongType, "o_custkey" -> IntegerType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> money,
+      "o_orderdate" -> DateType, "o_orderpriority" -> StringType,
+      "o_clerk" -> StringType, "o_shippriority" -> IntegerType,
+      "o_comment" -> StringType),
+    "lineitem" -> t("l_orderkey" -> LongType, "l_partkey" -> IntegerType,
+      "l_suppkey" -> IntegerType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> money, "l_extendedprice" -> money,
+      "l_discount" -> money, "l_tax" -> money,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> DateType, "l_commitdate" -> DateType,
+      "l_receiptdate" -> DateType, "l_shipinstruct" -> StringType,
+      "l_shipmode" -> StringType, "l_comment" -> StringType))
+
+  test("all 22 reference TPC-H SQL texts parse, resolve and optimize verbatim") {
+    schemas.foreach { case (name, st) =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], st)
+        .createOrReplaceTempView(name)
+    }
+    // tpch11.sql aliases a column as "value" — ANSI identifier quoting,
+    // the reference's ANSI dialect (doradb-sql/src/parser/dialect.rs:13-60)
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try {
+      (1 to 22).foreach { i =>
+        val sql = new String(
+          Files.readAllBytes(Paths.get(s"/root/reference/sql/tpch$i.sql")), "UTF-8")
+        val qe = spark.sql(sql).queryExecution
+        val plan = qe.optimizedPlan // forces analysis + rule optimization
+        assert(plan.resolved, s"tpch$i.sql did not fully resolve")
+      }
+    } finally {
+      spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+      // restore the fixture-backed views other suites rely on
+      Tables.registerAll(spark, TestSpark.Sf)
+    }
+  }
+}
