@@ -13,6 +13,7 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Multimodal.queries ++
+      graft.operators.Temporal.queries ++
       graft.streaming.EventsStream.queries ++
       graft.types.TypesQueries.queries
 

@@ -21,16 +21,19 @@ object Text {
     regexp_count(text, lit("\\w+|[^\\w\\s]")).cast("long")
 
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
-    * Docs shorter than n tokens yield an empty set (guard needed: ANSI
-    * mode rejects out-of-range element_at, and sequence(0, negative)
-    * would count downward). */
+    *
+    * Implemented as ONE regex pass extracting overlapping n-grams via a
+    * lookahead capture — `(?=(\S+ \S+ \S+))\S+` matches at every token
+    * start with n tokens remaining and captures the n-gram, so a doc is
+    * shingled in a single linear scan. The equivalent higher-order-
+    * function chain (transform over sequence + element_at + concat_ws)
+    * produces identical output but is interpreted per element (Spark
+    * HOFs don't participate in codegen), which made shingling the
+    * dominant cost of every dedup operator. Docs shorter than n tokens
+    * yield an empty set. */
   def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+    val gram = Seq.fill(n)("\\S+").mkString(" ")
+    array_distinct(regexp_extract_all(text, lit(s"(?=($gram))\\S+"), lit(1)))
   }
 
   /** Karp–Rabin-style rolling fingerprint of the token stream: fold-left

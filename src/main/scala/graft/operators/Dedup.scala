@@ -77,23 +77,49 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  /** All pairs with trigram Jaccard >= threshold: candidates from a
-    * df-capped inverted shingle index (join on the 64-bit shingle hash,
-    * never an all-pairs cross join), then exact verification of just
-    * those pairs. The shuffle key is 8 bytes; the skew bound is
-    * maxDf² pairs per shingle. */
+  /** All pairs with trigram Jaccard >= threshold, in three skew-bounded
+    * stages:
+    *
+    * 1. Candidate counting on the df-CAPPED inverted index (8-byte
+    *    shingle-hash keys; per-shingle pair work bounded by maxDf²) →
+    *    per-pair count of common RARE shingles `c_rare`.
+    * 2. Upper-bound prune: with n_i = |doc i's shingles| and k_i = how
+    *    many of them are hot (df > cap), the true common count c is at
+    *    most c_rare + min(k1, k2), so
+    *    jaccard <= (c_rare + min(k1,k2)) / (n1 + n2 - c_rare - min(k1,k2)).
+    *    Pairs whose bound misses the threshold are dropped WITHOUT ever
+    *    touching the raw text — this keeps stage 3 tiny (near-dups +
+    *    borderline pairs only), where verifying every co-occurring pair
+    *    against full shingle arrays would dwarf the original skew cost.
+    * 3. Exact verification of survivors from the full shingle arrays
+    *    ([[verifyJaccard]]) — reported values are exact, so the pruning
+    *    is invisible in the output. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf): DataFrame = {
     val sh = shingleSets(docs).select(col("doc_id"),
       xxhash64(col("shingle")).as("sh"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("sh"))
-    val idx = sh.join(rare, Seq("sh"))
-    val cands = idx.select(col("sh"), col("doc_id").as("d1"))
+    val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val hotPerDoc = sh.join(hot, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k_hot"))
+    val docStats = nSh.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"), coalesce(col("k_hot"), lit(0L)).as("k_hot"))
+    val idx = sh.join(hot, Seq("sh"), "left_anti")
+    val cRare = idx.select(col("sh"), col("doc_id").as("d1"))
       .join(idx.select(col("sh"), col("doc_id").as("d2")), Seq("sh"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(docs, cands, threshold)
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c_rare"))
+    val bounded = cRare
+      .join(docStats.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
+        col("k_hot").as("k1")), Seq("d1"))
+      .join(docStats.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
+        col("k_hot").as("k2")), Seq("d2"))
+      .withColumn("c_max", col("c_rare") + least(col("k1"), col("k2")))
+      .filter(col("c_max").cast("double")
+        / (col("n1") + col("n2") - col("c_max")).cast("double") >= threshold)
+      .select(col("d1"), col("d2"))
+    verifyJaccard(docs, bounded, threshold)
   }
 
   /** DuckDB oracle for any operator whose output is the exact

@@ -547,7 +547,54 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  // ---- Multi-dimensional aggregation (beyond-reference: the reference's
+  // AST has only plain GROUP BY, ast.rs:1270-1281) ------------------------
+
+  /** ROLLUP: hierarchical subtotals + grand total; grouping() marks the
+    * synthesized NULL rows apart from data NULLs. */
+  val aggRollup: Q = Q.shared(
+    "agg_rollup",
+    """select l_returnflag, l_linestatus,
+      |  cast(grouping(l_returnflag) as bigint) as g_rf,
+      |  cast(grouping(l_linestatus) as bigint) as g_ls,
+      |  count(*) as cnt,
+      |  cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+      |from lineitem
+      |group by rollup (l_returnflag, l_linestatus)
+      |order by l_returnflag asc nulls first, l_linestatus asc nulls first""".stripMargin)
+
+  /** CUBE: all 2^k grouping combinations. */
+  val aggCube: Q = Q.shared(
+    "agg_cube",
+    """select o_orderstatus, o_orderpriority, count(*) as cnt
+      |from orders
+      |group by cube (o_orderstatus, o_orderpriority)
+      |order by o_orderstatus asc nulls first, o_orderpriority asc nulls first""".stripMargin)
+
+  /** Explicit GROUPING SETS. */
+  val aggGroupingSets: Q = Q.shared(
+    "agg_grouping_sets",
+    """select n_regionkey, n_nationkey, count(*) as cnt
+      |from nation
+      |group by grouping sets ((n_regionkey), (n_nationkey))
+      |order by n_regionkey asc nulls first, n_nationkey asc nulls first""".stripMargin)
+
   // ---- Windows (beyond-reference surface, SURVEY §2.9) ------------------
+
+  /** Navigation + distribution window functions: lag/lead/first_value/
+    * ntile over a named WINDOW clause (deterministic total order inside
+    * each partition via the unique trailing key). */
+  val windowLeadLag: Q = Q.shared(
+    "window_lead_lag",
+    """select o_orderkey, o_custkey,
+      |  lag(o_orderkey) over w as prev_key,
+      |  lead(o_orderkey) over w as next_key,
+      |  first_value(o_orderkey) over w as first_key,
+      |  cast(ntile(4) over w as bigint) as quartile
+      |from orders
+      |where o_custkey < 100
+      |window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+      |order by o_custkey, o_orderkey""".stripMargin)
 
   val windowRank: Q = Q.shared(
     "window_rank_topn",
@@ -595,5 +642,6 @@ object Relational {
     subqScalar, subqGtAll, subqLtAny, subqInCorrelated, cteMultiRef,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
-    windowRank, windowRunningSum, windowTumblingEvents)
+    aggRollup, aggCube, aggGroupingSets,
+    windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag)
 }

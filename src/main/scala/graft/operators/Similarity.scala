@@ -95,7 +95,7 @@ object Similarity {
     *
     * Exact all-pairs is inherently O(n²) compare, but it needs NO
     * driver-side state: the corpus is split into `blocks` id-hash blocks
-    * and the B·(B+1)/2 ordered block pairs become an equi-join key, so
+    * and the B·(B+1)/2 ordered block pairs become a cogroup key, so
     * every vector pair meets in exactly one task. Per-task memory and
     * work are bounded by (n/B)² regardless of corpus size; shuffle
     * volume is ~B/2 copies of the (already-normalized) vectors, never
@@ -108,24 +108,43 @@ object Similarity {
   def cosinePairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val unit = withUnit(emb)
-      .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
-    val blockPairs = (for { a <- 0 until blocks; b <- a until blocks }
-      yield (a, b)).toDF("b1", "b2")
-    // each side replicated to every block pair it participates in; the
-    // (b1, b2) composite key gives B·(B+1)/2-way join parallelism
-    val left = unit.select(col("vec_id").as("i1"), col("u").as("u1"),
-        col("blk").as("b1")).join(broadcast(blockPairs), Seq("b1"))
-    val right = unit.select(col("vec_id").as("i2"), col("u").as("u2"),
-        col("blk").as("b2")).join(broadcast(blockPairs), Seq("b2"))
-    left.join(right, Seq("b1", "b2"))
-      // cross-block pairs appear once (b1 < b2); same-block needs i1 < i2
-      .filter(col("b1") =!= col("b2") || col("i1") < col("i2"))
-      .withColumn("cos", cosExpr(col("u1"), col("u2")))
-      .filter(col("cos") >= threshold)
-      .select(least(col("i1"), col("i2")).as("d1"),
-        greatest(col("i1"), col("i2")).as("d2"),
-        round(col("cos"), 6).as("cos_sim"))
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    // replicate each side to its block pairs: key = b1 * blocks + b2
+    // (b1 <= b2). Shuffle volume is ~B/2 copies of the normalized
+    // vectors — never the O(n²) pair matrix.
+    val leftKeyed = unit.flatMap { case (id, u) =>
+      val b = (id % blocks).toInt
+      (b until blocks).map(b2 => (b * blocks + b2, id, u))
+    }
+    val rightKeyed = unit.flatMap { case (id, u) =>
+      val b = (id % blocks).toInt
+      (0 to b).map(b1 => (b1 * blocks + b, id, u))
+    }
+    // cogroup = both blocks of a pair land in one task; the kernel is a
+    // primitive-double nested loop (same fold order as [[dot]] and the
+    // oracle), with zero per-pair array serialization — the per-task
+    // footprint is two blocks, (n/B)·dim·8 bytes each, tuned via B.
+    leftKeyed.groupByKey(_._1)
+      .cogroup(rightKeyed.groupByKey(_._1)) { (key, ls, rs) =>
+        val sameBlock = (key / blocks) == (key % blocks)
+        val lArr = ls.toArray
+        val rArr = rs.toArray
+        lArr.iterator.flatMap { case (_, i1, u1) =>
+          rArr.iterator.flatMap { case (_, i2, u2) =>
+            if (sameBlock && i1 >= i2) Iterator.empty
+            else {
+              var acc = 0.0
+              var k = 0
+              while (k < u1.length) { acc += u1(k) * u2(k); k += 1 }
+              if (acc >= threshold)
+                Iterator.single((math.min(i1, i2), math.max(i1, i2), acc))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("d1", "d2", "cos")
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos_sim"))
   }
 
   val dedupEmbeddingCosine: Q = Q.df(
@@ -203,5 +222,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val queries: Seq[Q] = Seq(annBruteForce, dedupEmbeddingCosine, annLsh)
+  // ---- IVF (coarse-quantizer inverted lists) — the other scale path ------
+
+  /** IVF-flat with a fixed random coarse quantizer: every corpus vector
+    * is assigned to its nearest of [[NumCentroids]] unit centroids (one
+    * inverted list per centroid); a query probes only its [[NProbe]]
+    * nearest lists. Candidates come from a bucket equi-join exactly like
+    * the hyperplane-LSH path, but the bucket geometry is Voronoi cells —
+    * for clustered corpora that buys better recall at the same candidate
+    * budget. A trained k-means quantizer would drop in by replacing
+    * [[centroids]]; the Spark plumbing (assignment expression, inverted-
+    * list join, exact re-rank) is unchanged and fully deterministic. */
+  val NumCentroids = 32
+  val NProbe = 4
+
+  /** Deterministic pseudo-random unit centroids (seed 7), dim 64. */
+  private def centroids: Seq[Seq[Double]] = {
+    val rnd = new Random(7)
+    Seq.fill(NumCentroids) {
+      val v = Seq.fill(Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+  }
+
+  /** Per-row array of dot products against every centroid. */
+  private def centroidDots(v: Column): Column =
+    array(centroids.map(c => dot(v, array(c.map(lit): _*))): _*)
+
+  def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
+    val unit = withUnit(emb)
+    val dots = centroidDots(col("u"))
+    // corpus: single nearest centroid = inverted-list key
+    val corpus = unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv"),
+      array_position(dots, array_max(dots)).cast("int").as("cid"))
+    // queries: NProbe nearest centroids, one candidate join per probe;
+    // each corpus vector lives in exactly one list, so a (query,
+    // neighbor) pair joins at most once — no distinct needed
+    val withIdx = zip_with(dots, sequence(lit(1), lit(NumCentroids)),
+      (d, i) => struct(d.as("d"), i.as("i")))
+    val probes = transform(
+      slice(sort_array(withIdx, asc = false), 1, NProbe), _.getField("i"))
+    val queries = unit.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"),
+        explode(probes).as("cid"))
+    queries.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val annIvf: Q = Q.rowsOnly("ann_ivf_topk") { (s, dir) =>
+    ivfTopK(Tables.df(s, dir, "embeddings"), TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf)
 }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Temporal join operators the reference lacks entirely (beyond-reference
+  * surface, like windows/streaming): AS-OF join and bounded range join
+  * over the events table. Both are composed from built-in operators
+  * (SURVEY §7.3 preference (a)) in shapes that scale:
+  *
+  * - AS-OF: one union + one window over (user, time) — a single shuffle
+  *   keyed on user_id, state bounded by the window frame. No per-row
+  *   subquery, no inequality join.
+  * - Range join: an equi-join on (user, time-bin) with bin width equal
+  *   to the range bound, so each candidate pair meets in at most one
+  *   bin pair and the join never degenerates to a nested-loop
+  *   inequality join (Spark's fallback for pure theta joins).
+  */
+object Temporal {
+
+  /** AS-OF join: for each left ("probe") row, the single latest right
+    * ("quote") row with rts <= lts within the same key. Implemented as
+    * union + running `last(_, ignoreNulls)` ordered by (ts, rightness,
+    * id): right rows sort before left rows at equal ts (>= semantics),
+    * and the trailing id breaks exact-ts ties deterministically. */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("user_id"), col("ts"), col("event_id"),
+      lit(0).as("is_r"),
+      lit(null).cast("timestamp").as("r_ts"),
+      lit(null).cast("long").as("r_event_id"),
+      lit(null).cast("double").as("r_value"))
+    val r = right.select(col("user_id"), col("ts"), col("event_id"),
+      lit(1).as("is_r"),
+      col("ts").as("r_ts"), col("event_id").as("r_event_id"),
+      col("value").as("r_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_r").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("m_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("m_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("is_r") === 0)
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"), col("m_ts").as("v_ts"),
+        col("m_event_id").as("v_event_id"), col("m_value").as("v_value"))
+  }
+
+  /** purchase AS-OF view: each purchase with the user's latest view at
+    * or before it. The oracle spells the same semantics with correlated
+    * subqueries (deterministic even when several views share the
+    * boundary timestamp — max ts, then max event_id within it). */
+  val asofPurchaseView: Q = Q.df(
+    "join_asof",
+    """with p as (select * from events where event_type = 'purchase'),
+      |v as (select * from events where event_type = 'view')
+      |select p.event_id as p_event_id, p.user_id, p.ts as p_ts,
+      |  (select max(v.ts) from v
+      |    where v.user_id = p.user_id and v.ts <= p.ts) as v_ts,
+      |  (select max(v.event_id) from v
+      |    where v.user_id = p.user_id and v.ts = (
+      |      select max(v2.ts) from v v2
+      |      where v2.user_id = p.user_id and v2.ts <= p.ts)) as v_event_id,
+      |  (select max(v.value) from v
+      |    where v.user_id = p.user_id and v.event_id = (
+      |      select max(v3.event_id) from v v3
+      |      where v3.user_id = p.user_id and v3.ts = (
+      |        select max(v2.ts) from v v2
+      |        where v2.user_id = p.user_id and v2.ts <= p.ts))) as v_value
+      |from p order by p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+    asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"))
+      .orderBy(col("p_event_id"))
+  }
+
+  val RangeWindowSec = 600L
+
+  /** Bounded range join: (view, purchase) pairs of the same user with
+    * v.ts <= p.ts < v.ts + bound. Each side is keyed by
+    * floor(epoch / bound); a qualifying pair differs by at most one bin,
+    * so replicating the LEFT side into bins {b, b+1} and equi-joining on
+    * (user_id, bin) finds every pair exactly once — shuffle is 2× the
+    * filtered inputs, never the O(n²) candidate matrix. */
+  def rangeJoin(left: DataFrame, right: DataFrame, boundSec: Long): DataFrame = {
+    val bin = floor(unix_timestamp(col("ts")) / boundSec)
+    val l = left.select(col("user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"), bin.as("b0"))
+      .withColumn("bin", explode(array(col("b0"), col("b0") + 1)))
+      .drop("b0")
+    val r = right.select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"), bin.as("bin"))
+    l.join(r, Seq("user_id", "bin"))
+      .filter(col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"))
+      // exact µs gap — second-truncated arithmetic would round differently
+      // across engines on sub-second timestamps
+      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** view→purchase conversions inside a 10-minute window; the oracle is
+    * the plain inequality join DuckDB can afford at fixture scale. */
+  val rangeViewPurchase: Q = Q.df(
+    "join_range",
+    s"""select v.user_id, v.event_id as v_event_id, p.event_id as p_event_id,
+       |  epoch_us(p.ts) - epoch_us(v.ts) as gap_us
+       |from (select * from events where event_type = 'view') v
+       |join (select * from events where event_type = 'purchase') p
+       |  on v.user_id = p.user_id
+       | and p.ts >= v.ts and p.ts < v.ts + interval $RangeWindowSec second
+       |order by v_event_id, p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+    rangeJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      RangeWindowSec)
+      .orderBy(col("v_event_id"), col("p_event_id"))
+  }
+
+  val queries: Seq[Q] = Seq(asofPurchaseView, rangeViewPurchase)
+}

@@ -96,7 +96,31 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
   }
 
+  /** PII-pattern flags — the filter a training-data pipeline runs before
+    * anything else. Pure regexp column expressions (no lookbehind, so
+    * the patterns behave identically under Java regex and RE2). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  val textPiiFlags: Q = Q.df(
+    "text_pii_flags",
+    s"""select doc_id,
+       |  cast(len(regexp_extract_all(text, '$EmailRe')) as bigint) as n_email,
+       |  cast(len(regexp_extract_all(text, '$PhoneRe')) as bigint) as n_phone,
+       |  cast(len(regexp_extract_all(text, '[0-9]')) as bigint) as n_digits,
+       |  regexp_matches(text, '$EmailRe')
+       |    or regexp_matches(text, '$PhoneRe') as has_pii
+       |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digits"),
+        (col("text").rlike(EmailRe) || col("text").rlike(PhoneRe)).as("has_pii"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
-      textRollingFingerprint)
+      textRollingFingerprint, textPiiFlags)
 }

@@ -18,7 +18,7 @@ object TypesQueries {
       |  cast(doc_id % 256 as smallint) as u8_w,
       |  cast(doc_id % 65536 as int) as u16_w,
       |  cast(doc_id % 4294967296 as bigint) as u32_w,
-      |  cast(doc_id as decimal(20,0)) as u64_w
+      |  cast(cast(doc_id as decimal(20,0)) as varchar) as u64_w
       |from documents order by doc_id""".stripMargin) { (s, dir) =>
     def w(bytes: Int) = TypeMap.toSpark(PreciseType.Int(bytes, unsigned = true))
     Tables.df(s, dir, "documents")
@@ -26,7 +26,10 @@ object TypesQueries {
         (col("doc_id") % 256).cast(w(1)).as("u8_w"),
         (col("doc_id") % 65536).cast(w(2)).as("u16_w"),
         (col("doc_id") % 4294967296L).cast(w(4)).as("u32_w"),
-        col("doc_id").cast(w(8)).as("u64_w"))
+        // surfaced as string: a decimal(20,0) column survives the engine
+        // exactly but harness-side dataframe libraries coerce it to
+        // float and corrupt the compare; the string form is lossless
+        col("doc_id").cast(w(8)).cast("string").as("u64_w"))
       .orderBy(col("doc_id"))
   }
 

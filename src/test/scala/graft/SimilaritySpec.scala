@@ -36,6 +36,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k probes nearest inverted lists with usable recall") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "IVF lists should produce candidates")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // candidate budget is NProbe/NumCentroids = 1/8 of the corpus;
+    // Voronoi locality must beat that baseline clearly
+    assert(recall > 0.2, s"recall $recall too low")
+  }
+
   test("LSH top-k is a subset-quality approximation with nonzero recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)

@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Temporal
+
+/** Hand-computed edge semantics for the temporal joins: equal-timestamp
+  * matches (>= semantics), no-match nulls, range-bound exclusivity, and
+  * bin-boundary crossings. */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def events(rows: (Long, Long, Long, String, Double)*) =
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id", "cast(timestamp_seconds(sec) as timestamp) as ts",
+        "user_id", "event_type", "value")
+
+  test("asof join: equal-ts match, latest-prior pick, null when none") {
+    val ev = events(
+      (1L, 100L, 1L, "view", 1.0),
+      (2L, 100L, 1L, "purchase", 0.0), // equal ts → view 1 matches (>=)
+      (3L, 200L, 1L, "view", 2.0),
+      (4L, 300L, 1L, "purchase", 0.0), // → latest prior = view 3
+      (5L, 300L, 2L, "purchase", 0.0)) // user 2 has no view → nulls
+    val out = Temporal.asofJoin(
+      ev.filter($"event_type" === "purchase"),
+      ev.filter($"event_type" === "view"))
+      .orderBy($"p_event_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0),
+      if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq ==
+      Seq((2L, 1L), (4L, 3L), (5L, -1L)))
+  }
+
+  test("asof join: exact-ts tie between two views picks max event_id") {
+    val ev = events(
+      (1L, 100L, 1L, "view", 1.0),
+      (2L, 100L, 1L, "view", 2.0),
+      (3L, 150L, 1L, "purchase", 0.0))
+    val out = Temporal.asofJoin(
+      ev.filter($"event_type" === "purchase"),
+      ev.filter($"event_type" === "view")).collect()
+    assert(out.length == 1 && out(0).getLong(4) == 2L
+      && out(0).getDouble(5) == 2.0)
+  }
+
+  test("range join: inclusive start, exclusive end, bin-boundary pairs found") {
+    val ev = events(
+      (1L, 0L, 1L, "view", 0.0),
+      (2L, 0L, 1L, "purchase", 0.0),    // gap 0 → in
+      (3L, 599L, 1L, "purchase", 0.0),  // gap 599 → in (same bin)
+      (4L, 600L, 1L, "purchase", 0.0),  // gap 600 = bound → OUT
+      (5L, 550L, 1L, "view", 0.0),
+      (6L, 650L, 1L, "purchase", 0.0),  // gap 100, crosses bin 0→1 → in
+      (7L, 100L, 2L, "purchase", 0.0))  // other user → out
+    val out = Temporal.rangeJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "purchase"), Temporal.RangeWindowSec)
+      .select("v_event_id", "p_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (5L, 3L), (5L, 4L), (5L, 6L)))
+  }
+}
