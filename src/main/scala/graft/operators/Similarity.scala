@@ -246,26 +246,44 @@ object Similarity {
     }
   }
 
-  /** Per-row array of dot products against every centroid. */
-  private def centroidDots(v: Column): Column =
-    array(centroids.map(c => dot(v, array(c.map(lit): _*))): _*)
+  private lazy val centroidMatrix: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  /** Per-partition primitive kernel: dot against every centroid, return
+    * the indices of the `take` best (descending, index tiebreak). The
+    * assignment runs n·C·dim multiplies — the hot path of IVF build —
+    * so it stays a tight double loop rather than an interpreted
+    * higher-order-function fold. */
+  private def nearestCentroids(u: Array[Double], take: Int): Array[Int] = {
+    val scores = new Array[Double](centroidMatrix.length)
+    var c = 0
+    while (c < centroidMatrix.length) {
+      val cv = centroidMatrix(c)
+      var acc = 0.0
+      var k = 0
+      while (k < cv.length) { acc += u(k) * cv(k); k += 1 }
+      scores(c) = acc
+      c += 1
+    }
+    scores.indices.sortBy(i => (-scores(i), i)).take(take).toArray
+  }
 
   def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
-    val unit = withUnit(emb)
-    val dots = centroidDots(col("u"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = withUnit(emb).as[(Long, Array[Double])]
     // corpus: single nearest centroid = inverted-list key
-    val corpus = unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv"),
-      array_position(dots, array_max(dots)).cast("int").as("cid"))
+    val corpus = unit
+      .map { case (id, u) => (id, u, nearestCentroids(u, 1)(0)) }
+      .toDF("neighbor_id", "cv", "cid")
     // queries: NProbe nearest centroids, one candidate join per probe;
     // each corpus vector lives in exactly one list, so a (query,
     // neighbor) pair joins at most once — no distinct needed
-    val withIdx = zip_with(dots, sequence(lit(1), lit(NumCentroids)),
-      (d, i) => struct(d.as("d"), i.as("i")))
-    val probes = transform(
-      slice(sort_array(withIdx, asc = false), 1, NProbe), _.getField("i"))
-    val queries = unit.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("u").as("qv"),
-        explode(probes).as("cid"))
+    val queries = unit.filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        nearestCentroids(u, NProbe).map(c => (id, u, c))
+      }
+      .toDF("query_id", "qv", "cid")
     queries.join(corpus, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosExpr(col("qv"), col("cv")))
