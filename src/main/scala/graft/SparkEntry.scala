@@ -9,6 +9,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     graft.tpch.Tpch.queries ++
       graft.operators.Relational.queries ++
+      graft.operators.Skew.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++

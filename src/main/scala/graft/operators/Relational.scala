@@ -349,6 +349,20 @@ object Relational {
             |order by s_suppkey""".stripMargin)
   }
 
+  /** Correlated scalar subquery in the SELECT list — the reference's
+    * Single join kind (join/mod.rs:14-24): the subquery's one value (or
+    * NULL on empty) attaches to every outer row, planned by Catalyst as
+    * a left-outer aggregate join. Explicit entry so the Single kind has
+    * its own coverage beyond q2/q17's WHERE-side forms. */
+  val subqSingleJoin: Q = Q.shared(
+    "subq_single_join",
+    s"""select c_custkey,
+       |  (select cast(max(${sqlM("o_totalprice")}) as double) from orders
+       |   where o_custkey = c_custkey) as max_price
+       |from customer
+       |where c_custkey < 500
+       |order by c_custkey""".stripMargin)
+
   /** Correlated IN subquery (SubqKind::In — doradb-expr/src/expr.rs:547). */
   val subqInCorrelated: Q = Q.shared(
     "subq_in_correlated",
@@ -639,7 +653,8 @@ object Relational {
     joinRight, joinNatural, predExistsDisjunction, joinReorderCbo,
     distinctRows, sortLimitOffset, topK, rowConstant,
     havingFilter, aggDistinct,
-    subqScalar, subqGtAll, subqLtAny, subqInCorrelated, cteMultiRef,
+    subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
+    cteMultiRef,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     aggRollup, aggCube, aggGroupingSets,
