@@ -561,6 +561,18 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Exact discrete percentiles (ANSI WITHIN GROUP): percentile_disc
+    * picks an actual input value (the first whose cumulative fraction
+    * reaches p), so there is no interpolation arithmetic to drift
+    * between engines — bit-exact across dialects. */
+  val aggPercentileDisc: Q = Q.shared(
+    "agg_percentile_disc",
+    """select o_orderstatus,
+      |  percentile_disc(0.5) within group (order by o_totalprice) as median_price,
+      |  percentile_disc(0.9) within group (order by o_totalprice) as p90_price
+      |from orders group by o_orderstatus
+      |order by o_orderstatus""".stripMargin)
+
   // ---- Multi-dimensional aggregation (beyond-reference: the reference's
   // AST has only plain GROUP BY, ast.rs:1270-1281) ------------------------
 
@@ -657,6 +669,6 @@ object Relational {
     cteMultiRef,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
-    aggRollup, aggCube, aggGroupingSets,
+    aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag)
 }

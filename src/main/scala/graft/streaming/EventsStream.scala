@@ -66,6 +66,26 @@ object EventsStream {
       }
   }
 
+  /** Custom state with 0..n outputs per group per batch — the
+    * flatMapGroupsWithState surface: emit one alert row for every
+    * multiple of `step` the user's cumulative value crosses. */
+  def valueAlerts(events: Dataset[Event], step: Double): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Double]) =>
+          val before = state.getOption.getOrElse(0.0)
+          var tot = before
+          it.foreach(e => tot += e.value)
+          state.update(tot)
+          val from = math.floor(before / step).toLong + 1
+          val to = math.floor(tot / step).toLong
+          (from to to).iterator.map(level => (uid, level))
+      }
+  }
+
   /** Batch form of [[sessions]] for the driver's oracle gate; the DuckDB
     * mirror reconstructs gap-sessions with lag + cumulative sum. The gap
     * predicate is `>=`: session_window's window is [t, t+gap), so two

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate aggregates (beyond-reference; sketch algorithms differ
+  * per engine so there is no cross-engine oracle — accuracy is asserted
+  * against the exact answer instead). */
+class ApproxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("approx_count_distinct (HLL++) within 5% of exact on fixtures") {
+    val o = Tables.df(spark, TestSpark.Sf, "orders")
+    val row = o.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey")).as("approx")).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("approx_percentile brackets the exact discrete percentile") {
+    val o = Tables.df(spark, TestSpark.Sf, "orders")
+    val exact = o.selectExpr(
+      "percentile_disc(0.5) within group (order by o_totalprice)")
+      .collect()(0).getDouble(0)
+    val approx = o.select(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)))
+      .collect()(0).getDouble(0)
+    // with accuracy 10000 on a few thousand rows the sketch is exact-ish
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx $approx vs exact $exact")
+  }
+}

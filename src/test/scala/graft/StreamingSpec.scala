@@ -79,6 +79,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.exists(a => a.n_events == 2L && math.abs(a.total_value - 4.0) < 1e-12))
   }
 
+  test("flatMapGroupsWithState emits one alert per threshold crossing") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventsStream.valueAlerts(in.toDS(), step = 10.0)
+      .writeStream.format("memory").queryName("alerts")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(Event(1, ts("2024-01-01 00:00:00"), 1, "click", 7.0))
+    q.processAllAvailable() // total 7 → no alert
+    in.addData(Event(2, ts("2024-01-01 00:01:00"), 1, "click", 25.0))
+    q.processAllAvailable() // total 32 → crossings at 10, 20, 30
+    in.addData(Event(3, ts("2024-01-01 00:02:00"), 2, "click", 11.0))
+    q.processAllAvailable() // user 2 crosses 10
+    q.stop()
+    val alerts = spark.table("alerts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(alerts == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+  }
+
   test("batch sessionize query matches its own streaming-safe definition") {
     val out = EventsStream.sessionizeEvents.run.apply(spark, TestSpark.Sf)
     assert(out.count() > 0)
