@@ -37,4 +37,12 @@ object Vectors {
 
   /** Cosine similarity = dot / (|a| * |b|); inputs should be asDouble. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Codegen'd native dot (custom Catalyst expression `graft_dot`,
+    * [[DotProduct]]): identical fold order to [[dot]], but a primitive
+    * loop inside whole-stage codegen instead of an interpreted
+    * higher-order fold — the kernel for O(n·q)/O(n²) similarity scans.
+    * Call [[DotProduct.ensureRegistered]] on the session first. */
+  def dotNative(a: Column, b: Column): Column =
+    call_function(DotProduct.fnName, a, b)
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.DotProduct
 import graft.functions.Vectors._
 
 /** Similarity search over the embeddings table (array<float>, 64-dim).
@@ -53,10 +54,13 @@ object Similarity {
   /** Embedding dimension of the fixture corpus (FIXTURES.md). */
   val Dim = 64
 
-  private def cosExpr(a: Column, b: Column): Column = dot(a, b)
+  /** Pair-scoring kernel: the codegen'd native dot (same fold order as
+    * the interpreted [[dot]] and the oracle — bit-identical results). */
+  private def cosExpr(a: Column, b: Column): Column = dotNative(a, b)
 
   /** Brute-force exact top-k neighbors for each query vector. */
   def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
     val unit = withUnit(emb)
     val corpus = unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
     val queries = unit.filter(col("vec_id") < NumQueries)
@@ -193,6 +197,7 @@ object Similarity {
     * recall spec. At 100 TB the bucket join replaces the O(n·q) scan and
     * shuffles on the compact (table, bucket) key. */
   def lshTopK(emb: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
     val keys = lshKeys(emb)
     val vecs = withUnit(emb).select(col("vec_id"), col("u").as("v"))
     // candidate id pairs first (dedup before carrying vectors around)
@@ -270,6 +275,7 @@ object Similarity {
 
   def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
     import spark.implicits._
     val unit = withUnit(emb).as[(Long, Array[Double])]
     // corpus: single nearest centroid = inverted-list key
