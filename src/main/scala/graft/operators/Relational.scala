@@ -272,6 +272,52 @@ object Relational {
     "row_constant",
     "select 1 as one, 'graft' as name, cast(2.5 as double) as x")
 
+  /** Inline VALUES table (row constructors as a FROM source). */
+  val rowValuesList: Q = Q.shared(
+    "row_values_list",
+    """select k, v from (values (1, 'a'), (2, 'b'), (3, 'c')) t(k, v)
+      |order by k""".stripMargin)
+
+  /** LATERAL correlated derived table: top-2 nations per region — the
+    * per-row subquery join (Catalyst LateralJoin + decorrelation). */
+  val joinLateral: Q = Q.shared(
+    "join_lateral",
+    """select r_name, n_name
+      |from region r,
+      |lateral (select n_name from nation
+      |         where n_regionkey = r_regionkey
+      |         order by n_name limit 2) t
+      |order by r_name, n_name""".stripMargin)
+
+  /** ANSI FILTER clause on aggregates (per-aggregate predicates without
+    * CASE gymnastics). */
+  val aggFilterClause: Q = Q.shared(
+    "agg_filter_clause",
+    """select o_orderstatus,
+      |  count(*) filter (where o_totalprice > 200000) as big_cnt,
+      |  count(*) filter (where o_orderpriority = '1-URGENT') as urgent_cnt,
+      |  count(*) as cnt
+      |from orders group by o_orderstatus
+      |order by o_orderstatus""".stripMargin)
+
+  /** Date function breadth beyond EXTRACT/interval: day arithmetic,
+    * diffs, month-end (dialects spell them differently → split SQL). */
+  val exprDateFuncs: Q = Q.df(
+    "expr_date_funcs",
+    """select o_orderkey,
+      |  cast(o_orderdate as date) + 30 as plus_30d,
+      |  cast(date_diff('day', date '1995-01-01', cast(o_orderdate as date)) as bigint) as days_since,
+      |  last_day(cast(o_orderdate as date)) as month_end
+      |from orders order by o_orderkey limit 400""".stripMargin) { (s, dir) =>
+    val d = col("o_orderdate").cast("date")
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_add(d, 30).as("plus_30d"),
+        datediff(d, lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+        last_day(d).as("month_end"))
+      .orderBy(col("o_orderkey")).limit(400)
+  }
+
   // ---- Aggr extras: HAVING, DISTINCT aggregates -------------------------
 
   val havingFilter: Q = Q.df(
@@ -663,7 +709,9 @@ object Relational {
     setopIntersect, setopIntersectAll,
     joinFullOuter, joinCross, joinSemi, joinAnti, joinUsing,
     joinRight, joinNatural, predExistsDisjunction, joinReorderCbo,
-    distinctRows, sortLimitOffset, topK, rowConstant,
+    joinLateral,
+    distinctRows, sortLimitOffset, topK, rowConstant, rowValuesList,
+    aggFilterClause, exprDateFuncs,
     havingFilter, aggDistinct,
     subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
     cteMultiRef,
