@@ -651,6 +651,56 @@ object Relational {
       |group by grouping sets ((n_regionkey), (n_nationkey))
       |order by n_regionkey asc nulls first, n_nationkey asc nulls first""".stripMargin)
 
+  /** PIVOT (long → wide): per-priority counts by order status. The
+    * oracle spells it as conditional aggregation — same result, and it
+    * documents exactly what PIVOT computes. */
+  val pivotStatus: Q = Q.df(
+    "pivot_status",
+    """select o_orderpriority,
+      |  count(*) filter (where o_orderstatus = 'F') as f,
+      |  count(*) filter (where o_orderstatus = 'O') as o,
+      |  count(*) filter (where o_orderstatus = 'P') as p
+      |from orders group by o_orderpriority
+      |order by o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""select * from (select o_orderpriority, o_orderstatus from orders)
+            |pivot (count(*) for o_orderstatus in ('F' as f, 'O' as o, 'P' as p))
+            |order by o_orderpriority""".stripMargin)
+  }
+
+  /** UNPIVOT (wide → long): three lineitem measures into (metric,
+    * value) rows; the oracle is the equivalent UNION ALL. */
+  val unpivotMeasures: Q = Q.df(
+    "unpivot_measures",
+    """with src as (select * from lineitem where l_orderkey < 100)
+      |select l_orderkey, l_partkey, metric, value from (
+      |  select l_orderkey, l_partkey, 'qty' as metric, l_quantity as value from src
+      |  union all
+      |  select l_orderkey, l_partkey, 'price', l_extendedprice from src
+      |  union all
+      |  select l_orderkey, l_partkey, 'disc', l_discount from src)
+      |order by l_orderkey, l_partkey, metric""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""select l_orderkey, l_partkey, metric, value
+            |from (select l_orderkey, l_partkey, l_quantity, l_extendedprice, l_discount
+            |      from lineitem where l_orderkey < 100)
+            |unpivot (value for metric in (
+            |  l_quantity as qty, l_extendedprice as price, l_discount as disc))
+            |order by l_orderkey, l_partkey, metric""".stripMargin)
+  }
+
+  /** String function breadth #2: split_part/lpad/replace/reverse/
+    * levenshtein — identical spellings and semantics in both dialects. */
+  val exprString2: Q = Q.shared(
+    "expr_string_funcs2",
+    """select p_partkey,
+      |  split_part(p_name, ' ', 2) as second_word,
+      |  lpad(p_brand, 12, '*') as padded,
+      |  replace(p_type, 'ECONOMY', 'ECO') as repl,
+      |  reverse(p_name) as rev,
+      |  cast(levenshtein(p_brand, p_type) as bigint) as lev
+      |from part order by p_partkey limit 300""".stripMargin)
+
   // ---- Windows (beyond-reference surface, SURVEY §2.9) ------------------
 
   /** Navigation + distribution window functions: lag/lead/first_value/
@@ -718,5 +768,6 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
+    pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag)
 }
