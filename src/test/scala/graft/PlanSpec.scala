@@ -60,4 +60,27 @@ class PlanSpec extends AnyFunSuite {
     assert(semi.contains("LeftSemi"), s"no semi join in:\n$semi")
     assert(anti.contains("LeftAnti"), s"no anti join in:\n$anti")
   }
+
+  test("range join stays an equi-join on (user, bin), never a nested loop") {
+    val plan = planOf(graft.operators.Temporal.rangeViewPurchase)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+  }
+
+  test("asof join is one shuffle: union feeds a single user-window") {
+    val plan = planOf(graft.operators.Temporal.asofPurchaseView)
+    assert(plan.contains("Union") && plan.contains("Window"), s"unexpected shape:\n$plan")
+    assert(!plan.contains("Join"), s"asof should not plan any join:\n$plan")
+  }
+
+  test("rollup plans an Expand over the grouping sets") {
+    val plan = planOf(graft.operators.Relational.aggRollup)
+    assert(plan.contains("Expand"), s"no Expand in:\n$plan")
+  }
+
+  test("pivot compiles to a single aggregation, no join") {
+    val plan = planOf(graft.operators.Relational.pivotStatus)
+    assert(plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"unexpected pivot shape:\n$plan")
+  }
 }
