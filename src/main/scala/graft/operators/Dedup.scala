@@ -167,17 +167,60 @@ object Dedup {
       rnd.nextInt((1 << 20) - 1).toLong + 1))
   }
 
-  /** (doc_id, sig: array<bigint>[NumHashes]) MinHash signatures. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val base = xxhash64(col("shingle")).bitwiseAND(lit(0xFFFFFFFFL))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(base * a + b, lit(MinhashP))).as(s"h$i")
+  /** FNV-1a 64-bit — a stable, dependency-free base hash for shingles.
+    * Any consistent 64-bit hash works here: signatures only gate CANDIDATE
+    * generation (banding); every surfaced pair is verified exactly. */
+  private def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
     }
-    shingleSets(docs)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    h
+  }
+
+  /** (doc_id, sig: array<bigint>[NumHashes]) MinHash signatures.
+    *
+    * A signature is a pure per-document computation, so it runs as a
+    * primitive map over (doc_id, text) with ZERO shuffle — no shingle
+    * explode, no 64-way aggregate. The earlier declarative form
+    * (explode → groupBy(doc) → 64 interpreted min-aggs) shuffled every
+    * shingle row and dominated the operator's cost. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cs = coeffs.toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(' ')
+        // docs below n tokens have no shingles and no signature row —
+        // otherwise every short doc would share one degenerate signature
+        // and band together quadratically
+        if (toks.length < ShingleN) None
+        else {
+          val sig = Array.fill(NumHashes)(Long.MaxValue)
+          val seen = new java.util.HashSet[Long]()
+          var i = 0
+          while (i + ShingleN <= toks.length) {
+            val sh = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+            val base = fnv64(sh) & 0xFFFFFFFFL
+            if (seen.add(base)) {
+              var j = 0
+              while (j < NumHashes) {
+                val (a, b) = cs(j)
+                val v = (base * a + b) % MinhashP
+                if (v < sig(j)) sig(j) = v
+                j += 1
+              }
+            }
+            i += 1
+          }
+          Some((id, sig))
+        }
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** LSH banding: doc → (band, bandHash) keys; bucket-colliding pairs are
@@ -226,21 +269,31 @@ object Dedup {
   val SimhashMaxDist = 3
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
-    * sign of Σ_tokens (±1 by bit j of xxhash64(token)). */
+    * sign of Σ_tokens (±1 by bit j of the token hash).
+    *
+    * Like the MinHash signature, this is a pure per-document computation
+    * — a primitive map with zero shuffle, replacing the earlier
+    * explode → groupBy(doc) → 64 interpreted conditional-sum aggs. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(Text.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j")
-    }
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.split(' ').foreach { t =>
+          val h = fnv64(t)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        var fp = 0L
+        var j = 0
+        while (j < 64) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+        (id, fp)
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** The 64 fingerprint bits split into 6 blocks as (shift, width):
