@@ -431,6 +431,20 @@ object Relational {
        |where a.n_big > (select cast(sum(n_big) as double) / count(*) from big)
        |order by a.o_custkey""".stripMargin)
 
+  /** Recursive CTE — the reference PARSES `WITH RECURSIVE` but rejects
+    * it at build (lgc/builder.rs:272-274); Spark 4 executes it, so this
+    * engine exceeds the reference here. Joined against a real table so
+    * the entry exercises recursion feeding a normal join. */
+  val cteRecursive: Q = Q.shared(
+    "cte_recursive",
+    """with recursive t(n) as (
+      |  select 1
+      |  union all
+      |  select n + 1 from t where n < 100)
+      |select t.n, r.r_name from t
+      |join region r on t.n % 5 = r.r_regionkey
+      |order by t.n""".stripMargin)
+
   // ---- Expressions: CASE, CAST, EXTRACT, SUBSTRING, arithmetic ---------
 
   val exprCase: Q = Q.shared(
@@ -764,7 +778,7 @@ object Relational {
     aggFilterClause, exprDateFuncs,
     havingFilter, aggDistinct,
     subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
-    cteMultiRef,
+    cteMultiRef, cteRecursive,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
