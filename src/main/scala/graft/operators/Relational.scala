@@ -550,6 +550,33 @@ object Relational {
       .orderBy(k)
   }
 
+  /** Compound/nested types — the reference's PreciseType declares
+    * Compound "currently not support" (doradb-datatype/src/lib.rs:60-61);
+    * Spark's array/struct columns execute them natively, so this engine
+    * exceeds the reference here. 1-based element_at in Spark mirrors
+    * DuckDB's 1-based list indexing. */
+  val exprComplexTypes: Q = Q.df(
+    "expr_complex_types",
+    """select n_nationkey,
+      |  (list_value(n_nationkey, n_regionkey, n_nationkey + n_regionkey))[1] as first_el,
+      |  (list_value(n_nationkey, n_regionkey, n_nationkey + n_regionkey))[3] as last_el,
+      |  cast(len(list_value(n_nationkey, n_regionkey)) as bigint) as arr_len,
+      |  struct_pack(key := n_nationkey, name := n_name).name as s_name,
+      |  list_sort(list_value(n_regionkey, n_nationkey))[1] as sorted_min
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey"); val r = col("n_regionkey")
+    val arr = array(k, r, (k + r))
+    Tables.df(s, dir, "nation")
+      .select(k,
+        element_at(arr, 1).as("first_el"),
+        element_at(arr, 3).as("last_el"),
+        size(array(k, r)).cast("long").as("arr_len"),
+        struct(k.as("key"), col("n_name").as("name"))
+          .getField("name").as("s_name"),
+        element_at(sort_array(array(r, k)), 1).as("sorted_min"))
+      .orderBy(k)
+  }
+
   /** Interval arithmetic + date_trunc (Interval type, datatype lib.rs:487). */
   val exprInterval: Q = Q.shared(
     "expr_interval_arith",
@@ -780,6 +807,7 @@ object Relational {
     subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
     cteMultiRef, cteRecursive,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
+    exprComplexTypes,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
     pivotStatus, unpivotMeasures, exprString2,
