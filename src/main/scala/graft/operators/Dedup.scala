@@ -62,11 +62,15 @@ object Dedup {
 
   /** Exact Jaccard over the full shingle arrays for a candidate pair
     * set — the verification kernel shared by the inverted-index and
-    * MinHash-LSH operators. Arrays ship only for candidate pairs. */
+    * MinHash-LSH operators. Docs are semi-join-pruned to candidate ids
+    * BEFORE shingling, so the (regex) shingle extraction runs only for
+    * documents that actually appear in a candidate pair. */
   private def verifyJaccard(docs: DataFrame, cands: DataFrame,
       threshold: Double): DataFrame = {
-    val arrs = docs.select(col("doc_id"),
-      Text.shingles(col("text"), ShingleN).as("sh_arr"))
+    val ids = cands.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val arrs = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.shingles(col("text"), ShingleN).as("sh_arr"))
     cands
       .join(arrs.select(col("doc_id").as("d1"), col("sh_arr").as("sh1")), Seq("d1"))
       .join(arrs.select(col("doc_id").as("d2"), col("sh_arr").as("sh2")), Seq("d2"))
@@ -94,11 +98,34 @@ object Dedup {
     * 3. Exact verification of survivors from the full shingle arrays
     *    ([[verifyJaccard]]) — reported values are exact, so the pruning
     *    is invisible in the output. */
+  /** (doc_id, shs: array<long>) distinct shingle hashes per doc — ONE
+    * primitive pass over the text. The inverted index, df counts and
+    * per-doc totals all derive from this array, where the declarative
+    * form re-ran the (regex) shingle extraction once per consumer. */
+  private def shingleHashArrays(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(' ')
+        val set = new java.util.HashSet[Long]()
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        var i = 0
+        while (i + ShingleN <= toks.length) {
+          val h = fnv64(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+          if (set.add(h)) buf += h
+          i += 1
+        }
+        (id, buf.result())
+      }
+      .toDF("doc_id", "shs")
+  }
+
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val sh = shingleSets(docs).select(col("doc_id"),
-      xxhash64(col("shingle")).as("sh"))
-    val nSh = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val base = shingleHashArrays(docs)
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     val hotPerDoc = sh.join(hot, Seq("sh"))
