@@ -291,6 +291,70 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- Duplicate clusters (connected components) -------------------------
+
+  /** Connected components over the near-dup pair graph: every document
+    * labeled with the SMALLEST doc_id reachable through duplicate pairs
+    * (the canonical "keep" id) — the step a dedup pipeline runs after
+    * pair discovery. Iterative min-label propagation: each round is one
+    * distributed join + aggregate; `localCheckpoint` materializes the
+    * frontier so lineage stays flat; the driver holds only the
+    * convergence counter. Rounds ≈ cluster diameter (tiny for near-dup
+    * clusters), each a bounded shuffle — the same shape GraphX uses for
+    * CC at arbitrary scale. */
+  def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nl")),
+          Seq("d2"))
+        .groupBy(col("d1")).agg(min(col("nl")).as("nm"))
+        .withColumnRenamed("d1", "doc_id")
+      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          least(col("cluster_id"), coalesce(col("nm"), col("cluster_id")))
+            .as("next_id"))
+        .localCheckpoint(true)
+      changed = joined.filter(col("next_id") < col("cluster_id")).count()
+      labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
+    }
+    labels
+  }
+
+  val dedupClusters: Q = Q.df(
+    "dedup_clusters",
+    s"""with recursive
+       |toks as (select doc_id, string_split(text, ' ') as t from documents),
+       |sh as (select distinct doc_id,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as s
+       |       from toks),
+       |cnt as (select doc_id, count(*) as n from sh group by doc_id),
+       |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c
+       |           from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+       |           group by 1, 2),
+       |pairs as (
+       |  select d1, d2 from common
+       |  join cnt x on d1 = x.doc_id join cnt y on d2 = y.doc_id
+       |  where cast(c as double) / cast(x.n + y.n - c as double) >= $JaccardThreshold),
+       |edges as (select d1 as a, d2 as b from pairs
+       |          union select d2, d1 from pairs),
+       |reach(id, r) as (
+       |  select doc_id, doc_id from documents
+       |  union
+       |  select reach.id, e.b from reach join edges e on reach.r = e.a)
+       |select id as doc_id, min(r) as cluster_id from reach
+       |group by id order by doc_id""".stripMargin) { (s, dir) =>
+    dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val SimhashMaxDist = 3
@@ -369,5 +433,6 @@ object Dedup {
   }
 
   val queries: Seq[Q] =
-    Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+    Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
+      dedupClusters)
 }
