@@ -99,6 +99,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts == Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
   }
 
+  test("file sink: windowed counts stream to parquet and read back") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = "/tmp/graft-stream-sink"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:10:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 02:00:00"), 2, "view", 0.0)) // advances watermark
+    val q = EventsStream.hourlyCounts(in.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append())
+      .start()
+    runToCompletion(q)
+    val rows = spark.read.parquet(s"$dir/data")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("click", 2L)))
+  }
+
+  test("foreachBatch: per-batch sink sees each micro-batch exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
+    val q = in.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) }
+        ()
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(
+      Event(2, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 00:02:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.map(_._2).sum == 3)
+    assert(seen.map(_._1).distinct.size == seen.size)
+  }
+
   test("batch sessionize query matches its own streaming-safe definition") {
     val out = EventsStream.sessionizeEvents.run.apply(spark, TestSpark.Sf)
     assert(out.count() > 0)
