@@ -68,5 +68,9 @@ class StorageSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(salted == plainCols)
     assert(plain.nonEmpty)
+    // and the scatter is real: the physical join keys include the salt
+    val plan = Skew.saltedJoin(l, o, "o_orderkey", salt = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt not in join keys:\n$plan")
   }
 }
