@@ -120,7 +120,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Semi-structured JSON processing over the events.props column:
+    * path extraction (string-typed and cast) plus schema-applied parsing
+    * (from_json → typed struct field) — the ingest surface pipelines use
+    * for event payloads. */
+  val jsonExtractProps: Q = Q.df(
+    "json_extract_props",
+    """select event_id,
+      |  json_extract_string(props, '$.k') as k_str,
+      |  cast(json_extract(props, '$.k') as bigint) as k_val,
+      |  cast(json_extract(props, '$.k') as int) as k_typed
+      |from events order by event_id limit 2000""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k_typed"))
+      .orderBy(col("event_id")).limit(2000)
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
-      textRollingFingerprint, textPiiFlags)
+      textRollingFingerprint, textPiiFlags, jsonExtractProps)
 }
