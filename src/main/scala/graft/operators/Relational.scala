@@ -648,6 +648,26 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** min_by/max_by (DuckDB arg_min/arg_max): value-at-extremum
+    * aggregates; the ordering column is the unique primary key so the
+    * answer is deterministic. */
+  val aggMinMaxBy: Q = Q.df(
+    "agg_min_max_by",
+    """select n_regionkey,
+      |  arg_max(n_name, n_nationkey) as last_nation,
+      |  arg_min(n_name, n_nationkey) as first_nation,
+      |  count(*) as cnt
+      |from nation group by n_regionkey
+      |order by n_regionkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(
+        max_by(col("n_name"), col("n_nationkey")).as("last_nation"),
+        min_by(col("n_name"), col("n_nationkey")).as("first_nation"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("n_regionkey"))
+  }
+
   /** Exact discrete percentiles (ANSI WITHIN GROUP): percentile_disc
     * picks an actual input value (the first whose cumulative fraction
     * reaches p), so there is no interpolation arithmetic to drift
@@ -779,6 +799,20 @@ object Relational {
        |where o_custkey < 50
        |order by o_custkey, o_orderkey""".stripMargin)
 
+  /** Interval-based RANGE frame: a sliding 30-day window keyed on the
+    * ORDER BY date value (peers included by value, not row position) —
+    * deterministic even under order-date ties. */
+  val windowRangeFrame: Q = Q.shared(
+    "window_range_frame",
+    """select o_custkey, o_orderkey,
+      |  cast(count(*) over (
+      |    partition by o_custkey order by cast(o_orderdate as date)
+      |    range between interval 30 day preceding and current row) as bigint)
+      |    as cnt_30d
+      |from orders
+      |where o_custkey < 50
+      |order by o_custkey, o_orderkey""".stripMargin)
+
   /** Tumbling-window aggregation over the events table — the batch form
     * of the Structured Streaming query in graft.streaming. */
   val windowTumblingEvents: Q = Q.df(
@@ -809,7 +843,8 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     exprComplexTypes,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
-    aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
+    aggRollup, aggCube, aggGroupingSets, aggPercentileDisc, aggMinMaxBy,
     pivotStatus, unpivotMeasures, exprString2,
-    windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag)
+    windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
+    windowRangeFrame)
 }
