@@ -668,6 +668,31 @@ object Relational {
       .orderBy(col("n_regionkey"))
   }
 
+  /** bool_and / bool_or aggregates — same spelling in both dialects. */
+  val aggBool: Q = Q.shared(
+    "agg_bool",
+    """select o_orderstatus,
+      |  bool_and(o_totalprice > 1000) as all_over_1k,
+      |  bool_or(o_totalprice > 400000) as any_over_400k,
+      |  count(*) as cnt
+      |from orders group by o_orderstatus
+      |order by o_orderstatus""".stripMargin)
+
+  /** Ordered string aggregation: Spark 4 LISTAGG ... WITHIN GROUP vs
+    * DuckDB string_agg(... ORDER BY) — same deterministic result. */
+  val aggStringAgg: Q = Q.df(
+    "agg_string_agg",
+    """select n_regionkey,
+      |  string_agg(n_name, ',' order by n_name) as names
+      |from nation group by n_regionkey
+      |order by n_regionkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""select n_regionkey,
+            |  listagg(n_name, ',') within group (order by n_name) as names
+            |from nation group by n_regionkey
+            |order by n_regionkey""".stripMargin)
+  }
+
   /** Exact discrete percentiles (ANSI WITHIN GROUP): percentile_disc
     * picks an actual input value (the first whose cumulative fraction
     * reaches p), so there is no interpolation arithmetic to drift
@@ -844,6 +869,7 @@ object Relational {
     exprComplexTypes,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc, aggMinMaxBy,
+    aggBool, aggStringAgg,
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
     windowRangeFrame)
