@@ -577,6 +577,16 @@ object Relational {
       .orderBy(k)
   }
 
+  /** try_cast — ANSI-mode error handling surface: malformed casts yield
+    * NULL instead of failing the query (both dialects agree). */
+  val exprTryCast: Q = Q.shared(
+    "expr_try_cast",
+    """select n_nationkey,
+      |  try_cast(n_name as int) as bad_int,
+      |  try_cast(cast(n_nationkey as string) as int) as good_int,
+      |  try_cast('2024-02-30' as date) is null as bad_date_is_null
+      |from nation order by n_nationkey""".stripMargin)
+
   /** Interval arithmetic + date_trunc (Interval type, datatype lib.rs:487). */
   val exprInterval: Q = Q.shared(
     "expr_interval_arith",
@@ -866,7 +876,7 @@ object Relational {
     subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
     cteMultiRef, cteRecursive,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
-    exprComplexTypes,
+    exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc, aggMinMaxBy,
     aggBool, aggStringAgg,
