@@ -56,6 +56,14 @@ object Bench {
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     spark.stop()
+    // Self-record: the driver's stdout capture has truncated the JSON
+    // line before (BENCH_r02 lost the TPC-H cells); a repo-relative file
+    // keeps the full record regardless of how stdout is handled.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench_last.json: $e")
+    }
     println(json)
     System.out.flush()
   }

@@ -23,17 +23,31 @@ object Text {
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     *
     * Implemented as ONE regex pass extracting overlapping n-grams via a
-    * lookahead capture — `(?=(\S+ \S+ \S+))\S+` matches at every token
-    * start with n tokens remaining and captures the n-gram, so a doc is
-    * shingled in a single linear scan. The equivalent higher-order-
-    * function chain (transform over sequence + element_at + concat_ws)
-    * produces identical output but is interpreted per element (Spark
-    * HOFs don't participate in codegen), which made shingling the
-    * dominant cost of every dedup operator. Docs shorter than n tokens
-    * yield an empty set. */
+    * lookahead capture: `(?=(g))t ` (g = n `[^ ]*` tokens joined by
+    * single spaces, t = one token) matches at every token start with n
+    * tokens remaining, captures the n-gram, and consumes token+space to
+    * land on the next token start — a single linear scan. The equivalent
+    * higher-order-function chain (transform over sequence + element_at +
+    * concat_ws) produces identical output but is interpreted per element
+    * (Spark HOFs don't participate in codegen), which made shingling the
+    * dominant cost of every dedup operator.
+    *
+    * TOKENIZATION CONTRACT: tokens are maximal `[^ ]*` runs between
+    * single-space separators, keeping empty tokens (leading, trailing,
+    * and between adjacent spaces) — exactly `split(text, ' ', -1)` /
+    * DuckDB `string_split(text, ' ')` semantics. [[graft.operators.Dedup]]'s
+    * primitive kernels (`shingleHashArrays`, `minhashSignatures`) and
+    * every DuckDB oracle derive their shingles from the same contract;
+    * all three paths agree on any input, including runs of spaces
+    * (a mid-run position starts an empty token, so "a  b" yields the
+    * trigrams "a  b" and " b c" for "a  b c"). A position where fewer
+    * than n tokens remain cannot match, and no mid-token position can
+    * match when its token start could not (it sees a suffix with the
+    * same or fewer separators), so the scan never emits a bogus gram.
+    * Docs shorter than n tokens yield an empty set. */
   def shingles(text: Column, n: Int): Column = {
-    val gram = Seq.fill(n)("\\S+").mkString(" ")
-    array_distinct(regexp_extract_all(text, lit(s"(?=($gram))\\S+"), lit(1)))
+    val gram = Seq.fill(n)("[^ ]*").mkString(" ")
+    array_distinct(regexp_extract_all(text, lit(s"(?=($gram))[^ ]* "), lit(1)))
   }
 
   /** Karp–Rabin-style rolling fingerprint of the token stream: fold-left

@@ -53,11 +53,11 @@ object Dedup {
   /** Document-frequency cap for candidate shingles. A shingle in df docs
     * contributes O(df²) candidate pairs from the inverted-index
     * self-join — one ubiquitous (stopword-ish) trigram is a quadratic
-    * bucket at corpus scale. Shingles with df > cap are dropped from
-    * CANDIDATE GENERATION only: a pair at jaccard >= 0.6 shares many
-    * shingles — overwhelmingly including rare ones — so its candidacy
-    * survives the cap, and its reported jaccard is computed from the
-    * FULL shingle sets either way (verified exactly below). */
+    * bucket at corpus scale. Shingles with df > cap are dropped from the
+    * PRIMARY candidate index only; pairs whose common shingles are ALL
+    * hot (possible only between two hot-heavy documents, see
+    * [[jaccardPairs]]) are recovered by a dedicated full-index pass over
+    * that subpopulation, so the output remains the exact pair set. */
   val MaxShingleDf = 100
 
   /** Exact Jaccard over the full shingle arrays for a candidate pair
@@ -92,10 +92,13 @@ object Dedup {
     *    most c_rare + min(k1, k2), so
     *    jaccard <= (c_rare + min(k1,k2)) / (n1 + n2 - c_rare - min(k1,k2)).
     *    Pairs whose bound misses the threshold are dropped WITHOUT ever
-    *    touching the raw text — this keeps stage 3 tiny (near-dups +
+    *    touching the raw text — this keeps stage 4 tiny (near-dups +
     *    borderline pairs only), where verifying every co-occurring pair
     *    against full shingle arrays would dwarf the original skew cost.
-    * 3. Exact verification of survivors from the full shingle arrays
+    * 3. Hot-only recovery: pairs with zero common rare shingles (both
+    *    docs provably hot-heavy) from a full-index pass over that
+    *    subpopulation — see the inline proof in [[jaccardPairs]].
+    * 4. Exact verification of survivors from the full shingle arrays
     *    ([[verifyJaccard]]) — reported values are exact, so the pruning
     *    is invisible in the output. */
   /** (doc_id, shs: array<long>) distinct shingle hashes per doc — ONE
@@ -107,7 +110,10 @@ object Dedup {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.split(' ')
+        // limit -1 keeps trailing empty tokens — the tokenization
+        // contract shared with Text.shingles and the DuckDB oracles
+        // (string_split semantics); Java's split(char) would drop them.
+        val toks = text.split(" ", -1)
         val set = new java.util.HashSet[Long]()
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
         var i = 0
@@ -146,7 +152,31 @@ object Dedup {
       .filter(col("c_max").cast("double")
         / (col("n1") + col("n2") - col("c_max")).cast("double") >= threshold)
       .select(col("d1"), col("d2"))
-    verifyJaccard(docs, bounded, threshold)
+    // Hot-only recovery: a pair whose common shingles are ALL hot has
+    // c_rare = 0 and never reaches the bound stage above. Such a pair
+    // can clear the threshold only if BOTH docs are hot-heavy: with c
+    // common shingles all hot, j = c/|union| <= k_i/n_i for EACH side
+    // (c <= k_i, |union| >= n_i), so k_i/n_i >= t is necessary on both.
+    // Within that self-selecting subpopulation (boilerplate clusters —
+    // the primary dedup target) the FULL shingle index is joined. The
+    // common count there covers every shingle, so the threshold filter
+    // is exact, not a bound; work is Σ df_hh(s)² over hot-heavy docs
+    // only — the regime where the true pair OUTPUT is itself quadratic,
+    // so candidate work is proportional to output, not corpus².
+    val hotHeavy = docStats
+      .filter(col("k_hot").cast("double") >= lit(threshold) * col("n_sh").cast("double"))
+      .select(col("doc_id"))
+    val shHh = sh.join(hotHeavy, Seq("doc_id"), "left_semi")
+    val recovered = shHh.select(col("sh"), col("doc_id").as("d1"))
+      .join(shHh.select(col("sh"), col("doc_id").as("d2")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c"))
+      .join(docStats.select(col("doc_id").as("d1"), col("n_sh").as("n1")), Seq("d1"))
+      .join(docStats.select(col("doc_id").as("d2"), col("n_sh").as("n2")), Seq("d2"))
+      .filter(col("c").cast("double")
+        / (col("n1") + col("n2") - col("c")).cast("double") >= threshold)
+      .select(col("d1"), col("d2"))
+    verifyJaccard(docs, bounded.union(recovered).distinct(), threshold)
   }
 
   /** DuckDB oracle for any operator whose output is the exact
@@ -221,7 +251,8 @@ object Dedup {
     val cs = coeffs.toArray
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.split(' ')
+        val toks = text.split(" ", -1) // same contract as Text.shingles
+
         // docs below n tokens have no shingles and no signature row —
         // otherwise every short doc would share one degenerate signature
         // and band together quadratically
@@ -302,29 +333,61 @@ object Dedup {
     * convergence counter. Rounds ≈ cluster diameter (tiny for near-dup
     * clusters), each a bounded shuffle — the same shape GraphX uses for
     * CC at arbitrary scale. */
+  /** Hard cap on label-propagation rounds. Rounds track the duplicate
+    * graph's diameter, which for near-dup clusters is tiny; 64 rounds
+    * covers a path of 2⁶⁴ min-label hops under the halving behavior of
+    * min-propagation on pathological chains. Hitting the cap means the
+    * input is not a dedup pair graph — fail loudly instead of looping. */
+  val MaxClusterRounds = 64
+
   def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
-    val edges = pairs
+    // Checkpoints are managed at the RDD level: Dataset.localCheckpoint
+    // persists an internal RDD that Dataset.unpersist does NOT release,
+    // so a long round chain would leak one frontier per round into the
+    // block manager. Holding the RDD handle lets each superseded
+    // frontier be freed as soon as its successor is materialized —
+    // storage stays O(frontier), not O(frontier · rounds). On a real
+    // cluster, swap localCheckpoint() for checkpoint() with a reliable
+    // spark.checkpoint.dir if executor loss must be survivable.
+    val edgesRdd = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
+      .as[(Long, Long)].rdd.localCheckpoint()
+    val edges = edgesRdd.toDF("d1", "d2")
+    val init = docs.select(col("doc_id"), col("doc_id"))
+      .as[(Long, Long)].rdd.localCheckpoint()
+    // `backing` is the round's checkpointed RDD (the only persisted
+    // state); `labelsRdd` is a narrow projection over it.
+    var backing: org.apache.spark.rdd.RDD[_] = init
+    var labelsRdd: org.apache.spark.rdd.RDD[(Long, Long)] = init
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      if (rounds >= MaxClusterRounds)
+        throw new IllegalStateException(
+          s"dupClusters did not converge in $MaxClusterRounds rounds — " +
+            "input does not look like a near-dup pair graph")
+      val labels = labelsRdd.toDF("doc_id", "cluster_id")
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nl")),
           Seq("d2"))
         .groupBy(col("d1")).agg(min(col("nl")).as("nm"))
         .withColumnRenamed("d1", "doc_id")
-      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+      val nextRdd = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nm"), col("cluster_id")))
             .as("next_id"))
-        .localCheckpoint(true)
-      changed = joined.filter(col("next_id") < col("cluster_id")).count()
-      labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
+        .as[(Long, Long, Long)].rdd.localCheckpoint()
+      changed = nextRdd.filter(t => t._3 < t._2).count() // materializes
+      backing.unpersist(blocking = false) // superseded frontier
+      backing = nextRdd
+      labelsRdd = nextRdd.map(t => (t._1, t._3))
+      rounds += 1
     }
-    labels
+    edgesRdd.unpersist(blocking = false)
+    labelsRdd.toDF("doc_id", "cluster_id")
   }
 
   val dedupClusters: Q = Q.df(
@@ -371,7 +434,7 @@ object Dedup {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val counts = new Array[Int](64)
-        text.split(' ').foreach { t =>
+        text.split(" ", -1).foreach { t =>
           val h = fnv64(t)
           var j = 0
           while (j < 64) {

@@ -66,14 +66,25 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** DuckDB expression for 0-based byte `pos` of the UTF-8 encoding held
+    * in hex string `hx` — BYTE indexing, matching the stub's
+    * `payload(pos) & 0xff` exactly even for non-ASCII text (a char-based
+    * `ascii(substring(text, ...))` oracle diverges there: positions
+    * shift and ascii() returns a code point, not a byte). */
+  private def sqlByteAt(hx: String, pos: String): String =
+    s"""(16 * (strpos('0123456789ABCDEF', substring($hx, 2 * ($pos) + 1, 1)) - 1)
+       |   + strpos('0123456789ABCDEF', substring($hx, 2 * ($pos) + 2, 1)) - 1)""".stripMargin
+
   /** Metadata extraction end-to-end through the binary pipeline. The
     * oracle recomputes the stub's outputs from the text column. */
   val multimodalMeta: Q = Q.df(
     "multimodal_meta",
-    """select doc_id, cast(octet_length(encode(text)) as bigint) as n_bytes,
-      |  cast(ascii(substring(text, 1, 1)) as bigint) as width,
-      |  cast(ascii(substring(text, 2, 1)) as bigint) as height
-      |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    s"""with h as (select doc_id, hex(encode(text)) as hx,
+       |  cast(octet_length(encode(text)) as bigint) as n from documents)
+       |select doc_id, n as n_bytes,
+       |  cast(case when n >= 1 then ${sqlByteAt("hx", "0")} else 0 end as bigint) as width,
+       |  cast(case when n >= 2 then ${sqlByteAt("hx", "1")} else 0 end as bigint) as height
+       |from h order by doc_id""".stripMargin) { (s, dir) =>
     decodeAll(mediaTable(s, dir))
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
       .orderBy(col("doc_id"))
@@ -90,11 +101,13 @@ object Multimodal {
     * [[multimodalMeta]]. */
   val multimodalFeatures: Q = Q.df(
     "multimodal_features",
-    """select doc_id, cast(j - 1 as bigint) as feature_idx,
-      |  cast(ascii(substring(text,
-      |    ((j - 1) % octet_length(encode(text))) + 1, 1)) as bigint) as byte_value
-      |from documents, range(1, 9) t(j)
-      |order by doc_id, feature_idx""".stripMargin) { (s, dir) =>
+    s"""with h as (select doc_id, hex(encode(text)) as hx,
+       |  cast(octet_length(encode(text)) as bigint) as n from documents)
+       |select doc_id, cast(j - 1 as bigint) as feature_idx,
+       |  cast(case when n = 0 then 0
+       |    else ${sqlByteAt("hx", "(j - 1) % n")} end as bigint) as byte_value
+       |from h, range(1, 9) t(j)
+       |order by doc_id, feature_idx""".stripMargin) { (s, dir) =>
     decodeAll(mediaTable(s, dir))
       .select(col("doc_id"), posexplode(col("features")))
       .select(col("doc_id"), col("pos").cast("long").as("feature_idx"),

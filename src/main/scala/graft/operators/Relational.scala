@@ -759,7 +759,13 @@ object Relational {
       |from orders group by o_orderpriority
       |order by o_orderpriority""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
-    s.sql("""select * from (select o_orderpriority, o_orderstatus from orders)
+    // coalesce: Spark's PIVOT yields NULL for a (priority, status) cell
+    // with no rows, the oracle's count FILTER yields 0 — align on 0.
+    s.sql("""select o_orderpriority,
+            |  coalesce(f, cast(0 as bigint)) as f,
+            |  coalesce(o, cast(0 as bigint)) as o,
+            |  coalesce(p, cast(0 as bigint)) as p
+            |from (select o_orderpriority, o_orderstatus from orders)
             |pivot (count(*) for o_orderstatus in ('F' as f, 'O' as o, 'P' as p))
             |order by o_orderpriority""".stripMargin)
   }

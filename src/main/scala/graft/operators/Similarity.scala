@@ -178,19 +178,47 @@ object Similarity {
     Seq.fill(NumTables)(Seq.fill(BitsPerTable)(Seq.fill(64)(rnd.nextGaussian())))
   }
 
-  /** Per-table sign-bit bucket: bit i = (v · plane_i) >= 0. */
-  private def tableBucket(v: Column, table: Int): Column =
-    planes(table).zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      when(dot(v, planeLit) >= 0.0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private lazy val planeMatrix: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
 
-  /** (vec_id, v, table, bucket) — one row per table. */
-  def lshKeys(emb: DataFrame): DataFrame =
+  /** (vec_id, table, bucket) — one row per table; per-table bucket is
+    * the sign-bit word: bit i = (v · plane_i) >= 0.
+    *
+    * All NumTables×BitsPerTable plane dots per vector run in ONE
+    * primitive flatMap kernel over the plane matrix (the
+    * [[graft.operators.Dedup.minhashSignatures]] pattern): the kernel is
+    * a tight double loop with zero per-plane allocation and zero
+    * shuffle. The earlier declarative form evaluated 48 interpreted
+    * higher-order-function dots per row (HOFs don't codegen), which
+    * dominated the operator's cost. */
+  def lshKeys(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pm = planeMatrix
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .select(col("vec_id"), col("v"), explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("table"), tableBucket(col("v"), t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.table"), col("tb.bucket"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val out = new Array[(Long, Int, Long)](pm.length)
+        var t = 0
+        while (t < pm.length) {
+          val tp = pm(t)
+          var bucket = 0L
+          var i = 0
+          while (i < tp.length) {
+            val p = tp(i)
+            var acc = 0.0
+            var k = 0
+            while (k < p.length) { acc += v(k) * p(k); k += 1 }
+            if (acc >= 0.0) bucket |= 1L << i
+            i += 1
+          }
+          out(t) = (id, t, bucket)
+          t += 1
+        }
+        out
+      }
+      .toDF("vec_id", "table", "bucket")
+  }
 
   /** ANN via bucket equi-join: only same-bucket candidates (union over
     * tables) are scored. Approximate by construction → rows-only check +
@@ -198,16 +226,25 @@ object Similarity {
     * shuffles on the compact (table, bucket) key. */
   def lshTopK(emb: DataFrame, k: Int): DataFrame = {
     DotProduct.ensureRegistered(emb.sparkSession)
-    val keys = lshKeys(emb)
+    // The query side is keyed from a PRE-filtered scan: a filter above
+    // the typed flatMap kernel is opaque to Catalyst (no pushdown), so
+    // filtering first keeps the kernel from running over the whole
+    // corpus twice — parquet pushdown prunes the query scan instead.
+    val corpusKeys = lshKeys(emb)
+    val queryKeys = lshKeys(emb.filter(col("vec_id") < NumQueries))
     val vecs = withUnit(emb).select(col("vec_id"), col("u").as("v"))
     // candidate id pairs first (dedup before carrying vectors around)
-    val pairs = keys.filter(col("vec_id") < NumQueries)
+    val pairs = queryKeys
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
-      .join(keys.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
+      .join(corpusKeys.select(col("vec_id").as("neighbor_id"), col("table"), col("bucket")),
         Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-      .distinct() // a pair may collide in several tables
+      // a pair may collide in several tables; dedup BEFORE scoring so
+      // the same neighbor can't occupy two top-k slots. The shuffle is
+      // 16-byte id pairs bounded by the candidate count — far cheaper
+      // than carrying duplicate 64-dim vectors into the scoring join.
+      .distinct()
     pairs
       .join(broadcast(vecs.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))), Seq("query_id"))

@@ -27,26 +27,29 @@ object Temporal {
     * id): right rows sort before left rows at equal ts (>= semantics),
     * and the trailing id breaks exact-ts ties deterministically. */
   def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    // The matched right row travels as ONE struct through a single
+    // last(_, ignoreNulls) window (null for probe rows, so they are
+    // skipped): all matched fields come from the same right row even
+    // when some of its fields are NULL. Three independent last()
+    // windows would splice fields from different rows whenever the
+    // matched row's value is NULL.
     val l = left.select(col("user_id"), col("ts"), col("event_id"),
       lit(0).as("is_r"),
-      lit(null).cast("timestamp").as("r_ts"),
-      lit(null).cast("long").as("r_event_id"),
-      lit(null).cast("double").as("r_value"))
+      lit(null).cast("struct<r_ts:timestamp,r_event_id:bigint,r_value:double>")
+        .as("r_row"))
     val r = right.select(col("user_id"), col("ts"), col("event_id"),
       lit(1).as("is_r"),
-      col("ts").as("r_ts"), col("event_id").as("r_event_id"),
-      col("value").as("r_value"))
+      struct(col("ts").as("r_ts"), col("event_id").as("r_event_id"),
+        col("value").as("r_value")).as("r_row"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("is_r").desc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .withColumn("m_ts", last(col("r_ts"), ignoreNulls = true).over(w))
-      .withColumn("m_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
-      .withColumn("m_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .withColumn("m", last(col("r_row"), ignoreNulls = true).over(w))
       .filter(col("is_r") === 0)
       .select(col("event_id").as("p_event_id"), col("user_id"),
-        col("ts").as("p_ts"), col("m_ts").as("v_ts"),
-        col("m_event_id").as("v_event_id"), col("m_value").as("v_value"))
+        col("ts").as("p_ts"), col("m.r_ts").as("v_ts"),
+        col("m.r_event_id").as("v_event_id"), col("m.r_value").as("v_value"))
   }
 
   /** purchase AS-OF view: each purchase with the user's latest view at

@@ -60,4 +60,56 @@ class DedupSpec extends AnyFunSuite {
     val Row(d1: Long, d2: Long, j: Double) = rows(0)
     assert((d1, d2) == (1L, 2L) && math.abs(j - 1.0 / 3.0) < 1e-15)
   }
+
+  test("jaccard recovers pairs whose common shingles are ALL hot (df > cap)") {
+    // A boilerplate cluster larger than the df cap: every shingle those
+    // docs share is hot, so the rare-shingle index yields NO candidate
+    // row for any intra-cluster pair — the hot-only recovery path must
+    // find them. 6 identical docs with maxDf = 4 → every shingle df 6 > 4;
+    // plus distinct background docs that must NOT pair.
+    val boiler = "terms of service apply to all users of this site"
+    val cluster = (1L to 6L).map(_ -> boiler)
+    val others = Seq(
+      7L -> "completely different words in this one here now",
+      8L -> "yet another unrelated document body for the test")
+    val d = docs(cluster ++ others: _*)
+    val got = Dedup.jaccardPairs(d, 0.9, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for { i <- 1L to 6L; j <- (i + 1) to 6L } yield (i, j, 1.0)).toSet
+    assert(got == want)
+  }
+
+  test("jaccard: mixed rare/hot pair still found with a tiny df cap") {
+    // Two near-dup docs sharing both a hot shingle family and rare ones;
+    // cap of 1 makes every shared-by-2 shingle hot, so candidacy must
+    // come from the recovery path; the reported value is exact.
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",
+      3L -> "unrelated content entirely here today")
+    val got = Dedup.jaccardPairs(d, 0.4, maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // shingles: d1 {abg, bgd, gde}, d2 {abg, bgd, gdz} → 2/4 = 0.5
+    assert(got == Set((1L, 2L, 0.5)))
+  }
+
+  test("dupClusters frees superseded frontiers (bounded block-manager storage)") {
+    val sc = spark.sparkContext
+    // a 5-doc duplicate chain forces multiple propagation rounds
+    val d = docs(
+      1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
+      3L -> "a b c d e f g h", 4L -> "a b c d e f g h",
+      5L -> "a b c d e f g h",
+      6L -> "totally different text lives here in this doc")
+    val before = sc.getPersistentRDDs.size
+    val out = Dedup.dupClusters(d, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
+    val after = sc.getPersistentRDDs.size
+    // only the FINAL frontier may remain persisted (the result is backed
+    // by it); every superseded round's checkpoint and the edge set must
+    // be gone regardless of how many rounds ran
+    assert(after <= before + 1,
+      s"checkpoint leak: $before persistent RDDs before, $after after")
+  }
 }

@@ -37,6 +37,25 @@ class TemporalSpec extends AnyFunSuite {
       Seq((2L, 1L), (4L, 3L), (5L, -1L)))
   }
 
+  test("asof join: NULL value on the matched row is NOT spliced from older rows") {
+    // The matched view (latest prior) carries a NULL value; an older view
+    // has a non-null one. All v_* fields must come from the SAME matched
+    // row — v_value must be NULL, not the older row's 1.5.
+    val ev = Seq(
+      (1L, 100L, 1L, "view", Some(1.5)),
+      (2L, 200L, 1L, "view", None: Option[Double]), // the match
+      (3L, 300L, 1L, "purchase", Some(0.0)))
+      .toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id", "cast(timestamp_seconds(sec) as timestamp) as ts",
+        "user_id", "event_type", "value")
+    val out = Temporal.asofJoin(
+      ev.filter($"event_type" === "purchase"),
+      ev.filter($"event_type" === "view")).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(4) == 2L, "must match the latest prior view")
+    assert(out(0).isNullAt(5), "v_value must come from the matched row (NULL)")
+  }
+
   test("asof join: exact-ts tie between two views picks max event_id") {
     val ev = events(
       (1L, 100L, 1L, "view", 1.0),

@@ -31,6 +31,23 @@ class TextSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
+  test("shingles honor the split-on-space tokenization contract (empty tokens)") {
+    // reference: split(' ', -1) keeping empty tokens — the contract the
+    // Dedup kernels and the DuckDB oracles (string_split) also follow
+    def ref(text: String, n: Int): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
+    }
+    val cases = Seq(
+      "a b c d", "a  b c", "a b ", " a b", "", "ab", "a b",
+      "x  ", "a\tb c d", "a   b", "  ", "one two  three four ")
+    for (t <- cases) {
+      val got = one(t).select(Text.shingles(col("text"), 3))
+        .collect()(0).getSeq[String](0)
+      assert(got == ref(t, 3), s"input ${t.map(c => if (c == ' ') '·' else c)}")
+    }
+  }
+
   test("rolling fingerprint: deterministic, order-sensitive, bounded") {
     val fp = (s: String) =>
       one(s).select(Text.rollingFingerprint(col("text"))).collect()(0).getLong(0)
