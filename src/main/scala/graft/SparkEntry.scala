@@ -8,6 +8,7 @@ object SparkEntry {
   /** Every verifiable query the engine exposes (grows per SURVEY.md §2). */
   def allQueries: Seq[Q] =
     graft.tpch.Tpch.queries ++
+      graft.tpch.RefTpch.queries ++
       graft.operators.Relational.queries ++
       graft.operators.Skew.queries ++
       graft.operators.Dedup.queries ++
