@@ -11,6 +11,7 @@ object SparkEntry {
       graft.tpch.RefTpch.queries ++
       graft.operators.Relational.queries ++
       graft.operators.Skew.queries ++
+      graft.operators.Approx.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++

@@ -338,7 +338,45 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  val annIvf: Q = Q.rowsOnly("ann_ivf_topk") { (s, dir) =>
+  /** The IVF pipeline is FULLY deterministic — the coarse quantizer is a
+    * seeded literal — so unlike hyperplane-LSH it is oracle-able: the
+    * centroid matrix is embedded in the SQL as VALUES literals
+    * (Double.toString round-trips exactly, and list_sum folds in the
+    * same sequential order as the primitive kernel), the assignment
+    * argmax and probe ranking reproduce [[nearestCentroids]]'s
+    * (-score, index) tiebreak, and the final top-k mirrors [[ivfTopK]]
+    * bit-for-bit. */
+  private def ivfOracle: String = {
+    val centroidRows = centroids.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    def dotCu(c: String, e: String): String =
+      s"list_sum(list_transform(range(1, len($e.u) + 1), i -> $c.v[i] * $e.u[i]))"
+    s"""with c(cid, v) as (values
+       |    $centroidRows),
+       |e as ($sqlUnit),
+       |scored as (
+       |  select e.vec_id, e.u, c.cid,
+       |    row_number() over (partition by e.vec_id
+       |      order by ${dotCu("c", "e")} desc, c.cid) as crn
+       |  from e cross join c),
+       |assign as (select vec_id, u, cid from scored where crn = 1),
+       |probes as (select vec_id, u, cid from scored
+       |           where vec_id < $NumQueries and crn <= $NProbe),
+       |pairs as (
+       |  select q.vec_id as query_id, a.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "a")} as cos
+       |  from probes q join assign a on q.cid = a.cid
+       |  where q.vec_id <> a.vec_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+       |from (select *, cast(row_number() over (
+       |        partition by query_id order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annIvf: Q = Q.df("ann_ivf_topk", ivfOracle) { (s, dir) =>
     ivfTopK(Tables.df(s, dir, "embeddings"), TopK)
       .orderBy(col("query_id"), col("rnk"))
   }

@@ -33,5 +33,29 @@ object TypesQueries {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Seq[Q] = Seq(typesUnsignedWidening)
+  /** Binary collation surface: the reference maps its Binary collation
+    * to raw-byte comparison semantics (doradb-datatype/src/lib.rs:201-203,
+    * 466-470 — Ascii/Utf8mb4/Binary; repo mapping TypeMap.scala). Spark
+    * BinaryType and DuckDB BLOB both compare/group/order by unsigned
+    * lexicographic bytes, proven here by grouping AND ordering AND
+    * comparing on a binary-cast column against the BLOB oracle. */
+  val typesBinaryCollation: Q = Q.df(
+    "types_binary_collation",
+    """select b_key, cast(count(*) as bigint) as cnt,
+      |  min(doc_id) as first_id,
+      |  (b_key > encode('m')) as after_m
+      |from (select doc_id, encode(substring(text, 1, 8)) as b_key
+      |      from documents)
+      |group by b_key order by b_key""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        substring(col("text"), 1, 8).cast("binary").as("b_key"))
+      .groupBy(col("b_key"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_id"))
+      .withColumn("after_m", col("b_key") > lit("m").cast("binary"))
+      .select(col("b_key"), col("cnt"), col("first_id"), col("after_m"))
+      .orderBy(col("b_key"))
+  }
+
+  val queries: Seq[Q] = Seq(typesUnsignedWidening, typesBinaryCollation)
 }

@@ -20,6 +20,21 @@ class ApproxSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("approx_distinct_bounds entry: every group's flag is true") {
+    val rows = graft.operators.Approx.approxDistinct
+      .run(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_eps")),
+      rows.map(_.toString).mkString("\n"))
+  }
+
+  test("approx_percentile_bounds entry: true rank of approx median in band") {
+    val rows = graft.operators.Approx.approxPercentile
+      .run(spark, TestSpark.Sf).collect()
+    assert(rows.length == 1 && rows(0).getAs[Boolean]("within_eps"),
+      rows.map(_.toString).mkString("\n"))
+  }
+
   test("approx_percentile brackets the exact discrete percentile") {
     val o = Tables.df(spark, TestSpark.Sf, "orders")
     val exact = o.selectExpr(

@@ -38,6 +38,21 @@ class CboPlanSpec extends AnyFunSuite {
     assert(stats.attributeStats.nonEmpty, "no column statistics")
   }
 
+  test("pred_pullup parity: filter inferred across the join equal-set") {
+    // Reference rule/pred_pullup_old.rs:5-24 propagates predicates
+    // through join equality sets; Catalyst's InferFiltersFromConstraints
+    // is the claimed equivalent (SURVEY §4.1). Prove it fires: a filter
+    // on c_custkey must materialize as an o_custkey filter on the FAR
+    // side of the c_custkey = o_custkey join.
+    Tables.registerAll(spark, TestSpark.Sf)
+    val plan = spark.sql(
+      """select c_custkey, o_orderkey from customer join orders
+        |on c_custkey = o_custkey where c_custkey < 100""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    assert("""o_custkey#\d+L? < 100""".r.findFirstIn(plan).isDefined,
+      s"no inferred o_custkey filter in:\n$plan")
+  }
+
   test("CBO join reorder rewrites the badly-ordered join") {
     Tables.registerStats(spark, TestSpark.Sf)
     val sql = Relational.joinReorderSql(s"${Tables.StatsDb}.")
