@@ -340,28 +340,30 @@ object Dedup {
     * input is not a dedup pair graph — fail loudly instead of looping. */
   val MaxClusterRounds = 64
 
+  /** The RDD a localCheckpoint'd Dataset is backed by. Dataset.unpersist
+    * does NOT release localCheckpoint blocks (they are RDD persists, not
+    * cached queries), so freeing a superseded frontier needs the RDD
+    * handle out of the checkpointed plan's LogicalRDD leaf. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
-    // Checkpoints are managed at the RDD level: Dataset.localCheckpoint
-    // persists an internal RDD that Dataset.unpersist does NOT release,
-    // so a long round chain would leak one frontier per round into the
-    // block manager. Holding the RDD handle lets each superseded
-    // frontier be freed as soon as its successor is materialized —
-    // storage stays O(frontier), not O(frontier · rounds). On a real
-    // cluster, swap localCheckpoint() for checkpoint() with a reliable
-    // spark.checkpoint.dir if executor loss must be survivable.
-    val edgesRdd = pairs
+    // Checkpointing stays at the Dataset level (internal rows — an
+    // RDD-of-tuples loop would pay encoder serialization twice per
+    // round), but each round frees the SUPERSEDED frontier's blocks via
+    // its backing RDD, so block-manager storage is O(frontier), not
+    // O(frontier · rounds). On a real cluster, swap localCheckpoint()
+    // for checkpoint() with a reliable spark.checkpoint.dir if executor
+    // loss must be survivable.
+    val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .as[(Long, Long)].rdd.localCheckpoint()
-    val edges = edgesRdd.toDF("d1", "d2")
-    val init = docs.select(col("doc_id"), col("doc_id"))
-      .as[(Long, Long)].rdd.localCheckpoint()
-    // `backing` is the round's checkpointed RDD (the only persisted
-    // state); `labelsRdd` is a narrow projection over it.
-    var backing: org.apache.spark.rdd.RDD[_] = init
-    var labelsRdd: org.apache.spark.rdd.RDD[(Long, Long)] = init
+      .localCheckpoint(true)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    var backing = checkpointRdd(labels)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -369,25 +371,24 @@ object Dedup {
         throw new IllegalStateException(
           s"dupClusters did not converge in $MaxClusterRounds rounds — " +
             "input does not look like a near-dup pair graph")
-      val labels = labelsRdd.toDF("doc_id", "cluster_id")
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nl")),
           Seq("d2"))
         .groupBy(col("d1")).agg(min(col("nl")).as("nm"))
         .withColumnRenamed("d1", "doc_id")
-      val nextRdd = labels.join(neighborMin, Seq("doc_id"), "left")
+      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nm"), col("cluster_id")))
             .as("next_id"))
-        .as[(Long, Long, Long)].rdd.localCheckpoint()
-      changed = nextRdd.filter(t => t._3 < t._2).count() // materializes
-      backing.unpersist(blocking = false) // superseded frontier
-      backing = nextRdd
-      labelsRdd = nextRdd.map(t => (t._1, t._3))
+        .localCheckpoint(true) // materializes eagerly
+      changed = joined.filter(col("next_id") < col("cluster_id")).count()
+      backing.foreach(_.unpersist(blocking = false)) // superseded frontier
+      backing = checkpointRdd(joined)
+      labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
       rounds += 1
     }
-    edgesRdd.unpersist(blocking = false)
-    labelsRdd.toDF("doc_id", "cluster_id")
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    labels
   }
 
   val dedupClusters: Q = Q.df(
