@@ -15,6 +15,7 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.TextAnalysis.queries ++
+      graft.operators.Corpus.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.Temporal.queries ++
       graft.streaming.EventsStream.queries ++

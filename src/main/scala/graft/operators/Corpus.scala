@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * dedup and tokenization: chunking long documents into overlapping
+  * context windows, deterministic train/val/test splitting, TF-IDF key
+  * terms, and incremental dedup against an existing corpus. All are
+  * oracle-checked (the split and score arithmetic is chosen to be
+  * bit-identical cross-engine).
+  */
+object Corpus {
+
+  // ---- chunking ----------------------------------------------------------
+
+  /** Context-window size / stride in tokens. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunks: one pass per document through a
+    * primitive kernel (the per-doc loop is procedural; Spark HOF chains
+    * evaluate interpreted), emitting (doc_id, chunk_start, n_tokens,
+    * chunk_text). Tokenization follows the split-on-space contract
+    * shared with [[graft.functions.Text.shingles]]. Chunking is
+    * embarrassingly parallel — zero shuffle at any corpus size. */
+  def chunk(docs: DataFrame, size: Int = ChunkSize,
+      stride: Int = ChunkStride): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+        var start = 0
+        while (start < toks.length) {
+          val end = math.min(start + size, toks.length)
+          out += ((id, start.toLong, (end - start).toLong,
+            toks.slice(start, end).mkString(" ")))
+          start += stride
+        }
+        out
+      }
+      .toDF("doc_id", "chunk_start", "n_tokens", "chunk_text")
+  }
+
+  val textChunks: Q = Q.df(
+    "text_chunks",
+    s"""with toks as (select doc_id, string_split(text, ' ') as t from documents)
+       |select doc_id, cast(s as bigint) as chunk_start,
+       |  cast(least(s + $ChunkSize, len(t)) - s as bigint) as n_tokens,
+       |  array_to_string(list_slice(t, s + 1, least(s + $ChunkSize, len(t))), ' ')
+       |    as chunk_text
+       |from toks, unnest(range(0, len(t), $ChunkStride)) u(s)
+       |order by doc_id, chunk_start""".stripMargin) { (s, dir) =>
+    chunk(Tables.df(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+  }
+
+  // ---- deterministic train/val/test split --------------------------------
+
+  /** Knuth-style multiplicative bucket in [0,100) from the doc id — pure
+    * integer arithmetic, so Spark and DuckDB agree bit-for-bit (an
+    * engine hash like xxhash64 would not be oracle-able). Deterministic
+    * under retries and stable across runs: the property a 100 TB
+    * pipeline needs so a document's split never flips between jobs. */
+  private val SplitExpr = "(doc_id * 2654435761) % 4294967296 % 100"
+
+  val TrainPct = 80
+  val ValPct = 10 // test = remainder
+
+  val sampleSplit: Q = Q.df(
+    "sample_split_assign",
+    s"""select doc_id, source, cast($SplitExpr as bigint) as bucket,
+       |  case when $SplitExpr < $TrainPct then 'train'
+       |       when $SplitExpr < ${TrainPct + ValPct} then 'val'
+       |       else 'test' end as split
+       |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr(SplitExpr).cast("long").as("bucket"),
+        when(expr(SplitExpr) < TrainPct, lit("train"))
+          .when(expr(SplitExpr) < TrainPct + ValPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- TF-IDF key terms --------------------------------------------------
+
+  val TopTerms = 3
+
+  /** Per-document top-k terms by tf-idf. The idf is the RATIONAL variant
+    * idf = N/df (not ln(N/df)): natural-log results differ across libm
+    * implementations in the last ulp, while one IEEE division and one
+    * multiply are bit-identical in any engine — and for a fixed document
+    * the ranking only compares scores with the same monotone transform
+    * applied. Shuffles on (doc, term) and term — both well-distributed
+    * keys; no driver-side state. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = TopTerms): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double")
+        * (col("n").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  val tfidf: Q = Q.df(
+    "text_tfidf_topterms",
+    s"""with toks as (select doc_id, unnest(string_split(text, ' ')) as term
+       |              from documents),
+       |tf as (select doc_id, term, count(*) as tf from toks group by 1, 2),
+       |df as (select term, count(*) as df from tf group by 1),
+       |n as (select count(*) as n from documents),
+       |scored as (
+       |  select tf.doc_id, tf.term, tf.tf, df.df,
+       |    cast(tf.tf as double) * (cast(n.n as double) / cast(df.df as double))
+       |      as score
+       |  from tf join df using (term) cross join n)
+       |select doc_id, rnk, term, tf, df, score from (
+       |  select *, cast(row_number() over (partition by doc_id
+       |    order by score desc, term) as bigint) as rnk
+       |  from scored) t
+       |where rnk <= $TopTerms
+       |order by doc_id, rnk""".stripMargin) { (s, dir) =>
+    tfidfTopTerms(Tables.df(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // ---- incremental dedup against an existing corpus ----------------------
+
+  /** New documents (source <> base) whose exact fingerprint does NOT
+    * already exist in the base corpus — the nightly-increment shape of
+    * exact dedup: an anti join on the 16-byte content hash, so the
+    * shuffle carries fingerprints, never text. */
+  def newVsCorpus(docs: DataFrame, baseSource: String): DataFrame = {
+    val fp = graft.functions.Text.md5Fingerprint(col("text"))
+    val base = docs.filter(col("source") === baseSource).select(fp.as("fp"))
+    docs.filter(col("source") =!= baseSource)
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+      .join(base, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("fp"))
+  }
+
+  val BaseSource = "src0"
+
+  val dedupIncremental: Q = Q.df(
+    "dedup_incremental",
+    s"""select doc_id, source, md5(lower(text)) as fp
+       |from documents
+       |where source <> '$BaseSource'
+       |  and md5(lower(text)) not in (
+       |    select md5(lower(text)) from documents where source = '$BaseSource')
+       |order by doc_id""".stripMargin) { (s, dir) =>
+    newVsCorpus(Tables.df(s, dir, "documents"), BaseSource)
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental)
+}
