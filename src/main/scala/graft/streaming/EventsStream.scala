@@ -86,6 +86,42 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream INTERVAL join: each purchase joins the same user's
+    * views from the preceding `boundSec` seconds. Both sides carry
+    * watermarks and the join condition carries the time bound, so Spark
+    * evicts join state older than watermark+bound — state is O(rate ×
+    * bound) per user shard, never unbounded. Semantically identical to
+    * the batch [[graft.operators.Temporal.rangeJoin]] (spec-proven);
+    * batch uses the bin-replicated equi-join instead because a batch
+    * theta join would nested-loop, while the streaming runtime keys
+    * state on user_id and scans only the in-range buffer. */
+  def intervalJoin(views: DataFrame, purchases: DataFrame,
+      boundSec: Long): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"))
+      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  /** Streaming exact dedup by content fingerprint within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`): the state store holds one
+    * 16-byte fingerprint per distinct document seen inside the horizon
+    * and evicts beyond it — the bounded-state form of
+    * [[graft.operators.Dedup.dedupExact]] for continuous ingestion. */
+  def dedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.Text.md5Fingerprint(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Batch form of [[sessions]] for the driver's oracle gate; the DuckDB
     * mirror reconstructs gap-sessions with lag + cumulative sum. The gap
     * predicate is `>=`: session_window's window is [t, t+gap), so two

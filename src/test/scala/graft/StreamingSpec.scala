@@ -145,6 +145,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.map(_._1).distinct.size == seen.size)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "view", 0.0),
+      Event(2, ts("2024-01-01 00:04:00"), 1, "purchase", 9.0), // joins view 1
+      Event(3, ts("2024-01-01 00:20:00"), 1, "purchase", 9.0), // outside 10 min
+      Event(4, ts("2024-01-01 00:19:00"), 2, "view", 0.0),
+      Event(5, ts("2024-01-01 00:21:00"), 2, "purchase", 9.0)) // joins view 4
+    val vIn = MemoryStream[Event]
+    val pIn = MemoryStream[Event]
+    vIn.addData(events.filter(_.event_type == "view"): _*)
+    pIn.addData(events.filter(_.event_type == "purchase"): _*)
+    val q = EventsStream.intervalJoin(vIn.toDF(), pIn.toDF(), 600L)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append())
+      .start()
+    // advance both watermarks past every event so results flush
+    vIn.addData(Event(90, ts("2024-01-01 06:00:00"), 9, "view", 0.0))
+    pIn.addData(Event(91, ts("2024-01-01 06:00:00"), 9, "purchase", 0.0))
+    runToCompletion(q)
+    val streamed = spark.table("ivj")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Temporal.rangeJoin(
+      events.toDF().filter($"event_type" === "view"),
+      events.toDF().filter($"event_type" === "purchase"), 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the flush sentinels (user 9, exact-ts pair) also join; drop them
+    assert(streamed - ((9L, 90L, 91L)) == batch)
+    assert(batch == Set((1L, 1L, 2L), (2L, 4L, 5L)))
+  }
+
+  test("streaming dedup drops same-fingerprint docs within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStream.dedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"))
+      .select("doc_id")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(
+      (1L, ts("2024-01-01 00:00:00"), "the quick brown fox"),
+      (2L, ts("2024-01-01 00:01:00"), "THE QUICK BROWN FOX"), // dup (lowercased fp)
+      (3L, ts("2024-01-01 00:02:00"), "something else"))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 00:10:00"), "the quick brown fox")) // dup, later batch
+    runToCompletion(q)
+    val survivors = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(3L))
+    assert((survivors & Set(1L, 2L)).size == 1, s"one of the dups survives: $survivors")
+    assert(!survivors.contains(4L), "cross-batch duplicate must be dropped")
+  }
+
   test("batch sessionize query matches its own streaming-safe definition") {
     val out = EventsStream.sessionizeEvents.run.apply(spark, TestSpark.Sf)
     assert(out.count() > 0)
