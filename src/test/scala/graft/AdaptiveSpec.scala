@@ -27,6 +27,37 @@ class AdaptiveSpec extends AnyFunSuite {
       s"no AQE coalescing in:\n$plan")
   }
 
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    // one key owns ~all rows: without skew handling a single reducer
+    // drags the whole join; AQE must mark the SMJ skew=true and split
+    // that partition into parallel subtasks
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1 to 200000).map(i =>
+        (if (i % 100 == 0) i.toLong else 7L, s"payload_left_$i"))
+        .toDF("k", "l")
+      val right = (1 to 5000).map(i =>
+        (if (i % 50 == 0) 7L else i.toLong, s"payload_right_$i"))
+        .toDF("k", "r")
+      // aggregate so only one row reaches the driver; the final adaptive
+      // plan still contains the (skew-split) join
+      val joined = left.join(right, Seq("k")).groupBy().count()
+      val plan = finalPlan(joined)
+      assert(plan.contains("skew=true"), s"no skew-join split in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     import spark.implicits._
     val dir = "/tmp/graft-partitioned-events"
