@@ -39,9 +39,22 @@ object Tables {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** Register every table as a temp view named after the table. Idempotent. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+  /** Session-conf marker naming the current owner of the canonical view
+    * names — `fixture:<dir>` here, `ref:<dir>` in
+    * [[graft.tpch.RefSchema.ensureRegistered]]. Registration is a
+    * metadata op but still lists parquet footers per table; the marker
+    * makes back-to-back queries of the same family skip the re-listing
+    * (the two registrars are the only writers of these view names). */
+  val ViewsKey = "graft.views"
+
+  /** Register every table as a temp view named after the table.
+    * Idempotent; skipped when this dir's fixture views are current. */
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!spark.conf.getOption(ViewsKey).contains(s"fixture:$dir")) {
+      all.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(ViewsKey, s"fixture:$dir")
+    }
+  }
 
   /** Catalog database carrying ANALYZE statistics for the CBO.
     *

@@ -262,9 +262,13 @@ object RefSchema {
         }
       }
       spark.conf.set(GuardKey, dir)
+      spark.conf.set(Tables.ViewsKey, "") // views about to change owner
     }
-    canonicalNames.foreach { name =>
-      spark.read.parquet(s"$outBase/$name").createOrReplaceTempView(name)
+    if (!spark.conf.getOption(Tables.ViewsKey).contains(s"ref:$dir")) {
+      canonicalNames.foreach { name =>
+        spark.read.parquet(s"$outBase/$name").createOrReplaceTempView(name)
+      }
+      spark.conf.set(Tables.ViewsKey, s"ref:$dir")
     }
   }
 }
