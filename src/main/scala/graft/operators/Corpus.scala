@@ -169,5 +169,86 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental)
+  // ---- token-budget sampling (mixture weighting) -------------------------
+
+  /** Per-source token budget: keep documents, in deterministic
+    * pseudo-random order, until the source's running token count would
+    * exceed the budget — the "data mixing" step that weights corpus
+    * sources for a training run. One window per source partition
+    * (parallel across sources; token counts are ints so the running sum
+    * is exact in any engine). */
+  val TokenBudget = 800L
+
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
+    val toks = graft.functions.Text.tokenCount(col("text"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(expr(SplitExpr), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  val sampleBudget: Q = Q.df(
+    "sample_token_budget",
+    s"""select source, doc_id,
+       |  cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+       |  cum_tokens
+       |from (
+       |  select source, doc_id, text,
+       |    sum(cast(len(string_split(text, ' ')) as bigint)) over (
+       |      partition by source order by $SplitExpr, doc_id
+       |      rows unbounded preceding) as cum_tokens
+       |  from documents) t
+       |where cum_tokens <= $TokenBudget
+       |order by source, doc_id""".stripMargin) { (s, dir) =>
+    tokenBudgetSample(Tables.df(s, dir, "documents"), TokenBudget)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  // ---- sequence packing --------------------------------------------------
+
+  /** Training-sequence capacity in tokens. */
+  val SeqCapacity = 512L
+
+  /** Concatenation packing (GPT-style): documents are laid head-to-tail
+    * into a virtual token stream per source, and each doc is labeled
+    * with the fixed-capacity sequence its FIRST token lands in plus its
+    * offset there (docs longer than the remainder spill into the next
+    * sequence, as in real packers that split at the boundary). Windows
+    * are per-source so packing parallelizes across sources; all
+    * arithmetic is integer-exact cross-engine. */
+  def packSequences(docs: DataFrame, capacity: Long): DataFrame = {
+    val toks = graft.functions.Text.tokenCount(col("text"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("source"), col("doc_id"), toks.as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", floor(col("start_tok").cast("double") / capacity)
+        .cast("long"))
+      .withColumn("seq_offset", col("start_tok") - col("seq_id") * capacity)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("seq_id"),
+        col("seq_offset"))
+  }
+
+  val packSeqs: Q = Q.df(
+    "pack_sequences",
+    s"""with t as (
+       |  select source, doc_id,
+       |    cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+       |    sum(cast(len(string_split(text, ' ')) as bigint)) over (
+       |      partition by source order by doc_id rows unbounded preceding)
+       |      - cast(len(string_split(text, ' ')) as bigint) as start_tok
+       |  from documents)
+       |select source, doc_id, n_tokens,
+       |  cast(floor(cast(start_tok as double) / $SeqCapacity) as bigint) as seq_id,
+       |  start_tok - cast(floor(cast(start_tok as double) / $SeqCapacity)
+       |    as bigint) * $SeqCapacity as seq_offset
+       |from t order by source, doc_id""".stripMargin) { (s, dir) =>
+    packSequences(Tables.df(s, dir, "documents"), SeqCapacity)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
+    sampleBudget, packSeqs)
 }
