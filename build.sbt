@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession (and its temp-view namespace + session
+// confs); parallel suites race on view ownership (fixture vs synthesized
+// canonical tables) and on parser confs. Sequential execution makes the
+// suite deterministic.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

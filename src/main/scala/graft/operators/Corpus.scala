@@ -176,7 +176,10 @@ object Corpus {
     * exceed the budget — the "data mixing" step that weights corpus
     * sources for a training run. One window per source partition
     * (parallel across sources; token counts are ints so the running sum
-    * is exact in any engine). */
+    * is exact in any engine). A single giant source would make its
+    * window a straggler: the 100 TB form pre-shards such a source into
+    * (source, shard) with a per-shard budget of budget/shards — same
+    * arithmetic, one more key column. */
   val TokenBudget = 800L
 
   def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
@@ -217,7 +220,10 @@ object Corpus {
     * offset there (docs longer than the remainder spill into the next
     * sequence, as in real packers that split at the boundary). Windows
     * are per-source so packing parallelizes across sources; all
-    * arithmetic is integer-exact cross-engine. */
+    * arithmetic is integer-exact cross-engine. As with
+    * [[tokenBudgetSample]], a pathologically large single source is
+    * pre-sharded at 100 TB — packing is associative over shards since
+    * sequence ids only need to be unique, not globally dense. */
   def packSequences(docs: DataFrame, capacity: Long): DataFrame = {
     val toks = graft.functions.Text.tokenCount(col("text"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -75,7 +75,10 @@ class ReferenceSqlSpec extends AnyFunSuite {
       }
     } finally {
       spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "false")
-      // restore the fixture-backed views other suites rely on
+      // restore the fixture-backed views other suites rely on; the empty
+      // DDL frames above bypassed the registrars, so the view-owner
+      // marker must be invalidated or registerAll would no-op
+      spark.conf.set(Tables.ViewsKey, "")
       Tables.registerAll(spark, TestSpark.Sf)
     }
   }
