@@ -200,6 +200,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!survivors.contains(4L), "cross-batch duplicate must be dropped")
   }
 
+  test("streaming ingestion pipeline: dedup → quality gate → chunk") {
+    // the composed continuous form of the corpus-prep path: exact dedup
+    // within the watermark, a quality filter, then context-window
+    // chunking — all on one unbounded stream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    import org.apache.spark.sql.functions.col
+    val piped = graft.operators.Corpus.chunk(
+      EventsStream.dedupStream(docs)
+        .filter(graft.functions.Text.tokenCount(col("text")) >= 3),
+      size = 4, stride = 3)
+    val q = piped
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append())
+      .start()
+    in.addData(
+      (1L, ts("2024-01-01 00:00:00"), "a b c d e f"),   // 2 chunks
+      (2L, ts("2024-01-01 00:01:00"), "A B C D E F"),   // dup of 1 → dropped
+      (3L, ts("2024-01-01 00:02:00"), "x y"))           // too short → dropped
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 00:10:00"), "p q r s")) // 2 chunks (q r s tail)
+    runToCompletion(q)
+    val rows = spark.table("ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet.intersect(Set(1L, 2L)).size == 1, s"dedup failed: $rows")
+    assert(!byDoc.contains(3L), "quality gate failed")
+    assert(byDoc(4L).map(_._3) == Set("p q r s", "s"))
+  }
+
   test("batch sessionize query matches its own streaming-safe definition") {
     val out = EventsStream.sessionizeEvents.run.apply(spark, TestSpark.Sf)
     assert(out.count() > 0)
