@@ -159,12 +159,16 @@ object Corpus {
 
   val dedupIncremental: Q = Q.df(
     "dedup_incremental",
-    s"""select doc_id, source, md5(lower(text)) as fp
-       |from documents
-       |where source <> '$BaseSource'
-       |  and md5(lower(text)) not in (
-       |    select md5(lower(text)) from documents where source = '$BaseSource')
-       |order by doc_id""".stripMargin) { (s, dir) =>
+    // NOT EXISTS, not NOT IN: a NULL fingerprint on the base side would
+    // empty a NOT IN entirely, while the Spark side is an anti join
+    // (NULL keys never match) — NOT EXISTS has the anti-join semantics.
+    s"""select d.doc_id, d.source, md5(lower(d.text)) as fp
+       |from documents d
+       |where d.source <> '$BaseSource'
+       |  and not exists (
+       |    select 1 from documents b where b.source = '$BaseSource'
+       |      and md5(lower(b.text)) = md5(lower(d.text)))
+       |order by d.doc_id""".stripMargin) { (s, dir) =>
     newVsCorpus(Tables.df(s, dir, "documents"), BaseSource)
       .orderBy(col("doc_id"))
   }
