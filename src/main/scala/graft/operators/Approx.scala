@@ -56,5 +56,42 @@ object Approx {
           0.5 + PercentileRankEps))
   }
 
-  val queries: Seq[Q] = Seq(approxDistinct, approxPercentile)
+  /** Statistical moments (stddev/variance/correlation) — beyond-reference
+    * aggregates whose builtin implementations are numerically
+    * engine-specific (Welford updates accumulate differently per
+    * partitioning), so instead of a hash compare the entry recomputes
+    * each moment from exact integer power sums IN-QUERY and surfaces the
+    * agreement flag: sum(x), sum(x²), sum(x·y) over integer-valued
+    * l_quantity/l_linenumber are exact, so the reference value is the
+    * textbook formula evaluated once in IEEE — builtins must land within
+    * 1e-9 relative. */
+  val MomentsTol = 1e-9
+
+  val statsMoments: Q = Q.rowsOnly("agg_stats_moments") { (s, dir) =>
+    val li = Tables.df(s, dir, "lineitem")
+      .select(col("l_quantity").as("x"), col("l_linenumber").cast("double").as("y"))
+    val agg = li.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
+      var_samp(col("x")).as("var_b"), stddev_samp(col("x")).as("sd_b"),
+      corr(col("x"), col("y")).as("corr_b"))
+    agg
+      .withColumn("var_ref",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+      .withColumn("sd_ref", sqrt(col("var_ref")))
+      .withColumn("corr_ref",
+        (col("sxy") - col("sx") * col("sy") / col("n"))
+          / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            * (col("syy") - col("sy") * col("sy") / col("n"))))
+      .select(col("n").cast("long").as("n"),
+        col("var_b"), col("var_ref"), col("sd_b"), col("sd_ref"),
+        col("corr_b"), col("corr_ref"),
+        (abs(col("var_b") - col("var_ref")) / col("var_ref") <= MomentsTol &&
+          abs(col("sd_b") - col("sd_ref")) / col("sd_ref") <= MomentsTol &&
+          abs(col("corr_b") - col("corr_ref")) <= MomentsTol).as("within_tol"))
+  }
+
+  val queries: Seq[Q] = Seq(approxDistinct, approxPercentile, statsMoments)
 }

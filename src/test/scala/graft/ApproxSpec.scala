@@ -35,6 +35,13 @@ class ApproxSpec extends AnyFunSuite {
       rows.map(_.toString).mkString("\n"))
   }
 
+  test("agg_stats_moments entry: builtins agree with exact power sums") {
+    val rows = graft.operators.Approx.statsMoments
+      .run(spark, TestSpark.Sf).collect()
+    assert(rows.length == 1 && rows(0).getAs[Boolean]("within_tol"),
+      rows.map(_.toString).mkString("\n"))
+  }
+
   test("approx_percentile brackets the exact discrete percentile") {
     val o = Tables.df(spark, TestSpark.Sf, "orders")
     val exact = o.selectExpr(
