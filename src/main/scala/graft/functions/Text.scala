@@ -50,14 +50,37 @@ object Text {
     array_distinct(regexp_extract_all(text, lit(s"(?=($gram))[^ ]* "), lit(1)))
   }
 
-  /** Karp–Rabin-style rolling fingerprint of the token stream: fold-left
-    * acc*31 + h(token) mod 2^40. Bounded modular accumulation keeps the
-    * arithmetic exact under ANSI mode (no long overflow); deterministic
-    * and order-sensitive. */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) =>
-      pmod(acc * 31L + xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)),
-        lit(1L << 40)))
+  /** FNV-1a 64-bit over UTF-16 units — the stable, dependency-free
+    * string hash shared by the dedup kernels (MinHash bases, SimHash
+    * token hashes) and the rolling fingerprint. Chosen over an
+    * engine-internal hash (xxhash64) because pure wraparound arithmetic
+    * is EMULABLE IN SQL (hugeint mod-2^64 — see the simhash/rolling
+    * oracles), which is what lets those operators be oracle-checked. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Karp–Rabin-style rolling fingerprint of one token stream: fold-left
+    * acc*31 + (fnv64(token) mod 2^32), all mod 2^40. Bounded modular
+    * accumulation keeps every step exact in a signed long (max
+    * 2^45 + 2^32); deterministic, order-sensitive, and — because the
+    * token hash is [[fnv64]] — reproducible in the DuckDB oracle. */
+  def rollingFingerprint(tokens: Array[String]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < tokens.length) {
+      acc = (acc * 31L + (fnv64(tokens(i)) & 0xFFFFFFFFL)) % (1L << 40)
+      i += 1
+    }
+    acc
+  }
 
   /** Content fingerprint as md5 of the lowercased text (exact dedup key;
     * identical hex in any engine). */

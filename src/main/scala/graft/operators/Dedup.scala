@@ -224,19 +224,11 @@ object Dedup {
       rnd.nextInt((1 << 20) - 1).toLong + 1))
   }
 
-  /** FNV-1a 64-bit — a stable, dependency-free base hash for shingles.
-    * Any consistent 64-bit hash works here: signatures only gate CANDIDATE
-    * generation (banding); every surfaced pair is verified exactly. */
-  private def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) {
-      h ^= s.charAt(i)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h
-  }
+  /** Shared FNV-1a base hash ([[Text.fnv64]]): stable, dependency-free,
+    * and SQL-emulable — which is what lets [[dedupSimhash]] be
+    * oracle-checked. For MinHash it only gates CANDIDATE generation
+    * (banding); every surfaced pair is verified exactly. */
+  private def fnv64(s: String): Long = Text.fnv64(s)
 
   /** (doc_id, sig: array<bigint>[NumHashes]) MinHash signatures.
     *
@@ -484,14 +476,62 @@ object Dedup {
         Seq("bk", "kv"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        expr("bit_count(f1 ^ f2)").as("hamming"))
+        expr("bit_count(f1 ^ f2)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
 
-  /** No SQL oracle (xxhash64 is engine-internal); correctness is covered
-    * by the spec: planted near-dup docs must collide, random docs not. */
-  val dedupSimhash: Q = Q.rowsOnly("dedup_simhash") { (s, dir) =>
+  /** DuckDB oracle for the SimHash pair set. Two ingredients make the
+    * engine-internal pipeline oracle-able after all:
+    * 1. [[fnv64]] is emulated bit-exactly in SQL: hugeint arithmetic
+    *    gives mod-2^64 wraparound ((h^c)*0x100000001b3 decomposed as
+    *    X*0x1b3 + (X mod 2^24)*2^40; xor only ever touches the low 16
+    *    bits because char codes < 2^16).
+    * 2. The two-block banding has EXACT recall for dist <= maxDist = 3
+    *    (the pigeonhole argument on [[SimhashBlocks]]), so the banded
+    *    pair set equals the brute-force pair set the oracle computes.
+    * ASCII fixture assumption: `ascii()` (code point) == `charAt`
+    * (UTF-16 unit) for BMP/ASCII text. */
+  private def simhashOracle: String = {
+    val powers = (0 until 64)
+      .map(j => s"($j, ${BigInt(1) << j}::hugeint)").mkString(",\n    ")
+    val fnvStep =
+      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
+        |       + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
+        |          % 16777216) * 1099511627776::hugeint
+        |      ) % 18446744073709551616::hugeint""".stripMargin
+    s"""with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+       |              from documents),
+       |h as (select doc_id,
+       |  list_reduce(
+       |    list_prepend(14695981039346656037::hugeint,
+       |      list_transform(range(1, length(tok) + 1),
+       |                     i -> ascii(substring(tok, i, 1))::hugeint)),
+       |    (acc, c) -> $fnvStep) as fnv
+       |  from toks),
+       |bits(j, pw) as (values
+       |    $powers),
+       |cnts as (
+       |  select doc_id, pw,
+       |    sum(case when (fnv // pw) % 2 = 1 then 1 else -1 end) as cnt
+       |  from h cross join bits group by doc_id, pw),
+       |fps as (
+       |  select doc_id,
+       |    sum(case when cnt > 0 then pw else 0::hugeint end) as fpu
+       |  from cnts group by doc_id),
+       |fpsig as (
+       |  select doc_id,
+       |    cast(case when fpu >= 9223372036854775808::hugeint
+       |      then fpu - 18446744073709551616::hugeint else fpu end as bigint) as fp
+       |  from fps)
+       |select a.doc_id as d1, b.doc_id as d2,
+       |  cast(bit_count(xor(a.fp, b.fp)) as bigint) as hamming
+       |from fpsig a join fpsig b on a.doc_id < b.doc_id
+       |where bit_count(xor(a.fp, b.fp)) <= $SimhashMaxDist
+       |order by d1, d2""".stripMargin
+  }
+
+  val dedupSimhash: Q = Q.df("dedup_simhash", simhashOracle) { (s, dir) =>
     simhashPairs(Tables.df(s, dir, "documents"), SimhashMaxDist)
       .orderBy(col("d1"), col("d2"))
   }

@@ -86,14 +86,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** 64-bit rolling hash of the token stream — engine-internal hash, so
-    * rows-only check here; determinism is asserted in the spec suite. */
-  val textRollingFingerprint: Q = Q.rowsOnly("text_fingerprint_rolling") {
-    (s, dir) =>
-      Tables.df(s, dir, "documents")
-        .select(col("doc_id"),
-          Text.rollingFingerprint(col("text")).as("rolling_fp"))
-        .orderBy(col("doc_id"))
+  /** Rolling token-stream fingerprints as a primitive per-doc kernel
+    * (zero shuffle; the earlier higher-order-function fold evaluated
+    * interpreted per token). */
+  def rollingFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id, Text.rollingFingerprint(text.split(" ", -1)))
+      }
+      .toDF("doc_id", "rolling_fp")
+  }
+
+  /** The token hash is [[Text.fnv64]], emulated bit-exactly in hugeint
+    * SQL (same construction as the dedup_simhash oracle), so the rolling
+    * fold is fully oracle-checked — it was rows-only while it used an
+    * engine-internal hash. */
+  private def rollingOracle: String = {
+    val fnvStep =
+      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
+        |         + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
+        |            % 16777216) * 1099511627776::hugeint
+        |        ) % 18446744073709551616::hugeint""".stripMargin
+    s"""select doc_id,
+       |  list_reduce(
+       |    list_prepend(0::bigint,
+       |      list_transform(string_split(text, ' '), tok ->
+       |        cast(list_reduce(
+       |          list_prepend(14695981039346656037::hugeint,
+       |            list_transform(range(1, length(tok) + 1),
+       |                           i -> ascii(substring(tok, i, 1))::hugeint)),
+       |          (acc, c) -> $fnvStep) % 4294967296::hugeint as bigint))),
+       |    (a, hh) -> (a * 31 + hh) % 1099511627776) as rolling_fp
+       |from documents order by doc_id""".stripMargin
+  }
+
+  val textRollingFingerprint: Q = Q.df("text_fingerprint_rolling",
+    rollingOracle) { (s, dir) =>
+    rollingFingerprints(Tables.df(s, dir, "documents"))
+      .orderBy(col("doc_id"))
   }
 
   /** PII-pattern flags — the filter a training-data pipeline runs before

@@ -49,11 +49,12 @@ class TextSpec extends AnyFunSuite {
   }
 
   test("rolling fingerprint: deterministic, order-sensitive, bounded") {
-    val fp = (s: String) =>
-      one(s).select(Text.rollingFingerprint(col("text"))).collect()(0).getLong(0)
+    val fp = (s: String) => Text.rollingFingerprint(s.split(" ", -1))
     assert(fp("a b c") == fp("a b c"))
     assert(fp("a b c") != fp("c b a"))
     assert(fp("a b c") >= 0 && fp("a b c") < (1L << 40))
+    // hand-computed one-token case: fnv64 low 32 bits mod 2^40
+    assert(fp("a") == (Text.fnv64("a") & 0xFFFFFFFFL) % (1L << 40))
   }
 
   test("langId picks the language with most stopword hits; und when none") {
