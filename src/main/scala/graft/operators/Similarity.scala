@@ -259,7 +259,48 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  val annLsh: Q = Q.rowsOnly("ann_lsh_topk") { (s, dir) =>
+  /** Like IVF, the hyperplane-LSH pipeline is fully deterministic (the
+    * planes are seeded literals), so "approximate" does not mean
+    * "unverifiable": the oracle embeds the 48 planes as VALUES rows,
+    * recomputes each vector's per-table sign-bit bucket over the RAW
+    * embedding (same sequential dot fold → identical signs), joins
+    * same-bucket candidates, and re-ranks by the unit-vector cosine —
+    * the exact pair of [[lshKeys]]/[[lshTopK]]. */
+  private def lshOracle: String = {
+    val planeRows = planes.zipWithIndex.flatMap { case (tbl, t) =>
+      tbl.zipWithIndex.map { case (p, i) =>
+        s"($t, ${1L << i}, [${p.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+    val dotPv =
+      "list_sum(list_transform(range(1, len(e.v) + 1), i -> p.pv[i] * e.v[i]))"
+    s"""with p(tbl, bitval, pv) as (values
+       |    $planeRows),
+       |e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+       |keys as (
+       |  select e.vec_id, p.tbl,
+       |    sum(case when $dotPv >= 0 then p.bitval else 0 end) as bucket
+       |  from e cross join p group by e.vec_id, p.tbl),
+       |cand as (
+       |  select distinct q.vec_id as query_id, c.vec_id as neighbor_id
+       |  from keys q join keys c on q.tbl = c.tbl and q.bucket = c.bucket
+       |  where q.vec_id < $NumQueries and q.vec_id <> c.vec_id),
+       |u as ($sqlUnit),
+       |pairs as (
+       |  select cand.query_id, cand.neighbor_id,
+       |    ${sqlDotU("uq", "uc")} as cos
+       |  from cand
+       |  join u uq on uq.vec_id = cand.query_id
+       |  join u uc on uc.vec_id = cand.neighbor_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+       |from (select *, cast(row_number() over (
+       |        partition by query_id order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annLsh: Q = Q.df("ann_lsh_topk", lshOracle) { (s, dir) =>
     lshTopK(Tables.df(s, dir, "embeddings"), TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
