@@ -57,37 +57,72 @@ object Approx {
   }
 
   /** Statistical moments (stddev/variance/correlation) — beyond-reference
-    * aggregates whose builtin implementations are numerically
+    * aggregates. The builtin implementations are numerically
     * engine-specific (Welford updates accumulate differently per
-    * partitioning), so instead of a hash compare the entry recomputes
-    * each moment from exact integer power sums IN-QUERY and surfaces the
-    * agreement flag: sum(x), sum(x²), sum(x·y) over integer-valued
-    * l_quantity/l_linenumber are exact, so the reference value is the
-    * textbook formula evaluated once in IEEE — builtins must land within
-    * 1e-9 relative. */
+    * partitioning), so the HASH-COMPARED columns are the exact integer
+    * power sums (l_quantity is integral 1..50, l_linenumber int — bigint
+    * sums are exact in any engine and any partitioning) plus each moment
+    * evaluated ONCE from those sums via a fixed IEEE expression: every
+    * +,-,*,/,sqrt is correctly rounded, so the same expression tree is
+    * bit-identical cross-engine. The builtins are additionally checked
+    * against the same references to 1e-9 and surfaced as a boolean. */
   val MomentsTol = 1e-9
 
-  val statsMoments: Q = Q.rowsOnly("agg_stats_moments") { (s, dir) =>
+  val statsMoments: Q = Q.df(
+    "agg_stats_moments",
+    s"""with s as (
+       |  select cast(count(*) as bigint) as n,
+       |    cast(sum(cast(l_quantity as bigint)) as bigint) as sx,
+       |    cast(sum(cast(l_quantity as bigint) * cast(l_quantity as bigint))
+       |      as bigint) as sxx,
+       |    cast(sum(cast(l_linenumber as bigint)) as bigint) as sy,
+       |    cast(sum(cast(l_linenumber as bigint) * cast(l_linenumber as bigint))
+       |      as bigint) as syy,
+       |    cast(sum(cast(l_quantity as bigint) * cast(l_linenumber as bigint))
+       |      as bigint) as sxy,
+       |    var_samp(l_quantity) as var_b, stddev_samp(l_quantity) as sd_b,
+       |    corr(l_quantity, cast(l_linenumber as double)) as corr_b
+       |  from lineitem),
+       |m as (
+       |  select *,
+       |    (cast(sxx as double) - cast(sx as double) * cast(sx as double)
+       |       / cast(n as double)) / (cast(n as double) - 1) as var_ref,
+       |    sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double)
+       |       / cast(n as double)) / (cast(n as double) - 1)) as sd_ref,
+       |    (cast(sxy as double) - cast(sx as double) * cast(sy as double)
+       |       / cast(n as double))
+       |      / sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double)
+       |            / cast(n as double))
+       |          * (cast(syy as double) - cast(sy as double) * cast(sy as double)
+       |            / cast(n as double))) as corr_ref
+       |  from s)
+       |select n, sx, sxx, sy, syy, sxy, var_ref, sd_ref, corr_ref,
+       |  (abs(var_b - var_ref) / var_ref <= $MomentsTol
+       |   and abs(sd_b - sd_ref) / sd_ref <= $MomentsTol
+       |   and abs(corr_b - corr_ref) <= $MomentsTol) as within_tol
+       |from m""".stripMargin) { (s, dir) =>
     val li = Tables.df(s, dir, "lineitem")
-      .select(col("l_quantity").as("x"), col("l_linenumber").cast("double").as("y"))
+      .select(col("l_quantity").cast("long").as("x"),
+        col("l_linenumber").cast("long").as("y"))
     val agg = li.agg(
-      count(lit(1)).cast("double").as("n"),
+      count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
       sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"),
-      var_samp(col("x")).as("var_b"), stddev_samp(col("x")).as("sd_b"),
-      corr(col("x"), col("y")).as("corr_b"))
+      var_samp(col("x").cast("double")).as("var_b"),
+      stddev_samp(col("x").cast("double")).as("sd_b"),
+      corr(col("x").cast("double"), col("y").cast("double")).as("corr_b"))
+    def d(c: String) = col(c).cast("double")
     agg
-      .withColumn("var_ref",
-        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-      .withColumn("sd_ref", sqrt(col("var_ref")))
+      .withColumn("var_ref", (d("sxx") - d("sx") * d("sx") / d("n")) / (d("n") - lit(1.0)))
+      .withColumn("sd_ref",
+        sqrt((d("sxx") - d("sx") * d("sx") / d("n")) / (d("n") - lit(1.0))))
       .withColumn("corr_ref",
-        (col("sxy") - col("sx") * col("sy") / col("n"))
-          / sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
-            * (col("syy") - col("sy") * col("sy") / col("n"))))
-      .select(col("n").cast("long").as("n"),
-        col("var_b"), col("var_ref"), col("sd_b"), col("sd_ref"),
-        col("corr_b"), col("corr_ref"),
+        (d("sxy") - d("sx") * d("sy") / d("n"))
+          / sqrt((d("sxx") - d("sx") * d("sx") / d("n"))
+            * (d("syy") - d("sy") * d("sy") / d("n"))))
+      .select(col("n"), col("sx"), col("sxx"), col("sy"), col("syy"), col("sxy"),
+        col("var_ref"), col("sd_ref"), col("corr_ref"),
         (abs(col("var_b") - col("var_ref")) / col("var_ref") <= MomentsTol &&
           abs(col("sd_b") - col("sd_ref")) / col("sd_ref") <= MomentsTol &&
           abs(col("corr_b") - col("corr_ref")) <= MomentsTol).as("within_tol"))

@@ -198,14 +198,18 @@ object Corpus {
 
   val sampleBudget: Q = Q.df(
     "sample_token_budget",
+    // The window sum is wrapped in cast(.. as bigint): DuckDB sum(BIGINT)
+    // yields HUGEINT (int128), which the driver's pandas layer coerces to
+    // float64 — diverging from Spark's int64 in the dtype-sensitive hash
+    // even when every value matches.
     s"""select source, doc_id,
        |  cast(len(string_split(text, ' ')) as bigint) as n_tokens,
        |  cum_tokens
        |from (
        |  select source, doc_id, text,
-       |    sum(cast(len(string_split(text, ' ')) as bigint)) over (
+       |    cast(sum(cast(len(string_split(text, ' ')) as bigint)) over (
        |      partition by source order by $SplitExpr, doc_id
-       |      rows unbounded preceding) as cum_tokens
+       |      rows unbounded preceding) as bigint) as cum_tokens
        |  from documents) t
        |where cum_tokens <= $TokenBudget
        |order by source, doc_id""".stripMargin) { (s, dir) =>
@@ -243,11 +247,14 @@ object Corpus {
 
   val packSeqs: Q = Q.df(
     "pack_sequences",
+    // cast(sum(..) as bigint): DuckDB window sum over BIGINT is HUGEINT,
+    // which pandas coerces to float64 and breaks the driver's dtype hash.
     s"""with t as (
        |  select source, doc_id,
        |    cast(len(string_split(text, ' ')) as bigint) as n_tokens,
-       |    sum(cast(len(string_split(text, ' ')) as bigint)) over (
+       |    cast(sum(cast(len(string_split(text, ' ')) as bigint)) over (
        |      partition by source order by doc_id rows unbounded preceding)
+       |      as bigint)
        |      - cast(len(string_split(text, ' ')) as bigint) as start_tok
        |  from documents)
        |select source, doc_id, n_tokens,

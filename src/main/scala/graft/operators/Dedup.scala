@@ -129,7 +129,14 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    val base = shingleHashArrays(docs)
+    // The shingle-hash kernel feeds SIX downstream branches (nSh, hot,
+    // hotPerDoc, idx both sides of its self-join, shHh both sides);
+    // without materialization the typed map kernel and its parquet scan
+    // re-execute once per branch — at 100 TB that is six corpus-wide
+    // tokenize passes instead of one. localCheckpoint(eager) runs the
+    // kernel exactly once; the blocks are freed below once the candidate
+    // pair set is itself materialized.
+    val base = shingleHashArrays(docs).localCheckpoint(true)
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -176,7 +183,11 @@ object Dedup {
       .filter(col("c").cast("double")
         / (col("n1") + col("n2") - col("c")).cast("double") >= threshold)
       .select(col("d1"), col("d2"))
-    verifyJaccard(docs, bounded.union(recovered).distinct(), threshold)
+    // Materialize the (tiny) candidate pair set, then free the kernel
+    // blocks — verification only needs `docs` and the candidate ids.
+    val cands = bounded.union(recovered).distinct().localCheckpoint(true)
+    checkpointRdd(base).foreach(_.unpersist(blocking = false))
+    verifyJaccard(docs, cands, threshold)
   }
 
   /** DuckDB oracle for any operator whose output is the exact
@@ -325,11 +336,13 @@ object Dedup {
     * convergence counter. Rounds ≈ cluster diameter (tiny for near-dup
     * clusters), each a bounded shuffle — the same shape GraphX uses for
     * CC at arbitrary scale. */
-  /** Hard cap on label-propagation rounds. Rounds track the duplicate
-    * graph's diameter, which for near-dup clusters is tiny; 64 rounds
-    * covers a path of 2⁶⁴ min-label hops under the halving behavior of
-    * min-propagation on pathological chains. Hitting the cap means the
-    * input is not a dedup pair graph — fail loudly instead of looping. */
+  /** Hard cap on label-propagation rounds. Each round combines one-hop
+    * min-propagation with POINTER DOUBLING (every vertex also adopts its
+    * current label's label), so the pointer distance to the cluster
+    * minimum at least halves per round: convergence is O(log diameter),
+    * and 64 rounds cover any diameter up to ~2⁶⁴ — i.e. any graph that
+    * fits in 64-bit ids. Hitting the cap is therefore a genuine internal
+    * error, not a data regime: fail loudly instead of looping. */
   val MaxClusterRounds = 64
 
   /** The RDD a localCheckpoint'd Dataset is backed by. Dataset.unpersist
@@ -342,7 +355,11 @@ object Dedup {
     }
 
   def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    // Materialize the pair set once: the symmetric-closure union below
+    // references it twice, and without a checkpoint the whole
+    // jaccardPairs verification subtree would execute twice.
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
+      .localCheckpoint(true)
     // Checkpointing stays at the Dataset level (internal rows — an
     // RDD-of-tuples loop would pay encoder serialization twice per
     // round), but each round frees the SUPERSEDED frontier's blocks via
@@ -353,6 +370,7 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
+    checkpointRdd(pairs).foreach(_.unpersist(blocking = false))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var backing = checkpointRdd(labels)
@@ -368,10 +386,18 @@ object Dedup {
           Seq("d2"))
         .groupBy(col("d1")).agg(min(col("nl")).as("nm"))
         .withColumnRenamed("d1", "doc_id")
+      // Pointer doubling: also adopt the label OF my current label
+      // (cluster_id is always some vertex's id, so the lookup hits).
+      // One-hop propagation alone needs diameter rounds; the extra
+      // label-of-label join halves pointer distances each round, making
+      // rounds O(log diameter) and the MaxClusterRounds cap sound.
+      val labelOfLabel = labels
+        .select(col("doc_id").as("cluster_id"), col("cluster_id").as("ll"))
       val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+        .join(labelOfLabel, Seq("cluster_id"), "left")
         .select(col("doc_id"), col("cluster_id"),
-          least(col("cluster_id"), coalesce(col("nm"), col("cluster_id")))
-            .as("next_id"))
+          least(col("cluster_id"), coalesce(col("nm"), col("cluster_id")),
+            coalesce(col("ll"), col("cluster_id"))).as("next_id"))
         .localCheckpoint(true) // materializes eagerly
       changed = joined.filter(col("next_id") < col("cluster_id")).count()
       backing.foreach(_.unpersist(blocking = false)) // superseded frontier

@@ -52,6 +52,21 @@ object RefTpch {
           RefSchema.ensureRegistered(s, dir)
           s.sql(RefSchema.verbatim(9))
         }
+      case 12 =>
+        // Oracle-side canonicalization only (the Spark side runs the
+        // verbatim text): DuckDB's sum(int) yields HUGEINT, which the
+        // driver's pandas layer coerces to float64 while Spark emits
+        // int64 — same values, divergent dtype-sensitive hash.
+        Q.df(name,
+          s"""select l_shipmode,
+             |  cast(high_line_count as bigint) as high_line_count,
+             |  cast(low_line_count as bigint) as low_line_count
+             |from (
+             |${RefSchema.oracleFor(12)}
+             |) t order by l_shipmode""".stripMargin) { (s, dir) =>
+          RefSchema.ensureRegistered(s, dir)
+          s.sql(RefSchema.verbatim(12))
+        }
       case _ =>
         Q.df(name, RefSchema.oracleFor(n)) { (s, dir) =>
           RefSchema.ensureRegistered(s, dir)

@@ -41,7 +41,11 @@ object TypesQueries {
     * comparing on a binary-cast column against the BLOB oracle. */
   val typesBinaryCollation: Q = Q.df(
     "types_binary_collation",
-    """select b_key, cast(count(*) as bigint) as cnt,
+    // Grouping, ordering, and the > comparison all run on the BLOB/BINARY
+    // column (the collation semantics under test); only the SURFACED key
+    // is hex text, because the driver's pandas compare cannot factorize
+    // raw bytes (TypeError: unhashable 'bytearray').
+    """select lower(hex(b_key)) as b_key_hex, cast(count(*) as bigint) as cnt,
       |  min(doc_id) as first_id,
       |  (b_key > encode('m')) as after_m
       |from (select doc_id, encode(substring(text, 1, 8)) as b_key
@@ -53,8 +57,9 @@ object TypesQueries {
       .groupBy(col("b_key"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_id"))
       .withColumn("after_m", col("b_key") > lit("m").cast("binary"))
-      .select(col("b_key"), col("cnt"), col("first_id"), col("after_m"))
       .orderBy(col("b_key"))
+      .select(lower(hex(col("b_key"))).as("b_key_hex"), col("cnt"),
+        col("first_id"), col("after_m"))
   }
 
   val queries: Seq[Q] = Seq(typesUnsignedWidening, typesBinaryCollation)
