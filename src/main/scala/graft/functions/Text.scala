@@ -44,8 +44,17 @@ object Text {
     * than n tokens remain cannot match, and no mid-token position can
     * match when its token start could not (it sees a suffix with the
     * same or fewer separators), so the scan never emits a bogus gram.
-    * Docs shorter than n tokens yield an empty set. */
+    * Docs shorter than n tokens yield an empty set.
+    *
+    * Requires n >= 2: the scan consumes `token + space` per match, so
+    * the FINAL token (which has no trailing space) can never be a match
+    * start — correct for n >= 2, where the last token is never a gram
+    * start, but silently wrong for n = 1 (unigrams over "a b" would
+    * yield only ["a"]). Unigrams are plain `split` + distinct, not a
+    * shingle, so the contract is enforced rather than special-cased. */
   def shingles(text: Column, n: Int): Column = {
+    require(n >= 2,
+      s"shingles requires n >= 2 (got $n); use array_distinct(split(...)) for unigrams")
     val gram = Seq.fill(n)("[^ ]*").mkString(" ")
     array_distinct(regexp_extract_all(text, lit(s"(?=($gram))[^ ]* "), lit(1)))
   }

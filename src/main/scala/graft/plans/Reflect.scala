@@ -53,9 +53,16 @@ object Reflect {
       s"${query(child, c)} order by ${order.map(sqlOf).mkString(", ")}"
     case Distinct(child) =>
       val q = query(child, c)
-      // push DISTINCT into the child's select head
-      if (q.startsWith("select ")) "select distinct " + q.stripPrefix("select ")
-      else s"select distinct * from ${wrap(q, c)}"
+      // Push DISTINCT into the select head only when the child PLAN is a
+      // plain projection/aggregate: textually prefixing a rendering that
+      // ends in LIMIT/ORDER BY/OFFSET would move the DISTINCT to the
+      // wrong side of that clause ("select distinct ... limit n" limits
+      // AFTER distinct, but Distinct(Limit(...)) distincts AFTER limit).
+      child match {
+        case _: Project | _: Aggregate if q.startsWith("select ") =>
+          "select distinct " + q.stripPrefix("select ")
+        case _ => s"select distinct * from ${wrap(q, c)}"
+      }
     case Union(children, false, false) =>
       children.map(ch => s"(${query(ch, c)})").mkString(" union all ")
     // Proj/Aggr directly over Filt keep the WHERE in the same block, so

@@ -1,0 +1,326 @@
+package graft.server
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException,
+  InputStream, OutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Minimal MySQL wire-protocol front door: HandshakeV10, a permissive
+  * connection phase, and a COM_QUERY loop answering text-protocol
+  * resultsets from `spark.sql`.
+  *
+  * This is the counterpart of the reference's protocol server
+  * (doradb-protocol/src/mysql/{handshake.rs,auth.rs,cmd/mod.rs:89-92};
+  * doradb-server/src/mysql/serve_tcp.rs:47-70): a stock MySQL client can
+  * connect, authenticate, and run queries. The implementation follows
+  * the PUBLIC protocol documentation
+  * (dev.mysql.com/doc/dev/mysql-server → client/server protocol), not
+  * the reference's codec — and covers the slice a query engine needs:
+  *
+  *  - HandshakeV10 + HandshakeResponse41 (CLIENT_PROTOCOL_41 required;
+  *    the 20-byte auth-plugin-data salt is sent, any credential is
+  *    accepted — the bind is loopback-only by default, like [[SqlServer]],
+  *    so the auth surface is deliberately a stub, not a hole).
+  *  - COM_QUERY → column-count, ColumnDefinition41 per column, EOF,
+  *    lenenc-string text rows, EOF (classic, non-DEPRECATE_EOF framing;
+  *    the server never advertises CLIENT_DEPRECATE_EOF so clients use
+  *    the EOF form).
+  *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
+  *    1047 (unknown command) without dropping the connection.
+  *
+  * Row values travel as text (the MySQL text protocol), so the Spark →
+  * wire mapping is `Row.get(i).toString` plus a type byte per column for
+  * clients that care ([[MysqlServer.typeByte]]). Results are capped at
+  * `maxRows` like the JSON endpoint — a wire protocol does not change
+  * the rule that unbounded `collect()` belongs to cursors, not sockets.
+  */
+final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
+    bindAddress: InetAddress) {
+  import MysqlServer._
+
+  private val socket = new ServerSocket(port, 50, bindAddress)
+  private val pool = Executors.newFixedThreadPool(8)
+  private val running = new AtomicBoolean(true)
+  private val connIds = new AtomicInteger(0)
+
+  def boundPort: Int = socket.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val client = socket.accept()
+        pool.execute(() => serve(client))
+      } catch {
+        case _: Throwable if !running.get() =>
+        case e: Throwable => System.err.println(s"[mysql] accept: $e")
+      }
+    }
+  }, "graft-mysql-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = {
+    running.set(false)
+    socket.close()
+    pool.shutdownNow()
+  }
+
+  // ---- connection loop ---------------------------------------------------
+
+  private def serve(client: Socket): Unit = {
+    val in = new BufferedInputStream(client.getInputStream)
+    val out = new BufferedOutputStream(client.getOutputStream)
+    try {
+      val connId = connIds.incrementAndGet()
+      writePacket(out, 0, handshakeV10(connId))
+      // HandshakeResponse41: client flags u32, max packet u32, charset u8,
+      // 23 reserved bytes, then username etc. — the permissive phase only
+      // checks PROTOCOL_41 and ignores the credential bytes.
+      val (respSeq, resp) = readPacket(in)
+      val clientFlags = leU32(resp, 0)
+      if ((clientFlags & ClientProtocol41) == 0)
+        writePacket(out, respSeq + 1,
+          errPacket(1043, "08S01", "pre-4.1 clients are not supported"))
+      else {
+        writePacket(out, respSeq + 1, okPacket())
+        commandLoop(in, out)
+      }
+    } catch {
+      case _: EOFException => // client went away
+      case _: Throwable if !running.get() =>
+      case e: Throwable => System.err.println(s"[mysql] conn: $e")
+    } finally client.close()
+  }
+
+  private def commandLoop(in: InputStream, out: OutputStream): Unit = {
+    var open = true
+    while (open) {
+      val (_, cmd) = readPacket(in)
+      if (cmd.isEmpty) open = false
+      else cmd(0) match {
+        case ComQuit => open = false
+        case ComPing => writePacket(out, 1, okPacket())
+        case ComInitDb => writePacket(out, 1, okPacket())
+        case ComQuery =>
+          val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
+          runQuery(out, sql)
+        case other =>
+          writePacket(out, 1,
+            errPacket(1047, "08S01", f"unknown command 0x$other%02x"))
+      }
+    }
+  }
+
+  private def runQuery(out: OutputStream, sql: String): Unit = {
+    val result =
+      try {
+        val df = spark.sql(sql)
+        val schema = df.schema
+        if (schema.isEmpty) Left(0L) // e.g. SET / DDL — answer OK
+        else Right((schema, df.limit(maxRows).collect()))
+      } catch {
+        case e: Throwable =>
+          writePacket(out, 1, errPacket(1064, "42000",
+            String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
+              .take(400)))
+          return
+      }
+    result match {
+      case Left(affected) => writePacket(out, 1, okPacket(affected))
+      case Right((schema, rows)) =>
+        var seq = 1
+        def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
+        send(lenencInt(schema.length))
+        schema.fields.foreach(f => send(columnDefinition(f)))
+        send(eofPacket())
+        rows.foreach { r =>
+          val buf = new java.io.ByteArrayOutputStream()
+          var i = 0
+          while (i < r.length) {
+            if (r.isNullAt(i)) buf.write(0xFB)
+            else {
+              val bytes = String.valueOf(r.get(i)).getBytes(StandardCharsets.UTF_8)
+              buf.write(lenencInt(bytes.length))
+              buf.write(bytes)
+            }
+            i += 1
+          }
+          send(buf.toByteArray)
+        }
+        send(eofPacket())
+    }
+    out.flush()
+  }
+
+  // ---- packet builders ---------------------------------------------------
+
+  private def handshakeV10(connId: Int): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(10) // protocol version
+    buf.write(ServerVersion.getBytes(StandardCharsets.US_ASCII)); buf.write(0)
+    buf.write(leBytes(connId, 4))
+    val salt = Array.tabulate[Byte](20)(i => (0x21 + (connId * 7 + i) % 0x5d).toByte)
+    buf.write(salt, 0, 8); buf.write(0) // auth-plugin-data part 1 + filler
+    buf.write(leBytes((ServerCaps & 0xFFFF).toInt, 2)) // capability lower
+    buf.write(Utf8mb4Charset)
+    buf.write(leBytes(StatusAutocommit, 2))
+    buf.write(leBytes(((ServerCaps >> 16) & 0xFFFF).toInt, 2)) // capability upper
+    buf.write(21) // auth plugin data length (20 + trailing NUL)
+    buf.write(new Array[Byte](10)) // reserved
+    buf.write(salt, 8, 12); buf.write(0) // part 2, NUL-terminated
+    buf.write("mysql_native_password".getBytes(StandardCharsets.US_ASCII))
+    buf.write(0)
+    buf.toByteArray
+  }
+
+  private def columnDefinition(f: StructField): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    def lenencStr(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      buf.write(lenencInt(b.length)); buf.write(b)
+    }
+    lenencStr("def"); lenencStr(""); lenencStr(""); lenencStr("")
+    lenencStr(f.name); lenencStr(f.name)
+    buf.write(0x0c) // fixed-length fields length
+    buf.write(leBytes(Utf8mb4Charset, 2))
+    buf.write(leBytes(255, 4)) // column display length
+    buf.write(typeByte(f.dataType))
+    buf.write(leBytes(if (f.nullable) 0 else NotNullFlag, 2))
+    buf.write(decimalsByte(f.dataType))
+    buf.write(leBytes(0, 2)) // filler
+    buf.toByteArray
+  }
+
+  private def okPacket(affected: Long = 0L): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(0x00)
+    buf.write(lenencInt(affected)); buf.write(lenencInt(0)) // last insert id
+    buf.write(leBytes(StatusAutocommit, 2)); buf.write(leBytes(0, 2)) // warnings
+    buf.toByteArray
+  }
+
+  private def eofPacket(): Array[Byte] =
+    Array[Byte](0xFE.toByte, 0, 0) ++ leBytes(StatusAutocommit, 2)
+
+  private def errPacket(code: Int, sqlState: String, msg: String): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(0xFF)
+    buf.write(leBytes(code, 2))
+    buf.write('#'); buf.write(sqlState.getBytes(StandardCharsets.US_ASCII))
+    buf.write(msg.getBytes(StandardCharsets.UTF_8))
+    buf.toByteArray
+  }
+}
+
+object MysqlServer {
+  val ServerVersion = "8.0.0-graft-spark"
+
+  // command bytes (public protocol)
+  val ComQuit = 0x01
+  val ComInitDb = 0x02
+  val ComQuery = 0x03
+  val ComPing = 0x0e
+
+  // capability flags the server advertises: 4.1 protocol + plugin auth +
+  // connect-with-db + secure connection. CLIENT_DEPRECATE_EOF is NOT
+  // advertised, pinning the classic EOF resultset framing.
+  val ClientProtocol41 = 0x00000200L
+  val ServerCaps: Long = 0x00000200L | 0x00080000L | 0x00000008L | 0x00008000L
+
+  val Utf8mb4Charset = 255
+  val StatusAutocommit = 0x0002
+  val NotNullFlag = 0x0001
+
+  /** Protocol type byte for a Spark SQL type (text protocol: values are
+    * strings either way; the byte is advisory metadata for clients). */
+  def typeByte(dt: DataType): Int = dt match {
+    case ByteType => 0x01 // TINY
+    case ShortType => 0x02 // SHORT
+    case IntegerType => 0x03 // LONG
+    case LongType => 0x08 // LONGLONG
+    case FloatType => 0x04 // FLOAT
+    case DoubleType => 0x05 // DOUBLE
+    case _: DecimalType => 0xF6 // NEWDECIMAL
+    case BooleanType => 0x01 // TINY (MySQL BOOL)
+    case DateType => 0x0A // DATE
+    case TimestampType | TimestampNTZType => 0x0C // DATETIME
+    case BinaryType => 0xFC // BLOB
+    case _ => 0xFD // VAR_STRING (strings, arrays/structs as rendered text)
+  }
+
+  private def decimalsByte(dt: DataType): Int = dt match {
+    case d: DecimalType => d.scale
+    case DoubleType | FloatType => 0x1F // "not specified"
+    case _ => 0
+  }
+
+  // ---- wire primitives ---------------------------------------------------
+
+  /** 3-byte LE length + 1-byte sequence id + payload. Payloads here are
+    * far below the 16 MB framing limit (rows are capped), so multi-packet
+    * splitting is intentionally unimplemented. */
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    out.write(leBytes(payload.length, 3))
+    out.write(seq & 0xFF)
+    out.write(payload)
+    out.flush()
+  }
+
+  /** Read one framed packet → (sequence id, payload). */
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    val head = readN(in, 4)
+    val len = (head(0) & 0xFF) | ((head(1) & 0xFF) << 8) | ((head(2) & 0xFF) << 16)
+    (head(3) & 0xFF, readN(in, len))
+  }
+
+  def readN(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException()
+      off += r
+    }
+    buf
+  }
+
+  def leBytes(v: Int, n: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  def leU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** MySQL length-encoded integer. */
+  def lenencInt(v: Long): Array[Byte] =
+    if (v < 251) Array((v & 0xFF).toByte)
+    else if (v < (1L << 16)) Array[Byte](0xFC.toByte) ++ leBytes(v.toInt, 2)
+    else if (v < (1L << 24)) Array[Byte](0xFD.toByte) ++ leBytes(v.toInt, 3)
+    else Array[Byte](0xFE.toByte) ++
+      Array.tabulate[Byte](8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  /** Parse a length-encoded integer at `off` → (value, bytes consumed). */
+  def readLenencInt(b: Array[Byte], off: Int): (Long, Int) =
+    (b(off) & 0xFF) match {
+      case 0xFB => (-1L, 1) // NULL marker in row context
+      case 0xFC => (((b(off + 1) & 0xFFL)) | ((b(off + 2) & 0xFFL) << 8), 3)
+      case 0xFD => ((b(off + 1) & 0xFFL) | ((b(off + 2) & 0xFFL) << 8) |
+        ((b(off + 3) & 0xFFL) << 16), 4)
+      case 0xFE =>
+        var v = 0L
+        var i = 0
+        while (i < 8) { v |= (b(off + 1 + i) & 0xFFL) << (8 * i); i += 1 }
+        (v, 9)
+      case x => (x.toLong, 1)
+    }
+
+  /** Bind on `port` (0 = ephemeral; loopback unless explicitly widened). */
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
+      bindAddress: InetAddress = InetAddress.getLoopbackAddress): MysqlServer =
+    new MysqlServer(spark, port, maxRows, bindAddress)
+}

@@ -27,8 +27,12 @@ import org.apache.spark.sql.SparkSession
   * as strings, nulls as null) or `{"error":"..."}`. Connection closes
   * when the client does.
   */
-final class SqlServer(spark: SparkSession, val port: Int, maxRows: Int) {
-  private val socket = new ServerSocket(port)
+final class SqlServer(spark: SparkSession, val port: Int, maxRows: Int,
+    bindAddress: java.net.InetAddress) {
+  // Loopback by default: the endpoint executes arbitrary unauthenticated
+  // SQL against the live session — an all-interfaces bind would expose
+  // the machine's network. External binds are an explicit opt-in.
+  private val socket = new ServerSocket(port, 50, bindAddress)
   private val pool = Executors.newFixedThreadPool(8)
   private val running = new AtomicBoolean(true)
 
@@ -95,7 +99,10 @@ final class SqlServer(spark: SparkSession, val port: Int, maxRows: Int) {
 }
 
 object SqlServer {
-  /** Bind on `port` (0 = ephemeral) and serve `spark`'s SQL front door. */
-  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000): SqlServer =
-    new SqlServer(spark, port, maxRows)
+  /** Bind on `port` (0 = ephemeral, loopback unless `bindAddress` is
+    * explicitly widened) and serve `spark`'s SQL front door. */
+  def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
+      bindAddress: java.net.InetAddress =
+        java.net.InetAddress.getLoopbackAddress): SqlServer =
+    new SqlServer(spark, port, maxRows, bindAddress)
 }

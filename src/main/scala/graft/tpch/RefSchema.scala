@@ -2,6 +2,8 @@ package graft.tpch
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.Tables
@@ -236,6 +238,26 @@ object RefSchema {
     * a stale parquet cache from an older generator is never reused. */
   private val GenVersion = 2
 
+  /** Content key over the fixture parquet files (name, size, mtime):
+    * regenerated fixtures at the SAME path get a fresh cache directory,
+    * so the synthesized tables can never go stale against the fixtures
+    * the oracle reads directly. */
+  private def fixtureKey(dir: String): String = {
+    val d = Paths.get(dir)
+    val sig =
+      if (!Files.isDirectory(d)) s"missing:$dir"
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".parquet")).sortBy(_.toString)
+          .map(p => s"${p.getFileName}:${Files.size(p)}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}")
+          .mkString("|")
+        finally s.close()
+      }
+    java.lang.Long.toHexString(graft.functions.Text.fnv64(sig))
+  }
+
   /** Materialize the canonical tables to parquet once per (session, dir)
     * and register them as temp views under the CANONICAL names. The
     * verbatim texts then run unmodified through the SQL front door.
@@ -247,9 +269,9 @@ object RefSchema {
     * as a string literal. No other entry uses double quotes in SQL. */
   def ensureRegistered(spark: SparkSession, dir: String): Unit = synchronized {
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-    val outBase =
-      s"target/ref_tpch/v$GenVersion/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
-    if (!spark.conf.getOption(GuardKey).contains(dir)) {
+    val dirKey = s"${dir.replaceAll("[^A-Za-z0-9.]", "_")}-${fixtureKey(dir)}"
+    val outBase = s"target/ref_tpch/v$GenVersion/$dirKey"
+    if (!spark.conf.getOption(GuardKey).contains(dirKey)) {
       Tables.registerAll(spark, dir)
       // DataFrames capture the fixture plans at analysis time, so
       // re-pointing the canonical view names below cannot loop back.
@@ -261,7 +283,7 @@ object RefSchema {
             .write.mode("overwrite").parquet(s"$outBase/$name")
         }
       }
-      spark.conf.set(GuardKey, dir)
+      spark.conf.set(GuardKey, dirKey)
       spark.conf.set(Tables.ViewsKey, "") // views about to change owner
     }
     if (!spark.conf.getOption(Tables.ViewsKey).contains(s"ref:$dir")) {
