@@ -307,41 +307,57 @@ object Similarity {
 
   // ---- IVF (coarse-quantizer inverted lists) — the other scale path ------
 
-  /** IVF-flat with a fixed random coarse quantizer: every corpus vector
-    * is assigned to its nearest of [[NumCentroids]] unit centroids (one
-    * inverted list per centroid); a query probes only its [[NProbe]]
-    * nearest lists. Candidates come from a bucket equi-join exactly like
-    * the hyperplane-LSH path, but the bucket geometry is Voronoi cells —
-    * for clustered corpora that buys better recall at the same candidate
-    * budget. A trained k-means quantizer would drop in by replacing
-    * [[centroids]]; the Spark plumbing (assignment expression, inverted-
-    * list join, exact re-rank) is unchanged and fully deterministic. */
+  /** IVF-flat with a TRAINED spherical-k-means coarse quantizer: every
+    * corpus vector is assigned to its nearest of [[NumCentroids]] unit
+    * centroids (one inverted list per centroid); a query probes only its
+    * [[NProbe]] nearest lists. Candidates come from a bucket equi-join
+    * exactly like the hyperplane-LSH path, but the bucket geometry is
+    * Voronoi cells — trained on the corpus, as a real ANN index build
+    * trains its quantizer. Training is [[trainCentroids]] (Lloyd
+    * iterations from a seeded init); the assignment expression,
+    * inverted-list join, and exact re-rank are unchanged. */
   val NumCentroids = 32
   val NProbe = 4
 
-  /** Deterministic pseudo-random unit centroids (seed 7), dim 64. */
-  private def centroids: Seq[Seq[Double]] = {
+  /** Lloyd iterations for the coarse quantizer. 2-3 captures most of the
+    * objective gain on any corpus (k-means converges geometrically and
+    * the quantizer only shapes candidate RECALL — the re-rank is exact);
+    * a fixed count also keeps index builds schedulable at 100 TB, where
+    * each iteration is one corpus pass. */
+  val KmeansIters = 2
+
+  /** Deterministic pseudo-random unit centroids (seed 7), dim 64 — the
+    * k-means INIT. */
+  private def initCentroids: Array[Array[Double]] = {
     val rnd = new Random(7)
-    Seq.fill(NumCentroids) {
-      val v = Seq.fill(Dim)(rnd.nextGaussian())
+    Array.fill(NumCentroids) {
+      val v = Array.fill(Dim)(rnd.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
   }
 
-  private lazy val centroidMatrix: Array[Array[Double]] =
-    centroids.map(_.toArray).toArray
+  /** Centroids of the most recent [[ivfTopK]] run. The IVF oracle embeds
+    * the TRAINED centroids as literals, and training reads the data, so
+    * the oracle text can only be rendered after the query has run —
+    * Verify executes every query before reading any oracle (Q.oracle is
+    * late-bound), and check compares the dump against the oracle built
+    * from the same run's centroids. Falls back to the seeded init when
+    * nothing has trained (an oracle rendered for an entry that never ran
+    * is never compared). */
+  @volatile private var lastTrained: Array[Array[Double]] = null
 
   /** Per-partition primitive kernel: dot against every centroid, return
     * the indices of the `take` best (descending, index tiebreak). The
     * assignment runs n·C·dim multiplies — the hot path of IVF build —
     * so it stays a tight double loop rather than an interpreted
     * higher-order-function fold. */
-  private def nearestCentroids(u: Array[Double], take: Int): Array[Int] = {
-    val scores = new Array[Double](centroidMatrix.length)
+  private def nearestCentroids(u: Array[Double], take: Int,
+      cm: Array[Array[Double]]): Array[Int] = {
+    val scores = new Array[Double](cm.length)
     var c = 0
-    while (c < centroidMatrix.length) {
-      val cv = centroidMatrix(c)
+    while (c < cm.length) {
+      val cv = cm(c)
       var acc = 0.0
       var k = 0
       while (k < cv.length) { acc += u(k) * cv(k); k += 1 }
@@ -351,21 +367,75 @@ object Similarity {
     scores.indices.sortBy(i => (-scores(i), i)).take(take).toArray
   }
 
+  /** Spherical k-means training for the coarse quantizer: assign each
+    * unit vector to its max-dot centroid, replace each centroid with the
+    * NORMALIZED mean of its list (the closed-form maximizer of the
+    * within-list dot objective), keep the old centroid for empty lists.
+    *
+    * Distributed shape: assignment is a primitive map over a broadcast
+    * centroid matrix (zero shuffle); the update is one aggregateByKey
+    * carrying C partial (sum[dim], count) pairs per partition — shuffle
+    * volume C·dim·8 bytes per partition, independent of corpus size.
+    * Only the C×dim model ever reaches the driver (the same contract as
+    * any trained-model collect; C=32, dim=64 → 16 KB). At 100 TB this is
+    * 2-3 linear passes, exactly how FAISS-style IVF builds train on a
+    * sample or the full corpus. */
+  def trainCentroids(emb: DataFrame, iters: Int = KmeansIters): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    var cm = initCentroids
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cm)
+      val partials = unit.rdd
+        .map { case (_, u) => (nearestCentroids(u, 1, bc.value)(0), (u, 1L)) }
+        .aggregateByKey((new Array[Double](Dim), 0L))(
+          { case ((s, n), (u, c)) =>
+            var k = 0; while (k < s.length) { s(k) += u(k); k += 1 }; (s, n + c)
+          },
+          { case ((s1, n1), (s2, n2)) =>
+            var k = 0; while (k < s1.length) { s1(k) += s2(k); k += 1 }
+            (s1, n1 + n2)
+          })
+        .collect() // C model rows, not data
+      bc.unpersist(blocking = false)
+      val next = cm.map(_.clone())
+      partials.foreach { case (c, (sums, n)) =>
+        val m = new Array[Double](sums.length)
+        var nrm = 0.0
+        var k = 0
+        while (k < sums.length) { m(k) = sums(k) / n; nrm += m(k) * m(k); k += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 0) {
+          var j = 0
+          while (j < m.length) { m(j) /= nrm; j += 1 }
+          next(c) = m
+        }
+      }
+      cm = next
+      it += 1
+    }
+    cm
+  }
+
   def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
     val spark = emb.sparkSession
     DotProduct.ensureRegistered(spark)
     import spark.implicits._
+    val cm = trainCentroids(emb)
+    lastTrained = cm
     val unit = withUnit(emb).as[(Long, Array[Double])]
     // corpus: single nearest centroid = inverted-list key
     val corpus = unit
-      .map { case (id, u) => (id, u, nearestCentroids(u, 1)(0)) }
+      .map { case (id, u) => (id, u, nearestCentroids(u, 1, cm)(0)) }
       .toDF("neighbor_id", "cv", "cid")
     // queries: NProbe nearest centroids, one candidate join per probe;
     // each corpus vector lives in exactly one list, so a (query,
     // neighbor) pair joins at most once — no distinct needed
     val queries = unit.filter(_._1 < NumQueries)
       .flatMap { case (id, u) =>
-        nearestCentroids(u, NProbe).map(c => (id, u, c))
+        nearestCentroids(u, NProbe, cm).map(c => (id, u, c))
       }
       .toDF("query_id", "qv", "cid")
     queries.join(corpus, Seq("cid"))
@@ -379,16 +449,18 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  /** The IVF pipeline is FULLY deterministic — the coarse quantizer is a
-    * seeded literal — so unlike hyperplane-LSH it is oracle-able: the
-    * centroid matrix is embedded in the SQL as VALUES literals
-    * (Double.toString round-trips exactly, and list_sum folds in the
-    * same sequential order as the primitive kernel), the assignment
-    * argmax and probe ranking reproduce [[nearestCentroids]]'s
-    * (-score, index) tiebreak, and the final top-k mirrors [[ivfTopK]]
-    * bit-for-bit. */
+  /** The IVF entry stays oracle-able WITH a trained quantizer: the
+    * TRAINED centroid matrix (from [[lastTrained]], late-bound — see its
+    * doc) is embedded in the SQL as VALUES literals (Double.toString
+    * round-trips exactly, and list_sum folds in the same sequential
+    * order as the primitive kernel), the assignment argmax and probe
+    * ranking reproduce [[nearestCentroids]]'s (-score, index) tiebreak,
+    * and the final top-k mirrors [[ivfTopK]] bit-for-bit. Run-to-run
+    * training noise is irrelevant to the compare: the dumped result and
+    * the rendered oracle come from the SAME run's centroids. */
   private def ivfOracle: String = {
-    val centroidRows = centroids.zipWithIndex.map { case (v, i) =>
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    val centroidRows = cm.zipWithIndex.map { case (v, i) =>
       s"($i, [${v.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
     def dotCu(c: String, e: String): String =

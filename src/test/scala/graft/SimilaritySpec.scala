@@ -51,6 +51,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall too low")
   }
 
+  test("k-means quantizer training is monotone in the spherical objective") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val unit = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def objective(cm: Array[Array[Double]]): Double =
+      unit.map { u =>
+        cm.map { c =>
+          var acc = 0.0; var k = 0
+          while (k < c.length) { acc += c(k) * u(k); k += 1 }
+          acc
+        }.max
+      }.sum / unit.length
+    val o = (0 to 2).map(i => objective(Similarity.trainCentroids(emb, iters = i)))
+    // assignment maximizes per-point dot given centroids; the normalized
+    // mean maximizes the within-list dot given assignment — so each
+    // Lloyd iteration is non-decreasing in the mean max-dot objective
+    assert(o(1) >= o(0) - 1e-12, s"iter1 ${o(1)} < init ${o(0)}")
+    assert(o(2) >= o(1) - 1e-12, s"iter2 ${o(2)} < iter1 ${o(1)}")
+    assert(o(2) > o(0), s"training never moved the objective: $o")
+    val trained = Similarity.trainCentroids(emb)
+    assert(trained.length == Similarity.NumCentroids)
+    trained.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n")
+    }
+  }
+
   test("LSH top-k is a subset-quality approximation with nonzero recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
