@@ -30,6 +30,8 @@ import org.apache.spark.sql.types._
   *    lenenc-string text rows, EOF (classic, non-DEPRECATE_EOF framing;
   *    the server never advertises CLIENT_DEPRECATE_EOF so clients use
   *    the EOF form).
+  *  - COM_FIELD_LIST (the only other command the reference's server
+  *    accepts) → ColumnDefinition41 per column + EOF.
   *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
   *    1047 (unknown command) without dropping the connection.
   *
@@ -109,6 +111,26 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           runQuery(out, sql)
+        case ComFieldList =>
+          // COM_FIELD_LIST: NUL-terminated table name (+ field wildcard,
+          // ignored) → one ColumnDefinition41 per column, then EOF. The
+          // reference's command surface is exactly QUERY + FIELD_LIST
+          // (doradb-protocol/src/mysql/cmd/mod.rs:89-92).
+          val end = { val i = cmd.indexOf(0, 1); if (i < 0) cmd.length else i }
+          val table = new String(cmd, 1, end - 1, StandardCharsets.UTF_8)
+          try {
+            val schema = spark.table(table).schema
+            var seq = 1
+            schema.fields.foreach { f =>
+              writePacket(out, seq, columnDefinition(f)); seq += 1
+            }
+            writePacket(out, seq, eofPacket())
+          } catch {
+            case e: Throwable =>
+              writePacket(out, 1, errPacket(1146, "42S02",
+                String.valueOf(e.getMessage).linesIterator.take(2)
+                  .mkString(" ").take(200)))
+          }
         case other =>
           writePacket(out, 1,
             errPacket(1047, "08S01", f"unknown command 0x$other%02x"))
@@ -224,6 +246,7 @@ object MysqlServer {
   val ComQuit = 0x01
   val ComInitDb = 0x02
   val ComQuery = 0x03
+  val ComFieldList = 0x04
   val ComPing = 0x0e
 
   // capability flags the server advertises: 4.1 protocol + plugin auth +

@@ -98,6 +98,26 @@ class MysqlProtocolSpec extends AnyFunSuite {
       (readPacket(in)._2(0) & 0xFF) == 0x00
     }
 
+    /** COM_FIELD_LIST → column names (empty on ERR). */
+    def fieldList(table: String): Seq[String] = {
+      val payload = Array[Byte](MysqlServer.ComFieldList.toByte) ++
+        table.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
+      writePacket(out, 0, payload)
+      Iterator.continually(readPacket(in)._2)
+        .takeWhile(p => (p(0) & 0xFF) != 0xFE && (p(0) & 0xFF) != 0xFF)
+        .map { p =>
+          var off = 0
+          var name = ""
+          (0 until 5).foreach { i =>
+            val (len, used) = readLenencInt(p, off)
+            if (i == 4) name = new String(p, off + used, len.toInt,
+              StandardCharsets.UTF_8)
+            off += used + len.toInt
+          }
+          name
+        }.toList
+    }
+
     def quit(): Unit = {
       writePacket(out, 0, Array[Byte](MysqlServer.ComQuit.toByte))
       sock.close()
@@ -125,6 +145,18 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(cols == Seq("n_name", "n_nationkey"))
       assert(rows.map(_.map(_.get)) == Seq(
         Seq("NATION_0", "0"), Seq("NATION_1", "1"), Seq("NATION_2", "2")))
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("COM_FIELD_LIST lists a registered table's columns") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      assert(c.fieldList("region") == Seq("r_regionkey", "r_name"))
+      assert(c.fieldList("no_such_table_xyz").isEmpty)
+      assert(c.ping()) // connection intact after the ERR
       c.quit()
     } finally server.stop()
   }
