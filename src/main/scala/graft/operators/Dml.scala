@@ -26,6 +26,23 @@ object Dml {
 
   private val Table = "graft_dml_docs"
 
+  /** Drop a managed table AND its warehouse directory. The in-memory
+    * catalog forgets tables between JVMs while their parquet files
+    * under spark-warehouse/ survive, so a bare DROP IF EXISTS in a fresh
+    * session is a no-op and the subsequent CTAS fails on the stale
+    * location. */
+  private def dropManaged(s: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    s.sql(s"drop table if exists $name")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+    val path = new org.apache.hadoop.fs.Path(
+      if (wh.getScheme == null) wh.getPath else new java.net.URI(wh.getScheme,
+        wh.getAuthority, wh.getPath, null, null).getPath,
+      name.toLowerCase(java.util.Locale.ROOT))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
   val dmlCtasInsert: Q = Q.df(
     "dml_ctas_insert",
     s"""select doc_id, source, n_tokens from (
@@ -36,9 +53,8 @@ object Dml {
        |  select cast(9999999 as bigint), 'manual', cast(42 as bigint)
        |) t order by doc_id, source""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
-    // Managed table in the session catalog: DROP removes data too, so
-    // the entry is idempotent across runs in one session.
-    s.sql(s"drop table if exists $Table")
+    // Idempotent across runs AND across JVMs sharing the warehouse dir.
+    dropManaged(s, Table)
     s.sql(
       s"""create table $Table using parquet as
          |select doc_id, source,
@@ -55,5 +71,52 @@ object Dml {
       .orderBy(col("doc_id"), col("source"))
   }
 
-  val queries: Seq[Q] = Seq(dmlCtasInsert)
+  private val Table2 = "graft_dml_cow"
+  private val Stage = "graft_dml_cow_stage"
+
+  /** UPDATE and DELETE executed as copy-on-write rewrites — how every
+    * lakehouse table format actually runs them over parquet: rewrite the
+    * affected file set from a SELECT, swap it in with INSERT OVERWRITE.
+    * Spark refuses to overwrite a table it is simultaneously reading, so
+    * the rewrite stages through a second managed table (exactly the
+    * shadow-file-set a format's commit protocol hides). DELETE drops
+    * rows where n_tokens < 5; UPDATE then doubles n_tokens for docs in
+    * 'src1'. The oracle applies the same predicate algebra to the
+    * source documents directly. */
+  val dmlUpdateDeleteRewrite: Q = Q.df(
+    "dml_update_delete_rewrite",
+    s"""select doc_id, source,
+       |  case when source = 'src1'
+       |       then cast(len(string_split(text, ' ')) as bigint) * 2
+       |       else cast(len(string_split(text, ' ')) as bigint) end as n_tokens
+       |from documents
+       |where source in ('src0', 'src1')
+       |  and cast(len(string_split(text, ' ')) as bigint) >= 5
+       |order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    dropManaged(s, Table2)
+    dropManaged(s, Stage)
+    s.sql(
+      s"""create table $Table2 using parquet as
+         |select doc_id, source,
+         |  cast(size(split(text, ' ')) as bigint) as n_tokens
+         |from documents where source in ('src0', 'src1')""".stripMargin)
+    // DELETE where n_tokens < 5, as copy-on-write
+    s.sql(s"create table $Stage using parquet as " +
+      s"select * from $Table2 where not (n_tokens < 5)")
+    s.sql(s"insert overwrite $Table2 select * from $Stage")
+    s.sql(s"drop table $Stage")
+    // UPDATE set n_tokens = n_tokens * 2 where source = 'src1', same shape
+    s.sql(
+      s"""create table $Stage using parquet as
+         |select doc_id, source,
+         |  case when source = 'src1' then n_tokens * 2 else n_tokens end
+         |    as n_tokens
+         |from $Table2""".stripMargin)
+    s.sql(s"insert overwrite $Table2 select * from $Stage")
+    s.sql(s"drop table $Stage")
+    s.sql(s"select doc_id, source, n_tokens from $Table2").orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite)
 }
