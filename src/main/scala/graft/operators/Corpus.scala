@@ -266,6 +266,61 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** The held-out source standing in for an eval benchmark. */
+  val BenchmarkSource = "src19"
+
+  /** N-gram benchmark decontamination: flag (and count the hits of)
+    * every training document sharing at least one word trigram with a
+    * held-out benchmark set — the overlap check frontier training
+    * pipelines run so eval data cannot leak into the training corpus.
+    *
+    * Spark shape for 100 TB: both sides explode to 8-byte trigram
+    * HASHES (the [[graft.functions.Text.shingles]] contract feeding
+    * xxhash64), the benchmark side is distinct-reduced and the join is a
+    * hash equi-join on the hash — the shuffle carries hashes, never
+    * text, and the benchmark side (tiny by construction) broadcasts.
+    * Output = per-contaminated-doc hit counts; clean docs are the anti
+    * join (not materialized here — the count row per dirty doc is the
+    * audit artifact a pipeline keeps).
+    *
+    * The oracle joins the raw trigram STRINGS (DuckDB has no xxhash64):
+    * equality of hashes and equality of grams coincide because the
+    * count compares DISTINCT grams — a 64-bit collision inside one
+    * document's gram set is the only divergence risk and the pigeonhole
+    * odds at document scale (<10⁴ grams) are ~2⁻⁴⁰. */
+  def decontaminate(docs: DataFrame, benchSource: String): DataFrame = {
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    val bench = grams.filter(col("source") === benchSource)
+      .select(col("gh")).distinct()
+    grams.filter(col("source") =!= benchSource)
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  val decontaminateNgram: Q = Q.df(
+    "decontaminate_ngram",
+    s"""with toks as (select doc_id, source, string_split(text, ' ') as t
+       |              from documents),
+       |sh as (select distinct doc_id, source,
+       |         unnest(list_transform(range(1, len(t) - 1),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as g
+       |       from toks),
+       |bench as (select distinct g from sh where source = '$BenchmarkSource')
+       |select sh.doc_id, sh.source,
+       |  cast(count(*) as bigint) as n_contaminated
+       |from sh join bench using (g)
+       |where sh.source <> '$BenchmarkSource'
+       |group by sh.doc_id, sh.source
+       |order by sh.doc_id""".stripMargin) { (s, dir) =>
+    decontaminate(Tables.df(s, dir, "documents"), BenchmarkSource)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
-    sampleBudget, packSeqs)
+    sampleBudget, packSeqs, decontaminateNgram)
 }

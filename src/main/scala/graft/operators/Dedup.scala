@@ -360,6 +360,18 @@ object Dedup {
     // jaccardPairs verification subtree would execute twice.
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
       .localCheckpoint(true)
+    val out = propagateClusters(docs.select(col("doc_id")), pairs)
+    checkpointRdd(pairs).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Min-label propagation with pointer doubling over an explicit
+    * (d1, d2) pair set — the CC core of [[dupClusters]], exposed so the
+    * convergence contract (O(log diameter) rounds, sound 64-round cap)
+    * is testable on adversarial graphs like a 200-hop chain that plain
+    * one-hop propagation could never finish inside the cap. */
+  private[graft] def propagateClusters(vertices: DataFrame,
+      pairs: DataFrame): DataFrame = {
     // Checkpointing stays at the Dataset level (internal rows — an
     // RDD-of-tuples loop would pay encoder serialization twice per
     // round), but each round frees the SUPERSEDED frontier's blocks via
@@ -370,8 +382,7 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
-    checkpointRdd(pairs).foreach(_.unpersist(blocking = false))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint(true)
     var backing = checkpointRdd(labels)
     var changed = 1L

@@ -153,6 +153,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition (Gopher-style quality rule): the
+    * fraction of duplicate word trigrams inside each document. Heavily
+    * templated/looping text scores high and is dropped before training.
+    * One codegen'd scan pass — total grams from the overlapping-gram
+    * regex, distinct grams from the same extraction deduplicated — zero
+    * shuffle at any corpus size. */
+  val RepetitionMax = 0.2
+
+  val textRepetition: Q = Q.df(
+    "text_repetition",
+    // grams via list_transform, not the lookahead regex: DuckDB's RE2
+    // rejects (?=...). Same tokenization contract as the Spark side.
+    s"""with g as (
+       |  select doc_id,
+       |    list_transform(range(1, len(t) - 1),
+       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) as gs
+       |  from (select doc_id, string_split(text, ' ') as t from documents))
+       |select doc_id,
+       |  cast(len(gs) as bigint) as n_grams,
+       |  cast(len(list_distinct(gs)) as bigint) as n_distinct,
+       |  case when len(gs) = 0 then cast(0.0 as double)
+       |       else cast(len(gs) - len(list_distinct(gs)) as double)
+       |            / cast(len(gs) as double) end as rep_ratio,
+       |  case when len(gs) = 0 then false
+       |       else (cast(len(gs) - len(list_distinct(gs)) as double)
+       |            / cast(len(gs) as double)) > $RepetitionMax
+       |       end as is_repetitive
+       |from g order by doc_id""".stripMargin) { (s, dir) =>
+    val grams = regexp_extract_all(col("text"),
+      lit("(?=([^ ]* [^ ]* [^ ]*))[^ ]* "), lit(1))
+    val n = size(grams).cast("long")
+    val nd = size(array_distinct(grams)).cast("long")
+    val ratio = when(n === 0, lit(0.0))
+      .otherwise((n - nd).cast("double") / n.cast("double"))
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), n.as("n_grams"), nd.as("n_distinct"),
+        ratio.as("rep_ratio"),
+        when(n === 0, lit(false)).otherwise(ratio > RepetitionMax)
+          .as("is_repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Semi-structured JSON processing over the events.props column:
     * path extraction (string-typed and cast) plus schema-applied parsing
     * (from_json → typed struct field) — the ingest surface pipelines use
@@ -182,5 +224,6 @@ object TextAnalysis {
 
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
-      textRollingFingerprint, textPiiFlags, jsonExtractProps)
+      textRollingFingerprint, textPiiFlags, textRepetition,
+      jsonExtractProps)
 }

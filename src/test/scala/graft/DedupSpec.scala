@@ -112,4 +112,19 @@ class DedupSpec extends AnyFunSuite {
     assert(after <= before + 1,
       s"checkpoint leak: $before persistent RDDs before, $after after")
   }
+
+  test("cluster propagation converges on a 200-hop chain (diameter >> cap)") {
+    // A path graph 0-1-2-...-200: diameter 200, far past the 64-round
+    // cap. One-hop min-label propagation needs `diameter` rounds and
+    // would abort; pointer doubling must converge in O(log n) rounds
+    // with every vertex labeled by the chain minimum.
+    val n = 200
+    val vertices = (0L to n).toDF("doc_id")
+    val pairs = (0L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = Dedup.propagateClusters(vertices, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n + 1)
+    assert(out.forall(_._2 == 0L),
+      s"non-min labels: ${out.filter(_._2 != 0L).take(5).mkString(",")}")
+  }
 }
