@@ -34,7 +34,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A filtered run dumps only the oracles of the queries it ran: some
+    // oracles embed literals derived from their own run (trained IVF
+    // centroids), so dumping an un-run entry's oracle over a previous
+    // full dump would pair a stale result with a fresh-init oracle.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

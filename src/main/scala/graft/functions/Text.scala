@@ -59,6 +59,16 @@ object Text {
     array_distinct(regexp_extract_all(text, lit(s"(?=($gram))[^ ]* "), lit(1)))
   }
 
+  /** DuckDB fragment: the overlapping word-trigram list of a token-list
+    * expression `t` (NON-distinct; wrap in list_distinct / select
+    * distinct as needed) — the single SQL mirror of [[shingles]] n=3
+    * shared by every trigram oracle (jaccard, clusters, decontamination,
+    * repetition), so a tokenization-contract change cannot silently
+    * diverge between them. */
+  def sqlTrigramList(t: String): String =
+    s"list_transform(range(1, len($t) - 1), " +
+      s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])"
+
   /** FNV-1a 64-bit over UTF-16 units — the stable, dependency-free
     * string hash shared by the dedup kernels (MinHash bases, SimHash
     * token hashes) and the rolling fingerprint. Chosen over an

@@ -307,8 +307,7 @@ object Corpus {
     s"""with toks as (select doc_id, source, string_split(text, ' ') as t
        |              from documents),
        |sh as (select distinct doc_id, source,
-       |         unnest(list_transform(range(1, len(t) - 1),
-       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as g
+       |         unnest(${graft.functions.Text.sqlTrigramList("t")}) as g
        |       from toks),
        |bench as (select distinct g from sh where source = '$BenchmarkSource')
        |select sh.doc_id, sh.source,

@@ -195,8 +195,7 @@ object Dedup {
   def jaccardOracleAt(threshold: Double): String =
     s"""with toks as (select doc_id, string_split(text, ' ') as t from documents),
        |sh as (select distinct doc_id,
-       |         unnest(list_transform(range(1, len(t) - 1),
-       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as s
+       |         unnest(${Text.sqlTrigramList("t")}) as s
        |       from toks),
        |cnt as (select doc_id, count(*) as n from sh group by doc_id),
        |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c
@@ -425,8 +424,7 @@ object Dedup {
     s"""with recursive
        |toks as (select doc_id, string_split(text, ' ') as t from documents),
        |sh as (select distinct doc_id,
-       |         unnest(list_transform(range(1, len(t) - 1),
-       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) as s
+       |         unnest(${Text.sqlTrigramList("t")}) as s
        |       from toks),
        |cnt as (select doc_id, count(*) as n from sh group by doc_id),
        |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c

@@ -34,10 +34,13 @@ object Dml {
   private def dropManaged(s: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     s.sql(s"drop table if exists $name")
-    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+    // Resolve against the warehouse URI itself (scheme preserved —
+    // getFileSystem then picks the warehouse's FS, not fs.defaultFS).
+    // Layout assumption: default database, whose managed tables live
+    // directly under the warehouse dir — the shape of the entries here
+    // (a non-default db would nest under <db>.db/).
     val path = new org.apache.hadoop.fs.Path(
-      if (wh.getScheme == null) wh.getPath else new java.net.URI(wh.getScheme,
-        wh.getAuthority, wh.getPath, null, null).getPath,
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
       name.toLowerCase(java.util.Locale.ROOT))
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)

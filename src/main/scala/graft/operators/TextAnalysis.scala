@@ -166,9 +166,7 @@ object TextAnalysis {
     // grams via list_transform, not the lookahead regex: DuckDB's RE2
     // rejects (?=...). Same tokenization contract as the Spark side.
     s"""with g as (
-       |  select doc_id,
-       |    list_transform(range(1, len(t) - 1),
-       |                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) as gs
+       |  select doc_id, ${Text.sqlTrigramList("t")} as gs
        |  from (select doc_id, string_split(text, ' ') as t from documents))
        |select doc_id,
        |  cast(len(gs) as bigint) as n_grams,
@@ -209,15 +207,19 @@ object TextAnalysis {
     // ONE from_json per row; the three output shapes (string path
     // extraction, bigint, typed int) are derived from the parsed struct.
     // The earlier form parsed each document three times (2×
-    // get_json_object + from_json) and cost 2.3× the runtime.
+    // get_json_object + from_json) and cost 2.3× the runtime. The field
+    // parses as STRING — the same value get_json_object's path
+    // extraction yields for scalars (numbers keep their JSON text, so
+    // a non-integral k still matches the oracle's
+    // json_extract_string) — and the numeric outputs are casts of it.
     Tables.df(s, dir, "events")
       .withColumn("j", from_json(col("props"),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.LongType)))))
+            org.apache.spark.sql.types.StringType)))))
       .select(col("event_id"),
-        col("j.k").cast("string").as("k_str"),
-        col("j.k").as("k_val"),
+        col("j.k").as("k_str"),
+        col("j.k").cast("long").as("k_val"),
         col("j.k").cast("int").as("k_typed"))
       .orderBy(col("event_id")).limit(2000)
   }

@@ -59,7 +59,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         pool.execute(() => serve(client))
       } catch {
         case _: Throwable if !running.get() =>
-        case e: Throwable => System.err.println(s"[mysql] accept: $e")
+        case e: Throwable =>
+          System.err.println(s"[mysql] accept: $e")
+          // a persistent accept failure (e.g. fd exhaustion) must not
+          // busy-loop a core
+          Thread.sleep(100)
       }
     }
   }, "graft-mysql-acceptor")
@@ -80,16 +84,19 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     try {
       val connId = connIds.incrementAndGet()
       writePacket(out, 0, handshakeV10(connId))
+      out.flush()
       // HandshakeResponse41: client flags u32, max packet u32, charset u8,
       // 23 reserved bytes, then username etc. — the permissive phase only
       // checks PROTOCOL_41 and ignores the credential bytes.
       val (respSeq, resp) = readPacket(in)
       val clientFlags = leU32(resp, 0)
-      if ((clientFlags & ClientProtocol41) == 0)
+      if ((clientFlags & ClientProtocol41) == 0) {
         writePacket(out, respSeq + 1,
           errPacket(1043, "08S01", "pre-4.1 clients are not supported"))
-      else {
+        out.flush()
+      } else {
         writePacket(out, respSeq + 1, okPacket())
+        out.flush()
         commandLoop(in, out)
       }
     } catch {
@@ -106,8 +113,8 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       if (cmd.isEmpty) open = false
       else cmd(0) match {
         case ComQuit => open = false
-        case ComPing => writePacket(out, 1, okPacket())
-        case ComInitDb => writePacket(out, 1, okPacket())
+        case ComPing => writePacket(out, 1, okPacket()); out.flush()
+        case ComInitDb => writePacket(out, 1, okPacket()); out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           runQuery(out, sql)
@@ -125,15 +132,18 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               writePacket(out, seq, columnDefinition(f)); seq += 1
             }
             writePacket(out, seq, eofPacket())
+            out.flush()
           } catch {
             case e: Throwable =>
               writePacket(out, 1, errPacket(1146, "42S02",
                 String.valueOf(e.getMessage).linesIterator.take(2)
                   .mkString(" ").take(200)))
+              out.flush()
           }
         case other =>
           writePacket(out, 1,
             errPacket(1047, "08S01", f"unknown command 0x$other%02x"))
+          out.flush()
       }
     }
   }
@@ -150,6 +160,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           writePacket(out, 1, errPacket(1064, "42000",
             String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
               .take(400)))
+          out.flush()
           return
       }
     result match {
@@ -160,21 +171,42 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         send(lenencInt(schema.length))
         schema.fields.foreach(f => send(columnDefinition(f)))
         send(eofPacket())
-        rows.foreach { r =>
-          val buf = new java.io.ByteArrayOutputStream()
-          var i = 0
-          while (i < r.length) {
-            if (r.isNullAt(i)) buf.write(0xFB)
-            else {
-              val bytes = String.valueOf(r.get(i)).getBytes(StandardCharsets.UTF_8)
-              buf.write(lenencInt(bytes.length))
-              buf.write(bytes)
+        // Mid-resultset ERR is protocol-legal: a row whose packet would
+        // exceed the 16 MB framing limit aborts the resultset with ERR
+        // 1153 instead of silently corrupting the frame (maxRows caps
+        // row COUNT, not row size).
+        try {
+          rows.foreach { r =>
+            val buf = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < r.length) {
+              if (r.isNullAt(i)) buf.write(0xFB)
+              else {
+                // binary travels as its raw bytes; booleans as 1/0 (the
+                // TINY text convention); everything else as toString
+                val bytes = r.get(i) match {
+                  case b: Array[Byte] => b
+                  case b: java.lang.Boolean =>
+                    (if (b) "1" else "0").getBytes(StandardCharsets.UTF_8)
+                  case v =>
+                    String.valueOf(v).getBytes(StandardCharsets.UTF_8)
+                }
+                buf.write(lenencInt(bytes.length))
+                buf.write(bytes)
+              }
+              i += 1
             }
-            i += 1
+            val payload = buf.toByteArray
+            if (payload.length >= MaxPacket)
+              throw new PacketTooLarge
+            send(payload)
           }
-          send(buf.toByteArray)
+          send(eofPacket())
+        } catch {
+          case _: PacketTooLarge =>
+            send(errPacket(1153, "08S01",
+              "row exceeds the 16 MB single-packet limit"))
         }
-        send(eofPacket())
     }
     out.flush()
   }
@@ -284,14 +316,21 @@ object MysqlServer {
 
   // ---- wire primitives ---------------------------------------------------
 
-  /** 3-byte LE length + 1-byte sequence id + payload. Payloads here are
-    * far below the 16 MB framing limit (rows are capped), so multi-packet
-    * splitting is intentionally unimplemented. */
+  /** Single-packet framing limit (2^24 - 1). Oversize rows abort the
+    * resultset with ERR 1153; multi-packet continuation is intentionally
+    * unimplemented at this scope. */
+  val MaxPacket: Int = (1 << 24) - 1
+
+  private[server] final class PacketTooLarge extends RuntimeException
+
+  /** 3-byte LE length + 1-byte sequence id + payload. Callers flush at
+    * RESPONSE boundaries — flushing per packet would issue one syscall
+    * per row through the BufferedOutputStream. */
   def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    require(payload.length <= MaxPacket, s"packet ${payload.length} > 16MB")
     out.write(leBytes(payload.length, 3))
     out.write(seq & 0xFF)
     out.write(payload)
-    out.flush()
   }
 
   /** Read one framed packet → (sequence id, payload). */

@@ -41,6 +41,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
       buf.write("graft".getBytes(StandardCharsets.UTF_8)); buf.write(0)
       buf.write(0) // empty auth response
       writePacket(out, 1, buf.toByteArray)
+      out.flush() // writePacket leaves flushing to response boundaries
       val (_, ok) = readPacket(in)
       assert((ok(0) & 0xFF) == 0x00, s"expected OK, got 0x${(ok(0) & 0xFF).toHexString}")
       (ver, connId)
@@ -51,6 +52,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val payload = Array[Byte](MysqlServer.ComQuery.toByte) ++
         sql.getBytes(StandardCharsets.UTF_8)
       writePacket(out, 0, payload)
+      out.flush()
       val (_, first) = readPacket(in)
       (first(0) & 0xFF) match {
         case 0xFF =>
@@ -95,6 +97,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
 
     def ping(): Boolean = {
       writePacket(out, 0, Array[Byte](MysqlServer.ComPing.toByte))
+      out.flush()
       (readPacket(in)._2(0) & 0xFF) == 0x00
     }
 
@@ -103,6 +106,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val payload = Array[Byte](MysqlServer.ComFieldList.toByte) ++
         table.getBytes(StandardCharsets.UTF_8) ++ Array[Byte](0)
       writePacket(out, 0, payload)
+      out.flush()
       Iterator.continually(readPacket(in)._2)
         .takeWhile(p => (p(0) & 0xFF) != 0xFE && (p(0) & 0xFF) != 0xFF)
         .map { p =>
@@ -120,6 +124,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
 
     def quit(): Unit = {
       writePacket(out, 0, Array[Byte](MysqlServer.ComQuit.toByte))
+      out.flush()
       sock.close()
     }
   }
@@ -167,6 +172,10 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val c = new Client(server.boundPort)
       val Right((_, rows)) = c.query("select cast(null as int) as a, 7 as b")
       assert(rows == Seq(Seq(None, Some("7"))))
+      // binary columns travel as raw bytes, booleans as 1/0 (TINY text)
+      val Right((_, bin)) = c.query(
+        "select cast('ab' as binary) as bin, 1 = 1 as t, 1 = 2 as f")
+      assert(bin == Seq(Seq(Some("ab"), Some("1"), Some("0"))))
       val Left(err) = c.query("select * from no_such_table_xyz")
       assert(err.nonEmpty)
       // connection survives the error
