@@ -29,6 +29,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("decontamination joins gram hashes via broadcast of the benchmark side") {
+    val plan = planOf(graft.operators.Corpus.decontaminateNgram)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set did not broadcast:\n$plan")
+  }
+
   test("q6: scan reads only the 4 needed columns (pruning)") {
     val plan = planOf(graft.tpch.Tpch.q6)
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
