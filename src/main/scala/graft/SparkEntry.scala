@@ -14,6 +14,7 @@ object SparkEntry {
       graft.operators.Approx.queries ++
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
+      graft.operators.Cluster.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Corpus.queries ++
       graft.operators.Dml.queries ++

@@ -1,0 +1,200 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.DotProduct
+import graft.functions.Vectors._
+
+/** Embedding clustering as a first-class surface: spherical-k-means
+  * cluster assignment, SemDeDup-style semantic deduplication, and
+  * cluster-balanced diversity sampling — the clustering consumers of a
+  * training-data pipeline, sharing one trained quantizer per corpus.
+  *
+  * The reference has no vector surface at all (beyond-reference, like
+  * the rest of the embedding family); the nearest published analogues
+  * are FAISS-style IVF builds and the SemDeDup recipe (cluster first,
+  * then compare only within clusters), both re-expressed here in
+  * Spark's execution model:
+  *
+  * - TRAINING is [[Similarity.trainCentroids]] — 2 Lloyd passes,
+  *   broadcast centroid matrix, aggregateByKey partials, model-only
+  *   collect (C×dim = 16 KB). Trained ONCE per corpus and memoized
+  *   ([[centroidsFor]]): every consumer below reuses the same index,
+  *   exactly how a pipeline shares one trained quantizer across jobs.
+  * - ASSIGNMENT is a zero-shuffle primitive kernel over the broadcast
+  *   matrix ([[Similarity.nearestCentroids]]).
+  * - SEMANTIC DEDUP turns the O(n²) all-pairs compare into
+  *   per-Voronoi-cell all-pairs: candidates meet in a hash equi-join on
+  *   the cluster id, so pair work is Σ|cell|² and the shuffle carries
+  *   each vector once per side — the SemDeDup observation that
+  *   near-duplicates co-locate under a coarse quantizer.
+  * - BALANCED SAMPLING is one window per cluster key (deterministic
+  *   hash order), the diversity-sampling step that caps any one
+  *   cluster's contribution to a training mix.
+  *
+  * All three entries are oracle-checked with the TRAINED centroids
+  * embedded as SQL literals (late-bound, the [[Similarity.annIvf]]
+  * contract: the dump and the oracle come from the same run's model).
+  */
+object Cluster {
+
+  /** Trained centroids per fixture dir: one index build per corpus,
+    * shared by every consumer in the JVM (Verify and Bench each run all
+    * cluster entries over one dir — the first trains, the rest reuse). */
+  private val trained = TrieMap.empty[String, Array[Array[Double]]]
+
+  /** Fixture dir of the most recent run, so each late-bound oracle
+    * renders the same model its entry just used. */
+  @volatile private var lastDir: String = null
+
+  private def centroidsFor(emb: DataFrame, dir: String): Array[Array[Double]] = {
+    lastDir = dir
+    trained.getOrElseUpdate(dir, Similarity.trainCentroids(emb))
+  }
+
+  private def currentModel: Array[Array[Double]] =
+    Option(lastDir).flatMap(trained.get).getOrElse(
+      Similarity.initCentroids)
+
+  /** (vec_id, u, cid): unit vectors labeled with their nearest trained
+    * centroid — primitive kernel, zero shuffle. */
+  private def assigned(emb: DataFrame, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cm = centroidsFor(emb, dir)
+    Similarity.withUnit(emb).as[(Long, Array[Double])]
+      .map { case (id, u) =>
+        (id, u, Similarity.nearestCentroids(u, 1, cm)(0).toLong)
+      }
+      .toDF("vec_id", "u", "cid")
+  }
+
+  /** Oracle CTE prelude: trained-centroid literals + unit vectors +
+    * argmax assignment (the [[Similarity.annIvf]] oracle's construction,
+    * with the same (-score, index) tiebreak as `nearestCentroids`). */
+  private def assignSql: String = {
+    val centroidRows = currentModel.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    s"""c(cid, v) as (values
+       |    $centroidRows),
+       |e as (${Similarity.sqlUnit}),
+       |scored as (
+       |  select e.vec_id, e.u, c.cid,
+       |    row_number() over (partition by e.vec_id
+       |      order by list_sum(list_transform(range(1, len(e.u) + 1),
+       |                 i -> c.v[i] * e.u[i])) desc, c.cid) as crn
+       |  from e cross join c),
+       |assign as (select vec_id, u, cast(cid as bigint) as cid
+       |           from scored where crn = 1)""".stripMargin
+  }
+
+  // ---- k-means cluster assignment ----------------------------------------
+
+  /** Every vector's cluster id + its cluster's population. One kernel
+    * pass for assignment, one shuffle on cid for the size window —
+    * the partition-key histogram a pipeline uses to spot degenerate
+    * clusters before sampling from them. */
+  def kmeansAssign(emb: DataFrame, dir: String): DataFrame =
+    assigned(emb, dir)
+      .select(col("vec_id"), col("cid"),
+        count(lit(1)).over(Window.partitionBy(col("cid")))
+          .as("cluster_size"))
+
+  val clusterKmeans: Q = Q.df(
+    "cluster_embeddings_kmeans",
+    s"""with $assignSql
+       |select vec_id, cid,
+       |  count(*) over (partition by cid) as cluster_size
+       |from assign order by vec_id""".stripMargin) { (s, dir) =>
+    kmeansAssign(Tables.df(s, dir, "embeddings"), dir)
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- semantic dedup (SemDeDup shape) -----------------------------------
+
+  /** Pairs above this cosine within one cluster count as semantic
+    * duplicates. Same threshold as the exact all-pairs entry
+    * ([[Similarity.CosineDupThreshold]]), so the output is provably a
+    * SUBSET of `dedup_embedding_cosine` — the recall loss is exactly the
+    * cross-cluster pairs the quantizer separated, and the spec measures
+    * it rather than hand-waving it. */
+  val SemanticThreshold: Double = Similarity.CosineDupThreshold
+
+  /** Intra-cluster near-duplicate pairs: self-join on the cluster id
+    * (d1 < d2), exact cosine re-check via the codegen dot kernel. Pair
+    * work is Σ|cell|² instead of n² — the scale mechanism SemDeDup
+    * exists for; the equi-join shuffles each vector once per side, never
+    * the pair matrix. */
+  def semanticPairs(emb: DataFrame, dir: String, threshold: Double): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    // The assignment kernel feeds BOTH sides of the self-join; checkpoint
+    // it once so the typed map (and the training scan under it) does not
+    // re-execute per branch — the jaccardPairs lesson. The checkpointed
+    // frame is (id, 64-dim unit vector, cid): ~3 MB at sf0.1.
+    val a = assigned(emb, dir).localCheckpoint()
+    val left = a.select(col("vec_id").as("d1"), col("u").as("u1"), col("cid"))
+    val right = a.select(col("vec_id").as("d2"), col("u").as("u2"), col("cid"))
+    left.join(right, Seq("cid"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos", call_function(DotProduct.fnName, col("u1"), col("u2")))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cid"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  val dedupSemantic: Q = Q.df(
+    "dedup_semantic",
+    s"""with $assignSql
+       |select a.vec_id as d1, b.vec_id as d2, a.cid,
+       |  round(${Similarity.sqlDotU("a", "b")}, 6) as cos_sim
+       |from assign a join assign b
+       |  on a.cid = b.cid and a.vec_id < b.vec_id
+       |where ${Similarity.sqlDotU("a", "b")} >= $SemanticThreshold
+       |order by d1, d2""".stripMargin) { (s, dir) =>
+    semanticPairs(Tables.df(s, dir, "embeddings"), dir, SemanticThreshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---- cluster-balanced diversity sampling -------------------------------
+
+  /** Vectors kept per cluster. */
+  val PerCluster = 5
+
+  /** Knuth multiplicative shuffle key — the same pure-integer
+    * pseudo-random order the corpus split uses ([[Corpus]]), exact in
+    * any engine. */
+  private val OrderExpr = "(vec_id * 2654435761) % 4294967296"
+
+  /** At most [[PerCluster]] vectors per cluster, chosen in deterministic
+    * pseudo-random order — caps any cluster's contribution to a
+    * training mix (diversity sampling over the quantizer's cells). One
+    * window per cluster key; no global sort, no driver state. */
+  def clusterBalancedSample(emb: DataFrame, dir: String, m: Int): DataFrame =
+    assigned(emb, dir)
+      .select(col("cid"), col("vec_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(expr(OrderExpr), col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= m)
+
+  val sampleClusterBalanced: Q = Q.df(
+    "sample_cluster_balanced",
+    s"""with $assignSql
+       |select cid, vec_id, rnk from (
+       |  select cid, vec_id, cast(row_number() over (partition by cid
+       |    order by $OrderExpr, vec_id) as bigint) as rnk
+       |  from assign) t
+       |where rnk <= $PerCluster
+       |order by cid, rnk""".stripMargin) { (s, dir) =>
+    clusterBalancedSample(Tables.df(s, dir, "embeddings"), dir, PerCluster)
+      .orderBy(col("cid"), col("rnk"))
+  }
+
+  val queries: Seq[Q] = Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced)
+}

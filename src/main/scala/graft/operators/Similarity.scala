@@ -36,19 +36,19 @@ object Similarity {
     * O(n·q) / O(n²) pair evaluations costs a single fold — 3× less work
     * than dot/(|a|·|b|) per pair. The oracle mirrors this arithmetic
     * structure exactly (u_i = v_i / sqrt(Σv²), then fold-left dot). */
-  private def withUnit(emb: DataFrame): DataFrame =
+  private[operators] def withUnit(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("u"))
 
   /** SQL mirror of [[withUnit]]'s normalization for the DuckDB oracle. */
-  private val sqlUnit: String =
+  private[operators] val sqlUnit: String =
     """select vec_id,
       |  list_transform(embedding::DOUBLE[],
       |    x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) as u
       |from embeddings""".stripMargin
 
-  private def sqlDotU(a: String, b: String): String =
+  private[operators] def sqlDotU(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a.u) + 1), i -> $a.u[i] * $b.u[i]))"
 
   /** Embedding dimension of the fixture corpus (FIXTURES.md). */
@@ -328,7 +328,7 @@ object Similarity {
 
   /** Deterministic pseudo-random unit centroids (seed 7), dim 64 — the
     * k-means INIT. */
-  private def initCentroids: Array[Array[Double]] = {
+  private[operators] def initCentroids: Array[Array[Double]] = {
     val rnd = new Random(7)
     Array.fill(NumCentroids) {
       val v = Array.fill(Dim)(rnd.nextGaussian())
@@ -352,7 +352,7 @@ object Similarity {
     * assignment runs n·C·dim multiplies — the hot path of IVF build —
     * so it stays a tight double loop rather than an interpreted
     * higher-order-function fold. */
-  private def nearestCentroids(u: Array[Double], take: Int,
+  private[operators] def nearestCentroids(u: Array[Double], take: Int,
       cm: Array[Array[Double]]): Array[Int] = {
     val scores = new Array[Double](cm.length)
     var c = 0

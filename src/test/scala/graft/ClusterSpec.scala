@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cluster, Similarity}
+
+/** Properties of the clustering surface: assignment optimality, the
+  * SemDeDup subset contract (semantic pairs are exactly the
+  * within-cluster slice of the exact all-pairs set), and the balanced
+  * sample's per-cluster cap. */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+
+  test("k-means assignment covers every vector exactly once, sizes consistent") {
+    val rows = Cluster.kmeansAssign(emb, TestSpark.Sf).collect()
+    val n = emb.count()
+    assert(rows.length == n, "one assignment row per vector")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    // cluster_size is the actual population of the vector's cluster
+    val pop = rows.groupBy(_.getLong(1)).view.mapValues(_.length.toLong).toMap
+    rows.foreach(r => assert(r.getLong(2) == pop(r.getLong(1))))
+  }
+
+  test("semantic pairs = exact cosine pairs restricted to shared clusters") {
+    val exact = Similarity
+      .cosinePairs(emb, Cluster.SemanticThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cid = Cluster.kmeansAssign(emb, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val semantic = Cluster
+      .semanticPairs(emb, TestSpark.Sf, Cluster.SemanticThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = exact.filter { case (a, b) => cid(a) == cid(b) }
+    assert(semantic == expected,
+      "intra-cluster slice of the exact pair set, nothing more or less")
+    assert(semantic.subsetOf(exact))
+  }
+
+  test("cluster-balanced sample caps every cluster at PerCluster") {
+    val sample = Cluster
+      .clusterBalancedSample(emb, TestSpark.Sf, Cluster.PerCluster)
+      .collect()
+    val byCid = sample.groupBy(_.getLong(0))
+    assert(byCid.nonEmpty)
+    byCid.foreach { case (_, rows) =>
+      assert(rows.length <= Cluster.PerCluster)
+      assert(rows.map(_.getLong(2)).sorted.toSeq ==
+        (1L to rows.length.toLong).toSeq, "ranks are dense from 1")
+    }
+    // clusters with population >= cap contribute exactly the cap
+    val pop = Cluster.kmeansAssign(emb, TestSpark.Sf)
+      .collect().groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    pop.filter(_._2 >= Cluster.PerCluster).keys.foreach { c =>
+      assert(byCid(c).length == Cluster.PerCluster)
+    }
+  }
+}
