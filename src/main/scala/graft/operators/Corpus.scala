@@ -320,6 +320,79 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  // ---- corpus-wide heavy-hitter n-grams ----------------------------------
+
+  /** Heavy hitters kept. */
+  val TopGrams = 20
+
+  /** Top-k word trigrams by DOCUMENT frequency — the corpus-statistics
+    * pass that surfaces boilerplate (licenses, headers, nav bars) for
+    * the dedup/filter rules to target. Grams are distinct per document
+    * ([[graft.functions.Text.shingles]]), so the count is a df, not a
+    * term frequency. Shape at 100 TB: map-side partial aggregation
+    * collapses each partition to its distinct grams before the shuffle,
+    * and the final top-k is TakeOrderedAndProject — k rows per
+    * partition to the driver, never the full gram histogram. */
+  def frequentNgrams(docs: DataFrame, k: Int = TopGrams): DataFrame =
+    docs.select(explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(k)
+
+  val freqNgrams: Q = Q.df(
+    "freq_ngrams_topdf",
+    s"""with toks as (select doc_id, string_split(text, ' ') as t from documents),
+       |sh as (select distinct doc_id, unnest(${graft.functions.Text.sqlTrigramList("t")}) as g
+       |       from toks)
+       |select g, count(*) as df from sh
+       |group by g order by df desc, g limit $TopGrams""".stripMargin) { (s, dir) =>
+    frequentNgrams(Tables.df(s, dir, "documents"))
+  }
+
+  // ---- stratified mixture sampling ---------------------------------------
+
+  /** Per-source sampling rates (percent) — the mixture-weights table a
+    * training run joins against its corpus: sources are up/down-weighted
+    * by spec, not uniformly. Deterministic from the source index so the
+    * fixture dim is reproducible; in production this is a tiny config
+    * table. */
+  val SourceRates: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> Seq(60L, 35L, 15L)(i % 3))
+
+  /** Stratified downsampling: broadcast-join the rates dim, keep a doc
+    * iff its deterministic hash bucket falls under its source's rate.
+    * Exact per-stratum proportions under retries (same multiplicative
+    * bucket as the split operator); the join is a broadcast of a
+    * 20-row dim — no shuffle of the corpus at any scale. Sources
+    * absent from the spec are dropped by the inner join, exactly how a
+    * mixture spec scopes a run. */
+  def stratifiedSample(docs: DataFrame, rates: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dim = rates.toDF("source", "rate")
+    docs.select(col("doc_id"), col("source"),
+        expr(SplitExpr).cast("long").as("bucket"))
+      .join(broadcast(dim), Seq("source"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("rate"))
+  }
+
+  val sampleStratified: Q = Q.df(
+    "sample_stratified", {
+      val dimRows = SourceRates.map { case (s, r) => s"('$s', ${r}::bigint)" }
+        .mkString(",\n    ")
+      s"""with rates(source, rate) as (values
+         |    $dimRows)
+         |select d.doc_id, d.source,
+         |  cast($SplitExpr as bigint) as bucket, r.rate
+         |from documents d join rates r using (source)
+         |where cast($SplitExpr as bigint) < r.rate
+         |order by d.doc_id""".stripMargin
+    }) { (s, dir) =>
+    stratifiedSample(Tables.df(s, dir, "documents"), SourceRates)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
-    sampleBudget, packSeqs, decontaminateNgram)
+    sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified)
 }
