@@ -16,6 +16,7 @@ object SparkEntry {
       graft.operators.Similarity.queries ++
       graft.operators.Cluster.queries ++
       graft.operators.TextAnalysis.queries ++
+      graft.operators.Pipeline.queries ++
       graft.operators.Corpus.queries ++
       graft.operators.Dml.queries ++
       graft.operators.Multimodal.queries ++

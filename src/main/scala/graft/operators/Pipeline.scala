@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Text
+
+/** The composed ingest funnel a training-data pipeline actually runs —
+  * language gate → quality gate → repetition gate → exact dedup — with
+  * per-source survivor counts at every stage. The per-stage audit table
+  * is what pipeline operators monitor: a stage that suddenly eats a
+  * source shows up as one row's cliff.
+  *
+  * Execution shape: ONE codegen'd scan computes every per-document flag
+  * (language id, quality score, repetition ratio, md5 fingerprint — all
+  * reused from the individually-proven [[TextAnalysis]] operators);
+  * stage counts are a single partial-aggregated groupBy on source, and
+  * the dedup survivor count is one window over the fingerprint among
+  * passing docs. Two shuffles total (source counts, fp window) — both
+  * on well-distributed keys, no driver-side state, at any corpus size.
+  */
+object Pipeline {
+
+  /** Minimum quality score to pass the quality gate. */
+  val QualityMin = 0.5
+
+  private def repRatio = {
+    val grams = regexp_extract_all(col("text"),
+      lit("(?=([^ ]* [^ ]* [^ ]*))[^ ]* "), lit(1))
+    val n = size(grams).cast("long")
+    val nd = size(array_distinct(grams)).cast("long")
+    when(n === 0, lit(0.0))
+      .otherwise((n - nd).cast("double") / n.cast("double"))
+  }
+
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    val flags = docs.select(
+      col("doc_id"), col("source"),
+      Text.md5Fingerprint(col("text")).as("fp"),
+      (Text.langId(col("text")) === "en").as("is_en"),
+      (Text.qualityScore(col("text")) >= QualityMin).as("is_q"),
+      (repRatio <= TextAnalysis.RepetitionMax).as("is_clean"))
+    val pass = flags.filter(col("is_en") && col("is_q") && col("is_clean"))
+    val unique = pass
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rnk") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("is_en"), lit(1))).as("n_en"),
+        count(when(col("is_en") && col("is_q"), lit(1))).as("n_quality"),
+        count(when(col("is_en") && col("is_q") && col("is_clean"), lit(1)))
+          .as("n_clean"))
+      .join(unique, Seq("source"), "left")
+      .select(col("source"), col("n_total"), col("n_en"), col("n_quality"),
+        col("n_clean"), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+  }
+
+  private def funnelOracle: String = {
+    val en = Text.sqlStopwordHits("text", "en")
+    val de = Text.sqlStopwordHits("text", "de")
+    val fr = Text.sqlStopwordHits("text", "fr")
+    val es = Text.sqlStopwordHits("text", "es")
+    val isEn = s"($en > 0 or $de > 0 or $fr > 0 or $es > 0)" +
+      s" and $en >= $de and $en >= $fr and $en >= $es"
+    val nTok = "cast(len(str_split(text, ' ')) as bigint)"
+    val avgLen =
+      s"cast(length(text) - ($nTok - 1) as double) / cast($nTok as double)"
+    val quality =
+      s"""(case when $nTok between 20 and 1000 then cast(0.4 as double)
+         |      else cast(0.0 as double) end)
+         |+ (case when $avgLen between cast(3.0 as double) and cast(10.0 as double)
+         |        then cast(0.3 as double) else cast(0.0 as double) end)
+         |+ (cast($en as double) / cast($nTok as double)) * cast(0.3 as double)"""
+        .stripMargin
+    val gs = Text.sqlTrigramList("string_split(text, ' ')")
+    val repOk =
+      s"""case when len($gs) = 0 then true
+         |     else (cast(len($gs) - len(list_distinct($gs)) as double)
+         |           / cast(len($gs) as double))
+         |          <= ${TextAnalysis.RepetitionMax} end""".stripMargin
+    s"""with f as (
+       |  select doc_id, source, md5(lower(text)) as fp,
+       |    ($isEn) as is_en,
+       |    ($quality) >= $QualityMin as is_q,
+       |    ($repOk) as is_clean
+       |  from documents),
+       |p as (select * from f where is_en and is_q and is_clean),
+       |u as (select source, count(*) as n_unique from (
+       |    select source, row_number() over (
+       |      partition by fp order by doc_id) as rnk from p) t
+       |  where rnk = 1 group by source),
+       |s as (select source, count(*) as n_total,
+       |    count(case when is_en then 1 end) as n_en,
+       |    count(case when is_en and is_q then 1 end) as n_quality,
+       |    count(case when is_en and is_q and is_clean then 1 end) as n_clean
+       |  from f group by source)
+       |select s.source, n_total, n_en, n_quality, n_clean,
+       |  coalesce(u.n_unique, 0::bigint) as n_unique
+       |from s left join u using (source)
+       |order by s.source""".stripMargin
+  }
+
+  val pipelineFunnel: Q = Q.df("pipeline_quality_funnel", funnelOracle) {
+    (s, dir) =>
+      qualityFunnel(Tables.df(s, dir, "documents")).orderBy(col("source"))
+  }
+
+  val queries: Seq[Q] = Seq(pipelineFunnel)
+}
