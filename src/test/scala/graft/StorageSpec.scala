@@ -22,6 +22,18 @@ class StorageSpec extends AnyFunSuite {
     assert(jsn.collect().map(_.toSeq).toSet == base)
   }
 
+  test("ORC round-trips the nation table losslessly, schema preserved") {
+    val n = Tables.df(spark, TestSpark.Sf, "nation")
+    val base = n.collect().map(_.toSeq).toSet
+    val dir = "/tmp/graft-io/nation_orc"
+    n.write.mode("overwrite").orc(dir)
+    val orc = spark.read.orc(dir)
+    // ORC files carry their own schema (unlike CSV/JSON above): the
+    // read-back types must match without supplying one
+    assert(orc.schema == n.schema)
+    assert(orc.collect().map(_.toSeq).toSet == base)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val s = spark
     s.sql("drop table if exists b_orders")
