@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: restrict to these query names (local iteration; the
+    // driver always runs bare). A subset run skips the self-record so it
+    // can never clobber a full-run bench_last.json.
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Session.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -38,7 +42,9 @@ object Bench {
     SparkEntry.allQueries.filter(q => warm.contains(q.name))
       .foreach(q => try exec(q.run) catch { case _: Throwable => () })
 
-    val results = SparkEntry.allQueries.map { q =>
+    val results = SparkEntry.allQueries
+      .filter(q => only.isEmpty || only.contains(q.name))
+      .map { q =>
       val t0 = System.nanoTime()
       val ok =
         try { exec(q.run); true }
@@ -61,11 +67,12 @@ object Bench {
     // Self-record: the driver's stdout capture has truncated the JSON
     // line before (BENCH_r02 lost the TPC-H cells); a repo-relative file
     // keeps the full record regardless of how stdout is handled.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench_last.json: $e")
-    }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write target/bench_last.json: $e")
+      }
     println(json)
     System.out.flush()
   }

@@ -15,6 +15,7 @@ object SparkEntry {
       graft.operators.Dedup.queries ++
       graft.operators.Similarity.queries ++
       graft.operators.Cluster.queries ++
+      graft.operators.Quantize.queries ++
       graft.operators.TextAnalysis.queries ++
       graft.operators.Pipeline.queries ++
       graft.operators.Corpus.queries ++

@@ -393,6 +393,80 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  // ---- per-source token statistics ---------------------------------------
+
+  /** Per-source document-length profile: count plus exact ORDER
+    * statistics (min / median / p90 / max token counts) — the corpus
+    * report that drives chunking and packing parameters. Order
+    * statistics are exact integers (percentile_disc picks an actual
+    * element, no interpolation), so the result is engine-exact where a
+    * mean would be float-summation-order-dependent. One
+    * partial-aggregated shuffle on source. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        expr("percentile_disc(0.5) within group (order by n_tokens)")
+          .as("median_tokens"),
+        expr("percentile_disc(0.9) within group (order by n_tokens)")
+          .as("p90_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  val corpusStats: Q = Q.df(
+    "corpus_stats_tokens",
+    """with t as (select source,
+      |  cast(len(string_split(text, ' ')) as bigint) as n_tokens
+      |  from documents)
+      |select source, count(*) as n_docs,
+      |  min(n_tokens) as min_tokens,
+      |  percentile_disc(0.5) within group (order by n_tokens) as median_tokens,
+      |  percentile_disc(0.9) within group (order by n_tokens) as p90_tokens,
+      |  max(n_tokens) as max_tokens
+      |from t group by source order by source""".stripMargin) { (s, dir) =>
+    tokenStats(Tables.df(s, dir, "documents")).orderBy(col("source"))
+  }
+
+  // ---- cross-source overlap matrix ---------------------------------------
+
+  /** Shared-trigram counts for every source pair — the contamination
+    * matrix an ingest audit keeps: a pair with outsized overlap means
+    * one source mirrors another (or both scrape the same site) and
+    * dedup weights need adjusting. Same 100 TB shape as
+    * [[decontaminate]]: both sides reduce to DISTINCT (source, 8-byte
+    * gram hash) rows before a hash equi-join — the shuffle carries
+    * hashes, never text, and the matrix is at most |sources|² rows.
+    * The oracle joins raw gram strings; hash-vs-string equality
+    * coincides under the same ~2⁻⁴⁰ collision argument. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("source"),
+        explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
+      .select(col("source"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    grams.select(col("source").as("s1"), col("gh"))
+      .join(grams.select(col("source").as("s2"), col("gh")), Seq("gh"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val sourceOverlapQ: Q = Q.df(
+    "corpus_source_overlap",
+    s"""with toks as (select doc_id, source, string_split(text, ' ') as t
+       |              from documents),
+       |sh as (select distinct source,
+       |         unnest(${graft.functions.Text.sqlTrigramList("t")}) as g
+       |       from toks)
+       |select a.source as s1, b.source as s2, count(*) as n_shared
+       |from sh a join sh b on a.g = b.g and a.source < b.source
+       |group by 1, 2
+       |order by s1, s2""".stripMargin) { (s, dir) =>
+    sourceOverlap(Tables.df(s, dir, "documents"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
-    sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified)
+    sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
+    corpusStats, sourceOverlapQ)
 }

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Symmetric per-vector int8 quantization of the embedding column —
+  * the storage-side operator that makes a 100 TB embedding corpus
+  * 4× smaller (and its ANN scans 4× less I/O-bound): each vector is
+  * scaled by max|x|/127 and rounded to [-127, 127] bytes, the standard
+  * scalar-quantization baseline of FAISS/vector-store indexes.
+  *
+  * Everything is a zero-shuffle primitive kernel (quantization is
+  * per-row), and every number it emits is deterministic: the rounding
+  * is floor(x·127/m + 0.5) — exact IEEE ops, bit-identical in any
+  * engine, unlike banker's-rounding library calls — so the audit
+  * entry (per-vector quantized extrema, L1 mass, reconstruction MSE)
+  * is fully oracle-checked. The recall cost of quantization is spec-
+  * measured ([[graft.QuantizeSpec]]): top-k over DEQUANTIZED vectors
+  * against the exact float ranking.
+  */
+object Quantize {
+
+  /** Quantized levels: symmetric [-127, 127]. */
+  val QMax = 127.0
+
+  /** (vec_id, q: Array[Long], scale): the quantization kernel. A zero
+    * max-magnitude vector quantizes to all-zero with scale 0 (guarded,
+    * not divided). */
+  private def quantize(v: Array[Double]): (Array[Long], Double) = {
+    var m = 0.0
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > m) m = a; i += 1 }
+    val q = new Array[Long](v.length)
+    if (m > 0.0) {
+      var j = 0
+      while (j < v.length) {
+        q(j) = math.floor(v(j) * QMax / m + 0.5).toLong
+        j += 1
+      }
+    }
+    (q, if (m > 0.0) m / QMax else 0.0)
+  }
+
+  /** Per-vector quantization audit: quantized extrema, L1 mass, and
+    * reconstruction MSE (sum of squared dequantization error over the
+    * dimension, index order — the same sequential fold every oracle
+    * list_sum uses). */
+  def quantizeStats(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (q, scale) = quantize(v)
+        var qmin = Long.MaxValue
+        var qmax = Long.MinValue
+        var l1 = 0L
+        var se = 0.0
+        var i = 0
+        while (i < v.length) {
+          val qi = q(i)
+          if (qi < qmin) qmin = qi
+          if (qi > qmax) qmax = qi
+          l1 += math.abs(qi)
+          val e = v(i) - qi * scale
+          se += e * e
+          i += 1
+        }
+        (id, qmin, qmax, l1, se / v.length)
+      }
+      .toDF("vec_id", "q_min", "q_max", "q_l1", "mse")
+      .select(col("vec_id"), col("q_min"), col("q_max"), col("q_l1"),
+        round(col("mse"), 9).as("recon_mse"))
+  }
+
+  val quantizeInt8: Q = Q.df(
+    "embed_quantize_int8",
+    s"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+       |p as (select vec_id, v,
+       |        list_max(list_transform(v, x -> abs(x))) as m from e),
+       |q as (select vec_id, v, m,
+       |        case when m > 0
+       |             then list_transform(v, x -> floor(x * $QMax / m + 0.5))
+       |             else list_transform(v, x -> cast(0.0 as double)) end as qv,
+       |        case when m > 0 then m / $QMax else cast(0.0 as double) end
+       |          as scale
+       |      from p)
+       |select vec_id,
+       |  cast(list_min(qv) as bigint) as q_min,
+       |  cast(list_max(qv) as bigint) as q_max,
+       |  cast(list_sum(list_transform(qv, x -> abs(x))) as bigint) as q_l1,
+       |  round(list_sum(list_transform(range(1, len(v) + 1),
+       |          i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)))
+       |        / len(v), 9) as recon_mse
+       |from q order by vec_id""".stripMargin) { (s, dir) =>
+    quantizeStats(Tables.df(s, dir, "embeddings")).orderBy(col("vec_id"))
+  }
+
+  /** The embeddings table with each vector replaced by its DEQUANTIZED
+    * form (float, as stored) — what an int8-backed index actually
+    * scores against; input to the recall spec. */
+  def dequantized(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"),
+        graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (q, scale) = quantize(v)
+        (id, q.map(qi => (qi * scale).toFloat))
+      }
+      .toDF("vec_id", "embedding")
+  }
+
+  val queries: Seq[Q] = Seq(quantizeInt8)
+}
