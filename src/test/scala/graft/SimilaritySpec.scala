@@ -41,7 +41,7 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfTopK(emb, Similarity.TopK)
+    val approx = Similarity.ivfTopK(emb, Similarity.TopK, TestSpark.Sf)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.nonEmpty, "IVF lists should produce candidates")
