@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Event-stream product analytics — the OLAP workloads a clickstream
+  * warehouse runs hourly at fact-table scale: ordered conversion
+  * funnels and cohort retention. Both are pure aggregations/joins on
+  * the user key (well-distributed shuffles, partial aggregation,
+  * no driver-side state) and integer/date arithmetic end-to-end, so
+  * both are exactly oracle-checked.
+  */
+object Analytics {
+
+  /** Ordered three-stage funnel view → click → purchase: a user
+    * converts a stage only with an event STRICTLY AFTER their previous
+    * stage's first event (the ordering constraint that separates a
+    * funnel from three independent counts). Each stage is one
+    * filter + groupBy-min on user_id, then left joins assemble the
+    * per-user funnel row — at fact scale: three partial-aggregated
+    * shuffles on the user key and two user-key joins, no window over
+    * the full event stream. */
+  def funnelConversion(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click").as("e")
+      .join(v, Seq("user_id"))
+      .filter(col("e.ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase").as("e")
+      .join(c, Seq("user_id"))
+      .filter(col("e.ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, lit(3L))
+          .when(col("t_click").isNotNull, lit(2L))
+          .otherwise(lit(1L)).as("stage"))
+  }
+
+  val eventsFunnel: Q = Q.df(
+    "events_funnel_conversion",
+    """with v as (select user_id, min(ts) as t_view from events
+      |           where event_type = 'view' group by 1),
+      |c as (select e.user_id, min(e.ts) as t_click
+      |      from events e join v using (user_id)
+      |      where e.event_type = 'click' and e.ts > v.t_view group by 1),
+      |p as (select e.user_id, min(e.ts) as t_purchase
+      |      from events e join c using (user_id)
+      |      where e.event_type = 'purchase' and e.ts > c.t_click group by 1)
+      |select v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  cast(case when p.t_purchase is not null then 3
+      |            when c.t_click is not null then 2
+      |            else 1 end as bigint) as stage
+      |from v left join c using (user_id) left join p using (user_id)
+      |order by user_id""".stripMargin) { (s, dir) =>
+    funnelConversion(Tables.df(s, dir, "events")).orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day, then
+    * distinct active users per (cohort day, day offset) — the retention
+    * triangle. One groupBy-min for cohort assignment, one broadcastable
+    * user→cohort join (users are always a tiny fraction of events),
+    * one count-distinct aggregation; all date arithmetic is integer
+    * days. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohort = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    events.select(col("user_id"), to_date(col("ts")).as("active_day"))
+      .join(cohort, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast("long")
+          .as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  val eventsCohort: Q = Q.df(
+    "events_cohort_retention",
+    """with cohort as (select user_id, cast(min(ts) as date) as cohort_day
+      |                from events group by 1)
+      |select c.cohort_day,
+      |  cast(date_diff('day', c.cohort_day, cast(e.ts as date)) as bigint)
+      |    as day_offset,
+      |  count(distinct e.user_id) as n_users
+      |from events e join cohort c using (user_id)
+      |group by 1, 2
+      |order by cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    cohortRetention(Tables.df(s, dir, "events"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort)
+}
