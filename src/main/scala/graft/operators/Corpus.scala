@@ -440,10 +440,16 @@ object Corpus {
     * The oracle joins raw gram strings; hash-vs-string equality
     * coincides under the same ~2⁻⁴⁰ collision argument. */
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // Both self-join sides consume the same distinct (source, hash)
+    // frame; checkpoint it once so the shingling regex + dedup shuffle
+    // run once, not per side (the jaccardPairs lesson). The
+    // materialized frame is 8-byte hashes + a short source key — far
+    // smaller than the corpus it came from at any scale.
     val grams = docs.select(col("source"),
         explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
       .select(col("source"), xxhash64(col("g")).as("gh"))
       .distinct()
+      .localCheckpoint()
     grams.select(col("source").as("s1"), col("gh"))
       .join(grams.select(col("source").as("s2"), col("gh")), Seq("gh"))
       .filter(col("s1") < col("s2"))

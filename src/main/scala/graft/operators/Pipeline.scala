@@ -36,12 +36,18 @@ object Pipeline {
   }
 
   def qualityFunnel(docs: DataFrame): DataFrame = {
+    // The flag scan (md5 + language id + quality + repetition over the
+    // full text) feeds BOTH the stage-count aggregate and the dedup
+    // window; checkpoint it once so the text kernels run one corpus
+    // pass, not two. The materialized frame is ids + fingerprint +
+    // three booleans per doc — a fraction of the corpus it came from.
     val flags = docs.select(
       col("doc_id"), col("source"),
       Text.md5Fingerprint(col("text")).as("fp"),
       (Text.langId(col("text")) === "en").as("is_en"),
       (Text.qualityScore(col("text")) >= QualityMin).as("is_q"),
       (repRatio <= TextAnalysis.RepetitionMax).as("is_clean"))
+      .localCheckpoint()
     val pass = flags.filter(col("is_en") && col("is_q") && col("is_clean"))
     val unique = pass
       .withColumn("rnk", row_number().over(
