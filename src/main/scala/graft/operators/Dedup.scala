@@ -186,7 +186,7 @@ object Dedup {
     // Materialize the (tiny) candidate pair set, then free the kernel
     // blocks — verification only needs `docs` and the candidate ids.
     val cands = bounded.union(recovered).distinct().localCheckpoint(true)
-    checkpointRdd(base).foreach(_.unpersist(blocking = false))
+    checkpointRdd(base).foreach(_.unpersist(blocking = true))
     verifyJaccard(docs, cands, threshold)
   }
 
@@ -360,7 +360,7 @@ object Dedup {
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
       .localCheckpoint(true)
     val out = propagateClusters(docs.select(col("doc_id")), pairs)
-    checkpointRdd(pairs).foreach(_.unpersist(blocking = false))
+    checkpointRdd(pairs).foreach(_.unpersist(blocking = true))
     out
   }
 
@@ -410,12 +410,12 @@ object Dedup {
             coalesce(col("ll"), col("cluster_id"))).as("next_id"))
         .localCheckpoint(true) // materializes eagerly
       changed = joined.filter(col("next_id") < col("cluster_id")).count()
-      backing.foreach(_.unpersist(blocking = false)) // superseded frontier
+      backing.foreach(_.unpersist(blocking = true)) // superseded frontier, synchronously
       backing = checkpointRdd(joined)
       labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
       rounds += 1
     }
-    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    checkpointRdd(edges).foreach(_.unpersist(blocking = true))
     labels
   }
 
