@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the expensive projections out of scan-heavy queries
   * and under-report their cost.
   *
+  * Contention-robust sampling: the box is shared, and a single-sample
+  * harness produced an invalid record once (BENCH_r05: a transient
+  * contention window inflated ~25 cells 5-20x; none of it reproduced on
+  * re-measurement). Each query now runs twice, plus a third time when
+  * the two samples disagree by more than 1.5x, and the MINIMUM is
+  * recorded — the min is the right estimator here because noise on a
+  * shared box is strictly additive (another tenant's CPU/IO can only
+  * slow a run down, never speed it up). Cells whose max/min ratio
+  * exceeds 3 are listed in "contended" so a reader knows which numbers
+  * were rescued from noise rather than quiet to begin with.
+  *
   * A query that throws records -1 (and lands in "failed") instead of a
   * plausible-looking duration, so a consumer of the JSON line cannot
   * mistake an erroring run for a clean one. The JSON is printed AFTER
@@ -42,27 +53,45 @@ object Bench {
     SparkEntry.allQueries.filter(q => warm.contains(q.name))
       .foreach(q => try exec(q.run) catch { case _: Throwable => () })
 
+    // One timed sample; -1 on failure. A failure short-circuits the
+    // query's remaining samples (a deterministic error won't heal).
+    def sample(q: Q): Double = {
+      val t0 = System.nanoTime()
+      try { exec(q.run); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+
     val results = SparkEntry.allQueries
       .filter(q => only.isEmpty || only.contains(q.name))
       .map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { exec(q.run); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
+        var samples = List(sample(q))
+        if (samples.head >= 0) {
+          samples ::= sample(q)
+          // Third tiebreaker only when the first two disagree: a quiet
+          // box converges in 2 runs; a noisy window earns one more vote.
+          if (samples.forall(_ >= 0) && samples.max > samples.min * 1.5)
+            samples ::= sample(q)
         }
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
-    }
+        val ok = samples.forall(_ >= 0)
+        val best = if (ok) samples.min else -1.0
+        val contended = ok && samples.max > samples.min * 3
+        (q.name, best, ok, contended)
+      }
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "-1")
     }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    val contended = results.filter(_._4).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s""""queries":$qs,"failed":$failed,"contended":$contended,""" +
+      s""""sf":"$sfDir"}"""
     spark.stop()
     // Self-record: the driver's stdout capture has truncated the JSON
     // line before (BENCH_r02 lost the TPC-H cells); a repo-relative file

@@ -408,10 +408,13 @@ object Corpus {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_tokens")).as("min_tokens"),
+        // percentile_disc picks an element, so the value is an exact
+        // integer; Spark still types it DOUBLE while DuckDB keeps the
+        // input's BIGINT. Cast so the cross-engine dtype matches.
         expr("percentile_disc(0.5) within group (order by n_tokens)")
-          .as("median_tokens"),
+          .cast("long").as("median_tokens"),
         expr("percentile_disc(0.9) within group (order by n_tokens)")
-          .as("p90_tokens"),
+          .cast("long").as("p90_tokens"),
         max(col("n_tokens")).as("max_tokens"))
 
   val corpusStats: Q = Q.df(

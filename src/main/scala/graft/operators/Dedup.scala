@@ -65,12 +65,21 @@ object Dedup {
     * MinHash-LSH operators. Docs are semi-join-pruned to candidate ids
     * BEFORE shingling, so the (regex) shingle extraction runs only for
     * documents that actually appear in a candidate pair. */
-  private def verifyJaccard(docs: DataFrame, cands: DataFrame,
+  private def verifyJaccard(docs: DataFrame, cands0: DataFrame,
       threshold: Double): DataFrame = {
+    // Both inputs feed TWO consumers each (cands: the id list + the pair
+    // join; arrs: the d1 and d2 sides), so materialize both once. Without
+    // this the caller's whole candidate-generation subtree executes twice
+    // (the LSH path re-ran signatures + banding for the id list) and the
+    // regex shingle extraction runs once per join side. Both frames are
+    // small by construction: cands is the near-dup pair set, arrs only
+    // covers docs that appear in a candidate pair.
+    val cands = cands0.localCheckpoint(true)
     val ids = cands.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .distinct()
     val arrs = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), Text.shingles(col("text"), ShingleN).as("sh_arr"))
+      .localCheckpoint(true)
     cands
       .join(arrs.select(col("doc_id").as("d1"), col("sh_arr").as("sh1")), Seq("d1"))
       .join(arrs.select(col("doc_id").as("d2"), col("sh_arr").as("sh2")), Seq("d2"))
