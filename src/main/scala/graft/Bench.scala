@@ -20,11 +20,14 @@ import org.apache.spark.sql.SparkSession
   * exceeds 3 are listed in "contended" so a reader knows which numbers
   * were rescued from noise rather than quiet to begin with.
   *
-  * A query that throws records -1 (and lands in "failed") instead of a
-  * plausible-looking duration, so a consumer of the JSON line cannot
-  * mistake an erroring run for a clean one. The JSON is printed AFTER
-  * spark.stop() so no executor/log output interleaves with or follows
-  * it on stdout.
+  * A query whose every sample throws records -1 (and lands in
+  * "failed") instead of a plausible-looking duration, so a consumer of
+  * the JSON line cannot mistake an erroring run for a clean one; a
+  * transient failure on a retry sample keeps the surviving
+  * measurement and flags the cell "contended". The JSON is printed
+  * AFTER spark.stop() so no executor/log output interleaves with or
+  * follows it on stdout, and with the per-query map FIRST so the
+  * summary fields survive a tail-only stdout capture.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,8 +56,9 @@ object Bench {
     SparkEntry.allQueries.filter(q => warm.contains(q.name))
       .foreach(q => try exec(q.run) catch { case _: Throwable => () })
 
-    // One timed sample; -1 on failure. A failure short-circuits the
-    // query's remaining samples (a deterministic error won't heal).
+    // One timed sample; -1 on failure. A first-sample failure
+    // short-circuits the query's remaining samples (a deterministic
+    // error won't heal).
     def sample(q: Q): Double = {
       val t0 = System.nanoTime()
       try { exec(q.run); (System.nanoTime() - t0) / 1e9 }
@@ -72,12 +76,18 @@ object Bench {
           samples ::= sample(q)
           // Third tiebreaker only when the first two disagree: a quiet
           // box converges in 2 runs; a noisy window earns one more vote.
-          if (samples.forall(_ >= 0) && samples.max > samples.min * 1.5)
+          if (samples.count(_ >= 0) == 2 && samples.max > samples.min * 1.5)
             samples ::= sample(q)
         }
-        val ok = samples.forall(_ >= 0)
-        val best = if (ok) samples.min else -1.0
-        val contended = ok && samples.max > samples.min * 3
+        // A query fails only if NO sample succeeded: on this shared box a
+        // transient error on sample 2/3 (contention-induced timeout/OOM)
+        // must not discard a valid first measurement. One-off failures are
+        // surfaced via "contended" rather than poisoning the cell.
+        val good = samples.filter(_ >= 0)
+        val ok = good.nonEmpty
+        val best = if (ok) good.min else -1.0
+        val contended = ok &&
+          (good.size < samples.size || good.max > good.min * 3)
         (q.name, best, ok, contended)
       }
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
@@ -89,9 +99,14 @@ object Bench {
     val contended = results.filter(_._4).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val json = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":$qs,"failed":$failed,"contended":$contended,""" +
-      s""""sf":"$sfDir"}"""
+    // Field order matters: the driver keeps only the LAST ~2000 chars of
+    // stdout, and the 152-query map alone exceeds that, so any field
+    // printed before it is lost from the captured record (r6's tail cut
+    // off metric/value/failed entirely). Per-query cells first, summary
+    // fields last — the tail window then always retains the totals.
+    val json = s"""{"queries":$qs,"failed":$failed,""" +
+      s""""contended":$contended,"sf":"$sfDir",""" +
+      s""""metric":"total","value":${r3(total)},"unit":"sec"}"""
     spark.stop()
     // Self-record: the driver's stdout capture has truncated the JSON
     // line before (BENCH_r02 lost the TPC-H cells); a repo-relative file
