@@ -6,11 +6,13 @@ import graft.{Q, Tables}
 
 /** Approximate aggregates as DATA-CHECKED entries (beyond-reference
   * surface). Sketch internals (HLL++ registers, KLL/GK quantile
-  * summaries) differ per engine, so there is no cross-engine oracle;
-  * instead each entry computes the approximate AND the exact answer in
-  * the same query and surfaces the error-bound check as a column — the
-  * accuracy claim rides in the dumped rows themselves (rows-only driver
-  * check; `ApproxSpec` additionally asserts the flags hold).
+  * summaries) differ per engine, so the sketch VALUE has no cross-engine
+  * oracle — but the entries are still fully hash-compared: each computes
+  * the approximate AND the exact answer in the same query, then projects
+  * only the exact values plus the error-bound FLAG. The flag is
+  * deterministic given the bound holds (and `ApproxSpec` asserts it
+  * holds with margin), so DuckDB can oracle it as a literal `true`
+  * alongside the independently-computed exact columns.
   *
   * Scale note: this is the 100 TB pattern for validating sketches —
   * both sides are single-pass distributed aggregates; nothing is
@@ -23,7 +25,13 @@ object Approx {
     * tight enough to catch a broken sketch. */
   val DistinctEps = 0.15
 
-  val approxDistinct: Q = Q.rowsOnly("approx_distinct_bounds") { (s, dir) =>
+  val approxDistinct: Q = Q.df(
+    "approx_distinct_bounds",
+    """select o_orderpriority,
+      |  cast(count(distinct o_custkey) as bigint) as exact_nd,
+      |  true as within_eps
+      |from orders group by o_orderpriority
+      |order by o_orderpriority""".stripMargin) { (s, dir) =>
     Tables.df(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
@@ -33,6 +41,9 @@ object Approx {
         abs(col("approx_nd") - col("exact_nd")).cast("double")
           / col("exact_nd").cast("double"))
       .withColumn("within_eps", col("rel_err") <= DistinctEps)
+      // The sketch value and its error are engine-internal; the
+      // hash-compared surface is the exact count + the bound flag.
+      .select(col("o_orderpriority"), col("exact_nd"), col("within_eps"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -41,19 +52,27 @@ object Approx {
     * the sketch actually promises (rank error, not value error). */
   val PercentileRankEps = 0.02
 
-  val approxPercentile: Q = Q.rowsOnly("approx_percentile_bounds") { (s, dir) =>
+  val approxPercentile: Q = Q.df(
+    "approx_percentile_bounds",
+    """select cast(count(*) as bigint) as n, true as within_eps
+      |from lineitem""".stripMargin) { (s, dir) =>
     val li = Tables.df(s, dir, "lineitem")
     val ap = li.agg(
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
         .as("approx_p50"))
     li.crossJoin(broadcast(ap))
       .groupBy(col("approx_p50"))
-      .agg((sum(when(col("l_extendedprice") <= col("approx_p50"), 1L)
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(when(col("l_extendedprice") <= col("approx_p50"), 1L)
           .otherwise(0L)).cast("double") / count(lit(1)).cast("double"))
-        .as("rank_of_approx"))
+          .as("rank_of_approx"))
       .withColumn("within_eps",
         col("rank_of_approx").between(0.5 - PercentileRankEps,
           0.5 + PercentileRankEps))
+      // approx_p50 / its rank are sketch-dependent; the compared surface
+      // is the exact row count + the rank-error bound flag.
+      .select(col("n"), col("within_eps"))
   }
 
   /** Statistical moments (stddev/variance/correlation) — beyond-reference

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
 import graft.functions.Text
+import graft.plans.Checkpoints
 
 /** Document deduplication operators for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -74,13 +75,17 @@ object Dedup {
     // regex shingle extraction runs once per join side. Both frames are
     // small by construction: cands is the near-dup pair set, arrs only
     // covers docs that appear in a candidate pair.
-    val cands = cands0.localCheckpoint(true)
+    val cands = Checkpoints.materialize(cands0)
     val ids = cands.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
       .distinct()
-    val arrs = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), Text.shingles(col("text"), ShingleN).as("sh_arr"))
-      .localCheckpoint(true)
-    cands
+    val arrs = Checkpoints.materialize(
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Text.shingles(col("text"), ShingleN).as("sh_arr")))
+    // The verified pair set (near-dups only — strictly smaller than
+    // cands) is materialized so BOTH intermediates can be freed HERE,
+    // synchronously: without this, every bench sample of every LSH-family
+    // query left its cands + arrs blocks pinned for the session.
+    val out = cands
       .join(arrs.select(col("doc_id").as("d1"), col("sh_arr").as("sh1")), Seq("d1"))
       .join(arrs.select(col("doc_id").as("d2"), col("sh_arr").as("sh2")), Seq("d2"))
       .withColumn("jaccard",
@@ -88,6 +93,9 @@ object Dedup {
           / size(array_union(col("sh1"), col("sh2"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+    val outM = Checkpoints.materialize(out)
+    Seq(cands, arrs).foreach(Checkpoints.free)
+    outM
   }
 
   /** All pairs with trigram Jaccard >= threshold, in three skew-bounded
@@ -145,7 +153,7 @@ object Dedup {
     // tokenize passes instead of one. localCheckpoint(eager) runs the
     // kernel exactly once; the blocks are freed below once the candidate
     // pair set is itself materialized.
-    val base = shingleHashArrays(docs).localCheckpoint(true)
+    val base = Checkpoints.materialize(shingleHashArrays(docs))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -192,11 +200,13 @@ object Dedup {
       .filter(col("c").cast("double")
         / (col("n1") + col("n2") - col("c")).cast("double") >= threshold)
       .select(col("d1"), col("d2"))
-    // Materialize the (tiny) candidate pair set, then free the kernel
-    // blocks — verification only needs `docs` and the candidate ids.
-    val cands = bounded.union(recovered).distinct().localCheckpoint(true)
-    checkpointRdd(base).foreach(_.unpersist(blocking = true))
-    verifyJaccard(docs, cands, threshold)
+    // verifyJaccard eagerly checkpoints the candidate set on entry (one
+    // materialization — a second one here would just pin a superseded
+    // copy), after which the kernel blocks are safe to free:
+    // verification only needs `docs` and the checkpointed candidates.
+    val out = verifyJaccard(docs, bounded.union(recovered).distinct(), threshold)
+    Checkpoints.free(base)
+    out
   }
 
   /** DuckDB oracle for any operator whose output is the exact
@@ -353,23 +363,16 @@ object Dedup {
     * error, not a data regime: fail loudly instead of looping. */
   val MaxClusterRounds = 64
 
-  /** The RDD a localCheckpoint'd Dataset is backed by. Dataset.unpersist
-    * does NOT release localCheckpoint blocks (they are RDD persists, not
-    * cached queries), so freeing a superseded frontier needs the RDD
-    * handle out of the checkpointed plan's LogicalRDD leaf. */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.logical.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-
   def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    // Materialize the pair set once: the symmetric-closure union below
-    // references it twice, and without a checkpoint the whole
-    // jaccardPairs verification subtree would execute twice.
+    // jaccardPairs returns a checkpoint-backed frame (verifyJaccard
+    // materializes its result), so the symmetric-closure union inside
+    // propagateClusters reading it twice costs two block scans, not two
+    // executions of the verification subtree. propagateClusters runs
+    // eagerly (edges checkpoint + per-round counts), so by the time it
+    // returns nothing references the pair blocks and they are freed.
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
-      .localCheckpoint(true)
     val out = propagateClusters(docs.select(col("doc_id")), pairs)
-    checkpointRdd(pairs).foreach(_.unpersist(blocking = true))
+    Checkpoints.free(pairs)
     out
   }
 
@@ -387,12 +390,11 @@ object Dedup {
     // O(frontier · rounds). On a real cluster, swap localCheckpoint()
     // for checkpoint() with a reliable spark.checkpoint.dir if executor
     // loss must be survivable.
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint(true)
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint(true)
-    var backing = checkpointRdd(labels)
+    val edges = Checkpoints.materialize(
+      pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2"))))
+    var labels = Checkpoints.materialize(
+      vertices.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var frontier = labels // the materialized frame whose blocks we own
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -412,19 +414,19 @@ object Dedup {
       // rounds O(log diameter) and the MaxClusterRounds cap sound.
       val labelOfLabel = labels
         .select(col("doc_id").as("cluster_id"), col("cluster_id").as("ll"))
-      val joined = labels.join(neighborMin, Seq("doc_id"), "left")
+      val joined0 = labels.join(neighborMin, Seq("doc_id"), "left")
         .join(labelOfLabel, Seq("cluster_id"), "left")
         .select(col("doc_id"), col("cluster_id"),
           least(col("cluster_id"), coalesce(col("nm"), col("cluster_id")),
             coalesce(col("ll"), col("cluster_id"))).as("next_id"))
-        .localCheckpoint(true) // materializes eagerly
+      val joined = Checkpoints.materialize(joined0) // eager
       changed = joined.filter(col("next_id") < col("cluster_id")).count()
-      backing.foreach(_.unpersist(blocking = true)) // superseded frontier, synchronously
-      backing = checkpointRdd(joined)
+      Checkpoints.free(frontier) // superseded frontier, synchronously
+      frontier = joined
       labels = joined.select(col("doc_id"), col("next_id").as("cluster_id"))
       rounds += 1
     }
-    checkpointRdd(edges).foreach(_.unpersist(blocking = true))
+    Checkpoints.free(edges)
     labels
   }
 

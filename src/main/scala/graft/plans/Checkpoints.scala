@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Eager materialization for iterative / multi-consumer operators
+  * (duplicate-cluster label propagation, LSH candidate verification).
+  *
+  * Default is `localCheckpoint(eager)`: blocks live in executor storage
+  * and lineage is truncated — the right trade on a healthy cluster for
+  * bounded loops, and the only option on local[n]. Setting
+  * `spark.graft.checkpoint.dir` swaps in RELIABLE checkpoints (files on
+  * HDFS / object store): an executor loss mid-iteration then recomputes
+  * the lost partitions from the checkpoint files instead of failing the
+  * whole O(log diameter) loop from the root — the knob a 1000-executor
+  * deployment needs, where the expected number of executor losses over a
+  * long job is >= 1 and localCheckpoint'd blocks die with their executor.
+  */
+object Checkpoints {
+
+  /** When set (session conf), [[materialize]] writes reliable
+    * checkpoints under this directory instead of local ones. */
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  /** Materialize `df` eagerly with truncated lineage. Every call is one
+    * distributed write + read-back boundary; callers pair it with
+    * [[free]] once the frame is superseded so storage stays O(live
+    * frontier), not O(frontier · rounds). */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirKey) match {
+      case Some(dir) =>
+        // setCheckpointDir is idempotent for a stable value; re-assert it
+        // per call so a conf change mid-session takes effect.
+        spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None =>
+        df.localCheckpoint(eager = true)
+    }
+  }
+
+  /** The RDD a checkpointed Dataset is backed by. `Dataset.unpersist`
+    * does NOT release checkpoint blocks (they are RDD-level persists,
+    * not cached query plans), so freeing a superseded frame needs the
+    * RDD handle out of the plan's LogicalRDD leaf. */
+  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical.collectFirst { case l: LogicalRDD => l.rdd }
+
+  /** Release the executor-storage blocks behind a [[materialize]]d frame
+    * (synchronously — the caller is about to allocate the next round's
+    * frontier into the same storage budget). For a reliable checkpoint
+    * this only drops any in-memory replica; the files remain, which is
+    * exactly the fault-tolerance contract. */
+  def free(df: DataFrame): Unit =
+    backingRdd(df).foreach(_.unpersist(blocking = true))
+}

@@ -22,10 +22,15 @@ import org.apache.spark.sql.types._
   * (dev.mysql.com/doc/dev/mysql-server → client/server protocol), not
   * the reference's codec — and covers the slice a query engine needs:
   *
-  *  - HandshakeV10 + HandshakeResponse41 (CLIENT_PROTOCOL_41 required;
-  *    the 20-byte auth-plugin-data salt is sent, any credential is
-  *    accepted — the bind is loopback-only by default, like [[SqlServer]],
-  *    so the auth surface is deliberately a stub, not a hole).
+  *  - HandshakeV10 + HandshakeResponse41 (CLIENT_PROTOCOL_41 required)
+  *    with real `mysql_native_password` verification when a user table
+  *    is configured: the client's 20-byte scramble is checked against
+  *    the stored double-SHA1 (`SHA1(SHA1(password))` — what mysql.user
+  *    stores) via `scramble XOR SHA1(salt ‖ stored) = SHA1(password)`,
+  *    then `SHA1(·) == stored` (constant-time compare). With no users
+  *    configured the phase stays permissive — the bind is loopback-only
+  *    by default, like [[SqlServer]], so the open mode is a deliberate
+  *    dev-loop default, not a hole.
   *  - COM_QUERY → column-count, ColumnDefinition41 per column, EOF,
   *    lenenc-string text rows, EOF (classic, non-DEPRECATE_EOF framing;
   *    the server never advertises CLIENT_DEPRECATE_EOF so clients use
@@ -42,7 +47,8 @@ import org.apache.spark.sql.types._
   * the rule that unbounded `collect()` belongs to cursors, not sockets.
   */
 final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
-    bindAddress: InetAddress) {
+    bindAddress: InetAddress,
+    users: Map[String, Array[Byte]]) {
   import MysqlServer._
 
   private val socket = new ServerSocket(port, 50, bindAddress)
@@ -83,27 +89,73 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     val out = new BufferedOutputStream(client.getOutputStream)
     try {
       val connId = connIds.incrementAndGet()
-      writePacket(out, 0, handshakeV10(connId))
+      val salt = Array.tabulate[Byte](20)(i => (0x21 + (connId * 7 + i) % 0x5d).toByte)
+      writePacket(out, 0, handshakeV10(connId, salt))
       out.flush()
       // HandshakeResponse41: client flags u32, max packet u32, charset u8,
-      // 23 reserved bytes, then username etc. — the permissive phase only
-      // checks PROTOCOL_41 and ignores the credential bytes.
+      // 23 reserved bytes, then username, auth response, optional db +
+      // plugin name. PROTOCOL_41 is required; the credential check runs
+      // only when a user table is configured.
       val (respSeq, resp) = readPacket(in)
       val clientFlags = leU32(resp, 0)
       if ((clientFlags & ClientProtocol41) == 0) {
         writePacket(out, respSeq + 1,
           errPacket(1043, "08S01", "pre-4.1 clients are not supported"))
         out.flush()
-      } else {
-        writePacket(out, respSeq + 1, okPacket())
-        out.flush()
-        commandLoop(in, out)
+      } else authenticate(resp, clientFlags, salt) match {
+        case Some(err) =>
+          writePacket(out, respSeq + 1, err)
+          out.flush()
+        case None =>
+          writePacket(out, respSeq + 1, okPacket())
+          out.flush()
+          commandLoop(in, out)
       }
     } catch {
       case _: EOFException => // client went away
       case _: Throwable if !running.get() =>
       case e: Throwable => System.err.println(s"[mysql] conn: $e")
     } finally client.close()
+  }
+
+  /** Connection-phase credential check. None = accepted. Parses the
+    * HandshakeResponse41 tail (username, auth response in whichever of
+    * the three encodings the client's flags selected) and verifies the
+    * `mysql_native_password` scramble against the configured user table
+    * (doradb-protocol/src/mysql/auth.rs:43-60 is the reference's
+    * equivalent check; the algorithm is the PUBLIC protocol's). */
+  private def authenticate(resp: Array[Byte], flags: Long,
+      salt: Array[Byte]): Option[Array[Byte]] = {
+    if (users.isEmpty) return None // permissive dev mode (loopback bind)
+    def denied(user: String) = Some(errPacket(1045, "28000",
+      s"Access denied for user '$user'"))
+    try {
+      var off = 4 + 4 + 1 + 23 // flags, max-packet, charset, reserved
+      val unameEnd = resp.indexOf(0.toByte, off)
+      if (unameEnd < 0) return denied("")
+      val user = new String(resp, off, unameEnd - off, StandardCharsets.UTF_8)
+      off = unameEnd + 1
+      val authResp: Array[Byte] =
+        if ((flags & ClientPluginAuthLenencData) != 0) {
+          val (len, used) = readLenencInt(resp, off)
+          java.util.Arrays.copyOfRange(resp, off + used, off + used + len.toInt)
+        } else if ((flags & ClientSecureConnection) != 0) {
+          val len = resp(off) & 0xFF
+          java.util.Arrays.copyOfRange(resp, off + 1, off + 1 + len)
+        } else {
+          val end = { val i = resp.indexOf(0.toByte, off); if (i < 0) resp.length else i }
+          java.util.Arrays.copyOfRange(resp, off, end)
+        }
+      users.get(user) match {
+        case Some(stored) if nativePasswordOk(salt, authResp, stored) => None
+        case _ => denied(user)
+      }
+    } catch {
+      // malformed handshake tail (truncated lenenc, short scramble):
+      // deny, never throw the connection handler
+      case _: IndexOutOfBoundsException | _: ArrayIndexOutOfBoundsException =>
+        denied("?")
+    }
   }
 
   private def commandLoop(in: InputStream, out: OutputStream): Unit = {
@@ -213,12 +265,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
 
   // ---- packet builders ---------------------------------------------------
 
-  private def handshakeV10(connId: Int): Array[Byte] = {
+  private def handshakeV10(connId: Int, salt: Array[Byte]): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
     buf.write(10) // protocol version
     buf.write(ServerVersion.getBytes(StandardCharsets.US_ASCII)); buf.write(0)
     buf.write(leBytes(connId, 4))
-    val salt = Array.tabulate[Byte](20)(i => (0x21 + (connId * 7 + i) % 0x5d).toByte)
     buf.write(salt, 0, 8); buf.write(0) // auth-plugin-data part 1 + filler
     buf.write(leBytes((ServerCaps & 0xFFFF).toInt, 2)) // capability lower
     buf.write(Utf8mb4Charset)
@@ -285,7 +336,44 @@ object MysqlServer {
   // connect-with-db + secure connection. CLIENT_DEPRECATE_EOF is NOT
   // advertised, pinning the classic EOF resultset framing.
   val ClientProtocol41 = 0x00000200L
+  val ClientSecureConnection = 0x00008000L
+  val ClientPluginAuthLenencData = 0x00200000L
   val ServerCaps: Long = 0x00000200L | 0x00080000L | 0x00000008L | 0x00008000L
+
+  // ---- mysql_native_password (public protocol) ----------------------------
+
+  private def sha1(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** What the server STORES per user: SHA1(SHA1(password)) — the
+    * mysql.user `Password` column's value (sans the leading '*' hex
+    * rendering). Empty password → empty array. */
+  def doubleSha1(password: String): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else sha1(sha1(password.getBytes(StandardCharsets.UTF_8)))
+
+  /** What the CLIENT sends: SHA1(pw) XOR SHA1(salt ‖ SHA1(SHA1(pw))).
+    * Exposed for the protocol spec's raw-socket client. */
+  def nativeScramble(salt: Array[Byte], password: String): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha1pw = sha1(password.getBytes(StandardCharsets.UTF_8))
+    val mix = sha1(salt, sha1(sha1pw))
+    Array.tabulate[Byte](20)(i => (sha1pw(i) ^ mix(i)).toByte)
+  }
+
+  /** Server-side check: recover SHA1(pw) from the scramble, re-hash,
+    * constant-time compare against the stored double-SHA1. */
+  def nativePasswordOk(salt: Array[Byte], response: Array[Byte],
+      stored: Array[Byte]): Boolean = {
+    if (stored.isEmpty) return response.isEmpty // empty-password account
+    if (response.length != 20) return false
+    val mix = sha1(salt, stored)
+    val sha1pw = Array.tabulate[Byte](20)(i => (response(i) ^ mix(i)).toByte)
+    java.security.MessageDigest.isEqual(sha1(sha1pw), stored)
+  }
 
   val Utf8mb4Charset = 255
   val StatusAutocommit = 0x0002
@@ -381,8 +469,11 @@ object MysqlServer {
       case x => (x.toLong, 1)
     }
 
-  /** Bind on `port` (0 = ephemeral; loopback unless explicitly widened). */
+  /** Bind on `port` (0 = ephemeral; loopback unless explicitly widened).
+    * `users` maps username → stored double-SHA1 ([[doubleSha1]]); empty
+    * map = permissive connection phase (dev loop). */
   def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
-      bindAddress: InetAddress = InetAddress.getLoopbackAddress): MysqlServer =
-    new MysqlServer(spark, port, maxRows, bindAddress)
+      bindAddress: InetAddress = InetAddress.getLoopbackAddress,
+      users: Map[String, Array[Byte]] = Map.empty): MysqlServer =
+    new MysqlServer(spark, port, maxRows, bindAddress, users)
 }

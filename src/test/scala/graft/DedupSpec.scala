@@ -113,6 +113,28 @@ class DedupSpec extends AnyFunSuite {
       s"checkpoint leak: $before persistent RDDs before, $after after")
   }
 
+  test("spark.graft.checkpoint.dir swaps in reliable checkpoints") {
+    // Same pipeline, but with the reliable-checkpoint knob set: every
+    // materialization must go to FILES under the configured directory
+    // (survives executor loss), not executor-local blocks — and results
+    // must be unchanged.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.plans.Checkpoints.DirKey, dir)
+    try {
+      val d = docs(
+        1L -> "a b c d e f g h", 2L -> "a b c d e f g h",
+        3L -> "completely unrelated content in this one")
+      val out = Dedup.dupClusters(d, 0.9).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set(1L -> 1L, 2L -> 1L, 3L -> 3L))
+      def rddDirs(f: java.io.File): Array[java.io.File] =
+        f.listFiles().flatMap(c =>
+          if (c.getName.startsWith("rdd-")) Array(c) else rddDirs(c))
+      assert(rddDirs(new java.io.File(dir)).nonEmpty,
+        "no reliable checkpoint files written under the configured dir")
+    } finally spark.conf.unset(graft.plans.Checkpoints.DirKey)
+  }
+
   test("cluster propagation converges on a 200-hop chain (diameter >> cap)") {
     // A path graph 0-1-2-...-200: diameter 200, far past the 64-round
     // cap. One-hop min-label propagation needs `diameter` rounds and

@@ -18,33 +18,48 @@ class MysqlProtocolSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  /** Minimal client connection: performs the connection phase and leaves
-    * the socket in the command phase. */
-  private final class Client(port: Int) {
+  /** Minimal client connection: performs the connection phase (computing
+    * the real mysql_native_password scramble from the handshake salt when
+    * a password is given) and leaves the socket in the command phase.
+    * `authError` carries the server's ERR message when access was
+    * denied. */
+  private final class Client(port: Int, user: String = "graft",
+      password: Option[String] = None) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
 
-    val (serverVersion, connectionId) = {
+    val (serverVersion, connectionId, authError) = {
       val (seq, hs) = readPacket(in)
       assert(seq == 0)
       assert(hs(0) == 10, s"protocol version ${hs(0)}")
       val verEnd = hs.indexOf(0, 1)
       val ver = new String(hs, 1, verEnd - 1, StandardCharsets.US_ASCII)
-      val connId = MysqlServer.leU32(hs, verEnd + 1)
+      val p = verEnd + 1
+      val connId = MysqlServer.leU32(hs, p)
+      // salt = auth-plugin-data part 1 (8 bytes at p+4) ‖ part 2
+      // (12 bytes past the filler/caps/charset/status/reserved block)
+      val salt = new Array[Byte](20)
+      System.arraycopy(hs, p + 4, salt, 0, 8)
+      System.arraycopy(hs, p + 31, salt, 8, 12)
       // HandshakeResponse41: flags, max packet, charset, 23 zeros,
-      // NUL-terminated user, lenenc auth response (empty).
+      // NUL-terminated user, length-prefixed auth response (SECURE_CONN).
+      val scramble = password.map(MysqlServer.nativeScramble(salt, _))
+        .getOrElse(Array.emptyByteArray)
       val buf = new java.io.ByteArrayOutputStream()
       buf.write(leBytes(0x00000200 | 0x00008000, 4)) // PROTOCOL_41 | SECURE_CONN
       buf.write(leBytes(1 << 24, 4))
       buf.write(255); buf.write(new Array[Byte](23))
-      buf.write("graft".getBytes(StandardCharsets.UTF_8)); buf.write(0)
-      buf.write(0) // empty auth response
+      buf.write(user.getBytes(StandardCharsets.UTF_8)); buf.write(0)
+      buf.write(scramble.length); buf.write(scramble, 0, scramble.length)
       writePacket(out, 1, buf.toByteArray)
       out.flush() // writePacket leaves flushing to response boundaries
       val (_, ok) = readPacket(in)
-      assert((ok(0) & 0xFF) == 0x00, s"expected OK, got 0x${(ok(0) & 0xFF).toHexString}")
-      (ver, connId)
+      val err =
+        if ((ok(0) & 0xFF) == 0xFF)
+          Some(new String(ok, 9, ok.length - 9, StandardCharsets.UTF_8))
+        else None
+      (ver, connId, err)
     }
 
     /** COM_QUERY → Left(err message) or Right(columns, rows-as-strings). */
@@ -135,9 +150,46 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val c = new Client(server.boundPort)
       assert(c.serverVersion.contains("graft"))
       assert(c.connectionId > 0)
+      assert(c.authError.isEmpty)
       assert(c.ping())
       c.quit()
     } finally server.stop()
+  }
+
+  test("mysql_native_password: right password in, wrong password out") {
+    val users = Map("alice" -> MysqlServer.doubleSha1("s3cret"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      // correct scramble → command phase works end-to-end
+      val ok = new Client(server.boundPort, "alice", Some("s3cret"))
+      assert(ok.authError.isEmpty, ok.authError)
+      val Right((_, rows)) = ok.query("select 41 + 1 as a")
+      assert(rows == Seq(Seq(Some("42"))))
+      ok.quit()
+      // wrong password → ERR 1045, no command phase
+      val bad = new Client(server.boundPort, "alice", Some("wrong"))
+      assert(bad.authError.exists(_.contains("Access denied")), bad.authError)
+      // unknown user → denied even with some password
+      val ghost = new Client(server.boundPort, "mallory", Some("s3cret"))
+      assert(ghost.authError.exists(_.contains("Access denied")))
+      // empty auth response against a passworded account → denied
+      val empty = new Client(server.boundPort, "alice", None)
+      assert(empty.authError.nonEmpty)
+    } finally server.stop()
+  }
+
+  test("scramble round-trip: verifier accepts exactly the matching secret") {
+    val salt = Array.tabulate[Byte](20)(i => (i * 7 + 3).toByte)
+    val stored = MysqlServer.doubleSha1("hunter2")
+    val good = MysqlServer.nativeScramble(salt, "hunter2")
+    val bad = MysqlServer.nativeScramble(salt, "hunter3")
+    assert(MysqlServer.nativePasswordOk(salt, good, stored))
+    assert(!MysqlServer.nativePasswordOk(salt, bad, stored))
+    assert(!MysqlServer.nativePasswordOk(salt, Array.emptyByteArray, stored))
+    // empty-password account accepts only the empty response
+    assert(MysqlServer.nativePasswordOk(salt, Array.emptyByteArray,
+      MysqlServer.doubleSha1("")))
+    assert(!MysqlServer.nativePasswordOk(salt, good, MysqlServer.doubleSha1("")))
   }
 
   test("COM_QUERY returns a text resultset with correct values and names") {
