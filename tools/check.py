@@ -43,12 +43,14 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = con.execute(
+            got = con.sql(
                 f"select * from '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
+            got_cols = list(got.columns)
+            got_types = dict(zip(got_cols, (str(t) for t in got.types)))
             got_rows = got.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
+            want = con.sql(sql)
+            want_cols = list(want.columns)
+            want_types = dict(zip(want_cols, (str(t) for t in want.types)))
             want_rows = want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -58,6 +60,26 @@ def main():
         wc, wr = canon(want_rows, want_cols)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_fail += 1
+            continue
+        # Dtype audit: Python == is cross-type (1 == 1.0), but the
+        # driver's hash is dtype-sensitive — a bigint/double mismatch
+        # passes the value compare here and still fails the real gate
+        # (this artifact cost two rounds: tpch_ref_q12, corpus_stats_
+        # tokens). Integer-family widths are allowed to differ (the
+        # driver compares values after a common cast); int-vs-float and
+        # anything-vs-string are not.
+        def family(t):
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+                return "float"
+            return t
+        mism = [(c, got_types[c], want_types[c]) for c in gc
+                if family(got_types[c]) != family(want_types[c])]
+        if mism:
+            print(f"FAIL {name}: dtype mismatch {mism}")
             n_fail += 1
             continue
         if len(gr) != len(wr):
