@@ -94,5 +94,40 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
-  val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort)
+  /** Event-type transition bigrams: per user, events ordered by time
+    * form a path; adjacent (src → dst) hops are counted corpus-wide —
+    * the first-order Markov view behind "where do users go next"
+    * analyses. One window keyed on user_id (a user's events are one
+    * state shard; the shuffle is the same user-key exchange the funnel
+    * uses) followed by a tiny groupBy on the type pair — at fact scale
+    * the output is |event types|², independent of row count. */
+  def transitionBigrams(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        lag(col("event_type"), 1).over(w).as("src"),
+        col("event_type").as("dst"))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val eventsPaths: Q = Q.df(
+    "events_user_paths",
+    """with hops as (
+      |  select user_id,
+      |    lag(event_type) over (partition by user_id
+      |                          order by ts, event_id) as src,
+      |    event_type as dst
+      |  from events)
+      |select src, dst, count(*) as n
+      |from hops where src is not null
+      |group by src, dst
+      |order by n desc, src, dst""".stripMargin) { (s, dir) =>
+    transitionBigrams(Tables.df(s, dir, "events"))
+      .orderBy(col("n").desc, col("src"), col("dst"))
+  }
+
+  val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths)
 }

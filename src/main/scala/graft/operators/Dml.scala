@@ -121,5 +121,58 @@ object Dml {
     s.sql(s"select doc_id, source, n_tokens from $Table2").orderBy(col("doc_id"))
   }
 
-  val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite)
+  private val Table3 = "graft_dml_upsert"
+  private val Stage3 = "graft_dml_upsert_batch"
+  private val Merged = "graft_dml_upsert_merged"
+
+  /** MERGE/upsert (MySQL's INSERT ... ON DUPLICATE KEY UPDATE — the
+    * reference dialect's native upsert) executed as the same
+    * copy-on-write shape lakehouse formats use for MERGE INTO on
+    * parquet: full-outer-join the base table with the staged batch on
+    * the key, batch values win on match, both sides' unmatched rows
+    * survive, swap the rewritten file set in with INSERT OVERWRITE.
+    * Base = src0 docs; batch = every other src0 doc (updates) plus all
+    * src1 docs (inserts, disjoint keys) at 10× the token count, so all
+    * three MERGE cases (update / insert / untouched) are populated. The join is keyed on
+    * doc_id — at scale a shuffle join on the primary key, with the
+    * batch side typically small enough to broadcast. */
+  val dmlMergeUpsert: Q = Q.df(
+    "dml_merge_upsert",
+    """with base as (
+      |  select doc_id, cast(len(string_split(text, ' ')) as bigint) as n_tokens
+      |  from documents where source = 'src0'),
+      |upd as (
+      |  select doc_id, cast(len(string_split(text, ' ')) as bigint) * 10 as n_tokens
+      |  from documents
+      |  where (source = 'src0' and doc_id % 40 = 0) or source = 'src1')
+      |select coalesce(b.doc_id, u.doc_id) as doc_id,
+      |  coalesce(u.n_tokens, b.n_tokens) as n_tokens
+      |from base b full outer join upd u on b.doc_id = u.doc_id
+      |order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    Seq(Table3, Stage3, Merged).foreach(dropManaged(s, _))
+    s.sql(
+      s"""create table $Table3 using parquet as
+         |select doc_id, cast(size(split(text, ' ')) as bigint) as n_tokens
+         |from documents where source = 'src0'""".stripMargin)
+    s.sql(
+      s"""create table $Stage3 using parquet as
+         |select doc_id, cast(size(split(text, ' ')) as bigint) * 10 as n_tokens
+         |from documents
+         |where (source = 'src0' and doc_id % 40 = 0) or source = 'src1'""".stripMargin)
+    // MERGE as copy-on-write: batch wins on key match, everything else
+    // passes through; then the atomic swap.
+    s.sql(
+      s"""create table $Merged using parquet as
+         |select coalesce(b.doc_id, u.doc_id) as doc_id,
+         |  coalesce(u.n_tokens, b.n_tokens) as n_tokens
+         |from $Table3 b full outer join $Stage3 u on b.doc_id = u.doc_id""".stripMargin)
+    s.sql(s"insert overwrite $Table3 select * from $Merged")
+    s.sql(s"drop table $Merged")
+    s.sql(s"drop table $Stage3")
+    s.sql(s"select doc_id, n_tokens from $Table3").orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
+    dmlMergeUpsert)
 }

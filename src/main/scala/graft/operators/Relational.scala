@@ -715,6 +715,21 @@ object Relational {
       |from orders group by o_orderstatus
       |order by o_orderstatus""".stripMargin)
 
+  /** Continuous (interpolated) percentiles. Interpolation arithmetic is
+    * engine-specific in general, but over INTEGER-valued quantities with
+    * quarter fractions every term (a + (b-a)·f, f ∈ {0, ¼, ½, ¾}) is
+    * exact in binary floating point — so the entry is still bit-exact
+    * cross-engine. Distributed shape: one sort-based aggregate per
+    * group, same as percentile_disc. */
+  val aggPercentileCont: Q = Q.shared(
+    "agg_percentile_cont",
+    """select l_returnflag,
+      |  percentile_cont(0.25) within group (order by l_quantity) as q1,
+      |  percentile_cont(0.5) within group (order by l_quantity) as median,
+      |  percentile_cont(0.75) within group (order by l_quantity) as q3
+      |from lineitem group by l_returnflag
+      |order by l_returnflag""".stripMargin)
+
   // ---- Multi-dimensional aggregation (beyond-reference: the reference's
   // AST has only plain GROUP BY, ast.rs:1270-1281) ------------------------
 
@@ -854,6 +869,29 @@ object Relational {
       |where o_custkey < 50
       |order by o_custkey, o_orderkey""".stripMargin)
 
+  /** Distribution window functions: percent_rank/cume_dist (rank-ratio
+    * doubles — a single integer division, bit-identical cross-engine)
+    * plus frame-pinned first/last/nth_value. The unique o_orderkey in
+    * the ORDER BY makes every rank deterministic; last/nth use the full
+    * unbounded frame (the default RANGE..CURRENT ROW frame would make
+    * last_value degenerate to the current row). */
+  val windowDistribution: Q = Q.shared(
+    "window_distribution",
+    """select o_orderkey, o_orderpriority,
+      |  percent_rank() over w as pr,
+      |  cume_dist() over w as cd,
+      |  first_value(o_orderkey) over w as first_key,
+      |  last_value(o_orderkey) over (
+      |    partition by o_orderpriority order by o_orderkey
+      |    rows between unbounded preceding and unbounded following) as last_key,
+      |  nth_value(o_orderkey, 2) over (
+      |    partition by o_orderpriority order by o_orderkey
+      |    rows between unbounded preceding and unbounded following) as second_key
+      |from orders
+      |where o_custkey % 50 = 0
+      |window w as (partition by o_orderpriority order by o_orderkey)
+      |order by o_orderkey""".stripMargin)
+
   /** Tumbling-window aggregation over the events table — the batch form
     * of the Structured Streaming query in graft.streaming. */
   val windowTumblingEvents: Q = Q.df(
@@ -884,9 +922,10 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
-    aggRollup, aggCube, aggGroupingSets, aggPercentileDisc, aggMinMaxBy,
+    aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
+    aggPercentileCont, aggMinMaxBy,
     aggBool, aggStringAgg,
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
-    windowRangeFrame)
+    windowRangeFrame, windowDistribution)
 }
