@@ -234,6 +234,126 @@ object Dedup {
         .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- Containment (asymmetric near-dup: quotes / subset documents) -------
+
+  /** Containment threshold: A is "contained in" B when at least this
+    * fraction of A's shingles also occur in B. */
+  val ContainmentThreshold = 0.8
+
+  /** All ordered pairs with trigram containment c/|A| >= threshold —
+    * the ASYMMETRIC companion to [[jaccardPairs]]: a short document
+    * quoted inside a long one has high containment but low Jaccard
+    * (|union| is dominated by the long side), so symmetric dedup never
+    * surfaces it. Same three-stage skew-bounded shape as Jaccard:
+    *
+    * 1. Common-RARE counts from the df-capped inverted index.
+    * 2. Bound prune: c <= c_rare + min(k1,k2), and containment in the
+    *    better direction is c/min(n1,n2), so any qualifying pair has
+    *    c_rare + min(k1,k2) >= t·min(n1,n2).
+    * 3. Hot-only recovery: a pair with NO common rare shingle has
+    *    c <= min(k1,k2); direction A→B needs c >= t·n1 <= k1, so the
+    *    CONTAINED side must itself be hot-heavy (k/n >= t). Its hot
+    *    shingles are joined against the full HOT index (both directions
+    *    covered: if B is also contained it is also hot-heavy and also
+    *    generates the pair). Work is Σ_hot df_hh(s)·df(s) — nonzero only
+    *    for boilerplate-dominated contained docs, the regime where the
+    *    true output is itself that large.
+    * 4. Exact verification from full shingle arrays; each surviving
+    *    unordered pair emits one row per qualifying DIRECTION as
+    *    (contained_id, container_id, containment). */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val base = Checkpoints.materialize(shingleHashArrays(docs))
+    val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    val hotPerDoc = sh.join(hot, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("k_hot"))
+    val docStats = nSh.join(hotPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("k_hot"), lit(0L)).as("k_hot"))
+    val idx = sh.join(hot, Seq("sh"), "left_anti")
+    val cRare = idx.select(col("sh"), col("doc_id").as("d1"))
+      .join(idx.select(col("sh"), col("doc_id").as("d2")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("c_rare"))
+    val bounded = cRare
+      .join(docStats.select(col("doc_id").as("d1"), col("n_sh").as("n1"),
+        col("k_hot").as("k1")), Seq("d1"))
+      .join(docStats.select(col("doc_id").as("d2"), col("n_sh").as("n2"),
+        col("k_hot").as("k2")), Seq("d2"))
+      .filter((col("c_rare") + least(col("k1"), col("k2"))).cast("double")
+        >= lit(threshold) * least(col("n1"), col("n2")).cast("double"))
+      .select(col("d1"), col("d2"))
+    // Hot-only recovery keyed on the hot-heavy CONTAINED side.
+    val hotHeavy = docStats
+      .filter(col("k_hot").cast("double") >= lit(threshold) * col("n_sh").cast("double"))
+      .select(col("doc_id"))
+    val shHot = sh.join(hot, Seq("sh")) // hot shingles only, all docs
+    val shHh = shHot.join(hotHeavy, Seq("doc_id"), "left_semi")
+    val recovered = shHh.select(col("sh"), col("doc_id").as("da"))
+      .join(shHot.select(col("sh"), col("doc_id").as("db")), Seq("sh"))
+      .filter(col("da") =!= col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      .join(docStats.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .filter(col("c").cast("double") >= lit(threshold) * col("na").cast("double"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+    val cands = bounded.union(recovered).distinct()
+    val out = verifyContainment(docs, cands, threshold)
+    Checkpoints.free(base)
+    out
+  }
+
+  /** Exact per-direction containment for an unordered candidate pair
+    * set: one output row per direction whose c/|contained| clears the
+    * threshold. Shares [[verifyJaccard]]'s materialization discipline. */
+  private def verifyContainment(docs: DataFrame, cands0: DataFrame,
+      threshold: Double): DataFrame = {
+    val cands = Checkpoints.materialize(cands0)
+    val ids = cands.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val arrs = Checkpoints.materialize(
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), Text.shingles(col("text"), ShingleN).as("sh_arr")))
+    val joined = cands
+      .join(arrs.select(col("doc_id").as("d1"), col("sh_arr").as("sh1")), Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"), col("sh_arr").as("sh2")), Seq("d2"))
+      .withColumn("c", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+    val dir1 = joined.select(col("d1").as("contained_id"),
+      col("d2").as("container_id"),
+      (col("c") / size(col("sh1")).cast("double")).as("containment"))
+    val dir2 = joined.select(col("d2").as("contained_id"),
+      col("d1").as("container_id"),
+      (col("c") / size(col("sh2")).cast("double")).as("containment"))
+    val out = dir1.union(dir2).filter(col("containment") >= threshold)
+    val outM = Checkpoints.materialize(out)
+    Seq(cands, arrs).foreach(Checkpoints.free)
+    outM
+  }
+
+  val containmentOracle: String =
+    s"""with toks as (select doc_id, string_split(text, ' ') as t from documents),
+       |sh as (select distinct doc_id,
+       |         unnest(${Text.sqlTrigramList("t")}) as s
+       |       from toks),
+       |cnt as (select doc_id, count(*) as n from sh group by doc_id),
+       |common as (select a.doc_id as da, b.doc_id as db, count(*) as c
+       |           from sh a join sh b on a.s = b.s and a.doc_id <> b.doc_id
+       |           group by 1, 2)
+       |select da as contained_id, db as container_id,
+       |  cast(c as double) / cast(x.n as double) as containment
+       |from common join cnt x on da = x.doc_id
+       |where cast(c as double) / cast(x.n as double) >= $ContainmentThreshold
+       |order by contained_id, container_id""".stripMargin
+
+  val dedupContainment: Q = Q.df("dedup_containment", containmentOracle) {
+    (s, dir) =>
+      containmentPairs(Tables.df(s, dir, "documents"), ContainmentThreshold)
+        .orderBy(col("contained_id"), col("container_id"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------------
 
   // k=64, 16 bands of r=4: candidate-recall miss prob at jaccard 0.85 is
@@ -584,5 +704,5 @@ object Dedup {
 
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-      dedupClusters)
+      dedupClusters, dedupContainment)
 }

@@ -93,6 +93,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0.5)))
   }
 
+  test("containment surfaces a quote that Jaccard misses") {
+    // doc 2 = doc 1 plus a long unrelated tail: every shingle of doc 1
+    // occurs in doc 2 (containment 1.0) but Jaccard = 3/17 ≈ 0.18.
+    val quote = "alpha beta gamma delta epsilon"
+    val tail = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14"
+    val d = docs(1L -> quote, 2L -> s"$quote $tail",
+      3L -> "totally different content in this third document here")
+    val cont = Dedup.containmentPairs(d, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    val jac = Dedup.jaccardPairs(d, 0.8)
+      .collect()
+    assert(jac.isEmpty, "jaccard should NOT pair a short quote with a long host")
+  }
+
+  test("containment hot-only recovery finds boilerplate-contained docs") {
+    // With maxDf = 1 every shared shingle is hot, so the rare-index
+    // stage sees nothing and only the recovery pass can find the pair.
+    val d = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e x y z w v u t s r q p",
+      3L -> "a b c d e j k l m n o i h g f",
+      4L -> "unrelated words that share nothing with others at all")
+    val got = Dedup.containmentPairs(d, 0.9, maxDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L)), got.mkString(","))
+  }
+
   test("dupClusters frees superseded frontiers (bounded block-manager storage)") {
     val sc = spark.sparkContext
     // a 5-doc duplicate chain forces multiple propagation rounds
