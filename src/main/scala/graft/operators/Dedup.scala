@@ -491,9 +491,25 @@ object Dedup {
     // eagerly (edges checkpoint + per-round counts), so by the time it
     // returns nothing references the pair blocks and they are freed.
     val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
-    val out = propagateClusters(docs.select(col("doc_id")), pairs)
+    // Iterate ONLY over vertices that appear in a pair: near-dup graph
+    // vertices are a small fraction of the corpus (the whole point of
+    // dedup), so every propagation round's join + aggregate runs on the
+    // affected subgraph, not corpus-wide. Untouched documents are their
+    // own cluster by definition and join back in one shuffle-free pass
+    // at the end (left_anti on the tiny touched set, broadcastable).
+    val touched = Checkpoints.materialize(
+      pairs.select(col("d1").as("doc_id"))
+        .union(pairs.select(col("d2").as("doc_id"))).distinct())
+    val labeled = propagateClusters(touched, pairs)
+    // pairs is fully consumed (touched is materialized; the propagation
+    // loop ran eagerly) — free it BEFORE the result is read. touched
+    // stays pinned: the untouched branch below reads it lazily, and it
+    // is only the near-dup id set.
     Checkpoints.free(pairs)
-    out
+    val untouched = docs.select(col("doc_id"))
+      .join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labeled.union(untouched)
   }
 
   /** Min-label propagation with pointer doubling over an explicit
