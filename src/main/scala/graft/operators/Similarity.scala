@@ -77,8 +77,7 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
-  val annBruteForce: Q = Q.df(
-    "ann_cosine_topk",
+  private def bruteForceOracle: String =
     s"""with e as ($sqlUnit),
        |q as (select * from e where vec_id < $NumQueries),
        |pairs as (
@@ -90,7 +89,9 @@ object Similarity {
        |        partition by query_id order by cos desc, neighbor_id) as bigint) as rnk
        |      from pairs) t
        |where rnk <= $TopK
-       |order by query_id, rnk""".stripMargin) { (s, dir) =>
+       |order by query_id, rnk""".stripMargin
+
+  val annBruteForce: Q = Q.df("ann_cosine_topk", bruteForceOracle) { (s, dir) =>
     bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -507,6 +508,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Recall@k of both ANN paths against the exact top-k — the index-
+    * quality evaluation every ANN deployment runs before trading recall
+    * for throughput. Pure composition of the three kernels above: the
+    * candidate lists are tiny (NumQueries·k rows) so the recall join is
+    * driver-free and broadcast-sized no matter the corpus scale — the
+    * cost is the three index probes themselves, each already bounded
+    * (brute force broadcasts only the query set; LSH/IVF shuffle only
+    * bucket keys). The oracle nests the three entry oracles verbatim as
+    * derived tables, so recall stays hash-checked end to end. */
+  val annRecall: Q = Q.df(
+    "ann_recall_at_k", {
+      // ivfOracle embeds the run's trained centroids (late-bound).
+      s"""with exact as (select query_id, neighbor_id from ($bruteForceOracle) t),
+         |lshk as (select query_id, neighbor_id from ($lshOracle) t),
+         |ivfk as (select query_id, neighbor_id from ($ivfOracle) t)
+         |select exact.query_id,
+         |  round(cast(sum(case when l.neighbor_id is not null then 1 else 0 end)
+         |          as double) / cast($TopK as double), 6) as lsh_recall,
+         |  round(cast(sum(case when i.neighbor_id is not null then 1 else 0 end)
+         |          as double) / cast($TopK as double), 6) as ivf_recall
+         |from exact
+         |left join lshk l on l.query_id = exact.query_id
+         |  and l.neighbor_id = exact.neighbor_id
+         |left join ivfk i on i.query_id = exact.query_id
+         |  and i.neighbor_id = exact.neighbor_id
+         |group by exact.query_id
+         |order by exact.query_id""".stripMargin
+    }) { (s, dir) =>
+    val emb = Tables.df(s, dir, "embeddings")
+    val keys = Seq("query_id", "neighbor_id")
+    val exact = bruteForceTopK(emb, TopK).select("query_id", "neighbor_id")
+    val lsh = lshTopK(emb, TopK).select("query_id", "neighbor_id")
+      .withColumn("in_lsh", lit(1))
+    val ivf = ivfTopK(emb, TopK, dir).select("query_id", "neighbor_id")
+      .withColumn("in_ivf", lit(1))
+    exact
+      .join(lsh, keys, "left")
+      .join(ivf, keys, "left")
+      .groupBy(col("query_id"))
+      .agg(
+        round(sum(coalesce(col("in_lsh"), lit(0))).cast("double")
+          / lit(TopK).cast("double"), 6).as("lsh_recall"),
+        round(sum(coalesce(col("in_ivf"), lit(0))).cast("double")
+          / lit(TopK).cast("double"), 6).as("ivf_recall"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Seq[Q] =
-    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf)
+    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall)
 }

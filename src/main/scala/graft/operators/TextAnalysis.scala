@@ -224,8 +224,57 @@ object TextAnalysis {
       .orderBy(col("event_id")).limit(2000)
   }
 
+  /** Word-unigram Shannon entropy + type-token ratio per document — the
+    * standard lexical-diversity quality signals (boilerplate/spam pages
+    * repeat tokens and score low; natural prose scores near log2 of its
+    * vocabulary). Entropy is computed as log2(n) - Σ c·log2(c) / n over
+    * the per-doc token counts; the Σ runs as a sequential fold over the
+    * SORTED count list in BOTH engines, so the double summation order is
+    * bit-identical to the oracle (same determinism trick as the cosine
+    * kernels). Scale: two keyed aggregations with map-side combine
+    * (doc_id,tok → doc_id); the folded array is bounded by per-document
+    * vocabulary, never corpus vocabulary, so no task ever sees global
+    * state. */
+  val textEntropy: Q = Q.df(
+    "text_entropy",
+    """with cnt as (
+      |  select doc_id, tok, cast(count(*) as bigint) as c
+      |  from (select doc_id, unnest(string_split(text, ' ')) as tok
+      |        from documents)
+      |  group by doc_id, tok),
+      |agg as (
+      |  select doc_id,
+      |    list_sort(list(cast(c as double))) as cs,
+      |    cast(sum(c) as bigint) as n_tokens,
+      |    cast(count(*) as bigint) as n_types
+      |  from cnt group by doc_id)
+      |select doc_id, n_tokens, n_types,
+      |  round(log2(cast(n_tokens as double))
+      |    - list_reduce(list_prepend(cast(0 as double), cs),
+      |        (acc, x) -> acc + x * log2(x)) / cast(n_tokens as double),
+      |    6) as entropy,
+      |  round(cast(n_types as double) / cast(n_tokens as double), 6) as ttr
+      |from agg order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(col("c").cast("double"))).as("cs"),
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_types"),
+        round(log2(col("n_tokens").cast("double"))
+          - aggregate(col("cs"), lit(0.0d), (acc, x) => acc + x * log2(x))
+            / col("n_tokens").cast("double"), 6).as("entropy"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"),
+          6).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
-      jsonExtractProps)
+      jsonExtractProps, textEntropy)
 }
