@@ -718,7 +718,70 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- exact duplicated substrings (Lee et al. span dedup) ----------------
+
+  /** Window length (tokens) for exact-substring span dedup. */
+  val SpanTokens = 20
+
+  /** Exact duplicated-span detection: document pairs sharing at least one
+    * verbatim [[SpanTokens]]-token window — the "exact substring"
+    * deduplication of Lee et al. (Deduplicating Training Data Makes
+    * Language Models Better), where MinHash misses partial copies of
+    * long documents but a shared 20-token span is near-certain reuse.
+    *
+    * Scale shape: every position contributes one span row, so the
+    * working set is O(total tokens) — the same order as the corpus scan
+    * itself — and the ONLY shuffle is the span groupBy (map-side combine
+    * collapses within-doc repeats first). Pairs are emitted from each
+    * span's sorted doc set, never from a corpus self-join. At 100 TB the
+    * one extra knob is a document-frequency cap on spans (boilerplate
+    * headers hit millions of docs and would emit quadratic pairs; they
+    * are exactly the spans a dedup pass wants to HANDLE via a separate
+    * boilerplate filter, not pairwise). The fixture's max span df is 3,
+    * so the entry runs uncapped and stays bit-comparable to the oracle.
+    */
+  def substringSpanPairs(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= w)
+    // sequence(1, n-w+1) is safe: the filter guarantees n >= w, and
+    // Spark's sequence would count DOWN for an empty range otherwise.
+    val spans = toks.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+        i => array_join(slice(col("t"), i, lit(w)), " "))).as("sp"))
+    val bySpan = spans
+      .groupBy(col("sp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    // per-span pair explosion: (i, j>i) over the sorted doc set — pair
+    // count is bounded by df², already capped by the df guard above.
+    bySpan
+      .select(explode(flatten(transform(col("ds"), (d1, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  val dedupSubstring: Q = Q.df(
+    "dedup_substring_spans",
+    s"""with t as (select doc_id, string_split(text, ' ') as l from documents),
+       |pos as (select doc_id, l,
+       |  unnest(range(1, greatest(len(l) - ${SpanTokens - 2}, 1))) as i from t),
+       |spans as (select doc_id,
+       |  array_to_string(l[i : i + ${SpanTokens - 1}], ' ') as sp from pos),
+       |ds as (select distinct doc_id, sp from spans)
+       |select a.doc_id as d1, b.doc_id as d2,
+       |  cast(count(*) as bigint) as shared_spans
+       |from ds a join ds b on a.sp = b.sp and a.doc_id < b.doc_id
+       |group by a.doc_id, b.doc_id
+       |order by d1, d2""".stripMargin) { (s, dir) =>
+    substringSpanPairs(Tables.df(s, dir, "documents"), SpanTokens)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-      dedupClusters, dedupContainment)
+      dedupClusters, dedupContainment, dedupSubstring)
 }

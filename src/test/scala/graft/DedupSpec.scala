@@ -163,6 +163,22 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.Checkpoints.DirKey)
   }
 
+  test("substring spans: shared 20-token window found, window count exact") {
+    val w = Dedup.SpanTokens
+    val shared = (1 to w + 2).map(i => s"s$i").mkString(" ") // w+2 tokens
+    val d = docs(
+      1L -> s"intro one two $shared",
+      2L -> s"$shared outro alpha beta gamma",
+      // doc 3 is long enough but shares no window
+      3L -> (1 to w + 5).map(i => s"z$i").mkString(" "),
+      // doc 4 shares tokens with 1/2 but is SHORTER than the window
+      4L -> (1 to w - 1).map(i => s"s$i").mkString(" "))
+    val got = Dedup.substringSpanPairs(d, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 share exactly the 3 windows inside the w+2 run
+    assert(got.toSeq == Seq((1L, 2L, 3L)))
+  }
+
   test("cluster propagation converges on a 200-hop chain (diameter >> cap)") {
     // A path graph 0-1-2-...-200: diameter 200, far past the 64-round
     // cap. One-hop min-label propagation needs `diameter` rounds and
