@@ -192,5 +192,53 @@ object Cluster {
       .orderBy(col("cid"), col("rnk"))
   }
 
-  val queries: Seq[Q] = Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced)
+  // ---- clustering-quality evaluation --------------------------------------
+
+  /** Cluster purity against the fixture's ground-truth `label` column —
+    * the standard external clustering evaluation (majority-label share
+    * per cluster), the same "grade the index, don't trust it" move as
+    * `ann_recall_at_k`. Per cluster: population, majority label
+    * (smallest label wins ties, deterministically), its count, and
+    * purity = top_count / cluster_size.
+    *
+    * Scale shape: the assignment kernel is zero-shuffle; the label
+    * attach is an equi-join on vec_id (co-partitioned key both sides);
+    * the (cid, label) histogram is one map-side-combined aggregation
+    * whose output is |clusters|·|labels| rows — independent of corpus
+    * row count, so the ranking window is driver-scale-free. */
+  val clusterPurity: Q = Q.df(
+    "cluster_purity", {
+      s"""with $assignSql,
+         |j as (select a.cid, e.label
+         |      from assign a join embeddings e on a.vec_id = e.vec_id),
+         |cnt as (select cid, label, cast(count(*) as bigint) as c
+         |        from j group by cid, label),
+         |ranked as (select cid, label, c,
+         |    row_number() over (partition by cid order by c desc, label) as rn,
+         |    sum(c) over (partition by cid) as n
+         |  from cnt)
+         |select cid, cast(n as bigint) as cluster_size,
+         |  cast(label as bigint) as top_label, c as top_count,
+         |  round(cast(c as double) / cast(n as double), 6) as purity
+         |from ranked where rn = 1 order by cid""".stripMargin
+    }) { (s, dir) =>
+    val emb = Tables.df(s, dir, "embeddings")
+    val cnt = assigned(emb, dir).select(col("vec_id"), col("cid"))
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("c"))
+    val byCluster = Window.partitionBy(col("cid"))
+    cnt
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("c").desc, col("label"))))
+      .withColumn("n", sum(col("c")).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n").as("cluster_size"),
+        col("label").cast("long").as("top_label"), col("c").as("top_count"),
+        round(col("c").cast("double") / col("n").cast("double"), 6)
+          .as("purity"))
+      .orderBy(col("cid"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced, clusterPurity)
 }
