@@ -501,13 +501,17 @@ object Dedup {
       pairs.select(col("d1").as("doc_id"))
         .union(pairs.select(col("d2").as("doc_id"))).distinct())
     val labeled = propagateClusters(touched, pairs)
-    // pairs is fully consumed (touched is materialized; the propagation
-    // loop ran eagerly) — free it BEFORE the result is read. touched
-    // stays pinned: the untouched branch below reads it lazily, and it
-    // is only the near-dup id set.
-    Checkpoints.free(pairs)
+    // propagateClusters copied both inputs into its own eager frames
+    // (edges + the first frontier), so pairs and touched are fully
+    // consumed — free both HERE, synchronously. Only the final frontier
+    // backing `labeled` stays live, preserving the one-frame storage
+    // contract the frontier-freeing spec pins down.
+    Seq(pairs, touched).foreach(Checkpoints.free)
+    // labeled's key set IS the touched set, so the anti join can use it
+    // directly: it is the (tiny, checkpoint-backed) near-dup id→label
+    // map, broadcastable at any corpus scale.
     val untouched = docs.select(col("doc_id"))
-      .join(touched, Seq("doc_id"), "left_anti")
+      .join(labeled, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     labeled.union(untouched)
   }

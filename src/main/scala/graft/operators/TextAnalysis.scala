@@ -273,8 +273,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-trained unigram LM score per document — the perplexity-proxy
+    * quality filter (CCNet-style: score each doc by the average log-prob
+    * of its tokens under a model trained on the corpus itself; gibberish
+    * and rare-token spam score far below prose). lm_score is
+    * (1/n) Σ log2 p(tok_i) over every token OCCURRENCE, with
+    * p = count(tok)/total derived as log2(c) - log2(t) so both engines
+    * evaluate the same two libm calls per token; the per-doc Σ folds
+    * over the sorted log-prob list (the [[textEntropy]] determinism
+    * contract).
+    *
+    * Scale shape: the "model" is a unigram count table, never
+    * collected — training is one map-side-combined groupBy, scoring is
+    * an equi-join of the token stream against it. Hot tokens ("the")
+    * skew that join's key distribution; AQE's skew-join split bounds the
+    * straggler, and at 100 TB the standard refinement is broadcasting
+    * the top-k hottest vocabulary rows and joining only the tail. */
+  val textLmScore: Q = Q.df(
+    "text_lm_score",
+    """with tok as (select doc_id, unnest(string_split(text, ' ')) as tok
+      |            from documents),
+      |vocab as (select tok, cast(count(*) as bigint) as c
+      |          from tok group by tok),
+      |tot as (select cast(sum(c) as bigint) as t from vocab),
+      |scored as (
+      |  select doc_id,
+      |    log2(cast(c as double)) - log2(cast(t as double)) as lp
+      |  from tok join vocab using (tok) cross join tot),
+      |agg as (select doc_id, list_sort(list(lp)) as lps,
+      |          cast(count(*) as bigint) as n_tokens
+      |        from scored group by doc_id)
+      |select doc_id, n_tokens,
+      |  round(list_reduce(list_prepend(cast(0 as double), lps),
+      |          (acc, x) -> acc + x) / cast(n_tokens as double), 6) as lm_score
+      |from agg order by doc_id""".stripMargin) { (s, dir) =>
+    val toks = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    toks
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (log2(col("c").cast("double")) - log2(col("t").cast("double")))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("lp"))).as("lps"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x)
+          / col("n_tokens").cast("double"), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
-      jsonExtractProps, textEntropy)
+      jsonExtractProps, textEntropy, textLmScore)
 }
