@@ -129,5 +129,50 @@ object Analytics {
       .orderBy(col("n").desc, col("src"), col("dst"))
   }
 
-  val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths)
+  /** Per-type daily volume anomalies: a (type, day) cell is a spike when
+    * its count exceeds the type's mean by more than two standard
+    * deviations. The test is evaluated in EXACT integer arithmetic via
+    * power sums — (c·n − S1)² > 4·(n·S2 − S1²) with S1 = Σc, S2 = Σc² —
+    * the [[graft.operators.Relational]] agg_stats_moments trick, so no
+    * float variance ever enters the compare (at petabyte counts, swap
+    * long for DecimalType power sums; the shape is unchanged). Daily
+    * counts partial-aggregate map-side; the per-type stats frame is
+    * |types| rows and broadcasts. */
+  def anomalySpikes(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+      sum(col("cnt") * col("cnt")).as("s2"))
+    val dev = col("cnt") * col("n") - col("s1")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (dev > 0 && dev * dev > lit(4L) * (col("n") * col("s2")
+          - col("s1") * col("s1"))).as("is_spike"))
+  }
+
+  val eventsAnomaly: Q = Q.df(
+    "events_anomaly_spikes",
+    """with daily as (
+      |  select event_type, cast(ts as date) as day,
+      |    cast(count(*) as bigint) as cnt
+      |  from events group by event_type, cast(ts as date)),
+      |stats as (
+      |  select event_type, cast(count(*) as bigint) as n,
+      |    cast(sum(cnt) as bigint) as s1,
+      |    cast(sum(cnt * cnt) as bigint) as s2
+      |  from daily group by event_type)
+      |select daily.event_type, day, cnt,
+      |  (cnt * n - s1 > 0 and
+      |   (cnt * n - s1) * (cnt * n - s1) > 4 * (n * s2 - s1 * s1)) as is_spike
+      |from daily join stats on daily.event_type = stats.event_type
+      |order by daily.event_type, day""".stripMargin) { (s, dir) =>
+    anomalySpikes(Tables.df(s, dir, "events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(eventsFunnel, eventsCohort, eventsPaths, eventsAnomaly)
 }
