@@ -173,6 +173,69 @@ object Dml {
     s.sql(s"select doc_id, n_tokens from $Table3").orderBy(col("doc_id"))
   }
 
+  private def tablePath(s: org.apache.spark.sql.SparkSession,
+      name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir")),
+      name.toLowerCase(java.util.Locale.ROOT))
+
+  /** Data files of a managed table (hidden/_SUCCESS entries excluded). */
+  private[graft] def dataFileCount(s: org.apache.spark.sql.SparkSession,
+      name: String): Int = {
+    val path = tablePath(s, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Rewrite `table` into ceil(bytes / targetBytes) files via the same
+    * staging-table swap as UPDATE/DELETE — the OPTIMIZE/compaction job
+    * every lakehouse runs nightly, because a streaming or per-batch
+    * ingest leaves thousands of KB-sized files whose open/footer costs
+    * dominate scans at 100 TB. Sizing from the actual on-disk byte count
+    * (not file count) keeps output files at the scan-friendly target no
+    * matter how skewed the input fragmentation is. Returns the post-
+    * compaction data file count. */
+  private[graft] def compactTable(s: org.apache.spark.sql.SparkSession,
+      table: String, stage: String, targetBytes: Long): Int = {
+    val path = tablePath(s, table)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    dropManaged(s, stage)
+    s.table(table).coalesce(nOut)
+      .write.format("parquet").saveAsTable(stage)
+    s.sql(s"insert overwrite $table select * from $stage")
+    s.sql(s"drop table $stage")
+    dataFileCount(s, table)
+  }
+
+  private val Frag = "graft_dml_frag"
+  private val FragStage = "graft_dml_frag_stage"
+
+  /** Small-file compaction executed end-to-end: fragment a table into 64
+    * tiny files (the shape a per-minute streaming ingest leaves behind),
+    * compact it with [[compactTable]], and read the result back. The
+    * oracle is the logical content — compaction must be a physical-only
+    * rewrite — and `StorageSpec` asserts the file-count collapse. */
+  val dmlCompactRewrite: Q = Q.df(
+    "dml_compact_rewrite",
+    """select doc_id, source, cast(n_chars as bigint) as n_chars
+      |from documents where source in ('src0', 'src1')
+      |order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    Seq(Frag, FragStage).foreach(dropManaged(s, _))
+    Tables.df(s, dir, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.format("parquet").saveAsTable(Frag)
+    compactTable(s, Frag, FragStage, 128L * 1024 * 1024)
+    s.sql(s"select doc_id, source, n_chars from $Frag").orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
-    dmlMergeUpsert)
+    dmlMergeUpsert, dmlCompactRewrite)
 }

@@ -63,6 +63,30 @@ class StorageSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("compaction collapses a 64-file table without changing content") {
+    import graft.operators.Dml
+    val s = spark
+    s.sql("drop table if exists c_frag")
+    s.sql("drop table if exists c_frag_stage")
+    Seq("c_frag", "c_frag_stage").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"/tmp/graft-warehouse/$t"))
+    }
+    Tables.df(s, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .repartition(64)
+      .write.format("parquet").saveAsTable("c_frag")
+    val before = Dml.dataFileCount(s, "c_frag")
+    val want = s.table("c_frag").collect().map(_.toSeq).toSet
+    val after = Dml.compactTable(s, "c_frag", "c_frag_stage",
+      128L * 1024 * 1024)
+    assert(before == 64, s"fragmentation setup wrote $before files")
+    // fixture bytes are far under one 128 MB target file
+    assert(after < 8, s"compaction left $after files")
+    assert(s.table("c_frag").collect().map(_.toSeq).toSet == want,
+      "compaction changed table content")
+  }
+
   test("salted join equals the plain join (operator identity)") {
     import graft.operators.Skew
     val o = Tables.df(spark, TestSpark.Sf, "orders")
