@@ -475,7 +475,40 @@ object Corpus {
       .orderBy(col("s1"), col("s2"))
   }
 
+  // ---- fixed-size uniform sample ------------------------------------------
+
+  /** Reservoir sample size. */
+  val ReservoirK = 100
+
+  /** Fixed-size uniform sample without replacement — the distributed,
+    * retry-stable equivalent of reservoir sampling: order by a
+    * deterministic per-row hash and keep the first K. With a uniform
+    * hash every K-subset is equally likely (same marginal as a true
+    * reservoir), but reruns and stragglers reproduce the SAME sample —
+    * the property a training pipeline needs for auditable mixes.
+    * The global top-K plans as TakeOrderedAndProject (per-partition
+    * heaps + driver merge of K rows), never a full sort; the rank
+    * window runs on the K survivors only. */
+  val sampleReservoir: Q = Q.df(
+    "sample_reservoir",
+    s"""select doc_id, source, rk from (
+       |  select doc_id, source, cast(row_number() over
+       |      (order by md5(cast(doc_id as varchar)), doc_id) as bigint) as rk
+       |  from documents) t
+       |where rk <= $ReservoirK order by rk""".stripMargin) { (s, dir) =>
+    val topk = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(ReservoirK)
+    topk
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
-    corpusStats, sourceOverlapQ)
+    corpusStats, sourceOverlapQ, sampleReservoir)
 }

@@ -47,6 +47,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k fusion in:\n$plan")
   }
 
+  test("reservoir sample plans as distributed top-k, not a global sort") {
+    val plan = planOf(graft.operators.Corpus.sampleReservoir)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no top-k fusion in:\n$plan")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // AQE materializes the final (codegen'd) plan only after execution.
