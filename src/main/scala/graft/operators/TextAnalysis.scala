@@ -224,6 +224,98 @@ object TextAnalysis {
       .orderBy(col("event_id")).limit(2000)
   }
 
+  /** Winnowing gram size (tokens) and window (grams) — k=3, w=4 gives
+    * the guarantee that any shared token run of length >= k+w-1 = 6
+    * leaves at least one common fingerprint. */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every k-token gram, slide a w-gram window, keep
+    * each window's minimum — a position-robust document signature whose
+    * size adapts to document length (~2/(w+1) of grams) and which
+    * GUARANTEES detection of shared runs >= k+w-1 tokens, unlike modulo
+    * selection (0 mod p can miss arbitrarily long matches). Hashes are
+    * [[Text.fnv64]] masked to 63 bits so min-selection order is
+    * identical in signed Spark longs and the oracle's hugeint FNV
+    * emulation. One primitive kernel pass per document, zero shuffle at
+    * any corpus scale; the selected-set join (not built here) is the
+    * same inverted-index shape as [[Dedup.substringSpanPairs]]. */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length - WinnowK + 1
+        val hs = new Array[Long](math.max(n, 0))
+        var i = 0
+        while (i < n) {
+          hs(i) = Text.fnv64(
+            s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}") & Long.MaxValue
+          i += 1
+        }
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        if (hs.nonEmpty) {
+          val m = math.max(hs.length - WinnowW + 1, 1)
+          var j = 0
+          while (j < m) {
+            var mn = hs(j)
+            var t = j + 1
+            while (t < math.min(j + WinnowW, hs.length)) {
+              if (hs(t) < mn) mn = hs(t)
+              t += 1
+            }
+            sel += mn
+            j += 1
+          }
+        }
+        (id, hs.length.toLong, sel.size.toLong, sel.toArray)
+      }
+      .toDF("doc_id", "n_grams", "n_selected", "fps")
+  }
+
+  /** The winnowing oracle recomputes the masked FNV gram hashes with the
+    * [[rollingOracle]] hugeint emulation, then mirrors the window-min
+    * selection with clamped list slices. */
+  private def winnowOracle: String = {
+    val fnvStep =
+      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
+        |             + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
+        |                % 16777216) * 1099511627776::hugeint
+        |            ) % 18446744073709551616::hugeint""".stripMargin
+    val fnvOfG =
+      s"""cast(list_reduce(
+         |      list_prepend(14695981039346656037::hugeint,
+         |        list_transform(range(1, length(g) + 1),
+         |                       i -> ascii(substring(g, i, 1))::hugeint)),
+         |      (acc, c) -> $fnvStep) % 9223372036854775808::hugeint as bigint)"""
+        .stripMargin
+    s"""with t as (select doc_id, string_split(text, ' ') as l from documents),
+       |gr as (select doc_id,
+       |  list_transform(range(1, greatest(len(l) - ${WinnowK - 2}, 1)),
+       |    i -> array_to_string(l[i : i + ${WinnowK - 1}], ' ')) as grams
+       |  from t),
+       |h as (select doc_id,
+       |  list_transform(grams, g -> $fnvOfG) as hs from gr),
+       |m as (select doc_id, cast(len(hs) as bigint) as n_grams,
+       |  case when len(hs) = 0 then []::bigint[]
+       |       else list_transform(range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+       |              i -> list_min(hs[i : i + ${WinnowW - 1}])) end as mins
+       |  from h)
+       |select doc_id, n_grams,
+       |  cast(len(list_distinct(mins)) as bigint) as n_selected,
+       |  list_sort(list_distinct(mins)) as fps
+       |from m order by doc_id""".stripMargin
+  }
+
+  val textWinnow: Q = Q.df("text_fingerprint_winnow", winnowOracle) {
+    (s, dir) =>
+      winnowFingerprints(Tables.df(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+  }
+
   /** Word-unigram Shannon entropy + type-token ratio per document — the
     * standard lexical-diversity quality signals (boilerplate/spam pages
     * repeat tokens and score low; natural prose scores near log2 of its
@@ -329,5 +421,5 @@ object TextAnalysis {
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
-      jsonExtractProps, textEntropy, textLmScore)
+      jsonExtractProps, textEntropy, textLmScore, textWinnow)
 }

@@ -66,6 +66,28 @@ class TextSpec extends AnyFunSuite {
       .select(Text.langId(col("text"))).collect()(0).getString(0) == "und")
   }
 
+  test("winnowing guarantee: docs sharing a k+w-1 token run share a fp") {
+    import graft.operators.TextAnalysis
+    val run = (1 to TextAnalysis.WinnowK + TextAnalysis.WinnowW - 1)
+      .map(i => s"r$i").mkString(" ") // exactly the guarantee length
+    val d = Seq(
+      (1L, s"alpha beta gamma $run"),
+      (2L, s"$run delta epsilon zeta eta"),
+      (3L, "nothing in common with the others at all here"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](3).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared guarantee-length run left no common fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // density: the expected selected fraction is ~2/(w+1) of grams
+    val big = TextAnalysis.winnowFingerprints(
+      Seq((9L, (1 to 500).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"))
+      .collect()(0)
+    assert(big.getLong(2) < big.getLong(1),
+      "winnowing selected every gram — no compression")
+  }
+
   test("quality score stays in [0, 1]") {
     val scores = Tables.df(spark, TestSpark.Sf, "documents")
       .select(Text.qualityScore(col("text")).as("q"))
