@@ -785,7 +785,50 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- winnowed span dedup (the 100 TB path for substring dedup) ----------
+
+  /** Minimum shared winnow fingerprints for a pair to count. */
+  val MinSharedFps = 2
+
+  /** Span dedup over the WINNOWED index — the scale path for
+    * [[substringSpanPairs]]: instead of indexing every k-token window,
+    * index only each document's winnowing fingerprints (~2/(w+1) of
+    * grams, with the k+w−1 shared-run detection guarantee from
+    * [[TextAnalysis.winnowFingerprints]]). Same inverted-index shape —
+    * one groupBy on an 8-byte hash, pairs from per-key doc sets — at a
+    * fraction of the index size and shuffle volume; requiring
+    * [[MinSharedFps]] shared fingerprints suppresses single-collision
+    * noise. */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val fp = TextAnalysis.winnowFingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    fp.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (d1, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= MinSharedFps)
+  }
+
+  val dedupWinnow: Q = Q.df(
+    "dedup_winnow_pairs",
+    s"""with fpv as (select doc_id, unnest(fps) as fp
+       |            from (${TextAnalysis.winnowOracle}) t),
+       |ds as (select distinct doc_id, fp from fpv)
+       |select a.doc_id as d1, b.doc_id as d2,
+       |  cast(count(*) as bigint) as shared_fps
+       |from ds a join ds b on a.fp = b.fp and a.doc_id < b.doc_id
+       |group by a.doc_id, b.doc_id
+       |having count(*) >= $MinSharedFps
+       |order by d1, d2""".stripMargin) { (s, dir) =>
+    winnowPairs(Tables.df(s, dir, "documents"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-      dedupClusters, dedupContainment, dedupSubstring)
+      dedupClusters, dedupContainment, dedupSubstring, dedupWinnow)
 }

@@ -125,5 +125,64 @@ object Temporal {
       .orderBy(col("v_event_id"), col("p_event_id"))
   }
 
-  val queries: Seq[Q] = Seq(asofPurchaseView, rangeViewPurchase)
+  /** High-value threshold for the sparse slice the gap-fill resamples
+    * (the full stream has an event for every (type, day) cell, so a raw
+    * resample would fill nothing). */
+  val GapValueMin = 175.0
+
+  /** Calendar gap-fill / resampling: per-type daily counts of high-value
+    * events, densified to one row per (type, day) over the stream's full
+    * date span — missing cells become explicit zeros flagged `is_gap`.
+    * The downsample-then-densify shape every time-series store calls
+    * resample, needed before rolling windows or anomaly scoring can
+    * trust "no row" to mean "zero" rather than "missing".
+    *
+    * Scale shape: the calendar is generated from ONE global (min, max)
+    * aggregate — a two-value reduce, not a distinct-days shuffle — and
+    * the dense frame is |types|·|days| rows, independent of event count;
+    * the only fact-scale work is the filtered daily count with map-side
+    * partial aggregation. */
+  def gapFill(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("value") >= GapValueMin)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = events.agg(
+      to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val calendar = span.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+        .as("day"))
+    val types = events.select(col("event_type")).distinct()
+    types.crossJoin(calendar)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("cnt"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  val tsGapFill: Q = Q.df(
+    "ts_gap_fill",
+    s"""with daily as (
+       |  select event_type, cast(ts as date) as day,
+       |    cast(count(*) as bigint) as n
+       |  from events where value >= $GapValueMin
+       |  group by event_type, cast(ts as date)),
+       |cal as (select unnest(generate_series(
+       |    (select min(cast(ts as date)) from events),
+       |    (select max(cast(ts as date)) from events),
+       |    interval 1 day))::date as day),
+       |types as (select distinct event_type from events)
+       |select t.event_type, cal.day,
+       |  coalesce(daily.n, cast(0 as bigint)) as cnt,
+       |  daily.n is null as is_gap
+       |from types t cross join cal
+       |left join daily on daily.event_type = t.event_type
+       |  and daily.day = cal.day
+       |order by t.event_type, cal.day""".stripMargin) { (s, dir) =>
+    gapFill(Tables.df(s, dir, "events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val queries: Seq[Q] = Seq(asofPurchaseView, rangeViewPurchase, tsGapFill)
 }

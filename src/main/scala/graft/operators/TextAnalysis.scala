@@ -279,7 +279,7 @@ object TextAnalysis {
   /** The winnowing oracle recomputes the masked FNV gram hashes with the
     * [[rollingOracle]] hugeint emulation, then mirrors the window-min
     * selection with clamped list slices. */
-  private def winnowOracle: String = {
+  private[operators] def winnowOracle: String = {
     val fnvStep =
       """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
         |             + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
