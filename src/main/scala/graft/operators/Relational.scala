@@ -892,6 +892,38 @@ object Relational {
       |window w as (partition by o_orderpriority order by o_orderkey)
       |order by o_orderkey""".stripMargin)
 
+  /** ntile bucketing — equal-frequency quartiles per partition, the
+    * windowed form pipelines use for per-group percentile banding (e.g.
+    * "top quartile of documents per source by length"). Deterministic:
+    * the ORDER BY key is unique within each partition. */
+  val windowNtile: Q = Q.shared(
+    "window_ntile",
+    """select o_orderkey, o_orderpriority,
+      |  cast(ntile(4) over (partition by o_orderpriority
+      |    order by o_orderkey) as bigint) as quartile
+      |from orders where o_custkey % 50 = 0
+      |order by o_orderkey""".stripMargin)
+
+  /** Bitwise aggregates over grouped flag words — the set-union /
+    * set-intersection of bitmask columns (feature flags, permission
+    * words) without exploding them to rows. */
+  val aggBitwise: Q = Q.df(
+    "agg_bitwise",
+    """select o_orderstatus,
+      |  bit_and(o_orderkey % 256) as mask_and,
+      |  bit_or(o_orderkey % 256) as mask_or,
+      |  bit_xor(o_orderkey % 256) as mask_xor
+      |from orders group by o_orderstatus
+      |order by o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bit_and(col("o_orderkey") % 256).as("mask_and"),
+        bit_or(col("o_orderkey") % 256).as("mask_or"),
+        bit_xor(col("o_orderkey") % 256).as("mask_xor"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Tumbling-window aggregation over the events table — the batch form
     * of the Structured Streaming query in graft.streaming. */
   val windowTumblingEvents: Q = Q.df(
@@ -927,5 +959,5 @@ object Relational {
     aggBool, aggStringAgg,
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
-    windowRangeFrame, windowDistribution)
+    windowRangeFrame, windowDistribution, windowNtile, aggBitwise)
 }
