@@ -743,17 +743,36 @@ object Dedup {
     * are exactly the spans a dedup pass wants to HANDLE via a separate
     * boilerplate filter, not pairwise). The fixture's max span df is 3,
     * so the entry runs uncapped and stays bit-comparable to the oracle.
-    */
+    *
+    * The span KEY is an 8-byte polynomial hash over the window's masked
+    * token FNVs (h ← (h·31 + fnv) mod 2⁶³, reproduced exactly by the
+    * oracle in hugeint), never the raw w-token string: the groupBy then
+    * shuffles 8 bytes per position instead of ~w·avg-token bytes — at
+    * 100 TB the difference between shuffling the corpus once and
+    * shuffling it twenty times. Rows too are cheap to build: the kernel
+    * hashes each token once and folds, O(n·w) long ops per doc. */
   def substringSpanPairs(docs: DataFrame, w: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ", -1).as("t"))
-      .filter(size(col("t")) >= w)
-    // sequence(1, n-w+1) is safe: the filter guarantees n >= w, and
-    // Spark's sequence would count DOWN for an empty range otherwise.
-    val spans = toks.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
-        i => array_join(slice(col("t"), i, lit(w)), " "))).as("sp"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length - w + 1
+        if (n <= 0) Iterator.empty
+        else {
+          val th = toks.map(t => Text.fnv64(t) & Long.MaxValue)
+          (0 until n).iterator.map { i =>
+            var h = 0L
+            var j = i
+            while (j < i + w) {
+              h = (h * 31L + th(j)) & Long.MaxValue
+              j += 1
+            }
+            (id, h)
+          }
+        }
+      }
+      .toDF("doc_id", "sp")
     val bySpan = spans
       .groupBy(col("sp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
@@ -768,21 +787,46 @@ object Dedup {
       .agg(count(lit(1)).as("shared_spans"))
   }
 
-  val dedupSubstring: Q = Q.df(
-    "dedup_substring_spans",
+  /** The span-hash oracle: per-token FNV mod 2⁶³ via the hugeint
+    * emulation, then the same (h·31 + fnv) mod 2⁶³ fold per window.
+    * Java's wrap-to-2⁶⁴ arithmetic followed by a 2⁶³ mask equals a
+    * direct mod 2⁶³ (2⁶³ divides 2⁶⁴), so both folds are bit-equal. */
+  private def substringOracle: String = {
+    val fnvStep =
+      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
+        |                 + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
+        |                    % 16777216) * 1099511627776::hugeint
+        |                ) % 18446744073709551616::hugeint""".stripMargin
+    val tokFnv =
+      s"""list_reduce(
+         |        list_prepend(14695981039346656037::hugeint,
+         |          list_transform(range(1, length(tok) + 1),
+         |                         i -> ascii(substring(tok, i, 1))::hugeint)),
+         |        (acc, c) -> $fnvStep) % 9223372036854775808::hugeint"""
+        .stripMargin
     s"""with t as (select doc_id, string_split(text, ' ') as l from documents),
-       |pos as (select doc_id, l,
-       |  unnest(range(1, greatest(len(l) - ${SpanTokens - 2}, 1))) as i from t),
+       |th as (select doc_id, list_transform(l, tok -> $tokFnv) as hs from t),
+       |pos as (select doc_id, hs,
+       |  unnest(range(1, greatest(len(hs) - ${SpanTokens - 2}, 1))) as i
+       |  from th),
        |spans as (select doc_id,
-       |  array_to_string(l[i : i + ${SpanTokens - 1}], ' ') as sp from pos),
+       |  cast(list_reduce(
+       |    list_prepend(0::hugeint, hs[i : i + ${SpanTokens - 1}]),
+       |    (a, x) -> (a * 31 + x) % 9223372036854775808::hugeint)
+       |    as bigint) as sp
+       |  from pos),
        |ds as (select distinct doc_id, sp from spans)
        |select a.doc_id as d1, b.doc_id as d2,
        |  cast(count(*) as bigint) as shared_spans
        |from ds a join ds b on a.sp = b.sp and a.doc_id < b.doc_id
        |group by a.doc_id, b.doc_id
-       |order by d1, d2""".stripMargin) { (s, dir) =>
-    substringSpanPairs(Tables.df(s, dir, "documents"), SpanTokens)
-      .orderBy(col("d1"), col("d2"))
+       |order by d1, d2""".stripMargin
+  }
+
+  val dedupSubstring: Q = Q.df("dedup_substring_spans", substringOracle) {
+    (s, dir) =>
+      substringSpanPairs(Tables.df(s, dir, "documents"), SpanTokens)
+        .orderBy(col("d1"), col("d2"))
   }
 
   // ---- winnowed span dedup (the 100 TB path for substring dedup) ----------
