@@ -24,6 +24,7 @@ object Session {
     SparkSession.builder()
       .master(master)
       .withExtensions(graft.functions.DotProduct.inject)
+      .withExtensions(graft.functions.Bloom.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -95,6 +95,8 @@ object DotProduct {
 /** `spark.sql.extensions` entry class registering the engine's custom
   * expressions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     DotProduct.inject(ext)
+    Bloom.inject(ext)
+  }
 }

@@ -320,6 +320,68 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB form of
+    * [[decontaminate]]: instead of broadcasting the benchmark's distinct
+    * gram-hash SET (gigabytes for a large held-out suite), build one
+    * `bloom_filter_agg` sketch over it (fixed bits regardless of corpus
+    * size) and probe every corpus gram with `might_contain`. The probe
+    * never misses real contamination (Bloom filters have no false
+    * negatives) and the rare false positive only costs a second-stage
+    * exact check on the flagged sliver.
+    *
+    * Verification without sketch bits in the compare (the
+    * approx_*_bounds pattern): the output carries the EXACT per-doc
+    * contamination count — reproducible by the oracle — plus the
+    * no-false-negative invariant (`every exact hit was bloom-flagged`)
+    * as a boolean the oracle pins to TRUE. The sketch's bit pattern
+    * itself never reaches the output. */
+  def decontaminateBloom(docs: DataFrame, benchSource: String): DataFrame = {
+    graft.functions.Bloom.ensureRegistered(docs.sparkSession)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
+    val bench = grams.filter(col("source") === benchSource)
+      .select(col("gh")).distinct()
+    // The sketch is the MODEL here: one fixed-size binary (~100 KB for
+    // 800k bits) collected to the driver and shipped back as a literal —
+    // the same model-only collect as the trained k-means centroids, and
+    // what `might_contain` requires (its filter side must be a constant
+    // or scalar subquery, never a per-row column).
+    val bf: Array[Byte] = bench
+      .agg(expr("graft_bloom_agg(gh, cast(100000 as bigint), " +
+        "cast(800000 as bigint))").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpus = grams.filter(col("source") =!= benchSource)
+    corpus
+      .join(broadcast(bench.withColumn("inb", lit(1))), Seq("gh"), "left")
+      .withColumn("hit",
+        call_function(graft.functions.Bloom.probeName, lit(bf), col("gh")))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(coalesce(col("inb"), lit(0))).as("n_contaminated"),
+        min(col("hit") || col("inb").isNull).as("no_false_negative"))
+  }
+
+  val decontaminateBloomQ: Q = Q.df(
+    "decontaminate_bloom",
+    s"""with toks as (select doc_id, source, string_split(text, ' ') as t
+       |              from documents),
+       |sh as (select distinct doc_id, source,
+       |         unnest(${graft.functions.Text.sqlTrigramList("t")}) as g
+       |       from toks),
+       |bench as (select distinct g from sh where source = '$BenchmarkSource')
+       |select sh.doc_id, sh.source,
+       |  cast(sum(case when bench.g is not null then 1 else 0 end) as bigint)
+       |    as n_contaminated,
+       |  true as no_false_negative
+       |from sh left join bench using (g)
+       |where sh.source <> '$BenchmarkSource'
+       |group by sh.doc_id, sh.source
+       |order by sh.doc_id""".stripMargin) { (s, dir) =>
+    decontaminateBloom(Tables.df(s, dir, "documents"), BenchmarkSource)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- corpus-wide heavy-hitter n-grams ----------------------------------
 
   /** Heavy hitters kept. */
@@ -510,5 +572,5 @@ object Corpus {
 
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
-    corpusStats, sourceOverlapQ, sampleReservoir)
+    corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ)
 }
