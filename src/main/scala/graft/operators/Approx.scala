@@ -147,5 +147,50 @@ object Approx {
           abs(col("corr_b") - col("corr_ref")) <= MomentsTol).as("within_tol"))
   }
 
-  val queries: Seq[Q] = Seq(approxDistinct, approxPercentile, statsMoments)
+  /** Count-Min-Sketch heavy hitters — the third sketch family (after
+    * HLL distinct and KLL quantiles), data-checked the same way: the
+    * exact top-k document frequencies are the compared surface, and the
+    * sketch contributes only its one PROVABLE property as a flag — CMS
+    * never underestimates (cells only ever increment), so
+    * `cms_overestimates_ok` is deterministically true for a working
+    * sketch. Both passes are single-scan distributed aggregates
+    * (`count_min_sketch` is a builtin aggregate; the exact top-k is
+    * [[Corpus.frequentNgrams]]'s TakeOrderedAndProject); only the
+    * fixed-size sketch binary and the k report rows reach the driver. */
+  val approxHeavyHitters: Q = Q.df(
+    "approx_heavy_hitters_bounds", {
+      val k = Corpus.TopGrams
+      s"""with toks as (select doc_id, string_split(text, ' ') as t
+         |              from documents),
+         |sh as (select distinct doc_id,
+         |         unnest(${graft.functions.Text.sqlTrigramList("t")}) as g
+         |       from toks)
+         |select g, cast(count(*) as bigint) as df,
+         |  true as cms_overestimates_ok
+         |from sh group by g
+         |order by df desc, g limit $k""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables.df(s, dir, "documents")
+    val grams = docs.select(
+      explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
+    val cmsBytes = grams
+      .agg(expr("count_min_sketch(g, cast(0.0001 as double), " +
+        "cast(0.99 as double), 42)").as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(cmsBytes)
+    val top = Corpus.frequentNgrams(docs, Corpus.TopGrams).collect()
+    import s.implicits._
+    top.toSeq
+      .map { r =>
+        // probe with the same bytes the aggregate added (StringType
+        // values go in as their UTF-8 binary)
+        val est = cms.estimateCount(
+          r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (r.getString(0), r.getLong(1), est >= r.getLong(1))
+      }
+      .toDF("g", "df", "cms_overestimates_ok")
+  }
+
+  val queries: Seq[Q] =
+    Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters)
 }

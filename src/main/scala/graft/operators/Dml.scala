@@ -236,6 +236,43 @@ object Dml {
     s.sql(s"select doc_id, source, n_chars from $Frag").orderBy(col("doc_id"))
   }
 
+  private val BOrders = "graft_b_orders"
+  private val BLineitem = "graft_b_lineitem"
+
+  /** Bucketed co-located join executed end-to-end: write both fact
+    * tables bucketed (and sorted) on the join key, then join WITHOUT any
+    * shuffle exchange — each bucket pair meets in one task, pre-sorted
+    * for the merge. This is the pre-partitioning contract a 100 TB
+    * warehouse bakes into its layout so the nightly key joins never
+    * re-shuffle the corpus; `StorageSpec` asserts the no-Exchange plan
+    * property, this entry oracle-checks the result on a
+    * revenue-per-priority rollup. */
+  val joinBucketed: Q = Q.df(
+    "join_bucketed",
+    """select o_orderpriority,
+      |  cast(count(*) as bigint) as n_items,
+      |  cast(sum(cast(l_quantity * 100 as bigint)) as bigint) as qty_c
+      |from orders join lineitem on o_orderkey = l_orderkey
+      |group by o_orderpriority
+      |order by o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    Seq(BOrders, BLineitem).foreach(dropManaged(s, _))
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(BOrders)
+    Tables.df(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(BLineitem)
+    s.table(BOrders)
+      .join(s.table(BLineitem), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_quantity") * 100).cast("long")).cast("long").as("qty_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
-    dmlMergeUpsert, dmlCompactRewrite)
+    dmlMergeUpsert, dmlCompactRewrite, joinBucketed)
 }

@@ -54,4 +54,28 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.02,
       s"approx $approx vs exact $exact")
   }
+
+  test("CMS heavy-hitter estimates: never under, within eps·N over") {
+    import graft.operators.Approx
+    val rows = Approx.approxHeavyHitters.run(spark, TestSpark.Sf).collect()
+    assert(rows.length == graft.operators.Corpus.TopGrams)
+    assert(rows.forall(_.getBoolean(2)), "CMS underestimated a count")
+    // the entry only pins >= ; here pin the other side with margin:
+    // eps = 1e-4 of total gram additions
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val total = docs.select(explode(
+      graft.functions.Text.shingles(col("text"), 3)).as("g")).count()
+    val grams = docs.select(explode(
+      graft.functions.Text.shingles(col("text"), 3)).as("g"))
+    val cmsBytes = grams.agg(expr(
+      "count_min_sketch(g, cast(0.0001 as double), cast(0.99 as double), 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(cmsBytes)
+    rows.foreach { r =>
+      val est = cms.estimateCount(
+        r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(est <= r.getLong(1) + math.ceil(1e-4 * total).toLong * 3,
+        s"estimate $est too far above df ${r.getLong(1)} for '${r.getString(0)}'")
+    }
+  }
 }
