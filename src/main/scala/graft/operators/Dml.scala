@@ -273,6 +273,31 @@ object Dml {
       .orderBy(col("o_orderpriority"))
   }
 
+  private val PartTbl = "graft_part_events"
+
+  /** Hive-partitioned write + pruned read executed end-to-end: the table
+    * is laid out as `.../event_type=X/` directories, the filtered read
+    * plans PartitionFilters on the scan (asserted in
+    * `PartitionPruningSpec`) and so touches one directory out of
+    * |types| — THE dominant scan optimization at 100 TB, where a full
+    * read of an unpruned table is hours of IO. The oracle checks the
+    * pruned read returns exactly the predicate's rows. */
+  val scanPartitionPruned: Q = Q.df(
+    "scan_partition_pruned",
+    """select event_id, user_id, event_type from events
+      |where event_type = 'purchase'
+      |order by event_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    dropManaged(s, PartTbl)
+    Tables.df(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.partitionBy("event_type").format("parquet").saveAsTable(PartTbl)
+    s.table(PartTbl)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
-    dmlMergeUpsert, dmlCompactRewrite, joinBucketed)
+    dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned)
 }

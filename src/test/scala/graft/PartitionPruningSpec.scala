@@ -25,4 +25,11 @@ class PartitionPruningSpec extends AnyFunSuite {
       .filter(col("event_type") === "view").count()
     assert(df.count() == expected && expected > 0)
   }
+
+  test("scan_partition_pruned entry reads one partition directory in-plan") {
+    val df = graft.operators.Dml.scanPartitionPruned.run(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"no partition pruning in the entry's plan:\n$plan")
+  }
 }
