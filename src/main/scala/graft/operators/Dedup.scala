@@ -597,6 +597,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster size histogram — the corpus-health report a dedup
+    * pass publishes: how many singletons, how many small near-dup
+    * families, how big the worst boilerplate cluster is. One extra
+    * two-level aggregation over [[dupClusters]]' output (cluster_id →
+    * size → count of clusters at that size), both map-side combinable;
+    * the histogram is at most |distinct sizes| rows — corpus-size-free.
+    * The oracle re-derives clusters with the recursive-CTE construction
+    * of `dedup_clusters` and histograms the same way. */
+  val dedupClusterSizes: Q = Q.df(
+    "dedup_cluster_sizes",
+    s"""with recursive
+       |toks as (select doc_id, string_split(text, ' ') as t from documents),
+       |sh as (select distinct doc_id,
+       |         unnest(${Text.sqlTrigramList("t")}) as s
+       |       from toks),
+       |cnt as (select doc_id, count(*) as n from sh group by doc_id),
+       |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c
+       |           from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+       |           group by 1, 2),
+       |pairs as (
+       |  select d1, d2 from common
+       |  join cnt x on d1 = x.doc_id join cnt y on d2 = y.doc_id
+       |  where cast(c as double) / cast(x.n + y.n - c as double) >= $JaccardThreshold),
+       |edges as (select d1 as a, d2 as b from pairs
+       |          union select d2, d1 from pairs),
+       |reach(id, r) as (
+       |  select doc_id, doc_id from documents
+       |  union
+       |  select reach.id, e.b from reach join edges e on reach.r = e.a),
+       |clusters as (select id, min(r) as cluster_id from reach group by id),
+       |sizes as (select cluster_id, cast(count(*) as bigint) as cluster_size
+       |          from clusters group by cluster_id)
+       |select cluster_size, cast(count(*) as bigint) as n_clusters
+       |from sizes group by cluster_size
+       |order by cluster_size""".stripMargin) { (s, dir) =>
+    dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   val SimhashMaxDist = 3
@@ -874,5 +917,6 @@ object Dedup {
 
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
-      dedupClusters, dedupContainment, dedupSubstring, dedupWinnow)
+      dedupClusters, dedupContainment, dedupSubstring, dedupWinnow,
+      dedupClusterSizes)
 }

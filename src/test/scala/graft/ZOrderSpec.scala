@@ -30,6 +30,33 @@ class ZOrderSpec extends AnyFunSuite {
     (perFile.map(_._1).sum / perFile.size, perFile.map(_._2).sum / perFile.size)
   }
 
+  test("morton interleave is a bijection: both 16-bit ranks round-trip") {
+    import graft.operators.Dml
+    import spark.implicits._
+    // exhaustive-ish corner + random coverage of the 16-bit × 16-bit grid
+    val rnd = new scala.util.Random(11)
+    val pts = (Seq((0, 0), (65535, 65535), (0, 65535), (65535, 0),
+      (1, 2), (32768, 32767)) ++
+      Seq.fill(500)((rnd.nextInt(65536), rnd.nextInt(65536)))).distinct
+    val df = pts.toDF("a", "b")
+      .withColumn("z", Dml.zValue(col("a"), 0, 65535, col("b"), 0, 65535))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      // deinterleave on the driver: even bits → a, odd bits → b
+      var (da, db, i) = (0L, 0L, 0)
+      while (i < 16) {
+        da |= ((z >> (2 * i)) & 1L) << i
+        db |= ((z >> (2 * i + 1)) & 1L) << i
+        i += 1
+      }
+      assert(da == a && db == b,
+        s"morton($a,$b)=$z deinterleaved to ($da,$db)")
+    }
+    // and z is distinct per point (a bijection, so sorting by z is a
+    // genuine total order on the grid)
+    assert(got.map(_._3).distinct.length == got.length)
+  }
+
   test("z-ordered files are 2-D rectangles; linear sort localizes one dim") {
     import graft.operators.Dml
     // the entry writes graft_zorder_orders (8 z-range files)
