@@ -422,6 +422,51 @@ object Dedup {
       .toDF("doc_id", "sig")
   }
 
+  /** The signature surface itself, oracle-checked — [[minhashSignatures]]
+    * exported as DATA. This is the artifact an incremental pipeline
+    * PERSISTS: day-N batches compute signatures for new documents only
+    * and band-join them against the stored index, never re-shingling the
+    * base corpus (the at-scale companion to `dedup_incremental`, which
+    * re-reads base fingerprints). The oracle embeds the 64 seeded (a, b)
+    * coefficients as literals and reproduces base = FNV(gram) mod 2³²
+    * (hugeint emulation) and sig_i = min (a_i·base + b_i) mod P — exact
+    * integer arithmetic end to end, so the full array hash-compares. */
+  private def minhashSigOracle: String = {
+    val coeffRows = coeffs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::hugeint, ${b}::hugeint)" }
+      .mkString(",\n    ")
+    val fnvStep =
+      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
+        |             + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
+        |                % 16777216) * 1099511627776::hugeint
+        |            ) % 18446744073709551616::hugeint""".stripMargin
+    val gramFnv32 =
+      s"""list_reduce(
+         |      list_prepend(14695981039346656037::hugeint,
+         |        list_transform(range(1, length(g) + 1),
+         |                       i -> ascii(substring(g, i, 1))::hugeint)),
+         |      (acc, c) -> $fnvStep) % 4294967296::hugeint""".stripMargin
+    s"""with co(i, a, b) as (values
+       |    $coeffRows),
+       |toks as (select doc_id, string_split(text, ' ') as t from documents),
+       |sh as (select distinct doc_id,
+       |         unnest(${Text.sqlTrigramList("t")}) as g
+       |       from toks),
+       |base as (select doc_id, $gramFnv32 as h from sh),
+       |cell as (select doc_id, co.i,
+       |           min(cast((base.h * co.a + co.b) % $MinhashP as bigint)) as v
+       |         from base cross join co group by doc_id, co.i)
+       |select doc_id, list(v order by i) as sig
+       |from cell group by doc_id
+       |order by doc_id""".stripMargin
+  }
+
+  val dedupMinhashSignatures: Q =
+    Q.df("dedup_minhash_signatures", minhashSigOracle) { (s, dir) =>
+      minhashSignatures(Tables.df(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }
+
   /** LSH banding: doc → (band, bandHash) keys; bucket-colliding pairs are
     * near-dup candidates. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
@@ -918,5 +963,5 @@ object Dedup {
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
       dedupClusters, dedupContainment, dedupSubstring, dedupWinnow,
-      dedupClusterSizes)
+      dedupClusterSizes, dedupMinhashSignatures)
 }
