@@ -470,14 +470,7 @@ object Dedup {
   /** LSH banding: doc → (band, bandHash) keys; bucket-colliding pairs are
     * near-dup candidates. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
-    val r = NumHashes / Bands
-    val bandCols = (0 until Bands).map { bIdx =>
-      struct(lit(bIdx).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until r).map(j => col("sig")(bIdx * r + j).cast("string")): _*)).as("bh"))
-    }
-    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val banded = bandKeys(sigs)
     banded.select(col("band"), col("bh"), col("doc_id").as("d1"))
       .join(banded.select(col("band"), col("bh"), col("doc_id").as("d2")),
         Seq("band", "bh"))
@@ -505,6 +498,70 @@ object Dedup {
   val dedupMinhashLsh: Q = Q.df("dedup_minhash_lsh",
     jaccardOracleAt(MinhashLshThreshold)) { (s, dir) =>
     minhashLshPairs(Tables.df(s, dir, "documents"), MinhashLshThreshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Fixture source treated as the incoming batch for incremental
+    * minhash dedup — src10 has cross-source near-dup pairs at every
+    * fixture scale, so the entry's output is non-empty everywhere. */
+  val IncrementalBatchSource = "src10"
+
+  /** (doc_id, band, bandHash) keys for a signature frame — the join key
+    * an incremental pipeline indexes its stored signatures by. */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
+    val r = NumHashes / Bands
+    val bandCols = (0 until Bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until r).map(j => col("sig")(bIdx * r + j).cast("string")): _*))
+          .as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Incremental near-dup detection against the signature index: sign
+    * ONLY the incoming batch and band-join it against the base corpus's
+    * (persisted — see [[dedupMinhashSignatures]]) band keys, so per-day
+    * work scales with the batch, not the corpus: the base side is an
+    * equi-join probe of a stored index, never re-shingled. Candidates
+    * are then verified exactly, so output precision is exact and the
+    * LSH gate costs only recall (same (1-j⁴)¹⁶ analysis as
+    * [[dedupMinhashLsh]], hence the same 0.85 oracle threshold). */
+  def incrementalMinhashPairs(docs: DataFrame, batchSource: String,
+      threshold: Double): DataFrame = {
+    val base = bandKeys(
+      minhashSignatures(docs.filter(col("source") =!= batchSource)))
+    val batch = bandKeys(
+      minhashSignatures(docs.filter(col("source") === batchSource)))
+    val cands = base.select(col("band"), col("bh"), col("doc_id").as("d1"))
+      .join(batch.select(col("band"), col("bh"), col("doc_id").as("d2")),
+        Seq("band", "bh"))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(docs, cands, threshold)
+  }
+
+  val dedupIncrementalMinhash: Q = Q.df(
+    "dedup_incremental_minhash",
+    s"""with toks as (select doc_id, source, string_split(text, ' ') as t
+       |              from documents),
+       |sh as (select distinct doc_id, source,
+       |         unnest(${Text.sqlTrigramList("t")}) as s
+       |       from toks),
+       |cnt as (select doc_id, count(*) as n from sh group by doc_id),
+       |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c
+       |           from sh a join sh b on a.s = b.s
+       |           where a.source <> '$IncrementalBatchSource'
+       |             and b.source = '$IncrementalBatchSource'
+       |           group by 1, 2)
+       |select d1, d2,
+       |  cast(c as double) / cast(x.n + y.n - c as double) as jaccard
+       |from common join cnt x on d1 = x.doc_id join cnt y on d2 = y.doc_id
+       |where cast(c as double) / cast(x.n + y.n - c as double)
+       |  >= $MinhashLshThreshold
+       |order by d1, d2""".stripMargin) { (s, dir) =>
+    incrementalMinhashPairs(Tables.df(s, dir, "documents"),
+      IncrementalBatchSource, MinhashLshThreshold)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -963,5 +1020,5 @@ object Dedup {
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
       dedupClusters, dedupContainment, dedupSubstring, dedupWinnow,
-      dedupClusterSizes, dedupMinhashSignatures)
+      dedupClusterSizes, dedupMinhashSignatures, dedupIncrementalMinhash)
 }
