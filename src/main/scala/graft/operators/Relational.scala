@@ -892,6 +892,30 @@ object Relational {
       |window w as (partition by o_orderpriority order by o_orderkey)
       |order by o_orderkey""".stripMargin)
 
+  /** GROUPING() flags under ROLLUP — how a client tells a subtotal row's
+    * NULL from a data NULL, the disambiguation half of multi-dim
+    * aggregation. Same spelling in both dialects. */
+  val aggGroupingId: Q = Q.shared(
+    "agg_grouping_id",
+    """select o_orderstatus, o_orderpriority,
+      |  cast(grouping(o_orderstatus) as bigint) as g_status,
+      |  cast(grouping(o_orderpriority) as bigint) as g_prio,
+      |  count(*) as cnt
+      |from orders
+      |group by rollup(o_orderstatus, o_orderpriority)
+      |order by g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+
+  /** Explicit NULLS FIRST placement with LIMIT — the placement decides
+    * WHICH rows survive the limit, so the compared set genuinely tests
+    * null-ordering semantics (engines disagree on the default: Spark
+    * sorts nulls first ascending, DuckDB last). */
+  val sortNullsPlacement: Q = Q.shared(
+    "sort_nulls_placement",
+    """select event_id, nullif(event_type, 'view') as et
+      |from events
+      |order by et nulls first, event_id
+      |limit 100""".stripMargin)
+
   /** ntile bucketing — equal-frequency quartiles per partition, the
     * windowed form pipelines use for per-group percentile banding (e.g.
     * "top quartile of documents per source by length"). Deterministic:
@@ -959,5 +983,6 @@ object Relational {
     aggBool, aggStringAgg,
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
-    windowRangeFrame, windowDistribution, windowNtile, aggBitwise)
+    windowRangeFrame, windowDistribution, windowNtile, aggBitwise,
+    aggGroupingId, sortNullsPlacement)
 }
