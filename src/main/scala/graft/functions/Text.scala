@@ -69,6 +69,29 @@ object Text {
     s"list_transform(range(1, len($t) - 1), " +
       s"i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])"
 
+  /** DuckDB fragment: the full 64-bit FNV-1a of a string expression `s`
+    * as a hugeint in [0, 2⁶⁴) — the single SQL mirror of [[fnv64]]
+    * (Java's wrap-to-2⁶⁴ long arithmetic emulated with modular hugeint
+    * steps; the ×0x100000001b3 multiply decomposes as ×435 + ×2⁴⁰ of
+    * the low 24 bits), shared by every hash oracle (simhash, rolling
+    * fingerprint, winnowing, span hashes, minhash signatures) so a
+    * hash-contract change cannot silently diverge between them. Append
+    * `% 2³²` / `% 2⁶³` at the call site for masked variants — both
+    * divide 2⁶⁴, so composing the mods is exact. Uses lambda variables
+    * `i`, `acc`, `c`: don't shadow them at the call site. */
+  def sqlFnv64(s: String): String = {
+    val step =
+      s"""((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
+         |       + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
+         |          % 16777216) * 1099511627776::hugeint
+         |      ) % 18446744073709551616::hugeint""".stripMargin
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::hugeint,
+       |    list_transform(range(1, length($s) + 1),
+       |                   i -> ascii(substring($s, i, 1))::hugeint)),
+       |  (acc, c) -> $step)""".stripMargin
+  }
+
   /** FNV-1a 64-bit over UTF-16 units — the stable, dependency-free
     * string hash shared by the dedup kernels (MinHash bases, SimHash
     * token hashes) and the rolling fingerprint. Chosen over an

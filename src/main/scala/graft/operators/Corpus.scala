@@ -340,8 +340,12 @@ object Corpus {
     val grams = docs.select(col("doc_id"), col("source"),
       explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
       .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
-    val bench = grams.filter(col("source") === benchSource)
-      .select(col("gh")).distinct()
+    // The distinct bench frame feeds TWO consumers (the sketch build and
+    // the exact-join side) — materialize it once or the benchmark-source
+    // shingle kernel re-runs per consumer (the jaccardPairs lesson).
+    val bench = graft.plans.Checkpoints.materialize(
+      grams.filter(col("source") === benchSource)
+        .select(col("gh")).distinct())
     // The sketch is the MODEL here: one fixed-size binary (~100 KB for
     // 800k bits) collected to the driver and shipped back as a literal —
     // the same model-only collect as the trained k-means centroids, and
@@ -352,7 +356,7 @@ object Corpus {
         "cast(800000 as bigint))").as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val corpus = grams.filter(col("source") =!= benchSource)
-    corpus
+    val out = corpus
       .join(broadcast(bench.withColumn("inb", lit(1))), Seq("gh"), "left")
       .withColumn("hit",
         call_function(graft.functions.Bloom.probeName, lit(bf), col("gh")))
@@ -360,6 +364,11 @@ object Corpus {
       .agg(
         sum(coalesce(col("inb"), lit(0))).as("n_contaminated"),
         min(col("hit") || col("inb").isNull).as("no_false_negative"))
+    // Materialize the per-doc report (the result's own size) so the
+    // bench blocks can be freed synchronously, not pinned per sample.
+    val outM = graft.plans.Checkpoints.materialize(out)
+    graft.plans.Checkpoints.free(bench)
+    outM
   }
 
   val decontaminateBloomQ: Q = Q.df(

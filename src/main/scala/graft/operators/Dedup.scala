@@ -435,17 +435,7 @@ object Dedup {
     val coeffRows = coeffs.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::hugeint, ${b}::hugeint)" }
       .mkString(",\n    ")
-    val fnvStep =
-      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
-        |             + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
-        |                % 16777216) * 1099511627776::hugeint
-        |            ) % 18446744073709551616::hugeint""".stripMargin
-    val gramFnv32 =
-      s"""list_reduce(
-         |      list_prepend(14695981039346656037::hugeint,
-         |        list_transform(range(1, length(g) + 1),
-         |                       i -> ascii(substring(g, i, 1))::hugeint)),
-         |      (acc, c) -> $fnvStep) % 4294967296::hugeint""".stripMargin
+    val gramFnv32 = s"${Text.sqlFnv64("g")} % 4294967296::hugeint"
     s"""with co(i, a, b) as (values
        |    $coeffRows),
        |toks as (select doc_id, string_split(text, ' ') as t from documents),
@@ -826,19 +816,9 @@ object Dedup {
   private def simhashOracle: String = {
     val powers = (0 until 64)
       .map(j => s"($j, ${BigInt(1) << j}::hugeint)").mkString(",\n    ")
-    val fnvStep =
-      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
-        |       + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
-        |          % 16777216) * 1099511627776::hugeint
-        |      ) % 18446744073709551616::hugeint""".stripMargin
     s"""with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
        |              from documents),
-       |h as (select doc_id,
-       |  list_reduce(
-       |    list_prepend(14695981039346656037::hugeint,
-       |      list_transform(range(1, length(tok) + 1),
-       |                     i -> ascii(substring(tok, i, 1))::hugeint)),
-       |    (acc, c) -> $fnvStep) as fnv
+       |h as (select doc_id, ${Text.sqlFnv64("tok")} as fnv
        |  from toks),
        |bits(j, pw) as (values
        |    $powers),
@@ -872,6 +852,15 @@ object Dedup {
   /** Window length (tokens) for exact-substring span dedup. */
   val SpanTokens = 20
 
+  /** Document-frequency cap for span/fingerprint inverted indexes: a
+    * boilerplate span in df documents would explode df² pairs inside
+    * ONE aggregation row (collect_set buffer + struct array), so keys
+    * past the cap are dropped — they are boilerplate by definition, the
+    * target of a dedicated filter (`freq_ngrams_topdf` surfaces them),
+    * not of pairwise dedup. Far above any fixture df (max 7), so the
+    * uncapped oracles compare exactly. */
+  val MaxSpanDf = 500
+
   /** Exact duplicated-span detection: document pairs sharing at least one
     * verbatim [[SpanTokens]]-token window — the "exact substring"
     * deduplication of Lee et al. (Deduplicating Training Data Makes
@@ -882,12 +871,9 @@ object Dedup {
     * working set is O(total tokens) — the same order as the corpus scan
     * itself — and the ONLY shuffle is the span groupBy (map-side combine
     * collapses within-doc repeats first). Pairs are emitted from each
-    * span's sorted doc set, never from a corpus self-join. At 100 TB the
-    * one extra knob is a document-frequency cap on spans (boilerplate
-    * headers hit millions of docs and would emit quadratic pairs; they
-    * are exactly the spans a dedup pass wants to HANDLE via a separate
-    * boilerplate filter, not pairwise). The fixture's max span df is 3,
-    * so the entry runs uncapped and stays bit-comparable to the oracle.
+    * span's sorted doc set, never from a corpus self-join, and bounded
+    * by the [[MaxSpanDf]] cap (fixture span df maxes at 3, so the cap
+    * never binds there and the uncapped oracle compares exactly).
     *
     * The span KEY is an 8-byte polynomial hash over the window's masked
     * token FNVs (h ← (h·31 + fnv) mod 2⁶³, reproduced exactly by the
@@ -921,9 +907,10 @@ object Dedup {
     val bySpan = spans
       .groupBy(col("sp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    // per-span pair explosion: (i, j>i) over the sorted doc set — pair
-    // count is bounded by df², already capped by the df guard above.
+      .filter(size(col("ds")).between(2, MaxSpanDf))
+    // per-span pair explosion: (i, j>i) over the sorted doc set — the
+    // MaxSpanDf guard above bounds both the collect_set buffer and the
+    // df² struct array this projection materializes per row.
     bySpan
       .select(explode(flatten(transform(col("ds"), (d1, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))),
@@ -937,18 +924,7 @@ object Dedup {
     * Java's wrap-to-2⁶⁴ arithmetic followed by a 2⁶³ mask equals a
     * direct mod 2⁶³ (2⁶³ divides 2⁶⁴), so both folds are bit-equal. */
   private def substringOracle: String = {
-    val fnvStep =
-      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
-        |                 + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
-        |                    % 16777216) * 1099511627776::hugeint
-        |                ) % 18446744073709551616::hugeint""".stripMargin
-    val tokFnv =
-      s"""list_reduce(
-         |        list_prepend(14695981039346656037::hugeint,
-         |          list_transform(range(1, length(tok) + 1),
-         |                         i -> ascii(substring(tok, i, 1))::hugeint)),
-         |        (acc, c) -> $fnvStep) % 9223372036854775808::hugeint"""
-        .stripMargin
+    val tokFnv = s"${Text.sqlFnv64("tok")} % 9223372036854775808::hugeint"
     s"""with t as (select doc_id, string_split(text, ' ') as l from documents),
        |th as (select doc_id, list_transform(l, tok -> $tokFnv) as hs from t),
        |pos as (select doc_id, hs,
@@ -993,7 +969,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("fps")).as("fp"))
     fp.groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")).between(2, MaxSpanDf))
       .select(explode(flatten(transform(col("ds"), (d1, i) =>
         transform(slice(col("ds"), i + lit(2), size(col("ds"))),
           d2 => struct(d1.as("d1"), d2.as("d2")))))).as("p"))

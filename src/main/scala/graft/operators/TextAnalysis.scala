@@ -104,24 +104,15 @@ object TextAnalysis {
     * SQL (same construction as the dedup_simhash oracle), so the rolling
     * fold is fully oracle-checked — it was rows-only while it used an
     * engine-internal hash. */
-  private def rollingOracle: String = {
-    val fnvStep =
-      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
-        |         + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
-        |            % 16777216) * 1099511627776::hugeint
-        |        ) % 18446744073709551616::hugeint""".stripMargin
+  private def rollingOracle: String =
     s"""select doc_id,
        |  list_reduce(
        |    list_prepend(0::bigint,
        |      list_transform(string_split(text, ' '), tok ->
-       |        cast(list_reduce(
-       |          list_prepend(14695981039346656037::hugeint,
-       |            list_transform(range(1, length(tok) + 1),
-       |                           i -> ascii(substring(tok, i, 1))::hugeint)),
-       |          (acc, c) -> $fnvStep) % 4294967296::hugeint as bigint))),
+       |        cast(${Text.sqlFnv64("tok")}
+       |          % 4294967296::hugeint as bigint))),
        |    (a, hh) -> (a * 31 + hh) % 1099511627776) as rolling_fp
        |from documents order by doc_id""".stripMargin
-  }
 
   val textRollingFingerprint: Q = Q.df("text_fingerprint_rolling",
     rollingOracle) { (s, dir) =>
@@ -280,18 +271,8 @@ object TextAnalysis {
     * [[rollingOracle]] hugeint emulation, then mirrors the window-min
     * selection with clamped list slices. */
   private[operators] def winnowOracle: String = {
-    val fnvStep =
-      """((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435
-        |             + ((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint)
-        |                % 16777216) * 1099511627776::hugeint
-        |            ) % 18446744073709551616::hugeint""".stripMargin
     val fnvOfG =
-      s"""cast(list_reduce(
-         |      list_prepend(14695981039346656037::hugeint,
-         |        list_transform(range(1, length(g) + 1),
-         |                       i -> ascii(substring(g, i, 1))::hugeint)),
-         |      (acc, c) -> $fnvStep) % 9223372036854775808::hugeint as bigint)"""
-        .stripMargin
+      s"cast(${Text.sqlFnv64("g")} % 9223372036854775808::hugeint as bigint)"
     s"""with t as (select doc_id, string_split(text, ' ') as l from documents),
        |gr as (select doc_id,
        |  list_transform(range(1, greatest(len(l) - ${WinnowK - 2}, 1)),

@@ -49,8 +49,21 @@ object Checkpoints {
   /** Release the executor-storage blocks behind a [[materialize]]d frame
     * (synchronously — the caller is about to allocate the next round's
     * frontier into the same storage budget). For a reliable checkpoint
-    * this only drops any in-memory replica; the files remain, which is
-    * exactly the fault-tolerance contract. */
+    * the files are deleted too: `unpersist` only drops the in-memory
+    * replica, and a superseded frame's files are dead by the caller's
+    * contract (the LIVE frame has its own checkpoint files for fault
+    * tolerance) — without this every materialize() of a long session
+    * accumulates rdd-N directories on the checkpoint store until quota
+    * death. Local checkpoints have no file, so the delete is a no-op
+    * there. */
   def free(df: DataFrame): Unit =
-    backingRdd(df).foreach(_.unpersist(blocking = true))
+    backingRdd(df).foreach { rdd =>
+      rdd.unpersist(blocking = true)
+      rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    }
 }

@@ -55,6 +55,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private val pool = Executors.newFixedThreadPool(8)
   private val running = new AtomicBoolean(true)
   private val connIds = new AtomicInteger(0)
+  private val saltRng = new java.security.SecureRandom()
 
   def boundPort: Int = socket.getLocalPort
 
@@ -89,7 +90,17 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     val out = new BufferedOutputStream(client.getOutputStream)
     try {
       val connId = connIds.incrementAndGet()
-      val salt = Array.tabulate[Byte](20)(i => (0x21 + (connId * 7 + i) % 0x5d).toByte)
+      // Per-connection CSPRNG salt: a derivable salt (e.g. from connId,
+      // which restarts at 1 every boot) would make a captured scramble
+      // replayable as soon as the salt repeats. Bytes are masked into
+      // the protocol's printable-nonzero range like the reference does.
+      val salt = new Array[Byte](20)
+      saltRng.nextBytes(salt)
+      var si = 0
+      while (si < salt.length) {
+        salt(si) = (0x21 + ((salt(si) & 0xFF) % 0x5d)).toByte
+        si += 1
+      }
       writePacket(out, 0, handshakeV10(connId, salt))
       out.flush()
       // HandshakeResponse41: client flags u32, max packet u32, charset u8,
@@ -151,10 +162,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         case _ => denied(user)
       }
     } catch {
-      // malformed handshake tail (truncated lenenc, short scramble):
-      // deny, never throw the connection handler
-      case _: IndexOutOfBoundsException | _: ArrayIndexOutOfBoundsException =>
-        denied("?")
+      // malformed handshake tail (truncated lenenc, NULL/negative lenenc
+      // length making copyOfRange throw IllegalArgument, short
+      // scramble): deny, never throw the connection handler
+      case scala.util.control.NonFatal(_) => denied("?")
     }
   }
 

@@ -158,8 +158,14 @@ class DedupSpec extends AnyFunSuite {
       def rddDirs(f: java.io.File): Array[java.io.File] =
         f.listFiles().flatMap(c =>
           if (c.getName.startsWith("rdd-")) Array(c) else rddDirs(c))
-      assert(rddDirs(new java.io.File(dir)).nonEmpty,
+      val remaining = rddDirs(new java.io.File(dir))
+      assert(remaining.nonEmpty,
         "no reliable checkpoint files written under the configured dir")
+      // free() must DELETE superseded frames' checkpoint files (unpersist
+      // alone leaves them; a long session would fill the store) — only
+      // the live result frame may keep its directory
+      assert(remaining.length <= 2,
+        s"superseded checkpoint dirs not reclaimed: ${remaining.length} remain")
     } finally spark.conf.unset(graft.plans.Checkpoints.DirKey)
   }
 
