@@ -173,6 +173,87 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** RFM (recency / frequency / monetary) user segmentation over
+    * purchase events — the standard behavioral-cohort op. Each user's
+    * quartile per dimension comes from comparing against the corpus's
+    * exact percentile_disc thresholds (a 9-value aggregate broadcast
+    * back), NOT a global ntile window: a total-order window over all
+    * users is a single-partition sort at scale, while threshold-compare
+    * is one agg + a broadcast join — the same shape at 150 users or
+    * 1e9. Monetary sums in exact decimal cents, so every compared value
+    * is an exact integer/decimal in both engines. Recency counts days
+    * from the stream's max date (smaller = better, so quartile 1 is the
+    * most recent). */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import graft.functions.Money
+    val p = events.filter(col("event_type") === "purchase")
+    val maxDay = p.agg(to_date(max(col("ts"))).as("d1"))
+    val rfm = p.groupBy(col("user_id"))
+      .agg(
+        to_date(max(col("ts"))).as("last_day"),
+        count(lit(1)).as("f"),
+        sum((Money.m(col("value")) * 100).cast("long")).as("m_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("d1"), col("last_day")).cast("long").as("r_days"),
+        col("f"), col("m_cents"))
+    val thr = rfm.agg(
+      expr("percentile_disc(0.25) within group (order by r_days)").as("r25"),
+      expr("percentile_disc(0.5)  within group (order by r_days)").as("r50"),
+      expr("percentile_disc(0.75) within group (order by r_days)").as("r75"),
+      expr("percentile_disc(0.25) within group (order by f)").as("f25"),
+      expr("percentile_disc(0.5)  within group (order by f)").as("f50"),
+      expr("percentile_disc(0.75) within group (order by f)").as("f75"),
+      expr("percentile_disc(0.25) within group (order by m_cents)").as("m25"),
+      expr("percentile_disc(0.5)  within group (order by m_cents)").as("m50"),
+      expr("percentile_disc(0.75) within group (order by m_cents)").as("m75"))
+    def quartile(v: org.apache.spark.sql.Column, q25: String, q50: String,
+        q75: String) =
+      (lit(1L) + (v > col(q25)).cast("long") + (v > col(q50)).cast("long")
+        + (v > col(q75)).cast("long"))
+    rfm.crossJoin(broadcast(thr))
+      .select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+        quartile(col("r_days"), "r25", "r50", "r75").as("r_q"),
+        quartile(col("f"), "f25", "f50", "f75").as("f_q"),
+        quartile(col("m_cents"), "m25", "m50", "m75").as("m_q"))
+  }
+
+  val eventsRfm: Q = Q.df(
+    "events_rfm_segments", {
+      val mCents = s"cast(${graft.functions.Money.sqlM("value")} * 100 as bigint)"
+      s"""with p as (select * from events where event_type = 'purchase'),
+         |rfm as (
+         |  select user_id,
+         |    cast(datediff('day', max(cast(ts as date)),
+         |      (select max(cast(ts as date)) from p)) as bigint) as r_days,
+         |    cast(count(*) as bigint) as f,
+         |    cast(sum($mCents) as bigint) as m_cents
+         |  from p group by user_id),
+         |thr as (
+         |  select
+         |    percentile_disc(0.25) within group (order by r_days) as r25,
+         |    percentile_disc(0.5)  within group (order by r_days) as r50,
+         |    percentile_disc(0.75) within group (order by r_days) as r75,
+         |    percentile_disc(0.25) within group (order by f) as f25,
+         |    percentile_disc(0.5)  within group (order by f) as f50,
+         |    percentile_disc(0.75) within group (order by f) as f75,
+         |    percentile_disc(0.25) within group (order by m_cents) as m25,
+         |    percentile_disc(0.5)  within group (order by m_cents) as m50,
+         |    percentile_disc(0.75) within group (order by m_cents) as m75
+         |  from rfm)
+         |select user_id, r_days, f, m_cents,
+         |  1 + cast(r_days > r25 as bigint) + cast(r_days > r50 as bigint)
+         |    + cast(r_days > r75 as bigint) as r_q,
+         |  1 + cast(f > f25 as bigint) + cast(f > f50 as bigint)
+         |    + cast(f > f75 as bigint) as f_q,
+         |  1 + cast(m_cents > m25 as bigint) + cast(m_cents > m50 as bigint)
+         |    + cast(m_cents > m75 as bigint) as m_q
+         |from rfm cross join thr
+         |order by user_id""".stripMargin
+    }) { (s, dir) =>
+    rfmSegments(Tables.df(s, dir, "events")).orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] =
-    Seq(eventsFunnel, eventsCohort, eventsPaths, eventsAnomaly)
+    Seq(eventsFunnel, eventsCohort, eventsPaths, eventsAnomaly, eventsRfm)
 }
