@@ -254,6 +254,43 @@ object Analytics {
     rfmSegments(Tables.df(s, dir, "events")).orderBy(col("user_id"))
   }
 
-  val queries: Seq[Q] =
-    Seq(eventsFunnel, eventsCohort, eventsPaths, eventsAnomaly, eventsRfm)
+  /** DAU / WAU — daily and trailing-7-day distinct active users, the
+    * engagement series every event pipeline publishes. The corpus first
+    * collapses to distinct (user, day) pairs (map-side combinable, the
+    * only fact-scale pass); WAU then replicates each pair to the ≤ 7
+    * window days it supports via a broadcast of the day dimension —
+    * shuffle is 7× the user-day pairs, never the raw event stream, and
+    * no distinct-over-window state. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud.as("u")
+      .join(broadcast(days.as("d")),
+        col("u.day").between(date_sub(col("d.day"), 6), col("d.day")))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("u.user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+  }
+
+  val eventsActiveUsers: Q = Q.df(
+    "events_active_users",
+    """with ud as (select distinct user_id, cast(ts as date) as day
+      |            from events),
+      |days as (select distinct day from ud),
+      |dau as (select day, cast(count(*) as bigint) as dau
+      |        from ud group by day),
+      |wau as (select d.day, cast(count(distinct u.user_id) as bigint) as wau
+      |        from ud u join days d
+      |          on u.day between d.day - interval 6 day and d.day
+      |        group by d.day)
+      |select dau.day, dau.dau, wau.wau
+      |from dau join wau on dau.day = wau.day
+      |order by dau.day""".stripMargin) { (s, dir) =>
+    activeUsers(Tables.df(s, dir, "events")).orderBy(col("day"))
+  }
+
+  val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
+    eventsAnomaly, eventsRfm, eventsActiveUsers)
 }
