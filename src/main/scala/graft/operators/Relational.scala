@@ -892,6 +892,40 @@ object Relational {
       |window w as (partition by o_orderpriority order by o_orderkey)
       |order by o_orderkey""".stripMargin)
 
+  /** User-facing higher-order functions over arrays — transform /
+    * filter / aggregate / exists / forall / zip_with, the lambda surface
+    * the vector and text kernels build on, pinned as an entry of its
+    * own. Arrays are bigint sequences derived from the row key, so every
+    * output (including the array columns) is integer-exact; the oracle
+    * spells the same semantics in DuckDB's list_* vocabulary. */
+  val exprHigherOrder: Q = Q.df(
+    "expr_higher_order",
+    """with b as (select n_nationkey,
+      |    range(1, 2 + n_nationkey % 7) as xs from nation)
+      |select n_nationkey,
+      |  list_reduce(list_prepend(cast(0 as bigint), xs),
+      |    (a, x) -> a + x) as hof_sum,
+      |  list_transform(xs, x -> x * x) as squares,
+      |  list_filter(xs, x -> x % 2 = 0) as evens,
+      |  len(list_filter(xs, x -> x > 5)) > 0 as has_gt5,
+      |  len(list_filter(xs, x -> x < 1)) = 0 as all_ge1,
+      |  list_transform(range(1, len(xs) + 1),
+      |    i -> xs[i] + xs[len(xs) - i + 1]) as mirror_sums
+      |from b order by n_nationkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "nation")
+      .select(col("n_nationkey"),
+        sequence(lit(1L), lit(1L) + col("n_nationkey") % 7).as("xs"))
+      .select(col("n_nationkey"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x).as("hof_sum"),
+        transform(col("xs"), x => x * x).as("squares"),
+        filter(col("xs"), x => x % 2 === 0).as("evens"),
+        exists(col("xs"), x => x > 5).as("has_gt5"),
+        forall(col("xs"), x => x >= 1).as("all_ge1"),
+        zip_with(col("xs"), reverse(col("xs")), (a, b) => a + b)
+          .as("mirror_sums"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** GROUPING() flags under ROLLUP — how a client tells a subtotal row's
     * NULL from a data NULL, the disambiguation half of multi-dim
     * aggregation. Same spelling in both dialects. */
@@ -984,5 +1018,5 @@ object Relational {
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
     windowRangeFrame, windowDistribution, windowNtile, aggBitwise,
-    aggGroupingId, sortNullsPlacement)
+    aggGroupingId, sortNullsPlacement, exprHigherOrder)
 }
