@@ -399,8 +399,92 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram LM score with stupid backoff — the stronger form of
+    * [[textLmScore]]'s quality filter: each token is scored by its
+    * bigram probability given the previous token, backing off to
+    * 0.4 × unigram when the bigram is unseen (Brants et al.'s "stupid
+    * backoff", the standard web-scale choice because it needs no
+    * discounting pass). Both count tables are corpus-trained and
+    * joined, never collected; per-token log-probs derive from integer
+    * counts via the same left-to-right double expression in both
+    * engines, and the per-doc Σ folds over the sorted list (the
+    * [[textEntropy]] determinism contract).
+    *
+    * Scale shape: one lag window partitioned by doc (per-doc token
+    * sequences, bounded state), two map-side-combined count tables, and
+    * three equi-joins of the token stream against them — hot-token skew
+    * handled by AQE exactly as in [[textLmScore]]. */
+  val textLmBigram: Q = Q.df(
+    "text_lm_bigram",
+    """with idx as (
+      |  select doc_id, l, unnest(range(1, len(l) + 1)) as i
+      |  from (select doc_id, string_split(text, ' ') as l from documents)),
+      |pos as (
+      |  select doc_id, i, l[i] as tok,
+      |    case when i > 1 then l[i - 1] else null end as prev
+      |  from idx),
+      |uni as (select tok, cast(count(*) as bigint) as c
+      |        from pos group by tok),
+      |tot as (select cast(sum(c) as bigint) as t from uni),
+      |big as (select prev, tok, cast(count(*) as bigint) as cp
+      |        from pos where prev is not null group by prev, tok),
+      |scored as (
+      |  select pos.doc_id,
+      |    case
+      |      when pos.prev is null then
+      |        log2(cast(cu.c as double) / cast(tot.t as double))
+      |      when big.cp is not null then
+      |        log2(cast(big.cp as double) / cast(cv.c as double))
+      |      else
+      |        log2(0.4 * cast(cu.c as double) / cast(tot.t as double))
+      |    end as lp
+      |  from pos
+      |  join uni cu on cu.tok = pos.tok
+      |  left join uni cv on cv.tok = pos.prev
+      |  left join big on big.prev = pos.prev and big.tok = pos.tok
+      |  cross join tot),
+      |agg as (select doc_id, list_sort(list(lp)) as lps,
+      |          cast(count(*) as bigint) as n_tokens
+      |        from scored group by doc_id)
+      |select doc_id, n_tokens,
+      |  round(list_reduce(list_prepend(cast(0 as double), lps),
+      |          (acc, x) -> acc + x) / cast(n_tokens as double), 6)
+      |    as lm2_score
+      |from agg order by doc_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val pos = Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("i", "tok")))
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+    val uni = pos.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t"))
+    val big = pos.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("cp"))
+    pos
+      .join(uni.select(col("tok"), col("c").as("cu")), Seq("tok"))
+      .join(uni.select(col("tok").as("prev"), col("c").as("cv")),
+        Seq("prev"), "left")
+      .join(big, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("prev").isNull,
+          log2(col("cu").cast("double") / col("t").cast("double")))
+          .when(col("cp").isNotNull,
+            log2(col("cp").cast("double") / col("cv").cast("double")))
+          .otherwise(log2(lit(0.4) * col("cu").cast("double")
+            / col("t").cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("lp"))).as("lps"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x)
+          / col("n_tokens").cast("double"), 6).as("lm2_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
-      jsonExtractProps, textEntropy, textLmScore, textWinnow)
+      jsonExtractProps, textEntropy, textLmScore, textWinnow, textLmBigram)
 }
