@@ -115,5 +115,125 @@ object Quantize {
       .toDF("vec_id", "embedding")
   }
 
-  val queries: Seq[Q] = Seq(quantizeInt8)
+  // ---- PCA top component (power iteration) --------------------------------
+
+  /** Power iterations for the dominant eigenvector — geometric
+    * convergence; 40 is overkill for any real spectral gap, and the
+    * compare never depends on it (same-run oracle). */
+  val PcaIters = 40
+
+  /** (mean, pc1) of the most recent training run — late-bound into the
+    * oracle, the [[Similarity.annIvf]] contract: the dump and the
+    * rendered SQL come from the SAME run's model, so distributed
+    * float-sum order in training is irrelevant to the compare. */
+  @volatile private var lastPc: (Array[Double], Array[Double]) = _
+
+  /** Train the top principal component: ONE distributed pass aggregates
+    * (Σv, Σ v·vᵀ, n) — model-sized partials (64 + 64² doubles), a
+    * treeAggregate so no single reducer sees every partition — then the
+    * driver forms the covariance and power-iterates from a seeded start
+    * (model-only math, microseconds at dim 64). This is the training
+    * recipe every embedding-compression step uses (PCA whitening /
+    * dimensionality reduction before indexing). Sign is fixed so the
+    * largest-magnitude coordinate is positive. */
+  def trainPc(emb: DataFrame): (Array[Double], Array[Double]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = Similarity.Dim
+    val vs = emb.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].rdd.map(_._2)
+    val (sum, outer, n) = vs.treeAggregate(
+      (new Array[Double](d), new Array[Double](d * d), 0L))(
+      { case ((s, o, cnt), v) =>
+        var i = 0
+        while (i < d) {
+          s(i) += v(i)
+          var j = 0
+          while (j < d) { o(i * d + j) += v(i) * v(j); j += 1 }
+          i += 1
+        }
+        (s, o, cnt + 1)
+      },
+      { case ((s1, o1, n1), (s2, o2, n2)) =>
+        var k = 0
+        while (k < s1.length) { s1(k) += s2(k); k += 1 }
+        k = 0
+        while (k < o1.length) { o1(k) += o2(k); k += 1 }
+        (s1, o1, n1 + n2)
+      })
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(d * d)(k =>
+      outer(k) / n - mean(k / d) * mean(k % d))
+    // seeded start + power iteration with per-step normalization
+    val rnd = new scala.util.Random(13)
+    var w = Array.fill(d)(rnd.nextDouble() - 0.5)
+    var it = 0
+    while (it < PcaIters) {
+      val nw = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += cov(i * d + j) * w(j); j += 1 }
+        nw(i) = acc
+        i += 1
+      }
+      var nrm = 0.0
+      i = 0
+      while (i < d) { nrm += nw(i) * nw(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      i = 0
+      while (i < d) { nw(i) = nw(i) / nrm; i += 1 }
+      w = nw
+      it += 1
+    }
+    val top = w.indices.maxBy(i => math.abs(w(i)))
+    if (w(top) < 0) w = w.map(-_)
+    lastPc = (mean, w)
+    lastPc
+  }
+
+  /** Project every vector onto the trained top component — the reduced
+    * coordinate an indexing pipeline stores. The projection kernel is a
+    * zero-shuffle primitive loop whose fold order (ascending i of
+    * (v[i] − mean[i])·w[i]) matches the oracle's list_sum exactly. */
+  def pcaProject(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mean, w) = trainPc(emb)
+    val d = Similarity.Dim
+    emb.select(col("vec_id"),
+      graft.functions.Vectors.asDouble(col("embedding")).as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += (v(i) - mean(i)) * w(i); i += 1 }
+        (id, acc)
+      }
+      .toDF("vec_id", "raw")
+      // round via the SQL round() (HALF_UP) — the same rounding the
+      // oracle's round() applies; a kernel-side rint would be HALF_EVEN
+      .select(col("vec_id"), round(col("raw"), 6).as("pc1"))
+  }
+
+  private def pcaOracle: String = {
+    val (mean, w) = Option(lastPc).getOrElse(
+      (Array.fill(Similarity.Dim)(0.0), Array.fill(Similarity.Dim)(1.0)))
+    s"""with m(mv) as (values ([${mean.mkString(", ")}]::DOUBLE[])),
+       |w(wv) as (values ([${w.mkString(", ")}]::DOUBLE[])),
+       |e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+       |select vec_id,
+       |  round(list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
+       |    i -> (v[i] - mv[i]) * wv[i])), 6) as pc1
+       |from e cross join m cross join w
+       |order by vec_id""".stripMargin
+  }
+
+  val embPca: Q = Q.df("embed_pca_project", pcaOracle) { (s, dir) =>
+    pcaProject(Tables.df(s, dir, "embeddings")).orderBy(col("vec_id"))
+  }
+
+  val queries: Seq[Q] = Seq(quantizeInt8, embPca)
 }

@@ -39,4 +39,23 @@ class QuantizeSpec extends AnyFunSuite {
     // magnitude quantizes to exactly +/-127)
     rows.foreach(r => assert(r.getLong(2) == 127 || r.getLong(1) == -127))
   }
+
+  test("pc1 captures at least as much variance as any coordinate axis") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val pcVar = Quantize.pcaProject(emb)
+      .agg(var_pop(col("pc1"))).collect()(0).getDouble(0)
+    // per-axis population variances of the raw coordinates
+    val axes = emb.select(graft.functions.Vectors.asDouble(col("embedding"))
+        .as("v"))
+      .select((0 until Similarity.Dim).map(i => col("v")(i).as(s"x$i")): _*)
+    val axisVars = axes.agg(var_pop(col("x0")),
+      (1 until Similarity.Dim).map(i => var_pop(col(s"x$i"))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Double])
+    val maxAxis = axisVars.max
+    // the dominant eigenvector's variance is >= any axis variance; allow
+    // 1% slack for the rounding of pc1 to 6 decimals
+    assert(pcVar >= maxAxis * 0.99,
+      s"pc1 variance $pcVar below best axis $maxAxis")
+  }
 }
