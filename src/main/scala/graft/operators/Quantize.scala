@@ -197,7 +197,9 @@ object Quantize {
   /** Project every vector onto the trained top component — the reduced
     * coordinate an indexing pipeline stores. The projection kernel is a
     * zero-shuffle primitive loop whose fold order (ascending i of
-    * (v[i] − mean[i])·w[i]) matches the oracle's list_sum exactly. */
+    * (v[i] − mean[i])·w[i] from 0.0) the oracle pins with an explicit
+    * list_reduce sequential fold — never list_sum, whose internal
+    * accumulation order is an engine implementation detail. */
   def pcaProject(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -225,8 +227,11 @@ object Quantize {
        |w(wv) as (values ([${w.mkString(", ")}]::DOUBLE[])),
        |e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
        |select vec_id,
-       |  round(list_sum(list_transform(range(1, ${Similarity.Dim + 1}),
-       |    i -> (v[i] - mv[i]) * wv[i])), 6) as pc1
+       |  round(list_reduce(
+       |    list_prepend(cast(0 as double),
+       |      list_transform(range(1, ${Similarity.Dim + 1}),
+       |        i -> (v[i] - mv[i]) * wv[i])),
+       |    (acc, x) -> acc + x), 6) as pc1
        |from e cross join m cross join w
        |order by vec_id""".stripMargin
   }
