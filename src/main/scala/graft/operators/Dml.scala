@@ -361,7 +361,32 @@ object Dml {
     s.table(ZTbl).orderBy(col("o_orderkey"))
   }
 
+  /** CSV + JSON sources executed end-to-end and oracle-checked (the
+    * round-trip was previously spec-only): the same projection is
+    * written to both formats, read back with an explicit schema (CSV
+    * carries none; JSON would otherwise infer), and the union compared
+    * against the source rows per format. Text formats are the interchange
+    * surface of every ingest pipeline; the parquet-native entries cover
+    * the columnar path. */
+  val sourceTextRoundtrip: Q = Q.df(
+    "source_csv_json_roundtrip",
+    """select doc_id, source, cast(n_chars as bigint) as n_chars, fmt
+      |from documents
+      |cross join (values ('csv'), ('json')) f(fmt)
+      |order by doc_id, fmt""".stripMargin) { (s, dir) =>
+    val base = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val io = "/tmp/graft-io-roundtrip"
+    base.write.mode("overwrite").option("header", "true").csv(s"$io/csv")
+    base.write.mode("overwrite").json(s"$io/json")
+    val c = s.read.schema(base.schema).option("header", "true")
+      .csv(s"$io/csv").withColumn("fmt", lit("csv"))
+    val j = s.read.schema(base.schema).json(s"$io/json")
+      .withColumn("fmt", lit("json"))
+    c.union(j).orderBy(col("doc_id"), col("fmt"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
-    dmlZorder)
+    dmlZorder, sourceTextRoundtrip)
 }
