@@ -291,6 +291,58 @@ object Analytics {
     activeUsers(Tables.df(s, dir, "events")).orderBy(col("day"))
   }
 
+  /** Attribution-window funnel — the production form of
+    * [[funnelConversion]]: a stage converts only within a bounded window
+    * of the previous stage (click ≤ 2 days after first view, purchase
+    * ≤ 5 days after that click), because an unbounded funnel
+    * credits conversions that had nothing to do with the entry event.
+    * Same scale shape as the unbounded form (stage filters + groupBy-min
+    * on the user key); the window bound is one more predicate in each
+    * stage join, evaluated with identical timestamp-interval arithmetic
+    * in both engines. */
+  def funnelWindowed(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = events.filter(col("event_type") === "click").as("e")
+      .join(v, Seq("user_id"))
+      .filter(col("e.ts") > col("t_view") &&
+        col("e.ts") <= col("t_view") + expr("interval 2 days"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("t_click"))
+    val p = events.filter(col("event_type") === "purchase").as("e")
+      .join(c, Seq("user_id"))
+      .filter(col("e.ts") > col("t_click") &&
+        col("e.ts") <= col("t_click") + expr("interval 5 days"))
+      .groupBy(col("user_id")).agg(min(col("e.ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        when(col("t_purchase").isNotNull, lit(3L))
+          .when(col("t_click").isNotNull, lit(2L))
+          .otherwise(lit(1L)).as("stage"))
+  }
+
+  val eventsFunnelWindowed: Q = Q.df(
+    "events_funnel_windowed",
+    """with v as (select user_id, min(ts) as t_view from events
+      |           where event_type = 'view' group by 1),
+      |c as (select e.user_id, min(e.ts) as t_click
+      |      from events e join v using (user_id)
+      |      where e.event_type = 'click' and e.ts > v.t_view
+      |        and e.ts <= v.t_view + interval 2 day group by 1),
+      |p as (select e.user_id, min(e.ts) as t_purchase
+      |      from events e join c using (user_id)
+      |      where e.event_type = 'purchase' and e.ts > c.t_click
+      |        and e.ts <= c.t_click + interval 5 day group by 1)
+      |select v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |  cast(case when p.t_purchase is not null then 3
+      |            when c.t_click is not null then 2
+      |            else 1 end as bigint) as stage
+      |from v left join c using (user_id) left join p using (user_id)
+      |order by user_id""".stripMargin) { (s, dir) =>
+    funnelWindowed(Tables.df(s, dir, "events")).orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
-    eventsAnomaly, eventsRfm, eventsActiveUsers)
+    eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed)
 }
