@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants of the event-analytics operators — properties
+  * that must hold regardless of data, checked on the fixtures. The
+  * value-level correctness of each entry is the DuckDB oracle's job;
+  * these pin the RELATIONS between operators that the oracles cannot
+  * see (each oracle checks one query in isolation).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import graft.operators.Analytics
+
+  private lazy val events = Tables.df(spark, TestSpark.Sf, "events")
+
+  test("WAU dominates DAU on every day (7-day window contains the day)") {
+    val rows = Analytics.activeUsers(events).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"day ${r.get(0)}: DAU ${r.getLong(1)} > WAU ${r.getLong(2)}")
+    }
+  }
+
+  test("windowed funnel never advances a user past the unbounded funnel") {
+    val unb = Analytics.funnelConversion(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val win = Analytics.funnelWindowed(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(win.keySet == unb.keySet, "stage-1 population differs")
+    win.foreach { case (u, s) =>
+      assert(s <= unb(u), s"user $u: windowed stage $s > unbounded ${unb(u)}")
+    }
+    // and the window must actually bind somewhere on the fixture,
+    // otherwise the entry degenerates to the unbounded form
+    assert(win.exists { case (u, s) => s < unb(u) },
+      "attribution windows never bound a conversion on the fixture")
+  }
+
+  test("spike flags are scale-equivariant: doubling every count preserves them") {
+    // (c*n - s1)^2 > 4(n*s2 - s1^2) is homogeneous of degree 2 in the
+    // counts, so duplicating the event stream (every daily count ×2)
+    // must flag exactly the same (type, day) cells.
+    val doubled = events.union(events)
+    val base = Analytics.anomalySpikes(events).collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> r.getBoolean(3)).toMap
+    val twice = Analytics.anomalySpikes(doubled).collect()
+      .map(r => (r.getString(0), r.get(1).toString) -> r.getBoolean(3)).toMap
+    assert(base == twice)
+    assert(base.values.exists(identity), "no spike on the fixture")
+  }
+
+  test("RFM quartiles are monotone in their dimension") {
+    val rows = Analytics.rfmSegments(events).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // same or smaller recency can never land in a LARGER quartile, etc.
+    val byR = rows.sortBy(_._1).map(_._4)
+    assert(byR.zip(byR.tail).forall { case (a, b) => a <= b })
+    val byF = rows.sortBy(_._2).map(_._5)
+    assert(byF.zip(byF.tail).forall { case (a, b) => a <= b })
+    val byM = rows.sortBy(_._3).map(_._6)
+    assert(byM.zip(byM.tail).forall { case (a, b) => a <= b })
+    // all four quartiles realized in at least one dimension
+    assert(rows.map(_._5).distinct.length >= 3, "frequency quartiles degenerate")
+  }
+}
