@@ -185,6 +185,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("incremental minhash = full LSH pair set restricted to cross-batch") {
+    val d = Tables.df(spark, TestSpark.Sf, "documents")
+    val batch = Dedup.IncrementalBatchSource
+    val srcOf = d.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // full corpus LSH pairs, kept only where exactly one side is the
+    // batch source, normalized to (base, batch) order
+    val crossFull = Dedup.minhashLshPairs(d, Dedup.MinhashLshThreshold)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        (srcOf(a) == batch) != (srcOf(b) == batch)
+      }
+      .map { case (a, b) => if (srcOf(b) == batch) (a, b) else (b, a) }
+      .toSet
+    val inc = Dedup.incrementalMinhashPairs(d, batch,
+      Dedup.MinhashLshThreshold)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == crossFull,
+      s"incremental ${inc.size} pairs vs cross-filtered full ${crossFull.size}")
+  }
+
   test("cluster propagation converges on a 200-hop chain (diameter >> cap)") {
     // A path graph 0-1-2-...-200: diameter 200, far past the 64-round
     // cap. One-hop min-label propagation needs `diameter` rounds and
