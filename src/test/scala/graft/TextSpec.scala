@@ -88,6 +88,50 @@ class TextSpec extends AnyFunSuite {
       "winnowing selected every gram — no compression")
   }
 
+  test("entropy and LM scores respect their information-theoretic bounds") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    // 0 <= H <= log2(n_tokens), with H = log2(n) iff all tokens distinct
+    TextAnalysis.textEntropy.run(spark, TestSpark.Sf).collect().foreach { r =>
+      val (n, types, h, ttr) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      // the entry rounds H to 6 decimals, so an all-distinct doc can sit
+      // half a rounding step above the exact log2(n) bound
+      assert(h >= -1e-9 && h <= math.log(n.toDouble) / math.log(2.0) + 5e-7,
+        s"doc ${r.getLong(0)}: H=$h outside [0, log2($n)]")
+      assert(ttr > 0 && ttr <= 1.0 && types <= n)
+    }
+    // unigram and bigram LM scores are average log-probs: always <= 0,
+    // and the corpus-trained unigram model gives every token p >= 1/T
+    val t = TextAnalysis.textLmScore.run(spark, TestSpark.Sf).collect()
+    val total = t.map(_.getLong(1)).sum.toDouble
+    val floor = math.log(1.0 / total) / math.log(2.0) - 1e-6
+    t.foreach { r =>
+      assert(r.getDouble(2) <= 1e-9 && r.getDouble(2) >= floor,
+        s"doc ${r.getLong(0)}: lm_score ${r.getDouble(2)} outside [log2(1/T), 0]")
+    }
+    TextAnalysis.textLmBigram.run(spark, TestSpark.Sf).collect().foreach { r =>
+      assert(r.getDouble(2) <= 1e-9, "bigram log-prob average above zero")
+    }
+  }
+
+  test("winnow fingerprints are a subset of the doc's own gram hashes") {
+    import graft.operators.TextAnalysis
+    val d = Seq((1L, (1 to 60).map(i => s"w${i % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.winnowFingerprints(d).collect()(0)
+    val fps = row.getSeq[Long](3).toSet
+    // recompute every gram hash the way the kernel does
+    val toks = d.collect()(0).getString(1).split(" ", -1)
+    val all = (0 to toks.length - TextAnalysis.WinnowK).map { i =>
+      graft.functions.Text.fnv64(
+        s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}") & Long.MaxValue
+    }.toSet
+    assert(fps.nonEmpty && fps.subsetOf(all),
+      "winnowing selected a hash that is not one of the doc's gram hashes")
+    assert(fps.size < all.size, "winnowing selected every gram")
+  }
+
   test("quality score stays in [0, 1]") {
     val scores = Tables.df(spark, TestSpark.Sf, "documents")
       .select(Text.qualityScore(col("text")).as("q"))
