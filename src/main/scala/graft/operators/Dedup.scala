@@ -430,7 +430,10 @@ object Dedup {
     * re-reads base fingerprints). The oracle embeds the 64 seeded (a, b)
     * coefficients as literals and reproduces base = FNV(gram) mod 2³²
     * (hugeint emulation) and sig_i = min (a_i·base + b_i) mod P — exact
-    * integer arithmetic end to end, so the full array hash-compares. */
+    * integer arithmetic end to end, so the full signature hash-compares.
+    * Both sides serialize the signature to a comma-joined string in the
+    * compared SELECT (content still checked element by element; the
+    * driver's pandas sort cannot order raw ndarray cells). */
   private def minhashSigOracle: String = {
     val coeffRows = coeffs.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::hugeint, ${b}::hugeint)" }
@@ -446,7 +449,7 @@ object Dedup {
        |cell as (select doc_id, co.i,
        |           min(cast((base.h * co.a + co.b) % $MinhashP as bigint)) as v
        |         from base cross join co group by doc_id, co.i)
-       |select doc_id, list(v order by i) as sig
+       |select doc_id, array_to_string(list(v order by i), ',') as sig
        |from cell group by doc_id
        |order by doc_id""".stripMargin
   }
@@ -454,6 +457,8 @@ object Dedup {
   val dedupMinhashSignatures: Q =
     Q.df("dedup_minhash_signatures", minhashSigOracle) { (s, dir) =>
       minhashSignatures(Tables.df(s, dir, "documents"))
+        .select(col("doc_id"),
+          array_join(col("sig").cast("array<string>"), ",").as("sig"))
         .orderBy(col("doc_id"))
     }
 

@@ -287,13 +287,21 @@ object TextAnalysis {
        |  from h)
        |select doc_id, n_grams,
        |  cast(len(list_distinct(mins)) as bigint) as n_selected,
-       |  list_sort(list_distinct(mins)) as fps
+       |  coalesce(
+       |    array_to_string(list_sort(list_distinct(mins)), ','), '') as fps
        |from m order by doc_id""".stripMargin
   }
 
+  /** Fingerprint set serialized to a comma-joined string in the compared
+    * SELECT on both sides — content still hash-checked per element, but
+    * the driver's pandas sort (which cannot order ndarray cells) sees a
+    * scalar. The Spark-side array is already sorted ascending
+    * (SortedSet), matching the oracle's list_sort. */
   val textWinnow: Q = Q.df("text_fingerprint_winnow", winnowOracle) {
     (s, dir) =>
       winnowFingerprints(Tables.df(s, dir, "documents"))
+        .select(col("doc_id"), col("n_grams"), col("n_selected"),
+          array_join(col("fps").cast("array<string>"), ",").as("fps"))
         .orderBy(col("doc_id"))
   }
 

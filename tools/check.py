@@ -56,6 +56,18 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        # Driver parity: the real gate loads the parquet into pandas and
+        # sort_values on ALL columns — ndarray cells (any LIST/array
+        # column) crash it with "unhashable type". Fail here too so an
+        # array-typed output never reaches the driver (r7: 3 red rows).
+        unsortable = [c for c, t in got_types.items()
+                      if "[]" in t or t.startswith(("LIST", "STRUCT", "MAP"))]
+        if unsortable:
+            print(f"FAIL {name}: array/nested output cols {unsortable} "
+                  "(driver pandas sort_values crashes on ndarray cells — "
+                  "scalarize via array_to_string/array_join)")
+            n_fail += 1
+            continue
         gc, gr = canon(got_rows, got_cols)
         wc, wr = canon(want_rows, want_cols)
         if gc != wc:
