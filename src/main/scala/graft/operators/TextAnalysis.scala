@@ -287,17 +287,23 @@ object TextAnalysis {
        |  from h)
        |select doc_id, n_grams,
        |  cast(len(list_distinct(mins)) as bigint) as n_selected,
-       |  coalesce(
-       |    array_to_string(list_sort(list_distinct(mins)), ','), '') as fps
+       |  list_sort(list_distinct(mins)) as fps
        |from m order by doc_id""".stripMargin
   }
 
   /** Fingerprint set serialized to a comma-joined string in the compared
     * SELECT on both sides — content still hash-checked per element, but
     * the driver's pandas sort (which cannot order ndarray cells) sees a
-    * scalar. The Spark-side array is already sorted ascending
-    * (SortedSet), matching the oracle's list_sort. */
-  val textWinnow: Q = Q.df("text_fingerprint_winnow", winnowOracle) {
+    * scalar. [[winnowOracle]] itself keeps the list shape because the
+    * winnowed span-dedup oracle UNNESTs it; only this entry's outer
+    * SELECT scalarizes. DuckDB's array_to_string is NULL on the empty
+    * list where Spark's array_join is '' — hence the coalesce. The
+    * Spark-side array is already sorted ascending (SortedSet), matching
+    * the oracle's list_sort. */
+  val textWinnow: Q = Q.df("text_fingerprint_winnow",
+    s"""select doc_id, n_grams, n_selected,
+       |  coalesce(array_to_string(fps, ','), '') as fps
+       |from (${winnowOracle}) w order by doc_id""".stripMargin) {
     (s, dir) =>
       winnowFingerprints(Tables.df(s, dir, "documents"))
         .select(col("doc_id"), col("n_grams"), col("n_selected"),
