@@ -631,6 +631,37 @@ object Relational {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Row-value (tuple) expressions — ExprKind::Tuple
+    * (doradb-expr/src/expr.rs:39) paired with InValues/NotInValues
+    * (doradb-expr/src/pred.rs:52-54): MySQL's multi-column
+    * `(a,b) IN ((1,2),(3,4))` membership, plus lexicographic tuple
+    * comparison and tuple equality. Spark evaluates all three through
+    * `struct()` — struct equality drives `isin`, and structs are
+    * orderable so `<` is the same field-by-field lexicographic compare
+    * the row-value form implies; DuckDB spells it with native row-value
+    * syntax. Whole-stage-codegen-friendly: no UDF, no join. */
+  val predRowTuples: Q = Q.df(
+    "pred_row_tuples",
+    """select o_orderkey, o_orderstatus, o_orderpriority,
+      |  (o_orderstatus, o_orderpriority)
+      |    in (('F', '1-URGENT'), ('O', '2-HIGH')) as in_pairs,
+      |  (o_orderstatus, o_orderpriority)
+      |    not in (('F', '1-URGENT'), ('O', '2-HIGH')) as not_in_pairs,
+      |  (o_orderstatus, o_orderpriority) < ('O', '3-MEDIUM') as lt_pair,
+      |  (o_orderstatus, o_orderpriority) = ('F', '5-LOW') as eq_pair
+      |from orders order by o_orderkey limit 500""".stripMargin) { (s, dir) =>
+    val t = struct(col("o_orderstatus"), col("o_orderpriority"))
+    val pairs = Seq(
+      struct(lit("F"), lit("1-URGENT")), struct(lit("O"), lit("2-HIGH")))
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        t.isin(pairs: _*).as("in_pairs"),
+        (!t.isin(pairs: _*)).as("not_in_pairs"),
+        (t < struct(lit("O"), lit("3-MEDIUM"))).as("lt_pair"),
+        (t === struct(lit("F"), lit("5-LOW"))).as("eq_pair"))
+      .orderBy(col("o_orderkey")).limit(500)
+  }
+
   /** Logical XOR with 3VL (Pred::Xor, pred.rs:8): boolean `<>` matches
     * MySQL XOR's null semantics — NULL if either side is NULL. */
   val predLogicalXor: Q = Q.shared(
@@ -1019,6 +1050,7 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
+    predRowTuples,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
     aggPercentileCont, aggMinMaxBy,
     aggBool, aggStringAgg,
