@@ -99,6 +99,15 @@ object TypeMap {
       case _ => DayTimeIntervalType()
     }
     case Char(_, Collation.Binary) | Varchar(_, Collation.Binary) => BinaryType
+    // Ascii/Utf8mb4 map to StringType under Spark's default UTF8_BINARY
+    // collation. MySQL's utf8mb4 default (utf8mb4_0900_ai_ci) is case-
+    // AND accent-insensitive; Spark 4's UTF8_LCASE covers the case-
+    // insensitive half and is the documented migration path — executed
+    // and oracle-pinned by types_collation_ci / types_collation_ci_group
+    // (TypesQueries.scala). We deliberately do NOT default Utf8mb4
+    // columns to a collated StringType: accent folding would still
+    // deviate, and a silent CI default changes join/group cardinalities;
+    // callers opt in per expression with collate(s, "UTF8_LCASE").
     case Char(_, _) | Varchar(_, _) => StringType
     case Compound =>
       // matches the reference: doradb-datatype/src/lib.rs:60-61

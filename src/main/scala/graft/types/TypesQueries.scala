@@ -62,5 +62,75 @@ object TypesQueries {
         col("first_id"), col("after_m"))
   }
 
-  val queries: Seq[Q] = Seq(typesUnsignedWidening, typesBinaryCollation)
+  /** Non-binary (case-insensitive) collation compare + sort — the
+    * Utf8mb4 side of the reference's collation enum
+    * (doradb-datatype/src/lib.rs:466-470; MySQL's utf8mb4 default
+    * collation is case-insensitive, unlike Spark's UTF8_BINARY
+    * default). Spark 4 collated strings (`collate(s, 'UTF8_LCASE')`)
+    * give the engine-native CI comparison; DuckDB's NOCASE is the
+    * oracle-side equivalent (identical on the fixtures' ASCII data).
+    * The entry derives a mixed-case column, then pins: CI equality
+    * across case, binary equality differing, CI ordering vs a
+    * mixed-case literal, and a CI sort surfaced as a rank (tie-broken
+    * by key so the output is deterministic while the ORDER BY itself
+    * runs on the collated column). */
+  val typesCollationCi: Q = Q.df(
+    "types_collation_ci",
+    """with b as (select c_custkey,
+      |  case when c_custkey % 2 = 0 then upper(c_mktsegment)
+      |       else lower(c_mktsegment) end as s,
+      |  lower(c_mktsegment) as t from customer)
+      |select c_custkey, s,
+      |  (s collate nocase) = t as ci_eq,
+      |  s = t as bin_eq,
+      |  (s collate nocase) < 'HOUSEhold' as ci_lt,
+      |  rank() over (order by s collate nocase, c_custkey) as ci_rank
+      |from b order by c_custkey limit 500""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val mixed = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+      .otherwise(lower(col("c_mktsegment")))
+    val ci = collate(col("s"), "UTF8_LCASE")
+    Tables.df(s, dir, "customer")
+      .select(col("c_custkey"), mixed.as("s"),
+        lower(col("c_mktsegment")).as("t"))
+      .select(col("c_custkey"), col("s"),
+        (ci === col("t")).as("ci_eq"),
+        (col("s") === col("t")).as("bin_eq"),
+        (ci < lit("HOUSEhold")).as("ci_lt"),
+        rank().over(Window.orderBy(ci, col("c_custkey")))
+          .cast("long").as("ci_rank"))
+      .orderBy(col("c_custkey")).limit(500)
+  }
+
+  /** CI collation under GROUP BY and DISTINCT — the aggregation half of
+    * collation semantics: grouping on `collate(s, 'UTF8_LCASE')` merges
+    * case variants into one group (5 segments instead of 10). The
+    * surfaced group key is `lower(min(s))` — min under BINARY collation
+    * picks the uppercase variant deterministically in both engines, so
+    * the output never depends on which member the CI group happens to
+    * expose. At scale this is one hash aggregate on a normalized-width
+    * key; no extra shuffle vs a binary group-by. */
+  val typesCollationCiGroup: Q = Q.df(
+    "types_collation_ci_group",
+    """with b as (select c_custkey,
+      |  case when c_custkey % 2 = 0 then upper(c_mktsegment)
+      |       else lower(c_mktsegment) end as s from customer)
+      |select lower(min(s)) as seg, cast(count(*) as bigint) as cnt,
+      |  cast(count(distinct s) as bigint) as n_case_variants
+      |from b group by s collate nocase order by seg""".stripMargin) {
+    (s, dir) =>
+      val mixed = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment")))
+      Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), mixed.as("s"))
+        .groupBy(collate(col("s"), "UTF8_LCASE"))
+        .agg(lower(min(col("s"))).as("seg"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("s")).as("n_case_variants"))
+        .select(col("seg"), col("cnt"), col("n_case_variants"))
+        .orderBy(col("seg"))
+  }
+
+  val queries: Seq[Q] = Seq(typesUnsignedWidening, typesBinaryCollation,
+    typesCollationCi, typesCollationCiGroup)
 }
