@@ -159,7 +159,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         }
       users.get(user) match {
         case Some(stored) if nativePasswordOk(salt, authResp, stored) => None
-        case _ => denied(user)
+        case Some(_) => denied(user)
+        case None =>
+          // Unknown users verify against a constant dummy double-SHA1 so
+          // the code path (and its two SHA-1s) is uniform with the
+          // known-user case — otherwise the early return is a timing
+          // side channel that enumerates usernames.
+          nativePasswordOk(salt, authResp, DummyStored)
+          denied(user)
       }
     } catch {
       // malformed handshake tail (truncated lenenc, NULL/negative lenenc
@@ -180,7 +187,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         case ComInitDb => writePacket(out, 1, okPacket()); out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
-          runQuery(out, sql)
+          sql match {
+            case ExplainRe(mode, stmt) => runExplain(out, mode, stmt)
+            case _ => runQuery(out, sql)
+          }
         case ComFieldList =>
           // COM_FIELD_LIST: NUL-terminated table name (+ field wildcard,
           // ignored) → one ColumnDefinition41 per column, then EOF. The
@@ -209,6 +219,42 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           out.flush()
       }
     }
+  }
+
+  /** `EXPLAIN [mode] <stmt>` over the wire — the reference parses
+    * EXPLAIN as a statement (doradb-sql/src/ast.rs:1556-1562); here a
+    * stock MySQL client typing it gets the plan back as a one-column
+    * text resultset, one row per plan line (the shape mysql's own
+    * `EXPLAIN FORMAT=TREE` uses). Mode keywords mirror Spark SQL's
+    * EXPLAIN (extended | codegen | cost | formatted), defaulting to
+    * formatted via [[graft.plans.Explain]]. */
+  private def runExplain(out: OutputStream, mode: String,
+      stmt: String): Unit = {
+    try {
+      val text = graft.plans.Explain.explainSql(spark, stmt,
+        Option(mode).map(_.toLowerCase).getOrElse("formatted"))
+      var seq = 1
+      def send(payload: Array[Byte]): Unit = {
+        writePacket(out, seq, payload); seq += 1
+      }
+      send(lenencInt(1))
+      send(columnDefinition(StructField("EXPLAIN", StringType,
+        nullable = false)))
+      send(eofPacket())
+      text.linesIterator.foreach { line =>
+        val b = line.getBytes(StandardCharsets.UTF_8)
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(lenencInt(b.length)); buf.write(b)
+        send(buf.toByteArray)
+      }
+      send(eofPacket())
+    } catch {
+      case e: Throwable =>
+        writePacket(out, 1, errPacket(1064, "42000",
+          String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
+            .take(400)))
+    }
+    out.flush()
   }
 
   private def runQuery(out: OutputStream, sql: String): Unit = {
@@ -335,6 +381,16 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
 
 object MysqlServer {
   val ServerVersion = "8.0.0-graft-spark"
+
+  /** EXPLAIN statement with an optional Spark explain-mode keyword;
+    * group 1 = mode (null when absent → formatted), group 2 = the
+    * explained statement. */
+  private val ExplainRe =
+    "(?is)\\s*explain\\s+(?:(extended|codegen|cost|formatted)\\s+)?(.+)".r
+
+  /** Constant stand-in credential for unknown-user verification — only
+    * its non-emptiness matters (it forces the full two-SHA1 path). */
+  private val DummyStored: Array[Byte] = doubleSha1("graft-timing-dummy")
 
   // command bytes (public protocol)
   val ComQuit = 0x01

@@ -237,6 +237,35 @@ class MysqlProtocolSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("EXPLAIN over the wire returns plan rows as a text resultset") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // bare EXPLAIN → formatted physical plan, one row per line
+      val Right((cols, rows)) = c.query(
+        "EXPLAIN select n_name from nation where n_nationkey = 3")
+      assert(cols == Seq("EXPLAIN"))
+      val text = rows.flatten.flatten.mkString("\n")
+      assert(text.contains("== Physical Plan =="), text.take(200))
+      assert(rows.length > 3, s"${rows.length} plan rows")
+      // an explicit Spark mode keyword passes through
+      val Right((_, ext)) = c.query("explain extended select 1 as one")
+      assert(ext.flatten.flatten.mkString("\n")
+        .contains("== Analyzed Logical Plan =="))
+      // a broken statement: Spark's EXPLAIN doesn't throw — it reports
+      // the planning error as the plan text; it travels as plan rows
+      // and the connection stays intact
+      val Right((_, bad)) = c.query(
+        "EXPLAIN select * from no_such_table_xyz")
+      assert(bad.flatten.flatten.mkString("\n")
+        .contains("TABLE_OR_VIEW_NOT_FOUND"))
+      val Right((_, again)) = c.query("select 1 as one")
+      assert(again == Seq(Seq(Some("1"))))
+      c.quit()
+    } finally server.stop()
+  }
+
   test("row cap bounds unbounded selects at the wire") {
     Tables.registerAll(spark, TestSpark.Sf)
     val server = MysqlServer.start(spark, maxRows = 5)
