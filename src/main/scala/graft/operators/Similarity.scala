@@ -96,34 +96,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** One id-hash block of normalized vectors should fit comfortably in
+    * a task (two are resident per cogroup task): 64 MB per block keeps
+    * a pair inside a typical executor task's memory share. */
+  val TargetBlockBytes: Long = 64L << 20
+
+  /** Block count for [[cosinePairs]], derived from the corpus instead
+    * of hard-coded so the exact path survives a 100× corpus without
+    * retuning: B rises linearly with n·dim·8 / [[TargetBlockBytes]]
+    * (per-task memory stays ≤ 2 blocks of bounded size) and never drops
+    * below the B whose B·(B+1)/2 cogroup tasks cover the cluster's
+    * parallelism. Capped at 4096 (16.8M tasks — far beyond any sane
+    * exact run; past that the LSH/SemDeDup paths are the answer). Pure
+    * function so the scaling law is spec-checkable. */
+  def cosineBlocks(n: Long, dim: Int, parallelism: Int): Int = {
+    val memB = (n * dim * 8L + TargetBlockBytes - 1) / TargetBlockBytes
+    val parB = math.ceil(math.sqrt(2.0 * parallelism)).toLong
+    math.max(1L, math.min(4096L, math.max(memB, parB))).toInt
+  }
+
   /** All near-duplicate pairs by cosine >= threshold (embedding dedup).
     *
     * Exact all-pairs is inherently O(n²) compare, but it needs NO
-    * driver-side state: the corpus is split into `blocks` id-hash blocks
+    * driver-side state: the corpus is split into B id-hash blocks
     * and the B·(B+1)/2 ordered block pairs become a cogroup key, so
     * every vector pair meets in exactly one task. Per-task memory and
     * work are bounded by (n/B)² regardless of corpus size; shuffle
     * volume is ~B/2 copies of the (already-normalized) vectors, never
-    * the pair matrix. Scale by raising B: tasks grow as B², per-task
-    * cost shrinks as 1/B². For corpora where even that is too much, the
-    * recall-trading path is the hyperplane-LSH candidate join below.
-    * The dot fold order matches the DuckDB oracle exactly (same kernel
-    * as [[bruteForceTopK]], which hash-matches).
+    * the pair matrix. B defaults to [[cosineBlocks]] — sized from a
+    * count+dim pre-pass (two scalars to the driver, model-only) — and
+    * scales with the corpus: tasks grow as B², per-task cost shrinks as
+    * 1/B². For corpora where even that is too much, the recall-trading
+    * path is the hyperplane-LSH candidate join below. The dot fold
+    * order matches the DuckDB oracle exactly (same kernel as
+    * [[bruteForceTopK]], which hash-matches); B only repartitions the
+    * pair space, so the result set is B-invariant.
     */
-  def cosinePairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+  def cosinePairs(emb: DataFrame, threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val blocksResolved =
+      if (blocks > 0) blocks
+      else {
+        val r = emb.agg(count(lit(1)),
+          first(size(col("embedding")))).head()
+        cosineBlocks(r.getLong(0), if (r.isNullAt(1)) Dim else r.getInt(1),
+          spark.sparkContext.defaultParallelism)
+      }
     val unit = withUnit(emb).as[(Long, Array[Double])]
     // replicate each side to its block pairs: key = b1 * blocks + b2
     // (b1 <= b2). Shuffle volume is ~B/2 copies of the normalized
     // vectors — never the O(n²) pair matrix.
+    val nB = blocksResolved
     val leftKeyed = unit.flatMap { case (id, u) =>
-      val b = (id % blocks).toInt
-      (b until blocks).map(b2 => (b * blocks + b2, id, u))
+      val b = (id % nB).toInt
+      (b until nB).map(b2 => (b * nB + b2, id, u))
     }
     val rightKeyed = unit.flatMap { case (id, u) =>
-      val b = (id % blocks).toInt
-      (0 to b).map(b1 => (b1 * blocks + b, id, u))
+      val b = (id % nB).toInt
+      (0 to b).map(b1 => (b1 * nB + b, id, u))
     }
     // cogroup = both blocks of a pair land in one task; the kernel is a
     // primitive-double nested loop (same fold order as [[dot]] and the
@@ -131,7 +162,7 @@ object Similarity {
     // footprint is two blocks, (n/B)·dim·8 bytes each, tuned via B.
     leftKeyed.groupByKey(_._1)
       .cogroup(rightKeyed.groupByKey(_._1)) { (key, ls, rs) =>
-        val sameBlock = (key / blocks) == (key % blocks)
+        val sameBlock = (key / nB) == (key % nB)
         val lArr = ls.toArray
         val rArr = rs.toArray
         lArr.iterator.flatMap { case (_, i1, u1) =>

@@ -79,6 +79,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosineBlocks scales with the corpus and bounds per-block bytes") {
+    import Similarity.{cosineBlocks, TargetBlockBytes}
+    val par = 32
+    // floor: small corpora still get enough block pairs to cover the
+    // cluster's parallelism (B(B+1)/2 >= par)
+    val small = cosineBlocks(5000, 64, par)
+    assert(small.toLong * (small + 1) / 2 >= par, s"B=$small")
+    // growth: 100× and 10000× corpora raise B monotonically...
+    val sizes = Seq(5000L, 500000L, 50000000L, 5000000000L)
+    val bs = sizes.map(cosineBlocks(_, 64, par))
+    assert(bs == bs.sorted, s"not monotone: $bs")
+    assert(bs.last > bs.head, s"B never grew: $bs")
+    // ...and once the memory term dominates, one block stays bounded by
+    // TargetBlockBytes — the per-task residency invariant that makes
+    // the exact path survive scale-up without retuning
+    sizes.foreach { n =>
+      val b = cosineBlocks(n, 64, par)
+      if (b < 4096) // below the cap the bound must hold exactly
+        assert(n * 64 * 8 / b <= TargetBlockBytes,
+          s"n=$n B=$b block bytes ${n * 64 * 8 / b}")
+    }
+    // the result itself is B-invariant (partitioning knob, not
+    // semantics): same pair set at two explicit block counts
+    val emb0 = Tables.df(spark, TestSpark.Sf, "embeddings")
+    def pairs(b: Int) =
+      Similarity.cosinePairs(emb0, Similarity.CosineDupThreshold, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(4) == pairs(9))
+  }
+
   test("LSH top-k is a subset-quality approximation with nonzero recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
