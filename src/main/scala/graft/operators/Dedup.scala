@@ -887,10 +887,13 @@ object Dedup {
     * 100 TB the difference between shuffling the corpus once and
     * shuffling it twenty times. Rows too are cheap to build: the kernel
     * hashes each token once and folds, O(n·w) long ops per doc. */
-  def substringSpanPairs(docs: DataFrame, w: Int): DataFrame = {
+  /** (doc_id, span-hash) rows — the inverted-index input of
+    * [[substringSpanPairs]], exposed so the cap-audit spec measures the
+    * REAL kernel's per-key document frequency, not a reimplementation. */
+  private[graft] def spanKeys(docs: DataFrame, w: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val spans = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
         val n = toks.length - w + 1
@@ -909,7 +912,10 @@ object Dedup {
         }
       }
       .toDF("doc_id", "sp")
-    val bySpan = spans
+  }
+
+  def substringSpanPairs(docs: DataFrame, w: Int): DataFrame = {
+    val bySpan = spanKeys(docs, w)
       .groupBy(col("sp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, MaxSpanDf))

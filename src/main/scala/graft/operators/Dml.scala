@@ -368,6 +368,14 @@ object Dml {
     * against the source rows per format. Text formats are the interchange
     * surface of every ingest pipeline; the parquet-native entries cover
     * the columnar path. */
+  /** Per-JVM scratch dir for the text round-trip: a fixed /tmp literal
+    * would let two concurrent sessions (or users on a shared box) race
+    * the overwrite and corrupt each other's read-back; a process-unique
+    * temp dir confines the race surface to this JVM, where the bench's
+    * sequential samples legitimately reuse it. */
+  private lazy val roundtripDir: String = java.nio.file.Files
+    .createTempDirectory("graft-io-roundtrip").toString
+
   val sourceTextRoundtrip: Q = Q.df(
     "source_csv_json_roundtrip",
     """select doc_id, source, cast(n_chars as bigint) as n_chars, fmt
@@ -376,7 +384,7 @@ object Dml {
       |order by doc_id, fmt""".stripMargin) { (s, dir) =>
     val base = Tables.df(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val io = "/tmp/graft-io-roundtrip"
+    val io = roundtripDir
     base.write.mode("overwrite").option("header", "true").csv(s"$io/csv")
     base.write.mode("overwrite").json(s"$io/json")
     val c = s.read.schema(base.schema).option("header", "true")

@@ -30,10 +30,25 @@ object Checkpoints {
     val spark = df.sparkSession
     spark.conf.getOption(DirKey) match {
       case Some(dir) =>
-        // setCheckpointDir is idempotent for a stable value; re-assert it
-        // per call so a conf change mid-session takes effect.
-        spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+        // setCheckpointDir mints a fresh UUID subdirectory on EVERY
+        // call — re-asserting per materialize would strew empty dirs
+        // over the checkpoint store. Only (re)assert when the conf
+        // value actually changed: after setCheckpointDir(dir) the
+        // context's checkpoint dir is dir/<uuid>, so a prefix test
+        // detects both first use and a mid-session conf change.
+        val sc = spark.sparkContext
+        val root = dir.stripSuffix("/")
+        if (!sc.getCheckpointDir.exists(d =>
+            d == root || d.startsWith(root + "/")))
+          sc.setCheckpointDir(dir)
+        // Reliable checkpoint computes the subtree TWICE unpersisted:
+        // the eager count job, then the checkpoint-file write job that
+        // re-runs the RDD. Persisting across the pair makes the second
+        // pass read blocks instead of recomputing; the cache is dropped
+        // immediately after — the checkpoint files are the durable copy.
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
       case None =>
         df.localCheckpoint(eager = true)
     }
@@ -64,6 +79,14 @@ object Checkpoints {
         val fs = p.getFileSystem(
           df.sparkSession.sparkContext.hadoopConfiguration)
         fs.delete(p, true)
+        // rdd-N lives under the setCheckpointDir-minted <uuid> dir;
+        // once its last rdd-N is gone remove the empty parent too, or
+        // a long session leaves a trail of husk directories (delete
+        // only-if-empty keeps concurrent checkpoints safe).
+        val parent = p.getParent
+        if (parent != null &&
+            scala.util.Try(fs.listStatus(parent).isEmpty).getOrElse(false))
+          fs.delete(parent, false)
       }
     }
 }

@@ -208,6 +208,29 @@ class DedupSpec extends AnyFunSuite {
       s"incremental ${inc.size} pairs vs cross-filtered full ${crossFull.size}")
   }
 
+  test("MaxSpanDf cap never binds on the fixtures (span + winnow oracles stay exact)") {
+    // substringSpanPairs/winnowPairs drop keys with df > MaxSpanDf, but
+    // their DuckDB oracles are uncapped — the compare is exact only
+    // while no fixture key crosses the cap. If a fixture change ever
+    // makes the cap bind, fail HERE with a readable message instead of
+    // as an opaque oracle hash mismatch.
+    val d = Tables.df(spark, TestSpark.Sf, "documents")
+    val spanOver = Dedup.spanKeys(d, Dedup.SpanTokens)
+      .distinct() // df = distinct docs per key, the quantity the cap gates
+      .groupBy("sp").count()
+      .filter(col("count") > Dedup.MaxSpanDf).count()
+    assert(spanOver == 0,
+      s"$spanOver span keys exceed MaxSpanDf=${Dedup.MaxSpanDf} — " +
+        "capped engine vs uncapped oracle would silently diverge")
+    val fpOver = graft.operators.TextAnalysis.winnowFingerprints(d)
+      .select(explode(col("fps")).as("fp"), col("doc_id"))
+      .distinct()
+      .groupBy("fp").count()
+      .filter(col("count") > Dedup.MaxSpanDf).count()
+    assert(fpOver == 0,
+      s"$fpOver winnow fingerprints exceed MaxSpanDf=${Dedup.MaxSpanDf}")
+  }
+
   test("cluster propagation converges on a 200-hop chain (diameter >> cap)") {
     // A path graph 0-1-2-...-200: diameter 200, far past the 64-round
     // cap. One-hop min-label propagation needs `diameter` rounds and
