@@ -73,24 +73,30 @@ object TypesQueries {
     * across case, binary equality differing, CI ordering vs a
     * mixed-case literal, and a CI sort surfaced as a rank (tie-broken
     * by key so the output is deterministic while the ORDER BY itself
-    * runs on the collated column). */
+    * runs on the collated column). The rank's input is bounded FIRST
+    * (c_custkey < 500, pushed to the scan) because a total order is
+    * inherently a single-partition WindowExec — constant-size input
+    * keeps the semantics pin scale-safe; unbounded CI ordering at scale
+    * is a sort, not a window. */
   val typesCollationCi: Q = Q.df(
     "types_collation_ci",
     """with b as (select c_custkey,
       |  case when c_custkey % 2 = 0 then upper(c_mktsegment)
       |       else lower(c_mktsegment) end as s,
-      |  lower(c_mktsegment) as t from customer)
+      |  lower(c_mktsegment) as t from customer
+      |  where c_custkey < 500)
       |select c_custkey, s,
       |  (s collate nocase) = t as ci_eq,
       |  s = t as bin_eq,
       |  (s collate nocase) < 'HOUSEhold' as ci_lt,
       |  rank() over (order by s collate nocase, c_custkey) as ci_rank
-      |from b order by c_custkey limit 500""".stripMargin) { (s, dir) =>
+      |from b order by c_custkey""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val mixed = when(col("c_custkey") % 2 === 0, upper(col("c_mktsegment")))
       .otherwise(lower(col("c_mktsegment")))
     val ci = collate(col("s"), "UTF8_LCASE")
     Tables.df(s, dir, "customer")
+      .filter(col("c_custkey") < 500)
       .select(col("c_custkey"), mixed.as("s"),
         lower(col("c_mktsegment")).as("t"))
       .select(col("c_custkey"), col("s"),
@@ -99,7 +105,7 @@ object TypesQueries {
         (ci < lit("HOUSEhold")).as("ci_lt"),
         rank().over(Window.orderBy(ci, col("c_custkey")))
           .cast("long").as("ci_rank"))
-      .orderBy(col("c_custkey")).limit(500)
+      .orderBy(col("c_custkey"))
   }
 
   /** CI collation under GROUP BY and DISTINCT — the aggregation half of
