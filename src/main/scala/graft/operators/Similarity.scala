@@ -183,6 +183,12 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** The pair kernel's dot is the same strict fold-left double order as
+    * `graft_dot` ([[graft.functions.DotProduct]], the codegen'd Catalyst
+    * expression used by [[bruteForceTopK]]) and as the oracle's
+    * `list_sum(list_transform(...))` — one shared arithmetic contract
+    * across the scalar expression, the cogroup kernel, and DuckDB, which
+    * is why all three hash-match bit-exactly. */
   val dedupEmbeddingCosine: Q = Q.df(
     "dedup_embedding_cosine",
     s"""with e as ($sqlUnit)

@@ -166,6 +166,15 @@ class DedupSpec extends AnyFunSuite {
       // the live result frame may keep its directory
       assert(remaining.length <= 2,
         s"superseded checkpoint dirs not reclaimed: ${remaining.length} remain")
+      // setCheckpointDir mints a <uuid> subdir per call; materialize()
+      // must reuse one for the whole session (re-asserting per call
+      // would strew husks), and free() removes a parent it emptied —
+      // so at most ONE uuid dir exists here, and it is non-empty
+      val uuidDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      assert(uuidDirs.length == 1,
+        s"expected exactly one live uuid checkpoint dir, got ${uuidDirs.length}")
+      assert(uuidDirs.head.listFiles().nonEmpty,
+        "an emptied uuid parent survived free()")
     } finally spark.conf.unset(graft.plans.Checkpoints.DirKey)
   }
 
