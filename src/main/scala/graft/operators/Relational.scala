@@ -662,6 +662,32 @@ object Relational {
       .orderBy(col("o_orderkey")).limit(500)
   }
 
+  /** Row-tuple IN over a SUBQUERY — the other half of
+    * ExprKind::Tuple's pairing with the reference's subquery predicates
+    * (doradb-expr/src/expr.rs:39 + InSubquery): the canonical MySQL
+    * `(k, d) IN (SELECT k, max(d) …)` latest-row-per-key idiom. Both
+    * engines share the SQL; Catalyst rewrites the multi-column IN to a
+    * two-key LEFT SEMI hash join against the aggregated subquery —
+    * shuffle on the compound key, no row-by-row probe, which is exactly
+    * the plan you want at scale. Dialect split: Spark binds the bare
+    * multi-column `(a, b) IN (SELECT x, y …)`; DuckDB wants the
+    * subquery to yield ONE row-valued column, `(SELECT (x, y) …)`. */
+  val subqRowTupleIn: Q = Q.df(
+    "subq_row_tuple_in",
+    """select o_orderkey, o_custkey, o_orderdate from orders
+      |where (o_custkey, o_orderdate) in
+      |  (select (o_custkey, max(o_orderdate)) from orders
+      |   group by o_custkey)
+      |order by o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """select o_orderkey, o_custkey, o_orderdate from orders
+        |where (o_custkey, o_orderdate) in
+        |  (select o_custkey, max(o_orderdate) from orders
+        |   group by o_custkey)
+        |order by o_orderkey""".stripMargin)
+  }
+
   /** Logical XOR with 3VL (Pred::Xor, pred.rs:8): boolean `<>` matches
     * MySQL XOR's null semantics — NULL if either side is NULL. */
   val predLogicalXor: Q = Q.shared(
@@ -1050,7 +1076,7 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
-    predRowTuples,
+    predRowTuples, subqRowTupleIn,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
     aggPercentileCont, aggMinMaxBy,
     aggBool, aggStringAgg,

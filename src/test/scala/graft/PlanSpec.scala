@@ -73,6 +73,17 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.contains("LeftAnti"), s"no anti join in:\n$anti")
   }
 
+  test("row-tuple IN subquery plans as a two-key LeftSemi, no nested loop") {
+    val plan = planOf(graft.operators.Relational.subqRowTupleIn)
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"tuple IN degenerated to a product in:\n$plan")
+    // both tuple fields participate in the equi-join key
+    assert(plan.contains("o_custkey") && plan.contains("o_orderdate"),
+      s"compound key missing in:\n$plan")
+  }
+
   test("range join stays an equi-join on (user, bin), never a nested loop") {
     val plan = planOf(graft.operators.Temporal.rangeViewPurchase)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
