@@ -550,6 +550,55 @@ object Relational {
       .orderBy(k)
   }
 
+  /** Math-function breadth beyond the reference's FuncKind arithmetic
+    * (func.rs:2-27 stops at IntDiv/bit ops). Every column is integer-
+    * exact or IEEE-exact cross-engine: sqrt is correctly rounded by
+    * IEEE 754; log2 is rounded to 6 decimals because the JVM and
+    * DuckDB differ in the last ulp on non-power-of-two args; both
+    * engines round halves away from zero at scale 0 (Spark HALF_UP ==
+    * DuckDB half-away on both signs). pmod has no DuckDB builtin →
+    * ((x % m) + m) % m. */
+  val exprMath: Q = Q.df(
+    "expr_math_funcs",
+    """select n_nationkey,
+      |  cast(abs(n_nationkey - 12) as bigint) as abs_c,
+      |  cast(sign(n_nationkey - 12) as bigint) as sign_c,
+      |  cast(greatest(n_nationkey, n_regionkey * 5) as bigint) as greatest_c,
+      |  cast(least(n_nationkey, n_regionkey * 5) as bigint) as least_c,
+      |  cast(pow(n_nationkey, 2) as bigint) as pow2,
+      |  sqrt(cast(n_nationkey as double)) as sqrt_d,
+      |  cast(floor(n_nationkey / 4.0) as bigint) as floor_q,
+      |  cast(ceil(n_nationkey / 4.0) as bigint) as ceil_q,
+      |  cast(round(n_nationkey / 2.0) as bigint) as round_half,
+      |  cast(round((n_nationkey - 12) / 2.0) as bigint) as round_neg,
+      |  cast(factorial(n_nationkey % 10) as bigint) as fact_m10,
+      |  round(log2(n_nationkey + 1), 6) as log2_k1,
+      |  cast(((n_nationkey - 12) % 7 + 7) % 7 as bigint) as pmod7,
+      |  cast((n_nationkey - 12) % 5 as bigint) as mod_neg,
+      |  cast(bit_count(n_nationkey) as bigint) as pop_k
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey"); val r = col("n_regionkey")
+    Tables.df(s, dir, "nation")
+      .select(
+        k,
+        abs(k - 12).cast("long").as("abs_c"),
+        signum(k - 12).cast("long").as("sign_c"),
+        greatest(k, r * 5).cast("long").as("greatest_c"),
+        least(k, r * 5).cast("long").as("least_c"),
+        pow(k, 2).cast("long").as("pow2"),
+        sqrt(k.cast("double")).as("sqrt_d"),
+        floor(k / 4.0).cast("long").as("floor_q"),
+        ceil(k / 4.0).cast("long").as("ceil_q"),
+        round(k / 2.0).cast("long").as("round_half"),
+        round((k - 12) / 2.0).cast("long").as("round_neg"),
+        factorial(k % 10).cast("long").as("fact_m10"),
+        round(log2(k + 1), 6).as("log2_k1"),
+        pmod(k - 12, lit(7)).cast("long").as("pmod7"),
+        ((k - 12) % 5).cast("long").as("mod_neg"),
+        bit_count(k).cast("long").as("pop_k"))
+      .orderBy(k)
+  }
+
   /** Compound/nested types — the reference's PreciseType declares
     * Compound "currently not support" (doradb-datatype/src/lib.rs:60-61);
     * Spark's array/struct columns execute them natively, so this engine
@@ -1073,7 +1122,8 @@ object Relational {
     havingFilter, aggDistinct,
     subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
     cteMultiRef, cteRecursive,
-    exprCase, exprCast, exprExtract, exprString, exprArith, exprInterval,
+    exprCase, exprCast, exprExtract, exprString, exprArith, exprMath,
+    exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     predRowTuples, subqRowTupleIn,
