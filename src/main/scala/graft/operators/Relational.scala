@@ -599,6 +599,166 @@ object Relational {
       .orderBy(k)
   }
 
+  /** Null-handling function family (the reference's const-folding layer
+    * models NULL propagation but has no IFNULL/NVL2 builtins —
+    * doradb-expr/src/func.rs:2-27). COALESCE/IFNULL/NULLIF exist in both
+    * engines; NVL2 is Spark-only, so the oracle spells it as the
+    * equivalent searched CASE. */
+  val exprNullFuncs: Q = Q.df(
+    "expr_null_funcs",
+    """select n_nationkey,
+      |  cast(coalesce(nullif(n_regionkey, 2), nullif(n_nationkey % 3, 2), 99)
+      |    as bigint) as coal,
+      |  cast(ifnull(nullif(n_regionkey, 0), -1) as bigint) as ifn,
+      |  cast(case when nullif(n_regionkey, 2) is not null
+      |       then n_nationkey else -n_nationkey end as bigint) as nvl2_c,
+      |  case when n_nationkey % 2 = 0 then 'even' else 'odd' end as par,
+      |  cast(nullif(n_regionkey, n_nationkey % 5) as bigint) as nif
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(
+        k,
+        expr("cast(coalesce(nullif(n_regionkey, 2), nullif(n_nationkey % 3, 2), 99) as bigint)").as("coal"),
+        expr("cast(ifnull(nullif(n_regionkey, 0), -1) as bigint)").as("ifn"),
+        expr("cast(nvl2(nullif(n_regionkey, 2), n_nationkey, -n_nationkey) as bigint)").as("nvl2_c"),
+        when(k % 2 === 0, "even").otherwise("odd").as("par"),
+        expr("cast(nullif(n_regionkey, n_nationkey % 5) as bigint)").as("nif"))
+      .orderBy(k)
+  }
+
+  /** Calendar arithmetic beyond Extract: month stepping with end-of-month
+    * clamping (add_months == DuckDB's +INTERVAL, both clamp Jan 31 + 1mo
+    * to Feb 28), weekday (Spark Monday=0 == DuckDB isodow-1), locale day
+    * names, date construction, and epoch-day conversion — all
+    * timezone-free so the pin is exact cross-engine. */
+  val exprDateFuncs2: Q = Q.df(
+    "expr_date_funcs2",
+    """select o_orderkey,
+      |  cast(cast(o_orderdate as date) + interval 1 month as date) as am1,
+      |  cast(cast(o_orderdate as date) - interval 2 month as date) as am_neg,
+      |  cast(isodow(cast(o_orderdate as date)) - 1 as bigint) as wd,
+      |  dayname(cast(o_orderdate as date)) as dname,
+      |  make_date(year(cast(o_orderdate as date)),
+      |            month(cast(o_orderdate as date)), 1) as month_start,
+      |  cast(date_diff('day', date '1970-01-01', cast(o_orderdate as date))
+      |    as bigint) as epoch_days,
+      |  cast(o_orderdate as date) - 15 as minus_15
+      |from orders order by o_orderkey limit 400""".stripMargin) { (s, dir) =>
+    val d = col("o_orderdate").cast("date")
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey"),
+        add_months(d, 1).as("am1"),
+        add_months(d, -2).as("am_neg"),
+        weekday(d).cast("long").as("wd"),
+        date_format(d, "EEEE").as("dname"),
+        make_date(year(d), month(d), lit(1)).as("month_start"),
+        unix_date(d).cast("long").as("epoch_days"),
+        date_sub(d, 15).as("minus_15"))
+      .orderBy(col("o_orderkey")).limit(400)
+  }
+
+  /** Transcendental function surface: trig, exp/log family, cbrt,
+    * degree/radian conversion. Same text executes in both engines;
+    * every column is rounded to 6 decimals because libm implementations
+    * may differ in the last ulp (same policy as log2 in [[exprMath]]).
+    * Dialect trap this entry pins: a bare literal like `7.0` is
+    * DECIMAL(2,1) in Spark but DOUBLE in DuckDB, so `k / 7.0` silently
+    * becomes scale-6 decimal division in Spark and tan() sees an input
+    * off by up to 5e-7 — all arithmetic therefore goes through an
+    * explicit double `x`. Inputs are bounded (exp arg <= 2.4, tan arg
+    * <= 3.43 rad) so absolute 1e-6 precision is meaningful everywhere. */
+  val exprMathTrig: Q = Q.shared(
+    "expr_math_trig",
+    """with b as (select n_nationkey, cast(n_nationkey as double) as x
+      |  from nation)
+      |select n_nationkey,
+      |  round(sin(x), 6) as sin_c,
+      |  round(cos(x), 6) as cos_c,
+      |  round(tan(x / 7), 6) as tan_c,
+      |  round(atan2(x, x + 1), 6) as atan2_c,
+      |  round(exp(x / 10), 6) as exp_c,
+      |  round(ln(x + 1), 6) as ln_c,
+      |  round(log10(x + 1), 6) as log10_c,
+      |  round(cbrt(x), 6) as cbrt_c,
+      |  round(degrees(x / 10), 6) as deg_c,
+      |  round(radians(x), 6) as rad_c
+      |from b order by n_nationkey""".stripMargin)
+
+  /** Array set algebra (distinct/intersect/except/overlap) plus
+    * positional ops (position/contains/slice/flatten) — the non-lambda
+    * complement of [[exprHigherOrder]]. Set-op outputs are sorted before
+    * joining to a string because Spark preserves first-occurrence order
+    * while DuckDB's list_distinct order is unspecified; DuckDB empty-list
+    * array_to_string is NULL (Spark's array_join is ''), hence the
+    * COALESCEs. k=5 and k=20 produce a genuinely empty intersect/slice,
+    * exercising that branch. */
+  val exprArraySetops: Q = Q.df(
+    "expr_array_setops",
+    """with b as (select n_nationkey as k,
+      |    range(1, 2 + n_nationkey % 5) as xs,
+      |    range(n_nationkey % 3, 4 + n_nationkey % 3) as ys
+      |  from nation)
+      |select k,
+      |  array_to_string(list_sort(list_distinct(list_concat(xs, ys))), ',') as dis,
+      |  coalesce(array_to_string(list_sort(list_intersect(xs, ys)), ','), '') as inter,
+      |  coalesce(array_to_string(list_sort(
+      |    list_filter(xs, x -> not list_contains(ys, x))), ','), '') as exc,
+      |  list_has_any(xs, ys) as overl,
+      |  cast(list_position(xs, 2) as bigint) as pos2,
+      |  list_contains(xs, 3) as has3,
+      |  coalesce(array_to_string(xs[2:3], ','), '') as sl,
+      |  array_to_string(flatten([xs, ys]), ',') as flat
+      |from b order by k""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(k.as("k"),
+        sequence(lit(1), lit(1) + k % 5).as("xs"),
+        sequence(k % 3, k % 3 + 3).as("ys"))
+      .select(col("k"),
+        array_join(sort_array(array_distinct(concat(col("xs"), col("ys"))))
+          .cast("array<string>"), ",").as("dis"),
+        array_join(sort_array(array_intersect(col("xs"), col("ys")))
+          .cast("array<string>"), ",").as("inter"),
+        array_join(sort_array(array_except(col("xs"), col("ys")))
+          .cast("array<string>"), ",").as("exc"),
+        arrays_overlap(col("xs"), col("ys")).as("overl"),
+        array_position(col("xs"), 2).cast("long").as("pos2"),
+        array_contains(col("xs"), 3).as("has3"),
+        array_join(slice(col("xs"), 2, 2).cast("array<string>"), ",").as("sl"),
+        array_join(flatten(array(col("xs"), col("ys")))
+          .cast("array<string>"), ",").as("flat"))
+      .orderBy(col("k"))
+  }
+
+  /** Digest and encoding functions: md5 / sha-256 hex digests, integer
+    * hex/binary rendering, ascii/chr, and base64 (Spark base64 over a
+    * binary cast == DuckDB to_base64 over encode; no MIME line breaks at
+    * these lengths). Both engines emit lowercase digests and uppercase
+    * integer hex. */
+  val exprHashEncode: Q = Q.df(
+    "expr_hash_encode",
+    """select p_partkey,
+      |  md5(p_name) as m5,
+      |  sha256(p_name) as s256,
+      |  to_hex(p_partkey) as hx,
+      |  bin(p_partkey % 64) as bn,
+      |  cast(ascii(substring(p_name, 1, 1)) as bigint) as asc1,
+      |  chr(cast(65 + p_partkey % 26 as int)) as ch,
+      |  to_base64(encode(p_name)) as b64
+      |from part order by p_partkey limit 300""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "part")
+      .select(col("p_partkey"),
+        md5(col("p_name")).as("m5"),
+        sha2(col("p_name"), 256).as("s256"),
+        hex(col("p_partkey")).as("hx"),
+        bin(col("p_partkey") % 64).as("bn"),
+        ascii(substring(col("p_name"), 1, 1)).cast("long").as("asc1"),
+        expr("chr(65 + p_partkey % 26)").as("ch"),
+        base64(col("p_name").cast("binary")).as("b64"))
+      .orderBy(col("p_partkey")).limit(300)
+  }
+
   /** Compound/nested types — the reference's PreciseType declares
     * Compound "currently not support" (doradb-datatype/src/lib.rs:60-61);
     * Spark's array/struct columns execute them natively, so this engine
@@ -1123,7 +1283,8 @@ object Relational {
     subqScalar, subqGtAll, subqLtAny, subqSingleJoin, subqInCorrelated,
     cteMultiRef, cteRecursive,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprMath,
-    exprInterval,
+    exprMathTrig, exprNullFuncs, exprDateFuncs2, exprArraySetops,
+    exprHashEncode, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     predRowTuples, subqRowTupleIn,
