@@ -759,6 +759,122 @@ object Relational {
       .orderBy(col("p_partkey")).limit(300)
   }
 
+  /** Regexp beyond boolean matching ([[predRegexp]]): group extraction,
+    * global replacement, match counting, first-match substring. Dialect
+    * pins: DuckDB regexp_replace replaces only the FIRST match unless
+    * given the 'g' flag (Spark always replaces all); Spark regexp_substr
+    * returns NULL on no match where DuckDB regexp_extract returns ''
+    * (hence the COALESCE); no-match group extraction is '' in both. */
+  val exprRegexpFuncs: Q = Q.df(
+    "expr_regexp_funcs",
+    """select p_partkey,
+      |  regexp_extract(p_name, '(\w+) (\w+)', 2) as word2,
+      |  regexp_extract(p_name, '([0-9]+)', 1) as digits,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') as devowel,
+      |  cast(len(regexp_extract_all(p_name, '[aeiou]')) as bigint) as n_vowels,
+      |  coalesce(regexp_extract(p_name, '[a-z]+st[a-z]*'), '') as st_word
+      |from part order by p_partkey limit 300""".stripMargin) { (s, dir) =>
+    val n = col("p_name")
+    Tables.df(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(n, "(\\w+) (\\w+)", 2).as("word2"),
+        regexp_extract(n, "([0-9]+)", 1).as("digits"),
+        regexp_replace(n, "[aeiou]", "_").as("devowel"),
+        regexp_count(n, lit("[aeiou]")).cast("long").as("n_vowels"),
+        coalesce(regexp_substr(n, lit("[a-z]+st[a-z]*")), lit(""))
+          .as("st_word"))
+      .orderBy(col("p_partkey")).limit(300)
+  }
+
+  /** String function breadth, part 3: multi-arg concat with separator,
+    * character translation, repetition, 1-based substring position,
+    * left/right prefixes, character-set trims, and C-style formatting
+    * (Spark format_string == DuckDB printf). */
+  val exprString3: Q = Q.df(
+    "expr_string_funcs3",
+    """select p_partkey,
+      |  concat_ws('-', p_brand, p_type) as bc,
+      |  translate(p_name, 'aeiou', 'AEIOU') as upvowel,
+      |  repeat('*', cast(p_partkey % 4 as int)) as stars,
+      |  cast(instr(p_name, 'o') as bigint) as pos_o,
+      |  left(p_name, 4) as l4,
+      |  right(p_name, 4) as r4,
+      |  ltrim(concat('xx', p_brand), 'x') as lstripped,
+      |  rtrim(concat(p_brand, 'xx'), 'x') as rstripped,
+      |  trim(concat('yy', p_brand, 'yy'), 'y') as stripped,
+      |  printf('%s/%d', p_brand, p_partkey) as fmt
+      |from part order by p_partkey limit 300""".stripMargin) { (s, dir) =>
+    val n = col("p_name"); val b = col("p_brand")
+    Tables.df(s, dir, "part")
+      .select(col("p_partkey"),
+        concat_ws("-", b, col("p_type")).as("bc"),
+        translate(n, "aeiou", "AEIOU").as("upvowel"),
+        repeat(lit("*"), (col("p_partkey") % 4).cast("int")).as("stars"),
+        instr(n, "o").cast("long").as("pos_o"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        ltrim(concat(lit("xx"), b), "x").as("lstripped"),
+        rtrim(concat(b, lit("xx")), "x").as("rstripped"),
+        trim(concat(lit("yy"), b, lit("yy")), "y").as("stripped"),
+        format_string("%s/%d", b, col("p_partkey")).as("fmt"))
+      .orderBy(col("p_partkey")).limit(300)
+  }
+
+  /** Map-typed expressions: construction from key/value arrays, key and
+    * value enumeration, cardinality, lookup, missing-key NULL, and
+    * map_concat override. DuckDB's element_at/map[] returns a LIST (its
+    * maps allow duplicate keys) so every oracle lookup scalarizes with
+    * [1]; both engines preserve insertion order for map_keys/values. */
+  val exprMapFuncs: Q = Q.df(
+    "expr_map_funcs",
+    """with b as (select n_nationkey as k,
+      |    map([n_nationkey, n_nationkey + 100],
+      |        [n_regionkey, n_regionkey * 2]) as m
+      |  from nation)
+      |select k,
+      |  array_to_string(map_keys(m), ',') as mk,
+      |  array_to_string(map_values(m), ',') as mv,
+      |  cast(cardinality(m) as bigint) as card,
+      |  cast(element_at(m, k)[1] as bigint) as hit,
+      |  cast(coalesce(element_at(m, -1)[1], -99) as bigint) as miss,
+      |  cast(element_at(map_concat(m, map([99], [0])), 99)[1] as bigint)
+      |    as extended
+      |from b order by k""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey"); val r = col("n_regionkey")
+    Tables.df(s, dir, "nation")
+      .select(k.as("k"),
+        map_from_arrays(array(k, k + 100), array(r, r * 2)).as("m"))
+      .select(col("k"),
+        array_join(map_keys(col("m")).cast("array<string>"), ",").as("mk"),
+        array_join(map_values(col("m")).cast("array<string>"), ",").as("mv"),
+        size(col("m")).cast("long").as("card"),
+        element_at(col("m"), col("k")).cast("long").as("hit"),
+        coalesce(element_at(col("m"), lit(-1)), lit(-99)).cast("long")
+          .as("miss"),
+        element_at(map_concat(col("m"), map(lit(99), lit(0))), lit(99))
+          .cast("long").as("extended"))
+      .orderBy(col("k"))
+  }
+
+  /** Generator expressions: posexplode (explode with ordinality) — the
+    * row-producing surface the reference has no analogue for. DuckDB
+    * spells it as a lateral unnest over the index range. */
+  val exprExplodePos: Q = Q.df(
+    "expr_explode_pos",
+    """with b as (select n_nationkey as k,
+      |    range(1, 2 + n_nationkey % 3) as xs from nation)
+      |select k, cast(i as bigint) as pos, cast(b.xs[i + 1] as bigint) as x
+      |from b, unnest(range(0, len(b.xs))) as t(i)
+      |order by k, pos""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(k.as("k"), sequence(lit(1), lit(1) + k % 3).as("xs"))
+      .select(col("k"), posexplode(col("xs")))
+      .select(col("k"), col("pos").cast("long").as("pos"),
+        col("col").cast("long").as("x"))
+      .orderBy(col("k"), col("pos"))
+  }
+
   /** Compound/nested types — the reference's PreciseType declares
     * Compound "currently not support" (doradb-datatype/src/lib.rs:60-61);
     * Spark's array/struct columns execute them natively, so this engine
@@ -1284,7 +1400,8 @@ object Relational {
     cteMultiRef, cteRecursive,
     exprCase, exprCast, exprExtract, exprString, exprArith, exprMath,
     exprMathTrig, exprNullFuncs, exprDateFuncs2, exprArraySetops,
-    exprHashEncode, exprInterval,
+    exprHashEncode, exprRegexpFuncs, exprString3, exprMapFuncs,
+    exprExplodePos, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     predRowTuples, subqRowTupleIn,
