@@ -14,9 +14,10 @@ import graft.{Q, Tables}
   * exceeding the reference on a parse-only surface (same pattern as
   * recursive CTE). UPDATE/DELETE on parquet tables are format-level
   * non-goals in stock Spark (they need a transactional table format —
-  * the lakehouse formats layer them on top of exactly this path), so the
-  * entry covers what the engine can genuinely execute: CTAS, INSERT ...
-  * SELECT, INSERT ... VALUES.
+  * the lakehouse formats layer them on top of exactly this path): the
+  * oracle-checked entry covers CTAS / INSERT ... SELECT / INSERT ...
+  * VALUES, and [[executeStatement]] executes full UPDATE/DELETE
+  * statements as copy-on-write rewrites (wired into the MySQL front).
   *
   * Scale note: INSERT INTO a parquet table is an append of new files —
   * no shuffle beyond the SELECT's own plan, executor-parallel writes,
@@ -215,6 +216,136 @@ object Dml {
     s.sql(s"insert overwrite $table select * from $stage")
     s.sql(s"drop table $stage")
     dataFileCount(s, table)
+  }
+
+  // ---- UPDATE / DELETE statement execution ------------------------------
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** First occurrence of word `kw` at top level (outside parens and
+    * quotes), case-insensitive, or -1 — keeps a WHERE inside a SET
+    * subquery from being mistaken for the statement's own WHERE. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    var i = from; var depth = 0; var quote = ' '
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' ' }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + kw.length == s.length || !isWordChar(s.charAt(i + kw.length))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on top-level commas (assignment expressions nest calls). */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var quote = ' '; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != ' ') { if (c == quote) quote = ' ' }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Execute a single-table MySQL-dialect UPDATE or DELETE statement
+    * against a managed parquet table as a copy-on-write rewrite — the
+    * executable form of StatementKind::{Update, Delete}
+    * (doradb-sql/src/ast.rs:10-34, UpdateExpr/DeleteExpr ast.rs:70-89),
+    * which the reference parses but cannot execute and stock Spark SQL
+    * rejects on parquet v1 tables. Only the statement frame is parsed
+    * here; SET expressions and the WHERE predicate are spliced verbatim
+    * into one Spark SQL projection, so the full expression surface
+    * (subqueries included) works and Catalyst does the planning.
+    * Semantics pinned by spec: every SET expression sees the OLD row
+    * (SQL simultaneous assignment — `set a = b, b = a` swaps); a NULL
+    * predicate result means "not matched" (MySQL behavior); the returned
+    * count (for the wire OK packet's affected_rows) is the number of
+    * matching rows. The rewrite is the same stage-and-swap the
+    * compaction and MERGE paths use — distributed, no driver data
+    * state; CASTs back to each column's catalog type keep the schema
+    * stable across rewrites. */
+  private[graft] def executeStatement(
+      s: org.apache.spark.sql.SparkSession, sql: String): Long = {
+    val text = sql.trim.stripSuffix(";").trim
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    if (lower.startsWith("update")) {
+      val setIdx = topLevelKeyword(text, "set")
+      require(setIdx > 0, "UPDATE without SET")
+      val table = text.substring("update".length, setIdx).trim
+      val whereIdx = topLevelKeyword(text, "where", setIdx)
+      val (setPart, pred) =
+        if (whereIdx < 0) (text.substring(setIdx + 3), "true")
+        else (text.substring(setIdx + 3, whereIdx),
+          text.substring(whereIdx + 5).trim)
+      // lhs of an assignment is a bare/backticked column name, so the
+      // first '=' is always the assignment operator
+      val assigns = topLevelSplit(setPart).map { a =>
+        val eq = a.indexOf('=')
+        require(eq > 0, s"malformed assignment: $a")
+        val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+        name.toLowerCase(java.util.Locale.ROOT) -> a.substring(eq + 1).trim
+      }.toMap
+      val schema = s.table(table).schema
+      val known =
+        schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+      val unknown = assigns.keySet.diff(known)
+      require(unknown.isEmpty, s"unknown column(s): ${unknown.mkString(", ")}")
+      val guard = s"coalesce(($pred), false)"
+      val projection = schema.fields.map { f =>
+        assigns.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(e) => s"cast(case when $guard then ($e) else `${f.name}` " +
+            s"end as ${f.dataType.sql}) as `${f.name}`"
+          case None => s"`${f.name}`"
+        }
+      }.mkString(", ")
+      val affected =
+        s.sql(s"select count(*) from $table where $guard").head.getLong(0)
+      if (affected > 0) rewrite(s, table, s"select $projection from $table")
+      affected
+    } else if (lower.startsWith("delete")) {
+      val fromIdx = topLevelKeyword(text, "from")
+      require(fromIdx > 0, "DELETE without FROM")
+      val whereIdx = topLevelKeyword(text, "where", fromIdx)
+      val (table, pred) =
+        if (whereIdx < 0) (text.substring(fromIdx + 4).trim, "true")
+        else (text.substring(fromIdx + 4, whereIdx).trim,
+          text.substring(whereIdx + 5).trim)
+      val guard = s"coalesce(($pred), false)"
+      val affected =
+        s.sql(s"select count(*) from $table where $guard").head.getLong(0)
+      if (affected > 0)
+        rewrite(s, table, s"select * from $table where not $guard")
+      affected
+    } else sys.error(s"not an UPDATE/DELETE statement: $text")
+  }
+
+  /** Stage-and-swap: materialize `select` into a staging table, INSERT
+    * OVERWRITE the target from it, drop the stage. */
+  private def rewrite(s: org.apache.spark.sql.SparkSession, table: String,
+      select: String): Unit = {
+    val stage = table.replace("`", "") + "_cow"
+    dropManaged(s, stage)
+    s.sql(s"create table $stage using parquet as $select")
+    s.sql(s"insert overwrite $table select * from $stage")
+    s.sql(s"drop table $stage")
   }
 
   private val Frag = "graft_dml_frag"

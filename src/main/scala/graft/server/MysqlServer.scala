@@ -34,7 +34,9 @@ import org.apache.spark.sql.types._
   *  - COM_QUERY → column-count, ColumnDefinition41 per column, EOF,
   *    lenenc-string text rows, EOF (classic, non-DEPRECATE_EOF framing;
   *    the server never advertises CLIENT_DEPRECATE_EOF so clients use
-  *    the EOF form).
+  *    the EOF form). EXPLAIN returns plan rows; UPDATE/DELETE route to
+  *    [[graft.operators.Dml.executeStatement]]'s copy-on-write rewrite
+  *    and answer OK with the affected-row count.
   *  - COM_FIELD_LIST (the only other command the reference's server
   *    accepts) → ColumnDefinition41 per column + EOF.
   *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
@@ -260,10 +262,19 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private def runQuery(out: OutputStream, sql: String): Unit = {
     val result =
       try {
-        val df = spark.sql(sql)
-        val schema = df.schema
-        if (schema.isEmpty) Left(0L) // e.g. SET / DDL — answer OK
-        else Right((schema, df.limit(maxRows).collect()))
+        val kw = sql.trim.takeWhile(_.isLetter)
+          .toLowerCase(java.util.Locale.ROOT)
+        // UPDATE/DELETE (StatementKind ast.rs:10-19): stock Spark SQL
+        // rejects them on parquet v1 tables, so route to the copy-on-
+        // write rewrite and answer OK with the affected-row count.
+        if (kw == "update" || kw == "delete")
+          Left(graft.operators.Dml.executeStatement(spark, sql))
+        else {
+          val df = spark.sql(sql)
+          val schema = df.schema
+          if (schema.isEmpty) Left(0L) // e.g. SET / DDL — answer OK
+          else Right((schema, df.limit(maxRows).collect()))
+        }
       } catch {
         case e: Throwable =>
           writePacket(out, 1, errPacket(1064, "42000",

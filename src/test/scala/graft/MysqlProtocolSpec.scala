@@ -110,6 +110,22 @@ class MysqlProtocolSpec extends AnyFunSuite {
       }
     }
 
+    /** COM_QUERY expecting an OK (no resultset) → Left(err) or
+      * Right(affected_rows from the OK payload). */
+    def exec(sql: String): Either[String, Long] = {
+      val payload = Array[Byte](MysqlServer.ComQuery.toByte) ++
+        sql.getBytes(StandardCharsets.UTF_8)
+      writePacket(out, 0, payload)
+      out.flush()
+      val (_, first) = readPacket(in)
+      (first(0) & 0xFF) match {
+        case 0xFF =>
+          Left(new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
+        case 0x00 => Right(readLenencInt(first, 1)._1)
+        case other => Left(s"expected OK, got first byte $other")
+      }
+    }
+
     def ping(): Boolean = {
       writePacket(out, 0, Array[Byte](MysqlServer.ComPing.toByte))
       out.flush()
@@ -264,6 +280,36 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(again == Seq(Seq(Some("1"))))
       c.quit()
     } finally server.stop()
+  }
+
+  test("UPDATE and DELETE over the wire rewrite a managed table") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    val t = s"graft_wire_dml_${System.nanoTime()}"
+    try {
+      val c = new Client(server.boundPort)
+      assert(c.exec(s"create table $t using parquet as " +
+        "select n_nationkey as k, cast(n_regionkey as bigint) as r " +
+        "from nation").isRight)
+      // UPDATE: 5 rows match (k < 5); OK carries the affected count
+      assert(c.exec(s"update $t set r = r + 100 where k < 5") == Right(5L))
+      val Right((_, bumped)) = c.query(
+        s"select r from $t where k = 2")
+      assert(bumped == Seq(Seq(Some("102"))))
+      // DELETE: k in 20..24 → 5 rows; count drops to 20
+      assert(c.exec(s"delete from $t where k >= 20") == Right(5L))
+      val Right((_, n)) = c.query(s"select count(*) as n from $t")
+      assert(n == Seq(Seq(Some("20"))))
+      // a no-match predicate affects 0 rows and rewrites nothing
+      assert(c.exec(s"delete from $t where k > 999") == Right(0L))
+      // errors surface as ERR in-band, connection intact
+      assert(c.exec(s"update $t set no_such_col = 1").isLeft)
+      assert(c.ping())
+      c.quit()
+    } finally {
+      spark.sql(s"drop table if exists $t")
+      server.stop()
+    }
   }
 
   test("row cap bounds unbounded selects at the wire") {

@@ -87,6 +87,39 @@ class StorageSpec extends AnyFunSuite {
       "compaction changed table content")
   }
 
+  test("executeStatement: simultaneous SET, NULL predicate, type stability") {
+    val t = s"graft_dml_sem_${System.nanoTime()}"
+    spark.sql(s"create table $t using parquet as " +
+      "select cast(id as bigint) as a, cast(id * 10 as bigint) as b " +
+      "from range(6)")
+    try {
+      // SQL simultaneous assignment: every SET expression sees the OLD
+      // row, so `set a = b, b = a` swaps (sequential eval would lose a)
+      assert(graft.operators.Dml.executeStatement(
+        spark, s"update $t set a = b, b = a where a >= 4") == 2L)
+      val swapped = spark.sql(s"select a, b from $t where b = 4").collect()
+      assert(swapped.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((40L, 4L)))
+      // a NULL predicate result is "not matched" (MySQL semantics)
+      assert(graft.operators.Dml.executeStatement(
+        spark, s"update $t set a = -1 where null") == 0L)
+      assert(spark.sql(s"select count(*) from $t where a = -1")
+        .head.getLong(0) == 0L)
+      // a WHERE inside a SET subquery is not the statement's WHERE
+      assert(graft.operators.Dml.executeStatement(
+        spark, s"update $t set b = (select max(a) from $t where a < 100) " +
+          "where b = 0") == 1L)
+      assert(spark.sql(s"select b from $t where a = 0").head.getLong(0) == 50L)
+      // rewrites preserve the catalog schema exactly
+      assert(spark.table(t).schema.map(_.dataType.sql) ==
+        Seq("BIGINT", "BIGINT"))
+      // DELETE without WHERE clears the table and reports the full count
+      assert(graft.operators.Dml.executeStatement(
+        spark, s"delete from $t") == 6L)
+      assert(spark.table(t).count() == 0L)
+    } finally spark.sql(s"drop table if exists $t")
+  }
+
   test("salted join equals the plain join (operator identity)") {
     import graft.operators.Skew
     val o = Tables.df(spark, TestSpark.Sf, "orders")
