@@ -759,6 +759,59 @@ object Relational {
       .orderBy(col("p_partkey")).limit(300)
   }
 
+  /** Error-suppressing TRY arithmetic (try_add/subtract/multiply/divide/
+    * mod): NULL instead of overflow or division-by-zero. DuckDB's plain
+    * operators already yield NULL on x/0 and mod(x,0), so those oracle
+    * directly; int64 overflow ERRORS in DuckDB, so the overflow columns
+    * oracle as the expected CASE/NULL values (that IS the expected
+    * output, spelled without tripping the error). */
+  val exprTryArith: Q = Q.df(
+    "expr_try_arith",
+    """select n_nationkey,
+      |  round(cast(n_nationkey as double) / (n_nationkey % 3), 6) as td,
+      |  cast(mod(n_nationkey, n_nationkey % 3) as bigint) as tm,
+      |  case when n_nationkey = 0 then 9223372036854775807
+      |       else cast(null as bigint) end as ta_ovf,
+      |  case when n_nationkey <= 1
+      |       then 4611686018427387904 * n_nationkey
+      |       else cast(null as bigint) end as tmul_ovf,
+      |  case when n_nationkey = 0 then -9223372036854775808
+      |       else cast(null as bigint) end as ts_ovf
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(
+        k,
+        round(try_divide(k.cast("double"), k % 3), 6).as("td"),
+        expr("cast(try_mod(n_nationkey, n_nationkey % 3) as bigint)")
+          .as("tm"),
+        try_add(lit(Long.MaxValue), k.cast("long")).as("ta_ovf"),
+        try_multiply(lit(4611686018427387904L), k.cast("long"))
+          .as("tmul_ovf"),
+        try_subtract(lit(Long.MinValue), k.cast("long")).as("ts_ovf"))
+      .orderBy(k)
+  }
+
+  /** Bivariate statistical aggregates: correlation, sample/population
+    * covariance, least-squares regression (slope/intercept/count), exact
+    * median, count_if, any_value. Inputs are the small-magnitude
+    * (quantity, linenumber) pair so partition-order float noise (~1e-12)
+    * sits far below the 6-decimal grid; any_value is deterministic
+    * because its argument is constant per group. */
+  val aggStatsRegression: Q = Q.shared(
+    "agg_stats_regression",
+    """select l_returnflag,
+      |  round(corr(l_quantity, l_linenumber), 6) as corr_ql,
+      |  round(covar_samp(l_quantity, l_linenumber), 6) as cov_s,
+      |  round(covar_pop(l_quantity, l_linenumber), 6) as cov_p,
+      |  round(regr_slope(l_quantity, l_linenumber), 6) as slope,
+      |  round(regr_intercept(l_quantity, l_linenumber), 6) as icept,
+      |  cast(regr_count(l_quantity, l_linenumber) as bigint) as n_pairs,
+      |  cast(median(l_quantity) as double) as med_q,
+      |  cast(count_if(l_quantity > 25) as bigint) as n_hi,
+      |  any_value(upper(l_returnflag)) as av
+      |from lineitem group by l_returnflag order by l_returnflag""".stripMargin)
+
   /** Regexp beyond boolean matching ([[predRegexp]]): group extraction,
     * global replacement, match counting, first-match substring. Dialect
     * pins: DuckDB regexp_replace replaces only the FIRST match unless
@@ -1401,7 +1454,7 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprMath,
     exprMathTrig, exprNullFuncs, exprDateFuncs2, exprArraySetops,
     exprHashEncode, exprRegexpFuncs, exprString3, exprMapFuncs,
-    exprExplodePos, exprInterval,
+    exprExplodePos, exprTryArith, aggStatsRegression, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     predRowTuples, subqRowTupleIn,
