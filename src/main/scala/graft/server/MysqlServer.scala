@@ -36,7 +36,11 @@ import org.apache.spark.sql.types._
   *    the server never advertises CLIENT_DEPRECATE_EOF so clients use
   *    the EOF form). EXPLAIN returns plan rows; UPDATE/DELETE route to
   *    [[graft.operators.Dml.executeStatement]]'s copy-on-write rewrite
-  *    and answer OK with the affected-row count.
+  *    and answer OK with the affected-row count. Stock-client bootstrap
+  *    works end-to-end: `@@var` references splice to literal session
+  *    variables, `SET NAMES`/charset/user-variable SETs are acknowledged
+  *    no-ops, and SHOW VARIABLES [LIKE] / SHOW WARNINGS answer from the
+  *    emulated variable table.
   *  - COM_FIELD_LIST (the only other command the reference's server
   *    accepts) → ColumnDefinition41 per column + EOF.
   *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
@@ -259,18 +263,98 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     out.flush()
   }
 
+  /** The session variables a stock client's bootstrap reads (the mysql
+    * CLI sends `select @@version_comment limit 1`; Connector/J opens
+    * with a 20-variable select). Numbers stay bare so `@@autocommit`
+    * splices as an integer literal; unknown variables splice as NULL
+    * (permissive — MySQL itself errors, but a NULL keeps evolving
+    * clients connected). */
+  private val SessionVars: Map[String, String] = Map(
+    "version_comment" -> "'graft Spark engine'",
+    "version" -> s"'$ServerVersion'",
+    "autocommit" -> "1",
+    "auto_increment_increment" -> "1",
+    "character_set_client" -> "'utf8mb4'",
+    "character_set_connection" -> "'utf8mb4'",
+    "character_set_results" -> "'utf8mb4'",
+    "character_set_server" -> "'utf8mb4'",
+    "collation_server" -> "'utf8mb4_bin'",
+    "collation_connection" -> "'utf8mb4_bin'",
+    "init_connect" -> "''",
+    "interactive_timeout" -> "28800",
+    "wait_timeout" -> "28800",
+    "net_write_timeout" -> "60",
+    "net_buffer_length" -> "16384",
+    "max_allowed_packet" -> "67108864",
+    "sql_mode" -> "'ANSI_QUOTES'",
+    "lower_case_table_names" -> "0",
+    "performance_schema" -> "0",
+    "query_cache_size" -> "0",
+    "query_cache_type" -> "'OFF'",
+    "license" -> "'Apache-2.0'",
+    "system_time_zone" -> "'UTC'",
+    "time_zone" -> "'SYSTEM'",
+    "transaction_isolation" -> "'REPEATABLE-READ'",
+    "tx_isolation" -> "'REPEATABLE-READ'",
+    "transaction_read_only" -> "0",
+    "tx_read_only" -> "0")
+
+  private val SysVarRe =
+    "@@(?:(?:session|global)\\.)?([A-Za-z_][A-Za-z_0-9]*)".r
+
+  /** Splice `@@var` / `@@session.var` / `@@global.var` references with
+    * their literal values so the statement parses as plain Spark SQL —
+    * client bootstraps alias them (`@@x AS x`), which keeps working. */
+  private def spliceSysVars(sql: String): String =
+    SysVarRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        SessionVars.getOrElse(
+          m.group(1).toLowerCase(java.util.Locale.ROOT), "NULL")))
+
+  /** Client session statements accepted as no-ops: `SET NAMES …`,
+    * charset/session-mode SETs, and user variables — MySQL connection
+    * plumbing with no Spark analogue. Spark's own `SET key=val` conf
+    * statements do NOT match and still pass through. */
+  private val SessionSetRe =
+    "(?is)^\\s*set\\s+(names|autocommit|character_set|charset|sql_mode|" +
+      "net_write_timeout|wait_timeout|@|session\\s+transaction|" +
+      "transaction\\s).*"
+
   private def runQuery(out: OutputStream, sql: String): Unit = {
     val result =
       try {
         val kw = sql.trim.takeWhile(_.isLetter)
           .toLowerCase(java.util.Locale.ROOT)
+        val lower = sql.trim.toLowerCase(java.util.Locale.ROOT)
         // UPDATE/DELETE (StatementKind ast.rs:10-19): stock Spark SQL
         // rejects them on parquet v1 tables, so route to the copy-on-
         // write rewrite and answer OK with the affected-row count.
         if (kw == "update" || kw == "delete")
           Left(graft.operators.Dml.executeStatement(spark, sql))
-        else {
-          val df = spark.sql(sql)
+        else if (lower.matches(SessionSetRe))
+          Left(0L) // connection-plumbing SET: acknowledge, change nothing
+        else if (lower.startsWith("show warnings"))
+          Right((StructType(Seq(StructField("Level", StringType),
+            StructField("Code", LongType), StructField("Message", StringType))),
+            Array.empty[org.apache.spark.sql.Row]))
+        else if (lower.startsWith("show variables")) {
+          val pat = "(?is).*like\\s+'([^']*)'.*".r
+          val keep: String => Boolean = lower match {
+            case pat(p) =>
+              val re = p.replace("%", ".*").replace("_", ".")
+              name => name.matches(s"(?i)$re")
+            case _ => _ => true
+          }
+          val rows = SessionVars.toSeq.sortBy(_._1)
+            .filter { case (n, _) => keep(n) }
+            .map { case (n, v) =>
+              org.apache.spark.sql.Row(n, v.stripPrefix("'").stripSuffix("'"))
+            }
+          Right((StructType(Seq(StructField("Variable_name", StringType),
+            StructField("Value", StringType))), rows.toArray))
+        } else {
+          val df = spark.sql(
+            if (sql.contains("@@")) spliceSysVars(sql) else sql)
           val schema = df.schema
           if (schema.isEmpty) Left(0L) // e.g. SET / DDL — answer OK
           else Right((schema, df.limit(maxRows).collect()))

@@ -312,6 +312,44 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("stock-client bootstrap: @@vars, SET NAMES, SHOW VARIABLES/WARNINGS") {
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // the mysql CLI's opening statement
+      val Right((_, vc)) = c.query("select @@version_comment limit 1")
+      assert(vc == Seq(Seq(Some("graft Spark engine"))))
+      // Connector/J-style multi-variable select with aliases
+      val Right((cols, row)) = c.query(
+        "SELECT @@session.auto_increment_increment AS auto_increment_increment," +
+          " @@character_set_client AS character_set_client," +
+          " @@max_allowed_packet AS max_allowed_packet," +
+          " @@tx_isolation AS tx_isolation")
+      assert(cols == Seq("auto_increment_increment", "character_set_client",
+        "max_allowed_packet", "tx_isolation"))
+      assert(row == Seq(Seq(Some("1"), Some("utf8mb4"), Some("67108864"),
+        Some("REPEATABLE-READ"))))
+      // unknown variables splice as NULL instead of erroring
+      val Right((_, unk)) = c.query("select @@no_such_var_xyz as v")
+      assert(unk == Seq(Seq(None)))
+      // session plumbing SETs are acknowledged as no-ops
+      assert(c.exec("SET NAMES utf8mb4").isRight)
+      assert(c.exec("SET autocommit=1").isRight)
+      assert(c.exec("SET character_set_results = NULL").isRight)
+      // ... while Spark conf SET still passes through as a resultset
+      val Right((_, conf)) = c.query("SET spark.sql.shuffle.partitions")
+      assert(conf.head(1).isDefined)
+      // SHOW VARIABLES with a LIKE pattern; SHOW WARNINGS is empty
+      val Right((vcols, vrows)) = c.query(
+        "show variables like 'max_allowed%'")
+      assert(vcols == Seq("Variable_name", "Value"))
+      assert(vrows == Seq(Seq(Some("max_allowed_packet"), Some("67108864"))))
+      val Right((wcols, wrows)) = c.query("show warnings")
+      assert(wcols == Seq("Level", "Code", "Message") && wrows.isEmpty)
+      c.quit()
+    } finally server.stop()
+  }
+
   test("row cap bounds unbounded selects at the wire") {
     Tables.registerAll(spark, TestSpark.Sf)
     val server = MysqlServer.start(spark, maxRows = 5)
