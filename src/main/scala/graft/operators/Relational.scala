@@ -812,6 +812,77 @@ object Relational {
       |  any_value(upper(l_returnflag)) as av
       |from lineitem group by l_returnflag order by l_returnflag""".stripMargin)
 
+  /** Timestamp construction and arithmetic: make_timestamp from date
+    * parts + key-derived time-of-day, epoch seconds (UTC session ==
+    * DuckDB's tz-free epoch), pattern formatting (Spark date_format ==
+    * DuckDB strftime), H/M/S extraction, seconds-since-midnight, and
+    * minute truncation. Timestamps never travel raw: DuckDB hands
+    * pandas tz-aware values where Spark's are naive, so every output is
+    * a string or a bigint. */
+  val exprTimestampFuncs: Q = Q.df(
+    "expr_timestamp_funcs",
+    """with b as (select o_orderkey as k,
+      |    make_timestamp(cast(year(cast(o_orderdate as date)) as int),
+      |                   cast(month(cast(o_orderdate as date)) as int),
+      |                   cast(day(cast(o_orderdate as date)) as int),
+      |                   cast(o_orderkey % 24 as int),
+      |                   cast(o_orderkey % 60 as int),
+      |                   cast(o_orderkey % 60 as double)) as ts
+      |  from orders)
+      |select k,
+      |  cast(epoch(ts) as bigint) as ep,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') as fmt,
+      |  cast(hour(ts) as bigint) as hh,
+      |  cast(minute(ts) as bigint) as mi,
+      |  cast(second(ts) as bigint) as ss,
+      |  cast(date_diff('second', date_trunc('day', ts), ts) as bigint)
+      |    as since_midnight,
+      |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') as trunc_min
+      |from b order by k limit 400""".stripMargin) { (s, dir) =>
+    val ts = col("ts")
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("""make_timestamp(year(cast(o_orderdate as date)),
+          month(cast(o_orderdate as date)), day(cast(o_orderdate as date)),
+          cast(o_orderkey % 24 as int), cast(o_orderkey % 60 as int),
+          cast(o_orderkey % 60 as int))""").as("ts"))
+      .select(col("k"),
+        unix_timestamp(ts).cast("long").as("ep"),
+        date_format(ts, "yyyy-MM-dd HH:mm:ss").as("fmt"),
+        hour(ts).cast("long").as("hh"),
+        minute(ts).cast("long").as("mi"),
+        second(ts).cast("long").as("ss"),
+        (unix_timestamp(ts) - unix_timestamp(date_trunc("DAY", ts)))
+          .cast("long").as("since_midnight"),
+        date_format(date_trunc("MINUTE", ts), "yyyy-MM-dd HH:mm:ss")
+          .as("trunc_min"))
+      .orderBy(col("k")).limit(400)
+  }
+
+  /** Rounding modes and bucketing: banker's rounding (Spark bround ==
+    * DuckDB round_even) against half-away round on the same .5 inputs,
+    * width_bucket (no DuckDB builtin → the defining arithmetic as
+    * oracle), and arbitrary-base rendering (Spark conv == DuckDB
+    * to_base). */
+  val exprRoundModes: Q = Q.df(
+    "expr_round_modes",
+    """select n_nationkey,
+      |  cast(round_even(cast(n_nationkey as double) + 0.5, 0) as bigint)
+      |    as br_half,
+      |  cast(round(cast(n_nationkey as double) + 0.5, 0) as bigint) as r_half,
+      |  cast(cast(floor(n_nationkey * 5.0 / 25) as int) + 1 as bigint) as wb,
+      |  to_base(n_nationkey, 16) as hx16
+      |from nation order by n_nationkey""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(k,
+        bround(k.cast("double") + 0.5, 0).cast("long").as("br_half"),
+        round(k.cast("double") + 0.5, 0).cast("long").as("r_half"),
+        expr("width_bucket(n_nationkey, 0, 25, 5)").cast("long").as("wb"),
+        conv(k, 10, 16).as("hx16"))
+      .orderBy(k)
+  }
+
   /** Regexp beyond boolean matching ([[predRegexp]]): group extraction,
     * global replacement, match counting, first-match substring. Dialect
     * pins: DuckDB regexp_replace replaces only the FIRST match unless
@@ -1454,7 +1525,8 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprMath,
     exprMathTrig, exprNullFuncs, exprDateFuncs2, exprArraySetops,
     exprHashEncode, exprRegexpFuncs, exprString3, exprMapFuncs,
-    exprExplodePos, exprTryArith, aggStatsRegression, exprInterval,
+    exprExplodePos, exprTryArith, aggStatsRegression, exprTimestampFuncs,
+    exprRoundModes, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     predRowTuples, subqRowTupleIn,
