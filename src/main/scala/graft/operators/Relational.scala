@@ -1209,6 +1209,27 @@ object Relational {
             |order by n_regionkey""".stripMargin)
   }
 
+  /** Most-frequent-value aggregate (mode, same spelling both dialects).
+    * Tie-breaking is engine-unspecified, but l_linenumber's frequency
+    * maximum per return flag is unique at every fixture scale (probed
+    * 0.001/0.01/0.1: 3 max-cells for 3 groups), so the result is
+    * deterministic. Distributed shape: one hash aggregate over
+    * (group, value) counts — no sort, no skew hazard beyond the
+    * group-by itself. */
+  val aggMode: Q = Q.df(
+    "agg_mode",
+    """select l_returnflag,
+      |  cast(mode(l_linenumber) as bigint) as mode_line,
+      |  count(*) as cnt
+      |from lineitem group by l_returnflag
+      |order by l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(mode(col("l_linenumber")).cast("long").as("mode_line"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact discrete percentiles (ANSI WITHIN GROUP): percentile_disc
     * picks an actual input value (the first whose cumulative fraction
     * reaches p), so there is no interpolation arithmetic to drift
@@ -1532,7 +1553,7 @@ object Relational {
     predRowTuples, subqRowTupleIn,
     aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
     aggPercentileCont, aggMinMaxBy,
-    aggBool, aggStringAgg,
+    aggBool, aggStringAgg, aggMode,
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
     windowRangeFrame, windowDistribution, windowNtile, aggBitwise,

@@ -215,6 +215,38 @@ object TextAnalysis {
       .orderBy(col("event_id")).limit(2000)
   }
 
+  /** JSON construction — the inverse of [[jsonExtractProps]]: row
+    * values → JSON text (Spark to_json over named_struct == DuckDB
+    * to_json over a struct literal, byte-identical compact rendering
+    * for int/plain-string members), object key enumeration
+    * (json_object_keys == json_keys, scalarized through array_join),
+    * and array-length introspection of a built JSON array. The raw
+    * JSON string travels in the compared output, so the serialization
+    * format itself is hash-pinned. */
+  val jsonBuild: Q = Q.df(
+    "expr_json_build",
+    """select o_orderkey as k,
+      |  cast(to_json({'k': o_orderkey, 's': o_orderstatus}) as varchar)
+      |    as j,
+      |  array_to_string(
+      |    json_keys(to_json({'k': o_orderkey, 's': o_orderstatus})), ',')
+      |    as ks,
+      |  cast(json_array_length(
+      |    to_json(range(1, cast(2 + o_orderkey % 4 as bigint)))) as bigint)
+      |    as al
+      |from orders order by k limit 400""".stripMargin) { (s, dir) =>
+    val obj = to_json(struct(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("s")))
+    Tables.df(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        obj.as("j"),
+        array_join(json_object_keys(obj), ",").as("ks"),
+        json_array_length(to_json(sequence(lit(1),
+          (lit(1) + col("o_orderkey") % 4).cast("int")))).cast("long")
+          .as("al"))
+      .orderBy(col("k")).limit(400)
+  }
+
   /** Winnowing gram size (tokens) and window (grams) — k=3, w=4 gives
     * the guarantee that any shared token run of length >= k+w-1 = 6
     * leaves at least one common fingerprint. */
@@ -500,5 +532,6 @@ object TextAnalysis {
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
-      jsonExtractProps, textEntropy, textLmScore, textWinnow, textLmBigram)
+      jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
+      textLmBigram)
 }
