@@ -217,6 +217,48 @@ object Corpus {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Mixing budget (documents drawn) for [[sampleTemperature]]. */
+  val MixBudget = 1000000L
+
+  /** Temperature-based domain mixing — the data-mixture op behind
+    * multi-source training corpora (sample source i with p_i ∝
+    * size_i^α, α < 1 flattening the natural distribution toward small
+    * sources). α = 1/2 keeps the entry bit-exact cross-engine: sqrt is
+    * IEEE-correctly-rounded in both engines, the normalizing sum folds
+    * a value-SORTED weight list (identical accumulation order; equal
+    * values commute), and division/floor on identical bits agree
+    * exactly. Distributed shape: one hash aggregate over source plus
+    * one broadcast scalar — nothing beyond the group-by moves at any
+    * corpus size. */
+  val sampleTemperature: Q = Q.df(
+    "sample_temperature_mix",
+    s"""with s as (
+       |  select source, count(*) as n_docs,
+       |    cast(sum(n_chars) as bigint) as toks
+       |  from documents group by source),
+       |w as (select source, n_docs, toks,
+       |    sqrt(cast(toks as double)) as wt from s),
+       |t as (select list_reduce(list_prepend(cast(0 as double),
+       |    list(wt order by wt)), (a, x) -> a + x) as tot from w)
+       |select source, n_docs, toks,
+       |  round(wt / tot, 6) as p_mix,
+       |  cast(floor($MixBudget * wt / tot) as bigint) as expected_docs
+       |from w, t order by source""".stripMargin) { (s, dir) =>
+    val base = Tables.df(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("toks"))
+      .withColumn("wt", sqrt(col("toks").cast("double")))
+    val tot = base.agg(
+      aggregate(sort_array(collect_list(col("wt"))), lit(0.0d),
+        (a, x) => a + x).as("tot"))
+    base.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("toks"),
+        round(col("wt") / col("tot"), 6).as("p_mix"),
+        floor(lit(MixBudget) * col("wt") / col("tot")).cast("long")
+          .as("expected_docs"))
+      .orderBy(col("source"))
+  }
+
   // ---- sequence packing --------------------------------------------------
 
   /** Training-sequence capacity in tokens. */
@@ -581,5 +623,6 @@ object Corpus {
 
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
-    corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ)
+    corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
+    sampleTemperature)
 }

@@ -883,6 +883,39 @@ object Relational {
       .orderBy(k)
   }
 
+  /** Calendar part 3 — the ISO-week year-boundary trap: weekofyear is
+    * ISO-8601 in BOTH engines (Jan 1 can be week 52/53 of the PREVIOUS
+    * ISO year, late Dec can be week 1 of the next), paired with the
+    * ISO year (Spark extract(YEAROFWEEK) == DuckDB isoyear) so the
+    * (year, week) pair is pinned exactly where it disagrees with the
+    * calendar year. Input is restricted to Dec/Jan order dates so the
+    * boundary rows dominate the compared sample. Plus last_day
+    * (month-end clamp, leap-Feb included in the date range) and
+    * datediff from the epoch of the dataset. */
+  val exprDateFuncs3: Q = Q.df(
+    "expr_date_funcs3",
+    """select o_orderkey as k,
+      |  cast(weekofyear(cast(o_orderdate as date)) as bigint) as iso_wk,
+      |  cast(isoyear(cast(o_orderdate as date)) as bigint) as iso_yr,
+      |  cast(last_day(cast(o_orderdate as date)) as varchar) as month_end,
+      |  cast(date_diff('day', DATE '1992-01-01',
+      |       cast(o_orderdate as date)) as bigint) as days_since
+      |from orders
+      |where month(cast(o_orderdate as date)) in (1, 12)
+      |order by k limit 400""".stripMargin) { (s, dir) =>
+    val d = col("o_orderdate").cast("date")
+    Tables.df(s, dir, "orders")
+      .filter(month(d).isin(1, 12))
+      .select(col("o_orderkey").as("k"),
+        weekofyear(d).cast("long").as("iso_wk"),
+        expr("extract(yearofweek from cast(o_orderdate as date))")
+          .cast("long").as("iso_yr"),
+        last_day(d).cast("string").as("month_end"),
+        datediff(d, lit("1992-01-01").cast("date")).cast("long")
+          .as("days_since"))
+      .orderBy(col("k")).limit(400)
+  }
+
   /** Regexp beyond boolean matching ([[predRegexp]]): group extraction,
     * global replacement, match counting, first-match substring. Dialect
     * pins: DuckDB regexp_replace replaces only the FIRST match unless
@@ -1547,6 +1580,7 @@ object Relational {
     exprMathTrig, exprNullFuncs, exprDateFuncs2, exprArraySetops,
     exprHashEncode, exprRegexpFuncs, exprString3, exprMapFuncs,
     exprExplodePos, exprTryArith, aggStatsRegression, exprTimestampFuncs,
+    exprDateFuncs3,
     exprRoundModes, exprInterval,
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
