@@ -60,6 +60,29 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Schema-reconciling union (Spark unionByName(allowMissingColumns)
+    * == DuckDB UNION ALL BY NAME): columns are matched by NAME, not
+    * position, and columns absent on one side are NULL-filled — the
+    * union you actually want when combining heterogeneous shards whose
+    * schemas drifted (the 100 TB reality, where positional UNION
+    * silently pairs wrong columns). */
+  val setopUnionByName: Q = Q.df(
+    "setop_union_by_name",
+    """select * from (
+      |  select n_nationkey as k, n_name as name from nation
+      |  union all by name
+      |  select r_regionkey + 100 as k, r_name as rname from region)
+      |order by k""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "nation")
+      .select(col("n_nationkey").as("k"), col("n_name").as("name"))
+      .unionByName(
+        Tables.df(s, dir, "region")
+          .select((col("r_regionkey") + 100).as("k"),
+            col("r_name").as("rname")),
+        allowMissingColumns = true)
+      .orderBy(col("k"))
+  }
+
   val setopExceptAll: Q = Q.df(
     "setop_except_all",
     """select n_regionkey as k from nation where n_nationkey < 20
@@ -1566,7 +1589,8 @@ object Relational {
   }
 
   val queries: Seq[Q] = Seq(
-    setopUnionAll, setopUnionDistinct, setopExcept, setopExceptAll,
+    setopUnionAll, setopUnionDistinct, setopUnionByName,
+    setopExcept, setopExceptAll,
     setopIntersect, setopIntersectAll,
     joinFullOuter, joinCross, joinSemi, joinAnti, joinUsing,
     joinRight, joinNatural, predExistsDisjunction, joinReorderCbo,
