@@ -621,8 +621,122 @@ object Corpus {
       .orderBy(col("rk"))
   }
 
+  // ---- deterministic global shuffle + sharding ----------------------------
+
+  /** Number of output shards for the training-shuffle entry. */
+  val NShards = 8
+
+  /** Knuth multiplicative hashes over the doc key — two independent odd
+    * constants so the shard assignment and the within-shard order are
+    * decorrelated (a doc's position inside its shard is not a function
+    * of which shard it landed in). Both reduce mod 2³² before use, so
+    * every intermediate fits a BIGINT in either engine. */
+  private val ShardH = s"(doc_id * 2654435761) % 4294967296 % $NShards"
+  private val OrderH = "(doc_id * 2246822519) % 4294967296"
+
+  /** Deterministic global shuffle: the step between data curation and
+    * training that turns a curated corpus into N shard files in a
+    * pseudo-random but REPRODUCIBLE order (rerun, retry, and backfill
+    * all produce byte-identical shards — the auditability property a
+    * training run needs; `rand()` gives none of it). Shard = one hash
+    * of the key, within-shard order = an independent second hash.
+    *
+    * Scale shape: the materialized per-shard ordinal below is for the
+    * oracle compare; at 100 TB the pipeline never numbers rows — it
+    * `repartitionByRange(shard, h2)` + `sortWithinPartitions` and
+    * writes, consuming files in (shard, h2) order, so the global sort
+    * is a range-partitioned parallel sort with no sequential step. The
+    * row_number window here partitions by shard (NShards concurrent
+    * sorts), never a single global window. */
+  val corpusShardShuffle: Q = Q.df(
+    "corpus_shard_shuffle",
+    s"""select doc_id, cast($ShardH as bigint) as shard,
+       |  cast(row_number() over (partition by $ShardH
+       |       order by $OrderH, doc_id) as bigint) as pos
+       |from documents
+       |order by shard, pos""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(ShardH).cast("long").as("shard"),
+        expr(OrderH).cast("long").as("h2"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  // ---- corpus-level hot-token pruning -------------------------------------
+
+  /** Hot-token document-frequency threshold, as a fraction: a token in
+    * more than HotNum/HotDen of all documents is corpus boilerplate.
+    * Integer-exact in both engines (df·Den > Num·N — no float ratio). */
+  val HotNum = 39
+  val HotDen = 50
+
+  /** Corpus-frequency token pruning — the vocabulary-level analogue of
+    * stopword removal where the stoplist is LEARNED from the corpus: a
+    * token present in > 78% of documents carries no signal (boilerplate,
+    * template chrome) and is dropped from every document, preserving the
+    * order of what remains.
+    *
+    * Distributed shape: one explode→distinct→count pass builds the df
+    * table (vocabulary-sized, shuffles on the well-distributed term
+    * key); the hot list is vocabulary-bounded so the pruning join is a
+    * BROADCAST left_anti — the corpus-sized side never shuffles for it.
+    * The ordered reconstruction groups by doc_id (one shuffle of the
+    * kept tokens) and sorts each doc's tokens inside the aggregate, so
+    * per-task memory is one document, not one partition. */
+  def pruneHotTokens(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val hot = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * HotDen > lit(HotNum) * col("n"))
+      .select(col("term"))
+    val kept = tok.join(broadcast(hot), Seq("term"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("term")))),
+        x => x.getField("term")), " ").as("pruned_text"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_orig"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("pruned_text"), lit("")).as("pruned_text"))
+  }
+
+  val pruneHotTokensQ: Q = Q.df(
+    "corpus_prune_hot_tokens",
+    s"""with tok as (
+       |  select doc_id, unnest(str_split(text, ' ')) as term,
+       |         unnest(range(1, len(str_split(text, ' ')) + 1)) as pos
+       |  from documents),
+       |n as (select count(*) as n from documents),
+       |hot as (
+       |  select term from
+       |    (select term, count(distinct doc_id) as df from tok group by term), n
+       |  where df * $HotDen > $HotNum * n.n),
+       |agg as (
+       |  select doc_id, count(*) as n_kept,
+       |         string_agg(term, ' ' order by pos) as pruned_text
+       |  from tok where term not in (select term from hot)
+       |  group by doc_id)
+       |select d.doc_id,
+       |  cast(len(str_split(d.text, ' ')) as bigint) as n_orig,
+       |  cast(coalesce(a.n_kept, 0) as bigint) as n_kept,
+       |  coalesce(a.pruned_text, '') as pruned_text
+       |from documents d left join agg a using (doc_id)
+       |order by doc_id""".stripMargin) { (s, dir) =>
+    pruneHotTokens(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
-    sampleTemperature)
+    sampleTemperature, corpusShardShuffle, pruneHotTokensQ)
 }

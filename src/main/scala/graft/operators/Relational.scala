@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -211,6 +212,30 @@ object Relational {
       |from (select n_nationkey as nationkey, n_name from nation) n
       |natural join (select s_nationkey as nationkey, s_name from supplier) s
       |order by nationkey, s_name""".stripMargin)
+
+  /** First-row-per-group (`DISTINCT ON` semantics): latest order per
+    * customer with a deterministic key tiebreak. DuckDB spells it with
+    * native DISTINCT ON; Spark has no DISTINCT ON, so the engine side is
+    * the canonical row_number()=1 window — one hash-partitioned shuffle
+    * on the group key, each group reduced inside its partition (with
+    * AQE handling a skewed customer). The two spellings are required to
+    * agree row-for-row, which is exactly the parity a MySQL/DuckDB user
+    * migrating to the engine needs pinned. */
+  val distinctOn: Q = Q.df(
+    "distinct_on_latest",
+    """select o_custkey, o_orderkey, o_orderdate from (
+      |  select distinct on (o_custkey) o_custkey, o_orderkey, o_orderdate
+      |  from orders
+      |  order by o_custkey, o_orderdate desc, o_orderkey desc) t
+      |order by o_custkey""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "orders")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
 
   /** EXISTS under a disjunction — the exact shape the reference's Mark
     * join kind exists for (join/mod.rs:20-22): the subquery result must
@@ -1594,7 +1619,7 @@ object Relational {
     setopIntersect, setopIntersectAll,
     joinFullOuter, joinCross, joinSemi, joinAnti, joinUsing,
     joinRight, joinNatural, predExistsDisjunction, joinReorderCbo,
-    joinLateral,
+    joinLateral, distinctOn,
     distinctRows, sortLimitOffset, topK, rowConstant, rowValuesList,
     aggFilterClause, exprDateFuncs,
     havingFilter, aggDistinct,

@@ -27,4 +27,52 @@ class CorpusSpec extends AnyFunSuite {
         =!= Corpus.BenchmarkSource).count()
     assert(bloomRows.length == nonBench)
   }
+
+  test("shard shuffle: complete, balanced-ish, and rerun-deterministic") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.corpusShardShuffle.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.df(spark, TestSpark.Sf, "documents").count()
+    // every doc appears exactly once
+    assert(out.length == nDocs && out.map(_._1).distinct.length == nDocs)
+    // shards are within range and positions are contiguous 1..|shard|
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet.forall(s => s >= 0 && s < Corpus.NShards))
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == ps.length,
+        s"shard $s positions not contiguous: ${ps.take(5).toSeq}...")
+    }
+    // a rerun reproduces the identical assignment (the auditability
+    // property the entry exists for — no rand() anywhere)
+    val again = Corpus.corpusShardShuffle.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
+  test("hot-token pruning removes exactly the >threshold-df tokens, " +
+    "preserving order") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val n = docs.count()
+    // recompute the hot set independently (distinct doc-term pairs)
+    val hot = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct().groupBy("term").count()
+      .filter(col("count") * Corpus.HotDen > lit(Corpus.HotNum) * n)
+      .collect().map(_.getString(0)).toSet
+    assert(hot.nonEmpty, "fixture should have at least one hot token")
+    val orig = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Corpus.pruneHotTokens(docs).collect().foreach { r =>
+      val (id, nOrig, nKept, pruned) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val toks = orig(id).split(" ", -1)
+      val expect = toks.filterNot(hot)
+      assert(nOrig == toks.length)
+      assert(nKept == expect.length)
+      // order-preserving: the pruned text IS the original minus hot tokens
+      assert(pruned == expect.mkString(" "), s"doc $id order not preserved")
+    }
+  }
 }
