@@ -343,6 +343,34 @@ object Analytics {
     funnelWindowed(Tables.df(s, dir, "events")).orderBy(col("user_id"))
   }
 
+  /** Winsorized (percentile-clipped) metric values — the standard
+    * outlier treatment before a numeric column feeds a model or a
+    * dashboard aggregate: clip each event's value into its own event
+    * type's [p05, p95]. percentile_disc picks an ACTUAL data element
+    * (no interpolation arithmetic), so the bounds — and therefore the
+    * clipped values, which are just two comparisons — are bit-exact
+    * cross-engine on raw doubles.
+    *
+    * Scale shape: the bounds table is |event_types| rows (a sort-based
+    * aggregate per type, partial-aggregated per partition), and the
+    * attach joining it back is a broadcast — the event-sized side never
+    * shuffles. At 100 TB the exact within-group sort gives way to
+    * approx_percentile with the same two-comparison clip; the entry
+    * pins the exact semantics the approximation is graded against. */
+  val eventsWinsorize: Q = Q.shared(
+    "events_winsorize",
+    """with b as (
+      |  select event_type,
+      |    percentile_disc(0.05) within group (order by value) as lo,
+      |    percentile_disc(0.95) within group (order by value) as hi
+      |  from events group by event_type)
+      |select e.event_id, e.event_type, e.value,
+      |  least(greatest(e.value, b.lo), b.hi) as clipped,
+      |  (e.value < b.lo or e.value > b.hi) as was_clipped
+      |from events e join b on e.event_type = b.event_type
+      |order by e.event_id""".stripMargin)
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
-    eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed)
+    eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
+    eventsWinsorize)
 }

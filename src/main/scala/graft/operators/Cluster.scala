@@ -239,6 +239,46 @@ object Cluster {
       .orderBy(col("cid"))
   }
 
+  // ---- supervised class balancing -----------------------------------------
+
+  /** Class-balanced downsampling on the ground-truth `label` column —
+    * the supervised sibling of [[sampleClusterBalanced]]: every class is
+    * cut to the size of the SMALLEST class (the classic fix for a
+    * frequency-skewed label distribution before fine-tune/eval), with
+    * membership chosen by deterministic hash rank so reruns reproduce
+    * the same sample.
+    *
+    * Scale shape: the per-class rank is a window partitioned by label
+    * (|labels| concurrent sorts of class-sized groups — a skewed class
+    * sorts in parallel across its range partitions); the cut size k is
+    * a |labels|-row aggregate collapsed to ONE scalar row and broadcast,
+    * so no corpus-sized state ever converges on the driver. */
+  val sampleClassBalance: Q = Q.df(
+    "sample_class_balance",
+    """with ranked as (
+      |  select vec_id, label, cast(row_number() over (partition by label
+      |    order by md5(cast(vec_id as varchar)), vec_id) as bigint) as rk
+      |  from embeddings),
+      |m as (select min(cnt) as k from
+      |  (select count(*) as cnt from embeddings group by label))
+      |select vec_id, cast(label as bigint) as label, rk
+      |from ranked, m where rk <= m.k
+      |order by label, rk""".stripMargin) { (s, dir) =>
+    val emb = Tables.df(s, dir, "embeddings")
+    val k = emb.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("k"))
+    emb.select(col("vec_id"), col("label"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label")).orderBy(col("h"), col("vec_id")))
+        .cast("long"))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k"))
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("rk"))
+      .orderBy(col("label"), col("rk"))
+  }
+
   val queries: Seq[Q] =
-    Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced, clusterPurity)
+    Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced, clusterPurity,
+      sampleClassBalance)
 }

@@ -56,4 +56,19 @@ class ClusterSpec extends AnyFunSuite {
       assert(byCid(c).length == Cluster.PerCluster)
     }
   }
+
+  test("class-balanced sample cuts every label to the smallest class") {
+    val byLabel = emb.collect().groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.length).toMap
+    val k = byLabel.values.min
+    val sample = Cluster.sampleClassBalance.run(spark, TestSpark.Sf).collect()
+    val got = sample.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    // every label present, every label exactly k rows
+    assert(got.keySet == byLabel.keySet.map(_.toLong))
+    got.values.foreach(n => assert(n == k, s"expected $k rows per class"))
+    // ranks dense 1..k within each label
+    sample.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to k.toLong).toSeq)
+    }
+  }
 }
