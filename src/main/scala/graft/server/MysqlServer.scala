@@ -43,6 +43,18 @@ import org.apache.spark.sql.types._
   *    emulated variable table.
   *  - COM_FIELD_LIST (the only other command the reference's server
   *    accepts) → ColumnDefinition41 per column + EOF.
+  *  - Prepared statements (the BINARY protocol — what JDBC and most
+  *    connector libraries actually run): COM_STMT_PREPARE registers the
+  *    `?`-parameterized text (quote-aware placeholder scan) and answers
+  *    the prepare-OK header + param/column definition blocks, with the
+  *    result schema derived by ANALYZING the statement under NULL
+  *    bindings (plans, never executes); COM_STMT_EXECUTE decodes the
+  *    null bitmap + typed binary params (ints/floats little-endian,
+  *    strings/decimals lenenc, DATE/DATETIME component structs),
+  *    splices them as typed SQL literals, and answers a binary
+  *    resultset; COM_STMT_CLOSE (silent) and COM_STMT_RESET complete
+  *    the lifecycle. Param types are remembered across executions of a
+  *    handle, as the protocol requires when new_params_bound_flag = 0.
   *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
   *    1047 (unknown command) without dropping the connection.
   *
@@ -182,8 +194,22 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     }
   }
 
+  /** One prepared statement: the original text, its placeholder count,
+    * the result schema derived at prepare time, and the param type
+    * bytes from the last EXECUTE that carried them (the protocol sends
+    * types only when `new_params_bound_flag` = 1 — a driver re-executing
+    * the same handle omits them and the server must remember). */
+  private final class Prepared(val sql: String, val nParams: Int,
+      val schema: StructType) {
+    var paramTypes: Array[Int] = Array.emptyIntArray
+  }
+
   private def commandLoop(in: InputStream, out: OutputStream): Unit = {
     var open = true
+    // Statement registry is per CONNECTION (protocol scope): ids restart
+    // at 1 on each connection and die with it, like mysqld's.
+    val stmts = scala.collection.mutable.Map.empty[Long, Prepared]
+    var nextStmtId = 0L
     while (open) {
       val (_, cmd) = readPacket(in)
       if (cmd.isEmpty) open = false
@@ -191,6 +217,18 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         case ComQuit => open = false
         case ComPing => writePacket(out, 1, okPacket()); out.flush()
         case ComInitDb => writePacket(out, 1, okPacket()); out.flush()
+        case ComStmtPrepare =>
+          val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
+          nextStmtId += 1
+          runPrepare(out, stmts, nextStmtId, sql)
+        case ComStmtExecute =>
+          runExecute(out, stmts, cmd)
+        case ComStmtClose =>
+          // COM_STMT_CLOSE gets NO response by protocol definition
+          stmts.remove(leU32(cmd, 1))
+        case ComStmtReset =>
+          // no long-data accumulation to discard at this scope → OK
+          writePacket(out, 1, okPacket()); out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           sql match {
@@ -320,9 +358,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       "net_write_timeout|wait_timeout|@|session\\s+transaction|" +
       "transaction\\s).*"
 
-  private def runQuery(out: OutputStream, sql: String): Unit = {
-    val result =
-      try {
+  /** Evaluate one statement to OK(affected) or a materialized resultset
+    * — the dialect routing shared by the text (COM_QUERY) and binary
+    * (COM_STMT_EXECUTE) protocols. Throws; framing is the caller's. */
+  private def evalStatement(sql: String)
+      : Either[Long, (StructType, Array[org.apache.spark.sql.Row])] = {
         val kw = sql.trim.takeWhile(_.isLetter)
           .toLowerCase(java.util.Locale.ROOT)
         val lower = sql.trim.toLowerCase(java.util.Locale.ROOT)
@@ -359,7 +399,12 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           if (schema.isEmpty) Left(0L) // e.g. SET / DDL — answer OK
           else Right((schema, df.limit(maxRows).collect()))
         }
-      } catch {
+  }
+
+  private def runQuery(out: OutputStream, sql: String): Unit = {
+    val result =
+      try evalStatement(sql)
+      catch {
         case e: Throwable =>
           writePacket(out, 1, errPacket(1064, "42000",
             String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
@@ -413,6 +458,262 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         }
     }
     out.flush()
+  }
+
+  // ---- prepared statements (binary protocol) -----------------------------
+
+  /** COM_STMT_PREPARE: register the statement, answer the prepare-OK
+    * header + param definitions + column definitions. The result schema
+    * comes from ANALYZING the text with each `?` bound to NULL — schema
+    * derivation plans but never executes. A statement whose schema
+    * cannot be analyzed with NULL params (e.g. `select ? + 1` under ANSI
+    * rules) reports 0 columns, which is protocol-legal: the binary
+    * resultset re-sends column definitions at EXECUTE time anyway. */
+  private def runPrepare(out: OutputStream,
+      stmts: scala.collection.mutable.Map[Long, Prepared],
+      id: Long, sql: String): Unit = {
+    val nParams = countPlaceholders(sql)
+    val schema =
+      try {
+        val probe = splicePlaceholders(sql, Seq.fill(nParams)("NULL"))
+        val kw = sql.trim.takeWhile(_.isLetter)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (kw == "update" || kw == "delete" || kw == "set") StructType(Nil)
+        else spark.sql(
+          if (probe.contains("@@")) spliceSysVars(probe) else probe).schema
+      } catch { case scala.util.control.NonFatal(_) => StructType(Nil) }
+    stmts(id) = new Prepared(sql, nParams, schema)
+    var seq = 1
+    def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
+    val head = new java.io.ByteArrayOutputStream()
+    head.write(0x00)
+    head.write(leBytes(id.toInt, 4))
+    head.write(leBytes(schema.length, 2))
+    head.write(leBytes(nParams, 2))
+    head.write(0x00) // filler
+    head.write(leBytes(0, 2)) // warning count
+    send(head.toByteArray)
+    if (nParams > 0) {
+      (1 to nParams).foreach { _ =>
+        send(columnDefinition(StructField("?", StringType, nullable = true)))
+      }
+      send(eofPacket())
+    }
+    if (schema.nonEmpty) {
+      schema.fields.foreach(f => send(columnDefinition(f)))
+      send(eofPacket())
+    }
+    out.flush()
+  }
+
+  /** COM_STMT_EXECUTE: decode the null bitmap + typed binary params,
+    * splice them into the statement as SQL literals, evaluate through
+    * the same dialect routing as COM_QUERY, and answer a BINARY
+    * resultset ([[binaryRow]]). Param types arrive only when the
+    * client sets new_params_bound_flag; later executions of the same
+    * handle reuse the remembered types (protocol contract). */
+  private def runExecute(out: OutputStream,
+      stmts: scala.collection.mutable.Map[Long, Prepared],
+      cmd: Array[Byte]): Unit = {
+    val id = leU32(cmd, 1)
+    val st = stmts.get(id).orNull
+    if (st == null) {
+      writePacket(out, 1, errPacket(1243, "HY000",
+        s"Unknown prepared statement handler ($id) given to EXECUTE"))
+      out.flush()
+      return
+    }
+    val result =
+      try {
+        // stmt_id u32 + flags u8 + iteration_count u32 → params at 10
+        var pos = 10
+        val lits = new Array[String](st.nParams)
+        if (st.nParams > 0) {
+          val nullBytes = (st.nParams + 7) / 8
+          val bitmap = java.util.Arrays.copyOfRange(cmd, pos, pos + nullBytes)
+          pos += nullBytes
+          val newBound = cmd(pos) & 0xFF; pos += 1
+          if (newBound == 1) {
+            st.paramTypes = Array.tabulate(st.nParams) { i =>
+              cmd(pos + 2 * i) & 0xFF // 2nd byte = unsigned flag, unused
+            }
+            pos += 2 * st.nParams
+          } else require(st.paramTypes.length == st.nParams,
+            "EXECUTE without types before any typed EXECUTE")
+          var i = 0
+          while (i < st.nParams) {
+            if ((bitmap(i / 8) & (1 << (i % 8))) != 0) lits(i) = "NULL"
+            else {
+              val (lit, used) = decodeParam(st.paramTypes(i), cmd, pos)
+              lits(i) = lit
+              pos += used
+            }
+            i += 1
+          }
+        }
+        evalStatement(splicePlaceholders(st.sql, lits.toSeq))
+      } catch {
+        case e: Throwable =>
+          writePacket(out, 1, errPacket(1064, "42000",
+            String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
+              .take(400)))
+          out.flush()
+          return
+      }
+    result match {
+      case Left(affected) => writePacket(out, 1, okPacket(affected))
+      case Right((schema, rows)) =>
+        var seq = 1
+        def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
+        send(lenencInt(schema.length))
+        schema.fields.foreach(f => send(columnDefinition(f)))
+        send(eofPacket())
+        try {
+          rows.foreach { r =>
+            val payload = binaryRow(schema, r)
+            if (payload.length >= MaxPacket) throw new PacketTooLarge
+            send(payload)
+          }
+          send(eofPacket())
+        } catch {
+          case _: PacketTooLarge =>
+            send(errPacket(1153, "08S01",
+              "row exceeds the 16 MB single-packet limit"))
+        }
+    }
+    out.flush()
+  }
+
+  /** One binary-protocol resultset row: 0x00 header, a null bitmap with
+    * the protocol's 2-bit offset, then values wire-encoded by COLUMN
+    * type — integers little-endian at their width, floats IEEE, decimals
+    * as lenenc ASCII (the NEWDECIMAL binary form IS its text), date/
+    * datetime as length-prefixed component structs, strings/binary/
+    * rendered complex types as lenenc bytes. */
+  private def binaryRow(schema: StructType,
+      r: org.apache.spark.sql.Row): Array[Byte] = {
+    val n = schema.length
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(0x00)
+    val bitmap = new Array[Byte]((n + 2 + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (r.isNullAt(i)) {
+        val bit = i + 2
+        bitmap(bit / 8) = (bitmap(bit / 8) | (1 << (bit % 8))).toByte
+      }
+      i += 1
+    }
+    buf.write(bitmap)
+    i = 0
+    while (i < n) {
+      if (!r.isNullAt(i)) writeBinaryValue(buf, schema(i).dataType, r.get(i))
+      i += 1
+    }
+    buf.toByteArray
+  }
+
+  private def writeBinaryValue(buf: java.io.ByteArrayOutputStream,
+      dt: DataType, v: Any): Unit = {
+    def lenenc(b: Array[Byte]): Unit = {
+      buf.write(lenencInt(b.length)); buf.write(b)
+    }
+    def leLong(x: Long, w: Int): Unit = {
+      var j = 0
+      while (j < w) { buf.write(((x >> (8 * j)) & 0xFF).toInt); j += 1 }
+    }
+    dt match {
+      case BooleanType => buf.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType => buf.write(v.asInstanceOf[Byte].toInt)
+      case ShortType => leLong(v.asInstanceOf[Short].toLong, 2)
+      case IntegerType => leLong(v.asInstanceOf[Int].toLong, 4)
+      case LongType => leLong(v.asInstanceOf[Long], 8)
+      case FloatType =>
+        leLong(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong
+          & 0xFFFFFFFFL, 4)
+      case DoubleType =>
+        leLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      case _: DecimalType =>
+        lenenc(v.toString.getBytes(StandardCharsets.US_ASCII))
+      case DateType =>
+        val d = v.asInstanceOf[java.sql.Date].toLocalDate
+        buf.write(4)
+        leLong(d.getYear.toLong, 2); buf.write(d.getMonthValue)
+        buf.write(d.getDayOfMonth)
+      case TimestampType | TimestampNTZType =>
+        val t = v.asInstanceOf[java.sql.Timestamp].toLocalDateTime
+        buf.write(11)
+        leLong(t.getYear.toLong, 2); buf.write(t.getMonthValue)
+        buf.write(t.getDayOfMonth); buf.write(t.getHour)
+        buf.write(t.getMinute); buf.write(t.getSecond)
+        leLong((t.getNano / 1000).toLong, 4)
+      case BinaryType => lenenc(v.asInstanceOf[Array[Byte]])
+      case _ => lenenc(String.valueOf(v).getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Decode one binary-protocol parameter at `off` → (SQL literal,
+    * bytes consumed). Strings/decimals quote-escape through
+    * [[sqlStringLiteral]]; temporal structs render as typed literals so
+    * Spark's parser re-types them losslessly. */
+  private def decodeParam(tpe: Int, b: Array[Byte],
+      off: Int): (String, Int) = {
+    def leS(w: Int): Long = { // sign-extended little-endian read
+      var x = 0L
+      var j = 0
+      while (j < w) { x |= (b(off + j) & 0xFFL) << (8 * j); j += 1 }
+      val shift = 64 - 8 * w
+      (x << shift) >> shift
+    }
+    tpe match {
+      case 0x01 => (leS(1).toString, 1) // TINY
+      case 0x02 => (leS(2).toString, 2) // SHORT
+      case 0x03 => (leS(4).toString, 4) // LONG
+      case 0x08 => (leS(8).toString, 8) // LONGLONG
+      case 0x04 => // FLOAT
+        val f = java.lang.Float.intBitsToFloat(leS(4).toInt)
+        (s"CAST('$f' AS FLOAT)", 4)
+      case 0x05 => // DOUBLE
+        var bits = 0L
+        var j = 0
+        while (j < 8) { bits |= (b(off + j) & 0xFFL) << (8 * j); j += 1 }
+        val d = java.lang.Double.longBitsToDouble(bits)
+        (s"CAST('$d' AS DOUBLE)", 8)
+      case 0x06 => ("NULL", 0)
+      case 0x0A | 0x0C | 0x07 => // DATE / DATETIME / TIMESTAMP
+        val len = b(off) & 0xFF
+        def u2(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+        if (len == 0) (if (tpe == 0x0A) "DATE '1970-01-01'"
+          else "TIMESTAMP '1970-01-01 00:00:00'", 1)
+        else {
+          val y = u2(off + 1); val mo = b(off + 3) & 0xFF
+          val d = b(off + 4) & 0xFF
+          if (tpe == 0x0A || len == 4) (f"DATE '$y%04d-$mo%02d-$d%02d'", 1 + len)
+          else {
+            val h = b(off + 5) & 0xFF; val mi = b(off + 6) & 0xFF
+            val s = b(off + 7) & 0xFF
+            val micro = if (len >= 11) leU32(b, off + 8) else 0L
+            (f"TIMESTAMP '$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d.$micro%06d'",
+              1 + len)
+          }
+        }
+      case 0x0B => // TIME: render as an interval-style string literal
+        val len = b(off) & 0xFF
+        if (len == 0) (sqlStringLiteral("00:00:00"), 1)
+        else {
+          val neg = (b(off + 1) & 0xFF) == 1
+          val days = leU32(b, off + 2)
+          val h = b(off + 6) & 0xFF; val mi = b(off + 7) & 0xFF
+          val s = b(off + 8) & 0xFF
+          val sign = if (neg) "-" else ""
+          (sqlStringLiteral(f"$sign${days * 24 + h}%02d:$mi%02d:$s%02d"),
+            1 + len)
+        }
+      case _ => // VARCHAR/VAR_STRING/STRING/BLOB/NEWDECIMAL/...: lenenc
+        val (n, used) = readLenencInt(b, off)
+        val s = new String(b, off + used, n.toInt, StandardCharsets.UTF_8)
+        (sqlStringLiteral(s), used + n.toInt)
+    }
   }
 
   // ---- packet builders ---------------------------------------------------
@@ -493,6 +794,53 @@ object MysqlServer {
   val ComQuery = 0x03
   val ComFieldList = 0x04
   val ComPing = 0x0e
+  val ComStmtPrepare = 0x16
+  val ComStmtExecute = 0x17
+  val ComStmtClose = 0x19
+  val ComStmtReset = 0x1a
+
+  /** Positions are found by a quote-aware scan: `?` inside '…'/"…"/`…`
+    * literals (with doubled-quote and backslash escapes) is text, not a
+    * placeholder — the same lexical rule mysqld applies. */
+  private def placeholderPositions(sql: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var quote = 0.toChar
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        if (c == '\\' && quote != '`') i += 1 // skip escaped char
+        else if (c == quote) quote = 0.toChar
+      } else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '?' => out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def countPlaceholders(sql: String): Int = placeholderPositions(sql).length
+
+  /** Replace each `?` (in lexical order) with its literal. */
+  def splicePlaceholders(sql: String, lits: Seq[String]): String = {
+    val pos = placeholderPositions(sql)
+    require(pos.length == lits.length,
+      s"${pos.length} placeholders, ${lits.length} values")
+    val sb = new StringBuilder
+    var last = 0
+    pos.zip(lits).foreach { case (p, lit) =>
+      sb.append(sql.substring(last, p)).append(lit)
+      last = p + 1
+    }
+    sb.append(sql.substring(last)).toString
+  }
+
+  /** A Spark-SQL string literal: quotes doubled, backslashes escaped
+    * (Spark's lexer treats backslash as an escape inside '…'). */
+  def sqlStringLiteral(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   // capability flags the server advertises: 4.1 protocol + plugin auth +
   // connect-with-db + secure connection. CLIENT_DEPRECATE_EOF is NOT

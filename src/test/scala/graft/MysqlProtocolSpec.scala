@@ -158,6 +158,147 @@ class MysqlProtocolSpec extends AnyFunSuite {
       out.flush()
       sock.close()
     }
+
+    /** COM_STMT_PREPARE → (stmt_id, n_cols, n_params); drains the param
+      * and column definition blocks. */
+    def prepare(sql: String): Either[String, (Long, Int, Int)] = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComStmtPrepare.toByte) ++
+        sql.getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      val (_, first) = readPacket(in)
+      if ((first(0) & 0xFF) == 0xFF)
+        return Left(new String(first, 9, first.length - 9,
+          StandardCharsets.UTF_8))
+      val stmtId = MysqlServer.leU32(first, 1)
+      val nCols = (first(5) & 0xFF) | ((first(6) & 0xFF) << 8)
+      val nParams = (first(7) & 0xFF) | ((first(8) & 0xFF) << 8)
+      def drainDefs(n: Int): Unit = if (n > 0) {
+        (0 until n).foreach(_ => readPacket(in))
+        val (_, eof) = readPacket(in)
+        assert((eof(0) & 0xFF) == 0xFE, "expected EOF after definitions")
+      }
+      drainDefs(nParams)
+      drainDefs(nCols)
+      Right((stmtId, nCols, nParams))
+    }
+
+    /** COM_STMT_EXECUTE with (type byte, value bytes | null) params →
+      * binary resultset decoded by the COLUMN TYPE bytes the server
+      * sent in its definitions. Returns (col names, rows of decoded
+      * string renderings). */
+    def execute(stmtId: Long, params: Seq[(Int, Option[Array[Byte]])],
+        sendTypes: Boolean = true)
+        : Either[String, (Seq[String], Seq[Seq[Option[String]]])] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(MysqlServer.ComStmtExecute)
+      buf.write(leBytes(stmtId.toInt, 4))
+      buf.write(0) // flags: CURSOR_TYPE_NO_CURSOR
+      buf.write(leBytes(1, 4)) // iteration count
+      if (params.nonEmpty) {
+        val bitmap = new Array[Byte]((params.length + 7) / 8)
+        params.zipWithIndex.foreach { case ((_, v), i) =>
+          if (v.isEmpty) bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte
+        }
+        buf.write(bitmap)
+        buf.write(if (sendTypes) 1 else 0)
+        if (sendTypes) params.foreach { case (t, _) =>
+          buf.write(t); buf.write(0)
+        }
+        params.foreach { case (_, v) => v.foreach(buf.write) }
+      }
+      writePacket(out, 0, buf.toByteArray)
+      out.flush()
+      val (_, first) = readPacket(in)
+      (first(0) & 0xFF) match {
+        case 0xFF =>
+          Left(new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
+        case 0x00 => Right((Nil, Nil))
+        case _ =>
+          val (nCols, _) = readLenencInt(first, 0)
+          val defs = (0 until nCols.toInt).map { _ =>
+            val (_, defPkt) = readPacket(in)
+            var off = 0
+            var names = List.empty[String]
+            (0 until 6).foreach { _ =>
+              val (len, used) = readLenencInt(defPkt, off)
+              names ::= new String(defPkt, off + used, len.toInt,
+                StandardCharsets.UTF_8)
+              off += used + len.toInt
+            }
+            // after the 6 lenenc strings: 0x0c, charset u16, display
+            // length u32, then the TYPE byte
+            val tpe = defPkt(off + 1 + 2 + 4) & 0xFF
+            (names(1), tpe)
+          }
+          val (_, eof1) = readPacket(in)
+          assert((eof1(0) & 0xFF) == 0xFE, "expected EOF after column defs")
+          val rows = Iterator.continually(readPacket(in)._2)
+            .takeWhile(p => (p(0) & 0xFF) != 0xFE || p.length >= 9)
+            .map(p => decodeBinaryRow(p, defs.map(_._2)))
+            .toList
+          Right((defs.map(_._1), rows))
+      }
+    }
+
+    /** COM_STMT_CLOSE (no server response by protocol). */
+    def closeStmt(stmtId: Long): Unit = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComStmtClose.toByte) ++
+        leBytes(stmtId.toInt, 4))
+      out.flush()
+    }
+
+    private def decodeBinaryRow(p: Array[Byte],
+        types: Seq[Int]): Seq[Option[String]] = {
+      assert((p(0) & 0xFF) == 0x00, "binary row header")
+      val n = types.length
+      val bitmapLen = (n + 2 + 7) / 8
+      def isNull(i: Int): Boolean = {
+        val bit = i + 2
+        (p(1 + bit / 8) & (1 << (bit % 8))) != 0
+      }
+      var off = 1 + bitmapLen
+      def leS(w: Int): Long = {
+        var x = 0L
+        var j = 0
+        while (j < w) { x |= (p(off + j) & 0xFFL) << (8 * j); j += 1 }
+        off += w
+        val shift = 64 - 8 * w
+        (x << shift) >> shift
+      }
+      types.zipWithIndex.map { case (t, i) =>
+        if (isNull(i)) None
+        else Some(t match {
+          case 0x01 => leS(1).toString
+          case 0x02 => leS(2).toString
+          case 0x03 => leS(4).toString
+          case 0x08 => leS(8).toString
+          case 0x04 =>
+            java.lang.Float.intBitsToFloat(leS(4).toInt).toString
+          case 0x05 =>
+            java.lang.Double.longBitsToDouble(leS(8)).toString
+          case 0x0A =>
+            val len = p(off) & 0xFF
+            val y = (p(off + 1) & 0xFF) | ((p(off + 2) & 0xFF) << 8)
+            val mo = p(off + 3) & 0xFF; val d = p(off + 4) & 0xFF
+            off += 1 + len
+            f"$y%04d-$mo%02d-$d%02d"
+          case 0x0C =>
+            val len = p(off) & 0xFF
+            val y = (p(off + 1) & 0xFF) | ((p(off + 2) & 0xFF) << 8)
+            val mo = p(off + 3) & 0xFF; val d = p(off + 4) & 0xFF
+            val h = p(off + 5) & 0xFF; val mi = p(off + 6) & 0xFF
+            val s = p(off + 7) & 0xFF
+            off += 1 + len
+            f"$y%04d-$mo%02d-$d%02d $h%02d:$mi%02d:$s%02d"
+          case _ => // lenenc-encoded (strings, decimals, blobs)
+            val (len, used) = readLenencInt(p, off)
+            val s = new String(p, off + used, len.toInt,
+              StandardCharsets.UTF_8)
+            off += used + len.toInt
+            s
+        })
+      }
+    }
   }
 
   test("connection phase: HandshakeV10 + response + OK, then COM_PING") {
@@ -357,6 +498,89 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val c = new Client(server.boundPort)
       val Right((_, rows)) = c.query("select l_orderkey from lineitem")
       assert(rows.length == 5, s"${rows.length} rows")
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("prepared statements: typed binary params in, binary resultset out") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      val Right((id, nCols, nParams)) = c.prepare(
+        "select n_nationkey, n_name from nation " +
+          "where n_regionkey = ? and n_name like ? order by n_nationkey")
+      assert(nParams == 2)
+      assert(nCols == 2, "prepare-time schema derived with NULL binding")
+      // LONG(0x03) + VAR_STRING(0xFD) params, binary-encoded; the
+      // lenenc string "%" makes the LIKE match-all
+      val Right((cols, rows)) = c.execute(id, Seq(
+        0x03 -> Some(leBytes(1, 4)),
+        0xFD -> Some(Array[Byte](1, '%'.toByte))))
+      assert(cols == Seq("n_nationkey", "n_name"))
+      val oracle = spark.sql(
+        "select n_nationkey from nation where n_regionkey = 1 " +
+          "order by n_nationkey").collect().map(_.getInt(0).toString).toSeq
+      assert(rows.map(_.head.get) == oracle)
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("prepared statements: NULL bitmap, type reuse, close semantics") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      val Right((id, _, nParams)) =
+        c.prepare("select coalesce(?, 'fallback') as v, ? + 1 as w")
+      assert(nParams == 2)
+      def lenencStr(s: String): Array[Byte] =
+        Array[Byte](s.length.toByte) ++ s.getBytes(StandardCharsets.UTF_8)
+      // execute 1: param 1 NULL (bitmap), param 2 = LONGLONG 41
+      val Right((_, rows1)) = c.execute(id, Seq(
+        0xFD -> None,
+        0x08 -> Some(leBytes(41, 4) ++ leBytes(0, 4))))
+      assert(rows1.head == Seq(Some("fallback"), Some("42")))
+      // execute 2 WITHOUT re-sending types: server must remember them
+      val Right((_, rows2)) = c.execute(id, Seq(
+        0xFD -> Some(lenencStr("it's a \\ test")),
+        0x08 -> Some(leBytes(7, 4) ++ leBytes(0, 4))), sendTypes = false)
+      assert(rows2.head == Seq(Some("it's a \\ test"), Some("8")),
+        "quote/backslash escaping must round-trip")
+      // close, then execute → ERR 1243
+      c.closeStmt(id)
+      val Left(err) = c.execute(id, Seq(
+        0xFD -> None, 0x08 -> Some(leBytes(1, 4) ++ leBytes(0, 4))))
+      assert(err.toLowerCase.contains("unknown prepared statement"))
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("prepared statements: double and date params bind typed literals") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      val Right((id, _, _)) = c.prepare(
+        "select o_orderkey from orders " +
+          "where o_orderdate >= ? and o_totalprice > ? order by o_orderkey")
+      val dateBytes = { // binary DATE 1996-01-01, length 4
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(4); b.write(leBytes(1996, 2)); b.write(1); b.write(1)
+        b.toByteArray
+      }
+      val priceBits =
+        java.lang.Double.doubleToLongBits(150000.0)
+      val priceBytes = Array.tabulate[Byte](8)(i =>
+        ((priceBits >> (8 * i)) & 0xFF).toByte)
+      val Right((_, rows)) = c.execute(id, Seq(
+        0x0A -> Some(dateBytes), 0x05 -> Some(priceBytes)))
+      val oracle = spark.sql(
+        "select o_orderkey from orders where o_orderdate >= date '1996-01-01'" +
+          " and o_totalprice > 150000.0 order by o_orderkey")
+        .collect().map(_.getLong(0).toString).toSeq
+      assert(rows.map(_.head.get) == oracle)
+      assert(oracle.nonEmpty, "fixture must exercise the filter")
       c.quit()
     } finally server.stop()
   }
