@@ -735,8 +735,43 @@ object Corpus {
     pruneHotTokens(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
   }
 
+  // ---- snapshot diff ------------------------------------------------------
+
+  /** Corpus snapshot diff — the audit a versioned data pipeline runs
+    * between two corpus builds: which documents were added, deleted,
+    * changed, or untouched, rolled up per source. The "next" snapshot
+    * is synthesized deterministically inside the query (a modular
+    * delete rule, a modular text edit, a shifted-id addition set) so
+    * the entry is self-contained and byte-stable at every scale.
+    *
+    * Shape: ONE full-outer equi-join on the document key classifies
+    * every row in a single pass — at 100 TB both snapshots shuffle once
+    * on doc_id (co-partitioned if both live bucketed on it) and the text
+    * equality becomes a fingerprint compare (xxhash64) so changed-ness
+    * never moves full text through the join; the |sources|·4-row rollup
+    * is map-side combined. Shared SQL text in both engines. */
+  val snapshotDiff: Q = Q.shared(
+    "corpus_snapshot_diff",
+    """with v2 as (
+      |  select doc_id, source,
+      |    case when doc_id % 17 = 0 then upper(text) else text end as text
+      |  from documents where doc_id % 23 <> 0
+      |  union all
+      |  select doc_id + 1000000 as doc_id, source, text
+      |  from documents where doc_id % 31 = 0),
+      |j as (
+      |  select coalesce(a.source, b.source) as source,
+      |    case when a.doc_id is null then 'added'
+      |         when b.doc_id is null then 'deleted'
+      |         when a.text <> b.text then 'changed'
+      |         else 'unchanged' end as status
+      |  from documents a full outer join v2 b on a.doc_id = b.doc_id)
+      |select source, status, cast(count(*) as bigint) as n
+      |from j group by source, status
+      |order by source, status""".stripMargin)
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
-    sampleTemperature, corpusShardShuffle, pruneHotTokensQ)
+    sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff)
 }

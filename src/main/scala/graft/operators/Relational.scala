@@ -1341,6 +1341,20 @@ object Relational {
   // ---- Multi-dimensional aggregation (beyond-reference: the reference's
   // AST has only plain GROUP BY, ast.rs:1270-1281) ------------------------
 
+  /** GROUP BY ALL / ORDER BY ALL — the dialect shorthand that groups on
+    * every non-aggregate select item and orders on the whole select
+    * list; both engines resolve it at analysis time to the same
+    * explicit plan, so this pins the RESOLUTION rule, not new
+    * execution. */
+  val aggGroupByAll: Q = Q.shared(
+    "agg_group_by_all",
+    """select o_orderstatus, o_orderpriority,
+      |  cast(count(*) as bigint) as cnt,
+      |  sum(cast(floor(o_totalprice) as bigint)) as whole_units
+      |from orders
+      |group by all
+      |order by all""".stripMargin)
+
   /** ROLLUP: hierarchical subtotals + grand total; grouping() marks the
     * synthesized NULL rows apart from data NULLs. */
   val aggRollup: Q = Q.shared(
@@ -1634,7 +1648,7 @@ object Relational {
     exprComplexTypes, exprTryCast,
     predSurface, predRegexp, predNullSafeEq, predLogicalXor, predIsTrue,
     predRowTuples, subqRowTupleIn,
-    aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
+    aggGroupByAll, aggRollup, aggCube, aggGroupingSets, aggPercentileDisc,
     aggPercentileCont, aggMinMaxBy,
     aggBool, aggStringAgg, aggMode,
     pivotStatus, unpivotMeasures, exprString2,

@@ -75,4 +75,12 @@ class CorpusSpec extends AnyFunSuite {
       assert(pruned == expect.mkString(" "), s"doc $id order not preserved")
     }
   }
+
+  test("hot-token pruning join is broadcast, not a corpus-sized shuffle") {
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val plan = Corpus.pruneHotTokens(docs).queryExecution.executedPlan.toString
+    // the vocabulary-bounded hot list must attach via broadcast left_anti
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join in:\n$plan")
+  }
 }
