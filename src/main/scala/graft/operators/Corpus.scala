@@ -770,8 +770,37 @@ object Corpus {
       |from j group by source, status
       |order by source, status""".stripMargin)
 
+  // ---- length histogram ---------------------------------------------------
+
+  /** Histogram bucket width in characters; top bucket is open-ended. */
+  val HistWidth = 64
+  val HistBuckets = 8
+
+  /** Per-source document-length histogram — the distribution report
+    * behind every corpus-curation decision (truncation point, chunk
+    * size, length-filter thresholds). Fixed-width buckets with a capped
+    * open top bucket, so the output is |sources|·[[HistBuckets]] rows no
+    * matter the corpus size, and one map-side-combined aggregation is
+    * the whole plan. Bucket arithmetic is integer division — the same
+    * defining arithmetic in both engines, no width_bucket dialect
+    * dependence. */
+  val lengthHistogram: Q = Q.shared(
+    "corpus_length_histogram",
+    s"""select source,
+       |  cast(least(floor(n_chars / $HistWidth.0), ${HistBuckets - 1})
+       |    as bigint) as bucket,
+       |  cast(least(floor(n_chars / $HistWidth.0), ${HistBuckets - 1})
+       |    * $HistWidth as bigint) as lo_chars,
+       |  cast(count(*) as bigint) as n,
+       |  cast(min(n_chars) as bigint) as shortest,
+       |  cast(max(n_chars) as bigint) as longest
+       |from documents
+       |group by 1, 2, 3
+       |order by source, bucket""".stripMargin)
+
   val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
-    sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff)
+    sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,
+    lengthHistogram)
 }

@@ -120,6 +120,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-hashing buckets (the "hashing trick" dimensionality). */
+  val HashBuckets = 64
+
+  /** Feature hashing (Weinberger et al.): each document rendered as a
+    * fixed-dimensional sparse count vector by hashing tokens into
+    * [[HashBuckets]] buckets — the vocabulary-free featurization a
+    * streaming/linear-model pipeline uses when it cannot afford a
+    * learned dictionary. Output per doc: nonzero count, Σc² (the
+    * squared L2 mass, integer-exact), and the sparse vector itself as
+    * a canonical "bucket:count" string sorted by bucket.
+    *
+    * Zero shuffle at any corpus size: one Dataset kernel pass builds
+    * each doc's bucket counts in a [[HashBuckets]]-slot array. The
+    * token hash is [[Text.fnv64]] mod 2³² mod B, mirrored bit-exactly
+    * in hugeint SQL for the oracle (the rolling-fingerprint pattern). */
+  def featureHash(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new Array[Long](HashBuckets)
+        text.split(" ", -1).foreach { tok =>
+          val b = ((Text.fnv64(tok) & 0xFFFFFFFFL) % HashBuckets).toInt
+          counts(b) += 1L
+        }
+        var nnz = 0L
+        var sq = 0L
+        val sb = new StringBuilder
+        var b = 0
+        while (b < HashBuckets) {
+          if (counts(b) > 0) {
+            nnz += 1L
+            sq += counts(b) * counts(b)
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(b).append(':').append(counts(b))
+          }
+          b += 1
+        }
+        (id, nnz, sq, sb.toString)
+      }
+      .toDF("doc_id", "nnz", "sq_mass", "features")
+  }
+
+  val textFeatureHash: Q = Q.df(
+    "text_feature_hashing",
+    s"""with tok as (select doc_id,
+       |    unnest(string_split(text, ' ')) as tok from documents),
+       |b as (select doc_id,
+       |    cast(${Text.sqlFnv64("tok")} % 4294967296::hugeint
+       |         % $HashBuckets as bigint) as bucket from tok),
+       |cnt as (select doc_id, bucket, cast(count(*) as bigint) as c
+       |        from b group by doc_id, bucket)
+       |select doc_id, cast(count(*) as bigint) as nnz,
+       |  cast(sum(c * c) as bigint) as sq_mass,
+       |  string_agg(bucket || ':' || c, ' ' order by bucket) as features
+       |from cnt group by doc_id order by doc_id""".stripMargin) { (s, dir) =>
+    featureHash(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
+  }
+
   /** PII-pattern flags — the filter a training-data pipeline runs before
     * anything else. Pure regexp column expressions (no lookbehind, so
     * the patterns behave identically under Java regex and RE2). */
@@ -533,5 +593,5 @@ object TextAnalysis {
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
-      textLmBigram)
+      textLmBigram, textFeatureHash)
 }
