@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Money.sqlM
 
 /** DML execution surface: CTAS + INSERT INTO (both insert-select and
   * VALUES), executed end-to-end and read back oracle-checked.
@@ -525,7 +526,51 @@ object Dml {
     c.union(j).orderBy(col("doc_id"), col("fmt"))
   }
 
+  private val Rollup = "graft_rollup_daily"
+  private val RollupStage = "graft_rollup_daily_stage"
+
+  /** Incremental aggregate maintenance — the recurring-pipeline pattern
+    * that makes a 100 TB daily rollup affordable: the managed rollup
+    * table is built once from history, then each arriving batch
+    * RECOMPUTES ONLY ITS OWN DAYS and swaps them in (delete affected
+    * partitions + insert fresh — the partition-overwrite shape), so
+    * per-refresh work scales with the batch, not with history. The
+    * affected-day set is a broadcastable |days|-row frame; the swap is
+    * the same stage-and-overwrite CoW mechanism as the UPDATE/DELETE
+    * rewrite. The entry's oracle is a FULL recompute over all events —
+    * the incremental path must be indistinguishable from it. */
+  val dmlIncrementalRollup: Q = Q.df(
+    "dml_incremental_rollup",
+    s"""select cast(cast(ts as date) as varchar) as day, event_type,
+       |  cast(count(*) as bigint) as n,
+       |  cast(sum(${sqlM("value")}) as double) as total
+       |from events group by 1, 2
+       |order by day, event_type""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    Seq(Rollup, RollupStage).foreach(dropManaged(s, _))
+    val ev = Tables.df(s, dir, "events")
+      .withColumn("day", col("ts").cast("date").cast("string"))
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Money.dsum(graft.functions.Money.m(col("value")))
+            .as("total"))
+    val cutoff = "2024-01-25"
+    // initial build from history
+    rollup(ev.filter(col("day") <= cutoff)).write.format("parquet")
+      .saveAsTable(Rollup)
+    // a new batch arrives: recompute only ITS days, swap them in
+    val fresh = rollup(ev.filter(col("day") > cutoff))
+    val days = fresh.select(col("day")).distinct()
+    val next = s.table(Rollup)
+      .join(broadcast(days), Seq("day"), "left_anti")
+      .unionByName(fresh)
+    next.write.format("parquet").saveAsTable(RollupStage)
+    s.sql(s"insert overwrite table $Rollup select * from $RollupStage")
+    s.table(Rollup).orderBy(col("day"), col("event_type"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
-    dmlZorder, sourceTextRoundtrip)
+    dmlZorder, sourceTextRoundtrip, dmlIncrementalRollup)
 }
