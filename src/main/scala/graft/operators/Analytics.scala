@@ -370,7 +370,48 @@ object Analytics {
       |from events e join b on e.event_type = b.event_type
       |order by e.event_id""".stripMargin)
 
+  /** Running DISTINCT count over an ordered window — cumulative unique
+    * users per event type by day. The oracle uses DuckDB's native
+    * `count(distinct …) over`; Spark has no distinct window aggregate,
+    * so the engine side is the SCALABLE rewrite: mark each user's FIRST
+    * appearance with one row_number window on (type, user), reduce to
+    * per-day new-user counts, and running-sum those — the distinct-ness
+    * state that a naive distinct-window would carry per frame becomes a
+    * one-pass dedup, and every window partition after the reduction is
+    * |days| rows, not |events|. This is the rewrite a 100 TB cumulative-
+    * uniques query needs regardless of engine. */
+  val eventsDistinctRunning: Q = Q.df(
+    "window_distinct_running",
+    """with d as (select distinct event_type, cast(ts as date) as day,
+      |    user_id from events),
+      |w as (select event_type, day, cast(count(distinct user_id) over
+      |    (partition by event_type order by day) as bigint) as cum_users
+      |  from d)
+      |select distinct event_type, cast(day as varchar) as day, cum_users
+      |from w order by event_type, day""".stripMargin) { (s, dir) =>
+    val d = Tables.df(s, dir, "events")
+      .select(col("event_type"), col("ts").cast("date").cast("string")
+        .as("day"), col("user_id"))
+      .distinct()
+    val firsts = d
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("day"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    d.select(col("event_type"), col("day")).distinct()
+      .join(firsts, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))))
+      .select(col("event_type"), col("day"), col("cum_users"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
-    eventsWinsorize)
+    eventsWinsorize, eventsDistinctRunning)
 }
