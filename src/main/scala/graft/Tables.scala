@@ -29,13 +29,22 @@ object Tables {
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) which Spark's vectorized reader
-      // rejects; read the raw int64 nanos and convert (exact: fixture
-      // values are microsecond-precision).
+      // events.ts has shipped as TIMESTAMP(NANOS) — which Spark's
+      // vectorized reader rejects unless nanosAsLong maps it to raw
+      // int64 — and, in later fixture generations, as TIMESTAMP(MICROS)
+      // (plain or NTZ). Branch on the type the reader actually inferred
+      // so both vintages land on the same session-TZ TimestampType.
       if (spark.conf.get(NanosConf, "false") != "true")
         spark.conf.set(NanosConf, "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // nanos-as-long: convert (exact: values are micro-precision)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ: wall-clock == UTC session TZ, exact
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
