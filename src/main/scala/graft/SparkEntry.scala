@@ -22,6 +22,7 @@ object SparkEntry {
       graft.operators.Dml.queries ++
       graft.operators.Multimodal.queries ++
       graft.operators.Temporal.queries ++
+      graft.operators.Graph.queries ++
       graft.operators.Analytics.queries ++
       graft.streaming.EventsStream.queries ++
       graft.types.TypesQueries.queries

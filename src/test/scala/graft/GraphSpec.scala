@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val edges =
+    Graph.orderEdges(Tables.df(spark, TestSpark.Sf, "orders")).cache()
+
+  test("pagerank conserves scaled mass up to floor-division + dangling loss") {
+    val pr = Graph.pageRank(edges)
+    val n = pr.count()
+    val Seq(total, mn) = pr
+      .agg(sum("rank"), min("rank")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long])
+    // every node keeps at least the teleport share, and total mass never
+    // exceeds the initial SCALE (floor division and dangling nodes only
+    // ever LOSE mass)
+    val base = (Graph.Teleport * (Graph.RankScale / n)) / 100L
+    assert(mn >= base)
+    assert(total <= Graph.RankScale)
+    assert(total >= base * n)
+  }
+
+  test("pagerank is partitioning-invariant (integer arithmetic, exact)") {
+    val a = Graph.pageRank(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Graph.pageRank(edges.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("triangle memberships sum to a multiple of 3") {
+    val t = Graph.triangleCounts(edges)
+    val total = t.agg(sum("n_tri")).collect()(0).getLong(0)
+    assert(total > 0, "fixture graph should contain triangles")
+    assert(total % 3 == 0, "each triangle contributes exactly 3 memberships")
+  }
+
+  test("triangle counts match a brute-force check on a known graph") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus a pendant 5: C(4,3)=4 triangles; node 5 in none
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+}
