@@ -411,7 +411,39 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Robust outlier detection by median absolute deviation — the spike
+    * detector's heavy-tail-safe sibling (mean/stddev z-scores are
+    * themselves dragged by the outliers they hunt; the median/MAD pair
+    * has a 50% breakdown point). Flags values beyond 3 MADs of their
+    * event-type median.
+    *
+    * Cross-engine exactness: percentile_disc picks an ACTUAL element
+    * (no interpolation), |value − med| and the 3·mad threshold are
+    * single IEEE ops per row, and the output is a count — no float
+    * summation anywhere. Distributed shape: two sort-based aggregates
+    * per event_type plus one broadcastable |types|-sized join per pass;
+    * nothing driver-side. */
+  val eventsMadOutliers: Q = Q.shared(
+    "events_mad_outliers",
+    """with med as (
+      |  select event_type,
+      |    percentile_disc(0.5) within group (order by value) as med
+      |  from events group by event_type),
+      |dev as (
+      |  select e.event_type, e.value, abs(e.value - m.med) as adev
+      |  from events e join med m on m.event_type = e.event_type),
+      |mad as (
+      |  select event_type,
+      |    percentile_disc(0.5) within group (order by adev) as mad
+      |  from dev group by event_type)
+      |select d.event_type, count(*) as n_events,
+      |  cast(sum(case when d.adev > 3.0 * m.mad then 1 else 0 end)
+      |    as bigint) as n_outliers
+      |from dev d join mad m on m.event_type = d.event_type
+      |group by d.event_type
+      |order by d.event_type""".stripMargin)
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
-    eventsWinsorize, eventsDistinctRunning)
+    eventsWinsorize, eventsDistinctRunning, eventsMadOutliers)
 }

@@ -798,7 +798,51 @@ object Corpus {
        |group by 1, 2, 3
        |order by source, bucket""".stripMargin)
 
-  val queries: Seq[Q] = Seq(textChunks, sampleSplit, tfidf, dedupIncremental,
+  /** Milestone granularity for the vocabulary growth curve. */
+  val VocabMilestone = 50
+
+  /** Vocabulary growth curve (Heaps' law): cumulative distinct-token
+    * count as the corpus is consumed in doc_id order, sampled every
+    * [[VocabMilestone]] docs. The sub-linear growth exponent is the
+    * standard novelty diagnostic — a corpus whose curve flattens early
+    * is duplicate-heavy or template-bound.
+    *
+    * Shape: each token contributes at its FIRST-appearance doc
+    * (min(doc_id) per token — one shuffle keyed by token), then the
+    * curve is a running sum over per-doc new-token counts — a window
+    * over doc-sized data, never a milestone × vocabulary cross join.
+    * Integer-exact everywhere. */
+  val vocabGrowthQ: Q = Q.df(
+    "corpus_vocab_growth",
+    s"""with tok as (select doc_id, unnest(string_split(text, ' ')) as term
+       |            from documents),
+       |first as (select term, min(doc_id) as fd from tok group by term),
+       |news as (select fd, count(*) as new_words from first group by fd),
+       |curve as (
+       |  select d.doc_id,
+       |    sum(coalesce(n.new_words, 0)) over (order by d.doc_id) as vocab
+       |  from documents d left join news n on n.fd = d.doc_id)
+       |select doc_id, cast(vocab as bigint) as vocab
+       |from curve where doc_id % $VocabMilestone = ${VocabMilestone - 1}
+       |order by doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.df(s, dir, "documents")
+    val first = docs
+      .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text")))
+        .as("term"))
+      .groupBy("term").agg(min("doc_id").as("fd"))
+    val news = first.groupBy("fd").agg(count(lit(1)).as("new_words"))
+    docs.select(col("doc_id"))
+      .join(news, docs("doc_id") === news("fd"), "left")
+      .select(col("doc_id"), coalesce(col("new_words"), lit(0L)).as("nw"))
+      .withColumn("vocab",
+        sum("nw").over(Window.orderBy(col("doc_id"))).cast("long"))
+      .filter(col("doc_id") % VocabMilestone === VocabMilestone - 1)
+      .select(col("doc_id"), col("vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
     sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,

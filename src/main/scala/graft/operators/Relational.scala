@@ -1627,7 +1627,70 @@ object Relational {
       .orderBy(col("wstart"), col("event_type"))
   }
 
+  /** IGNORE NULLS navigation over a sparse column — the gap-bridging
+    * window surface (last-known-good reading, previous non-null event).
+    * Spark spells it with the DataFrame API's ignoreNulls overloads
+    * (ANSI `IGNORE NULLS` clause under the hood); DuckDB puts the
+    * modifier inside the call parens, hence the split texts. Values
+    * pass through unchanged (no arithmetic), so doubles are exact. */
+  val windowIgnoreNulls: Q = Q.df(
+    "window_ignore_nulls",
+    """with b as (select o_orderkey, o_orderpriority, o_custkey,
+      |  case when o_orderkey % 3 = 0 then o_totalprice end as sparse
+      |  from orders)
+      |select o_orderkey,
+      |  last_value(sparse ignore nulls) over (
+      |    partition by o_orderpriority order by o_orderkey) as last_seen,
+      |  first_value(sparse ignore nulls) over (
+      |    partition by o_orderpriority order by o_orderkey
+      |    rows between unbounded preceding and unbounded following) as first_seen,
+      |  lag(sparse ignore nulls) over (
+      |    partition by o_orderpriority order by o_orderkey) as prev_seen,
+      |  nth_value(sparse, 2 ignore nulls) over (
+      |    partition by o_orderpriority order by o_orderkey
+      |    rows between unbounded preceding and unbounded following) as second_seen
+      |from b where o_custkey % 20 = 0 order by o_orderkey""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wRun = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    val wAll = wRun.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.df(s, dir, "orders")
+      // WHERE precedes window evaluation in the SQL block, so the
+      // filter must come before the window projections here too
+      .filter(col("o_custkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice")).as("sparse"))
+      .select(col("o_orderkey"),
+        last(col("sparse"), ignoreNulls = true).over(wRun).as("last_seen"),
+        first(col("sparse"), ignoreNulls = true).over(wAll).as("first_seen"),
+        lag(col("sparse"), 1, null, ignoreNulls = true).over(wRun)
+          .as("prev_seen"),
+        nth_value(col("sparse"), 2, ignoreNulls = true).over(wAll)
+          .as("second_seen"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The NOT IN null trap, pinned: against an empty subquery NOT IN
+    * keeps every row, but a single NULL in the subquery's output makes
+    * `x NOT IN (...)` UNKNOWN for every x — zero rows — because it
+    * desugars to a conjunction of `x <> v` terms and `x <> NULL` is
+    * UNKNOWN. The reason planners need AntiSemi-with-null-awareness
+    * (the reference marks it on JoinKind::AntiSemi null_aware handling;
+    * Spark plans NullAwareAntiJoin). Same spelling both dialects. */
+  val predNotInNullTrap: Q = Q.shared(
+    "pred_not_in_null_trap",
+    """select
+      |  (select count(*) from customer where c_custkey not in
+      |     (select o_custkey from orders where o_orderkey < 0)) as vs_empty,
+      |  (select count(*) from customer where c_custkey not in
+      |     (select case when o_orderkey % 2 = 0 then o_custkey end
+      |      from orders)) as vs_nulls,
+      |  (select count(*) from customer) as n_customers""".stripMargin)
+
   val queries: Seq[Q] = Seq(
+    windowIgnoreNulls, predNotInNullTrap,
     setopUnionAll, setopUnionDistinct, setopUnionByName,
     setopExcept, setopExceptAll,
     setopIntersect, setopIntersectAll,

@@ -592,6 +592,85 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---- kNN label propagation ----------------------------------------------
+
+  /** Neighbors consulted per unlabeled vector. */
+  val PropK = 5
+
+  /** Holdout selector: every 10th id plays "unlabeled". */
+  val HoldoutMod = 10
+
+  /** Semi-supervised label propagation — the pipeline step that turns a
+    * small labeled seed set into weak labels for the rest of a corpus
+    * (domain tagging, quality-tier assignment): each held-out vector
+    * takes the majority label of its [[PropK]] nearest labeled
+    * neighbors by cosine, ties broken toward the smaller label id.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the labeled corpus
+    * streams once per partition against the (broadcastable) holdout
+    * side; per-query state is a k-row heap, never the pair matrix. At a
+    * scale where the holdout side itself is corpus-sized, the candidate
+    * generator swaps for the LSH bucket join ([[lshTopK]]) with the
+    * same vote tail — that swap is recall-traded, so the exact form
+    * stays the oracle. */
+  def knnPropagate(emb: DataFrame, k: Int = PropK): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val unit = withUnit(emb)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val u = unit.join(labels, "vec_id")
+    val train = u.filter(col("vec_id") % HoldoutMod =!= 0)
+      .select(col("vec_id").as("nid"), col("u").as("cv"), col("label"))
+    val hold = u.filter(col("vec_id") % HoldoutMod === 0)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"),
+        col("label").as("true_label"))
+    val topk = train.crossJoin(broadcast(hold))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+    topk.groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("label").as("pred_label"),
+        col("votes"), col("true_label"),
+        (col("label") === col("true_label")).as("correct"))
+  }
+
+  private def knnPropagateOracle: String =
+    s"""with e as ($sqlUnit),
+       |l as (select e.vec_id, e.u, cast(m.label as bigint) as label
+       |      from e join embeddings m on m.vec_id = e.vec_id),
+       |train as (select * from l where vec_id % $HoldoutMod <> 0),
+       |hold as (select vec_id as query_id, u,
+       |           label as true_label from l where vec_id % $HoldoutMod = 0),
+       |scored as (
+       |  select h.query_id, h.true_label, t.label,
+       |    row_number() over (partition by h.query_id
+       |      order by ${sqlDotU("h", "t")} desc, t.vec_id) as rnk
+       |  from hold h cross join train t),
+       |votes as (
+       |  select query_id, true_label, label, count(*) as votes
+       |  from scored where rnk <= $PropK
+       |  group by query_id, true_label, label),
+       |best as (
+       |  select *, row_number() over (partition by query_id
+       |    order by votes desc, label) as vr from votes)
+       |select query_id, label as pred_label, votes, true_label,
+       |  label = true_label as correct
+       |from best where vr = 1
+       |order by query_id""".stripMargin
+
+  val knnPropagateQ: Q = Q.df("knn_label_propagation", knnPropagateOracle) {
+    (s, dir) =>
+      knnPropagate(Tables.df(s, dir, "embeddings"))
+        .orderBy(col("query_id"))
+  }
+
   val queries: Seq[Q] =
-    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall)
+    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall,
+      knnPropagateQ)
 }
