@@ -227,10 +227,10 @@ object Dml {
     * quotes), case-insensitive, or -1 — keeps a WHERE inside a SET
     * subquery from being mistaken for the statement's own WHERE. */
   private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
-    var i = from; var depth = 0; var quote = ' '
+    var i = from; var depth = 0; var quote = '\u0000'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != ' ') { if (c == quote) quote = ' ' }
+      if (quote != '\u0000') { if (c == quote) quote = '\u0000' }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
@@ -249,10 +249,10 @@ object Dml {
   /** Split on top-level commas (assignment expressions nest calls). */
   private def topLevelSplit(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var quote = ' '; var start = 0; var i = 0
+    var depth = 0; var quote = '\u0000'; var start = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != ' ') { if (c == quote) quote = ' ' }
+      if (quote != '\u0000') { if (c == quote) quote = '\u0000' }
       else c match {
         case '\'' | '"' | '`' => quote = c
         case '(' => depth += 1
