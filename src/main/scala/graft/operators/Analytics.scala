@@ -443,7 +443,85 @@ object Analytics {
       |group by d.event_type
       |order by d.event_type""".stripMargin)
 
+  /** Attribution lookback window in microseconds (7 days). */
+  val AttribWindowUs = 7L * 24 * 3600 * 1000000L
+
+  /** Marketing attribution: every purchase credits the user's clicks in
+    * the trailing 7-day window — last-touch (most recent click) and
+    * first-touch (earliest click in window), the two bookend models.
+    * "Campaign" is the click's props.k mod 5; purchases with no click
+    * in window report as campaign −1 (organic).
+    *
+    * Shape: one user-partitioned RANGE window over the interleaved
+    * click/purchase stream does both models in a single pass — the
+    * AS-OF-join pattern (Temporal.asof) without materializing a join:
+    * state per task is the window frame, never the user's history ×
+    * purchases. Ordering key is epoch micros ((user_id, ts) is unique
+    * in the fixture, checked at all scales), frame arithmetic is exact
+    * int64. Revenue sums in exact decimal cents. */
+  val eventsAttribution: Q = Q.df(
+    "events_attribution", {
+      val frame = s"range between $AttribWindowUs preceding and current row"
+      s"""with mixed as (
+         |  select user_id, ts, event_type, value,
+         |    case when event_type = 'click'
+         |      then cast(json_extract(props, '$$.k') as bigint) % 5
+         |    end as camp
+         |  from events where event_type in ('click', 'purchase')),
+         |scored as (
+         |  select *,
+         |    last_value(camp ignore nulls) over (
+         |      partition by user_id order by epoch_us(ts) $frame) as lt,
+         |    first_value(camp ignore nulls) over (
+         |      partition by user_id order by epoch_us(ts) $frame) as ft
+         |  from mixed),
+         |p as (select coalesce(lt, -1) as lt, coalesce(ft, -1) as ft,
+         |        cast(${graft.functions.Money.sqlM("value")} * 100 as bigint)
+         |          as cents
+         |      from scored where event_type = 'purchase'),
+         |l as (select lt as campaign, count(*) as lt_purchases,
+         |        sum(cents) as lt_rev_cents from p group by lt),
+         |f as (select ft as campaign, count(*) as ft_purchases
+         |      from p group by ft)
+         |select coalesce(l.campaign, f.campaign) as campaign,
+         |  coalesce(lt_purchases, 0) as lt_purchases,
+         |  coalesce(lt_rev_cents, 0) as lt_rev_cents,
+         |  coalesce(ft_purchases, 0) as ft_purchases
+         |from l full join f on l.campaign = f.campaign
+         |order by campaign""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Money
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-AttribWindowUs, 0L)
+    val mixed = Tables.df(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+        when(col("event_type") === "click",
+          get_json_object(col("props"), "$.k").cast("long") % 5).as("camp"))
+    val scored = mixed
+      .withColumn("lt", last(col("camp"), ignoreNulls = true).over(w))
+      .withColumn("ft", first(col("camp"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("lt"), lit(-1L)).as("lt"),
+        coalesce(col("ft"), lit(-1L)).as("ft"),
+        (Money.m(col("value")) * 100).cast("long").as("cents"))
+    val lastTouch = scored.groupBy(col("lt").as("campaign"))
+      .agg(count(lit(1)).as("lt_purchases"),
+        sum("cents").as("lt_rev_cents"))
+    val firstTouch = scored.groupBy(col("ft").as("campaign"))
+      .agg(count(lit(1)).as("ft_purchases"))
+    lastTouch.join(firstTouch, Seq("campaign"), "full")
+      .select(col("campaign"),
+        coalesce(col("lt_purchases"), lit(0L)).as("lt_purchases"),
+        coalesce(col("lt_rev_cents"), lit(0L)).as("lt_rev_cents"),
+        coalesce(col("ft_purchases"), lit(0L)).as("ft_purchases"))
+      .orderBy(col("campaign"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
-    eventsWinsorize, eventsDistinctRunning, eventsMadOutliers)
+    eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
+    eventsAttribution)
 }

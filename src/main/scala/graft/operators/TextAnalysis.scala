@@ -589,9 +589,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a doc's distinct
+    * trigrams first seen in THAT doc as the corpus is consumed in
+    * doc_id order — the streaming-ingest quality signal that separates
+    * fresh content (novelty → 1) from template/boilerplate echo
+    * (novelty → 0), and the per-doc refinement of the corpus-level
+    * Heaps curve (corpus_vocab_growth).
+    *
+    * Shape: one shuffle keyed by gram hash assigns each trigram its
+    * first-appearance doc (min over doc_id — map-side combinable), one
+    * count-up per doc follows. Counts are integers; the ratio is one
+    * IEEE division per row. The oracle joins raw gram strings where the
+    * engine joins 8-byte xxhash64 keys — equality coincides under the
+    * usual ~2⁻⁴⁰ collision argument (sourceOverlap's contract). */
+  val textNgramNovelty: Q = Q.df(
+    "text_ngram_novelty",
+    s"""with toks as (select doc_id, string_split(text, ' ') as t
+       |              from documents),
+       |g as (select distinct doc_id,
+       |        unnest(${graft.functions.Text.sqlTrigramList("t")}) as g
+       |      from toks),
+       |first as (select g, min(doc_id) as fd from g group by g),
+       |per as (select g.doc_id, cast(count(*) as bigint) as n_grams,
+       |          cast(sum(case when f.fd = g.doc_id then 1 else 0 end)
+       |            as bigint) as n_new
+       |        from g join first f on f.g = g.g group by g.doc_id)
+       |select doc_id, n_grams, n_new,
+       |  round(cast(n_new as double) / cast(n_grams as double), 6)
+       |    as novelty
+       |from per order by doc_id""".stripMargin) { (s, dir) =>
+    // shingles() is already distinct-per-doc, so (doc_id, gh) needs no
+    // extra dedup shuffle (the oracle's SELECT DISTINCT dedups the
+    // non-distinct SQL trigram list to the same set)
+    val grams = Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val first = grams.groupBy("gh").agg(min("doc_id").as("fd"))
+    grams.join(first, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_grams").cast("double"), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
-      textLmBigram, textFeatureHash)
+      textLmBigram, textFeatureHash, textNgramNovelty)
 }
