@@ -73,14 +73,17 @@ object Graph {
     * DuckDB `//` agree). Dangling mass is dropped, matching the spelled
     * spec on both sides. */
   def pageRank(edges: DataFrame, iters: Int = PrIters): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val out = e.groupBy("src").agg(count(lit(1)).as("outd"))
-    val withDeg = e.join(out, "src") // (src, dst, outd), reused each iter
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    import graft.plans.Checkpoints
+    // The edge+degree relation and the node set are read every
+    // iteration: materialize each ONCE (eager, lineage-truncating) so
+    // the loop's join plans reference the stored blocks instead of
+    // re-deriving from the source scan per iteration. Both are
+    // edge-/node-sized, never driver-sized.
+    val withDeg = Checkpoints.materialize(
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outd")), "src"))
+    val nodes = Checkpoints.materialize(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
     // N and the teleport term are scalars of the node COUNT — model-sized
     // by definition (one long), not a data collect.
     val n = nodes.count()
@@ -97,8 +100,11 @@ object Graph {
           (lit(base) + (lit(DampNum) * coalesce(col("inflow"), lit(0L)))
             / lit(100L)).cast("long").as("rank"))
     }
-    val resolved = ranks
-    Seq(e, withDeg, nodes).foreach(_.unpersist(false))
+    // Materialize the result BEFORE freeing the inputs it was built
+    // from (freeing first would silently recompute the whole loop from
+    // the source at the caller's first action).
+    val resolved = Checkpoints.materialize(ranks)
+    Seq(withDeg, nodes).foreach(Checkpoints.free)
     resolved
   }
 

@@ -670,7 +670,61 @@ object Similarity {
         .orderBy(col("query_id"))
   }
 
+  /** Hard negatives kept per anchor. */
+  val HardNegK = 3
+
+  /** Hard-negative mining — the contrastive-training data-prep step:
+    * for each anchor vector, the top-[[HardNegK]] most similar vectors
+    * with a DIFFERENT label (the negatives a margin loss learns most
+    * from; random negatives are too easy to carry gradient). Same
+    * broadcast-anchor shape as [[bruteForceTopK]] with a label-mismatch
+    * predicate fused into the scan; the corpus-scale candidate path is
+    * the LSH bucket join, exactly as for [[knnPropagate]]. Anchors here
+    * are the query slice (vec_id < NumQueries). */
+  def hardNegatives(emb: DataFrame, k: Int = HardNegK): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val u = withUnit(emb).join(labels, "vec_id")
+    val anchors = u.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("anchor_id"), col("u").as("av"),
+        col("label").as("anchor_label"))
+    val corpus = u.select(col("vec_id").as("neg_id"), col("u").as("cv"),
+      col("label").as("neg_label"))
+    corpus.crossJoin(broadcast(anchors))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("cos", cosExpr(col("av"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("cos").desc, col("neg_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("rnk"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  private def hardNegativesOracle: String =
+    s"""with e as ($sqlUnit),
+       |l as (select e.vec_id, e.u, cast(m.label as bigint) as label
+       |      from e join embeddings m on m.vec_id = e.vec_id),
+       |a as (select vec_id as anchor_id, u,
+       |        label as anchor_label from l where vec_id < $NumQueries),
+       |scored as (
+       |  select a.anchor_id, a.anchor_label, c.vec_id as neg_id,
+       |    c.label as neg_label, ${sqlDotU("a", "c")} as cos
+       |  from a cross join l c where c.label <> a.anchor_label)
+       |select anchor_id, anchor_label, neg_id, neg_label,
+       |  cast(rnk as bigint) as rnk, round(cos, 6) as cos_sim
+       |from (select *, row_number() over (partition by anchor_id
+       |        order by cos desc, neg_id) as rnk from scored) t
+       |where rnk <= $HardNegK
+       |order by anchor_id, rnk""".stripMargin
+
+  val hardNegativesQ: Q = Q.df("embed_hard_negatives", hardNegativesOracle) {
+    (s, dir) =>
+      hardNegatives(Tables.df(s, dir, "embeddings"))
+        .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall,
-      knnPropagateQ)
+      knnPropagateQ, hardNegativesQ)
 }
