@@ -137,6 +137,31 @@ object TypesQueries {
         .orderBy(col("seg"))
   }
 
+  /** Decimal arithmetic parity — the money-type semantics the reference
+    * carries in its datatype module (doradb-datatype decimal), pinned
+    * end to end: scale propagation through ×, round-half-away-from-zero
+    * on ties (Java HALF_UP == DuckDB's away-from-zero — shown on BOTH
+    * signs via the ±x·0.125 columns, whose 3-decimal products hit the
+    * .xx5 tie grid), and exact decimal sums surfaced as doubles. All
+    * arithmetic is decimal until the final cast, so partial-aggregation
+    * order cannot perturb a bit. Shared text: every construct parses
+    * identically in Spark SQL and DuckDB. */
+  val typesDecimalArith: Q = Q.shared(
+    "types_decimal_arith",
+    """select l_returnflag,
+      |  cast(sum(cast(l_extendedprice as decimal(12,2))
+      |           * (1 - cast(l_discount as decimal(4,2)))) as double)
+      |    as sum_rev,
+      |  cast(sum(round(cast(l_extendedprice as decimal(12,2))
+      |                 * cast(0.125 as decimal(4,3)), 2)) as double)
+      |    as sum_eighth,
+      |  cast(sum(round(cast(-l_extendedprice as decimal(12,2))
+      |                 * cast(0.125 as decimal(4,3)), 2)) as double)
+      |    as sum_neg_eighth
+      |from lineitem
+      |group by l_returnflag
+      |order by l_returnflag""".stripMargin)
+
   val queries: Seq[Q] = Seq(typesUnsignedWidening, typesBinaryCollation,
-    typesCollationCi, typesCollationCiGroup)
+    typesCollationCi, typesCollationCiGroup, typesDecimalArith)
 }
