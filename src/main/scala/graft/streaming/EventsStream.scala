@@ -151,5 +151,48 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val queries: Seq[Q] = Seq(sessionizeEvents)
+  /** Watermark horizon for the lateness audit (micros): 1 hour. */
+  val LatenessHorizonUs = 3600L * 1000000L
+
+  /** Watermark-lateness audit — the batch quantification of what a
+    * streaming watermark WOULD drop: an event is late-beyond-watermark
+    * when the stream's high-water event time at its arrival (running
+    * max of ts in arrival order = event_id) has already advanced more
+    * than the horizon past the event's own time. Exactly
+    * `withWatermark("ts", "1 hour")`'s drop rule, made countable; run
+    * before picking a horizon to size the completeness/latency trade.
+    *
+    * Partitioned per event_type (per-source watermarks), so the running
+    * max is a partitioned window — no single global sort at any scale.
+    * All arithmetic is int64 epoch micros. */
+  val watermarkLateness: Q = Q.df(
+    "stream_watermark_lateness",
+    s"""with o as (select event_type, event_id, epoch_us(ts) as tus
+       |           from events),
+       |hw as (select event_type, event_id, tus,
+       |         max(tus) over (partition by event_type order by event_id
+       |           rows between unbounded preceding and current row) as high
+       |       from o)
+       |select event_type, cast(count(*) as bigint) as n_events,
+       |  cast(sum(case when high - tus > $LatenessHorizonUs
+       |    then 1 else 0 end) as bigint) as n_late,
+       |  cast(max(high - tus) as bigint) as max_lateness_us
+       |from hw group by event_type order by event_type""".stripMargin) {
+    (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.df(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("high", max(col("tus")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("high") - col("tus") > LatenessHorizonUs, 1L)
+            .otherwise(0L)).as("n_late"),
+          max(col("high") - col("tus")).as("max_lateness_us"))
+        .orderBy(col("event_type"))
+  }
+
+  val queries: Seq[Q] = Seq(sessionizeEvents, watermarkLateness)
 }
