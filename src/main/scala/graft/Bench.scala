@@ -71,6 +71,15 @@ object Bench {
     val results = SparkEntry.allQueries
       .filter(q => only.isEmpty || only.contains(q.name))
       .map { q =>
+        // One UNTIMED warm-up execution per cell: the r8 driver record
+        // carried 4-9 s first-sample costs in session-heavy cells
+        // (graph family, minhash_lsh, funnel) that min-of-samples did
+        // not wash out under ambient load — per-cell code paths (fresh
+        // codegen, first read of a derived relation) are warmed here so
+        // the timed samples measure steady state. A warm-up failure is
+        // ignored: a deterministic error will surface in the timed
+        // sample and record -1 as before.
+        try exec(q.run) catch { case _: Throwable => () }
         var samples = List(sample(q))
         if (samples.head >= 0) {
           samples ::= sample(q)

@@ -42,8 +42,17 @@ object Tables {
           // nanos-as-long: convert (exact: values are micro-precision)
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampType => raw
-        case _ => // TIMESTAMP_NTZ: wall-clock == UTC session TZ, exact
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // wall-clock == UTC session TZ, exact
           raw.withColumn("ts", col("ts").cast("timestamp"))
+        case other =>
+          // A new fixture vintage with an unexpected ts type must fail
+          // loudly here, not get silently miscast into every events
+          // query downstream (the nanos→micros vintage switch mid-r8 is
+          // exactly the kind of change this guards).
+          throw new IllegalStateException(
+            s"events.ts: unsupported parquet-inferred type $other " +
+              "(expected INT64 nanos-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }

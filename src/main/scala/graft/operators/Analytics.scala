@@ -480,7 +480,7 @@ object Analytics {
          |          as cents
          |      from scored where event_type = 'purchase'),
          |l as (select lt as campaign, count(*) as lt_purchases,
-         |        sum(cents) as lt_rev_cents from p group by lt),
+         |        cast(sum(cents) as bigint) as lt_rev_cents from p group by lt),
          |f as (select ft as campaign, count(*) as ft_purchases
          |      from p group by ft)
          |select coalesce(l.campaign, f.campaign) as campaign,

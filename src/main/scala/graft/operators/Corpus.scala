@@ -801,6 +801,12 @@ object Corpus {
   /** Milestone granularity for the vocabulary growth curve. */
   val VocabMilestone = 50
 
+  /** Docs per prefix-sum bucket in the two-pass running total: the
+    * single-partition pass-2 window then carries docs/VocabBucket rows.
+    * Derived from doc_id (dense ids), not a sampled range partitioner,
+    * so the bucketing is deterministic and partition-count-free. */
+  val VocabBucket = 1000
+
   /** Vocabulary growth curve (Heaps' law): cumulative distinct-token
     * count as the corpus is consumed in doc_id order, sampled every
     * [[VocabMilestone]] docs. The sub-linear growth exponent is the
@@ -811,7 +817,16 @@ object Corpus {
     * (min(doc_id) per token — one shuffle keyed by token), then the
     * curve is a running sum over per-doc new-token counts — a window
     * over doc-sized data, never a milestone × vocabulary cross join.
-    * Integer-exact everywhere. */
+    * Integer-exact everywhere.
+    *
+    * The running sum is a TWO-PASS range-bucketed prefix sum, not one
+    * global-order window: pass 1 windows within explicit doc_id
+    * buckets (`doc_id div VocabBucket` — deterministic, no sampled
+    * range partitioner), pass 2 cumulates the per-bucket totals (a
+    * docs/VocabBucket-sized relation, the only single-partition
+    * window) and broadcast-joins the offsets back. A bare
+    * Window.orderBy(doc_id) would funnel the whole documents relation
+    * through one task — fine at test SF, a scale-killer at 100 TB. */
   val vocabGrowthQ: Q = Q.df(
     "corpus_vocab_growth",
     s"""with tok as (select doc_id, unnest(string_split(text, ' ')) as term
@@ -826,20 +841,40 @@ object Corpus {
        |from curve where doc_id % $VocabMilestone = ${VocabMilestone - 1}
        |order by doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.Checkpoints
     val docs = Tables.df(s, dir, "documents")
     val first = docs
       .select(col("doc_id"), explode(graft.functions.Text.tokens(col("text")))
         .as("term"))
       .groupBy("term").agg(min("doc_id").as("fd"))
     val news = first.groupBy("fd").agg(count(lit(1)).as("new_words"))
-    docs.select(col("doc_id"))
-      .join(news, docs("doc_id") === news("fd"), "left")
-      .select(col("doc_id"), coalesce(col("new_words"), lit(0L)).as("nw"))
-      .withColumn("vocab",
-        sum("nw").over(Window.orderBy(col("doc_id"))).cast("long"))
-      .filter(col("doc_id") % VocabMilestone === VocabMilestone - 1)
-      .select(col("doc_id"), col("vocab"))
-      .orderBy(col("doc_id"))
+    // Every doc gets a row (nw = 0 when it introduces nothing), so each
+    // milestone's prefix value IS its vocab — no as-of needed.
+    // Materialized once: both prefix passes read it, and the expensive
+    // tokenize+groupBy subtree must not run twice.
+    val perDoc = Checkpoints.materialize(
+      docs.select(col("doc_id"))
+        .join(news, docs("doc_id") === news("fd"), "left")
+        .select(col("doc_id"), coalesce(col("new_words"), lit(0L)).as("nw"),
+          expr(s"doc_id div $VocabBucket").as("bkt")))
+    // Pass 1: prefix sum within each bucket (parallel across buckets).
+    val local = perDoc.withColumn("local",
+      sum("nw").over(Window.partitionBy("bkt").orderBy("doc_id")))
+    // Pass 2: per-bucket totals cumulated into exclusive offsets — this
+    // single-partition window sees docs/VocabBucket rows, not docs.
+    val offsets = perDoc.groupBy("bkt").agg(sum("nw").as("btot"))
+      .withColumn("off", coalesce(
+        sum("btot").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val resolved = Checkpoints.materialize(
+      local.join(broadcast(offsets), "bkt")
+        .filter(col("doc_id") % VocabMilestone === VocabMilestone - 1)
+        .select(col("doc_id"),
+          (col("local") + col("off")).cast("long").as("vocab"))
+        .orderBy(col("doc_id")))
+    Checkpoints.free(perDoc)
+    resolved
   }
 
   val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit, tfidf, dedupIncremental,

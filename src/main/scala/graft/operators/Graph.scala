@@ -92,13 +92,13 @@ object Graph {
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst"), (col("rank") / col("outd")).cast("long").as("c"))
+        .select(col("dst"), expr("rank div outd").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(col("node"),
-          (lit(base) + (lit(DampNum) * coalesce(col("inflow"), lit(0L)))
-            / lit(100L)).cast("long").as("rank"))
+          expr(s"${base}L + ${DampNum}L * coalesce(inflow, 0L) div 100L")
+            .as("rank"))
     }
     // Materialize the result BEFORE freeing the inputs it was built
     // from (freeing first would silently recompute the whole loop from
@@ -112,6 +112,9 @@ object Graph {
     "graph_pagerank", {
       // Chained CTEs spell the same 3 fixed iterations; DuckDB `//` is
       // floor division on BIGINT (non-negative here == Spark div).
+      // The final cast matters: DuckDB widens sum() to HUGEINT and the
+      // chained CTEs propagate it, while Spark's side is BIGINT — the
+      // driver's hash compare is dtype-sensitive (r8's only red rows).
       val iterCte = (i: Int) =>
         s"""r$i as (
            |  select n.node,
@@ -133,7 +136,8 @@ object Graph {
          |r0 as (select node, (select ${RankScale} // n from nn) as rank
          |       from nodes),
          |${(1 to PrIters).map(iterCte).mkString(",\n")}
-         |select node, rank from r$PrIters order by node""".stripMargin
+         |select node, cast(rank as bigint) as rank
+         |from r$PrIters order by node""".stripMargin
     }) { (s, dir) =>
     pageRank(orderEdges(Tables.df(s, dir, "orders")))
       .orderBy(col("node"))

@@ -1350,7 +1350,7 @@ object Relational {
     "agg_group_by_all",
     """select o_orderstatus, o_orderpriority,
       |  cast(count(*) as bigint) as cnt,
-      |  sum(cast(floor(o_totalprice) as bigint)) as whole_units
+      |  cast(sum(cast(floor(o_totalprice) as bigint)) as bigint) as whole_units
       |from orders
       |group by all
       |order by all""".stripMargin)

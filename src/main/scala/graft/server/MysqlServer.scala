@@ -40,7 +40,10 @@ import org.apache.spark.sql.types._
   *    works end-to-end: `@@var` references splice to literal session
   *    variables, `SET NAMES`/charset/user-variable SETs are acknowledged
   *    no-ops, and SHOW VARIABLES [LIKE] / SHOW WARNINGS answer from the
-  *    emulated variable table.
+  *    emulated variable table. `SET sql_mode = 'ANSI_QUOTES'` (or ANSI)
+  *    enables the reference's ANSI dialect per connection: double-quoted
+  *    identifiers are rewritten to backtick form ([[Dialect]]) before
+  *    parsing, exactly mysqld's switch for the same split.
   *  - COM_FIELD_LIST (the only other command the reference's server
   *    accepts) → ColumnDefinition41 per column + EOF.
   *  - Prepared statements (the BINARY protocol — what JDBC and most
@@ -52,8 +55,10 @@ import org.apache.spark.sql.types._
   *    null bitmap + typed binary params (ints/floats little-endian,
   *    strings/decimals lenenc, DATE/DATETIME component structs),
   *    splices them as typed SQL literals, and answers a binary
-  *    resultset; COM_STMT_CLOSE (silent) and COM_STMT_RESET complete
-  *    the lifecycle. Param types are remembered across executions of a
+  *    resultset; COM_STMT_SEND_LONG_DATA accumulates chunked string/
+  *    blob param values ahead of EXECUTE (silent, cleared by RESET);
+  *    COM_STMT_CLOSE (silent) and COM_STMT_RESET complete the
+  *    lifecycle. Param types are remembered across executions of a
   *    handle, as the protocol requires when new_params_bound_flag = 0.
   *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
   *    1047 (unknown command) without dropping the connection.
@@ -202,7 +207,22 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private final class Prepared(val sql: String, val nParams: Int,
       val schema: StructType) {
     var paramTypes: Array[Int] = Array.emptyIntArray
+    /** COM_STMT_SEND_LONG_DATA accumulator, keyed by param index:
+      * chunks append in arrival order; a param with accumulated data
+      * takes its value from here and carries NO inline value in the
+      * EXECUTE packet. Cleared by COM_STMT_RESET (mysqld semantics —
+      * EXECUTE does not clear, so a handle can re-execute with the
+      * same long-bound value). */
+    val longData =
+      scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
   }
+
+  /** Per-connection dialect state (protocol scope, like the statement
+    * registry): `SET sql_mode = 'ANSI_QUOTES'` flips ANSI identifier
+    * quoting for this connection only — the reference's dialect split
+    * (doradb-sql/src/parser/dialect.rs:13-60) surfaced the way mysqld
+    * surfaces it. */
+  private final class ConnState { var ansiQuotes = false }
 
   private def commandLoop(in: InputStream, out: OutputStream): Unit = {
     var open = true
@@ -210,6 +230,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     // at 1 on each connection and die with it, like mysqld's.
     val stmts = scala.collection.mutable.Map.empty[Long, Prepared]
     var nextStmtId = 0L
+    val conn = new ConnState
     while (open) {
       val (_, cmd) = readPacket(in)
       if (cmd.isEmpty) open = false
@@ -220,20 +241,37 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         case ComStmtPrepare =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           nextStmtId += 1
-          runPrepare(out, stmts, nextStmtId, sql)
+          runPrepare(out, stmts, nextStmtId, sql, conn)
         case ComStmtExecute =>
-          runExecute(out, stmts, cmd)
+          runExecute(out, stmts, cmd, conn)
+        case ComStmtSendLongData =>
+          // COM_STMT_SEND_LONG_DATA: stmt_id u32 + param_id u16 + raw
+          // chunk; chunks for one param concatenate in arrival order.
+          // NO response by protocol definition — even for an unknown
+          // statement id (errors surface at EXECUTE), matching the
+          // reference's enumeration of the command
+          // (doradb-protocol/src/mysql/cmd/mod.rs:36,74).
+          if (cmd.length >= 7) {
+            val id = leU32(cmd, 1)
+            val param = (cmd(5) & 0xFF) | ((cmd(6) & 0xFF) << 8)
+            stmts.get(id).foreach { st =>
+              st.longData.getOrElseUpdate(param,
+                new java.io.ByteArrayOutputStream())
+                .write(cmd, 7, cmd.length - 7)
+            }
+          }
         case ComStmtClose =>
           // COM_STMT_CLOSE gets NO response by protocol definition
           stmts.remove(leU32(cmd, 1))
         case ComStmtReset =>
-          // no long-data accumulation to discard at this scope → OK
+          // discard accumulated long data (the command's defined job) → OK
+          stmts.get(leU32(cmd, 1)).foreach(_.longData.clear())
           writePacket(out, 1, okPacket()); out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           sql match {
-            case ExplainRe(mode, stmt) => runExplain(out, mode, stmt)
-            case _ => runQuery(out, sql)
+            case ExplainRe(mode, stmt) => runExplain(out, mode, stmt, conn)
+            case _ => runQuery(out, sql, conn)
           }
         case ComFieldList =>
           // COM_FIELD_LIST: NUL-terminated table name (+ field wildcard,
@@ -273,8 +311,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * EXPLAIN (extended | codegen | cost | formatted), defaulting to
     * formatted via [[graft.plans.Explain]]. */
   private def runExplain(out: OutputStream, mode: String,
-      stmt: String): Unit = {
+      stmt0: String, conn: ConnState): Unit = {
     try {
+      val stmt =
+        if (conn.ansiQuotes) Dialect.ansiQuotes(stmt0)
+        else Dialect.mysqlQuotes(stmt0)
       val text = graft.plans.Explain.explainSql(spark, stmt,
         Option(mode).map(_.toLowerCase).getOrElse("formatted"))
       var seq = 1
@@ -324,7 +365,9 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     "net_write_timeout" -> "60",
     "net_buffer_length" -> "16384",
     "max_allowed_packet" -> "67108864",
-    "sql_mode" -> "'ANSI_QUOTES'",
+    // default connection dialect is MySQL quoting (no ANSI_QUOTES);
+    // SET sql_mode='ANSI_QUOTES' flips it per connection (ConnState)
+    "sql_mode" -> "'STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION'",
     "lower_case_table_names" -> "0",
     "performance_schema" -> "0",
     "query_cache_size" -> "0",
@@ -361,8 +404,30 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   /** Evaluate one statement to OK(affected) or a materialized resultset
     * — the dialect routing shared by the text (COM_QUERY) and binary
     * (COM_STMT_EXECUTE) protocols. Throws; framing is the caller's. */
-  private def evalStatement(sql: String)
+  private val SqlModeRe =
+    "(?is)^\\s*set\\s+(?:session\\s+)?sql_mode\\s*=\\s*(.+?)\\s*;?\\s*$".r
+
+  private def evalStatement(rawSql: String, conn: ConnState)
       : Either[Long, (StructType, Array[org.apache.spark.sql.Row])] = {
+        // SET sql_mode is the one session SET with observable dialect
+        // effect: ANSI_QUOTES flips double-quoted-identifier lexing for
+        // this connection (checked before the generic no-op SET sieve,
+        // which would otherwise swallow it).
+        rawSql match {
+          case SqlModeRe(modes) =>
+            conn.ansiQuotes = Dialect.modeEnablesAnsiQuotes(modes)
+            return Left(0L)
+          case _ =>
+        }
+        // BOTH modes normalize (ansi → backtick idents, default →
+        // single-quoted strings): wire lexing of `"…"` must not depend
+        // on the shared session's doubleQuotedIdentifiers conf, which
+        // the ref-schema registrar flips on. Idempotent on already-
+        // normalized text, so EXECUTE of a statement normalized at
+        // PREPARE time is safe.
+        val sql =
+          if (conn.ansiQuotes) Dialect.ansiQuotes(rawSql)
+          else Dialect.mysqlQuotes(rawSql)
         val kw = sql.trim.takeWhile(_.isLetter)
           .toLowerCase(java.util.Locale.ROOT)
         val lower = sql.trim.toLowerCase(java.util.Locale.ROOT)
@@ -401,9 +466,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         }
   }
 
-  private def runQuery(out: OutputStream, sql: String): Unit = {
+  private def runQuery(out: OutputStream, sql: String,
+      conn: ConnState): Unit = {
     val result =
-      try evalStatement(sql)
+      try evalStatement(sql, conn)
       catch {
         case e: Throwable =>
           writePacket(out, 1, errPacket(1064, "42000",
@@ -471,7 +537,12 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * resultset re-sends column definitions at EXECUTE time anyway. */
   private def runPrepare(out: OutputStream,
       stmts: scala.collection.mutable.Map[Long, Prepared],
-      id: Long, sql: String): Unit = {
+      id: Long, sql0: String, conn: ConnState): Unit = {
+    // Dialect binds at PREPARE (mysqld parses here): the stored text is
+    // normalized, so later sql_mode changes don't re-lex the handle.
+    val sql =
+      if (conn.ansiQuotes) Dialect.ansiQuotes(sql0)
+      else Dialect.mysqlQuotes(sql0)
     val nParams = countPlaceholders(sql)
     val schema =
       try {
@@ -514,7 +585,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * handle reuse the remembered types (protocol contract). */
   private def runExecute(out: OutputStream,
       stmts: scala.collection.mutable.Map[Long, Prepared],
-      cmd: Array[Byte]): Unit = {
+      cmd: Array[Byte], conn: ConnState): Unit = {
     val id = leU32(cmd, 1)
     val st = stmts.get(id).orNull
     if (st == null) {
@@ -538,20 +609,31 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               cmd(pos + 2 * i) & 0xFF // 2nd byte = unsigned flag, unused
             }
             pos += 2 * st.nParams
-          } else require(st.paramTypes.length == st.nParams,
+          } else require(st.paramTypes.length == st.nParams ||
+              (0 until st.nParams).forall(st.longData.contains),
             "EXECUTE without types before any typed EXECUTE")
           var i = 0
           while (i < st.nParams) {
-            if ((bitmap(i / 8) & (1 << (i % 8))) != 0) lits(i) = "NULL"
-            else {
-              val (lit, used) = decodeParam(st.paramTypes(i), cmd, pos)
-              lits(i) = lit
-              pos += used
+            // A long-data param carries NO inline value in this packet:
+            // its value is the SEND_LONG_DATA accumulation, spliced as
+            // a string literal (the command is defined for string/blob
+            // payloads).
+            st.longData.get(i) match {
+              case Some(acc) =>
+                lits(i) = sqlStringLiteral(
+                  new String(acc.toByteArray, StandardCharsets.UTF_8))
+              case None =>
+                if ((bitmap(i / 8) & (1 << (i % 8))) != 0) lits(i) = "NULL"
+                else {
+                  val (lit, used) = decodeParam(st.paramTypes(i), cmd, pos)
+                  lits(i) = lit
+                  pos += used
+                }
             }
             i += 1
           }
         }
-        evalStatement(splicePlaceholders(st.sql, lits.toSeq))
+        evalStatement(splicePlaceholders(st.sql, lits.toSeq), conn)
       } catch {
         case e: Throwable =>
           writePacket(out, 1, errPacket(1064, "42000",
@@ -796,6 +878,7 @@ object MysqlServer {
   val ComPing = 0x0e
   val ComStmtPrepare = 0x16
   val ComStmtExecute = 0x17
+  val ComStmtSendLongData = 0x18
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
 

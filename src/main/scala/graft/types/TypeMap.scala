@@ -91,6 +91,11 @@ object TypeMap {
     case Float(n) => throw new IllegalArgumentException(s"Float($n) unsupported")
     case Bool => BooleanType
     case Date => DateType
+    // NOT a deviation: Spark 4.1 added a native TIME type (TimeType,
+    // fractional precision 0-6), so the reference's Time(frac)
+    // (doradb-datatype/src/lib.rs:21-62) maps 1:1 — earlier Spark
+    // versions would have needed a documented fallback (e.g. micros-
+    // since-midnight BIGINT). frac carries through as the precision.
     case Time(frac) => TimeType(frac)
     case Datetime(_) => TimestampNTZType // µs precision, zone-less
     case Interval(u) => u match {

@@ -16,6 +16,60 @@ class DialectSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("ANSI double-quoted identifiers normalize to backtick form") {
+    import graft.server.Dialect
+    // plain identifiers
+    assert(Dialect.ansiQuotes("""select "a" from "t" where "b" = 1""") ==
+      "select `a` from `t` where `b` = 1")
+    // string literals pass through untouched — including embedded
+    // double quotes, '' doubling, and backslash escapes
+    assert(Dialect.ansiQuotes("""select 'say "hi"' as s""") ==
+      """select 'say "hi"' as s""")
+    assert(Dialect.ansiQuotes("""select 'it''s "x"', "c"""") ==
+      """select 'it''s "x"', `c`""")
+    assert(Dialect.ansiQuotes("""select '\' "not an ident' as s""") ==
+      """select '\' "not an ident' as s""")
+    // "" undoubles inside the identifier; embedded backticks double
+    assert(Dialect.ansiQuotes("""select "we""ird"""") ==
+      "select `we\"ird`")
+    assert(Dialect.ansiQuotes("select \"a`b\"") == "select `a``b`")
+    // already-backticked identifiers are untouched
+    assert(Dialect.ansiQuotes("select `x`, \"y\"") == "select `x`, `y`")
+    // idempotent: a second pass is a no-op (EXECUTE after PREPARE)
+    val once = Dialect.ansiQuotes("""select "a", 'b "c"' from "t"""")
+    assert(Dialect.ansiQuotes(once) == once)
+    // the sql_mode value parser
+    assert(Dialect.modeEnablesAnsiQuotes("ANSI_QUOTES"))
+    assert(Dialect.modeEnablesAnsiQuotes("'STRICT_TRANS_TABLES,ANSI_QUOTES'"))
+    assert(Dialect.modeEnablesAnsiQuotes("ansi"))
+    assert(!Dialect.modeEnablesAnsiQuotes("STRICT_TRANS_TABLES"))
+    assert(!Dialect.modeEnablesAnsiQuotes(""))
+  }
+
+  test("MySQL default mode: double-quoted strings pin to single-quoted") {
+    import graft.server.Dialect
+    assert(Dialect.mysqlQuotes("select \"abc\" as s") == "select 'abc' as s")
+    // embedded single quote doubles; "" undoubles to a literal "
+    assert(Dialect.mysqlQuotes("select \"it's\" as s") ==
+      "select 'it''s' as s")
+    assert(Dialect.mysqlQuotes("select \"say \"\"hi\"\"\" as s") ==
+      "select 'say \"hi\"' as s")
+    // single-quoted strings and backticked identifiers untouched
+    assert(Dialect.mysqlQuotes("select 'a\"b', `c` from t") ==
+      "select 'a\"b', `c` from t")
+    // idempotent (EXECUTE after PREPARE re-normalizes)
+    val once = Dialect.mysqlQuotes("select \"it's\", 'x' from `t`")
+    assert(Dialect.mysqlQuotes(once) == once)
+  }
+
+  test("normalized ANSI statement executes against the catalog") {
+    import graft.server.Dialect
+    Tables.registerAll(spark, TestSpark.Sf)
+    val n = spark.sql(Dialect.ansiQuotes(
+      """select "n_name" from "nation" where "n_regionkey" = 1""")).count()
+    assert(n > 0)
+  }
+
   test("recursive CTE executes (reference only parses, then rejects)") {
     val rows = spark.sql(
       """with recursive t(n) as (

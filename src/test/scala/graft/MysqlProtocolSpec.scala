@@ -247,6 +247,23 @@ class MysqlProtocolSpec extends AnyFunSuite {
       out.flush()
     }
 
+    /** COM_STMT_SEND_LONG_DATA: stmt_id u32 + param_id u16 + chunk (no
+      * server response by protocol). */
+    def sendLongData(stmtId: Long, paramId: Int, chunk: Array[Byte]): Unit = {
+      writePacket(out, 0,
+        Array[Byte](MysqlServer.ComStmtSendLongData.toByte) ++
+          leBytes(stmtId.toInt, 4) ++ leBytes(paramId, 2) ++ chunk)
+      out.flush()
+    }
+
+    /** COM_STMT_RESET → true on OK. */
+    def resetStmt(stmtId: Long): Boolean = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComStmtReset.toByte) ++
+        leBytes(stmtId.toInt, 4))
+      out.flush()
+      (readPacket(in)._2(0) & 0xFF) == 0x00
+    }
+
     private def decodeBinaryRow(p: Array[Byte],
         types: Seq[Int]): Seq[Option[String]] = {
       assert((p(0) & 0xFF) == 0x00, "binary row header")
@@ -552,6 +569,74 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val Left(err) = c.execute(id, Seq(
         0xFD -> None, 0x08 -> Some(leBytes(1, 4) ++ leBytes(0, 4))))
       assert(err.toLowerCase.contains("unknown prepared statement"))
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("COM_STMT_SEND_LONG_DATA: chunked param binds; RESET discards it") {
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      val Right((id, _, nParams)) =
+        c.prepare("select ? as v, length(?) as n")
+      assert(nParams == 2)
+      // param 0 arrives in TWO chunks ahead of EXECUTE (the command's
+      // whole point: values larger than one packet); param 1 inline.
+      c.sendLongData(id, 0, "hello ".getBytes(StandardCharsets.UTF_8))
+      c.sendLongData(id, 0, "world".getBytes(StandardCharsets.UTF_8))
+      def lenencStr(s: String): Array[Byte] =
+        Array[Byte](s.length.toByte) ++ s.getBytes(StandardCharsets.UTF_8)
+      // long-data params carry NO inline value: empty value bytes, null
+      // bit clear — only param 1's lenenc string is in the packet
+      val Right((_, rows)) = c.execute(id, Seq(
+        0xFD -> Some(Array.emptyByteArray),
+        0xFD -> Some(lenencStr("abc"))))
+      assert(rows.head == Seq(Some("hello world"), Some("3")))
+      // mysqld semantics: EXECUTE does not clear — re-execute reuses it
+      val Right((_, again)) = c.execute(id, Seq(
+        0xFD -> Some(Array.emptyByteArray),
+        0xFD -> Some(lenencStr("wxyz"))), sendTypes = false)
+      assert(again.head == Seq(Some("hello world"), Some("4")))
+      // COM_STMT_RESET discards the accumulation: the param now reads
+      // its inline value again
+      assert(c.resetStmt(id))
+      val Right((_, fresh)) = c.execute(id, Seq(
+        0xFD -> Some(lenencStr("inline")),
+        0xFD -> Some(lenencStr("ab"))))
+      assert(fresh.head == Seq(Some("inline"), Some("2")))
+      // long data for an unknown statement id is silently ignored
+      // (no response by protocol); the connection stays healthy
+      c.sendLongData(9999L, 0, Array[Byte](1, 2, 3))
+      assert(c.ping())
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("SET sql_mode ANSI_QUOTES flips double-quoted identifier lexing") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // default (MySQL) mode: double quotes are STRING literals
+      val Right((_, lit)) = c.query("select \"n_name\" as v from nation limit 1")
+      assert(lit == Seq(Seq(Some("n_name"))))
+      assert(c.exec("SET sql_mode = 'ANSI_QUOTES'").isRight)
+      // ANSI mode: the same text now reads the COLUMN
+      val Right((_, col)) = c.query(
+        "select \"n_name\" as v from \"nation\" where \"n_nationkey\" = 3")
+      assert(col == Seq(Seq(Some("NATION_3"))))
+      // single-quoted strings are untouched by the rewrite
+      val Right((_, s)) = c.query("select 'say \"hi\"' as s")
+      assert(s == Seq(Seq(Some("say \"hi\""))))
+      // the flag is per connection: a fresh connection is MySQL-mode
+      val c2 = new Client(server.boundPort)
+      val Right((_, lit2)) = c2.query("select \"n_name\" as v from nation limit 1")
+      assert(lit2 == Seq(Seq(Some("n_name"))))
+      c2.quit()
+      // switching back restores string-literal lexing
+      assert(c.exec("SET sql_mode = ''").isRight)
+      val Right((_, lit3)) = c.query("select \"n_name\" as v from nation limit 1")
+      assert(lit3 == Seq(Seq(Some("n_name"))))
       c.quit()
     } finally server.stop()
   }

@@ -74,15 +74,33 @@ def main():
             print(f"FAIL {name}: columns {gc} != {wc}")
             n_fail += 1
             continue
+        # HUGEINT guard: DuckDB widens sum(BIGINT)/chained-CTE sums to
+        # HUGEINT (int128). pandas renders HUGEINT differently from
+        # int64 and the driver's hash is dtype-sensitive, so an oracle
+        # column typed HUGEINT is driver-red even when every value
+        # matches (r8: agg_group_by_all, events_attribution,
+        # graph_pagerank — the THIRD round this class bit). Hard-fail
+        # it here, exactly like the array-column guard above: the fix
+        # is always `cast(... as bigint)` in the oracle SQL.
+        huge = [c for c, t in want_types.items()
+                if t in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            print(f"FAIL {name}: oracle cols {huge} typed HUGEINT "
+                  "(DuckDB sum-widening; driver hash is dtype-sensitive "
+                  "— wrap in cast(... as bigint) in the oracle SQL)")
+            n_fail += 1
+            continue
         # Dtype audit: Python == is cross-type (1 == 1.0), but the
         # driver's hash is dtype-sensitive — a bigint/double mismatch
         # passes the value compare here and still fails the real gate
         # (this artifact cost two rounds: tpch_ref_q12, corpus_stats_
         # tokens). Integer-family widths are allowed to differ (the
         # driver compares values after a common cast); int-vs-float and
-        # anything-vs-string are not.
+        # anything-vs-string are not. HUGEINT is deliberately NOT in
+        # the int family — it can only reach here on the Spark side
+        # (never produced), and the oracle side hard-fails above.
         def family(t):
-            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
                      "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
                 return "int"
             if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
