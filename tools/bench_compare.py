@@ -8,9 +8,9 @@ Usage: python3 tools/bench_compare.py <bench.json> [baseline.json]
   {"queries": {...}, ...} shape Bench.scala prints).
 - baseline.json: defaults to BASELINE_v2.json next to this repo root.
 
-Exit 1 if any common cell exceeds 2x its baseline (after a 0.3 s
+Exit 1 if any common cell exceeds 2x its baseline (after a 0.5 s
 absolute floor — sub-second cells ratio-flap with scheduler noise, so
-a cell must be both >2x AND >0.3 s over to fail). New cells (no
+a cell must be both >2x AND >0.5 s over its baseline to fail). New cells (no
 baseline entry) and removed cells are listed informationally.
 """
 import json, math, os, sys
@@ -19,9 +19,12 @@ import json, math, os, sys
 def load(path):
     with open(path) as f:
         txt = f.read().strip()
-    # tolerate a trailing-lines file: take the last non-empty line
-    line = [l for l in txt.splitlines() if l.strip()][-1]
-    return json.loads(line)
+    try:  # pretty-printed (BASELINE_v2.json) or single-line documents
+        return json.loads(txt)
+    except json.JSONDecodeError:
+        # a log-style file: take the last non-empty line (bench output)
+        line = [l for l in txt.splitlines() if l.strip()][-1]
+        return json.loads(line)
 
 
 def main():
@@ -44,7 +47,7 @@ def main():
             continue
         r = sec / b
         ratios.append(r)
-        if r > 2.0 and sec - b > 0.3:
+        if r > 2.0 and sec - b > 0.5:
             slow.append((name, sec, b, f"{r:.2f}x"))
     for name in sorted(baseline):
         if name not in bench:
