@@ -82,9 +82,10 @@ object Tables {
     * CostBasedJoinReorder, needs rowCount/NDV statistics, which temp
     * views cannot carry. So the TPC-H core tables are ALSO registered as
     * EXTERNAL catalog tables (metadata only — the data stays in the
-    * fixture parquet) and ANALYZEd: row counts plus column stats (with
-    * histograms, Session.scala) on the join-key and filter columns the
-    * reorder cost model consults. Stats collection is a metadata scan +
+    * fixture parquet) and ANALYZEd: row counts plus column stats
+    * (NDV/min/max/null-count; histograms deliberately off —
+    * Session.scala documents the measured 10× planning tax) on the
+    * join-key and filter columns the reorder cost model consults. Stats collection is a metadata scan +
     * one aggregation pass per table — at 100 TB it runs as a normal
     * distributed job and is amortized over every query planned after. */
   val StatsDb = "tpch_cbo"
