@@ -15,80 +15,86 @@ package graft.server
   * `SET sql_mode = 'ANSI_QUOTES'` (or any mode list containing ANSI /
   * ANSI_QUOTES), because in default MySQL mode `"x"` is the string
   * literal 'x' and rewriting it unconditionally would corrupt data.
+  *
+  * Shared scan rules (single-pass, no regex — quoting is not regular):
+  *  - `'…'` string literals pass through untouched, honoring both
+  *    `''` doubling and backslash escapes (Spark/MySQL lexing).
+  *  - `` `…` `` identifiers pass through untouched (`` `` `` doubling).
+  *  - A `"…"` region transforms per dialect (see each function).
+  *  - An UNTERMINATED `"` region passes through verbatim from its
+  *    opening quote — the downstream parser owns the syntax error, and
+  *    auto-closing would turn a client's lost-quote bug into a
+  *    silently-successful statement.
   */
 object Dialect {
 
-  /** Rewrite every ANSI double-quoted identifier to backtick quoting.
-    *
-    * Scan rules (all single-pass, no regex — quoting is not regular):
-    *  - `'…'` string literals pass through untouched, honoring both
-    *    `''` doubling and backslash escapes (Spark/MySQL lexing).
-    *  - `` `…` `` identifiers pass through untouched (`` `` `` doubling).
-    *  - `"…"` becomes `` `…` ``: an embedded `""` undoubles to a
-    *    literal `"`, and any embedded backtick doubles (Spark escapes a
-    *    backtick inside a quoted identifier by doubling it).
-    *  - An unterminated quote passes the remainder through verbatim —
-    *    the downstream parser owns the error message.
-    */
-  def ansiQuotes(sql: String): String = {
-    val out = new java.lang.StringBuilder(sql.length + 8)
-    var i = 0
+  /** Copy a quote-delimited region (opening delimiter at `i`) into
+    * `out` unchanged, honoring doubled-delimiter escapes and (when
+    * `backslash`) backslash escapes. Returns the index just past the
+    * closing delimiter, or `n` if the region never closes (everything
+    * was copied verbatim either way). */
+  private def copyRegion(sql: String, start: Int, out: java.lang.StringBuilder,
+      delim: Char, backslash: Boolean): Int = {
     val n = sql.length
+    out.append(delim)
+    var i = start + 1
     while (i < n) {
-      sql.charAt(i) match {
-        case '\'' =>
-          // string literal: copy through '' doubling and \-escapes
-          out.append('\'')
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            val c = sql.charAt(i)
-            if (c == '\\' && i + 1 < n) {
-              out.append(c).append(sql.charAt(i + 1)); i += 2
-            } else if (c == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
-              out.append("''"); i += 2
-            } else if (c == '\'') {
-              out.append(c); i += 1; done = true
-            } else { out.append(c); i += 1 }
-          }
-        case '`' =>
-          // already-backticked identifier: copy through `` doubling
-          out.append('`')
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            val c = sql.charAt(i)
-            if (c == '`' && i + 1 < n && sql.charAt(i + 1) == '`') {
-              out.append("``"); i += 2
-            } else if (c == '`') {
-              out.append(c); i += 1; done = true
-            } else { out.append(c); i += 1 }
-          }
-        case '"' =>
-          // ANSI identifier → backtick form
-          out.append('`')
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            val c = sql.charAt(i)
-            if (c == '"' && i + 1 < n && sql.charAt(i + 1) == '"') {
-              out.append('"'); i += 2 // "" undoubles inside the ident
-            } else if (c == '"') {
-              out.append('`'); i += 1; done = true
-            } else if (c == '`') {
-              out.append("``"); i += 1
-            } else { out.append(c); i += 1 }
-          }
-          if (!done) out.append('`') // unterminated: close for the parser
-        case c =>
-          out.append(c); i += 1
-      }
+      val c = sql.charAt(i)
+      if (backslash && c == '\\' && i + 1 < n) {
+        out.append(c).append(sql.charAt(i + 1)); i += 2
+      } else if (c == delim && i + 1 < n && sql.charAt(i + 1) == delim) {
+        out.append(delim).append(delim); i += 2
+      } else if (c == delim) {
+        out.append(c); return i + 1
+      } else { out.append(c); i += 1 }
     }
-    out.toString
+    n
   }
 
+  /** Transform the `"…"` region opening at `i`: append the rewritten
+    * form via the three char-level callbacks, or — if the region never
+    * closes — append the ORIGINAL text verbatim. Returns the index just
+    * past the region. `backslash` controls whether `\x` pairs are
+    * escape sequences inside the region (true for MySQL strings, false
+    * for ANSI identifiers). */
+  private def transformDoubleQuoted(sql: String, start: Int,
+      out: java.lang.StringBuilder, open: Char, close: Char,
+      backslash: Boolean)(emit: (java.lang.StringBuilder, Char) => Unit): Int = {
+    val n = sql.length
+    val body = new java.lang.StringBuilder()
+    var i = start + 1
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (backslash && c == '\\' && i + 1 < n) {
+        body.append(c).append(sql.charAt(i + 1)); i += 2
+      } else if (c == '"' && i + 1 < n && sql.charAt(i + 1) == '"') {
+        emit(body, '"'); i += 2 // "" undoubles to a literal "
+      } else if (c == '"') {
+        out.append(open).append(body).append(close)
+        return i + 1
+      } else { emit(body, c); i += 1 }
+    }
+    // unterminated: the transformed body is discarded and the raw text
+    // from the opening quote passes through for the parser to reject
+    out.append(sql, start, n)
+    n
+  }
+
+  /** Rewrite every ANSI double-quoted identifier to backtick quoting:
+    * `""` undoubles to a literal `"`, and any embedded backtick doubles
+    * (Spark escapes a backtick inside a quoted identifier by doubling).
+    * No backslash escapes inside ANSI identifiers. */
+  def ansiQuotes(sql: String): String =
+    rewrite(sql) { (out, i) =>
+      transformDoubleQuoted(sql, i, out, '`', '`', backslash = false) {
+        (b, c) => if (c == '`') b.append("``") else b.append(c)
+      }
+    }
+
   /** Rewrite every MySQL double-quoted STRING literal to single-quoted
-    * form — the DEFAULT-dialect counterpart of [[ansiQuotes]].
+    * form — the DEFAULT-dialect counterpart of [[ansiQuotes]]: `""`
+    * undoubles to a literal `"`, embedded `'` doubles, and backslash
+    * escapes copy verbatim (valid in both quote forms).
     *
     * Why the server rewrites in default mode too: the shared
     * SparkSession's lexing of `"…"` is conf-dependent
@@ -97,64 +103,27 @@ object Dialect {
     * verbatim would make wire semantics depend on which queries ran
     * earlier in the session. Normalizing to the explicit form pins
     * MySQL behavior — `"x"` is the string 'x' — regardless of session
-    * state.
-    *
-    * Scan rules: `'…'` and `` `…` `` regions pass through untouched
-    * (same lexing as [[ansiQuotes]]); a `"…"` region becomes `'…'`
-    * with `""` undoubled to a literal `"`, embedded `'` doubled, and
-    * backslash escapes copied verbatim (valid in both quote forms). */
-  def mysqlQuotes(sql: String): String = {
+    * state. */
+  def mysqlQuotes(sql: String): String =
+    rewrite(sql) { (out, i) =>
+      transformDoubleQuoted(sql, i, out, '\'', '\'', backslash = true) {
+        (b, c) => if (c == '\'') b.append("''") else b.append(c)
+      }
+    }
+
+  /** The shared outer scan: copy plain text and the two untouched quote
+    * forms; hand `"` regions to the dialect-specific transform. */
+  private def rewrite(sql: String)(
+      onDoubleQuote: (java.lang.StringBuilder, Int) => Int): String = {
     val out = new java.lang.StringBuilder(sql.length + 8)
     var i = 0
     val n = sql.length
     while (i < n) {
       sql.charAt(i) match {
-        case '\'' =>
-          out.append('\'')
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            val c = sql.charAt(i)
-            if (c == '\\' && i + 1 < n) {
-              out.append(c).append(sql.charAt(i + 1)); i += 2
-            } else if (c == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') {
-              out.append("''"); i += 2
-            } else if (c == '\'') {
-              out.append(c); i += 1; done = true
-            } else { out.append(c); i += 1 }
-          }
-        case '`' =>
-          out.append('`')
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            val c = sql.charAt(i)
-            if (c == '`' && i + 1 < n && sql.charAt(i + 1) == '`') {
-              out.append("``"); i += 2
-            } else if (c == '`') {
-              out.append(c); i += 1; done = true
-            } else { out.append(c); i += 1 }
-          }
-        case '"' =>
-          // MySQL default: a double-quoted STRING literal → '…'
-          out.append('\'')
-          i += 1
-          var done = false
-          while (i < n && !done) {
-            val c = sql.charAt(i)
-            if (c == '\\' && i + 1 < n) {
-              out.append(c).append(sql.charAt(i + 1)); i += 2
-            } else if (c == '"' && i + 1 < n && sql.charAt(i + 1) == '"') {
-              out.append('"'); i += 2 // "" undoubles to a literal "
-            } else if (c == '"') {
-              out.append('\''); i += 1; done = true
-            } else if (c == '\'') {
-              out.append("''"); i += 1
-            } else { out.append(c); i += 1 }
-          }
-          if (!done) out.append('\'') // unterminated: close for the parser
-        case c =>
-          out.append(c); i += 1
+        case '\'' => i = copyRegion(sql, i, out, '\'', backslash = true)
+        case '`'  => i = copyRegion(sql, i, out, '`', backslash = false)
+        case '"'  => i = onDoubleQuote(out, i)
+        case c    => out.append(c); i += 1
       }
     }
     out.toString

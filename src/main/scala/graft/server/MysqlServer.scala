@@ -215,6 +215,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       * same long-bound value). */
     val longData =
       scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
+    /** Set when accumulation blew past [[MaxLongData]]: the command has
+      * no response channel, so the overflow is reported as an ERR at
+      * EXECUTE time instead of growing the server heap without bound. */
+    var longDataOverflow = false
+    def longDataSize: Long = longData.valuesIterator.map(_.size.toLong).sum
   }
 
   /** Per-connection dialect state (protocol scope, like the statement
@@ -255,17 +260,29 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
             val id = leU32(cmd, 1)
             val param = (cmd(5) & 0xFF) | ((cmd(6) & 0xFF) << 8)
             stmts.get(id).foreach { st =>
-              st.longData.getOrElseUpdate(param,
-                new java.io.ByteArrayOutputStream())
-                .write(cmd, 7, cmd.length - 7)
+              // bounded accumulation: past the cap, chunks are dropped
+              // and the statement is poisoned — EXECUTE answers ERR
+              // 1153 instead of the JVM dying of a client's firehose
+              if (st.longDataOverflow ||
+                  st.longDataSize + (cmd.length - 7) > MaxLongData) {
+                st.longDataOverflow = true
+                st.longData.clear()
+              } else
+                st.longData.getOrElseUpdate(param,
+                  new java.io.ByteArrayOutputStream())
+                  .write(cmd, 7, cmd.length - 7)
             }
           }
         case ComStmtClose =>
           // COM_STMT_CLOSE gets NO response by protocol definition
           stmts.remove(leU32(cmd, 1))
         case ComStmtReset =>
-          // discard accumulated long data (the command's defined job) → OK
-          stmts.get(leU32(cmd, 1)).foreach(_.longData.clear())
+          // discard accumulated long data (the command's defined job),
+          // including a poisoned overflow state → OK
+          stmts.get(leU32(cmd, 1)).foreach { st =>
+            st.longData.clear()
+            st.longDataOverflow = false
+          }
           writePacket(out, 1, okPacket()); out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
@@ -367,6 +384,9 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     "max_allowed_packet" -> "67108864",
     // default connection dialect is MySQL quoting (no ANSI_QUOTES);
     // SET sql_mode='ANSI_QUOTES' flips it per connection (ConnState)
+    // and sessionVar() below overrides this entry with the LIVE value
+    // so @@sql_mode / SHOW VARIABLES read back what the connection is
+    // actually in (connectors configure their quoting from it).
     "sql_mode" -> "'STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION'",
     "lower_case_table_names" -> "0",
     "performance_schema" -> "0",
@@ -383,14 +403,23 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private val SysVarRe =
     "@@(?:(?:session|global)\\.)?([A-Za-z_][A-Za-z_0-9]*)".r
 
+  /** One session variable's literal value for this connection —
+    * SessionVars plus the live per-connection overrides (sql_mode
+    * reflects the actual dialect state, not the static default). */
+  private def sessionVar(name: String, conn: ConnState): Option[String] =
+    name match {
+      case "sql_mode" if conn.ansiQuotes => Some("'ANSI_QUOTES'")
+      case _ => SessionVars.get(name)
+    }
+
   /** Splice `@@var` / `@@session.var` / `@@global.var` references with
     * their literal values so the statement parses as plain Spark SQL —
     * client bootstraps alias them (`@@x AS x`), which keeps working. */
-  private def spliceSysVars(sql: String): String =
+  private def spliceSysVars(sql: String, conn: ConnState): String =
     SysVarRe.replaceAllIn(sql, m =>
       java.util.regex.Matcher.quoteReplacement(
-        SessionVars.getOrElse(
-          m.group(1).toLowerCase(java.util.Locale.ROOT), "NULL")))
+        sessionVar(m.group(1).toLowerCase(java.util.Locale.ROOT), conn)
+          .getOrElse("NULL")))
 
   /** Client session statements accepted as no-ops: `SET NAMES …`,
     * charset/session-mode SETs, and user variables — MySQL connection
@@ -404,8 +433,13 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   /** Evaluate one statement to OK(affected) or a materialized resultset
     * — the dialect routing shared by the text (COM_QUERY) and binary
     * (COM_STMT_EXECUTE) protocols. Throws; framing is the caller's. */
+  // Accepts every spelling connectors emit: SET sql_mode, SET SESSION
+  // sql_mode, SET @@sql_mode, SET @@session.sql_mode, SET
+  // @@global.sql_mode (global treated as session — there is no global
+  // scope here).
   private val SqlModeRe =
-    "(?is)^\\s*set\\s+(?:session\\s+)?sql_mode\\s*=\\s*(.+?)\\s*;?\\s*$".r
+    ("(?is)^\\s*set\\s+(?:(?:session|global)\\s+)?" +
+      "(?:@@(?:(?:session|global)\\.)?)?sql_mode\\s*=\\s*(.+?)\\s*;?\\s*$").r
 
   private def evalStatement(rawSql: String, conn: ConnState)
       : Either[Long, (StructType, Array[org.apache.spark.sql.Row])] = {
@@ -450,16 +484,17 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               name => name.matches(s"(?i)$re")
             case _ => _ => true
           }
-          val rows = SessionVars.toSeq.sortBy(_._1)
-            .filter { case (n, _) => keep(n) }
-            .map { case (n, v) =>
+          val rows = SessionVars.keys.toSeq.sorted
+            .filter(keep)
+            .map { n =>
+              val v = sessionVar(n, conn).getOrElse("NULL")
               org.apache.spark.sql.Row(n, v.stripPrefix("'").stripSuffix("'"))
             }
           Right((StructType(Seq(StructField("Variable_name", StringType),
             StructField("Value", StringType))), rows.toArray))
         } else {
           val df = spark.sql(
-            if (sql.contains("@@")) spliceSysVars(sql) else sql)
+            if (sql.contains("@@")) spliceSysVars(sql, conn) else sql)
           val schema = df.schema
           if (schema.isEmpty) Left(0L) // e.g. SET / DDL — answer OK
           else Right((schema, df.limit(maxRows).collect()))
@@ -551,7 +586,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           .toLowerCase(java.util.Locale.ROOT)
         if (kw == "update" || kw == "delete" || kw == "set") StructType(Nil)
         else spark.sql(
-          if (probe.contains("@@")) spliceSysVars(probe) else probe).schema
+          if (probe.contains("@@")) spliceSysVars(probe, conn) else probe).schema
       } catch { case scala.util.control.NonFatal(_) => StructType(Nil) }
     stmts(id) = new Prepared(sql, nParams, schema)
     var seq = 1
@@ -594,6 +629,13 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       out.flush()
       return
     }
+    if (st.longDataOverflow) {
+      writePacket(out, 1, errPacket(1153, "08S01",
+        s"parameter long data exceeds the $MaxLongData-byte limit " +
+          "(reset the statement to recover)"))
+      out.flush()
+      return
+    }
     val result =
       try {
         // stmt_id u32 + flags u8 + iteration_count u32 → params at 10
@@ -615,13 +657,20 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           var i = 0
           while (i < st.nParams) {
             // A long-data param carries NO inline value in this packet:
-            // its value is the SEND_LONG_DATA accumulation, spliced as
-            // a string literal (the command is defined for string/blob
-            // payloads).
+            // its value is the SEND_LONG_DATA accumulation. A param
+            // BOUND as a blob type splices as a binary X'…' literal —
+            // arbitrary bytes round-trip exactly; decoding them as
+            // UTF-8 would replace invalid sequences with U+FFFD. Any
+            // other (or unknown) binding is the string case.
             st.longData.get(i) match {
               case Some(acc) =>
-                lits(i) = sqlStringLiteral(
-                  new String(acc.toByteArray, StandardCharsets.UTF_8))
+                val blobTyped = st.paramTypes.length == st.nParams &&
+                  Set(0xF9, 0xFA, 0xFB, 0xFC)(st.paramTypes(i)) // *_BLOB
+                lits(i) =
+                  if (blobTyped)
+                    "X'" + acc.toByteArray.map("%02X".format(_)).mkString + "'"
+                  else sqlStringLiteral(
+                    new String(acc.toByteArray, StandardCharsets.UTF_8))
               case None =>
                 if ((bitmap(i / 8) & (1 << (i % 8))) != 0) lits(i) = "NULL"
                 else {
@@ -1001,6 +1050,14 @@ object MysqlServer {
     * resultset with ERR 1153; multi-packet continuation is intentionally
     * unimplemented at this scope. */
   val MaxPacket: Int = (1 << 24) - 1
+
+  /** Cap on a prepared statement's total COM_STMT_SEND_LONG_DATA
+    * accumulation (all params): mysqld bounds the same path with
+    * max_allowed_packet; 64 MiB matches the advertised variable and
+    * keeps a runaway client from growing the server heap without
+    * bound (the command has no response, so violations surface as ERR
+    * 1153 at EXECUTE). */
+  val MaxLongData: Long = 64L << 20
 
   private[server] final class PacketTooLarge extends RuntimeException
 

@@ -38,6 +38,11 @@ class DialectSpec extends AnyFunSuite {
     // idempotent: a second pass is a no-op (EXECUTE after PREPARE)
     val once = Dialect.ansiQuotes("""select "a", 'b "c"' from "t"""")
     assert(Dialect.ansiQuotes(once) == once)
+    // unterminated double quote passes through VERBATIM — the parser
+    // owns the syntax error; auto-closing would mask a client bug
+    assert(Dialect.ansiQuotes("select \"abc") == "select \"abc")
+    assert(Dialect.mysqlQuotes("select \"abc") == "select \"abc")
+    assert(Dialect.ansiQuotes("select `x`, \"ab") == "select `x`, \"ab")
     // the sql_mode value parser
     assert(Dialect.modeEnablesAnsiQuotes("ANSI_QUOTES"))
     assert(Dialect.modeEnablesAnsiQuotes("'STRICT_TRANS_TABLES,ANSI_QUOTES'"))

@@ -608,6 +608,13 @@ class MysqlProtocolSpec extends AnyFunSuite {
       // (no response by protocol); the connection stays healthy
       c.sendLongData(9999L, 0, Array[Byte](1, 2, 3))
       assert(c.ping())
+      // a BLOB-bound long-data param splices as a binary literal, so
+      // arbitrary (non-UTF-8) bytes round-trip exactly
+      val Right((bid, _, _)) = c.prepare("select hex(?) as h")
+      c.sendLongData(bid, 0, Array[Byte](0x00, 0x80.toByte, 0xFF.toByte))
+      val Right((_, hexRows)) = c.execute(bid, Seq(
+        0xFC -> Some(Array.emptyByteArray))) // MYSQL_TYPE_BLOB
+      assert(hexRows.head == Seq(Some("0080FF")))
       c.quit()
     } finally server.stop()
   }
@@ -620,11 +627,18 @@ class MysqlProtocolSpec extends AnyFunSuite {
       // default (MySQL) mode: double quotes are STRING literals
       val Right((_, lit)) = c.query("select \"n_name\" as v from nation limit 1")
       assert(lit == Seq(Seq(Some("n_name"))))
-      assert(c.exec("SET sql_mode = 'ANSI_QUOTES'").isRight)
+      // the @@session form many connectors emit must flip the mode too
+      assert(c.exec("SET @@session.sql_mode = 'ANSI_QUOTES'").isRight)
       // ANSI mode: the same text now reads the COLUMN
       val Right((_, col)) = c.query(
         "select \"n_name\" as v from \"nation\" where \"n_nationkey\" = 3")
       assert(col == Seq(Seq(Some("NATION_3"))))
+      // read-back reflects the LIVE per-connection state, not the
+      // static default (connectors configure their quoting from this)
+      val Right((_, mode)) = c.query("select @@sql_mode as m")
+      assert(mode == Seq(Seq(Some("ANSI_QUOTES"))))
+      val Right((_, showMode)) = c.query("show variables like 'sql_mode'")
+      assert(showMode == Seq(Seq(Some("sql_mode"), Some("ANSI_QUOTES"))))
       // single-quoted strings are untouched by the rewrite
       val Right((_, s)) = c.query("select 'say \"hi\"' as s")
       assert(s == Seq(Seq(Some("say \"hi\""))))
@@ -633,10 +647,13 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val Right((_, lit2)) = c2.query("select \"n_name\" as v from nation limit 1")
       assert(lit2 == Seq(Seq(Some("n_name"))))
       c2.quit()
-      // switching back restores string-literal lexing
+      // switching back restores string-literal lexing and the default
+      // read-back value
       assert(c.exec("SET sql_mode = ''").isRight)
       val Right((_, lit3)) = c.query("select \"n_name\" as v from nation limit 1")
       assert(lit3 == Seq(Seq(Some("n_name"))))
+      val Right((_, mode2)) = c.query("select @@sql_mode as m")
+      assert(mode2 == Seq(Seq(Some("STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION"))))
       c.quit()
     } finally server.stop()
   }

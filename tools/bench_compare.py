@@ -28,16 +28,19 @@ def load(path):
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__.strip())
+        sys.exit(2)
     bench_path = sys.argv[1]
     base_path = (sys.argv[2] if len(sys.argv) > 2 else
                  os.path.join(os.path.dirname(__file__), "..",
                               "BASELINE_v2.json"))
     bench = load(bench_path).get("queries", {})
     baseline = load(base_path).get("queries", {})
-    slow, new, gone, ratios = [], [], [], []
+    slow, failed, new, gone, ratios = [], [], [], [], []
     for name, sec in sorted(bench.items()):
         if sec < 0:
-            slow.append((name, sec, None, "FAILED (-1)"))
+            failed.append(name)
             continue
         if name not in baseline:
             new.append(name)
@@ -60,12 +63,16 @@ def main():
         print(f"new cells (first baseline this round): {', '.join(new)}")
     if gone:
         print(f"baseline cells missing from this run: {', '.join(gone)}")
+    if failed:
+        print(f"== FAIL: cells with no successful sample (-1): "
+              f"{', '.join(failed)} ==")
     if slow:
         print("== FAIL: cells over 2x the vintage baseline ==")
         for name, sec, b, tag in slow:
             print(f"  {name}: {sec} s vs baseline {b} s ({tag})")
+    if failed or slow:
         sys.exit(1)
-    print("== PASS: no cell exceeds 2x its vintage baseline ==")
+    print("== PASS: no failed cells, none exceeds 2x its vintage baseline ==")
 
 
 if __name__ == "__main__":
