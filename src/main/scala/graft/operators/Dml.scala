@@ -526,6 +526,40 @@ object Dml {
     c.union(j).orderBy(col("doc_id"), col("fmt"))
   }
 
+  /** Schema evolution across parquet file generations — the drift every
+    * long-lived 100 TB dataset accumulates: an early ingest generation
+    * lacks a column later generations carry. The Spark-native answer is
+    * `mergeSchema` at read: footers reconcile by name, rows from the
+    * old generation surface the new column as NULL, and no rewrite of
+    * historical files is needed (at 100 TB a backfill rewrite is the
+    * thing you are trying to avoid). The entry writes two real parquet
+    * generations (gen1 without `score`, gen2 with it) and reads them
+    * back merged; the oracle derives the expected merged relation
+    * directly from the source table, so the parquet round-trip — footer
+    * merge, NULL fill, type carry — is what the hash pins. */
+  val sourceSchemaEvolution: Q = Q.df(
+    "source_schema_evolution",
+    """select doc_id, source, score from (
+      |  select doc_id, source, cast(null as bigint) as score
+      |  from documents where doc_id % 2 = 0
+      |  union all
+      |  select doc_id, source, cast(n_chars as bigint) as score
+      |  from documents where doc_id % 2 = 1)
+      |order by doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.df(s, dir, "documents")
+    val io = s"$roundtripDir/evolve"
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$io/gen1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("score"))
+      .write.mode("overwrite").parquet(s"$io/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$io/gen1", s"$io/gen2")
+      .select(col("doc_id"), col("source"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   private val Rollup = "graft_rollup_daily"
   private val RollupStage = "graft_rollup_daily_stage"
 
@@ -572,5 +606,6 @@ object Dml {
 
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
-    dmlZorder, sourceTextRoundtrip, dmlIncrementalRollup)
+    dmlZorder, sourceTextRoundtrip, sourceSchemaEvolution,
+    dmlIncrementalRollup)
 }
