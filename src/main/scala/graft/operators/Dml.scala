@@ -560,6 +560,34 @@ object Dml {
       .orderBy(col("doc_id"))
   }
 
+  /** Corrupt-object tolerance at read: at 100 TB some object in the
+    * dataset WILL be truncated or garbage (failed multipart upload,
+    * bit rot), and one bad file must not fail the whole scan — the
+    * Spark-native knob is `ignoreCorruptFiles`, which skips files whose
+    * footer/pages fail to parse and logs them. The entry writes a good
+    * generation, plants a non-parquet object in the same directory, and
+    * reads back with the option + explicit schema (explicit so
+    * inference never depends on which footer gets sampled first); the
+    * oracle is the good subset, so the hash pins that corrupt-skip
+    * loses NOTHING ELSE. */
+  val sourceCorruptTolerant: Q = Q.df(
+    "source_corrupt_tolerant",
+    """select doc_id, source from documents where doc_id % 2 = 0
+      |order by doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.df(s, dir, "documents")
+    val io = s"$roundtripDir/corrupt"
+    val good = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+    good.write.mode("overwrite").parquet(io)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(io, "part-corrupt-upload.parquet"),
+      "truncated multipart upload, not parquet".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    s.read.schema(good.schema).option("ignoreCorruptFiles", "true")
+      .parquet(io)
+      .orderBy(col("doc_id"))
+  }
+
   private val Rollup = "graft_rollup_daily"
   private val RollupStage = "graft_rollup_daily_stage"
 
@@ -607,5 +635,5 @@ object Dml {
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceSchemaEvolution,
-    dmlIncrementalRollup)
+    sourceCorruptTolerant, dmlIncrementalRollup)
 }

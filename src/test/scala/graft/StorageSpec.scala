@@ -9,6 +9,40 @@ import org.scalatest.funsuite.AnyFunSuite
 class StorageSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("events reader fails loudly on an unexpected ts parquet type") {
+    import org.apache.spark.sql.functions._
+    // a hypothetical future fixture vintage shipping ts as STRING must
+    // surface as an error at the reader, not a silent cast that every
+    // downstream events query inherits
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-events-guard").toString
+    spark.range(3).select(col("id").as("user_id"),
+        lit("click").as("event_type"), lit("2020-01-01T00:00:00").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](
+      Tables.df(spark, dir, "events"))
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
+  test("corrupt parquet object is skipped, losing nothing else") {
+    import org.apache.spark.sql.functions._
+    val n = Tables.df(spark, TestSpark.Sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-corrupt").toString
+    n.write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-bad.parquet"),
+      "garbage".getBytes)
+    // without the option the scan fails on the bad footer ...
+    intercept[Exception](
+      spark.read.schema(n.schema).parquet(dir).count())
+    // ... with it, exactly the good rows survive
+    val back = spark.read.schema(n.schema)
+      .option("ignoreCorruptFiles", "true").parquet(dir)
+    assert(back.count() == n.count())
+  }
+
   test("CSV and JSON round-trip the nation table losslessly") {
     val n = Tables.df(spark, TestSpark.Sf, "nation")
     val base = n.collect().map(_.toSeq).toSet
