@@ -36,6 +36,7 @@ object Session {
       .master(master)
       .withExtensions(graft.functions.DotProduct.inject)
       .withExtensions(graft.functions.Bloom.inject)
+      .withExtensions(graft.functions.UnicodeNormalize.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -98,5 +98,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     DotProduct.inject(ext)
     Bloom.inject(ext)
+    UnicodeNormalize.inject(ext)
   }
 }

@@ -636,9 +636,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode normalization sweep — `graft_normalize`, the custom
+    * codegen expression ([[graft.functions.UnicodeNormalize]]), driven
+    * over a fixed battery of composed/decomposed Latin forms PLUS real
+    * fixture rows. Normalization is the first step of every corpus
+    * pipeline: dedup keys, fingerprints and token counts all change if
+    * "é" is sometimes one codepoint and sometimes e+combining mark.
+    * The synthetic battery exists because the fixture text is pure
+    * ASCII (probed at all scales) — identity inputs alone would pin
+    * nothing. Oracle parity: Spark graft_normalize(s,'NFC') vs DuckDB
+    * nfc_normalize; accent stripping is NFD + drop-combining-marks on
+    * the Spark side vs DuckDB's strip_accents — equal on the Latin
+    * battery (Hangul deliberately excluded: the two libraries disagree
+    * on jamo composition there). */
+  val textNormalizeUnicode: Q = {
+    // (id, string) battery: decomposed vs composed accents, uppercase
+    // decomposed, non-decomposable ø, ligatures (NFC-stable)
+    val battery: Seq[(Int, String)] = Seq(
+      1 -> "éclair",
+      2 -> "éclair",
+      3 -> "Café du Monde",
+      4 -> "naïve",
+      5 -> "ÉTUDE",
+      6 -> "øre",
+      7 -> "Señor",
+      8 -> "ça va",
+      9 -> "ASCII only",
+      10 -> "ümlaut Über",
+      11 -> "ﬁsh ﬂow")
+    val valuesSql = battery
+      .map { case (i, s) => s"($i, '${s.replace("'", "''")}')" }
+      .mkString(", ")
+    Q.df(
+      "text_normalize_unicode",
+      s"""with v(id, s) as (values $valuesSql),
+         |d as (select cast(100 + doc_id as int) as id,
+         |        substr(text, 1, 40) as s
+         |      from documents where doc_id < 5),
+         |u as (select * from v union all select * from d)
+         |select id, nfc_normalize(s) as nfc,
+         |  lower(nfc_normalize(s)) as nfc_lower,
+         |  strip_accents(nfc_normalize(s)) as accentless,
+         |  cast(length(nfc_normalize(s)) as bigint) as n_cp
+         |from u order by id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = battery.toDF("id", "s")
+      val d = Tables.df(s, dir, "documents")
+        .filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100).cast("int").as("id"),
+          substring(col("text"), 1, 40).as("s"))
+      v.union(d)
+        .select(col("id"),
+          expr(s"${graft.functions.UnicodeNormalize.fnName}(s, 'NFC')")
+            .as("nfc"))
+        .select(col("id"), col("nfc"),
+          lower(col("nfc")).as("nfc_lower"),
+          regexp_replace(
+            expr(s"${graft.functions.UnicodeNormalize.fnName}(nfc, 'NFD')"),
+            "\\p{Mn}", "").as("accentless"),
+          length(col("nfc")).cast("long").as("n_cp"))
+        .orderBy(col("id"))
+    }
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
-      textLmBigram, textFeatureHash, textNgramNovelty)
+      textLmBigram, textFeatureHash, textNgramNovelty,
+      textNormalizeUnicode)
 }
