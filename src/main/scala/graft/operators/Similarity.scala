@@ -724,7 +724,85 @@ object Similarity {
         .orderBy(col("anchor_id"), col("rnk"))
   }
 
+  /** Margin ratio a best-match pair must clear: best / second-best
+    * cosine (the Artetxe–Schwenk ratio criterion, simplified to the
+    * forward direction + a mutual-best flag). */
+  val MarginThreshold = 1.01
+
+  /** Margin-based cross-side pair mining — the bitext-mining shape: the
+    * corpus splits into two sides (here by vec_id parity; in a real
+    * pipeline, by language or by snapshot), and a pair (a, b) is
+    * accepted when b is a's best cross-side match AND the best beats
+    * the SECOND best by a margin — absolute cosine alone over-fires in
+    * dense hubs, the margin test is what makes mined pairs precise.
+    * `mutual` additionally marks pairs where a is also b's best (the
+    * full bidirectional criterion).
+    *
+    * Shape: one scored frame (side A × broadcast side B, same
+    * broadcast-anchor scan as [[bruteForceTopK]]) feeds BOTH ranking
+    * directions — cos(a,b) is symmetric, so the backward ranks come
+    * from a second window over the same rows, not a second scan. At
+    * corpus scale the cross join is replaced by LSH/IVF candidate
+    * generation exactly as for the sibling entries; the margin logic is
+    * unchanged on candidate sets that contain each side's top-2. */
+  def marginPairs(emb: DataFrame, minMargin: Double): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val u = withUnit(emb)
+    val a = u.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("u").as("av"))
+    val b = u.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("u").as("bv"))
+    val scored = a.crossJoin(broadcast(b))
+      .withColumn("cos", cosExpr(col("av"), col("bv")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val ranked = scored
+      .withColumn("ra", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("cos").desc, col("b_id"))))
+      .withColumn("rb", row_number().over(
+        Window.partitionBy(col("b_id"))
+          .orderBy(col("cos").desc, col("a_id"))))
+    val best = ranked.filter(col("ra") === 1)
+      .select(col("a_id"), col("b_id"), col("cos"),
+        (col("rb") === 1).as("mutual"))
+    val second = ranked.filter(col("ra") === 2)
+      .select(col("a_id"), col("cos").as("cos2"))
+    best.join(second, "a_id")
+      .filter(col("cos") / col("cos2") >= minMargin)
+      .select(col("a_id"), col("b_id"),
+        round(col("cos"), 6).as("cos_sim"),
+        round(col("cos") / col("cos2"), 6).as("margin"),
+        col("mutual"))
+      .orderBy(col("a_id"))
+  }
+
+  private def marginPairsOracle: String =
+    s"""with e as ($sqlUnit),
+       |a as (select vec_id as a_id, u from e where vec_id % 2 = 0),
+       |b as (select vec_id as b_id, u from e where vec_id % 2 = 1),
+       |scored as (select a.a_id, b.b_id, ${sqlDotU("a", "b")} as cos
+       |           from a cross join b),
+       |ranked as (select *,
+       |    row_number() over (partition by a_id
+       |                       order by cos desc, b_id) as ra,
+       |    row_number() over (partition by b_id
+       |                       order by cos desc, a_id) as rb
+       |  from scored),
+       |best as (select a_id, b_id, cos, (rb = 1) as mutual
+       |         from ranked where ra = 1),
+       |sec as (select a_id, cos as cos2 from ranked where ra = 2)
+       |select a_id, best.b_id, round(best.cos, 6) as cos_sim,
+       |  round(best.cos / sec.cos2, 6) as margin, mutual
+       |from best join sec using (a_id)
+       |where best.cos / sec.cos2 >= $MarginThreshold
+       |order by a_id""".stripMargin
+
+  val marginPairsQ: Q = Q.df("embed_margin_pairs", marginPairsOracle) {
+    (s, dir) =>
+      marginPairs(Tables.df(s, dir, "embeddings"), MarginThreshold)
+  }
+
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall,
-      knnPropagateQ, hardNegativesQ)
+      knnPropagateQ, hardNegativesQ, marginPairsQ)
 }
