@@ -27,34 +27,56 @@ object Tables {
     * so repeated df() calls never mutate an already-correct session. */
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Normalize the events `ts` column onto session-TZ TimestampType.
+    * events.ts has shipped as TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects unless nanosAsLong maps it to raw
+    * int64 — and, in later fixture generations, as TIMESTAMP(MICROS)
+    * (plain or NTZ). Branch on the type the reader actually inferred
+    * so both vintages land on the same type. Works on batch AND
+    * file-source streaming frames (pure column expressions). */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: convert (exact: values are micro-precision)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // wall-clock == UTC session TZ, exact
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        // A new fixture vintage with an unexpected ts type must fail
+        // loudly here, not get silently miscast into every events
+        // query downstream (the nanos→micros vintage switch mid-r8 is
+        // exactly the kind of change this guards).
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet-inferred type $other " +
+            "(expected INT64 nanos-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts has shipped as TIMESTAMP(NANOS) — which Spark's
-      // vectorized reader rejects unless nanosAsLong maps it to raw
-      // int64 — and, in later fixture generations, as TIMESTAMP(MICROS)
-      // (plain or NTZ). Branch on the type the reader actually inferred
-      // so both vintages land on the same session-TZ TimestampType.
       if (spark.conf.get(NanosConf, "false") != "true")
         spark.conf.set(NanosConf, "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // nanos-as-long: convert (exact: values are micro-precision)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampType => raw
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          // wall-clock == UTC session TZ, exact
-          raw.withColumn("ts", col("ts").cast("timestamp"))
-        case other =>
-          // A new fixture vintage with an unexpected ts type must fail
-          // loudly here, not get silently miscast into every events
-          // query downstream (the nanos→micros vintage switch mid-r8 is
-          // exactly the kind of change this guards).
-          throw new IllegalStateException(
-            s"events.ts: unsupported parquet-inferred type $other " +
-              "(expected INT64 nanos-as-long, TIMESTAMP, or TIMESTAMP_NTZ)")
-      }
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table as a file-source STREAM: the same parquet files
+    * and the same ts normalization as [[df]]. File streams require an
+    * explicit schema, so the on-disk schema is probed with a
+    * metadata-only batch read first. At 100 TB this is the standard
+    * continuous-ingestion front: the file source discovers new files
+    * per trigger and each micro-batch is a normal distributed scan. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    if (spark.conf.get(NanosConf, "false") != "true")
+      spark.conf.set(NanosConf, "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // The file-source stream monitors a DIRECTORY (the fixture tables
+    // are single files, so stream the fixture dir with a glob filter
+    // selecting just the events file — same files as the batch read).
+    normalizeEventsTs(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Session-conf marker naming the current owner of the canonical view

