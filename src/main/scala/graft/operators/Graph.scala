@@ -194,5 +194,49 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  val queries: Seq[Q] = Seq(pageRankQ, trianglesQ)
+  val BfsSource = 0L
+  val BfsHops = 4
+
+  /** Multi-source-capable BFS frontier expansion, here from a single
+    * source: after k rounds, `dist` holds min-hop distance for every
+    * node within k hops (unreached nodes are absent). Each round is one
+    * shuffle join frontier⋈edges + one min-groupBy — the same Pregel
+    * lowering as [[pageRank]]; the plan stays k joins deep (k is a
+    * small constant — crawl-depth / neighborhood-feature queries), so
+    * no per-round checkpoint is needed. */
+  def bfsLevels(edges: DataFrame, source: Long, hops: Int): DataFrame = {
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d"))
+    for (_ <- 1 to hops) {
+      val next = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
+      dist = dist.union(next).groupBy("node").agg(min("d").as("d"))
+    }
+    dist
+  }
+
+  /** Hop-distance query (≤ [[BfsHops]] hops from node [[BfsSource]]);
+    * the oracle chains one CTE per round, each spelling the same
+    * union + min-groupBy frontier step. */
+  val bfsQ: Q = Q.df(
+    "graph_bfs_levels", {
+      val round = (i: Int) =>
+        s"""d$i as (select node, min(d) as d from (
+           |  select node, d from d${i - 1}
+           |  union all
+           |  select e.dst as node, x.d + 1 as d
+           |  from d${i - 1} x join edges e on e.src = x.node) u
+           |  group by node)""".stripMargin
+      s"""with edges as ($edgesSql),
+         |d0 as (select cast($BfsSource as bigint) as node,
+         |       cast(0 as bigint) as d),
+         |${(1 to BfsHops).map(round).mkString(",\n")}
+         |select node, cast(d as bigint) as d
+         |from d$BfsHops order by node""".stripMargin
+    }) { (s, dir) =>
+    bfsLevels(sharedOrderEdges(s, dir), BfsSource, BfsHops)
+      .orderBy(col("node"))
+  }
+
+  val queries: Seq[Q] = Seq(pageRankQ, trianglesQ, bfsQ)
 }

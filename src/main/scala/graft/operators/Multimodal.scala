@@ -115,5 +115,51 @@ object Multimodal {
       .orderBy(col("doc_id"), col("feature_idx"))
   }
 
-  val queries: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)
+  /** One sampled video frame: stride-sampled index + its first byte
+    * (the stub "decode"). */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_byte: Long)
+
+  /** Bytes per fake "frame" and the sampling stride (every 4th frame) —
+    * the standard decimation step before feature extraction, since
+    * embedding every frame of every video is 30× wasted compute. */
+  val FrameBytes = 16
+  val FrameStride = 4
+
+  /** Video frame sampling through the binary pipeline: treat the
+    * payload as n_bytes/[[FrameBytes]] fixed-size frames, keep every
+    * [[FrameStride]]-th, and "decode" each kept frame (STUB: its first
+    * byte). flatMap over the typed Dataset: per-partition, 0..n output
+    * rows per input — the exact shape a real codec drops into (replace
+    * the byte read with a JNI frame-grab; schema, partitioning and
+    * batch iteration are unchanged). No driver-side work at any scale;
+    * output is ~1/stride of the frame count. */
+  def sampleFrames(media: Dataset[Media]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = m.payload.length / FrameBytes
+      (0 until nFrames by FrameStride).iterator.map { f =>
+        Frame(m.doc_id, f.toLong, (m.payload(f * FrameBytes) & 0xff).toLong)
+      }
+    }
+  }
+
+  /** The oracle mirrors the stride walk with range() and re-reads each
+    * sampled frame's first byte from the hex encoding. */
+  val multimodalFrameSample: Q = Q.df(
+    "multimodal_frame_sample",
+    s"""with h as (select doc_id, hex(encode(text)) as hx,
+       |  cast(octet_length(encode(text)) as bigint) as n from documents),
+       |f as (select doc_id, hx,
+       |        unnest(range(0, n // $FrameBytes, $FrameStride)) as fi
+       |      from h)
+       |select doc_id, cast(fi as bigint) as frame_idx,
+       |  cast(${sqlByteAt("hx", s"fi * $FrameBytes")} as bigint) as frame_byte
+       |from f order by doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    sampleFrames(mediaTable(s, dir))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(multimodalMeta, multimodalFeatures, multimodalFrameSample)
 }

@@ -184,5 +184,70 @@ object Temporal {
       .orderBy(col("event_type"), col("day"))
   }
 
-  val queries: Seq[Q] = Seq(asofPurchaseView, rangeViewPurchase, tsGapFill)
+  /** NEAREST-direction as-of join: for each probe (purchase) row, the
+    * single closest quote (view) row in EITHER time direction within
+    * `boundSec`, ties preferring the earlier quote then the larger
+    * event_id. Backward-only as-of is [[asofJoin]]; the nearest variant
+    * is what feature pipelines use when a measurement may land just
+    * after the anchor (sensor clock skew, late attribution).
+    *
+    * Scale shape: same bin-replication trick as [[rangeJoin]] — a
+    * qualifying pair's `floor(epoch/bound)` bins differ by at most 1,
+    * so replicating the quote side into bins {b-1, b, b+1} and
+    * equi-joining on (user_id, bin) meets every candidate exactly once;
+    * the per-probe argmin is then a row_number window keyed on the
+    * probe id. Shuffle is 3× the filtered quote side + 1× the probe
+    * side — never a nested-loop theta join. */
+  def asofNearest(probe: DataFrame, quote: DataFrame,
+      boundSec: Long): DataFrame = {
+    val bin = floor(unix_timestamp(col("ts")) / boundSec)
+    val p = probe.select(col("user_id"), col("event_id").as("p_event_id"),
+      col("ts").as("p_ts"), bin.as("bin"))
+    val q = quote.select(col("user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"), bin.as("b0"))
+      .withColumn("bin",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    val cand = p.join(q, Seq("user_id", "bin"))
+      .withColumn("gap_us",
+        unix_micros(col("v_ts")) - unix_micros(col("p_ts")))
+      .filter(abs(col("gap_us")) <= boundSec * 1000000L)
+    val w = Window.partitionBy(col("p_event_id"))
+      .orderBy(abs(col("gap_us")).asc, col("v_ts").asc,
+        col("v_event_id").desc)
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_event_id"), col("user_id"), col("p_ts"),
+        col("v_event_id"), col("v_ts"), col("gap_us"))
+  }
+
+  /** Nearest view around each purchase within ±10 minutes; the oracle
+    * is the plain bounded theta join + the same argmin window. */
+  val asofNearestQ: Q = Q.df(
+    "join_asof_nearest",
+    s"""with p as (select * from events where event_type = 'purchase'),
+       |v as (select * from events where event_type = 'view'),
+       |cand as (
+       |  select p.event_id as p_event_id, p.user_id, p.ts as p_ts,
+       |    v.event_id as v_event_id, v.ts as v_ts,
+       |    epoch_us(v.ts) - epoch_us(p.ts) as gap_us
+       |  from p join v on v.user_id = p.user_id
+       |   and v.ts >= p.ts - interval $RangeWindowSec second
+       |   and v.ts <= p.ts + interval $RangeWindowSec second),
+       |r as (select *, row_number() over (partition by p_event_id
+       |        order by abs(gap_us) asc, v_ts asc, v_event_id desc) as rn
+       |      from cand)
+       |select p_event_id, user_id, p_ts, v_event_id, v_ts,
+       |  cast(gap_us as bigint) as gap_us
+       |from r where rn = 1 order by p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+    asofNearest(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"),
+      RangeWindowSec)
+      .orderBy(col("p_event_id"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(asofPurchaseView, rangeViewPurchase, tsGapFill, asofNearestQ)
 }
