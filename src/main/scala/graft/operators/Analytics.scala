@@ -520,8 +520,47 @@ object Analytics {
       .orderBy(col("campaign"))
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for every observed (state → next-state) pair, the count
+    * and the row-normalized transition probability. The behavioral-model
+    * input every session-analysis / next-action-prediction pipeline
+    * derives first. One lead() window keyed on user (a single shuffle of
+    * the fact table, deterministic (ts, event_id) ordering), then two
+    * map-side-combined aggregations on the |types|²-bounded pair space;
+    * probabilities are rounded per the float-determinism contract. */
+  val eventsTransitions: Q = Q.df(
+    "events_transition_matrix",
+    """with s as (select user_id, event_type,
+      |    lead(event_type) over (partition by user_id
+      |                           order by ts, event_id) as nxt
+      |  from events),
+      |t as (select event_type as src, nxt as dst,
+      |        cast(count(*) as bigint) as n
+      |      from s where nxt is not null group by event_type, nxt),
+      |tot as (select src, cast(sum(n) as bigint) as tn from t group by src)
+      |select t.src, t.dst, t.n,
+      |  round(cast(t.n as double) / cast(tot.tn as double), 6) as p
+      |from t join tot using (src)
+      |order by src, dst""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables.df(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("src").agg(sum("n").as("tn"))
+    t.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("tn").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
-    eventsAttribution)
+    eventsAttribution, eventsTransitions)
 }

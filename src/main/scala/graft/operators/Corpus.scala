@@ -877,9 +877,54 @@ object Corpus {
     resolved
   }
 
+  // ---- probability-proportional-to-size sample ----------------------------
+
+  /** PPS-WoR sample size. */
+  val PpsK = 100
+
+  /** Deterministic uniform in (0,1) from the doc key: Knuth
+    * multiplicative hash mod 2³², then (h + 0.5)/2³² — every step exact
+    * in both engines (the division is by a power of two). */
+  private val PpsU =
+    "(((doc_id * 2654435761) % 4294967296) + 0.5) / 4294967296"
+
+  /** Probability-proportional-to-size sampling WITHOUT replacement
+    * (Efraimidis–Spirakis exponential race): rank every document by
+    * key = -ln(u)/w with weight w = n_chars and keep the K smallest —
+    * each doc's inclusion probability is proportional to its size,
+    * the sampling design a token-budget-aware curation pass wants when
+    * long documents should be over-represented. u comes from a
+    * deterministic per-row hash (not rand()), so reruns, retries and
+    * stragglers reproduce the SAME sample — the reproducibility
+    * contract of [[sampleReservoir]], generalized to weights.
+    * The global smallest-K plans as TakeOrderedAndProject (per-partition
+    * heaps + a K-row driver merge), never a full sort; the float key is
+    * ranked but never emitted, keeping the gate integer-exact. */
+  val samplePpswor: Q = Q.df(
+    "sample_ppswor",
+    s"""select doc_id, source, n_chars, rk from (
+       |  select doc_id, source, n_chars, cast(row_number() over
+       |      (order by -ln($PpsU) / cast(n_chars as double) asc,
+       |                doc_id asc) as bigint) as rk
+       |  from documents) t
+       |where rk <= $PpsK order by rk""".stripMargin) { (s, dir) =>
+    val key = (-log(
+      ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) + lit(0.5d))
+        / lit(4294967296L))) / col("n_chars").cast("double")
+    val topk = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), key.as("k"))
+      .orderBy(col("k").asc, col("doc_id").asc)
+      .limit(PpsK)
+    topk
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("k").asc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
     sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,
-    lengthHistogram)
+    lengthHistogram, samplePpswor)
 }

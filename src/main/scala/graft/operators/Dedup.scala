@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -667,6 +667,23 @@ object Dedup {
     labels
   }
 
+  /** The cluster-label map is consumed by BOTH `dedup_clusters` and
+    * `dedup_cluster_sizes` — the two most expensive cells of the dedup
+    * family, since each pays the full pair-discovery + propagation loop.
+    * Materialize the labels ONCE per (session, fixture dir) and share,
+    * the same memoized-materialized-relation pattern as
+    * [[Graph.sharedOrderEdges]]: the labels frame is corpus-keyed but
+    * two-column (doc_id → cluster_id), fixtures are immutable for a
+    * session, and the histogram entry then costs one aggregation over
+    * stored blocks instead of a second full CC run. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sharedDupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate((s, dir),
+      Checkpoints.materialize(
+        dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold)))
+
   val dedupClusters: Q = Q.df(
     "dedup_clusters",
     s"""with recursive
@@ -690,7 +707,7 @@ object Dedup {
        |  select reach.id, e.b from reach join edges e on reach.r = e.a)
        |select id as doc_id, min(r) as cluster_id from reach
        |group by id order by doc_id""".stripMargin) { (s, dir) =>
-    dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold)
+    sharedDupClusters(s, dir)
       .orderBy(col("doc_id"))
   }
 
@@ -729,7 +746,7 @@ object Dedup {
        |select cluster_size, cast(count(*) as bigint) as n_clusters
        |from sizes group by cluster_size
        |order by cluster_size""".stripMargin) { (s, dir) =>
-    dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold)
+    sharedDupClusters(s, dir)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
