@@ -238,6 +238,76 @@ object EventsStream {
       .orderBy(col("wstart"), col("event_type"))
   }
 
+  /** Execute [[dedupStream]]'s `dropDuplicatesWithinWatermark` state
+    * path end-to-end: documents flow through a file-source stream with
+    * a synthetic arrival timestamp (doc_id seconds — deterministic;
+    * the fixture table has no arrival column), the state store holds
+    * one fingerprint per distinct document inside the watermark
+    * horizon, and first-seen rows append to a parquet sink. WHICH
+    * duplicate row passes first is parallel-order-dependent, so the
+    * entry emits only the fingerprint SET — deterministic, and equal
+    * to batch `distinct` when everything fits one horizon. */
+  def runDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    val docs = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // +1 day: Spark's INITIAL watermark is epoch 0, and a row whose
+      // event time sits exactly on the watermark is dropped as late —
+      // doc_id 0 at raw epoch seconds would silently vanish.
+      .withColumn("ts",
+        timestamp_micros((col("doc_id") + lit(86400L)) * 1000000L))
+    val q = dedupStream(docs)
+      .select(col("fp"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Append mode emits each key's first-seen row exactly once
+        // across batches, so the sink accumulates the distinct set.
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val dedupStreamed: Q = Q.df(
+    "stream_dedup_fingerprints",
+    """select distinct md5(lower(text)) as fp
+      |from documents order by fp""".stripMargin) { (s, dir) =>
+    runDedupStream(s, dir).orderBy(col("fp"))
+  }
+
+  /** The `mapGroupsWithState` surface executed through the driver gate:
+    * in batch mode each group is processed once with empty prior state,
+    * so [[runningUserActivity]] degenerates to a grouped aggregation —
+    * same code, both runtimes (the incremental path is spec-proven on a
+    * MemoryStream). The double sum inside the state function folds in
+    * iterator order; round(6) absorbs the ~1e-11 association error
+    * against the oracle's exact decimal sum (fixture values are
+    * 2-decimal, so totals sit far from rounding boundaries). */
+  val userActivityState: Q = Q.df(
+    "stream_user_activity_state",
+    """select user_id, cast(count(*) as bigint) as n_events,
+      |  round(cast(sum(cast(value as decimal(12,2))) as double), 6)
+      |    as total_value
+      |from events group by user_id order by user_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ev = Tables.df(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Event]
+      runningUserActivity(ev).toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 6).as("total_value"))
+        .orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] =
-    Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed)
+    Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed,
+      dedupStreamed, userActivityState)
 }
