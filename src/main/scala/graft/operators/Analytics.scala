@@ -559,8 +559,41 @@ object Analytics {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** Sequence-pattern matching over per-user event paths — the
+    * MATCH_RECOGNIZE-shaped question ("which users did view → … →
+    * click → … → purchase, in that order?") answered by building each
+    * user's ordered type path once and applying an ordinary regex.
+    * One groupBy shuffle on the user key; the path array is bounded by
+    * per-user event count (at 100 TB the same query runs per SESSION
+    * after [[graft.streaming.EventsStream.sessions]], which bounds the
+    * string by the session gap, not user lifetime). array_sort on
+    * (ts, event_id) structs makes the order deterministic under any
+    * partitioning; the regex is codegen'd RLIKE, no UDF. */
+  val eventsPathPattern: Q = Q.df(
+    "events_path_pattern",
+    """with p as (select user_id,
+      |    count(*) as n_events,
+      |    string_agg(event_type, '>' order by ts, event_id) as path
+      |  from events group by user_id)
+      |select user_id, cast(n_events as bigint) as n_events,
+      |  regexp_matches(path, 'view.*click.*purchase') as converted
+      |from p order by user_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+      .select(col("user_id"), col("n_events"),
+        col("path").rlike("view.*click.*purchase").as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
-    eventsAttribution, eventsTransitions)
+    eventsAttribution, eventsTransitions, eventsPathPattern)
 }

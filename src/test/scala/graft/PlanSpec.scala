@@ -106,4 +106,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") && !plan.contains("Join"),
       s"unexpected pivot shape:\n$plan")
   }
+
+  test("nearest as-of join stays bin-equi-joined, never a nested loop") {
+    val plan = planOf(graft.operators.Temporal.asofNearestQ)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+      s"nearest as-of degenerated to a nested loop:\n$plan")
+  }
+
+  test("PPS-WoR sample plans as distributed top-k, not a global sort") {
+    val plan = planOf(graft.operators.Corpus.samplePpswor)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"no top-k fusion in:\n$plan")
+  }
+
+  test("BM25 scoring broadcasts the query-term and corpus-stats sides") {
+    val plan = planOf(graft.operators.TextAnalysis.textBm25)
+    assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+      s"BM25 did not broadcast its model-sized sides:\n$plan")
+    // the corpus-sized tf relation must never be the built (broadcast)
+    // side of a shuffle — the only shuffles allowed are the groupBys
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+  }
 }
