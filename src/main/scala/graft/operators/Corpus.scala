@@ -67,7 +67,7 @@ object Corpus {
     * engine hash like xxhash64 would not be oracle-able). Deterministic
     * under retries and stable across runs: the property a 100 TB
     * pipeline needs so a document's split never flips between jobs. */
-  private val SplitExpr = "(doc_id * 2654435761) % 4294967296 % 100"
+  private[operators] val SplitExpr = "(doc_id * 2654435761) % 4294967296 % 100"
 
   val TrainPct = 80
   val ValPct = 10 // test = remainder
@@ -631,7 +631,7 @@ object Corpus {
     * decorrelated (a doc's position inside its shard is not a function
     * of which shard it landed in). Both reduce mod 2³² before use, so
     * every intermediate fits a BIGINT in either engine. */
-  private val ShardH = s"(doc_id * 2654435761) % 4294967296 % $NShards"
+  private[operators] val ShardH = s"(doc_id * 2654435761) % 4294967296 % $NShards"
   private val OrderH = "(doc_id * 2246822519) % 4294967296"
 
   /** Deterministic global shuffle: the step between data curation and

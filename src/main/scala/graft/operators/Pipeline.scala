@@ -115,5 +115,88 @@ object Pipeline {
       qualityFunnel(Tables.df(s, dir, "documents")).orderBy(col("source"))
   }
 
-  val queries: Seq[Q] = Seq(pipelineFunnel)
+  /** The full pretraining-mix build, composed end-to-end from the
+    * individually-proven kernels: exact dedup (keep min doc_id per
+    * fingerprint) → benchmark decontamination (drop docs sharing any
+    * word trigram with the held-out source) → per-source token budget
+    * (deterministic pseudo-random order) → shard assignment, reporting
+    * per-shard document and token counts — the manifest a training run
+    * consumes. Every stage reuses the exact arithmetic of its
+    * standalone entry ([[Dedup.dedupExact]], [[Corpus.decontaminate]],
+    * [[Corpus.tokenBudgetSample]], [[Corpus.corpusShardShuffle]]), so
+    * the composition is integer-exact end-to-end.
+    *
+    * Scale shape: the stages chain as four bounded shuffles (fp window,
+    * gram join with broadcast benchmark side, per-source budget window,
+    * shard groupBy) with nothing driver-sized; each stage's scaling
+    * story is documented at its standalone operator. */
+  def pretrainingMix(docs: DataFrame): DataFrame = {
+    import graft.operators.{Corpus => C}
+    val pool = docs.filter(col("source") =!= C.BenchmarkSource)
+    val dedup = pool
+      .withColumn("fp", Text.md5Fingerprint(col("text")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bench = docs.filter(col("source") === C.BenchmarkSource)
+      .select(explode(Text.shingles(col("text"), 3)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val dirty = dedup
+      .select(col("doc_id"), explode(Text.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .join(broadcast(bench), Seq("gh"))
+      .select(col("doc_id")).distinct()
+    val clean = dedup.join(dirty, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(expr(C.SplitExpr), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = clean
+      .select(col("source"), col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= C.TokenBudget)
+    kept
+      .select(expr(C.ShardH).cast("long").as("shard"), col("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  private def mixOracle: String = {
+    import graft.operators.{Corpus => C}
+    val gs = graft.functions.Text.sqlTrigramList("string_split(text, ' ')")
+    s"""with pool as (select * from documents
+       |              where source <> '${C.BenchmarkSource}'),
+       |d as (select doc_id, source, text from (
+       |    select doc_id, source, text, row_number() over (
+       |      partition by md5(lower(text)) order by doc_id) as rnk
+       |    from pool) t where rnk = 1),
+       |bench as (select distinct unnest($gs) as g from documents
+       |          where source = '${C.BenchmarkSource}'),
+       |dirty as (select distinct doc_id from (
+       |    select doc_id, unnest($gs) as g from d) x
+       |  join bench using (g)),
+       |clean as (select * from d where not exists (
+       |    select 1 from dirty where dirty.doc_id = d.doc_id)),
+       |kept as (select source, doc_id,
+       |    cast(len(string_split(text, ' ')) as bigint) as n_tokens
+       |  from (
+       |    select source, doc_id, text,
+       |      cast(sum(cast(len(string_split(text, ' ')) as bigint)) over (
+       |        partition by source order by ${C.SplitExpr}, doc_id
+       |        rows unbounded preceding) as bigint) as cum
+       |    from clean) t
+       |  where cum <= ${C.TokenBudget})
+       |select cast(${C.ShardH} as bigint) as shard,
+       |  cast(count(*) as bigint) as n_docs,
+       |  cast(sum(n_tokens) as bigint) as n_tokens
+       |from kept group by shard order by shard""".stripMargin
+  }
+
+  val pipelineMix: Q = Q.df("pipeline_pretraining_mix", mixOracle) {
+    (s, dir) =>
+      pretrainingMix(Tables.df(s, dir, "documents")).orderBy(col("shard"))
+  }
+
+  val queries: Seq[Q] = Seq(pipelineFunnel, pipelineMix)
 }
