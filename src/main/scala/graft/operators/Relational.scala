@@ -1689,7 +1689,44 @@ object Relational {
       |      from orders)) as vs_nulls,
       |  (select count(*) from customer) as n_customers""".stripMargin)
 
+  /** URL parsing — the first step of any web-corpus pipeline (domain
+    * grouping, per-site dedup, crawl-policy joins). URLs are
+    * synthesized deterministically from document fields (the fixture
+    * has no URL column); Spark side uses the native parse_url
+    * expression (codegen'd), the oracle re-derives each component with
+    * anchored regexes, and the registered-domain column is the
+    * last-two-labels heuristic both engines spell identically. */
+  val exprUrlFuncs: Q = Q.df(
+    "expr_url_funcs",
+    """with u as (select doc_id,
+      |    'https://' || source || '.example.org/docs/' || doc_id
+      |      || '?lang=' || lang || '&ref=search' as url
+      |  from documents)
+      |select doc_id, url,
+      |  regexp_extract(url, '^https?://([^/]+)', 1) as host,
+      |  regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) as path,
+      |  regexp_extract(url, '\?([^#]*)', 1) as query,
+      |  regexp_extract(url, '[?&]lang=([^&#]*)', 1) as lang_param,
+      |  regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+      |    '([^.]+\.[^.]+)$', 1) as domain
+      |from u order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+          col("doc_id"), lit("?lang="), col("lang"), lit("&ref=search"))
+          .as("url"))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"),
+        regexp_extract(parse_url(col("url"), lit("HOST")),
+          "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(
+    exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,
     setopUnionAll, setopUnionDistinct, setopUnionByName,
     setopExcept, setopExceptAll,
