@@ -144,16 +144,39 @@ object Dedup {
       .toDF("doc_id", "shs")
   }
 
+  /** Memoized materialized (doc_id, shingle-hash array) relation per
+    * (session, fixture dir) — the derived table the whole shingle-based
+    * dedup suite starts from. jaccard, containment and the cluster
+    * family each begin with the same corpus tokenize+hash pass; sharing
+    * it means one pass per session instead of one per operator. At
+    * 100 TB this is exactly the "shingle index" a production pipeline
+    * materializes as its own table between ingestion and dedup: storage
+    * is O(corpus shingles · 8 bytes), a fraction of the corpus, and the
+    * relation is immutable alongside its fixtures. Entries pass it into
+    * the kernels via `base`; callers with ad-hoc frames (specs) omit it
+    * and get a private, freed-after-use materialization. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sharedShingleArrays(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, dir),
+      Checkpoints.materialize(
+        shingleHashArrays(Tables.df(s, dir, "documents"))))
+
   def jaccardPairs(docs: DataFrame, threshold: Double,
-      maxDf: Int = MaxShingleDf): DataFrame = {
+      maxDf: Int = MaxShingleDf, sharedBase: Option[DataFrame] = None)
+      : DataFrame = {
     // The shingle-hash kernel feeds SIX downstream branches (nSh, hot,
     // hotPerDoc, idx both sides of its self-join, shHh both sides);
     // without materialization the typed map kernel and its parquet scan
     // re-execute once per branch — at 100 TB that is six corpus-wide
     // tokenize passes instead of one. localCheckpoint(eager) runs the
-    // kernel exactly once; the blocks are freed below once the candidate
-    // pair set is itself materialized.
-    val base = Checkpoints.materialize(shingleHashArrays(docs))
+    // kernel exactly once; privately-owned blocks are freed below once
+    // the candidate pair set is itself materialized, while a passed-in
+    // [[sharedShingleArrays]] base belongs to the session cache.
+    val ownsBase = sharedBase.isEmpty
+    val base = sharedBase.getOrElse(
+      Checkpoints.materialize(shingleHashArrays(docs)))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -205,7 +228,7 @@ object Dedup {
     // copy), after which the kernel blocks are safe to free:
     // verification only needs `docs` and the checkpointed candidates.
     val out = verifyJaccard(docs, bounded.union(recovered).distinct(), threshold)
-    Checkpoints.free(base)
+    if (ownsBase) Checkpoints.free(base)
     out
   }
 
@@ -230,7 +253,8 @@ object Dedup {
 
   val dedupNgramJaccard: Q = Q.df("dedup_ngram_jaccard", jaccardOracle) {
     (s, dir) =>
-      jaccardPairs(Tables.df(s, dir, "documents"), JaccardThreshold)
+      jaccardPairs(Tables.df(s, dir, "documents"), JaccardThreshold,
+        sharedBase = Some(sharedShingleArrays(s, dir)))
         .orderBy(col("d1"), col("d2"))
   }
 
@@ -262,8 +286,11 @@ object Dedup {
     *    unordered pair emits one row per qualifying DIRECTION as
     *    (contained_id, container_id, containment). */
   def containmentPairs(docs: DataFrame, threshold: Double,
-      maxDf: Int = MaxShingleDf): DataFrame = {
-    val base = Checkpoints.materialize(shingleHashArrays(docs))
+      maxDf: Int = MaxShingleDf, sharedBase: Option[DataFrame] = None)
+      : DataFrame = {
+    val ownsBase = sharedBase.isEmpty
+    val base = sharedBase.getOrElse(
+      Checkpoints.materialize(shingleHashArrays(docs)))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -302,7 +329,7 @@ object Dedup {
         greatest(col("da"), col("db")).as("d2"))
     val cands = bounded.union(recovered).distinct()
     val out = verifyContainment(docs, cands, threshold)
-    Checkpoints.free(base)
+    if (ownsBase) Checkpoints.free(base)
     out
   }
 
@@ -350,7 +377,8 @@ object Dedup {
 
   val dedupContainment: Q = Q.df("dedup_containment", containmentOracle) {
     (s, dir) =>
-      containmentPairs(Tables.df(s, dir, "documents"), ContainmentThreshold)
+      containmentPairs(Tables.df(s, dir, "documents"), ContainmentThreshold,
+        sharedBase = Some(sharedShingleArrays(s, dir)))
         .orderBy(col("contained_id"), col("container_id"))
   }
 
@@ -580,14 +608,16 @@ object Dedup {
     * error, not a data regime: fail loudly instead of looping. */
   val MaxClusterRounds = 64
 
-  def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+  def dupClusters(docs: DataFrame, threshold: Double,
+      sharedBase: Option[DataFrame] = None): DataFrame = {
     // jaccardPairs returns a checkpoint-backed frame (verifyJaccard
     // materializes its result), so the symmetric-closure union inside
     // propagateClusters reading it twice costs two block scans, not two
     // executions of the verification subtree. propagateClusters runs
     // eagerly (edges checkpoint + per-round counts), so by the time it
     // returns nothing references the pair blocks and they are freed.
-    val pairs = jaccardPairs(docs, threshold).select(col("d1"), col("d2"))
+    val pairs = jaccardPairs(docs, threshold, sharedBase = sharedBase)
+      .select(col("d1"), col("d2"))
     // Iterate ONLY over vertices that appear in a pair: near-dup graph
     // vertices are a small fraction of the corpus (the whole point of
     // dedup), so every propagation round's join + aggregate runs on the
@@ -682,7 +712,8 @@ object Dedup {
   def sharedDupClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate((s, dir),
       Checkpoints.materialize(
-        dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold)))
+        dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold,
+          sharedBase = Some(sharedShingleArrays(s, dir)))))
 
   val dedupClusters: Q = Q.df(
     "dedup_clusters",
