@@ -307,7 +307,51 @@ object EventsStream {
         .orderBy(col("user_id"))
   }
 
+  /** Execute the stream-stream INTERVAL join end-to-end: views and
+    * purchases read as two independent file-source streams over the
+    * same events fixture, joined with watermarks + a time-bound
+    * condition (state evicted beyond watermark+bound), drained with
+    * AvailableNow into an append parquet sink. The result equals the
+    * batch range join because each single-file source drains in one
+    * micro-batch — both sides' state is fully resident when the join
+    * runs; the oracle is the same bounded theta join `join_range`
+    * uses (600 s == [[graft.operators.Temporal.RangeWindowSec]]). */
+  def runIntervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    def side(eventType: String): DataFrame =
+      Tables.eventsStream(s, dir).filter(col("event_type") === eventType)
+    val joined = intervalJoin(side("view"), side("purchase"),
+      graft.operators.Temporal.RangeWindowSec)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val intervalJoinStreamed: Q = Q.df(
+    "stream_interval_join",
+    s"""select v.user_id, v.event_id as v_event_id,
+       |  p.event_id as p_event_id,
+       |  epoch_us(p.ts) - epoch_us(v.ts) as gap_us
+       |from (select * from events where event_type = 'view') v
+       |join (select * from events where event_type = 'purchase') p
+       |  on v.user_id = p.user_id
+       | and p.ts >= v.ts
+       | and p.ts < v.ts + interval ${graft.operators.Temporal.RangeWindowSec} second
+       |order by v_event_id, p_event_id""".stripMargin) { (s, dir) =>
+    runIntervalJoinStream(s, dir)
+      .orderBy(col("v_event_id"), col("p_event_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed,
-      dedupStreamed, userActivityState)
+      dedupStreamed, userActivityState, intervalJoinStreamed)
 }
