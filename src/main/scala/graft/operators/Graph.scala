@@ -238,5 +238,40 @@ object Graph {
       .orderBy(col("node"))
   }
 
-  val queries: Seq[Q] = Seq(pageRankQ, trianglesQ, bfsQ)
+  /** Minimum shared-neighbor count surfaced by the link-prediction
+    * feature below — bounds the output to genuinely-connected pairs. */
+  val MinCommon = 3
+
+  /** Common-out-neighbor counts per node pair — the classic
+    * link-prediction / co-citation feature (two crawl domains citing
+    * the same N targets are related even without a direct edge). One
+    * self-join on dst + one count groupBy; wedge fan-out is bounded by
+    * in-degree, the same skew knob as [[triangleCounts]] (orient by
+    * (degree, id) at scale). */
+  def commonNeighbors(edges: DataFrame, minCommon: Int): DataFrame = {
+    val e1 = edges.select(col("src").as("s1"), col("dst"))
+    val e2 = edges.select(col("src").as("s2"), col("dst"))
+    e1.join(e2, "dst")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  val commonNeighborsQ: Q = Q.df(
+    "graph_common_neighbors",
+    s"""with edges as ($edgesSql),
+       |p as (select a.src as s1, b.src as s2,
+       |        cast(count(*) as bigint) as n_common
+       |      from edges a join edges b
+       |        on a.dst = b.dst and a.src < b.src
+       |      group by a.src, b.src)
+       |select s1, s2, n_common from p
+       |where n_common >= $MinCommon
+       |order by s1, s2""".stripMargin) { (s, dir) =>
+    commonNeighbors(sharedOrderEdges(s, dir), MinCommon)
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  val queries: Seq[Q] = Seq(pageRankQ, trianglesQ, bfsQ, commonNeighborsQ)
 }

@@ -240,5 +240,38 @@ object Quantize {
     pcaProject(Tables.df(s, dir, "embeddings")).orderBy(col("vec_id"))
   }
 
-  val queries: Seq[Q] = Seq(quantizeInt8, embPca)
+  /** Fixed-point scale for the dimension-stats audit (micro-units). */
+  val DimStatScale = 1000000.0
+
+  /** Per-dimension corpus statistics of the embedding column — the
+    * calibration input every quantization scheme reads first (per-dim
+    * ranges decide symmetric-vs-asymmetric scales and clip points; a
+    * dimension whose range dwarfs the rest is a PCA/whitening or
+    * outlier-clip candidate). One posexplode + one map-side-combined
+    * groupBy on the dimension id — |dims| output rows at any corpus
+    * size. Sums are fixed-point micro-units (round(v·1e6) per value,
+    * summed as int64): a float sum would be partitioning-order-
+    * dependent, the same determinism trade the PageRank ranks make. */
+  val embDimStats: Q = Q.df(
+    "embed_dim_stats",
+    """with v as (select generate_subscripts(embedding, 1) - 1 as dim,
+      |    cast(round(cast(unnest(embedding) as double) * 1000000)
+      |      as bigint) as si
+      |  from embeddings)
+      |select cast(dim as bigint) as dim, cast(count(*) as bigint) as n,
+      |  cast(sum(si) as bigint) as sum_micro,
+      |  cast(min(si) as bigint) as min_micro,
+      |  cast(max(si) as bigint) as max_micro
+      |from v group by dim order by dim""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * 1000000).cast("long").as("si"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("si").as("sum_micro"),
+        min("si").as("min_micro"), max("si").as("max_micro"))
+      .orderBy(col("dim"))
+  }
+
+  val queries: Seq[Q] = Seq(quantizeInt8, embPca, embDimStats)
 }

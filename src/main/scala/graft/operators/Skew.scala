@@ -48,5 +48,50 @@ object Skew {
       .orderBy(col("l_orderkey"), col("o_custkey"))
   }
 
-  val queries: Seq[Q] = Seq(joinSalted)
+  /** Null-key skew split for OUTER joins: NULL join keys never match,
+    * yet a plain shuffle hashes every NULL row to ONE reducer — on
+    * fact tables where the foreign key is often absent (unattributed
+    * events, anonymous sessions) that single reducer receives a huge
+    * dead partition. The standard fix: route NULL-key rows around the
+    * join entirely (they can only produce unmatched output) and union
+    * them back, so the shuffle carries non-null keys only. Result is
+    * bit-identical to the plain left join — proven by the oracle. */
+  def nullSkewLeftJoin(probe: DataFrame, build: DataFrame,
+      key: String): DataFrame = {
+    val buildCols = build.columns.filterNot(_ == key)
+    val nullSide = probe.filter(col(key).isNull)
+      .select(probe.columns.map(col) ++
+        buildCols.map(c => lit(null).cast(build.schema(c).dataType).as(c)): _*)
+    val matchedSide = probe.filter(col(key).isNotNull)
+      .join(build, Seq(key), "left")
+    matchedSide.unionByName(nullSide.select(matchedSide.columns.map(col): _*))
+  }
+
+  /** Events LEFT JOIN a user-dimension built from customers, with the
+    * foreign key nulled out for a large slice (every third event) to
+    * model unattributed traffic — the null-skew regime. The oracle is
+    * the plain left join; the Spark side routes the null slice around
+    * the shuffle. */
+  val joinNullSkew: Q = Q.df(
+    "join_null_skew",
+    """with e as (select event_id,
+      |    case when event_id % 3 = 0 then null
+      |         else user_id % 150 + 1 end as c_custkey
+      |  from events),
+      |d as (select c_custkey, c_nationkey from customer)
+      |select e.event_id, e.c_custkey, d.c_nationkey
+      |from e left join d using (c_custkey)
+      |order by event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.df(s, dir, "events")
+      .select(col("event_id"),
+        when(col("event_id") % 3 === 0, lit(null))
+          .otherwise(col("user_id") % 150 + 1).cast("long").as("c_custkey"))
+    val d = Tables.df(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    nullSkewLeftJoin(e, d, "c_custkey")
+      .select(col("event_id"), col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Seq[Q] = Seq(joinSalted, joinNullSkew)
 }
