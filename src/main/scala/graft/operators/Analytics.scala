@@ -592,8 +592,42 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Gaps-and-islands: per-user longest consecutive-day activity streak
+    * and streak count — the engagement metric behind "N-day streak"
+    * features and retention-risk scoring. The classic island key
+    * `day - row_number days` is constant exactly within a consecutive
+    * run; the window is partitioned per user (no global sort) and the
+    * two aggregations above it are map-side combinable. Integer/date
+    * arithmetic end-to-end. */
+  val eventsStreaks: Q = Q.df(
+    "events_activity_streaks",
+    """with d as (select distinct user_id, cast(ts as date) as day
+      |           from events),
+      |i as (select user_id, day,
+      |    day - cast(row_number() over (partition by user_id
+      |          order by day) as int) as isl
+      |  from d),
+      |s as (select user_id, isl, cast(count(*) as bigint) as len
+      |      from i group by user_id, isl)
+      |select user_id, cast(max(len) as bigint) as max_streak,
+      |  cast(count(*) as bigint) as n_streaks
+      |from s group by user_id order by user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.df(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    d.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("day"))))
+      .withColumn("isl", date_sub(col("day"), col("rn")))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
-    eventsAttribution, eventsTransitions, eventsPathPattern)
+    eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks)
 }

@@ -238,4 +238,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq(
       "user_id", "session_start", "session_end", "n_events", "total_value"))
   }
+
+  test("executed streaming agg (AvailableNow over fixture files) equals batch") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventsStream.runHourlyCountsStream(spark, TestSpark.Sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = EventsStream.hourlyCounts(
+      Tables.df(spark, TestSpark.Sf, "events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("executed stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.df(spark, TestSpark.Sf, "events")
+    val streamed = EventsStream.runIntervalJoinStream(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val batch = graft.operators.Temporal.rangeJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      graft.operators.Temporal.RangeWindowSec)
+      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+        col("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
 }
