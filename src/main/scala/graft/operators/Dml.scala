@@ -526,6 +526,30 @@ object Dml {
     c.union(j).orderBy(col("doc_id"), col("fmt"))
   }
 
+  /** ORC source/sink executed through the gate (previously spec-only):
+    * the columnar interchange format Spark supports natively besides
+    * parquet. A filtered projection round-trips through ORC files and
+    * is re-aggregated from the read-back — footer schema, column
+    * pruning and the predicate-pushdown reader path all execute; the
+    * oracle derives the same aggregate straight from the fixture. */
+  val sourceOrcRoundtrip: Q = Q.df(
+    "source_orc_roundtrip",
+    """select source, cast(count(*) as bigint) as n_docs,
+      |  cast(sum(cast(n_chars as bigint)) as bigint) as total_chars
+      |from documents where n_chars >= 100
+      |group by source order by source""".stripMargin) { (s, dir) =>
+    val io = s"$roundtripDir/orc"
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").orc(io)
+    s.read.orc(io)
+      .filter(col("n_chars") >= 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Schema evolution across parquet file generations — the drift every
     * long-lived 100 TB dataset accumulates: an early ingest generation
     * lacks a column later generations carry. The Spark-native answer is
@@ -634,6 +658,6 @@ object Dml {
 
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
-    dmlZorder, sourceTextRoundtrip, sourceSchemaEvolution,
-    sourceCorruptTolerant, dmlIncrementalRollup)
+    dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
+    sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup)
 }
