@@ -52,12 +52,12 @@ object Temporal {
         col("m.r_event_id").as("v_event_id"), col("m.r_value").as("v_value"))
   }
 
-  /** purchase AS-OF view: each purchase with the user's latest view at
-    * or before it. The oracle spells the same semantics with correlated
+  /** The purchase-AS-OF-view semantics, spelled once with correlated
     * subqueries (deterministic even when several views share the
-    * boundary timestamp — max ts, then max event_id within it). */
-  val asofPurchaseView: Q = Q.df(
-    "join_asof",
+    * boundary timestamp — max ts, then max event_id within it); shared
+    * by the composed implementation AND the native whole-operator one,
+    * which must agree with it bit-for-bit. */
+  val asofOracle: String =
     """with p as (select * from events where event_type = 'purchase'),
       |v as (select * from events where event_type = 'view')
       |select p.event_id as p_event_id, p.user_id, p.ts as p_ts,
@@ -73,11 +73,34 @@ object Temporal {
       |      where v3.user_id = p.user_id and v3.ts = (
       |        select max(v2.ts) from v v2
       |        where v2.user_id = p.user_id and v2.ts <= p.ts))) as v_value
-      |from p order by p_event_id""".stripMargin) { (s, dir) =>
+      |from p order by p_event_id""".stripMargin
+
+  /** purchase AS-OF view via the composed union+window form. */
+  val asofPurchaseView: Q = Q.df("join_asof", asofOracle) { (s, dir) =>
     val ev = Tables.df(s, dir, "events")
     asofJoin(
       ev.filter(col("event_type") === "purchase"),
       ev.filter(col("event_type") === "view"))
+      .orderBy(col("p_event_id"))
+  }
+
+  /** The same as-of semantics through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinNative]]: custom LogicalPlan + planner
+    * strategy + merge-join SparkPlan) — gated against the identical
+    * oracle as `join_asof`, so the two implementations are pinned to
+    * agree bit-for-bit. */
+  val asofNativeQ: Q = Q.df("join_asof_native", asofOracle) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event_id"), col("value").as("v_value"))
+    graft.plans.AsOfJoinNative
+      .join(p, v, "p_user", "p_ts", "v_user", "v_ts", "v_event_id")
+      .select(col("p_event_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("v_ts"), col("v_event_id"), col("v_value"))
       .orderBy(col("p_event_id"))
   }
 
@@ -249,5 +272,6 @@ object Temporal {
   }
 
   val queries: Seq[Q] =
-    Seq(asofPurchaseView, rangeViewPurchase, tsGapFill, asofNearestQ)
+    Seq(asofPurchaseView, asofNativeQ, rangeViewPurchase, tsGapFill,
+      asofNearestQ)
 }
