@@ -38,6 +38,7 @@ object Session {
       .withExtensions(graft.functions.Bloom.inject)
       .withExtensions(graft.functions.UnicodeNormalize.inject)
       .withExtensions(graft.plans.AsOfJoinNative.inject)
+      .withExtensions(graft.plans.NormalizeRules.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -49,4 +49,29 @@ class NormalizeSpec extends AnyFunSuite {
       spark.sql("select graft_normalize('x', lower('NFC'))").collect())
     assert(e2.getMessage.toLowerCase.contains("literal"), e2.getMessage)
   }
+
+  test("injected optimizer rule collapses same-form nested normalization") {
+    // parquet-backed input: a literal Seq would constant-fold away the
+    // whole projection before the rule's effect could be observed
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+      .select(col("text").as("s")).limit(20)
+    val df = docs.select(expr(
+      "graft_normalize(graft_normalize(s, 'NFC'), 'NFC')").as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // exactly one call survives optimization
+    assert("graft_normalize".r.findAllIn(optimized).size == 1, optimized)
+    // and values are unchanged vs the single-call form
+    val single = docs.select(expr("graft_normalize(s, 'NFC')").as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(df.collect().map(_.getString(0)).toSeq == single)
+  }
+
+  test("different-form nesting is NOT collapsed (NFKC of NFD differs)") {
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+      .select(col("text").as("s")).limit(20)
+    val df = docs.select(expr(
+      "graft_normalize(graft_normalize(s, 'NFD'), 'NFKC')").as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("graft_normalize".r.findAllIn(optimized).size == 2, optimized)
+  }
 }
