@@ -194,6 +194,27 @@ object EventsStream {
         .orderBy(col("event_type"))
   }
 
+  /** Stateful streaming partition count for the executed entries. A
+    * stateful operator mints one state-store instance PER shuffle
+    * partition PER stateful op, each paying checkpoint/snapshot IO
+    * every micro-batch — a fixed tax independent of data volume. Batch
+    * queries size shuffle.partitions to CPU count (32 here); a stream's
+    * state partitioning should instead be sized to stream THROUGHPUT
+    * (it is fixed at first checkpoint and re-used for the query's
+    * lifetime). 8 is right for the fixture's volume; a 100 TB ingest
+    * would raise it with measured rate, not core count. */
+  val StreamShufflePartitions = "8"
+
+  /** Run `body` with the stream-sized shuffle partitioning, restoring
+    * the session's batch setting after (entries run sequentially in
+    * Verify/Bench, so the temporary session-conf flip is confined). */
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Execute [[hourlyCounts]] through the REAL streaming runtime — not
     * the batch-parity shortcut the other entries use: a parquet
     * file-source stream over the fixture, `Trigger.AvailableNow` (drain
@@ -205,7 +226,8 @@ object EventsStream {
     * sink is a normal distributed write (memory-sink collect is
     * deliberately avoided). The returned frame reads the sink files
     * back — exactly what a downstream consumer of the stream would do. */
-  def runHourlyCountsStream(s: SparkSession, dir: String): DataFrame = {
+  def runHourlyCountsStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
     val outDir = s"$tmp/out"
@@ -247,7 +269,8 @@ object EventsStream {
     * duplicate row passes first is parallel-order-dependent, so the
     * entry emits only the fingerprint SET — deterministic, and equal
     * to batch `distinct` when everything fits one horizon. */
-  def runDedupStream(s: SparkSession, dir: String): DataFrame = {
+  def runDedupStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
     val outDir = s"$tmp/out"
@@ -316,7 +339,8 @@ object EventsStream {
     * micro-batch — both sides' state is fully resident when the join
     * runs; the oracle is the same bounded theta join `join_range`
     * uses (600 s == [[graft.operators.Temporal.RangeWindowSec]]). */
-  def runIntervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+  def runIntervalJoinStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
     val outDir = s"$tmp/out"
