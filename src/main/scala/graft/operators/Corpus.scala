@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
+import graft.functions.Text
 
 /** Corpus-preparation operators a training-data pipeline runs between
   * dedup and tokenization: chunking long documents into overlapping
@@ -922,9 +923,120 @@ object Corpus {
       .orderBy(col("rk"))
   }
 
+  // ---- DSIR importance weights -------------------------------------------
+
+  /** Hashed-feature buckets for the DSIR importance model (the
+    * feature-hashing dimensionality, shared with
+    * [[TextAnalysis.HashBuckets]]'s hashing-trick contract). */
+  val DsirBuckets = 64
+
+  /** Corpus-quantile cut: documents whose importance weight reaches the
+    * p75 of the weight distribution are marked selected. */
+  val DsirSelectFrac = 0.75
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw-corpus
+    * document by how much more likely its hashed-n-gram features are
+    * under the TARGET domain ([[BaseSource]]) than under the raw pool —
+    * log w(x) = Σ_tok [log p_target(b(tok)) − log p_raw(b(tok))] with
+    * Laplace-smoothed bucket unigram models over [[DsirBuckets]]
+    * fnv-hashed buckets. High-weight documents look like the target
+    * domain and get picked for the mix.
+    *
+    * Scale shape: both "models" are ≤[[DsirBuckets]]-row count tables —
+    * built by one map-side-combined groupBy each, broadcast into the
+    * scoring scan; the selection threshold is ONE corpus-level
+    * percentile_disc scalar (an element of the rounded weight
+    * distribution, exact cross-engine), broadcast — no global sort, no
+    * rank window, no driver data state. Per-doc Σ folds over the
+    * sorted per-token list (the [[TextAnalysis.textEntropy]]
+    * determinism contract). */
+  def dsirWeights(docs: DataFrame, targetSource: String = BaseSource,
+      buckets: Int = DsirBuckets): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, text) =>
+        text.split(" ", -1).iterator.map { tok =>
+          (id, src, ((Text.fnv64(tok) & 0xFFFFFFFFL) % buckets))
+        }
+      }
+      .toDF("doc_id", "source", "b")
+    val target = feats.filter(col("source") === targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = feats.filter(col("source") =!= targetSource)
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = target.agg(sum(col("ct")).as("t_t"))
+      .crossJoin(raw.agg(sum(col("cr")).as("t_r")))
+    val w = feats.filter(col("source") =!= targetSource)
+      .join(broadcast(target), Seq("b"), "left")
+      .join(broadcast(raw), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        ((log2(coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0d))
+          - log2(col("t_t").cast("double") + lit(buckets.toDouble)))
+        - (log2(coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0d))
+          - log2(col("t_r").cast("double") + lit(buckets.toDouble))))
+          .as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("lr"))).as("lrs"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(col("lrs"), lit(0.0d), (acc, x) => acc + x), 6)
+          .as("log_w"))
+    val thr = w.agg(
+      expr(s"percentile_disc($DsirSelectFrac) within group (order by log_w)")
+        .as("thr"))
+    w.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_tokens"), col("log_w"),
+        (col("log_w") >= col("thr")).as("selected"))
+  }
+
+  private def dsirOracle: String = {
+    val b = DsirBuckets
+    s"""with tok as (select doc_id, source,
+       |               unnest(string_split(text, ' ')) as tok
+       |             from documents),
+       |f as (select doc_id, source,
+       |        cast(${Text.sqlFnv64("tok")} % 4294967296::hugeint
+       |             % $b as bigint) as b
+       |      from tok),
+       |tc as (select b, cast(count(*) as bigint) as ct from f
+       |       where source = '$BaseSource' group by b),
+       |rc as (select b, cast(count(*) as bigint) as cr from f
+       |       where source <> '$BaseSource' group by b),
+       |tt as (select cast(sum(ct) as bigint) as t_t from tc),
+       |rt as (select cast(sum(cr) as bigint) as t_r from rc),
+       |scored as (
+       |  select f.doc_id,
+       |    (log2(cast(coalesce(tc.ct, 0) as double) + 1.0)
+       |       - log2(cast(t_t as double) + $b.0))
+       |  - (log2(cast(coalesce(rc.cr, 0) as double) + 1.0)
+       |       - log2(cast(t_r as double) + $b.0)) as lr
+       |  from f left join tc using (b) left join rc using (b)
+       |  cross join tt cross join rt
+       |  where f.source <> '$BaseSource'),
+       |agg as (select doc_id, list_sort(list(lr)) as lrs,
+       |          cast(count(*) as bigint) as n_tokens
+       |        from scored group by doc_id),
+       |w as (select doc_id, n_tokens,
+       |        round(list_reduce(list_prepend(cast(0 as double), lrs),
+       |                (acc, x) -> acc + x), 6) as log_w
+       |      from agg),
+       |thr as (select percentile_disc($DsirSelectFrac)
+       |          within group (order by log_w) as thr from w)
+       |select doc_id, n_tokens, log_w, log_w >= thr as selected
+       |from w cross join thr order by doc_id""".stripMargin
+  }
+
+  val dsirWeightsQ: Q = Q.df("sample_dsir_weights", dsirOracle) { (s, dir) =>
+    dsirWeights(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
     sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,
-    lengthHistogram, samplePpswor)
+    lengthHistogram, samplePpswor, dsirWeightsQ)
 }

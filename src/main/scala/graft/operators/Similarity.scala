@@ -802,7 +802,71 @@ object Similarity {
       marginPairs(Tables.df(s, dir, "embeddings"), MarginThreshold)
   }
 
+  // ---- embedding-space benchmark decontamination -------------------------
+
+  /** Minimum cosine against any benchmark vector for a corpus document
+    * to count as contaminated. Set below the n-gram decontamination
+    * bar deliberately: embedding contamination catches PARAPHRASED
+    * benchmark leakage that exact n-gram overlap misses, so its
+    * threshold trades precision for recall. */
+  val EmbedContamThreshold = 0.35
+
+  /** Embedding-space decontamination — the semantic complement to
+    * [[graft.operators.Corpus.decontaminate]]'s n-gram screen: a corpus
+    * document is flagged when its embedding's cosine against ANY
+    * benchmark-source vector reaches [[EmbedContamThreshold]], catching
+    * paraphrases and translations that share no exact n-gram with the
+    * benchmark. Returns one row per contaminated document with its hit
+    * count and worst (highest) cosine.
+    *
+    * Scale shape: the benchmark side is the small one by construction
+    * (a benchmark is thousands of rows; the corpus is the 100 TB side),
+    * so its unit vectors broadcast and the corpus is scanned ONCE with
+    * the filter + max/count fused — the [[hardNegatives]] shape. max
+    * and count are order-independent, so the result is deterministic
+    * under any partitioning (no summation-order contract needed). */
+  def embeddingDecontaminate(emb: DataFrame, docs: DataFrame,
+      benchSource: String,
+      threshold: Double = EmbedContamThreshold): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val side = docs.select(col("doc_id"), col("source"))
+    val u = withUnit(emb).join(side, col("vec_id") === col("doc_id"))
+    val bench = u.filter(col("source") === benchSource)
+      .select(col("vec_id").as("bench_id"), col("u").as("bv"))
+    val corpus = u.filter(col("source") =!= benchSource)
+      .select(col("vec_id").as("cid"), col("u").as("cv"))
+    corpus.crossJoin(broadcast(bench))
+      .withColumn("cos", cosExpr(col("cv"), col("bv")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("mx"))
+      .select(col("cid").as("doc_id"), col("n_bench_hits"),
+        round(col("mx"), 6).as("max_cos"))
+  }
+
+  private def embedDecontamOracle: String =
+    s"""with e as ($sqlUnit),
+       |b as (select e.vec_id, e.u from e
+       |      join documents d on d.doc_id = e.vec_id
+       |      where d.source = '${Corpus.BenchmarkSource}'),
+       |c as (select e.vec_id, e.u from e
+       |      join documents d on d.doc_id = e.vec_id
+       |      where d.source <> '${Corpus.BenchmarkSource}'),
+       |s as (select c.vec_id as cid, ${sqlDotU("c", "b")} as cos
+       |      from c cross join b)
+       |select cid as doc_id, cast(count(*) as bigint) as n_bench_hits,
+       |  round(max(cos), 6) as max_cos
+       |from s where cos >= $EmbedContamThreshold
+       |group by cid order by doc_id""".stripMargin
+
+  val embedDecontamQ: Q = Q.df("decontaminate_embedding", embedDecontamOracle) {
+    (s, dir) =>
+      embeddingDecontaminate(Tables.df(s, dir, "embeddings"),
+        Tables.df(s, dir, "documents"), Corpus.BenchmarkSource)
+        .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall,
-      knnPropagateQ, hardNegativesQ, marginPairsQ)
+      knnPropagateQ, hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

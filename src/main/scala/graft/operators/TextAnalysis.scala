@@ -804,10 +804,82 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Per-language head/middle/tail split by LM score (the CCNet
+    * bucketing: each language's documents ranked by how well a
+    * corpus-trained LM predicts them, then cut into thirds — "head"
+    * trains first, "tail" is candidate discard). Cuts are
+    * percentile_disc so each threshold is an ACTUAL document's score
+    * (no interpolation → cross-engine exact on the already-rounded
+    * lm_score), and bucketing compares against the per-language cut
+    * pair, which is |langs|×2 rows broadcast — no global sort, no
+    * rank window, nothing driver-sized at any corpus scale. The LM
+    * itself is [[textLmScore]]'s unigram count table: trained with one
+    * map-side-combined groupBy, joined, never collected. */
+  val qualityPerplexityBuckets: Q = Q.df(
+    "quality_perplexity_buckets",
+    """with tok as (select doc_id, lang,
+      |               unnest(string_split(text, ' ')) as tok
+      |             from documents),
+      |vocab as (select tok, cast(count(*) as bigint) as c
+      |          from tok group by tok),
+      |tot as (select cast(sum(c) as bigint) as t from vocab),
+      |scored as (
+      |  select doc_id, lang,
+      |    log2(cast(c as double)) - log2(cast(t as double)) as lp
+      |  from tok join vocab using (tok) cross join tot),
+      |agg as (select doc_id, lang, list_sort(list(lp)) as lps,
+      |          cast(count(*) as bigint) as n_tokens
+      |        from scored group by doc_id, lang),
+      |lm as (select doc_id, lang, n_tokens,
+      |  round(list_reduce(list_prepend(cast(0 as double), lps),
+      |          (acc, x) -> acc + x) / cast(n_tokens as double), 6)
+      |    as lm_score
+      |from agg),
+      |cuts as (select lang,
+      |  percentile_disc(0.34) within group (order by lm_score) as p34,
+      |  percentile_disc(0.67) within group (order by lm_score) as p67
+      |from lm group by lang)
+      |select doc_id, lang, n_tokens, lm_score,
+      |  case when lm_score > p67 then 'head'
+      |       when lm_score > p34 then 'middle'
+      |       else 'tail' end as bucket
+      |from lm join cuts using (lang)
+      |order by doc_id""".stripMargin) { (s, dir) =>
+    val toks = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    val lm = toks
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("lang"),
+        (log2(col("c").cast("double")) - log2(col("t").cast("double")))
+          .as("lp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(col("lp"))).as("lps"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x)
+          / col("n_tokens").cast("double"), 6).as("lm_score"))
+    val cuts = lm.groupBy(col("lang")).agg(
+      expr("percentile_disc(0.34) within group (order by lm_score)")
+        .as("p34"),
+      expr("percentile_disc(0.67) within group (order by lm_score)")
+        .as("p67"))
+    lm.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lm_score"),
+        when(col("lm_score") > col("p67"), "head")
+          .when(col("lm_score") > col("p34"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
-      textNormalizeUnicode, textBm25, textBpePairs)
+      textNormalizeUnicode, textBm25, textBpePairs,
+      qualityPerplexityBuckets)
 }

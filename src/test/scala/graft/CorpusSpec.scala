@@ -83,4 +83,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"expected broadcast anti join in:\n$plan")
   }
+
+  test("DSIR weights: target excluded, selection quartile, target affinity") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val out = Corpus.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val targetIds = docs.filter(col("source") === Corpus.BaseSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the target domain scores nothing of itself; everything else scored
+    assert(out.forall(r => !targetIds.contains(r._1)))
+    val nRaw = docs.filter(col("source") =!= Corpus.BaseSource).count()
+    assert(out.length == nRaw)
+    // selected = top quartile by construction (percentile_disc(0.75)
+    // threshold): between 25% and 35% of docs once ties are counted
+    val frac = out.count(_._4).toDouble / out.length
+    assert(frac >= 0.24 && frac <= 0.40, s"selected fraction $frac")
+    // count-table joins broadcast; no corpus-sized shuffle on bucket id
+    val plan = Corpus.dsirWeights(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast model joins in:\n$plan")
+  }
 }

@@ -121,4 +121,31 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.15, s"recall $recall too low")
   }
+
+  test("embedding decontamination: bench side excluded, threshold honored") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val bench = docs
+      .filter(org.apache.spark.sql.functions.col("source")
+        === graft.operators.Corpus.BenchmarkSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Similarity.embeddingDecontaminate(
+      emb, docs, graft.operators.Corpus.BenchmarkSource).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty, "fixture should contain semantic contamination")
+    // a benchmark document can never flag itself
+    assert(out.forall(r => !bench.contains(r._1)))
+    // every flagged doc's best hit clears the threshold, and the hit
+    // count is positive and bounded by the bench size
+    assert(out.forall(r =>
+      r._3 >= Similarity.EmbedContamThreshold - 1e-6 &&
+        r._2 >= 1 && r._2 <= bench.size))
+    // the bench side is the broadcast side (corpus scanned once)
+    val plan = Similarity.embeddingDecontaminate(
+      emb, docs, graft.operators.Corpus.BenchmarkSource)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"),
+      s"bench side must broadcast in:\n$plan")
+  }
 }

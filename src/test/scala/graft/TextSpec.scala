@@ -138,4 +138,27 @@ class TextSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(scores.nonEmpty && scores.forall(s => s >= 0.0 && s <= 1.0))
   }
+
+  test("perplexity buckets: every doc assigned, cuts honored per language") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.qualityPerplexityBuckets.run(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
+    val nDocs = Tables.df(spark, TestSpark.Sf, "documents").count()
+    assert(rows.length == nDocs, "bucketing dropped or duplicated documents")
+    assert(rows.map(_._4).toSet == Set("head", "middle", "tail"))
+    // within each language, every head doc outscores every tail doc
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val head = rs.filter(_._4 == "head").map(_._3)
+      val tail = rs.filter(_._4 == "tail").map(_._3)
+      assert(head.nonEmpty && tail.nonEmpty, s"$lang missing a bucket")
+      assert(head.min > tail.max,
+        s"$lang: head min ${head.min} <= tail max ${tail.max}")
+      // terciles: no bucket hogs the language (cut ties can skew thirds,
+      // but never past half on this fixture)
+      val frac = rs.groupBy(_._4).map(_._2.length.toDouble / rs.length)
+      assert(frac.forall(f => f > 0.1 && f < 0.6),
+        s"$lang bucket fractions off terciles: $frac")
+    }
+  }
 }
