@@ -191,6 +191,51 @@ object Approx {
       .toDF("g", "df", "cms_overestimates_ok")
   }
 
+  /** Shard count for the mergeable-sketch demonstration. */
+  val SketchShards = 32
+
+  /** Mergeable distinct-count sketches — the pattern that makes
+    * cardinality work at 100 TB: each shard builds a DataSketches HLL
+    * over ITS slice (`hll_sketch_agg`, one map-side-combined pass), the
+    * shard sketches union via `hll_union_agg` WITHOUT touching raw data
+    * again, and the merged estimate stands in for a global
+    * count-distinct whose exact form would shuffle every key. Register
+    * updates are max-based, so the merge is order- and
+    * partitioning-independent. The hash-compared surface is the exact
+    * count plus bound flags (the [[approxDistinct]] contract): the
+    * merged estimate and every per-shard estimate must land within
+    * [[DistinctEps]] of their exact counterparts. */
+  val approxMergeable: Q = Q.df(
+    "approx_distinct_mergeable",
+    s"""select cast(count(distinct user_id % $SketchShards) as bigint)
+       |    as n_shards,
+       |  cast(count(distinct user_id) as bigint) as exact_nd,
+       |  true as merged_within_eps,
+       |  true as shards_within_eps
+       |from events""".stripMargin) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+      .select(col("user_id"), (col("user_id") % SketchShards).as("shard"))
+    val per = ev.groupBy(col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        countDistinct(col("user_id")).as("ex"))
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+      .withColumn("ok",
+        abs(col("est") - col("ex")).cast("double")
+          / col("ex").cast("double") <= DistinctEps)
+    val merged = per.agg(
+      count(lit(1)).as("n_shards"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"),
+      min(when(col("ok"), 1L).otherwise(0L)).as("all_ok"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_nd"))
+    exact.crossJoin(broadcast(merged))
+      .select(col("n_shards"), col("exact_nd"),
+        (abs(col("merged_est") - col("exact_nd")).cast("double")
+          / col("exact_nd").cast("double") <= DistinctEps)
+          .as("merged_within_eps"),
+        (col("all_ok") === 1L).as("shards_within_eps"))
+  }
+
   val queries: Seq[Q] =
-    Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters)
+    Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
+      approxMergeable)
 }

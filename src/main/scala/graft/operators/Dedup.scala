@@ -1052,8 +1052,171 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  // ---- maximal duplicated spans (diagonal merge) --------------------------
+
+  /** Maximal shared token ranges between document pairs — the output
+    * Lee et al.'s suffix-array dedup produces, recovered here from the
+    * k-gram span index WITHOUT building a suffix array: a shared run of
+    * L ≥ k tokens appears in the positional index as L−k+1 consecutive
+    * (p1, p2) matches on one DIAGONAL (p1 − p2 constant), so merging
+    * consecutive p1 per (pair, diagonal) — the gaps-and-islands
+    * grouping — reconstructs every maximal run exactly. Output: one row
+    * per maximal run with both start offsets and its token length
+    * (always > k here: single unextended grams are suppressed as
+    * [[substringSpanPairs]] already counts those).
+    *
+    * Scale shape: positions join on the 8-byte span hash (df-capped by
+    * [[MaxSpanDf]] like every span index here), the islands window
+    * partitions by (pair, diagonal) — state bounded by one run, never
+    * corpus-sized — and nothing global is sorted or collected. */
+  def maximalSpans(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length - w + 1
+        if (n <= 0) Iterator.empty
+        else {
+          val th = toks.map(t => Text.fnv64(t) & Long.MaxValue)
+          (0 until n).iterator.map { i =>
+            var h = 0L
+            var j = i
+            while (j < i + w) {
+              h = (h * 31L + th(j)) & Long.MaxValue
+              j += 1
+            }
+            (id, i.toLong, h)
+          }
+        }
+      }
+      .toDF("doc_id", "p", "sp")
+    val ok = pos.groupBy(col("sp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df").between(2, MaxSpanDf))
+      .select(col("sp"))
+    val pj = pos.join(ok, "sp")
+    val m = pj.select(col("sp"), col("doc_id").as("d1"), col("p").as("p1"))
+      .join(pj.select(col("sp"), col("doc_id").as("d2"), col("p").as("p2")),
+        Seq("sp"))
+      .filter(col("d1") < col("d2"))
+    val grp = col("p1") - row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1")))
+    m.select(col("d1"), col("d2"), (col("p1") - col("p2")).as("diag"),
+        col("p1"))
+      .withColumn("grp", grp)
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(min(col("p1")).as("start1"),
+        (max(col("p1")) - min(col("p1")) + lit(w.toLong)).as("len_tokens"))
+      .filter(col("len_tokens") > w)
+      .select(col("d1"), col("d2"), col("start1"),
+        (col("start1") - col("diag")).as("start2"), col("len_tokens"))
+  }
+
+  private def maximalSpansOracle: String = {
+    val tokFnv = s"${Text.sqlFnv64("tok")} % 9223372036854775808::hugeint"
+    s"""with t as (select doc_id, string_split(text, ' ') as l from documents),
+       |th as (select doc_id, list_transform(l, tok -> $tokFnv) as hs from t),
+       |pos as (select doc_id, hs,
+       |  unnest(range(1, greatest(len(hs) - ${SpanTokens - 2}, 1))) as i
+       |  from th),
+       |spans as (select doc_id, cast(i - 1 as bigint) as p,
+       |  cast(list_reduce(
+       |    list_prepend(0::hugeint, hs[i : i + ${SpanTokens - 1}]),
+       |    (a, x) -> (a * 31 + x) % 9223372036854775808::hugeint)
+       |    as bigint) as sp
+       |  from pos),
+       |ok as (select sp from spans group by sp
+       |       having count(distinct doc_id) between 2 and $MaxSpanDf),
+       |pj as (select s.doc_id, s.p, s.sp from spans s join ok using (sp)),
+       |m as (select a.doc_id as d1, a.p as p1, b.doc_id as d2, b.p as p2
+       |      from pj a join pj b on a.sp = b.sp and a.doc_id < b.doc_id),
+       |g as (select d1, d2, p1 - p2 as diag, p1,
+       |        p1 - row_number() over (partition by d1, d2, p1 - p2
+       |                                order by p1) as grp
+       |      from m),
+       |runs as (select d1, d2, diag,
+       |           min(p1) as start1,
+       |           max(p1) - min(p1) + $SpanTokens as len_tokens
+       |         from g group by d1, d2, diag, grp)
+       |select d1, d2, cast(start1 as bigint) as start1,
+       |  cast(start1 - diag as bigint) as start2,
+       |  cast(len_tokens as bigint) as len_tokens
+       |from runs where len_tokens > $SpanTokens
+       |order by d1, d2, start1, start2""".stripMargin
+  }
+
+  val dedupMaximalSpans: Q = Q.df("dedup_span_maximal", maximalSpansOracle) {
+    (s, dir) =>
+      maximalSpans(Tables.df(s, dir, "documents"))
+        .orderBy(col("d1"), col("d2"), col("start1"), col("start2"))
+  }
+
+  // ---- canonical kept-corpus report ---------------------------------------
+
+  /** The dedup pass's ACTUAL deliverable: per source, how much of the
+    * corpus survives when each near-duplicate cluster keeps exactly one
+    * canonical document (the cluster's min doc_id — deterministic under
+    * any partitioning). One broadcast-scale join of the documents scan
+    * against [[dupClusters]]' (doc, cluster) relation plus a map-side
+    * combinable rollup; reuses the round-shared cluster relation so the
+    * CC iteration never reruns for this entry. */
+  def keepCanonicalReport(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(clusters, Seq("doc_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L))
+          .as("chars_kept"),
+        sum(when(col("kept"), 0L).otherwise(col("n_chars")))
+          .as("chars_dropped"))
+
+  val dedupKeepCanonical: Q = Q.df(
+    "dedup_keep_canonical",
+    s"""with recursive
+       |toks as (select doc_id, string_split(text, ' ') as t from documents),
+       |sh as (select distinct doc_id,
+       |         unnest(${Text.sqlTrigramList("t")}) as s
+       |       from toks),
+       |cnt as (select doc_id, count(*) as n from sh group by doc_id),
+       |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c
+       |           from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+       |           group by 1, 2),
+       |pairs as (
+       |  select d1, d2 from common
+       |  join cnt x on d1 = x.doc_id join cnt y on d2 = y.doc_id
+       |  where cast(c as double) / cast(x.n + y.n - c as double) >= $JaccardThreshold),
+       |edges as (select d1 as a, d2 as b from pairs
+       |          union select d2, d1 from pairs),
+       |reach(id, r) as (
+       |  select doc_id, doc_id from documents
+       |  union
+       |  select reach.id, e.b from reach join edges e on reach.r = e.a),
+       |cl as (select id as doc_id, min(r) as cluster_id from reach group by id)
+       |select source,
+       |  cast(count(*) as bigint) as n_docs,
+       |  cast(sum(case when doc_id = cluster_id then 1 else 0 end) as bigint)
+       |    as n_kept,
+       |  cast(sum(case when doc_id = cluster_id then 0 else 1 end) as bigint)
+       |    as n_dropped,
+       |  cast(sum(case when doc_id = cluster_id then n_chars else 0 end)
+       |    as bigint) as chars_kept,
+       |  cast(sum(case when doc_id = cluster_id then 0 else n_chars end)
+       |    as bigint) as chars_dropped
+       |from documents join cl using (doc_id)
+       |group by source order by source""".stripMargin) { (s, dir) =>
+    keepCanonicalReport(Tables.df(s, dir, "documents"),
+      sharedDupClusters(s, dir))
+      .orderBy(col("source"))
+  }
+
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
       dedupClusters, dedupContainment, dedupSubstring, dedupWinnow,
-      dedupClusterSizes, dedupMinhashSignatures, dedupIncrementalMinhash)
+      dedupClusterSizes, dedupMinhashSignatures, dedupIncrementalMinhash,
+      dedupMaximalSpans, dedupKeepCanonical)
 }

@@ -78,4 +78,12 @@ class ApproxSpec extends AnyFunSuite {
         s"estimate $est too far above df ${r.getLong(1)} for '${r.getString(0)}'")
     }
   }
+
+  test("mergeable HLL: shard union lands within eps of the exact count") {
+    val row = graft.operators.Approx.approxMergeable
+      .run(TestSpark.spark, TestSpark.Sf).collect().head
+    assert(row.getLong(0) >= 1 && row.getLong(1) >= row.getLong(0))
+    assert(row.getBoolean(2), "merged estimate outside eps")
+    assert(row.getBoolean(3), "a per-shard estimate outside eps")
+  }
 }

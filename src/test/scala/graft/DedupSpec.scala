@@ -254,4 +254,40 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_._2 == 0L),
       s"non-min labels: ${out.filter(_._2 != 0L).take(5).mkString(",")}")
   }
+
+  test("maximal spans: reported runs are real, equal, and maximal") {
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val toks = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val runs = Dedup.maximalSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(runs.nonEmpty, "fixture should contain extended duplicate runs")
+    runs.foreach { case (d1, d2, s1, s2, len) =>
+      val (t1, t2) = (toks(d1), toks(d2))
+      val a = t1.slice(s1.toInt, (s1 + len).toInt)
+      val b = t2.slice(s2.toInt, (s2 + len).toInt)
+      assert(len > Dedup.SpanTokens)
+      assert(a.sameElements(b), s"run ($d1,$d2,$s1,$s2,$len) tokens differ")
+      // maximal: the run cannot extend by one token on either side
+      val leftExtends = s1 > 0 && s2 > 0 &&
+        t1(s1.toInt - 1) == t2(s2.toInt - 1)
+      val rightExtends = s1 + len < t1.length && s2 + len < t2.length &&
+        t1((s1 + len).toInt) == t2((s2 + len).toInt)
+      assert(!leftExtends && !rightExtends,
+        s"run ($d1,$d2,$s1,$s2,$len) is not maximal")
+    }
+  }
+
+  test("keep-canonical report conserves documents and matches clusters") {
+    val rows = Dedup.dedupKeepCanonical.run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    assert(rows.map(_._2).sum == docs.count())
+    assert(rows.forall(r => r._2 == r._3 + r._4))
+    // kept total == number of distinct clusters
+    val nClusters = Dedup.sharedDupClusters(spark, TestSpark.Sf)
+      .select("cluster_id").distinct().count()
+    assert(rows.map(_._3).sum == nClusters)
+  }
 }
