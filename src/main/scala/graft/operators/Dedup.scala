@@ -1214,9 +1214,103 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  // ---- span excision (the corpus rewrite) ---------------------------------
+
+  /** The rewrite step Lee et al. apply after finding duplicate runs:
+    * every maximal duplicated span is EXCISED from the higher-doc_id
+    * copy (the lower doc keeps its text — same canonical direction as
+    * [[keepCanonicalReport]]), producing the deduplicated corpus a
+    * training run actually reads. Overlapping runs against different
+    * partners first merge into disjoint intervals per victim doc (one
+    * islands pass over a running interval max), then the covered token
+    * positions anti-join the victim's positional token stream and the
+    * survivors reassemble in position order.
+    *
+    * Scale shape: only AFFECTED docs are exploded positionally (a
+    * semi-join gates the explode), covered positions are bounded by the
+    * corpus's duplicated volume — not its size — and reassembly is a
+    * per-doc sort_array fold, state bounded by one document. Returns
+    * one row per rewritten doc. */
+  def exciseSpans(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(
+      win.rowsBetween(Long.MinValue, -1))
+    val merged = maximalSpans(docs, w)
+      .select(col("d2").as("doc_id"), col("start2").as("s"),
+        (col("start2") + col("len_tokens")).as("e"))
+      .withColumn("nw",
+        when(col("s") > coalesce(prevMax, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("nw")).over(
+        win.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val cov = merged.select(col("doc_id"),
+      explode(sequence(col("ms"), col("me") - 1)).as("pos"))
+    val covStat = cov.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    val toks = docs.join(covStat.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("pos"), col("tok"))))
+          .as("ps"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(transform(col("ps"), p => p.getField("tok")), " ")
+          .as("new_text"))
+    covStat.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_removed"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
+  private def exciseOracle: String = {
+    val runs = maximalSpansOracle
+    // reuse the maximal-runs oracle as a subquery, then merge + excise
+    s"""with runs as (select * from ($runs) r),
+       |v as (select d2 as doc_id, start2 as s,
+       |        start2 + len_tokens as e from runs),
+       |mk as (select doc_id, s, e,
+       |  case when s > coalesce(max(e) over (partition by doc_id
+       |      order by s, e rows between unbounded preceding
+       |      and 1 preceding), -1) then 1 else 0 end as nw
+       |  from v),
+       |mg as (select doc_id, s, e,
+       |  sum(nw) over (partition by doc_id order by s, e
+       |                rows unbounded preceding) as grp from mk),
+       |ivl as (select doc_id, min(s) as ms, max(e) as me
+       |        from mg group by doc_id, grp),
+       |cov as (select doc_id, unnest(range(ms, me)) as pos from ivl),
+       |cstat as (select doc_id, cast(count(*) as bigint) as n_removed
+       |          from cov group by doc_id),
+       |t as (select doc_id, string_split(text, ' ') as l from documents
+       |      where doc_id in (select doc_id from cstat)),
+       |tokp as (select doc_id, l, unnest(range(1, len(l) + 1)) as i from t),
+       |tk as (select doc_id, cast(i - 1 as bigint) as pos, l[i] as tok
+       |       from tokp),
+       |kept as (select tk.doc_id, tk.pos, tk.tok from tk
+       |         where not exists (select 1 from cov c
+       |           where c.doc_id = tk.doc_id and c.pos = tk.pos)),
+       |outp as (select doc_id, cast(count(*) as bigint) as n_kept,
+       |           string_agg(tok, ' ' order by pos) as new_text
+       |         from kept group by doc_id)
+       |select c.doc_id, coalesce(o.n_kept, 0) as n_kept, c.n_removed,
+       |  coalesce(o.new_text, '') as new_text
+       |from cstat c left join outp o using (doc_id)
+       |order by c.doc_id""".stripMargin
+  }
+
+  val dedupExcise: Q = Q.df("dedup_span_excise", exciseOracle) { (s, dir) =>
+    exciseSpans(Tables.df(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
       dedupClusters, dedupContainment, dedupSubstring, dedupWinnow,
       dedupClusterSizes, dedupMinhashSignatures, dedupIncrementalMinhash,
-      dedupMaximalSpans, dedupKeepCanonical)
+      dedupMaximalSpans, dedupKeepCanonical, dedupExcise)
 }

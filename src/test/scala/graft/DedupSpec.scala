@@ -279,6 +279,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("span excision conserves tokens and removes the reported runs") {
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length).toMap
+    val rows = Dedup.exciseSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, kept, removed, text) =>
+      assert(kept + removed == orig(id),
+        s"doc $id: $kept kept + $removed removed != ${orig(id)}")
+      val n = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(n == kept, s"doc $id: new_text has $n tokens, reported $kept")
+      assert(removed > Dedup.SpanTokens,
+        s"doc $id removed $removed <= span width")
+    }
+    // only victim docs (the d2 side of some run) get rewritten
+    val victims = Dedup.maximalSpans(docs).select("d2").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == victims)
+  }
+
   test("keep-canonical report conserves documents and matches clusters") {
     val rows = Dedup.dedupKeepCanonical.run(spark, TestSpark.Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
