@@ -626,8 +626,88 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  /** Single mean-shift changepoint per event type (binary segmentation's
+    * first split, the Pettitt-style alternative to [[eventsAnomaly]]'s
+    * per-day spikes): over each type's daily-count series, every split
+    * point i is scored |mean(1..i) − mean(i+1..n)| · √(i(n−i)/n) — the
+    * standardized two-sample mean difference — and the argmax is the
+    * detected break. A spike is one outlying day; a changepoint is a
+    * LEVEL change (deploy, pricing change, bot onset) that a spike rule
+    * never fires on.
+    *
+    * Scale shape: one running-sum window and one argmax window per
+    * type — state bounded by a series, no global sort, no iteration.
+    * Means derive from exact integer prefix sums; both engines evaluate
+    * the identical double formula (IEEE division/sqrt are correctly
+    * rounded), so the argmax ordering agrees and only the surface is
+    * rounded. Ties break on the earlier day. */
+  def changepoints(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val whole = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("i", row_number().over(byDay).cast("long"))
+      .withColumn("pre",
+        sum(col("cnt")).over(byDay.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("tot", sum(col("cnt")).over(whole))
+      .filter(col("i") < col("n"))
+      .withColumn("mb", col("pre").cast("double") / col("i").cast("double"))
+      .withColumn("ma", (col("tot") - col("pre")).cast("double")
+        / (col("n") - col("i")).cast("double"))
+      .withColumn("score", abs(col("mb") - col("ma"))
+        * sqrt((col("i") * (col("n") - col("i"))).cast("double")
+          / col("n").cast("double")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("score").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        round(col("mb"), 6).as("mean_before"),
+        round(col("ma"), 6).as("mean_after"),
+        round(col("score"), 6).as("score"))
+  }
+
+  val eventsChangepoint: Q = Q.df(
+    "events_changepoint",
+    """with daily as (
+      |  select event_type, cast(ts as date) as day,
+      |    cast(count(*) as bigint) as cnt
+      |  from events group by event_type, cast(ts as date)),
+      |ord as (
+      |  select event_type, day, cnt,
+      |    cast(row_number() over (partition by event_type order by day)
+      |      as bigint) as i,
+      |    sum(cnt) over (partition by event_type order by day
+      |      rows between unbounded preceding and current row) as pre,
+      |    cast(count(*) over (partition by event_type) as bigint) as n,
+      |    sum(cnt) over (partition by event_type) as tot
+      |  from daily),
+      |scored as (
+      |  select event_type, day,
+      |    cast(pre as double) / cast(i as double) as mb,
+      |    cast(tot - pre as double) / cast(n - i as double) as ma,
+      |    abs(cast(pre as double) / cast(i as double)
+      |      - cast(tot - pre as double) / cast(n - i as double))
+      |      * sqrt(cast(i * (n - i) as double) / cast(n as double)) as score
+      |  from ord where i < n)
+      |select event_type, day as change_day,
+      |  round(mb, 6) as mean_before, round(ma, 6) as mean_after,
+      |  round(score, 6) as score
+      |from (select *, row_number() over (partition by event_type
+      |        order by score desc, day) as rk from scored) t
+      |where rk = 1 order by event_type""".stripMargin) { (s, dir) =>
+    changepoints(Tables.df(s, dir, "events")).orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
-    eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks)
+    eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks,
+    eventsChangepoint)
 }

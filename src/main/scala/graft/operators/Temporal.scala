@@ -271,7 +271,91 @@ object Temporal {
       .orderBy(col("p_event_id"))
   }
 
+  /** Linear-interpolation resample over [[gapFill]]'s dense grid — the
+    * fill a downstream model wants when "no observation" means "the
+    * level persisted", not "zero": each gap day takes the straight line
+    * between its nearest observed neighbors (prev-only at the right
+    * edge, next-only at the left). The neighbor lookup is the two-window
+    * IGNORE NULLS trick — last_value over the preceding frame, first
+    * over the following — so each per-type series is one partitioned
+    * sort, state bounded by the series, nothing global.
+    *
+    * Determinism: observed inputs are exact integer counts; both
+    * engines evaluate the identical prev + (next−prev)·frac double
+    * expression, rounded at the surface. */
+  def interpResample(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = gapFill(events)
+      .withColumn("obs", when(col("is_gap"), lit(null)).otherwise(col("cnt")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val prevW = w.rowsBetween(Window.unboundedPreceding, 0)
+    val nextW = w.rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("obs").isNotNull, col("day"))
+    dense
+      .withColumn("pv", last(col("obs"), ignoreNulls = true).over(prevW))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(prevW))
+      .withColumn("nv", first(col("obs"), ignoreNulls = true).over(nextW))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(nextW))
+      .select(col("event_type"), col("day"), col("is_gap"),
+        round(
+          when(col("pv").isNull, col("nv").cast("double"))
+            .when(col("nv").isNull, col("pv").cast("double"))
+            .when(col("nd") === col("pd"), col("pv").cast("double"))
+            .otherwise(col("pv").cast("double")
+              + (col("nv") - col("pv")).cast("double")
+                * datediff(col("day"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd")).cast("double")),
+          6).as("v_interp"))
+  }
+
+  val tsInterp: Q = Q.df(
+    "ts_resample_interp",
+    s"""with daily as (
+       |  select event_type, cast(ts as date) as day,
+       |    cast(count(*) as bigint) as n
+       |  from events where value >= $GapValueMin
+       |  group by event_type, cast(ts as date)),
+       |cal as (select unnest(generate_series(
+       |    (select min(cast(ts as date)) from events),
+       |    (select max(cast(ts as date)) from events),
+       |    interval 1 day))::date as day),
+       |types as (select distinct event_type from events),
+       |dense as (
+       |  select t.event_type, cal.day, daily.n as obs,
+       |    daily.n is null as is_gap
+       |  from types t cross join cal
+       |  left join daily on daily.event_type = t.event_type
+       |    and daily.day = cal.day),
+       |nb as (
+       |  select event_type, day, is_gap,
+       |    last_value(obs ignore nulls) over (partition by event_type
+       |      order by day rows between unbounded preceding
+       |      and current row) as pv,
+       |    last_value(case when obs is not null then day end ignore nulls)
+       |      over (partition by event_type order by day
+       |            rows between unbounded preceding and current row) as pd,
+       |    first_value(obs ignore nulls) over (partition by event_type
+       |      order by day rows between current row
+       |      and unbounded following) as nv,
+       |    first_value(case when obs is not null then day end ignore nulls)
+       |      over (partition by event_type order by day
+       |            rows between current row and unbounded following) as nd
+       |  from dense)
+       |select event_type, day, is_gap,
+       |  round(case
+       |    when pv is null then cast(nv as double)
+       |    when nv is null then cast(pv as double)
+       |    when nd = pd then cast(pv as double)
+       |    else cast(pv as double)
+       |      + cast(nv - pv as double)
+       |        * cast(day - pd as double) / cast(nd - pd as double)
+       |    end, 6) as v_interp
+       |from nb order by event_type, day""".stripMargin) { (s, dir) =>
+    interpResample(Tables.df(s, dir, "events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Seq[Q] =
     Seq(asofPurchaseView, asofNativeQ, rangeViewPurchase, tsGapFill,
-      asofNearestQ)
+      asofNearestQ, tsInterp)
 }

@@ -23,6 +23,29 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint lands on a constructed level shift") {
+    import spark.implicits._
+    val day = 86400L
+    // 10 days at 2 events/day, then 10 days at 8/day: the mean-shift
+    // argmax must be the last low day (split i=10, day index 9)
+    val rows = (0 until 20).flatMap { d =>
+      val perDay = if (d < 10) 2 else 8
+      (0 until perDay).map(k =>
+        (d.toLong * 100 + k, d * day + k, 1L, "X", 1.0))
+    }
+    val ev = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id",
+        "cast(timestamp_seconds(sec) as timestamp) as ts",
+        "user_id", "event_type", "value")
+    val out = Analytics.changepoints(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(1).toLocalDate.getDayOfMonth == 10,
+      s"change day ${r.getDate(1)} should be the 10th low day (1970-01-10)")
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 8.0,
+      s"means ${r.getDouble(2)}/${r.getDouble(3)} should be 2/8")
+  }
+
   test("windowed funnel never advances a user past the unbounded funnel") {
     val unb = Analytics.funnelConversion(events).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap

@@ -84,4 +84,25 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L), (1L, 3L), (5L, 3L), (5L, 4L), (5L, 6L)))
   }
+
+  test("interp resample: observed days exact, gaps on the straight line") {
+    val day = 86400L
+    // type A observed on days 0, 1, 4 (counts 2, 3, 9): days 2 and 3 are
+    // gaps on the line 3 → 9, i.e. 5.0 and 7.0
+    val ev = events(
+      (1L, 0L, 1L, "A", 200.0), (2L, 10L, 1L, "A", 200.0),
+      (3L, day, 1L, "A", 200.0), (4L, day + 1, 1L, "A", 200.0),
+      (5L, day + 2, 1L, "A", 200.0),
+      (6L, 4 * day, 1L, "A", 200.0), (7L, 4 * day + 1, 1L, "A", 200.0),
+      (8L, 4 * day + 2, 1L, "A", 200.0), (9L, 4 * day + 3, 1L, "A", 200.0),
+      (10L, 4 * day + 4, 1L, "A", 200.0), (11L, 4 * day + 5, 1L, "A", 200.0),
+      (12L, 4 * day + 6, 1L, "A", 200.0), (13L, 4 * day + 7, 1L, "A", 200.0),
+      (14L, 4 * day + 8, 1L, "A", 200.0))
+    val out = Temporal.interpResample(ev)
+      .orderBy($"day").collect()
+      .map(r => (r.getBoolean(2), r.getDouble(3)))
+    assert(out.length == 5)
+    assert(out.map(_._2).toSeq == Seq(2.0, 3.0, 5.0, 7.0, 9.0))
+    assert(out.map(_._1).toSeq == Seq(false, false, true, true, false))
+  }
 }
