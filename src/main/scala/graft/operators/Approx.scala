@@ -235,7 +235,46 @@ object Approx {
         (col("all_ok") === 1L).as("shards_within_eps"))
   }
 
+  /** EXACT mergeable distinct counts via fixed-width bitmaps — the
+    * dense-ID-space sibling of [[approxMergeable]]: when keys are dense
+    * integers (user ids, product ids), `bitmap_construct_agg` packs each
+    * 32768-wide bucket's membership into one binary value, buckets merge
+    * with a byte-OR (`bitmap_or_agg`, order/partitioning-independent),
+    * and `bitmap_count` reads the cardinality back — a count-distinct
+    * whose shuffle carries |keys|/8 bytes per group instead of every
+    * occurrence, and which (unlike HLL) is exact, so the oracle is plain
+    * `count(distinct …)` equality, not an eps bound. Per-type counts
+    * plus an 'ALL' row whose bitmaps are the per-type bitmaps OR-merged
+    * AGAIN — proving the merge path, not just the single-level
+    * aggregation. ids shift by +1 (bitmap positions are 1-based). */
+  val bitmapDistinct: Q = Q.df(
+    "agg_bitmap_distinct",
+    """select event_type, cast(count(distinct user_id) as bigint) as nd
+      |from events group by event_type
+      |union all
+      |select 'ALL' as event_type, cast(count(distinct user_id) as bigint)
+      |from events
+      |order by event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+      .select(col("event_type"), (col("user_id") + 1).as("uid"))
+    val perBucket = ev
+      .select(col("event_type"),
+        bitmap_bucket_number(col("uid")).as("bkt"),
+        bitmap_bit_position(col("uid")).as("pos"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(bitmap_construct_agg(col("pos")).as("bm"))
+    val perType = perBucket.groupBy(col("event_type"))
+      .agg(sum(bitmap_count(col("bm"))).as("nd"))
+    val overall = perBucket.groupBy(col("bkt"))
+      .agg(bitmap_or_agg(col("bm")).as("bm"))
+      .agg(sum(bitmap_count(col("bm"))).as("nd"))
+      .select(lit("ALL").as("event_type"), col("nd"))
+    perType.unionByName(overall)
+      .select(col("event_type"), col("nd").cast("long").as("nd"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] =
     Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
-      approxMergeable)
+      approxMergeable, bitmapDistinct)
 }

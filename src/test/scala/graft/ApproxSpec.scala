@@ -79,6 +79,22 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap distinct: exact equality and the ALL row is the OR-merge") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Approx.bitmapDistinct
+      .run(TestSpark.spark, TestSpark.Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.df(TestSpark.spark, TestSpark.Sf, "events")
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, nd) => assert(rows(t) == nd, s"type $t") }
+    val all = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows("ALL") == all)
+    // ALL <= sum of per-type (users active in several types counted once)
+    assert(rows("ALL") <= exact.values.sum)
+  }
+
   test("mergeable HLL: shard union lands within eps of the exact count") {
     val row = graft.operators.Approx.approxMergeable
       .run(TestSpark.spark, TestSpark.Sf).collect().head
