@@ -1034,9 +1034,189 @@ object Corpus {
     dsirWeights(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
   }
 
+  // ---- water-filling per-source quotas ------------------------------------
+
+  /** Numerator/denominator of the global budget as a fraction of corpus
+    * tokens: B = 6·total ÷ 10 (integer, exact at every scale). */
+  val WaterfillNum = 6L
+  val WaterfillDen = 10L
+
+  /** Water-filling quota allocation — the closed-form answer to "split
+    * budget B across sources, never giving a source more than it has":
+    * sources smaller than the water level keep everything; the rest are
+    * capped AT the level, which is (remaining budget)/(remaining
+    * sources) at the first source that would overflow. Found without
+    * iteration: sort sources by size, prefix-sum, and the level is the
+    * first candidate Lᵢ = (B − P₍ᵢ₋₁₎)/(n−i+1) with sizeᵢ > Lᵢ.
+    *
+    * Scale shape: the fact-scale work is ONE map-side-combined groupBy
+    * (per-source token totals); everything after runs on the
+    * |sources|-row aggregate — the unpartitioned windows there are
+    * bounded by the source COUNT, a model-sized quantity (same contract
+    * as the IVF centroid table), not by corpus size. */
+  def waterfillQuota(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs
+      .select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("nt"))
+    // |sources|-row frame: bounded window state (see scaladoc)
+    val bySize = Window.orderBy(col("nt"), col("source"))
+    val ord = per
+      .withColumn("i", row_number().over(bySize).cast("long"))
+      .withColumn("p", coalesce(
+        sum(col("nt")).over(bySize.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))).cast("long"))
+      .withColumn("tot", sum(col("nt")).over(Window.partitionBy(lit(1))))
+      .withColumn("b", (lit(WaterfillNum) * col("tot")) / lit(WaterfillDen))
+      .withColumn("b", floor(col("b")).cast("long"))
+      .withColumn("li", (col("b") - col("p")).cast("double")
+        / (col("n") - col("i") + 1L).cast("double"))
+    val level = ord.filter(col("nt").cast("double") > col("li"))
+      .agg(min(struct(col("i"), col("li"))).as("m"))
+      .select(coalesce(col("m.li"), lit(1e18d)).as("level"))
+    ord.crossJoin(broadcast(level))
+      .select(col("source"), col("nt").as("n_tokens"),
+        least(col("nt"), floor(col("level")).cast("long"))
+          .as("alloc_tokens"),
+        (col("nt").cast("double") > col("level")).as("capped"))
+  }
+
+  private def waterfillOracle: String =
+    s"""with per as (select source,
+       |  cast(sum(len(string_split(text, ' '))) as bigint) as nt
+       |  from documents group by source),
+       |ord as (select source, nt,
+       |  cast(row_number() over (order by nt, source) as bigint) as i,
+       |  coalesce(sum(nt) over (order by nt, source
+       |    rows between unbounded preceding and 1 preceding), 0) as p,
+       |  cast(count(*) over () as bigint) as n,
+       |  sum(nt) over () as tot
+       |  from per),
+       |lv as (select *,
+       |  cast(($WaterfillNum * tot) // $WaterfillDen - p as double)
+       |    / cast(n - i + 1 as double) as li
+       |  from ord),
+       |level as (select coalesce(min(li) filter (where cast(nt as double) > li
+       |  and i = (select min(i) from lv where cast(nt as double) > li)),
+       |  1e18) as l from lv)
+       |select source, nt as n_tokens,
+       |  least(nt, cast(floor(l) as bigint)) as alloc_tokens,
+       |  cast(nt as double) > l as capped
+       |from lv cross join level
+       |order by source""".stripMargin
+
+  val waterfillQ: Q = Q.df("sample_quota_waterfill", waterfillOracle) {
+    (s, dir) =>
+      waterfillQuota(Tables.df(s, dir, "documents")).orderBy(col("source"))
+  }
+
+  // ---- per-source KL drift over the heavy-hitter vocabulary ---------------
+
+  /** Heavy-hitter vocabulary size for the KL computation. */
+  val KlTopK = 128
+
+  /** Per-source distribution drift: KL(source ‖ corpus) in bits over the
+    * [[KlTopK]] globally-heaviest tokens plus one OTHER residual bucket —
+    * the bounded form that keeps the sum deterministic AND corpus-scale
+    * safe: restricting to a fixed vocabulary bounds each source's term
+    * list at K+1 entries, so the per-source Σ p·log₂(p/q) folds over a
+    * SORTED bounded list (the [[TextAnalysis.textEntropy]] contract)
+    * instead of an unbounded, order-sensitive float reduction. Zero
+    * source-side counts contribute zero (0·log 0 := 0), so the sum
+    * skips them. High KL = the source's token mix diverges from the
+    * corpus (template spam, other-language leak, boilerplate).
+    *
+    * Scale shape: one global count table → top-K via a K-row
+    * TakeOrdered; per-source counts equi-join the BROADCAST hh list;
+    * residuals come from per-source totals — all map-side combinable,
+    * nothing driver-sized but the K-row vocabulary itself. */
+  def klDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("source"),
+      explode(split(col("text"), " ", -1)).as("tok"))
+    val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
+    val hh = global.orderBy(col("cg").desc, col("tok")).limit(KlTopK)
+    val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("ts"))
+    val gtot = global.agg(sum(col("cg")).as("t"))
+    val srcHh = toks.join(broadcast(hh), Seq("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"), first(col("cg")).as("cg"))
+    val hhSums = srcHh.groupBy(col("source"))
+      .agg(sum(col("cs")).as("hh_cs"))
+    val hhG = hh.agg(sum(col("cg")).as("hh_cg"))
+    // residual OTHER bucket per source (may be zero)
+    val other = totals.join(hhSums, Seq("source"), "left")
+      .crossJoin(broadcast(hhG))
+      .crossJoin(broadcast(gtot))
+      .select(col("source"), lit(" OTHER").as("tok"),
+        (col("ts") - coalesce(col("hh_cs"), lit(0L))).as("cs"),
+        (col("t") - col("hh_cg")).as("cg"))
+      .filter(col("cs") > 0)
+    val terms = srcHh.select(col("source"), col("tok"), col("cs"), col("cg"))
+      .unionByName(other)
+      .join(totals, Seq("source"))
+      .crossJoin(broadcast(gtot))
+      .select(col("source"), col("tok"), col("ts"),
+        ((col("cs").cast("double") / col("ts").cast("double"))
+          * (log2(col("cs").cast("double") * col("t").cast("double"))
+            - log2(col("cg").cast("double") * col("ts").cast("double"))))
+          .as("term"))
+    terms.groupBy(col("source"))
+      .agg(first(col("ts")).as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("term"))))
+          .as("tl"))
+      .select(col("source"), col("n_tokens"),
+        round(aggregate(col("tl"), lit(0.0d),
+          (acc, x) => acc + x.getField("term")), 6).as("kl_bits"))
+  }
+
+  private def klOracle: String =
+    s"""with tok as (select source, unnest(string_split(text, ' ')) as tok
+       |             from documents),
+       |global as (select tok, cast(count(*) as bigint) as cg
+       |           from tok group by tok),
+       |hh as (select tok, cg from global
+       |       order by cg desc, tok limit $KlTopK),
+       |totals as (select source, cast(count(*) as bigint) as ts
+       |           from tok group by source),
+       |gtot as (select cast(sum(cg) as bigint) as t from global),
+       |srchh as (select source, tok.tok, cast(count(*) as bigint) as cs,
+       |            first(hh.cg) as cg
+       |          from tok join hh using (tok) group by source, tok.tok),
+       |hhsums as (select source, cast(sum(cs) as bigint) as hh_cs
+       |           from srchh group by source),
+       |hhg as (select cast(sum(cg) as bigint) as hh_cg from hh),
+       |other as (select t2.source, ' OTHER' as tok,
+       |    t2.ts - coalesce(h.hh_cs, 0) as cs, g.t - hhg.hh_cg as cg
+       |  from totals t2 left join hhsums h using (source)
+       |  cross join gtot g cross join hhg
+       |  where t2.ts - coalesce(h.hh_cs, 0) > 0),
+       |terms as (
+       |  select u.source, u.tok, t3.ts,
+       |    (cast(u.cs as double) / cast(t3.ts as double))
+       |      * (log2(cast(u.cs as double) * cast(g.t as double))
+       |         - log2(cast(u.cg as double) * cast(t3.ts as double)))
+       |      as term
+       |  from (select source, tok, cs, cg from srchh
+       |        union all by name select source, tok, cs, cg from other) u
+       |  join totals t3 using (source) cross join gtot g),
+       |agg as (select source, first(ts) as n_tokens,
+       |          list_sort(list({'tok': tok, 'term': term})) as tl
+       |        from terms group by source)
+       |select source, n_tokens,
+       |  round(list_reduce(list_prepend(0.0, list_transform(tl, x -> x.term)),
+       |          (acc, x) -> acc + x), 6) as kl_bits
+       |from agg order by source""".stripMargin
+
+  val klDriftQ: Q = Q.df("corpus_kl_drift", klOracle) { (s, dir) =>
+    klDrift(Tables.df(s, dir, "documents")).orderBy(col("source"))
+  }
+
   val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
     sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,
-    lengthHistogram, samplePpswor, dsirWeightsQ)
+    lengthHistogram, samplePpswor, dsirWeightsQ, waterfillQ, klDriftQ)
 }

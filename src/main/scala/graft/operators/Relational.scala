@@ -1480,6 +1480,45 @@ object Relational {
   /** Interval-based RANGE frame: a sliding 30-day window keyed on the
     * ORDER BY date value (peers included by value, not row position) —
     * deterministic even under order-date ties. */
+  /** Rolling exact median over a trailing 7-row frame — the smoother an
+    * anomaly pipeline prefers over a rolling MEAN (one spike day drags a
+    * mean for a week; a median shrugs it off). Spark refuses a frame on
+    * `median`/`percentile` window aggregates, so the Spark side sorts
+    * the ≤7-element frame via collect_list — bounded by the frame
+    * width, not the series — and indexes the middle; DuckDB runs its
+    * native framed median. With integer daily counts the
+    * even-cardinality interpolation is an exact x.5 double, so the
+    * surface needs no rounding. Per-type partitioned frames:
+    * series-parallel at any scale. */
+  val windowRollingMedian: Q = Q.df(
+    "window_rolling_median",
+    """with daily as (
+      |  select event_type, cast(ts as date) as day,
+      |    cast(count(*) as bigint) as cnt
+      |  from events group by event_type, cast(ts as date))
+      |select event_type, day, cnt,
+      |  median(cnt) over (partition by event_type order by day
+      |    rows between 6 preceding and current row) as med7
+      |from daily order by event_type, day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.df(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    val arr = sort_array(collect_list(col("cnt")).over(w7))
+    val n = size(arr)
+    val med = when(n % 2 === 1,
+      element_at(arr, ((n + 1) / 2).cast("int")).cast("double"))
+      .otherwise((element_at(arr, (n / 2).cast("int"))
+        + element_at(arr, (n / 2).cast("int") + 1))
+        .cast("double") / 2.0d)
+    daily.select(col("event_type"), col("day"), col("cnt"),
+        med.as("med7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val windowRangeFrame: Q = Q.shared(
     "window_range_frame",
     """select o_custkey, o_orderkey,
@@ -1754,5 +1793,5 @@ object Relational {
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
     windowRangeFrame, windowDistribution, windowNtile, aggBitwise,
-    aggGroupingId, sortNullsPlacement, exprHigherOrder)
+    aggGroupingId, sortNullsPlacement, exprHigherOrder, windowRollingMedian)
 }

@@ -84,6 +84,39 @@ class CorpusSpec extends AnyFunSuite {
       s"expected broadcast anti join in:\n$plan")
   }
 
+  test("waterfill: budget respected, small sources whole, one level") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.df(spark, TestSpark.Sf, "documents")
+    val rows = Corpus.waterfillQuota(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val total = rows.map(_._2).sum
+    val budget = Corpus.WaterfillNum * total / Corpus.WaterfillDen
+    val alloc = rows.map(_._3).sum
+    // never over budget, and the floor loses at most one token per source
+    assert(alloc <= budget, s"alloc $alloc > budget $budget")
+    assert(budget - alloc <= rows.length + rows.map(_._2).max,
+      s"budget under-used: $alloc of $budget")
+    // uncapped sources keep everything; capped sources share one level
+    rows.foreach { case (src, nt, al, capped) =>
+      if (!capped) assert(al == nt, s"$src uncapped but trimmed")
+      else assert(al < nt, s"$src capped but kept all")
+    }
+    val levels = rows.filter(_._4).map(_._3).distinct
+    assert(levels.length <= 1, s"capped sources at levels $levels")
+    // a 60% budget on this fixture must actually cap someone
+    assert(rows.exists(_._4), "no source capped — budget not binding")
+  }
+
+  test("KL drift: non-negative for every source, zero only for a clone") {
+    val rows = Corpus.klDrift(Tables.df(spark, TestSpark.Sf, "documents"))
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (src, kl) =>
+      assert(kl >= 0.0, s"$src KL $kl negative — support mismatch")
+    }
+    assert(rows.exists(_._2 > 0.0), "all sources identical to corpus")
+  }
+
   test("DSIR weights: target excluded, selection quartile, target affinity") {
     import org.apache.spark.sql.functions._
     val docs = Tables.df(spark, TestSpark.Sf, "documents")
