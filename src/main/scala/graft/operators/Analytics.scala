@@ -705,9 +705,140 @@ object Analytics {
     changepoints(Tables.df(s, dir, "events")).orderBy(col("event_type"))
   }
 
+  /** Day-of-week seasonality profile + seasonally-adjusted series: each
+    * (type, day) count minus its type's mean for that WEEKDAY — the
+    * de-seasonalization step before trend/anomaly work on traffic with
+    * a weekly rhythm. The profile is a |types|×7-row broadcast
+    * aggregate; adjustment is one broadcast join back onto the daily
+    * series. Means are exact-integer sums over exact counts divided
+    * once — the same cross-engine double contract as
+    * [[eventsChangepoint]]. dayofweek is ISO (1=Monday) in both
+    * engines via the shared isodow/ISO expression. */
+  def seasonality(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("extract(dayofweek_iso from day)").cast("long"))
+    val profile = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("dow"),
+        (col("s").cast("double") / col("n").cast("double")).as("dow_mean"))
+    daily.join(broadcast(profile), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("dow_mean"), 6).as("dow_mean"),
+        round(col("cnt").cast("double") - col("dow_mean"), 6).as("adjusted"))
+  }
+
+  val eventsSeasonality: Q = Q.df(
+    "events_seasonality",
+    """with daily as (
+      |  select event_type, cast(ts as date) as day,
+      |    cast(count(*) as bigint) as cnt
+      |  from events group by event_type, cast(ts as date)),
+      |d2 as (select *, cast(isodow(day) as bigint) as dow from daily),
+      |profile as (
+      |  select event_type, dow,
+      |    cast(sum(cnt) as double) / cast(count(*) as double) as dow_mean
+      |  from d2 group by event_type, dow)
+      |select d2.event_type, day, cnt,
+      |  round(dow_mean, 6) as dow_mean,
+      |  round(cast(cnt as double) - dow_mean, 6) as adjusted
+      |from d2 join profile using (event_type, dow)
+      |order by event_type, day""".stripMargin) { (s, dir) =>
+    seasonality(Tables.df(s, dir, "events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** A/B lift readout — the experiment-analysis primitive: users split
+    * into control/treatment by a deterministic hash of user_id (the
+    * assignment every experimentation platform derives, reproducible
+    * across reruns), per-user purchase counts compared between arms.
+    * Output per event type: arm means, absolute lift, relative lift,
+    * and the z-statistic from the two-sample variance — all from five
+    * exact integer sums per (type, arm), one map-side-combined
+    * aggregation over the fact table, divided/rooted once at the
+    * surface (the cross-engine double contract). */
+  def abLift(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("event_type"), col("user_id"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("arm", (col("user_id") * lit(2654435761L)) % lit(4294967296L)
+        % lit(2L))
+    val arms = perUser.groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+    val c = arms.filter(col("arm") === 0)
+      .select(col("event_type"), col("n").as("nc"), col("s1").as("sc"),
+        col("s2").as("qc"))
+    val t = arms.filter(col("arm") === 1)
+      .select(col("event_type"), col("n").as("nt"), col("s1").as("st"),
+        col("s2").as("qt"))
+    c.join(t, Seq("event_type"))
+      .select(col("event_type"), col("nc"), col("nt"),
+        round(col("sc").cast("double") / col("nc").cast("double"), 6)
+          .as("mean_c"),
+        round(col("st").cast("double") / col("nt").cast("double"), 6)
+          .as("mean_t"),
+        round(col("st").cast("double") / col("nt").cast("double")
+          - col("sc").cast("double") / col("nc").cast("double"), 6)
+          .as("lift_abs"),
+        round((col("st").cast("double") / col("nt").cast("double"))
+          / (col("sc").cast("double") / col("nc").cast("double")) - 1.0d, 6)
+          .as("lift_rel"),
+        round((col("st").cast("double") / col("nt").cast("double")
+          - col("sc").cast("double") / col("nc").cast("double"))
+          / sqrt(
+            (col("qc").cast("double") / col("nc").cast("double")
+              - (col("sc").cast("double") / col("nc").cast("double"))
+                * (col("sc").cast("double") / col("nc").cast("double")))
+              / col("nc").cast("double")
+            + (col("qt").cast("double") / col("nt").cast("double")
+              - (col("st").cast("double") / col("nt").cast("double"))
+                * (col("st").cast("double") / col("nt").cast("double")))
+              / col("nt").cast("double")), 6).as("z_stat"))
+  }
+
+  val eventsAbLift: Q = Q.df(
+    "events_ab_lift",
+    """with pu as (
+      |  select event_type, user_id, cast(count(*) as bigint) as x
+      |  from events group by event_type, user_id),
+      |armed as (select *,
+      |  (user_id * 2654435761) % 4294967296 % 2 as arm from pu),
+      |arms as (
+      |  select event_type, arm, cast(count(*) as bigint) as n,
+      |    cast(sum(x) as bigint) as s1, cast(sum(x * x) as bigint) as s2
+      |  from armed group by event_type, arm)
+      |select c.event_type, c.n as nc, t.n as nt,
+      |  round(cast(c.s1 as double) / cast(c.n as double), 6) as mean_c,
+      |  round(cast(t.s1 as double) / cast(t.n as double), 6) as mean_t,
+      |  round(cast(t.s1 as double) / cast(t.n as double)
+      |    - cast(c.s1 as double) / cast(c.n as double), 6) as lift_abs,
+      |  round((cast(t.s1 as double) / cast(t.n as double))
+      |    / (cast(c.s1 as double) / cast(c.n as double)) - 1.0, 6)
+      |    as lift_rel,
+      |  round((cast(t.s1 as double) / cast(t.n as double)
+      |      - cast(c.s1 as double) / cast(c.n as double))
+      |    / sqrt(
+      |      (cast(c.s2 as double) / cast(c.n as double)
+      |        - (cast(c.s1 as double) / cast(c.n as double))
+      |          * (cast(c.s1 as double) / cast(c.n as double)))
+      |        / cast(c.n as double)
+      |      + (cast(t.s2 as double) / cast(t.n as double)
+      |        - (cast(t.s1 as double) / cast(t.n as double))
+      |          * (cast(t.s1 as double) / cast(t.n as double)))
+      |        / cast(t.n as double)), 6) as z_stat
+      |from (select * from arms where arm = 0) c
+      |join (select * from arms where arm = 1) t using (event_type)
+      |order by c.event_type""".stripMargin) { (s, dir) =>
+    abLift(Tables.df(s, dir, "events")).orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
     eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks,
-    eventsChangepoint)
+    eventsChangepoint, eventsSeasonality, eventsAbLift)
 }

@@ -656,8 +656,59 @@ object Dml {
     s.table(Rollup).orderBy(col("day"), col("event_type"))
   }
 
+  /** SCD-Type-2 history build from a change log — the warehouse
+    * operation that turns an event stream of attribute values into
+    * versioned dimension rows with validity intervals: per user,
+    * consecutive REPEATS of the same value collapse first (an islands
+    * pass — re-stating a value is not a new version), then each
+    * surviving version gets [valid_from, valid_to) from its own ts and
+    * its successor's (lead; NULL = open/current). Per-user windows
+    * only — state bounded by one user's history, parallel across
+    * users at any scale. ts carries as exact epoch micros (the
+    * project-wide events-ts contract). */
+  val dmlScd2: Q = Q.df(
+    "dml_scd2_history",
+    """with ordered as (
+      |  select user_id, event_type as val, epoch_us(ts) as ts_us,
+      |    lag(event_type) over (partition by user_id order by ts, event_id)
+      |      as prev_val
+      |  from events),
+      |changes as (
+      |  select user_id, val, ts_us,
+      |    cast(row_number() over (partition by user_id order by ts_us)
+      |      as bigint) as version
+      |  from ordered where prev_val is null or prev_val <> val)
+      |select user_id, version, val,
+      |  ts_us as valid_from_us,
+      |  lead(ts_us) over (partition by user_id order by version)
+      |    as valid_to_us,
+      |  lead(ts_us) over (partition by user_id order by version) is null
+      |    as is_current
+      |from changes
+      |order by user_id, version""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val changes = Tables.df(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("val"),
+        unix_micros(col("ts")).as("ts_us"),
+        lag(col("event_type"), 1).over(byTs).as("prev_val"))
+      .filter(col("prev_val").isNull || col("prev_val") =!= col("val"))
+      .withColumn("version", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us")))
+        .cast("long"))
+    changes
+      .select(col("user_id"), col("version"), col("val"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(byVer).as("valid_to_us"),
+        lead(col("ts_us"), 1).over(byVer).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
-    sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup)
+    sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
+    dmlScd2)
 }

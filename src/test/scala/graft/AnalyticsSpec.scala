@@ -46,6 +46,34 @@ class AnalyticsSpec extends AnyFunSuite {
       s"means ${r.getDouble(2)}/${r.getDouble(3)} should be 2/8")
   }
 
+  test("seasonality: adjusted series is mean-zero within every (type, dow) cell") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.seasonality(events).collect()
+      .map(r => (r.getString(0),
+        r.getDate(1).toLocalDate.getDayOfWeek.getValue, r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(t => (t._1, t._2)).foreach { case (cell, rs) =>
+      val s = rs.map(_._3).sum
+      assert(math.abs(s) < 1e-3 * rs.length,
+        s"cell $cell adjusted sum $s not ~0")
+    }
+  }
+
+  test("A/B lift: arms partition the users and the readout is consistent") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.abLift(events).collect()
+    assert(rows.nonEmpty)
+    val users = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (t, nc, nt) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(nc + nt == users(t), s"$t: arms $nc+$nt != users ${users(t)}")
+      val (mc, mt, la) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(la - (mt - mc)) < 2e-6, s"$t lift inconsistent")
+    }
+  }
+
   test("windowed funnel never advances a user past the unbounded funnel") {
     val unb = Analytics.funnelConversion(events).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap

@@ -176,4 +176,28 @@ class StorageSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), s"salt not in join keys:\n$plan")
   }
+
+  test("SCD2 history: intervals chain, one current row, no self-repeats") {
+    val rows = graft.operators.Dml.dmlScd2.run(TestSpark.spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, h0) =>
+      val h = h0.sortBy(_._2)
+      // versions are 1..n dense
+      assert(h.map(_._2).toSeq == (1L to h.length).toSeq, s"user $u versions")
+      // exactly one open interval, and it is the LAST version
+      assert(h.count(_._6) == 1 && h.last._6, s"user $u current flag")
+      h.sliding(2).map(_.toSeq).foreach {
+        case Seq(a, b) =>
+          // each version closes exactly when the next opens
+          assert(a._5 == b._4, s"user $u: v${a._2} closes ${a._5}, " +
+            s"v${b._2} opens ${b._4}")
+          // consecutive versions always change the value
+          assert(a._3 != b._3, s"user $u: v${a._2}->v${b._2} same value")
+        case _ =>
+      }
+    }
+  }
 }
