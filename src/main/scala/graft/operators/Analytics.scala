@@ -836,9 +836,50 @@ object Analytics {
     abLift(Tables.df(s, dir, "events")).orderBy(col("event_type"))
   }
 
+  /** Session gap for the native session_window entry (seconds) — same
+    * bound as the range join family. */
+  val SessionGapSec = 600L
+
+  /** Spark's NATIVE session_window operator run in batch — the
+    * gap-merged session aggregation the streaming runtime uses, here
+    * cross-checked against an INDEPENDENT formulation: the oracle
+    * derives the same sessions from first principles (gaps-and-islands
+    * over per-user event gaps), so the two implementations pin each
+    * other. session_window's window end is last_event + gap by
+    * definition; the islands oracle reproduces that. One shuffle on
+    * user_id; session state is per-user and gap-bounded. */
+  val windowSessionNative: Q = Q.df(
+    "window_session_native",
+    s"""with o as (select user_id, epoch_us(ts) as tus from events),
+       |b as (select user_id, tus,
+       |  case when tus - lag(tus) over (partition by user_id order by tus)
+       |         > ${SessionGapSec * 1000000L}
+       |       or lag(tus) over (partition by user_id order by tus) is null
+       |       then 1 else 0 end as brk
+       |  from o),
+       |s as (select user_id, tus,
+       |  sum(brk) over (partition by user_id order by tus
+       |                 rows unbounded preceding) as sess
+       |  from b)
+       |select user_id, min(tus) as session_start_us,
+       |  max(tus) + ${SessionGapSec * 1000000L} as session_end_us,
+       |  cast(count(*) as bigint) as n_events
+       |from s group by user_id, sess
+       |order by user_id, session_start_us""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapSec seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
     eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks,
-    eventsChangepoint, eventsSeasonality, eventsAbLift)
+    eventsChangepoint, eventsSeasonality, eventsAbLift, windowSessionNative)
 }

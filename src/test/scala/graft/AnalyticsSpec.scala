@@ -74,6 +74,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("native session_window: gap law holds and events are conserved") {
+    import org.apache.spark.sql.functions._
+    val gapUs = Analytics.SessionGapSec * 1000000L
+    val rows = Analytics.windowSessionNative.run(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per user: sessions ordered, separated by more than the gap,
+    // end = some event + gap (end - start >= gap)
+    rows.groupBy(_._1).foreach { case (u, ss0) =>
+      val ss = ss0.sortBy(_._2)
+      ss.foreach { s => assert(s._3 - s._2 >= gapUs, s"user $u short end") }
+      ss.sliding(2).map(_.toSeq).foreach {
+        case Seq(a, b) =>
+          // next first event > prev last event + gap ⇔ start >= prev end
+          assert(b._2 >= a._3,
+            s"user $u: session at ${b._2} starts before ${a._3}")
+        case _ =>
+      }
+    }
+    // session event counts conserve the event table
+    val total = events.count()
+    assert(rows.map(_._4).sum == total)
+  }
+
   test("windowed funnel never advances a user past the unbounded funnel") {
     val unb = Analytics.funnelConversion(events).collect()
       .map(r => r.getLong(0) -> r.getLong(4)).toMap

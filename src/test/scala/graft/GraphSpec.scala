@@ -62,4 +62,22 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("k-core: invariant holds, peeling is real, rounds suffice") {
+    val spark = TestSpark.spark
+    val edges = Graph.sharedOrderEdges(spark, TestSpark.Sf)
+    val core = Graph.kcore(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.nonEmpty, "core empty — k too high for the fixture")
+    // every member meets the degree bar within the core
+    assert(core.forall(_._2 >= Graph.KcoreK))
+    // peeling removed someone (non-vacuous on the sparsified graph)
+    val all = edges.select("src").union(edges.select("dst"))
+      .distinct().count()
+    assert(core.length < all, "k-core peeled nothing — vacuous entry")
+    // the fixed round count has converged: one more round changes nothing
+    val more = Graph.kcore(edges, rounds = Graph.KcoreRounds + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(core.toSet == more.toSet, "rounds did not converge on fixture")
+  }
 }
