@@ -227,9 +227,18 @@ object EventsStream {
     * deliberately avoided). The returned frame reads the sink files
     * back — exactly what a downstream consumer of the stream would do. */
   def runHourlyCountsStream(s: SparkSession, dir: String): DataFrame =
+    runHourlyCountsStreamAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft_stream_").toString)
+
+  /** Same runner with a caller-owned work dir, so a RESTART can reuse
+    * the checkpoint: re-starting against an already-drained source
+    * replays nothing (offsets are committed), leaving the sink
+    * byte-identical — the exactly-once restart contract the spec
+    * pins. */
+  def runHourlyCountsStreamAt(s: SparkSession, dir: String,
+      tmp: String): DataFrame =
     withStreamPartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
     val outDir = s"$tmp/out"
     val q = hourlyCounts(Tables.eventsStream(s, dir))
       .writeStream

@@ -267,4 +267,27 @@ class StreamingSpec extends AnyFunSuite {
         r.getLong(3))).toSet
     assert(streamed == batch)
   }
+
+  test("restart against a committed checkpoint replays nothing (exactly-once)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_restart_").toString
+    val first = EventsStream
+      .runHourlyCountsStreamAt(spark, TestSpark.Sf, tmp)
+      .collect().map(_.toString).sorted
+    // sink files as written by run 1 (names + sizes)
+    def sinkFiles() = {
+      val d = new java.io.File(s"$tmp/out")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length)).sortBy(_._1).toSeq
+    }
+    val filesAfterFirst = sinkFiles()
+    // restart: same checkpoint, same drained source — offsets are
+    // committed, so AvailableNow must terminate without a new batch
+    val second = EventsStream
+      .runHourlyCountsStreamAt(spark, TestSpark.Sf, tmp)
+      .collect().map(_.toString).sorted
+    assert(second.toSeq == first.toSeq, "restart changed the result")
+    assert(sinkFiles() == filesAfterFirst,
+      "restart rewrote the sink — offsets were not honored")
+  }
 }
