@@ -274,7 +274,55 @@ object Approx {
       .orderBy(col("event_type"))
   }
 
+  /** Persisted sketch rollup — the warehouse pattern the mergeable
+    * sketches exist FOR: a daily job writes one (event_type, day, HLL)
+    * row per cell to a sketch TABLE (binary column in parquet); later
+    * rollups answer "distinct users per type / overall, any date range"
+    * by merging the stored sketches — never re-reading the fact table.
+    * This entry executes the whole loop: build per-(type, day) sketches,
+    * persist to parquet, read BACK, union per type and overall. Gate
+    * surface is the [[approxDistinct]] contract (exact count + within-eps
+    * flags), since sketch bytes are engine-internal. */
+  val approxSketchRollup: Q = Q.df(
+    "approx_sketch_rollup",
+    """select event_type,
+      |  cast(count(distinct user_id) as bigint) as exact_nd,
+      |  true as within_eps
+      |from events group by event_type
+      |union all
+      |select 'ALL', cast(count(distinct user_id) as bigint), true
+      |from events
+      |order by event_type""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sketch_").toString
+    val ev = Tables.df(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    // the daily sketch-build job
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    // the rollup job: persisted sketches only, no fact-table access
+    val sk = s.read.parquet(tmp)
+    val perType = sk.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val overall = sk.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(lit("ALL").as("event_type"), col("est"))
+    val est = perType.unionByName(overall)
+    // exact side for the gate surface
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_nd"))
+      .unionByName(ev.agg(countDistinct(col("user_id")).as("exact_nd"))
+        .select(lit("ALL").as("event_type"), col("exact_nd")))
+    exact.join(est, Seq("event_type"))
+      .select(col("event_type"), col("exact_nd"),
+        (abs(col("est") - col("exact_nd")).cast("double")
+          / col("exact_nd").cast("double") <= DistinctEps).as("within_eps"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] =
     Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
-      approxMergeable, bitmapDistinct)
+      approxMergeable, bitmapDistinct, approxSketchRollup)
 }

@@ -95,6 +95,15 @@ class ApproxSpec extends AnyFunSuite {
     assert(rows("ALL") <= exact.values.sum)
   }
 
+  test("persisted sketch rollup: every row within eps after the round-trip") {
+    val rows = graft.operators.Approx.approxSketchRollup
+      .run(TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.length >= 2)
+    assert(rows.exists(_.getString(0) == "ALL"))
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)} estimate outside eps after parquet round-trip"))
+  }
+
   test("mergeable HLL: shard union lands within eps of the exact count") {
     val row = graft.operators.Approx.approxMergeable
       .run(TestSpark.spark, TestSpark.Sf).collect().head
