@@ -706,9 +706,35 @@ object Dml {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** The custom DataSource V2 table ([[graft.sources.RangeTableProvider]])
+    * driven through the gate: range predicates on `id` push into the
+    * source (the scan generates [1000, 50000) and nothing else), the
+    * hash-digit predicate stays a residual Spark evaluates, and the
+    * aggregation runs over 8 source-side partitions. The oracle rebuilds
+    * the same table from DuckDB's range() — same Knuth hash, same
+    * interval — so the pushdown path is value-checked, not just
+    * plan-checked (PlanSpec covers the plan side). */
+  val sourceCustomDsv2: Q = Q.df(
+    "source_custom_dsv2",
+    """with t as (select range as id, range * range as sq,
+      |    (range * 2654435761) % 4294967296 as h
+      |  from range(0, 100000))
+      |select id % 7 as bucket, cast(count(*) as bigint) as n,
+      |  cast(sum(sq) as bigint) as sum_sq
+      |from t where id >= 1000 and id < 50000 and h % 10 = 3
+      |group by bucket order by bucket""".stripMargin) { (s, dir) =>
+    s.read.format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 50000
+        && col("h") % 10 === 3)
+      .groupBy((col("id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
-    dmlScd2)
+    dmlScd2, sourceCustomDsv2)
 }

@@ -129,4 +129,29 @@ class PlanSpec extends AnyFunSuite {
     // side of a shuffle — the only shuffles allowed are the groupBys
     assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
   }
+
+  test("DSv2 range source: bounds push, columns prune, slices partition") {
+    import org.apache.spark.sql.functions._
+    def table = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    // range predicates reach the source as narrowed interval bounds;
+    // the hash predicate stays residual (pushed count excludes it)
+    val filtered = table.filter(col("id") >= 1000 && col("id") < 50000
+      && col("h") % 10 === 3)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[1000, 50000)"),
+      s"id bounds not pushed into the source:\n$plan")
+    assert(plan.contains("pushed=2"), s"expected 2 pushed filters:\n$plan")
+    // the residual still filters: digit-3 hashes only
+    assert(filtered.select("h").collect().forall(_.getLong(0) % 10 == 3))
+    // column pruning: an id-only projection never materializes sq or h
+    val pruned = table.filter(col("id") < 10).select(col("id"))
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("cols=id") && !pruned.contains("sq"),
+      s"projection not pruned at the source:\n$pruned")
+    // source-side parallelism: 8 input partitions, disjoint and complete
+    assert(table.rdd.getNumPartitions == 8)
+    assert(table.count() == 100000L)
+  }
 }
