@@ -732,9 +732,31 @@ object Dml {
       .orderBy(col("bucket"))
   }
 
+  /** The custom DSv2 SINK ([[graft.sources.AuditSinkProvider]]) driven
+    * through the gate: events stream through the distributed commit
+    * protocol (per-task O(1) digests, driver merge, atomic publish) and
+    * the committed manifest is read back. The oracle recomputes the
+    * same count + XOR digest directly — XOR's order-independence is
+    * what lets an arbitrary partitioning match a single-threaded SQL
+    * engine bit-for-bit. */
+  val sinkCustomDsv2: Q = Q.df(
+    "sink_custom_dsv2",
+    """select cast(count(*) as bigint) as n_rows,
+      |  cast(bit_xor((event_id * 2654435761) % 4294967296) as bigint)
+      |    as xor_hash
+      |from events""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_audit_").toString + "/audit.json"
+    Tables.df(s, dir, "events").select(col("event_id").as("id"))
+      .write.format(classOf[graft.sources.AuditSinkProvider].getName)
+      .option("path", tmp).mode("overwrite").save()
+    s.read.json(tmp)
+      .select(col("n_rows").cast("long"), col("xor_hash").cast("long"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
-    dmlScd2, sourceCustomDsv2)
+    dmlScd2, sourceCustomDsv2, sinkCustomDsv2)
 }

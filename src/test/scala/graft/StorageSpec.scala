@@ -177,6 +177,25 @@ class StorageSpec extends AnyFunSuite {
     assert(plan.contains("_salt"), s"salt not in join keys:\n$plan")
   }
 
+  test("audit sink: digest is partitioning-invariant and atomic") {
+    val spark = TestSpark.spark
+    val ev = Tables.df(spark, TestSpark.Sf, "events")
+      .select(col("event_id").as("id"))
+    def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_audit_spec_").toString + "/a.json"
+      df.write.format(classOf[graft.sources.AuditSinkProvider].getName)
+        .option("path", p).mode("overwrite").save()
+      val r = spark.read.json(p).collect().head
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_hash"))
+    }
+    val one = digest(ev.coalesce(1))
+    val many = digest(ev.repartition(13))
+    // the merged digest must not depend on how tasks split the rows
+    assert(one == many, s"digest depends on partitioning: $one vs $many")
+    assert(one._1 == ev.count())
+  }
+
   test("SCD2 history: intervals chain, one current row, no self-repeats") {
     val rows = graft.operators.Dml.dmlScd2.run(TestSpark.spark, TestSpark.Sf)
       .collect()
