@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,7 +45,9 @@ class RangeTableProvider extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val end = Option(properties.get("end")).map(_.toLong).getOrElse(1000L)
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4)
-    new RangeTable(end, slices)
+    val batchRows =
+      Option(properties.get("batchRows")).map(_.toLong).getOrElse(16384L)
+    new RangeTable(end, slices, batchRows)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -60,17 +63,20 @@ object RangeSource {
   def hash(id: Long): Long = (id * 2654435761L) % 4294967296L
 }
 
-class RangeTable(end: Long, slices: Int) extends Table with SupportsRead {
+class RangeTable(end: Long, slices: Int, batchRows: Long = 16384L)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_range(0, $end)"
   override def schema(): StructType = RangeSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(end, slices)
+    new RangeScanBuilder(end, slices, batchRows)
 }
 
-class RangeScanBuilder(end: Long, slices: Int) extends ScanBuilder
+class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = end
@@ -102,11 +108,11 @@ class RangeScanBuilder(end: Long, slices: Int) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan = new RangeScan(lo, math.max(lo, hi), slices,
-    required, pushed.length)
+    required, pushed.length, batchRows)
 }
 
 class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
-    nPushed: Int) extends Scan with Batch {
+    nPushed: Int, batchRows: Long = 16384L) extends Scan with Batch {
   override def readSchema(): StructType = required
 
   /** Surfaced in EXPLAIN — the spec greps for the narrowed bounds. */
@@ -123,6 +129,66 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
       val s = lo + span * i / n
       val e = lo + span * (i + 1) / n
       RangePartition(s, e): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(required)
+
+  /** Streaming face of the same scan: the committed OFFSET is a row
+    * position in [lo, hi); each micro-batch covers the next
+    * `batchRows` positions (sliced like the batch path), so the source
+    * drains in ⌈span/batchRows⌉ batches and a restart resumes from the
+    * checkpointed offset — the Kafka-shaped offset contract on a
+    * deterministic generator. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, slices, required, batchRows)
+}
+
+case class RangeOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class RangeMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    required: StructType, batchRows: Long) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  /** AvailableNow contract: the available end is [hi) — already fixed
+    * for a bounded generator, so nothing to snapshot. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = RangeOffset(lo)
+
+  /** Unbounded form (no admission control in play): everything. */
+  override def latestOffset(): Offset = RangeOffset(hi)
+
+  /** Admission-controlled form — the correct lever for micro-batch
+    * sizing: each batch ADMITS at most batchRows rows past the start
+    * offset; planInputPartitions then covers exactly the admitted
+    * window (truncating there instead would silently drop rows, since
+    * the engine commits to the offset IT chose). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    RangeOffset(
+      math.min(hi, start.asInstanceOf[RangeOffset].pos + batchRows))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): Offset =
+    RangeOffset(json.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[RangeOffset].pos
+    val e0 = end.asInstanceOf[RangeOffset].pos
+    val span = e0 - s0
+    val n = math.max(1, slices)
+    (0 until n).map { i =>
+      RangePartition(s0 + span * i / n, s0 + span * (i + 1) / n): InputPartition
     }.toArray
   }
 

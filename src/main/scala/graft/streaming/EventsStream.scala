@@ -384,7 +384,53 @@ object EventsStream {
       .orderBy(col("v_event_id"), col("p_event_id"))
   }
 
+  /** The custom DSv2 source's STREAMING face executed through the real
+    * runtime: the range source drains under admission control (16384
+    * rows per micro-batch → 7 batches for 100k rows, offsets
+    * checkpointed between them), a Complete-mode aggregation
+    * accumulates across the batches, and the final state must equal
+    * the one-shot batch aggregate the oracle computes — proving offset
+    * continuity: any dropped or replayed window would shift a bucket
+    * count. */
+  def runRangeSourceStream(s: SparkSession): DataFrame =
+    runRangeSourceStreamAt(s,
+      java.nio.file.Files.createTempDirectory("graft_stream_").toString)
+
+  def runRangeSourceStreamAt(s: SparkSession, tmp: String): DataFrame =
+    withStreamPartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val outDir = s"$tmp/out"
+    val q = s.readStream
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "4")
+      .option("batchRows", "16384")
+      .load()
+      .groupBy((col("id") % 7).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val customSourceStreamed: Q = Q.df(
+    "stream_custom_source",
+    """with t as (select range as id, range * range as sq
+      |  from range(0, 100000))
+      |select id % 7 as bucket, cast(count(*) as bigint) as n,
+      |  cast(sum(sq) as bigint) as sum_sq
+      |from t group by bucket order by bucket""".stripMargin) { (s, dir) =>
+    runRangeSourceStream(s).orderBy(col("bucket"))
+  }
+
   val queries: Seq[Q] =
     Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed,
-      dedupStreamed, userActivityState, intervalJoinStreamed)
+      dedupStreamed, userActivityState, intervalJoinStreamed,
+      customSourceStreamed)
 }

@@ -268,6 +268,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("custom DSv2 source drains under admission control in many batches") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mbs_").toString
+    val out = EventsStream.runRangeSourceStreamAt(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // final Complete state equals the one-shot aggregate: 100k rows
+    assert(out.values.sum == 100000L)
+    // offset log proves the drain took multiple admission-controlled
+    // micro-batches (100000 / 16384 -> 7), not one big gulp
+    val offsets = new java.io.File(s"$tmp/ckpt/offsets").listFiles()
+      .count(!_.getName.startsWith("."))
+    assert(offsets >= 7, s"expected >=7 micro-batches, saw $offsets")
+  }
+
   test("restart against a committed checkpoint replays nothing (exactly-once)") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_restart_").toString
