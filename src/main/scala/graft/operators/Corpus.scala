@@ -955,21 +955,28 @@ object Corpus {
       buckets: Int = DsirBuckets): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = docs.select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, src, text) =>
-        text.split(" ", -1).iterator.map { tok =>
-          (id, src, ((Text.fnv64(tok) & 0xFFFFFFFFL) % buckets))
+    // materialize: the token-bucket stream feeds the two count tables
+    // AND the scoring scan — without a boundary Catalyst re-derives it
+    // (and re-reads the corpus) once per consumer
+    val feats = graft.plans.Checkpoints.materialize(
+      docs.select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, src, text) =>
+          text.split(" ", -1).iterator.map { tok =>
+            (id, src, ((Text.fnv64(tok) & 0xFFFFFFFFL) % buckets))
+          }
         }
-      }
-      .toDF("doc_id", "source", "b")
+        .toDF("doc_id", "source", "b"))
     val target = feats.filter(col("source") === targetSource)
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val raw = feats.filter(col("source") =!= targetSource)
       .groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val totals = target.agg(sum(col("ct")).as("t_t"))
       .crossJoin(raw.agg(sum(col("cr")).as("t_r")))
-    val w = feats.filter(col("source") =!= targetSource)
+    // materialize again before the threshold: the percentile side would
+    // otherwise replay the whole scoring pipeline a second time
+    val w = graft.plans.Checkpoints.materialize(
+      feats.filter(col("source") =!= targetSource)
       .join(broadcast(target), Seq("b"), "left")
       .join(broadcast(raw), Seq("b"), "left")
       .crossJoin(broadcast(totals))
@@ -984,7 +991,7 @@ object Corpus {
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         round(aggregate(col("lrs"), lit(0.0d), (acc, x) => acc + x), 6)
-          .as("log_w"))
+          .as("log_w")))
     val thr = w.agg(
       expr(s"percentile_disc($DsirSelectFrac) within group (order by log_w)")
         .as("thr"))
@@ -1056,10 +1063,12 @@ object Corpus {
     * as the IVF centroid table), not by corpus size. */
   def waterfillQuota(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val per = docs
+    // materialize the |sources|-row aggregate: level AND output consume
+    // it, and without a boundary each consumer re-runs the corpus scan
+    val per = graft.plans.Checkpoints.materialize(docs
       .select(col("source"),
         graft.functions.Text.tokenCount(col("text")).as("nt"))
-      .groupBy(col("source")).agg(sum(col("nt")).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("nt")))
     // |sources|-row frame: bounded window state (see scaladoc)
     val bySize = Window.orderBy(col("nt"), col("source"))
     val ord = per
@@ -1134,8 +1143,11 @@ object Corpus {
     * residuals come from per-source totals — all map-side combinable,
     * nothing driver-sized but the K-row vocabulary itself. */
   def klDrift(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("source"),
-      explode(split(col("text"), " ", -1)).as("tok"))
+    // three consumers (global counts, per-source totals, hh join) —
+    // materialize so the corpus tokenization runs once, not three times
+    val toks = graft.plans.Checkpoints.materialize(
+      docs.select(col("source"),
+        explode(split(col("text"), " ", -1)).as("tok")))
     val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
     val hh = global.orderBy(col("cg").desc, col("tok")).limit(KlTopK)
     val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("ts"))

@@ -850,7 +850,10 @@ object TextAnalysis {
         explode(split(col("text"), " ", -1)).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("t"))
-    val lm = toks
+    // materialize: the per-language cut table re-consumes lm — without
+    // a boundary the whole LM scoring pipeline (and corpus scan) would
+    // run once more for the percentile side
+    val lm = graft.plans.Checkpoints.materialize(toks
       .join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("lang"),
@@ -861,7 +864,7 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(aggregate(col("lps"), lit(0.0d), (acc, x) => acc + x)
-          / col("n_tokens").cast("double"), 6).as("lm_score"))
+          / col("n_tokens").cast("double"), 6).as("lm_score")))
     val cuts = lm.groupBy(col("lang")).agg(
       expr("percentile_disc(0.34) within group (order by lm_score)")
         .as("p34"),
