@@ -355,7 +355,66 @@ object Temporal {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** General INTERVAL-overlap join — the temporal-DB primitive
+    * [[rangeJoin]]'s point-in-window form cannot express: both sides
+    * are intervals (here: width-[[RangeWindowSec]] activity windows
+    * opened by each view / purchase event) and a pair qualifies when
+    * the intervals genuinely intersect, reporting the overlap length.
+    *
+    * Scale shape: bin-replicate-and-canonicalize. Each interval copies
+    * to every W-wide time bin it touches (≤2 copies for width-W
+    * intervals — replication factor is ⌈len/W⌉+1, bounded and chosen by
+    * the bin width); candidates equi-join on (user, bin) — never a
+    * theta join — and each qualifying pair is counted EXACTLY once by
+    * keeping only the bin containing the overlap's left edge (a
+    * canonical-bin test, cheaper than a distinct over the pair set).
+    * All arithmetic is int64 epoch-micros. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      wSec: Long): DataFrame = {
+    val w = wSec * 1000000L
+    def bins(df: DataFrame, id: String, s: String, e: String) =
+      df.select(col("user_id"), col(id), col(s), col(e),
+        explode(sequence(floor(col(s) / w).cast("long"),
+          floor((col(e) - 1) / w).cast("long"))).as("bin"))
+    val l = bins(left.select(col("user_id"),
+      col("event_id").as("v_event_id"),
+      unix_micros(col("ts")).as("vs"),
+      (unix_micros(col("ts")) + w).as("ve")), "v_event_id", "vs", "ve")
+    val r = bins(right.select(col("user_id"),
+      col("event_id").as("p_event_id"),
+      unix_micros(col("ts")).as("ps"),
+      (unix_micros(col("ts")) + w).as("pe")), "p_event_id", "ps", "pe")
+    l.join(r, Seq("user_id", "bin"))
+      .filter(col("vs") < col("pe") && col("ps") < col("ve"))
+      .filter(col("bin") ===
+        floor(greatest(col("vs"), col("ps")) / w).cast("long"))
+      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+        (least(col("ve"), col("pe")) - greatest(col("vs"), col("ps")))
+          .as("overlap_us"))
+  }
+
+  val intervalOverlapQ: Q = Q.df(
+    "join_interval_overlap",
+    s"""with v as (select user_id, event_id as v_event_id,
+       |    epoch_us(ts) as vs, epoch_us(ts) + ${RangeWindowSec * 1000000L} as ve
+       |  from events where event_type = 'view'),
+       |p as (select user_id, event_id as p_event_id,
+       |    epoch_us(ts) as ps, epoch_us(ts) + ${RangeWindowSec * 1000000L} as pe
+       |  from events where event_type = 'purchase')
+       |select v.user_id, v_event_id, p_event_id,
+       |  least(ve, pe) - greatest(vs, ps) as overlap_us
+       |from v join p on v.user_id = p.user_id
+       | and vs < pe and ps < ve
+       |order by v_event_id, p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events")
+    intervalOverlapJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      RangeWindowSec)
+      .orderBy(col("v_event_id"), col("p_event_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(asofPurchaseView, asofNativeQ, rangeViewPurchase, tsGapFill,
-      asofNearestQ, tsInterp)
+      asofNearestQ, tsInterp, intervalOverlapQ)
 }

@@ -85,6 +85,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (1L, 3L), (5L, 3L), (5L, 4L), (5L, 6L)))
   }
 
+  test("interval overlap join: symmetric, exact lengths, no bin duplicates") {
+    // user 1: view at 100 opens [100, 700); purchases at 650 (overlap
+    // 50s), 699 (1s), 700 (none — half-open), and 50 (view starts
+    // inside purchase window: overlap 550s). user 2: no views.
+    val ev = events(
+      (1L, 100L, 1L, "view", 1.0),
+      (2L, 650L, 1L, "purchase", 0.0),
+      (3L, 699L, 1L, "purchase", 0.0),
+      (4L, 700L, 1L, "purchase", 0.0),
+      (5L, 50L, 1L, "purchase", 0.0),
+      (6L, 90L, 2L, "purchase", 0.0))
+    val out = Temporal.intervalOverlapJoin(
+      ev.filter($"event_type" === "view"),
+      ev.filter($"event_type" === "purchase"), 600L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 2L, 50L * 1000000L),
+      (1L, 3L, 1L * 1000000L),
+      (1L, 5L, 550L * 1000000L)))
+  }
+
   test("interp resample: observed days exact, gaps on the straight line") {
     val day = 86400L
     // type A observed on days 0, 1, 4 (counts 2, 3, 9): days 2 and 3 are
