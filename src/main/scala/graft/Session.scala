@@ -47,4 +47,8 @@ object Session {
       .config("spark.sql.statistics.histogram.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // V2 catalog plugin: graft_cat.gen.range_<N> resolves through
+      // Catalyst's identifier machinery to the DSv2 range source
+      .config("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GenCatalog].getName)
 }

@@ -754,9 +754,33 @@ object Dml {
       .select(col("n_rows").cast("long"), col("xor_hash").cast("long"))
   }
 
+  /** Identifier resolution through the V2 CATALOG plugin
+    * ([[graft.sources.GenCatalog]], registered as `graft_cat` in
+    * [[graft.Session]]): plain SQL names the table as
+    * `graft_cat.gen.range_100000` and Catalyst's multi-part-identifier
+    * machinery — not a format() call — finds the pushdown-negotiating
+    * DSv2 source; the WHERE bound still pushes into the generated
+    * interval. The reference's catalog module is this surface's
+    * counterpart (tables resolved by the planner from a registry). */
+  val sourceCatalogTable: Q = Q.df(
+    "source_catalog_table",
+    """with t as (select range as id,
+      |    (range * 2654435761) % 4294967296 as h
+      |  from range(0, 100000))
+      |select id % 5 as bucket, cast(count(*) as bigint) as n,
+      |  cast(sum(h % 97) as bigint) as hsum
+      |from t where id >= 500
+      |group by bucket order by bucket""".stripMargin) { (s, dir) =>
+    s.sql(
+      """select id % 5 as bucket, cast(count(*) as bigint) as n,
+        |  cast(sum(h % 97) as bigint) as hsum
+        |from graft_cat.gen.range_100000 where id >= 500
+        |group by bucket order by bucket""".stripMargin)
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
-    dmlScd2, sourceCustomDsv2, sinkCustomDsv2)
+    dmlScd2, sourceCustomDsv2, sinkCustomDsv2, sourceCatalogTable)
 }

@@ -154,4 +154,33 @@ class PlanSpec extends AnyFunSuite {
     assert(table.rdd.getNumPartitions == 8)
     assert(table.count() == 100000L)
   }
+
+  test("V2 catalog: identifiers resolve, pushdown survives, writes refuse") {
+    // multi-part identifier resolution, straight through SQL
+    val df = spark.sql(
+      "select count(*) as n from graft_cat.gen.range_1000 where id >= 900")
+    assert(df.collect()(0).getLong(0) == 100L)
+    // the catalog route loses nothing: the bound still pushes
+    val plan = spark.sql(
+      "select id from graft_cat.gen.range_1000 where id >= 900")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bounds=[900, 1000)"),
+      s"pushdown lost through the catalog route:\n$plan")
+    // SHOW TABLES sees the namespace; unknown identifiers error cleanly
+    val listed = spark.sql("show tables in graft_cat.gen")
+      .collect().map(_.getString(1))
+    assert(listed.contains("range_100000"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select * from graft_cat.gen.nope").collect()
+    }
+    // derived catalog: dropTable reports false, and the identifier
+    // still resolves afterwards — DDL cannot remove a derived table
+    spark.sql("drop table graft_cat.gen.range_1000")
+    assert(spark.sql("select count(*) from graft_cat.gen.range_1000")
+      .collect()(0).getLong(0) == 1000L)
+    // mutation DDL refuses outright
+    intercept[Exception] {
+      spark.sql("create table graft_cat.gen.range_5 (id bigint)")
+    }
+  }
 }
