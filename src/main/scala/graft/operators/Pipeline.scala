@@ -198,5 +198,73 @@ object Pipeline {
       pretrainingMix(Tables.df(s, dir, "documents")).orderBy(col("shard"))
   }
 
-  val queries: Seq[Q] = Seq(pipelineFunnel, pipelineMix)
+  /** Unified contamination report — the audit artifact a release
+    * pipeline publishes: every training document flagged by EITHER
+    * decontamination screen (exact trigram overlap, or embedding cosine
+    * for paraphrased leakage), with per-screen hit counts and an
+    * agreement column. The two screens are the existing kernels
+    * ([[Corpus.decontaminate]], [[Similarity.embeddingDecontaminate]])
+    * composed by one full-outer merge on doc_id — each keeps its own
+    * scale shape (broadcast bench gram-hash set / broadcast bench unit
+    * vectors, one corpus scan each). The union of flags is small by
+    * construction (contaminated docs), so the merge join is
+    * flag-sized, not corpus-sized. */
+  def contaminationReport(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val ng = Corpus.decontaminate(docs, Corpus.BenchmarkSource)
+      .select(col("doc_id"), col("n_contaminated").as("n_gram_hits"))
+    val em = Similarity.embeddingDecontaminate(
+      emb, docs, Corpus.BenchmarkSource)
+      .select(col("doc_id"), col("n_bench_hits").as("n_emb_hits"))
+    ng.join(em, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("n_gram_hits").isNotNull.as("flag_ngram"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        col("n_emb_hits").isNotNull.as("flag_embedding"),
+        coalesce(col("n_emb_hits"), lit(0L)).as("n_emb_hits"),
+        (col("n_gram_hits").isNotNull && col("n_emb_hits").isNotNull)
+          .as("both"))
+  }
+
+  private def contaminationOracle: String = {
+    val b = Corpus.BenchmarkSource
+    s"""with toks as (select doc_id, source, string_split(text, ' ') as t
+       |              from documents),
+       |sh as (select distinct doc_id, source,
+       |         unnest(${Text.sqlTrigramList("t")}) as g
+       |       from toks),
+       |bench as (select distinct g from sh where source = '$b'),
+       |ng as (select sh.doc_id, cast(count(*) as bigint) as n_gram_hits
+       |       from sh join bench using (g)
+       |       where sh.source <> '$b' group by sh.doc_id),
+       |e as (${Similarity.sqlUnit}),
+       |be as (select e.vec_id, e.u from e
+       |       join documents d on d.doc_id = e.vec_id
+       |       where d.source = '$b'),
+       |ce as (select e.vec_id, e.u from e
+       |       join documents d on d.doc_id = e.vec_id
+       |       where d.source <> '$b'),
+       |s as (select ce.vec_id as cid, ${Similarity.sqlDotU("ce", "be")} as cos
+       |      from ce cross join be),
+       |em as (select cid as doc_id, cast(count(*) as bigint) as n_emb_hits
+       |       from s where cos >= ${Similarity.EmbedContamThreshold}
+       |       group by cid)
+       |select coalesce(ng.doc_id, em.doc_id) as doc_id,
+       |  ng.doc_id is not null as flag_ngram,
+       |  coalesce(ng.n_gram_hits, 0) as n_gram_hits,
+       |  em.doc_id is not null as flag_embedding,
+       |  coalesce(em.n_emb_hits, 0) as n_emb_hits,
+       |  ng.doc_id is not null and em.doc_id is not null as both
+       |from ng full outer join em on ng.doc_id = em.doc_id
+       |order by doc_id""".stripMargin
+  }
+
+  val pipelineContamination: Q =
+    Q.df("pipeline_contamination_report", contaminationOracle) { (s, dir) =>
+      contaminationReport(Tables.df(s, dir, "documents"),
+        Tables.df(s, dir, "embeddings"))
+        .orderBy(col("doc_id"))
+    }
+
+  val queries: Seq[Q] = Seq(pipelineFunnel, pipelineMix,
+    pipelineContamination)
 }
