@@ -462,25 +462,30 @@ object Dedup {
     * Both sides serialize the signature to a comma-joined string in the
     * compared SELECT (content still checked element by element; the
     * driver's pandas sort cannot order raw ndarray cells). */
-  private def minhashSigOracle: String = {
+  /** The signature-computation CTE chain (`co`/`toks`/`sh`/`base`/`cell`)
+    * shared by the signature dump and the estimator-audit oracles. */
+  private def sigChainCte: String = {
     val coeffRows = coeffs.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::hugeint, ${b}::hugeint)" }
       .mkString(",\n    ")
     val gramFnv32 = s"${Text.sqlFnv64("g")} % 4294967296::hugeint"
-    s"""with co(i, a, b) as (values
+    s"""co(i, a, b) as (values
        |    $coeffRows),
        |toks as (select doc_id, string_split(text, ' ') as t from documents),
-       |sh as (select distinct doc_id,
+       |sh as materialized (select distinct doc_id,
        |         unnest(${Text.sqlTrigramList("t")}) as g
        |       from toks),
        |base as (select doc_id, $gramFnv32 as h from sh),
-       |cell as (select doc_id, co.i,
+       |cell as materialized (select doc_id, co.i,
        |           min(cast((base.h * co.a + co.b) % $MinhashP as bigint)) as v
-       |         from base cross join co group by doc_id, co.i)
+       |         from base cross join co group by doc_id, co.i)""".stripMargin
+  }
+
+  private def minhashSigOracle: String =
+    s"""with $sigChainCte
        |select doc_id, array_to_string(list(v order by i), ',') as sig
        |from cell group by doc_id
        |order by doc_id""".stripMargin
-  }
 
   val dedupMinhashSignatures: Q =
     Q.df("dedup_minhash_signatures", minhashSigOracle) { (s, dir) =>
@@ -1308,9 +1313,111 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- MinHash estimator-quality audit ------------------------------------
+
+  /** The sketch-quality audit for MinHash banding — what
+    * [[graft.operators.Similarity]]'s recall@k is for ANN: every LSH
+    * candidate pair scored by BOTH the MinHash estimate (matching
+    * signature positions / [[NumHashes]]) and the exact trigram Jaccard,
+    * with the absolute error — the artifact that justifies (or
+    * re-tunes) the (bands, rows) choice on real data instead of the
+    * s-curve formula alone. Candidates only: at corpus scale the audit
+    * rides the banding index, never all pairs; exact Jaccard uses the
+    * same semi-join-pruned shingling as [[verifyJaccard]].
+    *
+    * Determinism: est is k/64 (exact binary), exact is an integer
+    * ratio — both single divisions; abs_err derives from the unrounded
+    * pair in one expression in both engines. */
+  def minhashEstimateAudit(docs: DataFrame): DataFrame = {
+    val sigs = Checkpoints.materialize(minhashSignatures(docs))
+    val cands = Checkpoints.materialize(lshCandidates(sigs))
+    val est = cands
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")),
+        Seq("d1"))
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")),
+        Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L),
+          (acc, x) => acc + x).cast("double")
+          / lit(NumHashes.toDouble)).as("est"))
+    val ids = cands.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val arrs = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), Text.shingles(col("text"), ShingleN).as("sh"))
+    val out = est
+      .join(arrs.select(col("doc_id").as("d1"), col("sh").as("sh1")),
+        Seq("d1"))
+      .join(arrs.select(col("doc_id").as("d2"), col("sh").as("sh2")),
+        Seq("d2"))
+      .withColumn("exact",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+          / size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .select(col("d1"), col("d2"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(col("exact"), 6).as("exact_jaccard"),
+        round(abs(col("est") - col("exact")), 6).as("abs_err"))
+    val outM = Checkpoints.materialize(out)
+    Seq(sigs, cands).foreach(Checkpoints.free)
+    outM
+  }
+
+  private def estimateAuditOracle: String = {
+    val r = NumHashes / Bands
+    // band collision == slice equality (xxhash64 band keys collide iff
+    // their 4-element inputs match, up to ~2⁻⁶⁴); per-band equi-joins
+    // on the list slice stay hashable
+    val bandJoins = (0 until Bands).map { b =>
+      val (l, h) = (b * r + 1, b * r + r)
+      s"""select a.doc_id as d1, b.doc_id as d2
+         |from sigl a join sigl b
+         |  on a.sig[$l:$h] = b.sig[$l:$h] and a.doc_id < b.doc_id"""
+        .stripMargin
+    }.mkString("\nunion all\n")
+    s"""with $sigChainCte,
+       |sigl as materialized (select doc_id, list(v order by i) as sig
+       |         from cell group by doc_id),
+       |cand as materialized (select distinct d1, d2 from (
+       |$bandJoins)),
+       |est as (select d1, d2,
+       |    list_sum(list_transform(range(1, ${NumHashes + 1}),
+       |      i -> case when a.sig[i] = b.sig[i] then 1 else 0 end))
+       |      / ${NumHashes}.0 as est
+       |  from cand join sigl a on a.doc_id = d1
+       |  join sigl b on b.doc_id = d2),
+       |cids as materialized (select d1 as doc_id from cand
+       |        union select d2 from cand),
+       |shc as materialized (select sh.doc_id, sh.g from sh
+       |        join cids using (doc_id)),
+       |cnt as materialized (select doc_id, cast(count(*) as bigint) as n
+       |        from shc group by doc_id),
+       |common as materialized (select c.d1, c.d2, cast(count(*) as bigint) as c
+       |  from cand c join shc a on a.doc_id = c.d1
+       |  join shc b on b.doc_id = c.d2 and a.g = b.g
+       |  group by c.d1, c.d2)
+       |select est.d1, est.d2,
+       |  round(est, 6) as est_jaccard,
+       |  round(coalesce(cast(common.c as double)
+       |      / cast(x.n + y.n - common.c as double), 0.0), 6)
+       |    as exact_jaccard,
+       |  round(abs(est - coalesce(cast(common.c as double)
+       |      / cast(x.n + y.n - common.c as double), 0.0)), 6) as abs_err
+       |from est
+       |join cnt x on x.doc_id = est.d1
+       |join cnt y on y.doc_id = est.d2
+       |left join common on common.d1 = est.d1 and common.d2 = est.d2
+       |order by est.d1, est.d2""".stripMargin
+  }
+
+  val dedupMinhashAudit: Q =
+    Q.df("dedup_minhash_estimate_audit", estimateAuditOracle) { (s, dir) =>
+      minhashEstimateAudit(Tables.df(s, dir, "documents"))
+        .orderBy(col("d1"), col("d2"))
+    }
+
   val queries: Seq[Q] =
     Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash,
       dedupClusters, dedupContainment, dedupSubstring, dedupWinnow,
       dedupClusterSizes, dedupMinhashSignatures, dedupIncrementalMinhash,
-      dedupMaximalSpans, dedupKeepCanonical, dedupExcise)
+      dedupMaximalSpans, dedupKeepCanonical, dedupExcise, dedupMinhashAudit)
 }
