@@ -715,11 +715,13 @@ object Analytics {
     * [[eventsChangepoint]]. dayofweek is ISO (1=Monday) in both
     * engines via the shared isodow/ISO expression. */
   def seasonality(events: DataFrame): DataFrame = {
-    val daily = events
+    // daily feeds the profile AND the adjusted output — materialize so
+    // the events scan runs once, not once per consumer
+    val daily = graft.plans.Checkpoints.materialize(events
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("dow", expr("extract(dayofweek_iso from day)").cast("long"))
+      .withColumn("dow", expr("extract(dayofweek_iso from day)").cast("long")))
     val profile = daily.groupBy(col("event_type"), col("dow"))
       .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
       .select(col("event_type"), col("dow"),
@@ -766,9 +768,12 @@ object Analytics {
       .agg(count(lit(1)).as("x"))
       .withColumn("arm", (col("user_id") * lit(2654435761L)) % lit(4294967296L)
         % lit(2L))
-    val arms = perUser.groupBy(col("event_type"), col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
-        sum(col("x") * col("x")).as("s2"))
+    // the |types|×2-row arm table feeds both the control and treatment
+    // sides; materialize so the fact-table aggregation runs once
+    val arms = graft.plans.Checkpoints.materialize(
+      perUser.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2")))
     val c = arms.filter(col("arm") === 0)
       .select(col("event_type"), col("n").as("nc"), col("s1").as("sc"),
         col("s2").as("qc"))
