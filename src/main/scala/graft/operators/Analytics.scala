@@ -726,10 +726,14 @@ object Analytics {
       .agg(sum(col("cnt")).as("s"), count(lit(1)).as("n"))
       .select(col("event_type"), col("dow"),
         (col("s").cast("double") / col("n").cast("double")).as("dow_mean"))
-    daily.join(broadcast(profile), Seq("event_type", "dow"))
-      .select(col("event_type"), col("day"), col("cnt"),
-        round(col("dow_mean"), 6).as("dow_mean"),
-        round(col("cnt").cast("double") - col("dow_mean"), 6).as("adjusted"))
+    val out = graft.plans.Checkpoints.materialize(
+      daily.join(broadcast(profile), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("cnt"),
+          round(col("dow_mean"), 6).as("dow_mean"),
+          round(col("cnt").cast("double") - col("dow_mean"), 6)
+            .as("adjusted")))
+    graft.plans.Checkpoints.free(daily)
+    out
   }
 
   val eventsSeasonality: Q = Q.df(
@@ -762,12 +766,20 @@ object Analytics {
     * aggregation over the fact table, divided/rooted once at the
     * surface (the cross-engine double contract). */
   def abLift(events: DataFrame): DataFrame = {
+    // Arm = HIGH bit of the 32-bit Knuth hash. The low bit would reduce
+    // to user_id parity (the multiplier is odd, and mod-2 commutes with
+    // it), silently confounding any even/odd id-allocation pattern;
+    // multiplicative hashing mixes into the HIGH bits. user_id is
+    // reduced mod 2^31 first so the product stays < 2^63 — exact int64
+    // in both engines at any id magnitude (no silent Spark wrap /
+    // DuckDB overflow divergence).
     val perUser = events
       .select(col("event_type"), col("user_id"))
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("x"))
-      .withColumn("arm", (col("user_id") * lit(2654435761L)) % lit(4294967296L)
-        % lit(2L))
+      .withColumn("arm",
+        when(((col("user_id") % lit(2147483648L)) * lit(2654435761L))
+          % lit(4294967296L) >= lit(2147483648L), 1L).otherwise(0L))
     // the |types|×2-row arm table feeds both the control and treatment
     // sides; materialize so the fact-table aggregation runs once
     val arms = graft.plans.Checkpoints.materialize(
@@ -780,7 +792,7 @@ object Analytics {
     val t = arms.filter(col("arm") === 1)
       .select(col("event_type"), col("n").as("nt"), col("s1").as("st"),
         col("s2").as("qt"))
-    c.join(t, Seq("event_type"))
+    val out = c.join(t, Seq("event_type"))
       .select(col("event_type"), col("nc"), col("nt"),
         round(col("sc").cast("double") / col("nc").cast("double"), 6)
           .as("mean_c"),
@@ -803,6 +815,9 @@ object Analytics {
               - (col("st").cast("double") / col("nt").cast("double"))
                 * (col("st").cast("double") / col("nt").cast("double")))
               / col("nt").cast("double")), 6).as("z_stat"))
+    val outM = graft.plans.Checkpoints.materialize(out)
+    graft.plans.Checkpoints.free(arms)
+    outM
   }
 
   val eventsAbLift: Q = Q.df(
@@ -811,7 +826,8 @@ object Analytics {
       |  select event_type, user_id, cast(count(*) as bigint) as x
       |  from events group by event_type, user_id),
       |armed as (select *,
-      |  (user_id * 2654435761) % 4294967296 % 2 as arm from pu),
+      |  case when ((user_id % 2147483648) * 2654435761) % 4294967296
+      |         >= 2147483648 then 1 else 0 end as arm from pu),
       |arms as (
       |  select event_type, arm, cast(count(*) as bigint) as n,
       |    cast(sum(x) as bigint) as s1, cast(sum(x * x) as bigint) as s2

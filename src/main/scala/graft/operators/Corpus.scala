@@ -992,12 +992,18 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"),
         round(aggregate(col("lrs"), lit(0.0d), (acc, x) => acc + x), 6)
           .as("log_w")))
+    // feats is fully consumed once w is materialized — free its
+    // token-scale blocks now rather than at session end
+    graft.plans.Checkpoints.free(feats)
     val thr = w.agg(
       expr(s"percentile_disc($DsirSelectFrac) within group (order by log_w)")
         .as("thr"))
-    w.crossJoin(broadcast(thr))
-      .select(col("doc_id"), col("n_tokens"), col("log_w"),
-        (col("log_w") >= col("thr")).as("selected"))
+    val out = graft.plans.Checkpoints.materialize(
+      w.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"), col("log_w"),
+          (col("log_w") >= col("thr")).as("selected")))
+    graft.plans.Checkpoints.free(w)
+    out
   }
 
   private def dsirOracle: String = {
@@ -1079,18 +1085,24 @@ object Corpus {
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy(lit(1))).cast("long"))
       .withColumn("tot", sum(col("nt")).over(Window.partitionBy(lit(1))))
-      .withColumn("b", (lit(WaterfillNum) * col("tot")) / lit(WaterfillDen))
-      .withColumn("b", floor(col("b")).cast("long"))
+      // integral div, not double-divide+floor: at ~3e15 corpus tokens
+      // (the 100 TB regime) 6·total exceeds 2^53 and a double quotient
+      // could floor one off from the oracle's exact //
+      .withColumn("b",
+        expr(s"($WaterfillNum * tot) div $WaterfillDen").cast("long"))
       .withColumn("li", (col("b") - col("p")).cast("double")
         / (col("n") - col("i") + 1L).cast("double"))
     val level = ord.filter(col("nt").cast("double") > col("li"))
       .agg(min(struct(col("i"), col("li"))).as("m"))
       .select(coalesce(col("m.li"), lit(1e18d)).as("level"))
-    ord.crossJoin(broadcast(level))
-      .select(col("source"), col("nt").as("n_tokens"),
-        least(col("nt"), floor(col("level")).cast("long"))
-          .as("alloc_tokens"),
-        (col("nt").cast("double") > col("level")).as("capped"))
+    val out = graft.plans.Checkpoints.materialize(
+      ord.crossJoin(broadcast(level))
+        .select(col("source"), col("nt").as("n_tokens"),
+          least(col("nt"), floor(col("level")).cast("long"))
+            .as("alloc_tokens"),
+          (col("nt").cast("double") > col("level")).as("capped")))
+    graft.plans.Checkpoints.free(per)
+    out
   }
 
   private def waterfillOracle: String =
@@ -1162,7 +1174,7 @@ object Corpus {
     val other = totals.join(hhSums, Seq("source"), "left")
       .crossJoin(broadcast(hhG))
       .crossJoin(broadcast(gtot))
-      .select(col("source"), lit(" OTHER").as("tok"),
+      .select(col("source"), lit(" OTHER").as("tok"),
         (col("ts") - coalesce(col("hh_cs"), lit(0L))).as("cs"),
         (col("t") - col("hh_cg")).as("cg"))
       .filter(col("cs") > 0)
@@ -1175,13 +1187,16 @@ object Corpus {
           * (log2(col("cs").cast("double") * col("t").cast("double"))
             - log2(col("cg").cast("double") * col("ts").cast("double"))))
           .as("term"))
-    terms.groupBy(col("source"))
-      .agg(first(col("ts")).as("n_tokens"),
-        sort_array(collect_list(struct(col("tok"), col("term"))))
-          .as("tl"))
-      .select(col("source"), col("n_tokens"),
-        round(aggregate(col("tl"), lit(0.0d),
-          (acc, x) => acc + x.getField("term")), 6).as("kl_bits"))
+    val out = graft.plans.Checkpoints.materialize(
+      terms.groupBy(col("source"))
+        .agg(first(col("ts")).as("n_tokens"),
+          sort_array(collect_list(struct(col("tok"), col("term"))))
+            .as("tl"))
+        .select(col("source"), col("n_tokens"),
+          round(aggregate(col("tl"), lit(0.0d),
+            (acc, x) => acc + x.getField("term")), 6).as("kl_bits")))
+    graft.plans.Checkpoints.free(toks)
+    out
   }
 
   private def klOracle: String =

@@ -943,6 +943,10 @@ object Dedup {
   /** (doc_id, span-hash) rows — the inverted-index input of
     * [[substringSpanPairs]], exposed so the cap-audit spec measures the
     * REAL kernel's per-key document frequency, not a reimplementation. */
+  /** Emits (doc_id, p, sp): the 0-based window position rides along so
+    * [[maximalSpans]] can diagonal-merge; consumers that only need the
+    * hash ([[substringSpanPairs]]) drop it. ONE kernel for every span
+    * index in the file — the hash contract cannot silently fork. */
   private[graft] def spanKeys(docs: DataFrame, w: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -960,15 +964,16 @@ object Dedup {
               h = (h * 31L + th(j)) & Long.MaxValue
               j += 1
             }
-            (id, h)
+            (id, i.toLong, h)
           }
         }
       }
-      .toDF("doc_id", "sp")
+      .toDF("doc_id", "p", "sp")
   }
 
   def substringSpanPairs(docs: DataFrame, w: Int): DataFrame = {
     val bySpan = spanKeys(docs, w)
+      .select(col("doc_id"), col("sp"))
       .groupBy(col("sp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, MaxSpanDf))
@@ -1075,27 +1080,7 @@ object Dedup {
     * partitions by (pair, diagonal) — state bounded by one run, never
     * corpus-sized — and nothing global is sorted or collected. */
   def maximalSpans(docs: DataFrame, w: Int = SpanTokens): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val pos = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.split(" ", -1)
-        val n = toks.length - w + 1
-        if (n <= 0) Iterator.empty
-        else {
-          val th = toks.map(t => Text.fnv64(t) & Long.MaxValue)
-          (0 until n).iterator.map { i =>
-            var h = 0L
-            var j = i
-            while (j < i + w) {
-              h = (h * 31L + th(j)) & Long.MaxValue
-              j += 1
-            }
-            (id, i.toLong, h)
-          }
-        }
-      }
-      .toDF("doc_id", "p", "sp")
+    val pos = spanKeys(docs, w)
     val ok = pos.groupBy(col("sp"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df").between(2, MaxSpanDf))

@@ -669,13 +669,14 @@ object Dml {
   val dmlScd2: Q = Q.df(
     "dml_scd2_history",
     """with ordered as (
-      |  select user_id, event_type as val, epoch_us(ts) as ts_us,
+      |  select user_id, event_id, event_type as val, epoch_us(ts) as ts_us,
       |    lag(event_type) over (partition by user_id order by ts, event_id)
       |      as prev_val
       |  from events),
       |changes as (
       |  select user_id, val, ts_us,
-      |    cast(row_number() over (partition by user_id order by ts_us)
+      |    cast(row_number() over (partition by user_id
+      |           order by ts_us, event_id)
       |      as bigint) as version
       |  from ordered where prev_val is null or prev_val <> val)
       |select user_id, version, val,
@@ -691,12 +692,16 @@ object Dml {
       .orderBy(col("ts"), col("event_id"))
     val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
     val changes = Tables.df(s, dir, "events")
-      .select(col("user_id"), col("event_type").as("val"),
+      .select(col("user_id"), col("event_id"), col("event_type").as("val"),
         unix_micros(col("ts")).as("ts_us"),
         lag(col("event_type"), 1).over(byTs).as("prev_val"))
       .filter(col("prev_val").isNull || col("prev_val") =!= col("val"))
+      // event_id tie-break: equal-timestamp changes must version in the
+      // same order as the lag pass, in both engines, regardless of
+      // whether (user, ts) happens to be unique in a given fixture
       .withColumn("version", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts_us")))
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id")))
         .cast("long"))
     changes
       .select(col("user_id"), col("version"), col("val"),

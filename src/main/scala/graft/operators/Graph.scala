@@ -315,14 +315,21 @@ object Graph {
     while (r < rounds) {
       val keep = cur.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("keep"))
-      cur = Checkpoints.materialize(
+      val next = Checkpoints.materialize(
         cur.join(keep, col("src") === col("keep")).drop("keep")
           .join(keep, col("dst") === col("keep")).drop("keep"))
+      // free the superseded round (and e0) — storage stays O(frontier),
+      // not O(frontier · rounds)
+      Checkpoints.free(cur)
+      cur = next
       r += 1
     }
-    cur.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
-      .filter(col("core_degree") >= k)
-      .select(col("src").as("node"), col("core_degree"))
+    val out = Checkpoints.materialize(
+      cur.groupBy(col("src")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k)
+        .select(col("src").as("node"), col("core_degree")))
+    Checkpoints.free(cur)
+    out
   }
 
   private def kcoreOracle: String = {

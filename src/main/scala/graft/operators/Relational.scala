@@ -1477,9 +1477,6 @@ object Relational {
        |where o_custkey < 50
        |order by o_custkey, o_orderkey""".stripMargin)
 
-  /** Interval-based RANGE frame: a sliding 30-day window keyed on the
-    * ORDER BY date value (peers included by value, not row position) —
-    * deterministic even under order-date ties. */
   /** Rolling exact median over a trailing 7-row frame — the smoother an
     * anomaly pipeline prefers over a rolling MEAN (one spike day drags a
     * mean for a week; a median shrugs it off). Spark refuses a frame on
@@ -1519,6 +1516,9 @@ object Relational {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Interval-based RANGE frame: a sliding 30-day window keyed on the
+    * ORDER BY date value (peers included by value, not row position) —
+    * deterministic even under order-date ties. */
   val windowRangeFrame: Q = Q.shared(
     "window_range_frame",
     """select o_custkey, o_orderkey,

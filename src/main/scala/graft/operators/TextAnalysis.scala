@@ -870,12 +870,15 @@ object TextAnalysis {
         .as("p34"),
       expr("percentile_disc(0.67) within group (order by lm_score)")
         .as("p67"))
-    lm.join(broadcast(cuts), Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lm_score"),
-        when(col("lm_score") > col("p67"), "head")
-          .when(col("lm_score") > col("p34"), "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy(col("doc_id"))
+    val out = graft.plans.Checkpoints.materialize(
+      lm.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("lm_score"),
+          when(col("lm_score") > col("p67"), "head")
+            .when(col("lm_score") > col("p34"), "middle")
+            .otherwise("tail").as("bucket")))
+    graft.plans.Checkpoints.free(lm)
+    out.orderBy(col("doc_id"))
   }
 
   val queries: Seq[Q] =

@@ -11,9 +11,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** A DataSource V2 CATALOG plugin — the Spark counterpart of the
   * reference's catalog module (its table/schema registry that the
   * planner resolves identifiers against): `graft_cat.gen.range_<N>`
-  * resolves through Catalyst's multi-part identifier machinery to a
-  * [[RangeTable]], so plain SQL (`SELECT … FROM graft_cat.gen.range_1e5`)
-  * reaches the pushdown-negotiating source with no `format(...)` glue.
+  * (N in plain digits) resolves through Catalyst's multi-part
+  * identifier machinery to a [[RangeTable]], so plain SQL
+  * (`SELECT … FROM graft_cat.gen.range_100000`) reaches the
+  * pushdown-negotiating source with no `format(...)` glue.
   *
   * The catalog is DERIVED, not stored: any `range_<N>` identifier under
   * the `gen` namespace is valid, which makes listTables a documented
@@ -42,7 +43,12 @@ class GenCatalog extends CatalogPlugin with TableCatalog {
     if (!ident.namespace().sameElements(Ns))
       throw new NoSuchTableException(ident)
     ident.name() match {
-      case RangeRe(n) => new RangeTable(n.toLong, 4)
+      // toLong can still overflow on a 20-digit name: surface that as
+      // the same clean analysis error as any other unknown identifier
+      case RangeRe(n) =>
+        try new RangeTable(n.toLong, 4)
+        catch { case _: NumberFormatException =>
+          throw new NoSuchTableException(ident) }
       case _ => throw new NoSuchTableException(ident)
     }
   }

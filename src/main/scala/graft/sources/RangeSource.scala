@@ -43,10 +43,14 @@ class RangeTableProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val end = Option(properties.get("end")).map(_.toLong).getOrElse(1000L)
-    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4)
+    // DSv2 reader options are conventionally case-insensitive; the raw
+    // properties map is case-preserving, so normalize before lookup or
+    // option("End", …) would silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
+    val end = Option(opts.get("end")).map(_.toLong).getOrElse(1000L)
+    val slices = Option(opts.get("slices")).map(_.toInt).getOrElse(4)
     val batchRows =
-      Option(properties.get("batchRows")).map(_.toLong).getOrElse(16384L)
+      Option(opts.get("batchRows")).map(_.toLong).getOrElse(16384L)
     new RangeTable(end, slices, batchRows)
   }
 

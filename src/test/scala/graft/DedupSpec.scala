@@ -225,6 +225,7 @@ class DedupSpec extends AnyFunSuite {
     // as an opaque oracle hash mismatch.
     val d = Tables.df(spark, TestSpark.Sf, "documents")
     val spanOver = Dedup.spanKeys(d, Dedup.SpanTokens)
+      .select("doc_id", "sp")
       .distinct() // df = distinct docs per key, the quantity the cap gates
       .groupBy("sp").count()
       .filter(col("count") > Dedup.MaxSpanDf).count()
