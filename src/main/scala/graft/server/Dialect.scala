@@ -111,19 +111,36 @@ object Dialect {
       }
     }
 
-  /** The shared outer scan: copy plain text and the two untouched quote
-    * forms; hand `"` regions to the dialect-specific transform. */
+  /** The shared outer scan: copy plain text, comments, and the two
+    * untouched quote forms; hand `"` regions to the dialect-specific
+    * transform. COMMENT-AWARE: an apostrophe inside a line or block
+    * comment (`-- don't`) must not open a bogus string region that
+    * swallows the rest of the statement — mysqld lexes comments before
+    * strings, and so does this scan. */
   private def rewrite(sql: String)(
       onDoubleQuote: (java.lang.StringBuilder, Int) => Int): String = {
     val out = new java.lang.StringBuilder(sql.length + 8)
     var i = 0
     val n = sql.length
+    def copyLineComment(): Unit =
+      while (i < n && sql.charAt(i) != '\n') { out.append(sql.charAt(i)); i += 1 }
     while (i < n) {
-      sql.charAt(i) match {
+      val c = sql.charAt(i)
+      if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') copyLineComment()
+      else if (c == '#') copyLineComment()
+      else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        out.append("/*"); i += 2
+        while (i + 1 < n &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) {
+          out.append(sql.charAt(i)); i += 1
+        }
+        if (i + 1 < n) { out.append("*/"); i += 2 }
+        else { while (i < n) { out.append(sql.charAt(i)); i += 1 } }
+      } else c match {
         case '\'' => i = copyRegion(sql, i, out, '\'', backslash = true)
         case '`'  => i = copyRegion(sql, i, out, '`', backslash = false)
         case '"'  => i = onDoubleQuote(out, i)
-        case c    => out.append(c); i += 1
+        case ch   => out.append(ch); i += 1
       }
     }
     out.toString

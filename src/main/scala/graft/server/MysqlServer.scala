@@ -248,7 +248,12 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           nextStmtId += 1
           runPrepare(out, stmts, nextStmtId, sql, conn)
         case ComStmtExecute =>
-          runExecute(out, stmts, cmd, conn)
+          // malformed frame (a fuzzer's 1-byte EXECUTE) answers ERR
+          // 1835 instead of an out-of-bounds read killing the connection
+          if (cmd.length < 10)
+            { writePacket(out, 1, errPacket(1835, "HY000",
+                "Malformed communication packet")); out.flush() }
+          else runExecute(out, stmts, cmd, conn)
         case ComStmtSendLongData =>
           // COM_STMT_SEND_LONG_DATA: stmt_id u32 + param_id u16 + raw
           // chunk; chunks for one param concatenate in arrival order.
@@ -275,14 +280,17 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           }
         case ComStmtClose =>
           // COM_STMT_CLOSE gets NO response by protocol definition
-          stmts.remove(leU32(cmd, 1))
+          // (short frames are ignored for the same reason: nothing to
+          // answer, and an unguarded read would kill the connection)
+          if (cmd.length >= 5) stmts.remove(leU32(cmd, 1))
         case ComStmtReset =>
           // discard accumulated long data (the command's defined job),
           // including a poisoned overflow state → OK
-          stmts.get(leU32(cmd, 1)).foreach { st =>
-            st.longData.clear()
-            st.longDataOverflow = false
-          }
+          if (cmd.length >= 5)
+            stmts.get(leU32(cmd, 1)).foreach { st =>
+              st.longData.clear()
+              st.longDataOverflow = false
+            }
           writePacket(out, 1, okPacket()); out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
@@ -414,12 +422,42 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
 
   /** Splice `@@var` / `@@session.var` / `@@global.var` references with
     * their literal values so the statement parses as plain Spark SQL —
-    * client bootstraps alias them (`@@x AS x`), which keeps working. */
-  private def spliceSysVars(sql: String, conn: ConnState): String =
-    SysVarRe.replaceAllIn(sql, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        sessionVar(m.group(1).toLowerCase(java.util.Locale.ROOT), conn)
-          .getOrElse("NULL")))
+    * client bootstraps alias them (`@@x AS x`), which keeps working.
+    * QUOTE-AWARE: `@@` inside a string literal or quoted identifier is
+    * user data (`'user@@example.com'`) and must pass through verbatim —
+    * only code regions are spliced. */
+  private def spliceSysVars(sql: String, conn: ConnState): String = {
+    def spliceSeg(seg: String): String =
+      SysVarRe.replaceAllIn(seg, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          sessionVar(m.group(1).toLowerCase(java.util.Locale.ROOT), conn)
+            .getOrElse("NULL")))
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        out.append(spliceSeg(seg.toString)); seg.setLength(0)
+        out.append(c); i += 1
+        var open = true
+        while (open && i < n) {
+          val d = sql.charAt(i)
+          out.append(d); i += 1
+          if (d == '\\' && c != '`' && i < n) { // backslash escape
+            out.append(sql.charAt(i)); i += 1
+          } else if (d == c) {
+            if (i < n && sql.charAt(i) == c) { // doubled-quote escape
+              out.append(c); i += 1
+            } else open = false
+          }
+        }
+      } else { seg.append(c); i += 1 }
+    }
+    out.append(spliceSeg(seg.toString))
+    out.toString
+  }
 
   /** Client session statements accepted as no-ops: `SET NAMES …`,
     * charset/session-mode SETs, and user variables — MySQL connection
@@ -584,7 +622,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         val probe = splicePlaceholders(sql, Seq.fill(nParams)("NULL"))
         val kw = sql.trim.takeWhile(_.isLetter)
           .toLowerCase(java.util.Locale.ROOT)
-        if (kw == "update" || kw == "delete" || kw == "set") StructType(Nil)
+        // WHITELIST query-shaped heads: Spark 4 executes command nodes
+        // (INSERT/CREATE/DROP/…) eagerly inside spark.sql(), so probing
+        // a command's schema would RUN it at prepare time — a blocklist
+        // of mutating keywords can never be safely complete here.
+        val queryShaped = Set(
+          "select", "with", "values", "table", "show", "describe",
+          "desc", "explain")
+        if (!queryShaped.contains(kw)) StructType(Nil)
         else spark.sql(
           if (probe.contains("@@")) spliceSysVars(probe, conn) else probe).schema
       } catch { case scala.util.control.NonFatal(_) => StructType(Nil) }
@@ -767,12 +812,23 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       case _: DecimalType =>
         lenenc(v.toString.getBytes(StandardCharsets.US_ASCII))
       case DateType =>
-        val d = v.asInstanceOf[java.sql.Date].toLocalDate
+        val d = v match {
+          case ld: java.time.LocalDate => ld
+          case sd: java.sql.Date => sd.toLocalDate
+        }
         buf.write(4)
         leLong(d.getYear.toLong, 2); buf.write(d.getMonthValue)
         buf.write(d.getDayOfMonth)
       case TimestampType | TimestampNTZType =>
-        val t = v.asInstanceOf[java.sql.Timestamp].toLocalDateTime
+        // Spark hands TimestampNTZ values out as java.time.LocalDateTime
+        // (never java.sql.Timestamp); TimestampType arrives as either
+        // Timestamp or Instant depending on the JavaTimeAPI conf.
+        val t = v match {
+          case ldt: java.time.LocalDateTime => ldt
+          case ts: java.sql.Timestamp => ts.toLocalDateTime
+          case ins: java.time.Instant =>
+            java.time.LocalDateTime.ofInstant(ins, java.time.ZoneOffset.UTC)
+        }
         buf.write(11)
         leLong(t.getYear.toLong, 2); buf.write(t.getMonthValue)
         buf.write(t.getDayOfMonth); buf.write(t.getHour)
@@ -931,24 +987,41 @@ object MysqlServer {
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
 
-  /** Positions are found by a quote-aware scan: `?` inside '…'/"…"/`…`
-    * literals (with doubled-quote and backslash escapes) is text, not a
-    * placeholder — the same lexical rule mysqld applies. */
+  /** Positions are found by a quote- AND comment-aware scan: `?` inside
+    * quoted literals (with doubled-quote and backslash escapes) or
+    * inside line (`--`, `#`) and block comments is text, not a
+    * placeholder — the same lexical rule mysqld applies. A comment `?`
+    * miscounted as a parameter would misframe the whole
+    * COM_STMT_EXECUTE decode (the client binds fewer values than the
+    * server expects). */
   private def placeholderPositions(sql: String): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
+    val n = sql.length
     var quote = 0.toChar
-    while (i < sql.length) {
+    while (i < n) {
       val c = sql.charAt(i)
       if (quote != 0) {
         if (c == '\\' && quote != '`') i += 1 // skip escaped char
         else if (c == quote) quote = 0.toChar
-      } else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '?' => out += i
-        case _ =>
+        i += 1
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '#') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n &&
+          !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(n, i + 2)
+      } else {
+        c match {
+          case '\'' | '"' | '`' => quote = c
+          case '?' => out += i
+          case _ =>
+        }
+        i += 1
       }
-      i += 1
     }
     out.toSeq
   }
@@ -1071,11 +1144,24 @@ object MysqlServer {
     out.write(payload)
   }
 
-  /** Read one framed packet → (sequence id, payload). */
+  /** Read one LOGICAL packet → (last sequence id, payload). A frame
+    * whose length is exactly 0xFFFFFF is continued in the next frame
+    * (the MySQL splitting rule — a 16 MB-multiple payload ends with an
+    * empty frame), so reassemble here: the server advertises
+    * max_allowed_packet = 64 MB and clients will split large commands. */
   def readPacket(in: InputStream): (Int, Array[Byte]) = {
-    val head = readN(in, 4)
-    val len = (head(0) & 0xFF) | ((head(1) & 0xFF) << 8) | ((head(2) & 0xFF) << 16)
-    (head(3) & 0xFF, readN(in, len))
+    val buf = new java.io.ByteArrayOutputStream()
+    var seq = 0
+    var continued = true
+    while (continued) {
+      val head = readN(in, 4)
+      val len =
+        (head(0) & 0xFF) | ((head(1) & 0xFF) << 8) | ((head(2) & 0xFF) << 16)
+      seq = head(3) & 0xFF
+      buf.write(readN(in, len))
+      continued = len == MaxPacket
+    }
+    (seq, buf.toByteArray)
   }
 
   def readN(in: InputStream, n: Int): Array[Byte] = {

@@ -46,7 +46,10 @@ final class SqlServer(spark: SparkSession, val port: Int, maxRows: Int,
         pool.execute(() => serve(client))
       } catch {
         case _: Throwable if !running.get() => // closed during shutdown
-        case e: Throwable => System.err.println(s"[sqlserver] accept: $e")
+        case e: Throwable =>
+          System.err.println(s"[sqlserver] accept: $e")
+          // persistent accept failure (fd exhaustion) must not busy-spin
+          Thread.sleep(100)
       }
     }
   }, "graft-sql-acceptor")

@@ -16,6 +16,20 @@ class DialectSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("apostrophes inside comments do not open string regions") {
+    import graft.server.Dialect
+    // an unpaired ' in a comment must not swallow the rest of the
+    // statement: the "name" after it still normalizes
+    assert(Dialect.ansiQuotes("select /* don't */ \"name\" from t") ==
+      "select /* don't */ `name` from t")
+    assert(Dialect.ansiQuotes("select \"a\", -- can't\n\"b\" from t") ==
+      "select `a`, -- can't\n`b` from t")
+    // and in the MySQL direction double-quoted strings after a
+    // commented apostrophe still pin to single-quoted form
+    assert(Dialect.mysqlQuotes("select /* won't */ \"s\" as v") ==
+      "select /* won't */ 's' as v")
+  }
+
   test("ANSI double-quoted identifiers normalize to backtick form") {
     import graft.server.Dialect
     // plain identifiers

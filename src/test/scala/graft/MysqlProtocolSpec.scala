@@ -62,6 +62,20 @@ class MysqlProtocolSpec extends AnyFunSuite {
       (ver, connId, err)
     }
 
+    /** Send one raw command payload (fuzzing / malformed-frame tests). */
+    def sendRaw(payload: Array[Byte]): Unit = {
+      writePacket(out, 0, payload)
+      out.flush()
+    }
+
+    /** Read one packet; Some(message) if it is an ERR packet. */
+    def readErr(): Option[String] = {
+      val (_, p) = readPacket(in)
+      if ((p(0) & 0xFF) == 0xFF)
+        Some(new String(p, 9, p.length - 9, StandardCharsets.UTF_8))
+      else None
+    }
+
     /** COM_QUERY → Left(err message) or Right(columns, rows-as-strings). */
     def query(sql: String): Either[String, (Seq[String], Seq[Seq[Option[String]]])] = {
       val payload = Array[Byte](MysqlServer.ComQuery.toByte) ++
@@ -683,6 +697,82 @@ class MysqlProtocolSpec extends AnyFunSuite {
         .collect().map(_.getLong(0).toString).toSeq
       assert(rows.map(_.head.get) == oracle)
       assert(oracle.nonEmpty, "fixture must exercise the filter")
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("@@ inside a string literal is user data, not a sysvar splice") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // the @@example substring must survive verbatim; a naive splice
+      // would turn it into NULL (unknown var) and corrupt the value
+      val Right((_, rows)) =
+        c.query("select 'user@@example.com' as s, @@autocommit as a")
+      assert(rows.head.head.contains("user@@example.com"))
+      assert(rows.head(1).contains("1"), "real sysvar still splices")
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("placeholders inside comments are not parameters") {
+    assert(MysqlServer.countPlaceholders(
+      "select a from t /* pick ? later */ where b = ? -- or ?\n") == 1)
+    assert(MysqlServer.countPlaceholders(
+      "select '?' as q, ? as p # trailing ?\n") == 1)
+  }
+
+  test("PREPARE of a command statement does not execute it") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    spark.sql("drop table if exists graft_prep_probe")
+    spark.sql("create table graft_prep_probe (x bigint) using parquet")
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      val Right((id, _, nParams)) =
+        c.prepare("insert into graft_prep_probe values (?)")
+      assert(nParams == 1)
+      // prepare alone must leave the table EMPTY — Spark executes
+      // command nodes eagerly inside sql(), so a schema probe of the
+      // NULL-spliced text would have inserted a spurious NULL row
+      assert(spark.table("graft_prep_probe").count() == 0,
+        "PREPARE executed the INSERT")
+      c.quit()
+    } finally {
+      server.stop()
+      spark.sql("drop table if exists graft_prep_probe")
+    }
+  }
+
+  test("multi-frame logical packets reassemble (16MB splitting rule)") {
+    val payload = new Array[Byte](MysqlServer.MaxPacket + 5)
+    payload(0) = 42
+    payload(payload.length - 1) = 7
+    val framed = new java.io.ByteArrayOutputStream()
+    MysqlServer.writePacket(framed, 0,
+      java.util.Arrays.copyOfRange(payload, 0, MysqlServer.MaxPacket))
+    MysqlServer.writePacket(framed, 1,
+      java.util.Arrays.copyOfRange(payload, MysqlServer.MaxPacket,
+        payload.length))
+    val (seq, got) = MysqlServer.readPacket(
+      new java.io.ByteArrayInputStream(framed.toByteArray))
+    assert(seq == 1 && got.length == payload.length)
+    assert(got(0) == 42 && got(got.length - 1) == 7)
+  }
+
+  test("truncated statement commands answer or ignore, never kill the link") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // 1-byte COM_STMT_EXECUTE → ERR, connection stays usable
+      c.sendRaw(Array(MysqlServer.ComStmtExecute.toByte))
+      assert(c.readErr().nonEmpty, "malformed EXECUTE should answer ERR")
+      // 1-byte COM_STMT_CLOSE → silently ignored (no response command)
+      c.sendRaw(Array(MysqlServer.ComStmtClose.toByte))
+      val Right((_, rows)) = c.query("select 1 as x")
+      assert(rows.head.head.contains("1"), "connection died after fuzz")
       c.quit()
     } finally server.stop()
   }
