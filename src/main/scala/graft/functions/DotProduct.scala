@@ -37,13 +37,25 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** NULL on length mismatch or a null element — the same contract as
+    * the declarative `Vectors.dot` (null-padded zip_with), which this
+    * expression is documented bit-identical to. Truncating to
+    * min(length) would score corrupt embeddings as plausible numbers
+    * instead of surfacing them as nulls. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -53,10 +65,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -92,12 +111,17 @@ object DotProduct {
   }
 }
 
-/** `spark.sql.extensions` entry class registering the engine's custom
-  * expressions. */
+/** `spark.sql.extensions` entry class registering the FULL engine
+  * surface — expressions, the as-of planner strategy, and the optimizer
+  * rule — so a conf-configured session plans everything
+  * [[graft.Session]]-built sessions can (previously this route missed
+  * the strategy and AsOfJoinNode died with "no plan for"). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     DotProduct.inject(ext)
     Bloom.inject(ext)
     UnicodeNormalize.inject(ext)
+    graft.plans.AsOfJoinNative.inject(ext)
+    graft.plans.NormalizeRules.inject(ext)
   }
 }

@@ -78,7 +78,15 @@ object Text {
     * hash-contract change cannot silently diverge between them. Append
     * `% 2³²` / `% 2⁶³` at the call site for masked variants — both
     * divide 2⁶⁴, so composing the mods is exact. Uses lambda variables
-    * `i`, `acc`, `c`: don't shadow them at the call site. */
+    * `i`, `acc`, `c`: don't shadow them at the call site.
+    *
+    * CONTRACT LIMIT — BMP text only: the JVM side folds UTF-16 units
+    * while DuckDB's substring/ascii walk CODEPOINTS, and the low-16-bit
+    * xor decomposition assumes c < 2¹⁶; an astral character (emoji,
+    * rare CJK) hashes differently on the two sides. The fixtures are
+    * ASCII; a corpus with astral text needs the hash computed on one
+    * side only (or a UTF-16 re-encoding step in the oracle) before
+    * these oracles remain valid. */
   def sqlFnv64(s: String): String = {
     val step =
       s"""((acc - acc % 65536 + xor((acc % 65536)::bigint, c::bigint)::hugeint) * 435

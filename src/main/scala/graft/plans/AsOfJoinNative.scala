@@ -28,10 +28,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * column, because ascending order leaves it consumed last).
   *
   * Scope restrictions (asserted at construction): key/time/tie columns
-  * are non-null LongType (or TimestampType, internally int64 micros),
-  * and the two sides carry disjoint attribute ids and names — the
-  * caller aliases its columns (fresh exprIds) exactly like any
-  * self-join. */
+  * are LongType (or TimestampType, internally int64 micros) with
+  * PAIRWISE-matching types across sides, and the two sides carry
+  * disjoint attribute ids and names — the caller aliases its columns
+  * (fresh exprIds) exactly like any self-join. Rows whose key or time
+  * IS NULL are excluded from either side by [[AsOfJoinNative.join]]
+  * before the node is built (null never equals anything — the SQL
+  * equi-join rule; without the filter the unsafe getLong would read a
+  * null as 0 and silently match user/epoch 0). */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     lUser: Attribute, lTs: Attribute,
@@ -158,7 +162,21 @@ object AsOfJoinNative {
       attr(rPlan, rTie))
     require(Seq(lu, lt, ru, rt, tie).forall(keyTypeOk),
       "as-of key/time/tie columns must be LongType or TimestampType")
+    // the two sides must agree PAIRWISE: checking each column alone
+    // would accept long-seconds vs timestamp-micros and silently
+    // compare raw longs across units
+    require(lu.dataType == ru.dataType && lt.dataType == rt.dataType,
+      s"as-of key/time types must match across sides: " +
+        s"${lu.dataType}/${ru.dataType}, ${lt.dataType}/${rt.dataType}")
+    // null keys/times never match (SQL equi-join rule). Filter BEFORE
+    // building the node: the merge exec reads key/time via getLong,
+    // which would silently decode a null as user 0 / epoch 0.
+    val lf = left.filter(left(lUser).isNotNull && left(lTs).isNotNull)
+    val rf = right.filter(
+      right(rUser).isNotNull && right(rTs).isNotNull
+        && right(rTie).isNotNull)
     org.apache.spark.sql.graftshim.Shim.ofRows(left.sparkSession,
-      AsOfJoinNode(lPlan, rPlan, lu, lt, ru, rt, tie))
+      AsOfJoinNode(lf.queryExecution.analyzed, rf.queryExecution.analyzed,
+        lu, lt, ru, rt, tie))
   }
 }

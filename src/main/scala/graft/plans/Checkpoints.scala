@@ -37,9 +37,15 @@ object Checkpoints {
         // context's checkpoint dir is dir/<uuid>, so a prefix test
         // detects both first use and a mid-session conf change.
         val sc = spark.sparkContext
-        val root = dir.stripSuffix("/")
-        if (!sc.getCheckpointDir.exists(d =>
-            d == root || d.startsWith(root + "/")))
+        // setCheckpointDir stores the FULLY-QUALIFIED path
+        // (file:/tmp/ckpt/<uuid>), so compare path components, not raw
+        // strings — a scheme-less conf value would otherwise never
+        // match and every materialize would mint a fresh UUID dir
+        val root = java.net.URI.create(dir.stripSuffix("/")).getPath
+        if (!sc.getCheckpointDir.exists { d =>
+            val p = java.net.URI.create(d).getPath
+            p == root || p.startsWith(root + "/")
+          })
           sc.setCheckpointDir(dir)
         // Reliable checkpoint computes the subtree TWICE unpersisted:
         // the eager count job, then the checkpoint-file write job that

@@ -78,8 +78,15 @@ object Reflect {
       s"select ${exprList(aggs)} from ${rel(child, c)}" + groupBy(groups)
     case Filter(cond, child) =>
       s"select * from ${rel(child, c)} where ${sqlOf(cond)}"
-    case other =>
+    // only hand over nodes rel() itself handles — an unguarded fallback
+    // here would bounce unsupported nodes between query() and rel()
+    // forever (StackOverflow instead of a diagnosable error)
+    case other @ (_: SubqueryAlias | _: Join) =>
       s"select * from ${rel(other, c)}"
+    case other =>
+      throw new UnsupportedOperationException(
+        s"Reflect: unsupported plan node ${other.nodeName} — " +
+          "extend query()/rel() before reflecting this shape")
   }
 
   private def groupBy(groups: Seq[Expression]): String =
@@ -101,8 +108,15 @@ object Reflect {
     case Filter(cond, child) =>
       // filter in FROM position: fold into a derived table
       wrap(s"select * from ${rel(child, c)} where ${sqlOf(cond)}", c)
-    case other =>
+    // the mirror guard of query()'s fallback: only query-shaped nodes
+    // become derived tables; anything else fails loudly
+    case other @ (_: GlobalLimit | _: Offset | _: Sort | _: Distinct |
+        _: Union | _: Project | _: Aggregate) =>
       wrap(query(other, c), c)
+    case other =>
+      throw new UnsupportedOperationException(
+        s"Reflect: unsupported plan node ${other.nodeName} — " +
+          "extend query()/rel() before reflecting this shape")
   }
 
   private def wrap(sql: String, c: AtomicInteger): String =
@@ -116,6 +130,8 @@ object Reflect {
     case _ => false
   }
 
+  // sqlOf, not raw .sql: a qualified name like `lineitem`.`l_quantity`
+  // does not re-resolve inside a derived-table alias scope
   private def exprList(list: Seq[Expression]): String =
-    list.map(_.sql).mkString(", ")
+    list.map(sqlOf).mkString(", ")
 }

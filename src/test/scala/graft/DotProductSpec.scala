@@ -46,4 +46,22 @@ class DotProductSpec extends AnyFunSuite {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("length mismatch and null elements yield null, matching Vectors.dot") {
+    DotProduct.ensureRegistered(spark)
+    // mismatched dimensions: NULL, not a silently truncated sum
+    val m = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(Vectors.dotNative(col("a"), col("b")).as("d"),
+        Vectors.dot(col("a"), col("b")).as("ref"))
+      .collect()(0)
+    assert(m.isNullAt(0) && m.isNullAt(1),
+      "both kernels must surface a dimension mismatch as null")
+    // a null ELEMENT poisons the dot the same way
+    val e = spark.sql(
+      "select graft_dot(array(1.0d, cast(null as double)), " +
+        "array(1.0d, 2.0d)) as d")
+      .collect()(0)
+    assert(e.isNullAt(0))
+  }
 }
