@@ -898,9 +898,78 @@ object Analytics {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Minimum events for a regularity score (CV of 1 gap is meaningless). */
+  val BotMinEvents = 5L
+
+  /** Bot / automation detection by inter-event REGULARITY: per user, the
+    * coefficient of variation of inter-event gaps — scripts fire on
+    * timers (CV → 0) while humans are bursty (CV ≈ 1 for a Poisson
+    * process, higher with sessions). The classic pre-filter before
+    * events feed analytics or training. One lag window per user for
+    * gaps (integral SECONDS — CV is scale-free, and per-element squares
+    * of second-gaps stay inside int64 at any realistic span), then
+    * exact moments: Σg in int64, Σg² summed as DECIMAL in Spark /
+    * HUGEINT in DuckDB (a century of one-second gaps overflows an int64
+    * sum of squares), and one shared double expression for mean/cv —
+    * both engines convert the same exact integer with correct rounding.
+    *
+    * Scale shape: per-user windows and a map-side-combined aggregate —
+    * series-parallel; the flag threshold is a constant, not a learned
+    * global. */
+  def botRegularity(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("gap",
+        expr("(tus - lag(tus) over (partition by user_id " +
+          "order by tus, event_id)) div 1000000"))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("s1"),
+        sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("s2"))
+      .filter(col("n_gaps") >= BotMinEvents - 1)
+      .select(col("user_id"), col("n_gaps"),
+        round(col("s1").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("mean_gap_sec"),
+        round(
+          sqrt((col("s2").cast("double") / col("n_gaps").cast("double"))
+            - (col("s1").cast("double") / col("n_gaps").cast("double"))
+              * (col("s1").cast("double") / col("n_gaps").cast("double")))
+            / (col("s1").cast("double") / col("n_gaps").cast("double")), 6)
+          .as("gap_cv"))
+  }
+
+  val eventsBotRegularity: Q = Q.df(
+    "events_bot_regularity",
+    s"""with o as (select user_id, event_id, epoch_us(ts) as tus from events),
+       |g as (select user_id,
+       |        (tus - lag(tus) over (partition by user_id
+       |                              order by tus, event_id)) // 1000000
+       |          as gap
+       |      from o),
+       |agg as (select user_id, cast(count(*) as bigint) as n_gaps,
+       |          cast(sum(gap) as bigint) as s1,
+       |          sum(gap * gap) as s2
+       |        from g where gap is not null group by user_id)
+       |select user_id, n_gaps,
+       |  round(cast(s1 as double) / cast(n_gaps as double), 6)
+       |    as mean_gap_sec,
+       |  round(sqrt(cast(s2 as double) / cast(n_gaps as double)
+       |      - (cast(s1 as double) / cast(n_gaps as double))
+       |        * (cast(s1 as double) / cast(n_gaps as double)))
+       |    / (cast(s1 as double) / cast(n_gaps as double)), 6) as gap_cv
+       |from agg where n_gaps >= ${BotMinEvents - 1}
+       |order by user_id""".stripMargin) { (s, dir) =>
+    botRegularity(Tables.df(s, dir, "events")).orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
     eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks,
-    eventsChangepoint, eventsSeasonality, eventsAbLift, windowSessionNative)
+    eventsChangepoint, eventsSeasonality, eventsAbLift, windowSessionNative,
+    eventsBotRegularity)
 }

@@ -51,6 +51,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language confusion matrix — the audit a multilingual ingest runs
+    * on its language-ID stage: declared label vs [[Text.langId]]'s
+    * prediction, with per-cell counts and the per-declared-language
+    * agreement rate. High off-diagonal mass means either mislabeled
+    * metadata or a classifier blind spot; both change routing and
+    * per-language sampling weights downstream. |langs|² rows from one
+    * map-side-combined groupBy over the classifier scan — the rate is
+    * a window share over the tiny matrix, nothing driver-sized. */
+  val langConfusion: Q = Q.df(
+    "corpus_lang_confusion", {
+      val en = Text.sqlStopwordHits("text", "en")
+      val de = Text.sqlStopwordHits("text", "de")
+      val fr = Text.sqlStopwordHits("text", "fr")
+      val es = Text.sqlStopwordHits("text", "es")
+      s"""with pred as (select lang,
+         |  case when $en = 0 and $de = 0 and $fr = 0 and $es = 0 then 'und'
+         |       when $en >= $de and $en >= $fr and $en >= $es then 'en'
+         |       when $de >= $fr and $de >= $es then 'de'
+         |       when $fr >= $es then 'fr'
+         |       else 'es' end as lang_pred
+         |from documents),
+         |m as (select lang, lang_pred, cast(count(*) as bigint) as n
+         |      from pred group by lang, lang_pred)
+         |select lang, lang_pred, n,
+         |  round(cast(n as double)
+         |    / cast(sum(n) over (partition by lang) as double), 6)
+         |    as share,
+         |  lang = lang_pred as agree
+         |from m order by lang, lang_pred""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.df(s, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy(col("lang")))
+            .cast("double"), 6).as("share"),
+        (col("lang") === col("lang_pred")).as("agree"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   val textQuality: Q = Q.df(
     "text_quality", {
       val stop = Text.sqlStopwordHits("text", "en")
@@ -887,5 +930,5 @@ object TextAnalysis {
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs,
-      qualityPerplexityBuckets)
+      qualityPerplexityBuckets, langConfusion)
 }

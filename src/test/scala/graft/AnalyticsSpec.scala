@@ -46,6 +46,26 @@ class AnalyticsSpec extends AnyFunSuite {
       s"means ${r.getDouble(2)}/${r.getDouble(3)} should be 2/8")
   }
 
+  test("bot regularity: a metronome scores ~0 CV, a bursty user scores high") {
+    import spark.implicits._
+    val day = 3600L
+    // user 1: perfect 60s metronome (CV 0); user 2: gaps 1s,1s,1s,3597s
+    val rows =
+      (0 until 10).map(k => (100L + k, k * 60L, 1L, "X", 1.0)) ++
+        Seq((200L, 0L, 2L, "X", 1.0), (201L, 1L, 2L, "X", 1.0),
+          (202L, 2L, 2L, "X", 1.0), (203L, 3L, 2L, "X", 1.0),
+          (204L, day, 2L, "X", 1.0))
+    val ev = rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .selectExpr("event_id",
+        "cast(timestamp_seconds(sec) as timestamp) as ts",
+        "user_id", "event_type", "value")
+    val out = graft.operators.Analytics.botRegularity(ev).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 60.0 && out(1L)._2 == 0.0,
+      s"metronome user: ${out(1L)}")
+    assert(out(2L)._2 > 1.5, s"bursty user CV ${out(2L)._2} too low")
+  }
+
   test("seasonality: adjusted series is mean-zero within every (type, dow) cell") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.seasonality(events).collect()
