@@ -278,7 +278,99 @@ object Cluster {
       .orderBy(col("label"), col("rk"))
   }
 
+  // ---- farthest-point (k-center) coreset ----------------------------------
+
+  /** Coreset size for the k-center entry. */
+  val KCenter = 8
+
+  /** Farthest-point sampling (the greedy 2-approximation to the
+    * k-center problem — Gonzalez 1985): seed at vec_id 0, then k−1
+    * times add the vector FARTHEST from the selected set (cosine
+    * distance on unit vectors; ties to the smaller id). The coreset a
+    * data-pruning pass keeps when it wants COVERAGE rather than
+    * proportional mass — every point ends within 2× the optimal
+    * k-center radius of a selected point.
+    *
+    * Scale shape: the selected set is k unit vectors — model-sized
+    * driver state, the [[Similarity]] centroid contract — broadcast
+    * into one distance-update scan per round (running min distance, so
+    * each round costs ONE pass, not |selected| passes); the argmax is
+    * a 1-row TakeOrdered. k rounds total, each materialized and the
+    * predecessor freed. */
+  def kcenterSample(emb: DataFrame, k: Int = KCenter): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    import graft.plans.Checkpoints
+    val unit = Checkpoints.materialize(Similarity.withUnit(emb))
+    def vecOf(id: Long): Array[Double] =
+      unit.filter(col("vec_id") === id).select(col("u"))
+        .collect()(0).getSeq[Double](0).toArray
+    var selected = Vector((0L, 0.0)) // (id, dist at selection)
+    // running min-distance frame: vec_id, u, d
+    var cur = Checkpoints.materialize(
+      unit.select(col("vec_id"), col("u"),
+        (lit(1.0d) - dotNative(col("u"),
+          lit(vecOf(0L)).cast("array<double>"))).as("d")))
+    var i = 1
+    while (i < k) {
+      val next = cur.filter(!col("vec_id").isInCollection(selected.map(_._1)))
+        .orderBy(col("d").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("d")).collect()(0)
+      val (nid, nd) = (next.getLong(0), next.getDouble(1))
+      selected :+= ((nid, nd))
+      if (i < k - 1) {
+        val nv = lit(vecOf(nid)).cast("array<double>")
+        val upd = Checkpoints.materialize(
+          cur.select(col("vec_id"), col("u"),
+            least(col("d"), lit(1.0d) - dotNative(col("u"), nv)).as("d")))
+        Checkpoints.free(cur)
+        cur = upd
+      }
+      i += 1
+    }
+    Checkpoints.free(cur)
+    Checkpoints.free(unit)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, d), r) => (r.toLong + 1L, id, d) }
+      .toDF("rank", "vec_id", "d")
+      .select(col("rank"), col("vec_id"),
+        round(col("d"), 6).as("dist_at_selection"))
+  }
+
+  private def kcenterOracle: String = {
+    val rounds = (1 until KCenter).map { i =>
+      val p = i - 1
+      s"""pick$i as materialized (select vec_id, d from d$p
+         |  where vec_id not in (select vec_id from sel$p)
+         |  order by d desc, vec_id limit 1),
+         |sel$i as materialized (
+         |  select * from sel$p union all
+         |  select ${i + 1}::bigint, vec_id, d from pick$i),
+         |d$i as materialized (
+         |  select d$p.vec_id, d$p.u,
+         |    least(d$p.d, 1.0 - ${Similarity.sqlDotU("d$p", "pv")}) as d
+         |  from d$p cross join
+         |    (select e2.u from e e2 join pick$i on e2.vec_id = pick$i.vec_id)
+         |      pv)"""
+        .stripMargin.replace("d$p", s"d$p")
+    }.mkString(",\n")
+    s"""with e as materialized (${Similarity.sqlUnit}),
+       |sel0(rank, vec_id, d) as (values (1::bigint, 0::bigint, 0.0)),
+       |d0 as materialized (
+       |  select e.vec_id, e.u,
+       |    1.0 - ${Similarity.sqlDotU("e", "s")} as d
+       |  from e cross join (select u from e where vec_id = 0) s),
+       |$rounds
+       |select rank, vec_id, round(d, 6) as dist_at_selection
+       |from sel${KCenter - 1} order by rank""".stripMargin
+  }
+
+  val kcenterQ: Q = Q.df("sample_kcenter", kcenterOracle) { (s, dir) =>
+    kcenterSample(Tables.df(s, dir, "embeddings")).orderBy(col("rank"))
+  }
+
   val queries: Seq[Q] =
     Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced, clusterPurity,
-      sampleClassBalance)
+      sampleClassBalance, kcenterQ)
 }

@@ -71,4 +71,41 @@ class ClusterSpec extends AnyFunSuite {
       assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to k.toLong).toSeq)
     }
   }
+
+  test("k-center: greedy order, distinct centers, coverage certificate") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val sel = Cluster.kcenterSample(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.length == Cluster.KCenter)
+    assert(sel.map(_._2).distinct.length == sel.length, "duplicate center")
+    assert(sel.head == ((1L, 0L, 0.0)), "seed must be vec 0 at dist 0")
+    // greedy max-min distances are non-increasing (adding centers can
+    // only lower every point's min distance)
+    val ds = sel.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a + 1e-9 >= b },
+      s"selection distances not monotone: ${ds.mkString(",")}")
+    // coverage certificate: every vector's min cosine distance to the
+    // selected set is <= the last selection distance (the would-be
+    // next pick can't beat the recorded greedy sequence)
+    val centers = Cluster.kcenterSample(emb) // deterministic: same set
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val unitRows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }.toMap
+    val cvecs = centers.toSeq.map(unitRows)
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      1.0 - s
+    }
+    val worst = unitRows.values
+      .map(v => cvecs.map(c => dist(v, c)).min).max
+    assert(worst <= ds.last + 1e-6,
+      s"uncovered point at $worst > last pick ${ds.last}")
+  }
 }
