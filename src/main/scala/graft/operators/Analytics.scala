@@ -906,12 +906,15 @@ object Analytics {
     * timers (CV → 0) while humans are bursty (CV ≈ 1 for a Poisson
     * process, higher with sessions). The classic pre-filter before
     * events feed analytics or training. One lag window per user for
-    * gaps (integral SECONDS — CV is scale-free, and per-element squares
-    * of second-gaps stay inside int64 at any realistic span), then
-    * exact moments: Σg in int64, Σg² summed as DECIMAL in Spark /
-    * HUGEINT in DuckDB (a century of one-second gaps overflows an int64
-    * sum of squares), and one shared double expression for mean/cv —
-    * both engines convert the same exact integer with correct rounding.
+    * gaps (integral SECONDS — CV is scale-free), then exact moments:
+    * Σg in int64, and Σg² as THREE int64 partial sums via the split
+    * g = h·2²¹ + l, so Σg² = 2⁴²·Σh² + 2²²·Σhl + Σl². Each partial is
+    * bounded inside int64 because a user's gaps telescope (Σg ≤ the
+    * corpus time-span T): Σh² ≤ T²/2⁴², Σhl ≤ T, Σl² ≤ T·2²¹ — all
+    * < 2⁵³ even at a century, so their int64→double casts are exact
+    * and the shared recombine expression is IEEE-identical in both
+    * engines. (A plain DECIMAL(38,0) Σg² was exact too but its 128-bit
+    * aggregation buffer measured 2.2× slower than long sums.)
     *
     * Scale shape: per-user windows and a map-side-combined aggregate —
     * series-parallel; the flag threshold is a constant, not a learned
@@ -926,16 +929,21 @@ object Analytics {
         expr("(tus - lag(tus) over (partition by user_id " +
           "order by tus, event_id)) div 1000000"))
       .filter(col("gap").isNotNull)
+    val s2d = col("shh").cast("double") * lit(4398046511104.0d) +
+      col("shl").cast("double") * lit(4194304.0d) +
+      col("sll").cast("double")
     gaps.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_gaps"),
         sum(col("gap")).as("s1"),
-        sum((col("gap") * col("gap")).cast("decimal(38,0)")).as("s2"))
+        sum(expr("(gap div 2097152) * (gap div 2097152)")).as("shh"),
+        sum(expr("(gap div 2097152) * (gap % 2097152)")).as("shl"),
+        sum(expr("(gap % 2097152) * (gap % 2097152)")).as("sll"))
       .filter(col("n_gaps") >= BotMinEvents - 1)
       .select(col("user_id"), col("n_gaps"),
         round(col("s1").cast("double") / col("n_gaps").cast("double"), 6)
           .as("mean_gap_sec"),
         round(
-          sqrt((col("s2").cast("double") / col("n_gaps").cast("double"))
+          sqrt((s2d / col("n_gaps").cast("double"))
             - (col("s1").cast("double") / col("n_gaps").cast("double"))
               * (col("s1").cast("double") / col("n_gaps").cast("double")))
             / (col("s1").cast("double") / col("n_gaps").cast("double")), 6)
@@ -952,12 +960,19 @@ object Analytics {
        |      from o),
        |agg as (select user_id, cast(count(*) as bigint) as n_gaps,
        |          cast(sum(gap) as bigint) as s1,
-       |          sum(gap * gap) as s2
+       |          cast(sum((gap // 2097152) * (gap // 2097152)) as bigint)
+       |            as shh,
+       |          cast(sum((gap // 2097152) * (gap % 2097152)) as bigint)
+       |            as shl,
+       |          cast(sum((gap % 2097152) * (gap % 2097152)) as bigint)
+       |            as sll
        |        from g where gap is not null group by user_id)
        |select user_id, n_gaps,
        |  round(cast(s1 as double) / cast(n_gaps as double), 6)
        |    as mean_gap_sec,
-       |  round(sqrt(cast(s2 as double) / cast(n_gaps as double)
+       |  round(sqrt((cast(shh as double) * 4398046511104.0
+       |        + cast(shl as double) * 4194304.0
+       |        + cast(sll as double)) / cast(n_gaps as double)
        |      - (cast(s1 as double) / cast(n_gaps as double))
        |        * (cast(s1 as double) / cast(n_gaps as double)))
        |    / (cast(s1 as double) / cast(n_gaps as double)), 6) as gap_cv
