@@ -126,7 +126,20 @@ object Dialect {
       while (i < n && sql.charAt(i) != '\n') { out.append(sql.charAt(i)); i += 1 }
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') copyLineComment()
+      // mysqld's rule: '--' opens a line comment only when followed by
+      // whitespace/control or end of input — 'SELECT 1--2' is double
+      // negation and its tail must still be rewritten.
+      if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-' &&
+          (i + 2 >= n || sql.charAt(i + 2) <= ' ')) copyLineComment()
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        // Not a comment under mysqld's rule — but Spark's lexer starts a
+        // comment at ANY '--', so adjacent minus operators must be
+        // split ('1--2' → '1- -2') to keep mysqld's double-negation
+        // semantics through spark.sql. One dash at a time: the next
+        // loop pass re-applies the comment rule at the following dash
+        // ('1--- 2' correctly becomes '1- ' + a real comment).
+        out.append("- "); i += 1
+      }
       else if (c == '#') copyLineComment()
       else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
         out.append("/*"); i += 2

@@ -23,14 +23,22 @@ import org.apache.spark.sql.types._
   * the reference's codec — and covers the slice a query engine needs:
   *
   *  - HandshakeV10 + HandshakeResponse41 (CLIENT_PROTOCOL_41 required)
-  *    with real `mysql_native_password` verification when a user table
-  *    is configured: the client's 20-byte scramble is checked against
-  *    the stored double-SHA1 (`SHA1(SHA1(password))` — what mysql.user
-  *    stores) via `scramble XOR SHA1(salt ‖ stored) = SHA1(password)`,
-  *    then `SHA1(·) == stored` (constant-time compare). With no users
-  *    configured the phase stays permissive — the bind is loopback-only
-  *    by default, like [[SqlServer]], so the open mode is a deliberate
-  *    dev-loop default, not a hole.
+  *    with real credential verification for BOTH of the reference's
+  *    auth plugins (doradb-protocol/src/mysql/auth.rs:52-57) when a
+  *    user table is configured. `caching_sha2_password` (the MySQL-8
+  *    client default, advertised in the handshake): the 32-byte
+  *    XOR-SHA256 fast-auth scramble is checked against the stored
+  *    `SHA2(SHA2(password))`; full authentication (plaintext/RSA) is
+  *    refused with a clean ERR since there is no TLS listener.
+  *    `mysql_native_password`: the 20-byte scramble against the stored
+  *    double-SHA1, `scramble XOR SHA1(salt ‖ stored) = SHA1(password)`,
+  *    then `SHA1(·) == stored` (constant-time compare). A client whose
+  *    offered plugin differs from the account's gets an
+  *    AuthSwitchRequest, so stock MySQL 8 CLIs connect with no
+  *    `--default-auth` juggling. With no users configured the phase
+  *    stays permissive — the bind is loopback-only by default, like
+  *    [[SqlServer]], so the open mode is a deliberate dev-loop
+  *    default, not a hole.
   *  - COM_QUERY → column-count, ColumnDefinition41 per column, EOF,
   *    lenenc-string text rows, EOF (classic, non-DEPRECATE_EOF framing;
   *    the server never advertises CLIENT_DEPRECATE_EOF so clients use
@@ -71,7 +79,7 @@ import org.apache.spark.sql.types._
   */
 final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     bindAddress: InetAddress,
-    users: Map[String, Array[Byte]]) {
+    users: Map[String, MysqlServer.StoredCred]) {
   import MysqlServer._
 
   private val socket = new ServerSocket(port, 50, bindAddress)
@@ -136,15 +144,8 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         writePacket(out, respSeq + 1,
           errPacket(1043, "08S01", "pre-4.1 clients are not supported"))
         out.flush()
-      } else authenticate(resp, clientFlags, salt) match {
-        case Some(err) =>
-          writePacket(out, respSeq + 1, err)
-          out.flush()
-        case None =>
-          writePacket(out, respSeq + 1, okPacket())
-          out.flush()
-          commandLoop(in, out)
-      }
+      } else if (authPhase(in, out, resp, respSeq, clientFlags, salt))
+        commandLoop(in, out)
     } catch {
       case _: EOFException => // client went away
       case _: Throwable if !running.get() =>
@@ -152,17 +153,36 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     } finally client.close()
   }
 
-  /** Connection-phase credential check. None = accepted. Parses the
-    * HandshakeResponse41 tail (username, auth response in whichever of
-    * the three encodings the client's flags selected) and verifies the
-    * `mysql_native_password` scramble against the configured user table
-    * (doradb-protocol/src/mysql/auth.rs:43-60 is the reference's
-    * equivalent check; the algorithm is the PUBLIC protocol's). */
-  private def authenticate(resp: Array[Byte], flags: Long,
-      salt: Array[Byte]): Option[Array[Byte]] = {
-    if (users.isEmpty) return None // permissive dev mode (loopback bind)
-    def denied(user: String) = Some(errPacket(1045, "28000",
-      s"Access denied for user '$user'"))
+  /** Connection-phase credential check with plugin negotiation; true =
+    * authenticated (final OK already written), false = denied (ERR
+    * written). Parses the HandshakeResponse41 tail (username, auth
+    * response in whichever of the three encodings the client's flags
+    * selected, optional database, optional client auth-plugin name) and
+    * verifies against the configured user table. Both of the
+    * reference's plugins (doradb-protocol/src/mysql/auth.rs:52-57) are
+    * served — `mysql_native_password` (scramble411) and
+    * `caching_sha2_password` (XOR-SHA256 fast auth; the algorithms are
+    * the PUBLIC protocol's). When the client's offered plugin differs
+    * from the account's, an AuthSwitchRequest re-asks with the
+    * account's plugin, so a stock MySQL 8 client (which defaults to
+    * caching_sha2) and a legacy native client both land on the right
+    * scramble. caching_sha2's full-authentication stage (plaintext
+    * over TLS or RSA-encrypted password) is REFUSED with a clean ERR —
+    * this front has no TLS listener, and fast auth is always decidable
+    * here because the stored verifier IS the fast-auth cache entry. */
+  private def authPhase(in: InputStream, out: OutputStream,
+      resp: Array[Byte], seq0: Int, flags: Long,
+      salt: Array[Byte]): Boolean = {
+    var seq = seq0
+    def accept(): Boolean = {
+      writePacket(out, seq + 1, okPacket()); out.flush(); true
+    }
+    def denied(user: String): Boolean = {
+      writePacket(out, seq + 1, errPacket(1045, "28000",
+        s"Access denied for user '$user'"))
+      out.flush(); false
+    }
+    if (users.isEmpty) return accept() // permissive dev mode (loopback bind)
     try {
       var off = 4 + 4 + 1 + 23 // flags, max-packet, charset, reserved
       val unameEnd = resp.indexOf(0.toByte, off)
@@ -172,24 +192,79 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       val authResp: Array[Byte] =
         if ((flags & ClientPluginAuthLenencData) != 0) {
           val (len, used) = readLenencInt(resp, off)
-          java.util.Arrays.copyOfRange(resp, off + used, off + used + len.toInt)
+          val a = java.util.Arrays.copyOfRange(resp, off + used,
+            off + used + len.toInt)
+          off += used + len.toInt
+          a
         } else if ((flags & ClientSecureConnection) != 0) {
           val len = resp(off) & 0xFF
-          java.util.Arrays.copyOfRange(resp, off + 1, off + 1 + len)
+          val a = java.util.Arrays.copyOfRange(resp, off + 1, off + 1 + len)
+          off += 1 + len
+          a
         } else {
           val end = { val i = resp.indexOf(0.toByte, off); if (i < 0) resp.length else i }
-          java.util.Arrays.copyOfRange(resp, off, end)
+          val a = java.util.Arrays.copyOfRange(resp, off, end)
+          off = math.min(resp.length, end + 1)
+          a
+        }
+      if ((flags & ClientConnectWithDb) != 0 && off < resp.length) {
+        val end = { val i = resp.indexOf(0.toByte, off); if (i < 0) resp.length else i }
+        off = end + 1 // database name: accepted and ignored (single catalog)
+      }
+      val clientPlugin: Option[String] =
+        if ((flags & ClientPluginAuth) != 0 && off < resp.length) {
+          val end = { val i = resp.indexOf(0.toByte, off); if (i < 0) resp.length else i }
+          Some(new String(resp, off, end - off, StandardCharsets.US_ASCII))
+        } else None // pluginless client: verify its bytes as-is
+      def verify(cred: StoredCred, response: Array[Byte]): Boolean =
+        cred.plugin match {
+          case CachingSha2Plugin => cachingSha2Ok(salt, response, cred.verifier)
+          case _ => nativePasswordOk(salt, response, cred.verifier)
         }
       users.get(user) match {
-        case Some(stored) if nativePasswordOk(salt, authResp, stored) => None
-        case Some(_) => denied(user)
         case None =>
-          // Unknown users verify against a constant dummy double-SHA1 so
-          // the code path (and its two SHA-1s) is uniform with the
+          // Unknown users verify against a constant dummy credential so
+          // the code path (and its hashing) is uniform with the
           // known-user case — otherwise the early return is a timing
           // side channel that enumerates usernames.
-          nativePasswordOk(salt, authResp, DummyStored)
+          verify(DummyCred, authResp)
           denied(user)
+        case Some(cred) =>
+          val response =
+            if (clientPlugin.exists(_ != cred.plugin)) {
+              // AuthSwitchRequest: 0xFE, account plugin name NUL, salt NUL
+              val sw = new java.io.ByteArrayOutputStream()
+              sw.write(0xFE)
+              sw.write(cred.plugin.getBytes(StandardCharsets.US_ASCII))
+              sw.write(0)
+              sw.write(salt, 0, salt.length); sw.write(0)
+              writePacket(out, seq + 1, sw.toByteArray)
+              out.flush()
+              val (s2, r2) = readPacket(in) // AuthSwitchResponse: raw data
+              seq = s2
+              r2
+            } else authResp
+          if (verify(cred, response)) {
+            if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
+              // fast_auth_success AuthMoreData, then OK (mysqld framing)
+              writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
+              seq += 1
+            }
+            accept()
+          } else if (cred.plugin == CachingSha2Plugin &&
+              cred.verifier.nonEmpty && response.length == 32) {
+            // A well-formed caching_sha2 scramble that does not verify:
+            // mysqld would fall back to full authentication. Without a
+            // TLS listener the password cannot travel safely, so ask
+            // (perform_full_authentication), then refuse whatever comes
+            // back (plaintext attempt or 0x02 RSA-key request) with a
+            // clean ERR instead of stalling the client.
+            writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
+            out.flush()
+            val (s3, _) = readPacket(in)
+            seq = s3
+            denied(user)
+          } else denied(user)
       }
     } catch {
       // malformed handshake tail (truncated lenenc, NULL/negative lenenc
@@ -292,6 +367,15 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               st.longDataOverflow = false
             }
           writePacket(out, 1, okPacket()); out.flush()
+        case ComStmtFetch =>
+          // Server-side cursors are not served, but the command is
+          // DECODED (like the reference's command enum, doradb-protocol/
+          // src/mysql/cmd/mod.rs:40,78) and answered with a clean ERR —
+          // a cursor-requesting client gets a diagnosable refusal, not
+          // an unknown-command fallthrough or a stall.
+          writePacket(out, 1, errPacket(1235, "42000",
+            "This version of MySQL doesn't yet support 'cursor protocol'"))
+          out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           sql match {
@@ -619,19 +703,27 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     val nParams = countPlaceholders(sql)
     val schema =
       try {
-        val probe = splicePlaceholders(sql, Seq.fill(nParams)("NULL"))
-        val kw = sql.trim.takeWhile(_.isLetter)
-          .toLowerCase(java.util.Locale.ROOT)
-        // WHITELIST query-shaped heads: Spark 4 executes command nodes
+        val probe0 = splicePlaceholders(sql, Seq.fill(nParams)("NULL"))
+        val probe =
+          if (probe0.contains("@@")) spliceSysVars(probe0, conn) else probe0
+        // Schema-probe ONLY pure queries: Spark 4 executes command nodes
         // (INSERT/CREATE/DROP/…) eagerly inside spark.sql(), so probing
-        // a command's schema would RUN it at prepare time — a blocklist
-        // of mutating keywords can never be safely complete here.
-        val queryShaped = Set(
-          "select", "with", "values", "table", "show", "describe",
-          "desc", "explain")
-        if (!queryShaped.contains(kw)) StructType(Nil)
-        else spark.sql(
-          if (probe.contains("@@")) spliceSysVars(probe, conn) else probe).schema
+        // a command's schema would RUN it at prepare time. A keyword
+        // whitelist is not safe either — 'WITH q AS (…) INSERT INTO …'
+        // is CTE-headed DML that spark.sql would execute — so the probe
+        // is PARSED (parse-only, never runs) and the schema is derived
+        // only when no node anywhere in the tree is a command or DML
+        // statement. Anything else reports 0 columns, which is
+        // protocol-legal: the binary resultset re-sends column
+        // definitions at EXECUTE time anyway.
+        import org.apache.spark.sql.catalyst.plans.logical._
+        val parsed = spark.sessionState.sqlParser.parsePlan(probe)
+        val impure = parsed.exists {
+          case _: Command | _: InsertIntoStatement | _: InsertIntoDir |
+              _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => true
+          case _ => false
+        }
+        if (impure) StructType(Nil) else spark.sql(probe).schema
       } catch { case scala.util.control.NonFatal(_) => StructType(Nil) }
     stmts(id) = new Prepared(sql, nParams, schema)
     var seq = 1
@@ -678,6 +770,16 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       writePacket(out, 1, errPacket(1153, "08S01",
         s"parameter long data exceeds the $MaxLongData-byte limit " +
           "(reset the statement to recover)"))
+      out.flush()
+      return
+    }
+    // EXECUTE's flags byte requesting a server-side cursor
+    // (CURSOR_TYPE_READ_ONLY/FOR_UPDATE/SCROLLABLE): refused cleanly —
+    // the client would otherwise wait on COM_STMT_FETCH for rows this
+    // server never buffers.
+    if ((cmd(5) & 0x07) != 0) {
+      writePacket(out, 1, errPacket(1235, "42000",
+        "This version of MySQL doesn't yet support 'cursor protocol'"))
       out.flush()
       return
     }
@@ -918,7 +1020,9 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     buf.write(21) // auth plugin data length (20 + trailing NUL)
     buf.write(new Array[Byte](10)) // reserved
     buf.write(salt, 8, 12); buf.write(0) // part 2, NUL-terminated
-    buf.write("mysql_native_password".getBytes(StandardCharsets.US_ASCII))
+    // MySQL-8 default plugin: stock clients start with caching_sha2 and
+    // plugin-switch to native only for accounts stored that way.
+    buf.write(CachingSha2Plugin.getBytes(StandardCharsets.US_ASCII))
     buf.write(0)
     buf.toByteArray
   }
@@ -971,9 +1075,27 @@ object MysqlServer {
   private val ExplainRe =
     "(?is)\\s*explain\\s+(?:(extended|codegen|cost|formatted)\\s+)?(.+)".r
 
+  val NativePlugin = "mysql_native_password"
+  val CachingSha2Plugin = "caching_sha2_password"
+
+  /** A stored account credential: which auth plugin it uses and that
+    * plugin's verifier — SHA1(SHA1(pw)) for native (the mysql.user
+    * Password column), SHA2(SHA2(pw)) for caching_sha2 (the server's
+    * fast-auth cache entry — holding it directly is why fast auth is
+    * always decidable here and the full-auth stage can be refused).
+    * Empty verifier = empty-password account. */
+  final case class StoredCred(plugin: String, verifier: Array[Byte])
+
+  /** Account credential helpers for the two served plugins. */
+  def nativeCred(password: String): StoredCred =
+    StoredCred(NativePlugin, doubleSha1(password))
+  def cachingSha2Cred(password: String): StoredCred =
+    StoredCred(CachingSha2Plugin, doubleSha256(password))
+
   /** Constant stand-in credential for unknown-user verification — only
     * its non-emptiness matters (it forces the full two-SHA1 path). */
-  private val DummyStored: Array[Byte] = doubleSha1("graft-timing-dummy")
+  private val DummyCred: StoredCred =
+    StoredCred(NativePlugin, doubleSha1("graft-timing-dummy"))
 
   // command bytes (public protocol)
   val ComQuit = 0x01
@@ -986,6 +1108,7 @@ object MysqlServer {
   val ComStmtSendLongData = 0x18
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
+  val ComStmtFetch = 0x1c
 
   /** Positions are found by a quote- AND comment-aware scan: `?` inside
     * quoted literals (with doubled-quote and backslash escapes) or
@@ -1005,7 +1128,11 @@ object MysqlServer {
         if (c == '\\' && quote != '`') i += 1 // skip escaped char
         else if (c == quote) quote = 0.toChar
         i += 1
-      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-' &&
+          (i + 2 >= n || sql.charAt(i + 2) <= ' ')) {
+        // mysqld's rule: '--' opens a line comment only when followed by
+        // whitespace/control or end of input — 'SELECT 1--2' is double
+        // negation, not a comment.
         while (i < n && sql.charAt(i) != '\n') i += 1
       } else if (c == '#') {
         while (i < n && sql.charAt(i) != '\n') i += 1
@@ -1051,9 +1178,12 @@ object MysqlServer {
   // connect-with-db + secure connection. CLIENT_DEPRECATE_EOF is NOT
   // advertised, pinning the classic EOF resultset framing.
   val ClientProtocol41 = 0x00000200L
+  val ClientConnectWithDb = 0x00000008L
   val ClientSecureConnection = 0x00008000L
+  val ClientPluginAuth = 0x00080000L
   val ClientPluginAuthLenencData = 0x00200000L
-  val ServerCaps: Long = 0x00000200L | 0x00080000L | 0x00000008L | 0x00008000L
+  val ServerCaps: Long = ClientProtocol41 | ClientPluginAuth |
+    ClientConnectWithDb | ClientSecureConnection
 
   // ---- mysql_native_password (public protocol) ----------------------------
 
@@ -1088,6 +1218,46 @@ object MysqlServer {
     val mix = sha1(salt, stored)
     val sha1pw = Array.tabulate[Byte](20)(i => (response(i) ^ mix(i)).toByte)
     java.security.MessageDigest.isEqual(sha1(sha1pw), stored)
+  }
+
+  // ---- caching_sha2_password fast auth (public protocol) -------------------
+
+  private def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    md.digest()
+  }
+
+  /** What the server CACHES per user: SHA2(SHA2(password)) — the
+    * fast-auth verifier. Empty password → empty array. */
+  def doubleSha256(password: String): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else sha256(sha256(password.getBytes(StandardCharsets.UTF_8)))
+
+  /** What the CLIENT sends in the fast-auth stage:
+    * SHA2(pw) XOR SHA2(SHA2(SHA2(pw)) ‖ nonce) — 32 bytes (the
+    * reference's client side is doradb-protocol/src/mysql/auth.rs:
+    * 270-293). Exposed for the protocol spec's raw-socket client. */
+  def cachingSha2Scramble(salt: Array[Byte], password: String): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val dig1 = sha256(password.getBytes(StandardCharsets.UTF_8))
+    val mix = sha256(sha256(dig1), salt)
+    Array.tabulate[Byte](32)(i => (dig1(i) ^ mix(i)).toByte)
+  }
+
+  /** Server-side fast-auth check: recover SHA2(pw) from the scramble,
+    * re-hash, constant-time compare against the cached double-SHA2. An
+    * empty-password account accepts an empty response (and the lone
+    * 0x00 byte some caching_sha2 clients send for it). */
+  def cachingSha2Ok(salt: Array[Byte], response: Array[Byte],
+      stored: Array[Byte]): Boolean = {
+    if (stored.isEmpty)
+      return response.isEmpty ||
+        (response.length == 1 && response(0) == 0)
+    if (response.length != 32) return false
+    val mix = sha256(stored, salt)
+    val sha2pw = Array.tabulate[Byte](32)(i => (response(i) ^ mix(i)).toByte)
+    java.security.MessageDigest.isEqual(sha256(sha2pw), stored)
   }
 
   val Utf8mb4Charset = 255
@@ -1158,6 +1328,15 @@ object MysqlServer {
       val len =
         (head(0) & 0xFF) | ((head(1) & 0xFF) << 8) | ((head(2) & 0xFF) << 16)
       seq = head(3) & 0xFF
+      // Bound the reassembled payload at the advertised
+      // max_allowed_packet: without this a client streaming 16 MB
+      // continuation frames indefinitely grows the heap without limit.
+      // EOF (not ERR) because the frame stream is mid-message — there
+      // is no packet boundary to answer on; the connection handler
+      // closes the socket, which is how mysqld treats an over-limit
+      // client too (after its ERR 1153 the connection drops).
+      if (buf.size().toLong + len > MaxLongData)
+        throw new EOFException(s"packet exceeds max_allowed_packet")
       buf.write(readN(in, len))
       continued = len == MaxPacket
     }
@@ -1206,10 +1385,11 @@ object MysqlServer {
     }
 
   /** Bind on `port` (0 = ephemeral; loopback unless explicitly widened).
-    * `users` maps username → stored double-SHA1 ([[doubleSha1]]); empty
-    * map = permissive connection phase (dev loop). */
+    * `users` maps username → [[StoredCred]] (build with [[nativeCred]] /
+    * [[cachingSha2Cred]]); empty map = permissive connection phase (dev
+    * loop). */
   def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
       bindAddress: InetAddress = InetAddress.getLoopbackAddress,
-      users: Map[String, Array[Byte]] = Map.empty): MysqlServer =
+      users: Map[String, StoredCred] = Map.empty): MysqlServer =
     new MysqlServer(spark, port, maxRows, bindAddress, users)
 }

@@ -19,17 +19,27 @@ class MysqlProtocolSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Minimal client connection: performs the connection phase (computing
-    * the real mysql_native_password scramble from the handshake salt when
-    * a password is given) and leaves the socket in the command phase.
-    * `authError` carries the server's ERR message when access was
-    * denied. */
+    * the real scramble for the offered auth plugin from the handshake
+    * salt when a password is given, answering AuthSwitchRequest /
+    * AuthMoreData like a stock client) and leaves the socket in the
+    * command phase. `authError` carries the server's ERR message when
+    * access was denied. `plugin` = the auth plugin this client OFFERS in
+    * its HandshakeResponse41 (None = a pluginless pre-5.6-style client
+    * that just sends a native scramble). */
   private final class Client(port: Int, user: String = "graft",
-      password: Option[String] = None) {
+      password: Option[String] = None, plugin: Option[String] = None) {
     private val sock = new Socket("127.0.0.1", port)
     private val in = new BufferedInputStream(sock.getInputStream)
     private val out = new BufferedOutputStream(sock.getOutputStream)
 
-    val (serverVersion, connectionId, authError) = {
+    private def scrambleFor(p: String, salt: Array[Byte]): Array[Byte] =
+      password.map { pw =>
+        if (p == MysqlServer.CachingSha2Plugin)
+          MysqlServer.cachingSha2Scramble(salt, pw)
+        else MysqlServer.nativeScramble(salt, pw)
+      }.getOrElse(Array.emptyByteArray)
+
+    val (serverVersion, connectionId, advertisedPlugin, authError) = {
       val (seq, hs) = readPacket(in)
       assert(seq == 0)
       assert(hs(0) == 10, s"protocol version ${hs(0)}")
@@ -42,24 +52,62 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val salt = new Array[Byte](20)
       System.arraycopy(hs, p + 4, salt, 0, 8)
       System.arraycopy(hs, p + 31, salt, 8, 12)
+      // trailing NUL-terminated auth plugin name after salt part 2's NUL
+      val advertised = {
+        val start = p + 31 + 12 + 1
+        val end = { val e = hs.indexOf(0, start); if (e < 0) hs.length else e }
+        new String(hs, start, end - start, StandardCharsets.US_ASCII)
+      }
       // HandshakeResponse41: flags, max packet, charset, 23 zeros,
-      // NUL-terminated user, length-prefixed auth response (SECURE_CONN).
-      val scramble = password.map(MysqlServer.nativeScramble(salt, _))
-        .getOrElse(Array.emptyByteArray)
+      // NUL-terminated user, length-prefixed auth response (SECURE_CONN),
+      // then the offered plugin name when PLUGIN_AUTH is set.
+      val scramble = scrambleFor(plugin.getOrElse(
+        MysqlServer.NativePlugin), salt)
       val buf = new java.io.ByteArrayOutputStream()
-      buf.write(leBytes(0x00000200 | 0x00008000, 4)) // PROTOCOL_41 | SECURE_CONN
+      var flags = 0x00000200 | 0x00008000 // PROTOCOL_41 | SECURE_CONN
+      if (plugin.isDefined) flags |= 0x00080000 // PLUGIN_AUTH
+      buf.write(leBytes(flags, 4))
       buf.write(leBytes(1 << 24, 4))
       buf.write(255); buf.write(new Array[Byte](23))
       buf.write(user.getBytes(StandardCharsets.UTF_8)); buf.write(0)
       buf.write(scramble.length); buf.write(scramble, 0, scramble.length)
+      plugin.foreach { pl =>
+        buf.write(pl.getBytes(StandardCharsets.US_ASCII)); buf.write(0)
+      }
       writePacket(out, 1, buf.toByteArray)
       out.flush() // writePacket leaves flushing to response boundaries
-      val (_, ok) = readPacket(in)
-      val err =
-        if ((ok(0) & 0xFF) == 0xFF)
-          Some(new String(ok, 9, ok.length - 9, StandardCharsets.UTF_8))
-        else None
-      (ver, connId, err)
+      // negotiation loop: OK / ERR terminate; AuthSwitchRequest (0xFE)
+      // re-scrambles with the named plugin; AuthMoreData (0x01) is
+      // fast_auth_success (0x03, OK follows) or
+      // perform_full_authentication (0x04 — answered with the RSA-key
+      // request a stock non-TLS client would send).
+      var err: Option[String] = None
+      var done = false
+      while (!done) {
+        val (s, pkt) = readPacket(in)
+        (pkt(0) & 0xFF) match {
+          case 0x00 => done = true
+          case 0xFF =>
+            err = Some(new String(pkt, 9, pkt.length - 9,
+              StandardCharsets.UTF_8))
+            done = true
+          case 0xFE =>
+            val nameEnd = pkt.indexOf(0.toByte, 1)
+            val swPlugin = new String(pkt, 1, nameEnd - 1,
+              StandardCharsets.US_ASCII)
+            val swSalt = java.util.Arrays.copyOfRange(pkt, nameEnd + 1,
+              math.min(pkt.length, nameEnd + 21))
+            writePacket(out, s + 1, scrambleFor(swPlugin, swSalt))
+            out.flush()
+          case 0x01 =>
+            if (pkt.length >= 2 && pkt(1) == 4) {
+              writePacket(out, s + 1, Array[Byte](0x02))
+              out.flush()
+            } // 0x03 = fast_auth_success: the OK arrives next
+          case other => fail(s"unexpected auth packet first byte $other")
+        }
+      }
+      (ver, connId, advertised, err)
     }
 
     /** Send one raw command payload (fuzzing / malformed-frame tests). */
@@ -345,7 +393,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
   }
 
   test("mysql_native_password: right password in, wrong password out") {
-    val users = Map("alice" -> MysqlServer.doubleSha1("s3cret"))
+    val users = Map("alice" -> MysqlServer.nativeCred("s3cret"))
     val server = MysqlServer.start(spark, users = users)
     try {
       // correct scramble → command phase works end-to-end
@@ -364,6 +412,78 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val empty = new Client(server.boundPort, "alice", None)
       assert(empty.authError.nonEmpty)
     } finally server.stop()
+  }
+
+  test("caching_sha2_password: fast auth, full-auth refusal, and the " +
+      "handshake advertises it") {
+    val users = Map("carol" -> MysqlServer.cachingSha2Cred("p4ss"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      // fast-auth path: XOR-SHA256 scramble → fast_auth_success + OK
+      val ok = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(ok.advertisedPlugin == MysqlServer.CachingSha2Plugin)
+      assert(ok.authError.isEmpty, ok.authError)
+      val Right((_, rows)) = ok.query("select 6 * 7 as a")
+      assert(rows == Seq(Seq(Some("42"))))
+      ok.quit()
+      // wrong password: the server asks for full authentication, the
+      // client requests the RSA key, and the server refuses cleanly
+      val bad = new Client(server.boundPort, "carol", Some("nope"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(bad.authError.exists(_.contains("Access denied")), bad.authError)
+      // empty auth response against a passworded account → denied
+      val empty = new Client(server.boundPort, "carol", None,
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(empty.authError.nonEmpty)
+    } finally server.stop()
+  }
+
+  test("auth plugin switch: each client lands on its account's plugin") {
+    val users = Map(
+      "carol" -> MysqlServer.cachingSha2Cred("p4ss"),
+      "alice" -> MysqlServer.nativeCred("s3cret"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      // a native-offering client hitting a caching_sha2 account is
+      // switched to caching_sha2 and re-scrambles
+      val c1 = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.NativePlugin))
+      assert(c1.authError.isEmpty, c1.authError)
+      assert(c1.ping())
+      c1.quit()
+      // a stock MySQL-8 client (offers caching_sha2) hitting a native
+      // account is switched to native — no --default-auth needed
+      val c2 = new Client(server.boundPort, "alice", Some("s3cret"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(c2.authError.isEmpty, c2.authError)
+      assert(c2.ping())
+      c2.quit()
+      // a switched client with the wrong password is still denied
+      val c3 = new Client(server.boundPort, "alice", Some("wrong"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(c3.authError.exists(_.contains("Access denied")))
+    } finally server.stop()
+  }
+
+  test("caching_sha2 scramble round-trip: verifier accepts exactly the " +
+      "matching secret") {
+    val salt = Array.tabulate[Byte](20)(i => (i * 11 + 5).toByte)
+    val stored = MysqlServer.doubleSha256("hunter2")
+    val good = MysqlServer.cachingSha2Scramble(salt, "hunter2")
+    val bad = MysqlServer.cachingSha2Scramble(salt, "hunter3")
+    assert(good.length == 32)
+    assert(MysqlServer.cachingSha2Ok(salt, good, stored))
+    assert(!MysqlServer.cachingSha2Ok(salt, bad, stored))
+    assert(!MysqlServer.cachingSha2Ok(salt, Array.emptyByteArray, stored))
+    // a native 20-byte scramble can never satisfy the sha2 verifier
+    assert(!MysqlServer.cachingSha2Ok(salt,
+      MysqlServer.nativeScramble(salt, "hunter2"), stored))
+    // empty-password account: empty response or the lone 0x00 byte
+    val none = MysqlServer.doubleSha256("")
+    assert(MysqlServer.cachingSha2Ok(salt, Array.emptyByteArray, none))
+    assert(MysqlServer.cachingSha2Ok(salt, Array[Byte](0), none))
+    assert(!MysqlServer.cachingSha2Ok(salt, good, none))
   }
 
   test("scramble round-trip: verifier accepts exactly the matching secret") {
@@ -738,11 +858,82 @@ class MysqlProtocolSpec extends AnyFunSuite {
       // NULL-spliced text would have inserted a spurious NULL row
       assert(spark.table("graft_prep_probe").count() == 0,
         "PREPARE executed the INSERT")
+      // CTE-headed DML is still DML: a keyword whitelist keyed on
+      // 'with' would schema-probe (and thereby run) this insert
+      val Right(_) = c.prepare(
+        "with q as (select ? as x) insert into graft_prep_probe " +
+          "select x from q")
+      assert(spark.table("graft_prep_probe").count() == 0,
+        "PREPARE executed the CTE-headed INSERT")
+      // while a CTE-headed QUERY still gets its schema derived
+      val Right((_, nCols, _)) = c.prepare(
+        "with q as (select 1 as x) select x from q")
+      assert(nCols == 1)
       c.quit()
     } finally {
       server.stop()
       spark.sql("drop table if exists graft_prep_probe")
     }
+  }
+
+  test("cursor protocol answers a clean ERR 1235, connection stays up") {
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // COM_STMT_FETCH (0x1c): decoded and refused, not unknown-command
+      c.sendRaw(Array[Byte](MysqlServer.ComStmtFetch.toByte,
+        1, 0, 0, 0, 10, 0, 0, 0))
+      assert(c.readErr().exists(_.contains("cursor protocol")))
+      // EXECUTE with CURSOR_TYPE_READ_ONLY flag: same refusal
+      val Right((id, _, _)) = c.prepare("select 1 as a")
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(MysqlServer.ComStmtExecute)
+      buf.write(leBytes(id.toInt, 4))
+      buf.write(0x01) // CURSOR_TYPE_READ_ONLY
+      buf.write(leBytes(1, 4))
+      c.sendRaw(buf.toByteArray)
+      assert(c.readErr().exists(_.contains("cursor protocol")))
+      assert(c.ping()) // both refusals left the connection usable
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("'--' without trailing space is double negation, not a comment") {
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // mysqld semantics: 1--2 = 1 - (-2) = 3 (Spark alone would lex
+      // '--2' as a line comment and answer 1)
+      val Right((_, rows)) = c.query("select 1--2 as a")
+      assert(rows == Seq(Seq(Some("3"))))
+      // '-- ' (with space) is still a comment
+      val Right((_, rows2)) = c.query("select 7 as b -- +1\n")
+      assert(rows2 == Seq(Seq(Some("7"))))
+      // a '?' after a non-comment '--' counts as a parameter
+      assert(MysqlServer.countPlaceholders("select 1--2, ? as p") == 1)
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("runaway multi-frame reassembly is bounded at max_allowed_packet") {
+    // an endless stream of full 16 MB continuation frames must fail the
+    // read instead of growing the heap without limit
+    val endless: java.io.InputStream = new java.io.InputStream {
+      private var pos = 0
+      private val frameLen = 4 + MysqlServer.MaxPacket
+      override def read(): Int = {
+        val inFrame = pos % frameLen
+        pos += 1
+        if (inFrame == 0 || inFrame == 1 || inFrame == 2) 0xFF
+        else 0 // seq byte and payload
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        var i = 0
+        while (i < len) { b(off + i) = read().toByte; i += 1 }
+        len
+      }
+    }
+    intercept[java.io.EOFException] { MysqlServer.readPacket(endless) }
   }
 
   test("multi-frame logical packets reassemble (16MB splitting rule)") {
