@@ -44,6 +44,16 @@ object Session {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // DP join-reorder bound: Catalyst's default threshold of 12
+      // relations silently degrades wider graphs to left-deep
+      // heuristics. The reference's reorder handles up to 31 relations
+      // (doradb-plan/src/join/graph.rs:10-15) via DPhyp's
+      // connected-subgraph enumeration; Catalyst's DP is subset-based,
+      // so matching 31 would make planning itself the bottleneck — 16
+      // covers real snowflakes with role-playing dims (join_reorder_wide
+      // is 13 relations, plan-asserted to cost-reorder) while keeping
+      // optimizer time bounded.
+      .config("spark.sql.cbo.joinReorder.dp.threshold", "16")
       .config("spark.sql.statistics.histogram.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")

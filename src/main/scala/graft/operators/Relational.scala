@@ -280,6 +280,45 @@ object Relational {
       s.sql(joinReorderSql(s"${Tables.StatsDb}."))
     }
 
+  /** A 13-relation join graph — beyond Catalyst's DEFAULT cost-reorder
+    * bound. The reference's DP join reorder handles graphs of up to 31
+    * relations (doradb-plan/src/join/graph.rs:10-15, join/reorder/
+    * dphyp.rs:11-33); Catalyst's CostBasedJoinReorder DP stops at
+    * `spark.sql.cbo.joinReorder.dp.threshold` relations (default 12)
+    * and silently degrades to left-deep heuristics above it, so
+    * [[graft.Session]] raises the bound. Thirteen relations is how a
+    * real snowflake looks once role-playing dimensions repeat — here
+    * nation/region each appear three times (customer side, supplier
+    * side, co-supplier side) around a two-fact basket join. CboPlanSpec
+    * asserts the reorder actually fires at this width. */
+  def joinReorderWideSql(prefix: String): String =
+    s"""select cn.n_name as cust_nation, count(*) as cnt,
+       |  cast(sum(cast(l2.l_quantity as bigint)) as bigint) as co_qty
+       |from ${prefix}lineitem l
+       |join ${prefix}orders o on l.l_orderkey = o.o_orderkey
+       |join ${prefix}customer c on o.o_custkey = c.c_custkey
+       |join ${prefix}nation cn on c.c_nationkey = cn.n_nationkey
+       |join ${prefix}region cr on cn.n_regionkey = cr.r_regionkey
+       |join ${prefix}supplier s on l.l_suppkey = s.s_suppkey
+       |join ${prefix}nation sn on s.s_nationkey = sn.n_nationkey
+       |join ${prefix}region sr on sn.n_regionkey = sr.r_regionkey
+       |join ${prefix}part p on l.l_partkey = p.p_partkey
+       |join ${prefix}lineitem l2
+       |  on l2.l_partkey = p.p_partkey and l2.l_quantity > 45
+       |join ${prefix}supplier s2 on l2.l_suppkey = s2.s_suppkey
+       |join ${prefix}nation sn2 on s2.s_nationkey = sn2.n_nationkey
+       |join ${prefix}region sr2 on sn2.n_regionkey = sr2.r_regionkey
+       |where cr.r_name = 'ASIA' and sr2.r_name = 'EUROPE'
+       |  and p.p_size < 25
+       |group by cn.n_name
+       |order by cn.n_name""".stripMargin
+
+  val joinReorderWide: Q =
+    Q.df("join_reorder_wide", joinReorderWideSql("")) { (s, dir) =>
+      Tables.registerStats(s, dir)
+      s.sql(joinReorderWideSql(s"${Tables.StatsDb}."))
+    }
+
   // ---- Distinct / Sort / Limit / Offset / top-k -------------------------
 
   val distinctRows: Q = Q.df(
@@ -1772,6 +1811,7 @@ object Relational {
     setopIntersect, setopIntersectAll,
     joinFullOuter, joinCross, joinSemi, joinAnti, joinUsing,
     joinRight, joinNatural, predExistsDisjunction, joinReorderCbo,
+    joinReorderWide,
     joinLateral, distinctOn,
     distinctRows, sortLimitOffset, topK, rowConstant, rowValuesList,
     aggFilterClause, exprDateFuncs,

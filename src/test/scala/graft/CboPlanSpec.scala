@@ -26,9 +26,16 @@ class CboPlanSpec extends AnyFunSuite {
       s"expected ExistenceJoin in:\n$plan")
   }
 
-  /** Leaf relation order = syntactic join order after optimization. */
+  /** Leaf relation order = syntactic join order after optimization.
+    * Normalized to bare table names: expression IDs differ between
+    * parses of the same text, so raw leaf strings never compare
+    * equal across plans. */
   private def leafOrder(plan: LogicalPlan): Seq[String] =
-    plan.collectLeaves().map(_.toString.linesIterator.next())
+    plan.collectLeaves().map { l =>
+      val head = l.toString.linesIterator.next()
+      "Relation [^\\[]*?(\\w+)\\[".r.findFirstMatchIn(head)
+        .map(_.group(1)).getOrElse(head)
+    }
 
   test("ANALYZE stats are registered (rowCount + column NDV)") {
     Tables.registerStats(spark, TestSpark.Sf)
@@ -53,17 +60,42 @@ class CboPlanSpec extends AnyFunSuite {
       s"no inferred o_custkey filter in:\n$plan")
   }
 
+  private def planWith(sql: String, reorder: Boolean): LogicalPlan = {
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+    try spark.sql(sql).queryExecution.optimizedPlan
+    finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
   test("CBO join reorder rewrites the badly-ordered join") {
     Tables.registerStats(spark, TestSpark.Sf)
     val sql = Relational.joinReorderSql(s"${Tables.StatsDb}.")
-    def planWith(reorder: Boolean): LogicalPlan = {
-      spark.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
-      try spark.sql(sql).queryExecution.optimizedPlan
-      finally spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    }
-    val without = leafOrder(planWith(reorder = false))
-    val withRe = leafOrder(planWith(reorder = true))
+    val without = leafOrder(planWith(sql, reorder = false))
+    val withRe = leafOrder(planWith(sql, reorder = true))
     assert(withRe != without,
       s"join order unchanged by CostBasedJoinReorder:\n$without")
+  }
+
+  test("13-relation graph still cost-reorders: dp.threshold raised past " +
+      "Catalyst's default 12") {
+    // Reference bound: 31 relations (doradb-plan/src/join/graph.rs:
+    // 10-15). Catalyst's DP silently skips graphs wider than
+    // dp.threshold, so without the Session override this width would
+    // plan left-deep in syntactic order.
+    Tables.registerStats(spark, TestSpark.Sf)
+    val sql = Relational.joinReorderWideSql(s"${Tables.StatsDb}.")
+    val without = leafOrder(planWith(sql, reorder = false))
+    assert(without.length == 13, s"expected 13 leaves, got $without")
+    val withRe = leafOrder(planWith(sql, reorder = true))
+    assert(withRe != without,
+      s"13-relation join order unchanged by CostBasedJoinReorder:\n$without")
+    // and prove the Session override is the enabling factor: at the
+    // stock threshold the same graph does NOT cost-reorder
+    val key = "spark.sql.cbo.joinReorder.dp.threshold"
+    spark.conf.set(key, "12")
+    val atDefault =
+      try leafOrder(planWith(sql, reorder = true))
+      finally spark.conf.set(key, "16")
+    assert(atDefault == without,
+      "expected no cost-reorder at the stock 12-relation threshold")
   }
 }
