@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -84,15 +84,30 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = end
+  // SMA/zone-map interval over `sq` (inclusive): consulted for
+  // PARTITION-LEVEL skipping only — the predicate itself stays residual
+  private var sqMin = Long.MinValue
+  private var sqMax = Long.MaxValue
+  private var nZone = 0
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.Schema
 
   /** Accept only what the source can translate to interval bounds; hand
     * everything else back as a residual. Bounds compose (conjunction ⇒
-    * interval intersection). */
+    * interval intersection). Range predicates on `sq` are remembered as
+    * ZONE predicates — the per-partition min/max synopsis analogue of
+    * the reference's SMA blocks (doradb-storage/src/col/sma.rs:9-44):
+    * a synopsis can only skip whole partitions, never replace row-level
+    * filtering, so these return as residuals for Spark to re-apply. `h`
+    * carries no synopsis (a multiplicative hash spans the full range in
+    * any non-trivial partition), so `h` predicates never skip —
+    * exactly how a real SMA degrades on a synopsis-less column. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer.empty[Filter]
     val accepted = ArrayBuffer.empty[Filter]
+    def zone(f: Filter)(apply: => Unit): Unit = {
+      apply; nZone += 1; residual += f
+    }
     filters.foreach {
       case f @ GreaterThan("id", v: Long) => lo = math.max(lo, v + 1); accepted += f
       case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); accepted += f
@@ -100,6 +115,12 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
       case f @ LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); accepted += f
       case f @ EqualTo("id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
+      case f @ GreaterThan("sq", v: Long) => zone(f) { sqMin = math.max(sqMin, v + 1) }
+      case f @ GreaterThanOrEqual("sq", v: Long) => zone(f) { sqMin = math.max(sqMin, v) }
+      case f @ LessThan("sq", v: Long) => zone(f) { sqMax = math.min(sqMax, v - 1) }
+      case f @ LessThanOrEqual("sq", v: Long) => zone(f) { sqMax = math.min(sqMax, v) }
+      case f @ EqualTo("sq", v: Long) =>
+        zone(f) { sqMin = math.max(sqMin, v); sqMax = math.min(sqMax, v) }
       case other => residual += other
     }
     pushed = accepted.toArray
@@ -112,28 +133,63 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
     required = requiredSchema
 
   override def build(): Scan = new RangeScan(lo, math.max(lo, hi), slices,
-    required, pushed.length, batchRows)
+    required, pushed.length, batchRows, sqMin, sqMax, nZone)
 }
 
 class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
-    nPushed: Int, batchRows: Long = 16384L) extends Scan with Batch {
+    nPushed: Int, batchRows: Long = 16384L,
+    sqMin: Long = Long.MinValue, sqMax: Long = Long.MaxValue,
+    nZone: Int = 0)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
-  /** Surfaced in EXPLAIN — the spec greps for the narrowed bounds. */
+  /** The slice grid with its per-partition synopsis consulted: a slice
+    * [s, e) has sq ∈ [s², (e-1)²] (monotone over the non-negative id
+    * domain), so a slice whose synopsis interval misses the zone
+    * predicate interval is skipped at PLANNING time — the reference's
+    * SMA block-skip (doradb-storage/src/col/sma.rs:9-44, attr.rs:30-60)
+    * done at Spark's partition granularity. */
+  private lazy val allSlices: Seq[RangePartition] = {
+    val n = math.max(1, slices)
+    val span = hi - lo
+    (0 until n).map { i =>
+      RangePartition(lo + span * i / n, lo + span * (i + 1) / n)
+    }
+  }
+  private lazy val surviving: Seq[RangePartition] =
+    allSlices.filter { p =>
+      p.start < p.end && {
+        val synMin = p.start * p.start
+        val synMax = (p.end - 1) * (p.end - 1)
+        synMax >= sqMin && synMin <= sqMax
+      }
+    }
+
+  /** Surfaced in EXPLAIN — the spec greps for the narrowed bounds and
+    * the zone-skip count. */
   override def description(): String =
-    s"graft-range bounds=[$lo, $hi) pushed=$nPushed " +
+    s"graft-range bounds=[$lo, $hi) pushed=$nPushed zone=$nZone " +
+      s"parts=${surviving.length}/${allSlices.length} " +
       s"cols=${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, slices)
-    val span = hi - lo
-    (0 until n).map { i =>
-      val s = lo + span * i / n
-      val e = lo + span * (i + 1) / n
-      RangePartition(s, e): InputPartition
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] =
+    surviving.map(p => p: InputPartition).toArray
+
+  /** [[SupportsReportStatistics]] — the planner-visible row/byte
+    * estimate AFTER pushdown and zone skipping, so CBO and the
+    * broadcast-threshold decision see the narrowed scan, not the raw
+    * table (the reference reports block counts from the same synopsis
+    * store). */
+  override def estimateStatistics(): Statistics = {
+    val rows = surviving.map(p => p.end - p.start).sum
+    val width = 8L * math.max(1, required.length)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(rows * width)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

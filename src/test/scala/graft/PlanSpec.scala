@@ -155,6 +155,37 @@ class PlanSpec extends AnyFunSuite {
     assert(table.count() == 100000L)
   }
 
+  test("DSv2 SMA zone maps: synopses skip partitions, stats report narrowed") {
+    import org.apache.spark.sql.functions._
+    def table = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    // sq is synopsis-covered (monotone: slice [s,e) has sq ∈ [s²,(e-1)²]):
+    // sq < 1e8 ⇒ id < 10000 ⇒ only the first 12500-wide slice can match
+    val zoned = table.filter(col("sq") < 100000000L)
+    assert(zoned.rdd.getNumPartitions == 1,
+      s"zone map did not skip partitions: ${zoned.rdd.getNumPartitions}")
+    assert(zoned.count() == 10000L) // residual still filters row-level
+    val plan = zoned.queryExecution.executedPlan.toString
+    assert(plan.contains("parts=1/8") && plan.contains("zone=1"),
+      s"zone skip not surfaced in scan description:\n$plan")
+    // h carries NO synopsis — a predicate on it must not skip anything
+    val unzoned = table.filter(col("h") < 100)
+    assert(unzoned.rdd.getNumPartitions == 8,
+      "synopsis-less column must never skip partitions")
+    // SupportsReportStatistics: the planner sees the narrowed scan
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def scanStats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats.sizeInBytes
+      }.get
+    val full = scanStats(table)
+    assert(scanStats(zoned) < full,
+      "zone-skipped scan must report smaller size than the full table")
+    assert(scanStats(table.filter(col("id") < 10).select(col("id"))) < full,
+      "pushdown+pruned scan must report smaller size than the full table")
+  }
+
   test("V2 catalog: identifiers resolve, pushdown survives, writes refuse") {
     // multi-part identifier resolution, straight through SQL
     val df = spark.sql(
