@@ -3,23 +3,45 @@ package graft.plans
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Between, Exists, Expression, Extract, GreaterThanOrEqual, InSubquery, LessThanOrEqual, Literal, OuterReference, PlanExpression, ScalarSubquery}
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, LeftOuter, RightOuter}
 
 /** Plan→SQL reflection: render an analyzed logical plan back to a SQL
   * text that re-plans to the same optimized shape and the same result.
   *
   * Mirrors the reference's `doradb-plan/src/lgc/reflect.rs` (1,677 LoC),
   * which reconstructs SQL from its logical plans so optimizer outputs
-  * can be round-tripped through the parser. The scope here is the block
-  * chain its shape API names — Limit→Offset→Sort→Proj→Filt→Aggr→
-  * Join/Scan (+ Distinct/Union) — with a generic subquery fallback:
-  * any node combination outside the chain is wrapped as a derived
-  * table, so reflection is total over plans whose leaves are named
-  * (catalog/temp-view) relations. Catalyst `Expression.sql` provides
-  * the expression text (backtick-quoted, so even synthesized names like
-  * `sum(x)` re-parse).
+  * can be round-tripped through the parser — proven there over its
+  * TPC-H corpus (doradb-plan/tests/reflect.rs:9-27) and here over the
+  * same 22 verbatim texts (ReflectSpec). The scope is the block chain
+  * the shape API names — Limit→Offset→Sort→Proj→Filt→Aggr→Join/Scan
+  * (+ Distinct/Union/CTE) — with a generic subquery fallback: any node
+  * combination outside the chain is wrapped as a derived table, so
+  * reflection is total over plans whose leaves are named (catalog/
+  * temp-view) relations. Catalyst `Expression.sql` provides the
+  * expression text (backtick-quoted, so even synthesized names like
+  * `sum(x)` re-parse), with three repairs it cannot do itself:
+  *
+  *  - **Subquery expressions** (`ScalarSubquery`, `Exists`,
+  *    `InSubquery`) print as unresolvable pseudo-functions; they are
+  *    re-rendered by recursing into their plans, spliced via
+  *    placeholder tokens because `.sql` is a closed recursion.
+  *    `OuterReference` wrappers unwrap to plain attributes — the
+  *    correlation re-resolves by name against the outer scope at
+  *    re-parse.
+  *  - **Foldable arithmetic** over literals (`date '1998-12-01' -
+  *    interval '71' day`) analyzes into internal expressions whose
+  *    `.sql` does not re-parse (`extractansiintervaldays`); any
+  *    foldable non-literal subtree is evaluated to its literal, which
+  *    the optimizer would have folded identically anyway.
+  *  - **Qualifiers**: by default attributes render bare — a qualified
+  *    name like `lineitem`.`l_quantity` stops resolving once
+  *    reflection introduces a derived-table alias. When the plan reads
+  *    the same relation more than once (self-join: `nation n1, nation
+  *    n2`), bare names would be ambiguous instead, so the LAST
+  *    qualifier part (the user's alias, preserved by the
+  *    SubqueryAlias rendering) is kept.
   *
   * Reflection reads the ANALYZED plan (it still carries the view names
   * and user aliases the optimizer erases); the round-trip proof in
@@ -28,31 +50,109 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
   */
 object Reflect {
 
-  def toSql(df: DataFrame): String = {
+  /** Per-reflection state: derived-table counter and the CTE id→name
+    * map (populated by WithCTE before its body renders, so
+    * CTERelationRef leaves — including ones inside subquery
+    * expressions — resolve to their definition's name). */
+  private final class Ctx(val keepAlias: Boolean) {
     val counter = new AtomicInteger(0)
-    query(df.queryExecution.analyzed, counter)
+    val cte = scala.collection.mutable.Map.empty[Long, String]
   }
 
-  /** Expression text with attribute QUALIFIERS stripped: `Expression.sql`
-    * qualifies attributes by their source relation (`lineitem.l_quantity`),
-    * which stops resolving once reflection introduces a derived-table
-    * alias. Bare (backtick-quoted) names resolve in every scope this
-    * printer emits; plans whose join sides share a column name are
-    * outside the reflected chain's scope (they reach the subquery
-    * fallback, where each side is aliased and projects unique names). */
-  private def sqlOf(e: Expression): String =
-    e.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql
+  def toSql(df: DataFrame): String = {
+    val analyzed = df.queryExecution.analyzed
+    // self-join detection: a leaf relation read more than once (under
+    // aliases, or correlated from a subquery expression's plan) forces
+    // alias-qualified attribute rendering — bare names would either be
+    // ambiguous or, worse, silently collapse a correlation like
+    // `l2.l_orderkey = l1.l_orderkey` into a tautology
+    def leafReads(p: LogicalPlan): Seq[String] = {
+      val here = p.collect {
+        case SubqueryAlias(id, child) if isLeafRelation(child) => id.name
+      }
+      val subPlans = p.collect { case n =>
+        n.expressions.flatMap(_.collect {
+          case pe: PlanExpression[_] => pe.plan match {
+            case lp: LogicalPlan => Seq(lp)
+            case _ => Nil
+          }
+        }.flatten)
+      }.flatten
+      here ++ subPlans.flatMap(leafReads)
+    }
+    val leafNames = leafReads(analyzed)
+    val ctx = new Ctx(leafNames.distinct.size < leafNames.size)
+    query(analyzed, ctx)
+  }
+
+  /** Expression text that re-parses: qualifiers normalized, subquery
+    * expressions re-rendered from their plans, foldable non-literal
+    * subtrees collapsed to literals. */
+  private def sqlOf(e: Expression, ctx: Ctx): String = {
+    val repl = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def token(body: String): Literal = {
+      val tok = s"__graft_reflect_${ctx.counter.incrementAndGet()}__"
+      repl += ((s"'$tok'", body))
+      Literal(tok)
+    }
+    def hasSubquery(x: Expression): Boolean =
+      x.exists(_.isInstanceOf[PlanExpression[_]])
+    val cleaned = e.transform {
+      case OuterReference(a: AttributeReference) => qualify(a, ctx)
+      case a: AttributeReference => qualify(a, ctx)
+      // RuntimeReplaceables whose .sql does not re-parse (extract's
+      // field prints as a string literal, between as a function call):
+      // render their replacement, which is plain comparisons/functions
+      case ex: Extract => ex.replacement
+      // NOT b.replacement: since 3.5 it routes through the internal
+      // `With` common-expression node, whose .sql does not re-parse
+      case b: Between =>
+        And(GreaterThanOrEqual(b.input, b.lower),
+          LessThanOrEqual(b.input, b.upper))
+      case s: ScalarSubquery => token(s"(${query(s.plan, ctx)})")
+      case ex: Exists => token(s"exists (${query(ex.plan, ctx)})")
+      case in: InSubquery =>
+        val vals = in.values.map(v => sqlOf(v, ctx))
+        val lhs =
+          if (vals.length == 1) vals.head else vals.mkString("(", ", ", ")")
+        token(s"$lhs in (${query(in.query.plan, ctx)})")
+      case f if f.foldable && !f.isInstanceOf[Literal] && !hasSubquery(f) =>
+        Literal.create(f.eval(), f.dataType)
+    }
+    var out = cleaned.sql
+    repl.foreach { case (tok, body) => out = out.replace(tok, body) }
+    out
+  }
+
+  private def qualify(a: AttributeReference, ctx: Ctx): AttributeReference =
+    a.withQualifier(if (ctx.keepAlias) a.qualifier.takeRight(1) else Seq.empty)
 
   /** Full SELECT statement for `p`. */
-  private def query(p: LogicalPlan, c: AtomicInteger): String = p match {
+  private def query(p: LogicalPlan, ctx: Ctx): String = p match {
+    case WithCTE(child, defs) =>
+      // names first: later defs and the body may reference earlier defs
+      defs.foreach { d =>
+        ctx.cte(d.id) = d.child match {
+          case SubqueryAlias(id, _) => id.name
+          case _ => s"__cte${d.id}"
+        }
+      }
+      val defSql = defs.map { d =>
+        val body = d.child match {
+          case SubqueryAlias(_, inner) => query(inner, ctx)
+          case other => query(other, ctx)
+        }
+        s"${ctx.cte(d.id)} as ($body)"
+      }
+      s"with ${defSql.mkString(", ")} ${query(child, ctx)}"
     case GlobalLimit(Literal(n, _), LocalLimit(_, child)) =>
-      s"${query(child, c)} limit $n"
+      s"${query(child, ctx)} limit $n"
     case Offset(Literal(n, _), child) =>
-      s"${query(child, c)} offset $n"
+      s"${query(child, ctx)} offset $n"
     case Sort(order, true, child, _) =>
-      s"${query(child, c)} order by ${order.map(sqlOf).mkString(", ")}"
+      s"${query(child, ctx)} order by ${order.map(sqlOf(_, ctx)).mkString(", ")}"
     case Distinct(child) =>
-      val q = query(child, c)
+      val q = query(child, ctx)
       // Push DISTINCT into the select head only when the child PLAN is a
       // plain projection/aggregate: textually prefixing a rendering that
       // ends in LIMIT/ORDER BY/OFFSET would move the DISTINCT to the
@@ -61,77 +161,136 @@ object Reflect {
       child match {
         case _: Project | _: Aggregate if q.startsWith("select ") =>
           "select distinct " + q.stripPrefix("select ")
-        case _ => s"select distinct * from ${wrap(q, c)}"
+        case _ => s"select distinct * from ${wrap(q, ctx)}"
       }
     case Union(children, false, false) =>
-      children.map(ch => s"(${query(ch, c)})").mkString(" union all ")
+      children.map(ch => s"(${query(ch, ctx)})").mkString(" union all ")
+    // Proj over Filt over Aggr is a HAVING block: rendering it as a
+    // derived table + WHERE is equivalent but plans with extra Project
+    // layers that block downstream subquery/constraint inference (q18's
+    // IN-subquery semi join stops propagating through the join
+    // equal-set), so reflect the clause the user wrote. References to
+    // the aggregate's aliased outputs are substituted by their defining
+    // expressions — a single-block HAVING query has no derived-table
+    // scope for a synthesized name like `sum(l_quantity)` to resolve in.
+    case Project(list, Filter(cond, Aggregate(groups, aggs, child, _)))
+        if groups.nonEmpty =>
+      val defs = aggs.collect {
+        case al: Alias => al.exprId -> al.child
+      }.toMap
+      def subst(e: Expression): Expression = e.transform {
+        case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
+      }
+      val selList = list.map {
+        case a: AttributeReference if defs.contains(a.exprId) =>
+          sqlOf(Alias(defs(a.exprId), a.name)(), ctx)
+        case e => sqlOf(subst(e), ctx)
+      }.mkString(", ")
+      val fromWhere = child match {
+        case Filter(w, ch2) => s"${rel(ch2, ctx)} where ${sqlOf(w, ctx)}"
+        case ch2 => rel(ch2, ctx)
+      }
+      s"select $selList from $fromWhere${groupBy(groups, ctx)} " +
+        s"having ${sqlOf(subst(cond), ctx)}"
     // Proj/Aggr directly over Filt keep the WHERE in the same block, so
     // the FROM stays a named relation instead of a derived table
     case Project(list, Filter(cond, child)) =>
-      s"select ${exprList(list)} from ${rel(child, c)} where ${sqlOf(cond)}"
+      s"select ${exprList(list, ctx)} from ${rel(child, ctx)} " +
+        s"where ${sqlOf(cond, ctx)}"
     case Aggregate(groups, aggs, Filter(cond, child), _) =>
-      s"select ${exprList(aggs)} from ${rel(child, c)} where ${sqlOf(cond)}" +
-        groupBy(groups)
+      s"select ${exprList(aggs, ctx)} from ${rel(child, ctx)} " +
+        s"where ${sqlOf(cond, ctx)}" + groupBy(groups, ctx)
     case Project(list, child) =>
-      s"select ${exprList(list)} from ${rel(child, c)}"
+      s"select ${exprList(list, ctx)} from ${rel(child, ctx)}"
     case Aggregate(groups, aggs, child, _) =>
-      s"select ${exprList(aggs)} from ${rel(child, c)}" + groupBy(groups)
+      s"select ${exprList(aggs, ctx)} from ${rel(child, ctx)}" +
+        groupBy(groups, ctx)
     case Filter(cond, child) =>
-      s"select * from ${rel(child, c)} where ${sqlOf(cond)}"
+      s"select * from ${rel(child, ctx)} where ${sqlOf(cond, ctx)}"
     // only hand over nodes rel() itself handles — an unguarded fallback
     // here would bounce unsupported nodes between query() and rel()
     // forever (StackOverflow instead of a diagnosable error)
-    case other @ (_: SubqueryAlias | _: Join) =>
-      s"select * from ${rel(other, c)}"
+    case other @ (_: SubqueryAlias | _: Join | _: CTERelationRef) =>
+      s"select * from ${rel(other, ctx)}"
     case other =>
       throw new UnsupportedOperationException(
         s"Reflect: unsupported plan node ${other.nodeName} — " +
           "extend query()/rel() before reflecting this shape")
   }
 
-  private def groupBy(groups: Seq[Expression]): String =
+  private def groupBy(groups: Seq[Expression], ctx: Ctx): String =
     if (groups.isEmpty) ""
-    else s" group by ${groups.map(sqlOf).mkString(", ")}"
+    else s" group by ${groups.map(sqlOf(_, ctx)).mkString(", ")}"
 
   /** FROM-clause fragment for `p`: a bare table name, a join tree, a
     * filtered relation, or a parenthesized derived table. */
-  private def rel(p: LogicalPlan, c: AtomicInteger): String = p match {
-    case SubqueryAlias(id, child) if isLeafRelation(child) => id.name
+  private def rel(p: LogicalPlan, ctx: Ctx): String = p match {
+    case r: CTERelationRef => ctx.cte(r.cteId)
+    case SubqueryAlias(id, child) if isLeafRelation(child) =>
+      child match {
+        // keepAlias mode renders attributes as alias.col, so the scan
+        // must carry the alias even when it names the relation itself
+        case _ if ctx.keepAlias =>
+          leafName(child).map(n => s"$n as ${id.name}").getOrElse(id.name)
+        case _ => id.name
+      }
+    case SubqueryAlias(id, SubqueryAlias(name, child))
+        if isLeafRelation(child) =>
+      // a user-aliased view read: render `view as alias`, not a nested
+      // derived table — keeps the re-parsed plan free of an extra Proj
+      s"${name.name} as ${id.name}"
     case SubqueryAlias(id, child) =>
-      s"(${query(child, c)}) as ${id.name}"
+      s"(${query(child, ctx)}) as ${id.name}"
     case Join(l, r, Inner, Some(cond), _) =>
-      s"${rel(l, c)} join ${rel(r, c)} on ${sqlOf(cond)}"
+      s"${rel(l, ctx)} join ${rel(r, ctx)} on ${sqlOf(cond, ctx)}"
     case Join(l, r, Inner, None, _) =>
-      s"${rel(l, c)} cross join ${rel(r, c)}"
+      // `join` WITHOUT on: the ON clause is optional in Spark's grammar
+      // and preserves the Inner join type — `cross join` would re-parse
+      // as Cross and drift the optimized shape of comma-FROM queries
+      s"${rel(l, ctx)} join ${rel(r, ctx)}"
     case Join(l, r, Cross, _, _) =>
-      s"${rel(l, c)} cross join ${rel(r, c)}"
+      s"${rel(l, ctx)} cross join ${rel(r, ctx)}"
+    case Join(l, r, LeftOuter, Some(cond), _) =>
+      s"${rel(l, ctx)} left join ${rel(r, ctx)} on ${sqlOf(cond, ctx)}"
+    case Join(l, r, RightOuter, Some(cond), _) =>
+      s"${rel(l, ctx)} right join ${rel(r, ctx)} on ${sqlOf(cond, ctx)}"
+    case Join(l, r, FullOuter, Some(cond), _) =>
+      s"${rel(l, ctx)} full join ${rel(r, ctx)} on ${sqlOf(cond, ctx)}"
     case Filter(cond, child) =>
       // filter in FROM position: fold into a derived table
-      wrap(s"select * from ${rel(child, c)} where ${sqlOf(cond)}", c)
+      wrap(s"select * from ${rel(child, ctx)} where ${sqlOf(cond, ctx)}", ctx)
     // the mirror guard of query()'s fallback: only query-shaped nodes
     // become derived tables; anything else fails loudly
     case other @ (_: GlobalLimit | _: Offset | _: Sort | _: Distinct |
-        _: Union | _: Project | _: Aggregate) =>
-      wrap(query(other, c), c)
+        _: Union | _: Project | _: Aggregate | _: WithCTE) =>
+      wrap(query(other, ctx), ctx)
     case other =>
       throw new UnsupportedOperationException(
         s"Reflect: unsupported plan node ${other.nodeName} — " +
           "extend query()/rel() before reflecting this shape")
   }
 
-  private def wrap(sql: String, c: AtomicInteger): String =
-    s"($sql) as __q${c.incrementAndGet()}"
+  private def wrap(sql: String, ctx: Ctx): String =
+    s"($sql) as __q${ctx.counter.incrementAndGet()}"
 
   /** A node that a SubqueryAlias directly names as a scan: catalog or
     * file relation, possibly behind a View wrapper. */
   private def isLeafRelation(p: LogicalPlan): Boolean = p match {
-    case v: View => true
+    case _: View => true
+    case _: CTERelationRef => false // has its own rendering
     case _ if p.children.isEmpty && p.nodeName.contains("Relation") => true
     case _ => false
   }
 
+  /** The catalog/view NAME a leaf scan reads, when recoverable — used
+    * by keepAlias mode to render `name as alias`. */
+  private def leafName(p: LogicalPlan): Option[String] = p match {
+    case v: View => Some(v.desc.identifier.table)
+    case _ => None
+  }
+
   // sqlOf, not raw .sql: a qualified name like `lineitem`.`l_quantity`
   // does not re-resolve inside a derived-table alias scope
-  private def exprList(list: Seq[Expression]): String =
-    list.map(sqlOf).mkString(", ")
+  private def exprList(list: Seq[Expression], ctx: Ctx): String =
+    list.map(sqlOf(_, ctx)).mkString(", ")
 }

@@ -55,4 +55,29 @@ class ReflectSpec extends AnyFunSuite {
         |union all
         |select r_name from region""".stripMargin)
   }
+
+  test("all 22 verbatim TPC-H plans round-trip through reflection") {
+    // Reference scope: doradb-plan/tests/reflect.rs:9-27 round-trips its
+    // TPC-H plan corpus through reflect → re-plan. Same here, at full
+    // width: every reflected text must re-plan to the SAME optimized
+    // shape and return the SAME rows as the verbatim original.
+    graft.tpch.RefSchema.ensureRegistered(spark, TestSpark.Sf)
+    val failures = (1 to 22).flatMap { n =>
+      try {
+        val orig = spark.sql(graft.tpch.RefSchema.verbatim(n))
+        val reflected = Reflect.toSql(orig)
+        val back = spark.sql(reflected)
+        if (PlanShape.shape(back) != PlanShape.shape(orig))
+          Some(s"q$n: shape drift")
+        else if (back.collect().toSeq != orig.collect().toSeq)
+          Some(s"q$n: row drift")
+        else None
+      } catch {
+        case e: Exception => Some(s"q$n: ${e.getClass.getSimpleName} " +
+          e.getMessage.linesIterator.take(1).mkString)
+      }
+    }
+    assert(failures.isEmpty, s"reflect round-trip failed for:\n" +
+      failures.mkString("\n"))
+  }
 }
