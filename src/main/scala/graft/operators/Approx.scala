@@ -322,7 +322,81 @@ object Approx {
       .orderBy(col("event_type"))
   }
 
+  /** Misra-Gries counter budget: bounds BOTH the per-partition summary
+    * memory and the selection threshold (heavy = count·k > n). */
+  val MgCounters = 64
+
+  /** Per-partition Misra-Gries summaries → the distinct candidate-key
+    * set. The MG invariant gives the pigeonhole SUPERSET guarantee: any
+    * key with global count > n/k has per-partition count > n_p/k in at
+    * least one partition (counts and sizes both sum to the totals), and
+    * a key with partition count > n_p/k always survives that
+    * partition's k-counter summary — so no true heavy hitter can be
+    * pruned. Classic decrement-all eviction; O(k) memory per partition
+    * regardless of key cardinality. */
+  def misraGriesCandidates(toks: org.apache.spark.sql.Dataset[String],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < k => counters(t) = 1L
+          case None =>
+            // decrement-all: drains one unit from every counter (the
+            // arriving key's implicit counter included) — the MG step
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters(key) = c - 1
+            }
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("tok").distinct()
+  }
+
+  /** Two-phase exact heavy hitters: Misra-Gries candidate pruning, then
+    * exact verification over candidate rows only — the summarize-then-
+    * verify shape that finds exact heavy keys WITHOUT ever shuffling
+    * the full key space. Phase 1 is a map-only pass emitting ≤ k keys
+    * per partition; phase 2 broadcast-semi-joins the candidate set and
+    * aggregates just those rows, so at 100 TB the shuffle carries
+    * candidate-key rows instead of billions of distinct keys, and the
+    * final answer is exact and deterministic (the superset guarantee
+    * means pruning can never change it — the fixtures' near-uniform
+    * vocabulary keeps every word a candidate here, while ApproxSpec
+    * proves real pruning and the superset property on synthetic
+    * Zipf-skewed data where distinct keys far exceed k). The CMS entry
+    * ([[approxHeavyHitters]]) bounds estimates; this one returns the
+    * exact set. */
+  val misraGriesHitters: Q = Q.df(
+    "approx_misra_gries_hitters",
+    s"""with toks as (select unnest(string_split(text, ' ')) as tok
+       |              from documents),
+       |t2 as (select tok from toks where len(tok) > 0),
+       |tot as (select cast(count(*) as bigint) as n from t2)
+       |select tok, cast(count(*) as bigint) as cnt
+       |from t2, tot
+       |group by tok, n
+       |having count(*) * $MgCounters > n
+       |order by cnt desc, tok""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val toks = Tables.df(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cands = misraGriesCandidates(toks.as[String], MgCounters)
+    val tot = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cands), "tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * MgCounters > col("n"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val queries: Seq[Q] =
     Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
-      approxMergeable, bitmapDistinct, approxSketchRollup)
+      approxMergeable, bitmapDistinct, approxSketchRollup, misraGriesHitters)
 }

@@ -429,8 +429,42 @@ object EventsStream {
     runRangeSourceStream(s).orderBy(col("bucket"))
   }
 
+  /** Execute [[sessions]] through the REAL streaming runtime. Session
+    * windows are the one windowed aggregation whose streaming state
+    * MERGES: an arriving event can bridge two open sessions into one,
+    * so the state store does range lookups + merge-and-replace instead
+    * of point upserts — a genuinely different runtime path from the
+    * tumbling-window entry, worth executing, not just batch-paralleling
+    * (`sessionize_events` covers that form). Complete mode re-emits the
+    * fully-merged state each micro-batch; the oracle is the same
+    * lag + cumulative-sum reconstruction the batch entry uses. */
+  def runSessionWindowStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    val q = sessions(Tables.eventsStream(s, dir))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val sessionWindowStreamed: Q = Q.df(
+    "stream_session_windows",
+    sessionizeEvents.oracle.get) { (s, dir) =>
+    runSessionWindowStream(s, dir)
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val queries: Seq[Q] =
     Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed,
       dedupStreamed, userActivityState, intervalJoinStreamed,
-      customSourceStreamed)
+      customSourceStreamed, sessionWindowStreamed)
 }

@@ -111,4 +111,49 @@ class ApproxSpec extends AnyFunSuite {
     assert(row.getBoolean(2), "merged estimate outside eps")
     assert(row.getBoolean(3), "a per-shard estimate outside eps")
   }
+
+  test("Misra-Gries candidates: real pruning + superset guarantee on Zipf") {
+    // synthetic Zipf over FAR more distinct keys than counters: key i
+    // (1-based) appears ⌈50000/i⌉ times over 5000 distinct keys —
+    // deterministic, heavy head, long uniform-ish tail
+    import spark.implicits._
+    val k = 64
+    val toks = spark.range(1, 5001)
+      .select(col("id"), explode(sequence(lit(1),
+        (lit(50000) / col("id")).cast("int"))).as("rep"))
+      .select(concat(lit("key"), col("id")).as("tok"))
+      .repartition(8)
+      .as[String]
+    val n = toks.count()
+    val cands = graft.operators.Approx.misraGriesCandidates(toks, k)
+      .as[String].collect().toSet
+    // pruning is real: candidates ≤ partitions·k, far below 5000 keys
+    assert(cands.size <= 8 * k,
+      s"candidate set too large: ${cands.size}")
+    assert(cands.size < 1000, s"no pruning happened: ${cands.size}")
+    // superset guarantee: every true heavy hitter survives
+    val exactHeavy = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+      .as[(String, Long)].collect()
+    assert(exactHeavy.nonEmpty, "test data produced no heavy hitters")
+    val missed = exactHeavy.filterNot { case (t, _) => cands.contains(t) }
+    assert(missed.isEmpty, s"pruned true heavy hitters: ${missed.toSeq}")
+  }
+
+  test("approx_misra_gries_hitters entry equals the direct exact answer") {
+    val got = graft.operators.Approx.misraGriesHitters
+      .run(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val toks = Tables.df(spark, TestSpark.Sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val n = toks.count()
+    val want = toks.groupBy("tok").count()
+      .filter(col("count") * graft.operators.Approx.MgCounters > n)
+      .orderBy(col("count").desc, col("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty, "no heavy hitters on fixture vocabulary")
+    assert(got.toSeq == want.toSeq)
+  }
 }
