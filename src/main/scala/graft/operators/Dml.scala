@@ -737,6 +737,30 @@ object Dml {
       .orderBy(col("bucket"))
   }
 
+  /** Aggregate pushdown into the DSv2 source, value-checked:
+    * COUNT/MIN/MAX/SUM over the filter-narrowed interval are answered
+    * from CLOSED FORMS at the source — the scan plans one partition and
+    * generates zero data rows (PlanSpec asserts the agg-pushdown scan
+    * and the no-residual guard) — the Spark face of answering
+    * aggregates from storage synopses instead of data
+    * (doradb-storage/src/col/sma.rs holds the same min/max per block).
+    * The oracle computes the same aggregate the honest way over
+    * DuckDB's range(). */
+  val sourceAggPushdown: Q = Q.df(
+    "source_agg_pushdown",
+    """with t as (select range as id from range(0, 100000))
+      |select cast(count(*) as bigint) as n,
+      |  cast(min(id) as bigint) as min_id,
+      |  cast(max(id) as bigint) as max_id,
+      |  cast(sum(id) as bigint) as sum_id
+      |from t where id >= 1000 and id < 60000""".stripMargin) { (s, dir) =>
+    s.read.format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 60000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+  }
+
   /** The custom DSv2 SINK ([[graft.sources.AuditSinkProvider]]) driven
     * through the gate: events stream through the distributed commit
     * protocol (per-task O(1) digests, driver merge, atomic publish) and
@@ -787,5 +811,6 @@ object Dml {
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
-    dmlScd2, sourceCustomDsv2, sinkCustomDsv2, sourceCatalogTable)
+    dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
+    sourceCatalogTable)
 }

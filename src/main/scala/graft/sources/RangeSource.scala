@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -81,7 +83,9 @@ class RangeTable(end: Long, slices: Int, batchRows: Long = 16384L)
 
 class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = end
   // SMA/zone-map interval over `sq` (inclusive): consulted for
@@ -89,6 +93,7 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
   private var sqMin = Long.MinValue
   private var sqMax = Long.MaxValue
   private var nZone = 0
+  private var nResidual = 0
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.Schema
 
@@ -121,7 +126,7 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
       case f @ LessThanOrEqual("sq", v: Long) => zone(f) { sqMax = math.min(sqMax, v) }
       case f @ EqualTo("sq", v: Long) =>
         zone(f) { sqMin = math.max(sqMin, v); sqMax = math.min(sqMax, v) }
-      case other => residual += other
+      case other => nResidual += 1; residual += other
     }
     pushed = accepted.toArray
     residual.toArray
@@ -132,14 +137,144 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RangeScan(lo, math.max(lo, hi), slices,
-    required, pushed.length, batchRows, sqMin, sqMax, nZone)
+  /** True when every filter became an interval bound — residuals (zone
+    * or otherwise) mean Spark still filters rows after the scan, so
+    * aggregate/limit pushdown would answer over the WRONG row set. */
+  private def noResiduals: Boolean = nZone == 0 && nResidual == 0
+
+  // ---- aggregate pushdown (SMA-answered, like the reference's
+  // synopsis lookups — doradb-storage/src/col/sma.rs): over the
+  // generated interval every supported aggregate has a closed form, so
+  // a pushed COUNT/MIN/MAX/SUM never materializes a row ------------------
+
+  /** Closed-form value for one aggregate over [lo, hi), or None when
+    * the function is outside the supported set. */
+  private def closedForm(f: AggregateFunc): Option[(StructField, Any)] = {
+    val span = math.max(0L, hi - lo)
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def empty = span == 0L
+    f match {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false), span))
+      case m: Min => field(m.column).collect {
+        case "id" => (StructField("min_id", LongType), if (empty) null else lo)
+        case "sq" =>
+          (StructField("min_sq", LongType), if (empty) null else lo * lo)
+      }
+      case m: Max => field(m.column).collect {
+        case "id" =>
+          (StructField("max_id", LongType), if (empty) null else hi - 1)
+        case "sq" => (StructField("max_sq", LongType),
+          if (empty) null else (hi - 1) * (hi - 1))
+      }
+      case s: Sum if !s.isDistinct => field(s.column).collect {
+        case "id" =>
+          // Σ[lo,hi) = (lo + hi - 1)·span / 2; one factor is even
+          val v = if ((span & 1L) == 0L) (span / 2) * (lo + hi - 1)
+            else span * ((lo + hi - 1) / 2)
+          (StructField("sum_id", LongType), if (empty) null else v)
+      }
+      case _ => None
+    }
+  }
+
+  private def translate(agg: Aggregation)
+      : Option[Seq[(StructField, Any)]] = {
+    if (!noResiduals || agg.groupByExpressions.nonEmpty) return None
+    val forms = agg.aggregateExpressions.map(closedForm)
+    if (forms.forall(_.isDefined)) Some(forms.toSeq.map(_.get)) else None
+  }
+
+  private var aggResult: Option[Seq[(StructField, Any)]] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case some @ Some(_) => aggResult = some; true
+      case None => false
+    }
+
+  // ---- limit / top-N pushdown: the generated interval is ordered by
+  // id, so LIMIT n (and ORDER BY id ASC LIMIT n) truncate hi ------------
+
+  private var limited = false
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (!noResiduals) return false
+    hi = math.min(hi, lo + limit.toLong)
+    limited = true
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = false
+
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    // only the source's NATIVE order (id ASC) can be answered by
+    // truncation; any other order needs Spark's sort
+    val nativeOrder = orders.length == 1 && {
+      val o = orders(0)
+      (o.expression match {
+        case nr: NamedReference =>
+          nr.fieldNames.length == 1 && nr.fieldNames()(0) == "id"
+        case _ => false
+      }) &&
+        o.direction == org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING
+    }
+    if (nativeOrder) pushLimit(limit) else false
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some(forms) =>
+      new RangeAggScan(
+        StructType(forms.map(_._1)), forms.map(_._2).toArray,
+        s"graft-range agg-pushdown bounds=[$lo, $hi) " +
+          s"funcs=${forms.map(_._1.name).mkString(",")}")
+    case None =>
+      new RangeScan(lo, math.max(lo, hi), slices,
+        required, pushed.length, batchRows, sqMin, sqMax, nZone, limited)
+  }
 }
+
+/** The pushed-aggregate scan: one partition, one row, zero generated
+  * data — the aggregate was answered from the interval's closed forms
+  * at plan time. */
+class RangeAggScan(schema: StructType, row: Array[Any], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String = desc
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RangeAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              p.asInstanceOf[RangeAggPartition].values.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class RangeAggPartition(values: Array[Any]) extends InputPartition
 
 class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
     nPushed: Int, batchRows: Long = 16384L,
     sqMin: Long = Long.MinValue, sqMax: Long = Long.MaxValue,
-    nZone: Int = 0)
+    nZone: Int = 0, limited: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
@@ -170,6 +305,7 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
   override def description(): String =
     s"graft-range bounds=[$lo, $hi) pushed=$nPushed zone=$nZone " +
       s"parts=${surviving.length}/${allSlices.length} " +
+      (if (limited) "limited=true " else "") +
       s"cols=${required.fieldNames.mkString(",")}"
 
   override def toBatch: Batch = this
@@ -278,6 +414,57 @@ class RangeReaderFactory(required: StructType)
         new GenericInternalRow(vals)
       }
       override def close(): Unit = ()
+    }
+  }
+
+  /** Columnar read path — the Tungsten-idiomatic mirror of the
+    * reference's columnar block storage (doradb-storage/src/col): rows
+    * are generated straight into on-heap column vectors in 4096-row
+    * batches, and Spark's whole-stage codegen consumes the batch
+    * through its vectorized ColumnarToRow bridge instead of one
+    * virtual call per row. Same pruned projection contract as the row
+    * reader. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    p.isInstanceOf[RangePartition]
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    val rp = p.asInstanceOf[RangePartition]
+    val batchSize = 4096
+    new PartitionReader[ColumnarBatch] {
+      private var cur = rp.start
+      private val vectors =
+        OnHeapColumnVector.allocateColumns(batchSize, required)
+      private val batch =
+        new ColumnarBatch(vectors.map(v => v: ColumnVector))
+      private val fills: Array[(OnHeapColumnVector, Int, Long) => Unit] =
+        required.fieldNames.map {
+          case "id" => (v: OnHeapColumnVector, i: Int, id: Long) =>
+            v.putLong(i, id)
+          case "sq" => (v: OnHeapColumnVector, i: Int, id: Long) =>
+            v.putLong(i, id * id)
+          case "h" => (v: OnHeapColumnVector, i: Int, id: Long) =>
+            v.putLong(i, RangeSource.hash(id))
+        }
+      override def next(): Boolean = {
+        if (cur >= rp.end) return false
+        val n = math.min(batchSize.toLong, rp.end - cur).toInt
+        var c = 0
+        while (c < vectors.length) {
+          vectors(c).reset()
+          val fill = fills(c)
+          var i = 0
+          while (i < n) { fill(vectors(c), i, cur + i); i += 1 }
+          c += 1
+        }
+        batch.setNumRows(n)
+        cur += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

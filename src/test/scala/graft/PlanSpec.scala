@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.sources.RangeSource
+
 /** Plan-shape assertions mirroring the reference's rule tests
   * (doradb-plan/src/rule inline tests, SURVEY §5): we assert the
   * *capability* — pushdown happened, small sides broadcast, top-k fused —
@@ -184,6 +186,51 @@ class PlanSpec extends AnyFunSuite {
       "zone-skipped scan must report smaller size than the full table")
     assert(scanStats(table.filter(col("id") < 10).select(col("id"))) < full,
       "pushdown+pruned scan must report smaller size than the full table")
+  }
+
+  test("DSv2 aggregate/limit/top-N pushdown + columnar read path") {
+    import org.apache.spark.sql.functions._
+    def table = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    // COUNT/MIN/MAX/SUM answer from closed forms: one partition, no rows
+    val agg = table.filter(col("id") >= 10 && col("id") < 1000)
+      .agg(count(lit(1)), min(col("id")), max(col("id")), sum(col("id")))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("agg-pushdown"),
+      s"aggregate not pushed into the source:\n$aggPlan")
+    val row = agg.collect()(0)
+    assert(row.getLong(0) == 990L && row.getLong(1) == 10L &&
+      row.getLong(2) == 999L && row.getLong(3) == (10L + 999L) * 990L / 2)
+    // a residual-bearing filter must NOT push the aggregate (wrong rows)
+    val resid = table.filter(col("h") % 10 === 3).agg(count(lit(1)))
+    assert(!resid.queryExecution.executedPlan.toString
+      .contains("agg-pushdown"))
+    assert(resid.collect()(0).getLong(0) ==
+      (0L until 100000L).count(RangeSource.hash(_) % 10 == 3))
+    // LIMIT truncates the generated interval at the source
+    val lim = table.limit(7)
+    assert(lim.queryExecution.executedPlan.toString
+      .contains("bounds=[0, 7) ") && lim.count() == 7)
+    // ORDER BY id ASC LIMIT pushes as top-N (native order); DESC cannot
+    val topAsc = table.orderBy(col("id")).limit(5)
+    assert(topAsc.queryExecution.executedPlan.toString
+      .contains("limited=true"))
+    assert(topAsc.collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 1L, 2L, 3L, 4L))
+    val topDesc = table.orderBy(col("id").desc).limit(5)
+    assert(!topDesc.queryExecution.executedPlan.toString
+      .contains("limited=true"))
+    assert(topDesc.collect().map(_.getLong(0)).toSeq ==
+      Seq(99999L, 99998L, 99997L, 99996L, 99995L))
+    // the plain scan reads COLUMNAR: batches bridge through ColumnarToRow
+    val scanPlan = table.filter(col("id") < 1000)
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("ColumnarToRow"),
+      s"scan did not take the columnar path:\n$scanPlan")
+    assert(table.filter(col("id") < 1000)
+      .agg(sum(col("sq"))).collect()(0).getLong(0) ==
+      (0L until 1000L).map(i => i * i).sum)
   }
 
   test("V2 catalog: identifiers resolve, pushdown survives, writes refuse") {
