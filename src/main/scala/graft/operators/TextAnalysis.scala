@@ -924,11 +924,81 @@ object TextAnalysis {
     out.orderBy(col("doc_id"))
   }
 
+  /** The Gopher quality-rule screen (Rae et al. 2021 §A1.1 — the
+    * published pretraining-corpus filter everybody names): per-document
+    * NAMED rule flags plus the composite keep bit, distinct from
+    * [[textQuality]]'s scalar score. Every ratio test is cross-
+    * multiplied into INTEGER arithmetic (symbols/words ≤ 0.1 becomes
+    * symbols·10 ≤ words), so there is not one float compare in the
+    * entry and the oracle agrees bit-for-bit by construction. One
+    * codegen'd scan pass, embarrassingly parallel at any corpus
+    * size. */
+  val gopherRules: Q = Q.df(
+    "text_gopher_rules", {
+      val stops = Text.sqlStopwordHits("text", "en")
+      s"""with d as (select doc_id,
+         |    cast(len(str_split(text, ' ')) as bigint) as w,
+         |    cast(length(text) as bigint) as chars,
+         |    cast(len(regexp_extract_all(text, '#|\\.\\.\\.')) as bigint)
+         |      as sym,
+         |    cast(len(list_filter(str_split(text, ' '),
+         |      t -> regexp_matches(t, '[A-Za-z]'))) as bigint) as alphaw,
+         |    $stops as stops,
+         |    cast(len(str_split(text, chr(10))) as bigint) as nl,
+         |    cast(len(list_filter(str_split(text, chr(10)),
+         |      l -> regexp_matches(l, '^(-|\\*|•)'))) as bigint) as bl,
+         |    cast(len(list_filter(str_split(text, chr(10)),
+         |      l -> regexp_matches(l, '\\.\\.\\.$$'))) as bigint) as ee
+         |  from documents)
+         |select doc_id, w as n_words,
+         |  (w >= 50 and w <= 100000) as r_word_count,
+         |  (chars - (w - 1) >= w * 3 and chars - (w - 1) <= w * 10)
+         |    as r_mean_word_len,
+         |  (sym * 10 <= w) as r_symbol_ratio,
+         |  (alphaw * 5 >= w * 4) as r_alpha_words,
+         |  (stops >= 2) as r_stopwords,
+         |  (bl * 10 <= nl * 9 and ee * 10 <= nl * 3) as r_line_shape,
+         |  ((w >= 50 and w <= 100000)
+         |   and (chars - (w - 1) >= w * 3 and chars - (w - 1) <= w * 10)
+         |   and (sym * 10 <= w) and (alphaw * 5 >= w * 4)
+         |   and (stops >= 2)
+         |   and (bl * 10 <= nl * 9 and ee * 10 <= nl * 3)) as keep
+         |from d order by doc_id""".stripMargin
+    }) { (s, dir) =>
+    val words = Text.tokenCount(col("text"))
+    val chars = length(col("text")).cast("long")
+    val wordChars = chars - (words - lit(1L))
+    val symbols = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+    val alphaWords = size(filter(split(col("text"), " "),
+      t => t.rlike("[A-Za-z]"))).cast("long")
+    val stops = Text.stopwordHits(col("text"), "en")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l => l.rlike("^(-|\\*|•)")))
+      .cast("long")
+    val ellEnds = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+      .cast("long")
+    val rWordCount = words >= 50L && words <= 100000L
+    val rMeanLen = wordChars >= words * 3L && wordChars <= words * 10L
+    val rSymbol = symbols * 10L <= words
+    val rAlpha = alphaWords * 5L >= words * 4L
+    val rStop = stops >= 2L
+    val rLines = bullets * 10L <= nLines * 9L && ellEnds * 10L <= nLines * 3L
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), words.as("n_words"),
+        rWordCount.as("r_word_count"), rMeanLen.as("r_mean_word_len"),
+        rSymbol.as("r_symbol_ratio"), rAlpha.as("r_alpha_words"),
+        rStop.as("r_stopwords"), rLines.as("r_line_shape"),
+        (rWordCount && rMeanLen && rSymbol && rAlpha && rStop && rLines)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs,
-      qualityPerplexityBuckets, langConfusion)
+      qualityPerplexityBuckets, langConfusion, gopherRules)
 }
