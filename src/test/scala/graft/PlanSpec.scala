@@ -233,6 +233,19 @@ class PlanSpec extends AnyFunSuite {
       (0L until 1000L).map(i => i * i).sum)
   }
 
+  test("rank <= k filter plans as WindowGroupLimit (per-group top-k prune)") {
+    // Catalyst's InferWindowGroupLimit turns a rank()<=k filter over a
+    // window into a per-partition group limit BEFORE the full window
+    // sort materializes — each group keeps k rows early instead of
+    // ranking everything and discarding. The 100 TB difference between
+    // 'rank all orders per customer' and 'keep 3 per customer'.
+    Tables.registerAll(spark, TestSpark.Sf)
+    val plan = spark.sql(graft.operators.Relational.windowRank.oracle.get)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k did not fuse into WindowGroupLimit:\n$plan")
+  }
+
   test("V2 catalog: identifiers resolve, pushdown survives, writes refuse") {
     // multi-part identifier resolution, straight through SQL
     val df = spark.sql(
