@@ -221,15 +221,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           case CachingSha2Plugin => cachingSha2Ok(salt, response, cred.verifier)
           case _ => nativePasswordOk(salt, response, cred.verifier)
         }
-      users.get(user) match {
-        case None =>
-          // Unknown users verify against a constant dummy credential so
-          // the code path (and its hashing) is uniform with the
-          // known-user case — otherwise the early return is a timing
-          // side channel that enumerates usernames.
-          verify(DummyCred, authResp)
-          denied(user)
-        case Some(cred) =>
+      // Unknown users verify against a constant dummy credential on the
+      // DEFAULT plugin so the packet flow (AuthSwitch or not, hashing
+      // cost) is uniform with a real caching_sha2 account — an early
+      // return OR a missing switch round-trip would each be a side
+      // channel that enumerates usernames.
+      val known = users.contains(user)
+      users.getOrElse(user, DummyCred) match {
+        case cred =>
           val response =
             if (clientPlugin.exists(_ != cred.plugin)) {
               // AuthSwitchRequest: 0xFE, account plugin name NUL, salt NUL
@@ -244,7 +243,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               seq = s2
               r2
             } else authResp
-          if (verify(cred, response)) {
+          if (known && verify(cred, response)) {
             if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
               // fast_auth_success AuthMoreData, then OK (mysqld framing)
               writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
@@ -1092,10 +1091,13 @@ object MysqlServer {
   def cachingSha2Cred(password: String): StoredCred =
     StoredCred(CachingSha2Plugin, doubleSha256(password))
 
-  /** Constant stand-in credential for unknown-user verification — only
-    * its non-emptiness matters (it forces the full two-SHA1 path). */
+  /** Constant stand-in credential for unknown-user verification, on the
+    * DEFAULT plugin so unknown users follow exactly the packet flow of
+    * a stock caching_sha2 account (switch-or-not, fast-auth fail →
+    * full-auth refusal). Its value never authenticates anyone: the
+    * accept path additionally requires the username to be known. */
   private val DummyCred: StoredCred =
-    StoredCred(NativePlugin, doubleSha1("graft-timing-dummy"))
+    StoredCred(CachingSha2Plugin, doubleSha256("graft-timing-dummy"))
 
   // command bytes (public protocol)
   val ComQuit = 0x01
