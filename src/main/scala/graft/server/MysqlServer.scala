@@ -28,8 +28,12 @@ import org.apache.spark.sql.types._
   *    user table is configured. `caching_sha2_password` (the MySQL-8
   *    client default, advertised in the handshake): the 32-byte
   *    XOR-SHA256 fast-auth scramble is checked against the stored
-  *    `SHA2(SHA2(password))`; full authentication (plaintext/RSA) is
-  *    refused with a clean ERR since there is no TLS listener.
+  *    `SHA2(SHA2(password))`; with a TLS context configured the server
+  *    advertises CLIENT_SSL, upgrades in place on an SSLRequest
+  *    packet, and serves the full-authentication stage (plaintext
+  *    password over the encrypted channel, verified against the same
+  *    stored double-SHA2) — over a plaintext socket full auth is
+  *    refused with a clean ERR (the RSA-key option is not served).
   *    `mysql_native_password`: the 20-byte scramble against the stored
   *    double-SHA1, `scramble XOR SHA1(salt ‖ stored) = SHA1(password)`,
   *    then `SHA1(·) == stored` (constant-time compare). A client whose
@@ -79,8 +83,14 @@ import org.apache.spark.sql.types._
   */
 final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     bindAddress: InetAddress,
-    users: Map[String, MysqlServer.StoredCred]) {
+    users: Map[String, MysqlServer.StoredCred],
+    ssl: Option[javax.net.ssl.SSLContext] = None) {
   import MysqlServer._
+
+  /** Capabilities actually advertised: CLIENT_SSL only when a TLS
+    * context is configured — advertising it without one would make a
+    * stock client send an SSLRequest this server cannot upgrade. */
+  private val caps: Long = ServerCaps | (if (ssl.isDefined) ClientSsl else 0L)
 
   private val socket = new ServerSocket(port, 50, bindAddress)
   private val pool = Executors.newFixedThreadPool(8)
@@ -134,18 +144,39 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       }
       writePacket(out, 0, handshakeV10(connId, salt))
       out.flush()
-      // HandshakeResponse41: client flags u32, max packet u32, charset u8,
-      // 23 reserved bytes, then username, auth response, optional db +
-      // plugin name. PROTOCOL_41 is required; the credential check runs
-      // only when a user table is configured.
-      val (respSeq, resp) = readPacket(in)
+      // First client packet: either an SSLRequest (32-byte head only —
+      // flags, max packet, charset, 23 reserved; NO username) asking to
+      // upgrade the socket before credentials travel, or the full
+      // HandshakeResponse41. PROTOCOL_41 is required; the credential
+      // check runs only when a user table is configured.
+      val (seq0, first) = readPacket(in)
+      var cin: InputStream = in
+      var cout: OutputStream = out
+      var resp = first
+      var respSeq = seq0
+      var secure = false
+      if ((leU32(first, 0) & ClientSsl) != 0 && ssl.isDefined &&
+          first.length <= 36) {
+        // TLS upgrade in place: wrap the accepted socket server-side;
+        // the real HandshakeResponse41 (and everything after) arrives
+        // encrypted. The salt stays valid — only the channel changed.
+        val s = ssl.get.getSocketFactory.createSocket(client,
+          client.getInetAddress.getHostAddress, client.getPort, false)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.setUseClientMode(false)
+        val sin = new BufferedInputStream(s.getInputStream)
+        val sout = new BufferedOutputStream(s.getOutputStream)
+        val (s2, resp2) = readPacket(sin)
+        cin = sin; cout = sout; resp = resp2; respSeq = s2; secure = true
+      }
       val clientFlags = leU32(resp, 0)
       if ((clientFlags & ClientProtocol41) == 0) {
-        writePacket(out, respSeq + 1,
+        writePacket(cout, respSeq + 1,
           errPacket(1043, "08S01", "pre-4.1 clients are not supported"))
-        out.flush()
-      } else if (authPhase(in, out, resp, respSeq, clientFlags, salt))
-        commandLoop(in, out)
+        cout.flush()
+      } else if (authPhase(cin, cout, resp, respSeq, clientFlags, salt,
+          secure))
+        commandLoop(cin, cout)
     } catch {
       case _: EOFException => // client went away
       case _: Throwable if !running.get() =>
@@ -166,13 +197,15 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * from the account's, an AuthSwitchRequest re-asks with the
     * account's plugin, so a stock MySQL 8 client (which defaults to
     * caching_sha2) and a legacy native client both land on the right
-    * scramble. caching_sha2's full-authentication stage (plaintext
-    * over TLS or RSA-encrypted password) is REFUSED with a clean ERR —
-    * this front has no TLS listener, and fast auth is always decidable
-    * here because the stored verifier IS the fast-auth cache entry. */
+    * scramble. caching_sha2's full-authentication stage follows
+    * mysqld: over a TLS-upgraded connection (`secure`) the client's
+    * NUL-terminated plaintext password is accepted and verified
+    * against the stored double-SHA2; over plaintext the stage is
+    * REFUSED with a clean ERR (the RSA-encrypted-password option is
+    * not served), since the password cannot travel safely. */
   private def authPhase(in: InputStream, out: OutputStream,
       resp: Array[Byte], seq0: Int, flags: Long,
-      salt: Array[Byte]): Boolean = {
+      salt: Array[Byte], secure: Boolean): Boolean = {
     var seq = seq0
     def accept(): Boolean = {
       writePacket(out, seq + 1, okPacket()); out.flush(); true
@@ -251,18 +284,26 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
             }
             accept()
           } else if (cred.plugin == CachingSha2Plugin &&
-              cred.verifier.nonEmpty && response.length == 32) {
-            // A well-formed caching_sha2 scramble that does not verify:
-            // mysqld would fall back to full authentication. Without a
-            // TLS listener the password cannot travel safely, so ask
-            // (perform_full_authentication), then refuse whatever comes
-            // back (plaintext attempt or 0x02 RSA-key request) with a
-            // clean ERR instead of stalling the client.
+              cred.verifier.nonEmpty) {
+            // A caching_sha2 fast-auth stage that did not verify (wrong
+            // scramble, or none at all): mysqld falls back to full
+            // authentication (perform_full_authentication). Over TLS
+            // the client then sends its NUL-terminated plaintext
+            // password — verified against the stored double-SHA2
+            // (constant-time). Over plaintext, or when the client asks
+            // for the unserved RSA key (0x02), the stage is refused
+            // with a clean ERR instead of stalling the client.
             writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
             out.flush()
-            val (s3, _) = readPacket(in)
+            val (s3, r3) = readPacket(in)
             seq = s3
-            denied(user)
+            if (secure && r3.nonEmpty && r3(0) != 0x02) {
+              val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
+              val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
+              if (known && java.security.MessageDigest.isEqual(
+                  doubleSha256(pw), cred.verifier)) accept()
+              else denied(user)
+            } else denied(user)
           } else denied(user)
       }
     } catch {
@@ -1012,10 +1053,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     buf.write(ServerVersion.getBytes(StandardCharsets.US_ASCII)); buf.write(0)
     buf.write(leBytes(connId, 4))
     buf.write(salt, 0, 8); buf.write(0) // auth-plugin-data part 1 + filler
-    buf.write(leBytes((ServerCaps & 0xFFFF).toInt, 2)) // capability lower
+    buf.write(leBytes((caps & 0xFFFF).toInt, 2)) // capability lower
     buf.write(Utf8mb4Charset)
     buf.write(leBytes(StatusAutocommit, 2))
-    buf.write(leBytes(((ServerCaps >> 16) & 0xFFFF).toInt, 2)) // capability upper
+    buf.write(leBytes(((caps >> 16) & 0xFFFF).toInt, 2)) // capability upper
     buf.write(21) // auth plugin data length (20 + trailing NUL)
     buf.write(new Array[Byte](10)) // reserved
     buf.write(salt, 8, 12); buf.write(0) // part 2, NUL-terminated
@@ -1181,11 +1222,28 @@ object MysqlServer {
   // advertised, pinning the classic EOF resultset framing.
   val ClientProtocol41 = 0x00000200L
   val ClientConnectWithDb = 0x00000008L
+  val ClientSsl = 0x00000800L
   val ClientSecureConnection = 0x00008000L
   val ClientPluginAuth = 0x00080000L
   val ClientPluginAuthLenencData = 0x00200000L
   val ServerCaps: Long = ClientProtocol41 | ClientPluginAuth |
     ClientConnectWithDb | ClientSecureConnection
+
+  /** Load a PKCS#12 keystore into a server SSLContext (the keystore is
+    * deployment-provided, e.g. `keytool -genkeypair -storetype PKCS12`;
+    * nothing here mints certificates). */
+  def sslContextFromPkcs12(path: String, password: String)
+      : javax.net.ssl.SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(path)
+    try ks.load(fis, password.toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, password.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
 
   // ---- mysql_native_password (public protocol) ----------------------------
 
@@ -1392,6 +1450,7 @@ object MysqlServer {
     * loop). */
   def start(spark: SparkSession, port: Int = 0, maxRows: Int = 10000,
       bindAddress: InetAddress = InetAddress.getLoopbackAddress,
-      users: Map[String, StoredCred] = Map.empty): MysqlServer =
-    new MysqlServer(spark, port, maxRows, bindAddress, users)
+      users: Map[String, StoredCred] = Map.empty,
+      ssl: Option[javax.net.ssl.SSLContext] = None): MysqlServer =
+    new MysqlServer(spark, port, maxRows, bindAddress, users, ssl)
 }

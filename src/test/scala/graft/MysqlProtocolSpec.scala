@@ -27,10 +27,27 @@ class MysqlProtocolSpec extends AnyFunSuite {
     * its HandshakeResponse41 (None = a pluginless pre-5.6-style client
     * that just sends a native scramble). */
   private final class Client(port: Int, user: String = "graft",
-      password: Option[String] = None, plugin: Option[String] = None) {
-    private val sock = new Socket("127.0.0.1", port)
-    private val in = new BufferedInputStream(sock.getInputStream)
-    private val out = new BufferedOutputStream(sock.getOutputStream)
+      password: Option[String] = None, plugin: Option[String] = None,
+      tls: Boolean = false, forceFullAuth: Boolean = false) {
+    private var sock: Socket = new Socket("127.0.0.1", port)
+    private var in = new BufferedInputStream(sock.getInputStream)
+    private var out = new BufferedOutputStream(sock.getOutputStream)
+
+    /** Trust-all client TLS context (the spec talks to its own
+      * self-signed test keystore). */
+    private def trustAllContext: javax.net.ssl.SSLContext = {
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array[javax.net.ssl.TrustManager](
+        new javax.net.ssl.X509TrustManager {
+          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+            Array.empty
+          def checkClientTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+          def checkServerTrusted(
+              c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        }), null)
+      ctx
+    }
 
     private def scrambleFor(p: String, salt: Array[Byte]): Array[Byte] =
       password.map { pw =>
@@ -39,7 +56,8 @@ class MysqlProtocolSpec extends AnyFunSuite {
         else MysqlServer.nativeScramble(salt, pw)
       }.getOrElse(Array.emptyByteArray)
 
-    val (serverVersion, connectionId, advertisedPlugin, authError) = {
+    val (serverVersion, connectionId, advertisedPlugin, serverCaps,
+        authError) = {
       val (seq, hs) = readPacket(in)
       assert(seq == 0)
       assert(hs(0) == 10, s"protocol version ${hs(0)}")
@@ -47,6 +65,11 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val ver = new String(hs, 1, verEnd - 1, StandardCharsets.US_ASCII)
       val p = verEnd + 1
       val connId = MysqlServer.leU32(hs, p)
+      // capability flags: lower 2 bytes after salt part 1 + filler,
+      // upper 2 bytes after charset + status
+      val capsLo = (hs(p + 13) & 0xFFL) | ((hs(p + 14) & 0xFFL) << 8)
+      val capsHi = (hs(p + 18) & 0xFFL) | ((hs(p + 19) & 0xFFL) << 8)
+      val svrCaps = capsLo | (capsHi << 16)
       // salt = auth-plugin-data part 1 (8 bytes at p+4) ‖ part 2
       // (12 bytes past the filler/caps/charset/status/reserved block)
       val salt = new Array[Byte](20)
@@ -58,14 +81,34 @@ class MysqlProtocolSpec extends AnyFunSuite {
         val end = { val e = hs.indexOf(0, start); if (e < 0) hs.length else e }
         new String(hs, start, end - start, StandardCharsets.US_ASCII)
       }
+      var flags = 0x00000200 | 0x00008000 // PROTOCOL_41 | SECURE_CONN
+      if (plugin.isDefined) flags |= 0x00080000 // PLUGIN_AUTH
+      if (tls) flags |= 0x00000800 // CLIENT_SSL
+      var respSeq = 1
+      if (tls) {
+        // SSLRequest: the 32-byte head only, then upgrade the socket
+        val sr = new java.io.ByteArrayOutputStream()
+        sr.write(leBytes(flags, 4))
+        sr.write(leBytes(1 << 24, 4))
+        sr.write(255); sr.write(new Array[Byte](23))
+        writePacket(out, 1, sr.toByteArray)
+        out.flush()
+        val ssl = trustAllContext.getSocketFactory
+          .createSocket(sock, "127.0.0.1", port, false)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        sock = ssl
+        in = new BufferedInputStream(ssl.getInputStream)
+        out = new BufferedOutputStream(ssl.getOutputStream)
+        respSeq = 2
+      }
       // HandshakeResponse41: flags, max packet, charset, 23 zeros,
       // NUL-terminated user, length-prefixed auth response (SECURE_CONN),
       // then the offered plugin name when PLUGIN_AUTH is set.
-      val scramble = scrambleFor(plugin.getOrElse(
-        MysqlServer.NativePlugin), salt)
+      val scramble =
+        if (forceFullAuth) Array.emptyByteArray
+        else scrambleFor(plugin.getOrElse(MysqlServer.NativePlugin), salt)
       val buf = new java.io.ByteArrayOutputStream()
-      var flags = 0x00000200 | 0x00008000 // PROTOCOL_41 | SECURE_CONN
-      if (plugin.isDefined) flags |= 0x00080000 // PLUGIN_AUTH
       buf.write(leBytes(flags, 4))
       buf.write(leBytes(1 << 24, 4))
       buf.write(255); buf.write(new Array[Byte](23))
@@ -74,7 +117,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
       plugin.foreach { pl =>
         buf.write(pl.getBytes(StandardCharsets.US_ASCII)); buf.write(0)
       }
-      writePacket(out, 1, buf.toByteArray)
+      writePacket(out, respSeq, buf.toByteArray)
       out.flush() // writePacket leaves flushing to response boundaries
       // negotiation loop: OK / ERR terminate; AuthSwitchRequest (0xFE)
       // re-scrambles with the named plugin; AuthMoreData (0x01) is
@@ -101,13 +144,20 @@ class MysqlProtocolSpec extends AnyFunSuite {
             out.flush()
           case 0x01 =>
             if (pkt.length >= 2 && pkt(1) == 4) {
-              writePacket(out, s + 1, Array[Byte](0x02))
+              // perform_full_authentication: a TLS client sends its
+              // plaintext password (NUL-terminated); a plaintext one
+              // requests the RSA public key (which this server refuses)
+              if (tls) {
+                val pw = password.getOrElse("")
+                  .getBytes(StandardCharsets.UTF_8)
+                writePacket(out, s + 1, pw ++ Array[Byte](0))
+              } else writePacket(out, s + 1, Array[Byte](0x02))
               out.flush()
             } // 0x03 = fast_auth_success: the OK arrives next
           case other => fail(s"unexpected auth packet first byte $other")
         }
       }
-      (ver, connId, advertised, err)
+      (ver, connId, advertised, svrCaps, err)
     }
 
     /** Send one raw command payload (fuzzing / malformed-frame tests). */
@@ -436,6 +486,67 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val empty = new Client(server.boundPort, "carol", None,
         plugin = Some(MysqlServer.CachingSha2Plugin))
       assert(empty.authError.nonEmpty)
+    } finally server.stop()
+  }
+
+  /** Self-signed test keystore (keytool ships with the JDK); the
+    * server loads it like any deployment-provided PKCS#12. */
+  private lazy val testKeystore: String = {
+    val path = java.nio.file.Files.createTempDirectory("graft_tls_")
+      .resolve("ks.p12").toString
+    val pr = new ProcessBuilder("keytool", "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", path, "-storepass", "changeit", "-dname", "CN=localhost",
+      "-validity", "366").redirectErrorStream(true).start()
+    assert(pr.waitFor() == 0, "keytool failed")
+    path
+  }
+
+  test("TLS upgrade: encrypted fast auth, plaintext full auth over TLS") {
+    val ssl = MysqlServer.sslContextFromPkcs12(testKeystore, "changeit")
+    val users = Map("carol" -> MysqlServer.cachingSha2Cred("p4ss"))
+    val server = MysqlServer.start(spark, users = users, ssl = Some(ssl))
+    try {
+      // SSLRequest upgrade, then fast auth + a query — all encrypted
+      val c = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin), tls = true)
+      assert((c.serverCaps & MysqlServer.ClientSsl) != 0,
+        "server did not advertise CLIENT_SSL with a TLS context")
+      assert(c.authError.isEmpty, c.authError)
+      val Right((_, rows)) = c.query("select 20 + 22 as a")
+      assert(rows == Seq(Seq(Some("42"))))
+      c.quit()
+      // FULL authentication: no fast-auth scramble → server asks
+      // perform_full_authentication → plaintext password over TLS → OK
+      val f = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin), tls = true,
+        forceFullAuth = true)
+      assert(f.authError.isEmpty, f.authError)
+      assert(f.ping())
+      f.quit()
+      // wrong plaintext password through full auth → denied
+      val w = new Client(server.boundPort, "carol", Some("nope"),
+        plugin = Some(MysqlServer.CachingSha2Plugin), tls = true,
+        forceFullAuth = true)
+      assert(w.authError.exists(_.contains("Access denied")), w.authError)
+    } finally server.stop()
+  }
+
+  test("no TLS context: CLIENT_SSL is not advertised, full auth refused") {
+    val users = Map("carol" -> MysqlServer.cachingSha2Cred("p4ss"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      val c = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert((c.serverCaps & MysqlServer.ClientSsl) == 0,
+        "CLIENT_SSL advertised without a TLS context")
+      assert(c.authError.isEmpty)
+      c.quit()
+      // plaintext full-auth attempt (no scramble): the server asks for
+      // full auth, the client requests the RSA key, the server refuses
+      val f = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin), forceFullAuth = true)
+      assert(f.authError.exists(_.contains("Access denied")), f.authError)
     } finally server.stop()
   }
 
