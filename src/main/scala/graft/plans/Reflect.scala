@@ -69,6 +69,9 @@ object Reflect {
     def leafReads(p: LogicalPlan): Seq[String] = {
       val here = p.collect {
         case SubqueryAlias(id, child) if isLeafRelation(child) => id.name
+        // a CTE read twice is a self-join too: bare names from its two
+        // aliases would be ambiguous (or collapse a correlation)
+        case r: CTERelationRef => s"__cte_${r.cteId}"
       }
       val subPlans = p.collect { case n =>
         n.expressions.flatMap(_.collect {

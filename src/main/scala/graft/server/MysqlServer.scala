@@ -127,7 +127,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   // ---- connection loop ---------------------------------------------------
 
   private def serve(client: Socket): Unit = {
-    val in = new BufferedInputStream(client.getInputStream)
+    // UNBUFFERED input until the TLS-upgrade decision: a buffered read
+    // of the SSLRequest could pre-fetch the client's TLS ClientHello
+    // bytes into the buffer, and the SSLSocket layered over the raw
+    // socket would never see them — the classic STARTTLS over-read
+    // race. readPacket/readN consume exactly the packet's bytes, so an
+    // unbuffered stream is safe (and costs a few extra reads for one
+    // packet at most); buffering starts after the channel is settled.
+    val rawIn = client.getInputStream
     val out = new BufferedOutputStream(client.getOutputStream)
     try {
       val connId = connIds.incrementAndGet()
@@ -149,8 +156,8 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       // upgrade the socket before credentials travel, or the full
       // HandshakeResponse41. PROTOCOL_41 is required; the credential
       // check runs only when a user table is configured.
-      val (seq0, first) = readPacket(in)
-      var cin: InputStream = in
+      val (seq0, first) = readPacket(rawIn)
+      var cin: InputStream = new BufferedInputStream(rawIn)
       var cout: OutputStream = out
       var resp = first
       var respSeq = seq0
@@ -260,52 +267,57 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       // return OR a missing switch round-trip would each be a side
       // channel that enumerates usernames.
       val known = users.contains(user)
-      users.getOrElse(user, DummyCred) match {
-        case cred =>
-          val response =
-            if (clientPlugin.exists(_ != cred.plugin)) {
-              // AuthSwitchRequest: 0xFE, account plugin name NUL, salt NUL
-              val sw = new java.io.ByteArrayOutputStream()
-              sw.write(0xFE)
-              sw.write(cred.plugin.getBytes(StandardCharsets.US_ASCII))
-              sw.write(0)
-              sw.write(salt, 0, salt.length); sw.write(0)
-              writePacket(out, seq + 1, sw.toByteArray)
-              out.flush()
-              val (s2, r2) = readPacket(in) // AuthSwitchResponse: raw data
-              seq = s2
-              r2
-            } else authResp
-          if (known && verify(cred, response)) {
-            if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
-              // fast_auth_success AuthMoreData, then OK (mysqld framing)
-              writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
-              seq += 1
-            }
-            accept()
-          } else if (cred.plugin == CachingSha2Plugin &&
-              cred.verifier.nonEmpty) {
-            // A caching_sha2 fast-auth stage that did not verify (wrong
-            // scramble, or none at all): mysqld falls back to full
-            // authentication (perform_full_authentication). Over TLS
-            // the client then sends its NUL-terminated plaintext
-            // password — verified against the stored double-SHA2
-            // (constant-time). Over plaintext, or when the client asks
-            // for the unserved RSA key (0x02), the stage is refused
-            // with a clean ERR instead of stalling the client.
-            writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
+      val cred = users.getOrElse(user, DummyCred)
+        val response =
+          if (clientPlugin.exists(_ != cred.plugin)) {
+            // AuthSwitchRequest: 0xFE, account plugin name NUL, salt NUL
+            val sw = new java.io.ByteArrayOutputStream()
+            sw.write(0xFE)
+            sw.write(cred.plugin.getBytes(StandardCharsets.US_ASCII))
+            sw.write(0)
+            sw.write(salt, 0, salt.length); sw.write(0)
+            writePacket(out, seq + 1, sw.toByteArray)
             out.flush()
-            val (s3, r3) = readPacket(in)
-            seq = s3
-            if (secure && r3.nonEmpty && r3(0) != 0x02) {
-              val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
-              val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
-              if (known && java.security.MessageDigest.isEqual(
-                  doubleSha256(pw), cred.verifier)) accept()
-              else denied(user)
-            } else denied(user)
+            val (s2, r2) = readPacket(in) // AuthSwitchResponse: raw data
+            seq = s2
+            r2
+          } else authResp
+        // verify runs UNCONDITIONALLY (before the known check) so the
+        // hashing cost is identical for unknown users — the dummy
+        // value alone must never authenticate, hence the known gate
+        val fastOk = verify(cred, response)
+        if (known && fastOk) {
+          if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
+            // fast_auth_success AuthMoreData, then OK (mysqld framing)
+            writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
+            seq += 1
+          }
+          accept()
+        } else if (cred.plugin == CachingSha2Plugin &&
+            cred.verifier.nonEmpty) {
+          // A caching_sha2 fast-auth stage that did not verify (wrong
+          // scramble, or none at all): mysqld falls back to full
+          // authentication (perform_full_authentication). Over TLS
+          // the client then sends its NUL-terminated plaintext
+          // password — verified against the stored double-SHA2
+          // (constant-time). Over plaintext, or when the client asks
+          // for the unserved RSA key (0x02), the stage is refused
+          // with a clean ERR instead of stalling the client.
+          writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
+          out.flush()
+          val (s3, r3) = readPacket(in)
+          seq = s3
+          // only the LONE 0x02 byte is the RSA-key request; a longer
+          // payload starting with 0x02 is a legal password byte
+          val rsaReq = r3.length == 1 && r3(0) == 0x02
+          if (secure && r3.nonEmpty && !rsaReq) {
+            val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
+            val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
+            val pwOk = java.security.MessageDigest.isEqual(
+              doubleSha256(pw), cred.verifier)
+            if (known && pwOk) accept() else denied(user)
           } else denied(user)
-      }
+        } else denied(user)
     } catch {
       // malformed handshake tail (truncated lenenc, NULL/negative lenenc
       // length making copyOfRange throw IllegalArgument, short

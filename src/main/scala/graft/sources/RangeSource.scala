@@ -67,6 +67,11 @@ object RangeSource {
 
   /** The Knuth multiplicative hash column, shared with the oracle. */
   def hash(id: Long): Long = (id * 2654435761L) % 4294967296L
+
+  /** Largest id whose square is exact in int64 (⌊√Long.MaxValue⌋):
+    * beyond it the generated `sq` column wraps, so sq-based zone maps
+    * and closed-form aggregates are disabled. */
+  val SqExactMaxId: Long = 3037000499L
 }
 
 class RangeTable(end: Long, slices: Int, batchRows: Long = 16384L)
@@ -161,20 +166,28 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
     f match {
       case _: CountStar =>
         Some((StructField("count_star", LongType, nullable = false), span))
+      // sq forms only inside the int64-exact square domain — beyond
+      // RangeSource.SqExactMaxId the generated column wraps and the
+      // closed form would answer the unwrapped mathematical value
       case m: Min => field(m.column).collect {
         case "id" => (StructField("min_id", LongType), if (empty) null else lo)
-        case "sq" =>
+        case "sq" if hi - 1 <= RangeSource.SqExactMaxId =>
           (StructField("min_sq", LongType), if (empty) null else lo * lo)
       }
       case m: Max => field(m.column).collect {
         case "id" =>
           (StructField("max_id", LongType), if (empty) null else hi - 1)
-        case "sq" => (StructField("max_sq", LongType),
-          if (empty) null else (hi - 1) * (hi - 1))
+        case "sq" if hi - 1 <= RangeSource.SqExactMaxId =>
+          (StructField("max_sq", LongType),
+            if (empty) null else (hi - 1) * (hi - 1))
       }
       case s: Sum if !s.isDistinct => field(s.column).collect {
-        case "id" =>
-          // Σ[lo,hi) = (lo + hi - 1)·span / 2; one factor is even
+        // Σ[lo,hi) = (lo + hi - 1)·span / 2 — only pushed while the
+        // true sum fits int64 (checked in BigInt at plan time);
+        // otherwise the scan falls back and Spark's own aggregation
+        // applies its usual overflow semantics
+        case "id" if empty ||
+            ((BigInt(lo) + BigInt(hi - 1)) * BigInt(span) / 2).isValidLong =>
           val v = if ((span & 1L) == 0L) (span / 2) * (lo + hi - 1)
             else span * ((lo + hi - 1) / 2)
           (StructField("sum_id", LongType), if (empty) null else v)
@@ -294,9 +307,16 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
   private lazy val surviving: Seq[RangePartition] =
     allSlices.filter { p =>
       p.start < p.end && {
-        val synMin = p.start * p.start
-        val synMax = (p.end - 1) * (p.end - 1)
-        synMax >= sqMin && synMin <= sqMax
+        // the synopsis is only valid where sq = id² is exact AND
+        // monotone in int64 (id ≤ √Long.MaxValue); beyond that the
+        // generated column itself wraps, so the slice must be kept —
+        // a real SMA degrades to no-skip the same way on a column
+        // whose synopsis cannot be maintained
+        p.end - 1 > RangeSource.SqExactMaxId || {
+          val synMin = p.start * p.start
+          val synMax = (p.end - 1) * (p.end - 1)
+          synMax >= sqMin && synMin <= sqMax
+        }
       }
     }
 

@@ -56,6 +56,16 @@ class ReflectSpec extends AnyFunSuite {
         |select r_name from region""".stripMargin)
   }
 
+  test("CTE referenced twice reflects with alias-qualified attributes") {
+    // both reads are CTERelationRef leaves; bare attribute names would
+    // be ambiguous (a.k = b.k must not collapse to k = k)
+    roundTrip(
+      """with q as (select n_nationkey as k, n_name from nation)
+        |select a.n_name as an, b.n_name as bn
+        |from q a join q b on a.k = b.k
+        |where a.k < 5 order by an, bn""".stripMargin)
+  }
+
   test("all 22 verbatim TPC-H plans round-trip through reflection") {
     // Reference scope: doradb-plan/tests/reflect.rs:9-27 round-trips its
     // TPC-H plan corpus through reflect → re-plan. Same here, at full
