@@ -545,6 +545,192 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- Product quantization (ADC scoring) --------------------------------
+
+  /** PQ geometry: M subspaces × Ks codewords over the unit vectors.
+    * 64 dims → 8 one-byte codes per vector: 32× memory compression of
+    * the corpus representation, the compression every billion-vector
+    * ANN deployment runs (Jégou et al., PAMI 2011). */
+  val PqM = 8
+  val PqSubDim: Int = Dim / PqM
+  val PqKs = 16
+  val PqIters = 2
+
+  /** Seeded deterministic codebook init (scale ≈ the per-dim magnitude
+    * of a 64-dim unit vector). */
+  private[operators] def initCodebooks: Array[Array[Array[Double]]] = {
+    val rnd = new Random(13)
+    Array.fill(PqM, PqKs)(Array.fill(PqSubDim)(rnd.nextGaussian() * 0.125))
+  }
+
+  /** L2-nearest codeword: ascending-k scan, strict less — lowest index
+    * wins ties, the same order as the oracle's (dist asc, k asc)
+    * row_number; the distance folds dims ascending like list_sum. */
+  private[operators] def nearestCode(sub: Array[Double],
+      codes: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var k = 0
+    while (k < codes.length) {
+      val c = codes(k)
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val t = sub(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = k }
+      k += 1
+    }
+    best
+  }
+
+  private def subOf(u: Array[Double], m: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(u, m * PqSubDim, (m + 1) * PqSubDim)
+
+  /** Plain-L2 Lloyd per subspace, all M subspaces in one distributed
+    * pass per iteration: assignment is a primitive flatMap over the
+    * broadcast codebooks (zero shuffle), the update one aggregateByKey
+    * carrying M·Ks partial (sum[subDim], count) pairs per partition —
+    * model-sized shuffle, model-only collect (M·Ks·subDim = 1024
+    * doubles), exactly the [[trainCentroids]] contract. */
+  def trainCodebooks(emb: DataFrame,
+      iters: Int = PqIters): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    var cb = initCodebooks
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val partials = unit.rdd
+        .flatMap { case (_, u) =>
+          (0 until PqM).iterator.map { m =>
+            val sub = subOf(u, m)
+            ((m, nearestCode(sub, bc.value(m))), (sub, 1L))
+          }
+        }
+        .aggregateByKey((new Array[Double](PqSubDim), 0L))(
+          { case ((s, n), (u, c)) =>
+            var k = 0; while (k < s.length) { s(k) += u(k); k += 1 }; (s, n + c)
+          },
+          { case ((s1, n1), (s2, n2)) =>
+            var k = 0; while (k < s1.length) { s1(k) += s2(k); k += 1 }
+            (s1, n1 + n2)
+          })
+        .collect() // M·Ks model rows, not data
+      bc.unpersist(blocking = false)
+      val next = cb.map(_.map(_.clone()))
+      partials.foreach { case ((m, k), (sums, n)) =>
+        if (n > 0) next(m)(k) = sums.map(_ / n)
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  @volatile private var lastPq: Array[Array[Array[Double]]] = null
+
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  private[operators] def trainedCodebooks(emb: DataFrame, dir: String)
+      : Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(dir, trainCodebooks(emb))
+
+  /** ADC (asymmetric distance computation) top-k: the corpus exists
+    * only as M small code columns; each query scores a neighbor as
+    * Σ_m dot(query_m, codeword_{m,code}) — M table lookups instead of a
+    * 64-dim dot against raw data it no longer stores. The per-subspace
+    * partial dots flow through the SORTED-list fold so the total is
+    * order-independent and bit-equal to the oracle (a production kernel
+    * would precompute the M×Ks lookup table per query and sum in m
+    * order; the sorted fold here costs the same adds and keeps the
+    * cross-engine determinism contract). Codebook and query relations
+    * are model-sized broadcasts — the corpus side only ever carries
+    * (id, m, code). */
+  def pqTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
+    import spark.implicits._
+    val cb = trainedCodebooks(emb, dir)
+    lastPq = cb
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    val codes = unit
+      .flatMap { case (id, u) =>
+        (0 until PqM).iterator.map(m => (id, m, nearestCode(subOf(u, m), cb(m))))
+      }
+      .toDF("neighbor_id", "m", "code")
+    val cbDf = (for { m <- 0 until PqM; c <- 0 until PqKs }
+      yield (m, c, cb(m)(c))).toDF("m", "code", "cv")
+    val queries = unit.filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        (0 until PqM).iterator.map(m => (id, m, subOf(u, m)))
+      }
+      .toDF("query_id", "m", "qv")
+    codes.join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(queries), Seq("m"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", cosExpr(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(sort_array(collect_list(col("d"))), lit(0.0d),
+        (a, x) => a + x).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("score"), 6).as("adc_score"))
+  }
+
+  /** Late-bound like [[ivfOracle]]: the TRAINED codebooks embed as
+    * VALUES literals, encoding reproduces [[nearestCode]]'s (dist asc,
+    * k asc) order, and the score folds the per-subspace dots over a
+    * sorted list on both sides. */
+  private def pqOracle: String = {
+    val cb = Option(lastPq).getOrElse(initCodebooks)
+    val rows = (for { m <- 0 until PqM; k <- 0 until PqKs } yield
+      s"($m, $k, [${cb(m)(k).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
+    s"""with cb(m, k, v) as (values
+       |    $rows),
+       |e as ($sqlUnit),
+       |sub as (
+       |  select vec_id, ms.m,
+       |    list_transform(range(1, $PqSubDim + 1),
+       |      i -> u[ms.m * $PqSubDim + i]) as s
+       |  from e cross join (select unnest(range($PqM)) as m) ms),
+       |codes as (
+       |  select vec_id, m, k as code from (
+       |    select sub.vec_id, sub.m, cb.k,
+       |      row_number() over (partition by sub.vec_id, sub.m
+       |        order by list_sum(list_transform(range(1, $PqSubDim + 1),
+       |          i -> (sub.s[i] - cb.v[i]) * (sub.s[i] - cb.v[i]))) asc,
+       |          cb.k asc) as rn
+       |    from sub join cb on sub.m = cb.m) t
+       |  where rn = 1),
+       |dots as (
+       |  select qs.vec_id as query_id, c.vec_id as neighbor_id,
+       |    list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> qs.s[i] * cb.v[i])) as d
+       |  from codes c
+       |  join cb on cb.m = c.m and cb.k = c.code
+       |  join sub qs on qs.m = c.m
+       |  where qs.vec_id < $NumQueries and qs.vec_id <> c.vec_id),
+       |scores as (
+       |  select query_id, neighbor_id,
+       |    list_reduce(list_sort(list(d)), (a, b) -> a + b) as score
+       |  from dots group by query_id, neighbor_id)
+       |select query_id, neighbor_id, rnk, round(score, 6) as adc_score
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by score desc, neighbor_id) as bigint) as rnk
+       |      from scores) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annPq: Q = Q.df("ann_pq_adc_topk", pqOracle) { (s, dir) =>
+    pqTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Recall@k of both ANN paths against the exact top-k — the index-
     * quality evaluation every ANN deployment runs before trading recall
     * for throughput. Pure composition of the three kernels above: the
@@ -867,6 +1053,7 @@ object Similarity {
   }
 
   val queries: Seq[Q] =
-    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRecall,
-      knnPropagateQ, hardNegativesQ, marginPairsQ, embedDecontamQ)
+    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
+      annRecall, knnPropagateQ, hardNegativesQ, marginPairsQ,
+      embedDecontamQ)
 }

@@ -51,6 +51,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall too low")
   }
 
+  test("PQ/ADC top-k: 32x-compressed codes retain usable recall") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.size == exact.size, "PQ must return k rows per query")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // each 64-dim vector is replaced by 8 codes from 16-word books —
+    // random top-10-of-corpus agreement would be ~10/n; the quantized
+    // geometry must do far better
+    assert(recall > 0.2, s"PQ recall $recall too low")
+    info(s"PQ ADC recall@${Similarity.TopK} = $recall")
+  }
+
   test("k-means quantizer training is monotone in the spherical objective") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val unit = emb.select(col("embedding")).collect()
