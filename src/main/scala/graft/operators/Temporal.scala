@@ -414,7 +414,47 @@ object Temporal {
       .orderBy(col("v_event_id"), col("p_event_id"))
   }
 
+  /** OHLC downsampling — the classic time-series bar aggregation (per
+    * (series, bucket): opening/closing/extreme values + volume), here
+    * per (event_type, hour). Open and close are ELEMENT PICKS via
+    * first/last over the unique (ts, event_id) order and high/low are
+    * min/max — not one float sum in the entry, so every column is
+    * bit-exact cross-engine. One window pass + one partial-aggregating
+    * groupBy, both on the same (type, hour) key: series-parallel at any
+    * scale. */
+  val ohlcBars: Q = Q.df(
+    "temporal_ohlc_bars",
+    """with base as (
+      |  select event_type, date_trunc('hour', ts) as bar, value,
+      |    first_value(value) over (partition by event_type, date_trunc('hour', ts)
+      |      order by ts, event_id
+      |      rows between unbounded preceding and unbounded following) as o,
+      |    last_value(value) over (partition by event_type, date_trunc('hour', ts)
+      |      order by ts, event_id
+      |      rows between unbounded preceding and unbounded following) as c
+      |  from events)
+      |select event_type, bar,
+      |  max(o) as open, max(value) as high, min(value) as low,
+      |  max(c) as close, cast(count(*) as bigint) as volume
+      |from base group by event_type, bar
+      |order by event_type, bar""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bar = date_trunc("hour", col("ts"))
+    val w = Window.partitionBy(col("event_type"), bar)
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.df(s, dir, "events")
+      .select(col("event_type"), bar.as("bar"), col("value"),
+        first(col("value")).over(w).as("o"),
+        last(col("value")).over(w).as("c"))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(max(col("o")).as("open"), max(col("value")).as("high"),
+        min(col("value")).as("low"), max(col("c")).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy(col("event_type"), col("bar"))
+  }
+
   val queries: Seq[Q] =
     Seq(asofPurchaseView, asofNativeQ, rangeViewPurchase, tsGapFill,
-      asofNearestQ, tsInterp, intervalOverlapQ)
+      asofNearestQ, tsInterp, intervalOverlapQ, ohlcBars)
 }
