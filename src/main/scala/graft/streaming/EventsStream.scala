@@ -111,6 +111,30 @@ object EventsStream {
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER form of [[intervalJoin]]: views with no purchase inside
+    * the bound still emit (null-padded) — but only after the watermark
+    * passes their join window, because the runtime must PROVE no match
+    * can still arrive before releasing the unmatched row. That
+    * state-expiry emission is a different runtime path from the inner
+    * join's match-time emission, which is why it gets its own executed
+    * entry. */
+  def intervalJoinOuter(views: DataFrame, purchases: DataFrame,
+      boundSec: Long): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
+        col("ts").as("p_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
+      "left_outer")
+      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Streaming exact dedup by content fingerprint within the watermark
     * horizon (`dropDuplicatesWithinWatermark`): the state store holds one
     * 16-byte fingerprint per distinct document seen inside the horizon
@@ -384,6 +408,62 @@ object EventsStream {
       .orderBy(col("v_event_id"), col("p_event_id"))
   }
 
+  /** Execute the LEFT OUTER interval join end-to-end. Matched rows
+    * emit at match time; an unmatched view emits null-padded only once
+    * the GLOBAL watermark — min(viewMax, purchaseMax) − horizon, the
+    * min over both sides' event-time watermarks — proves no purchase
+    * can still arrive for its window (v_ts + bound < watermark). A
+    * drained stream therefore holds back the unmatched tail that proof
+    * never reaches, and the ORACLE computes exactly the same
+    * provability condition instead of pretending the batch left join
+    * and the stream agree unconditionally — watermark-bounded emission
+    * IS the operator's contract, so it is part of the compare. */
+  def runIntervalJoinOuterStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    def side(eventType: String): DataFrame =
+      Tables.eventsStream(s, dir).filter(col("event_type") === eventType)
+    val joined = intervalJoinOuter(side("view"), side("purchase"),
+      graft.operators.Temporal.RangeWindowSec)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val intervalJoinOuterStreamed: Q = Q.df(
+    "stream_interval_join_outer", {
+      val boundSec = graft.operators.Temporal.RangeWindowSec
+      s"""with v as (select user_id, event_id, ts from events
+         |           where event_type = 'view'),
+         |p as (select * from events where event_type = 'purchase'),
+         |wm as (select least((select max(epoch_us(ts)) from v),
+         |                    (select max(epoch_us(ts)) from p))
+         |         - 3600000000 as w)
+         |select v.user_id, v.event_id as v_event_id,
+         |  p.event_id as p_event_id,
+         |  epoch_us(p.ts) - epoch_us(v.ts) as gap_us
+         |from v left join p
+         |  on v.user_id = p.user_id
+         | and p.ts >= v.ts
+         | and p.ts < v.ts + interval $boundSec second
+         |cross join wm
+         |where p.event_id is not null
+         |   or epoch_us(v.ts) + ${boundSec * 1000000L} < wm.w
+         |order by v_event_id, p_event_id nulls first""".stripMargin
+    }) { (s, dir) =>
+    runIntervalJoinOuterStream(s, dir)
+      .orderBy(col("v_event_id"), col("p_event_id"))
+  }
+
   /** The custom DSv2 source's STREAMING face executed through the real
     * runtime: the range source drains under admission control (16384
     * rows per micro-batch → 7 batches for 100k rows, offsets
@@ -466,5 +546,6 @@ object EventsStream {
   val queries: Seq[Q] =
     Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed,
       dedupStreamed, userActivityState, intervalJoinStreamed,
-      customSourceStreamed, sessionWindowStreamed)
+      intervalJoinOuterStreamed, customSourceStreamed,
+      sessionWindowStreamed)
 }
