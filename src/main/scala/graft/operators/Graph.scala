@@ -363,6 +363,105 @@ object Graph {
     kcore(sharedOrderEdges(s, dir)).orderBy(col("node"))
   }
 
+  // ---- connected components (min-label + pointer jumping) ----------------
+
+  /** CC runs on a SPARSER derivation than the shared 300-node graph
+    * (which is near-complete and would collapse to one trivial
+    * component): 3000 candidate nodes give a near-critical random
+    * graph at the small fixtures — many nontrivial components — and a
+    * giant component at sf0.1. */
+  val CcNodes = 3000L
+
+  def ccEdges(orders: DataFrame): DataFrame =
+    orders.select(
+        (col("o_custkey") % CcNodes).cast("long").as("src"),
+        ((col("o_orderkey") * 31) % CcNodes).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  val ccEdgesSql: String =
+    s"""select distinct o_custkey % $CcNodes as src,
+       |       (o_orderkey * 31) % $CcNodes as dst
+       |from orders where o_custkey % $CcNodes <> (o_orderkey * 31) % $CcNodes"""
+      .stripMargin
+
+  val CcRounds = 6
+
+  /** Connected components by min-label propagation WITH pointer
+    * jumping: each round (1) gathers l'(v) = min(l(v), min over
+    * neighbors' labels) — one edge⋈label join + one min aggregate —
+    * then (2) shortcuts l''(v) = l'(l'(v)) — one label⋈label join.
+    * The jump is what makes this the scalable form (Kiveris et al.'s
+    * star-contraction family): label chains halve every round, so
+    * propagation radius grows geometrically and 6 rounds cover
+    * diameters plain propagation would need dozens of rounds for.
+    * Labels are integer node ids and every step is min/join arithmetic
+    * — bit-exact cross-engine, converged or not (the spec asserts the
+    * fixpoint IS reached on the fixtures). Per-round relations are
+    * materialized and freed like [[kcore]]'s — storage O(nodes), not
+    * O(nodes · rounds); nothing driver-sized. */
+  def connectedComponents(edges: DataFrame,
+      rounds: Int = CcRounds): DataFrame = {
+    import graft.plans.Checkpoints
+    val und = Checkpoints.materialize(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = Checkpoints.materialize(
+      und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    var r = 0
+    while (r < rounds) {
+      val nb = und.select(col("dst").as("node"), col("src"))
+        .join(labels, Seq("node"))
+        .select(col("src").as("node"), col("lbl"))
+      val gathered = labels.unionByName(nb)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      val jmap = gathered.select(col("node").as("jn"), col("lbl").as("jl"))
+      val jumped = gathered.join(jmap, col("lbl") === col("jn"))
+        .select(col("node"), col("jl").as("lbl"))
+      val next = Checkpoints.materialize(jumped)
+      Checkpoints.free(labels)
+      labels = next
+      r += 1
+    }
+    val out = labels.select(col("node"), col("lbl").as("component"))
+    out
+  }
+
+  private def ccOracle: String = {
+    // MATERIALIZED everywhere: each gᵢ is referenced twice by its own
+    // jump join and once by round i+1 — default inlining would
+    // re-evaluate the chain exponentially.
+    val rounds = (1 to CcRounds).map { i =>
+      val p = i - 1
+      s"""g$i as materialized (
+         |  select node, min(lbl) as lbl from (
+         |    select node, lbl from l$p
+         |    union all
+         |    select und.src as node, l$p.lbl from und
+         |    join l$p on und.dst = l$p.node) t
+         |  group by node),
+         |l$i as materialized (
+         |  select g.node, j.lbl from g$i g join g$i j on g.lbl = j.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""with e as materialized ($ccEdgesSql),
+       |und as materialized (select distinct src, dst from (
+       |  select src, dst from e union all select dst, src from e) t),
+       |l0 as materialized (
+       |  select node, node as lbl from (select distinct src as node from und) t),
+       |$rounds
+       |select node, lbl as component from l$CcRounds
+       |order by node""".stripMargin
+  }
+
+  val connectedComponentsQ: Q = Q.df("graph_connected_components", ccOracle) {
+    (s, dir) =>
+      connectedComponents(ccEdges(Tables.df(s, dir, "orders")))
+        .orderBy(col("node"))
+  }
+
   val queries: Seq[Q] =
-    Seq(pageRankQ, trianglesQ, bfsQ, commonNeighborsQ, kcoreQ)
+    Seq(pageRankQ, trianglesQ, bfsQ, commonNeighborsQ, kcoreQ,
+      connectedComponentsQ)
 }

@@ -80,4 +80,37 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(core.toSet == more.toSet, "rounds did not converge on fixture")
   }
+
+  test("connected components equal union-find ground truth, at a fixpoint") {
+    val edges = Graph.ccEdges(Tables.df(spark, TestSpark.Sf, "orders"))
+    val got = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: union-find over the collected edge list (the
+    // fixture graph is spec-sized; the operator never collects)
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.groupBy(find).values
+      .flatMap { grp => val m = grp.min; grp.map(_ -> m) }.toMap
+    assert(got == want, "labels differ from union-find components")
+    // the pointer-jumping rounds have converged on the fixture
+    val more = Graph.connectedComponents(edges, Graph.CcRounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more == got, "rounds did not reach the fixpoint")
+    // and the derivation is non-trivial here: multiple components
+    assert(got.values.toSet.size > 1, "fixture collapsed to one component")
+  }
 }
