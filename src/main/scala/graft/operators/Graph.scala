@@ -424,8 +424,11 @@ object Graph {
       labels = next
       r += 1
     }
-    val out = labels.select(col("node"), col("lbl").as("component"))
-    out
+    // labels' lineage is already truncated by its own materialization,
+    // so the edge relation can be freed — without this every invocation
+    // leaks O(edges) storage for the session lifetime
+    Checkpoints.free(und)
+    labels.select(col("node"), col("lbl").as("component"))
   }
 
   private def ccOracle: String = {

@@ -96,7 +96,7 @@ object EventsStream {
     * theta join would nested-loop, while the streaming runtime keys
     * state on user_id and scans only the in-range buffer. */
   def intervalJoin(views: DataFrame, purchases: DataFrame,
-      boundSec: Long): DataFrame = {
+      boundSec: Long, joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id").as("v_event_id"),
         col("ts").as("v_ts"))
@@ -106,7 +106,8 @@ object EventsStream {
     v.join(p,
       col("user_id") === col("p_user_id") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"))
+        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
+      joinType)
       .select(col("user_id"), col("v_event_id"), col("p_event_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
@@ -119,21 +120,8 @@ object EventsStream {
     * join's match-time emission, which is why it gets its own executed
     * entry. */
   def intervalJoinOuter(views: DataFrame, purchases: DataFrame,
-      boundSec: Long): DataFrame = {
-    val v = views.withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("event_id").as("v_event_id"),
-        col("ts").as("v_ts"))
-    val p = purchases.withWatermark("ts", "1 hour")
-      .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
-        col("ts").as("p_ts"))
-    v.join(p,
-      col("user_id") === col("p_user_id") &&
-        col("p_ts") >= col("v_ts") &&
-        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
-      "left_outer")
-      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-  }
+      boundSec: Long): DataFrame =
+    intervalJoin(views, purchases, boundSec, "left_outer")
 
   /** Streaming exact dedup by content fingerprint within the watermark
     * horizon (`dropDuplicatesWithinWatermark`): the state store holds one
@@ -417,7 +405,13 @@ object EventsStream {
     * never reaches, and the ORACLE computes exactly the same
     * provability condition instead of pretending the batch left join
     * and the stream agree unconditionally — watermark-bounded emission
-    * IS the operator's contract, so it is part of the compare. */
+    * IS the operator's contract, so it is part of the compare. The
+    * oracle floors the side maxima to MILLISECONDS before subtracting
+    * the horizon, because that is the precision Spark tracks event-time
+    * watermarks at (EventTimeStats stores event time / 1000) — a
+    * microsecond-exact watermark would sit up to ~1 ms ahead of the
+    * runtime's and could claim provability for a row the runtime still
+    * holds. */
   def runIntervalJoinOuterStream(s: SparkSession, dir: String): DataFrame =
     withStreamPartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
@@ -445,9 +439,9 @@ object EventsStream {
       s"""with v as (select user_id, event_id, ts from events
          |           where event_type = 'view'),
          |p as (select * from events where event_type = 'purchase'),
-         |wm as (select least((select max(epoch_us(ts)) from v),
-         |                    (select max(epoch_us(ts)) from p))
-         |         - 3600000000 as w)
+         |wm as (select (least((select max(epoch_us(ts)) // 1000 from v),
+         |                     (select max(epoch_us(ts)) // 1000 from p))
+         |          - 3600000) * 1000 as w)
          |select v.user_id, v.event_id as v_event_id,
          |  p.event_id as p_event_id,
          |  epoch_us(p.ts) - epoch_us(v.ts) as gap_us
