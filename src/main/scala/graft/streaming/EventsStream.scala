@@ -163,6 +163,54 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Dynamic-gap sessionization: the gap is a PER-EVENT expression —
+    * a purchase keeps its session alive for 30 minutes, anything else
+    * for 10 — the session_window(col, gapExpr) surface, which merges
+    * windows [ts, ts+gap(e)) while they overlap. The oracle
+    * reconstructs the same merge with gaps-and-islands arithmetic: a
+    * new session starts when an event's time reaches the running MAX
+    * of all preceding events' window ends (a plain lag is wrong here —
+    * an earlier long-gap event can outlast a later short-gap one).
+    * Every comparison is integer micros; start/end are element picks
+    * and exact maxima. */
+  val sessionDynamicGap: Q = Q.df(
+    "window_session_dynamic_gap",
+    """with o as (select user_id, event_id, ts,
+      |    case when event_type = 'purchase' then interval 30 minute
+      |         else interval 10 minute end as gap
+      |  from events),
+      |m as (select user_id, event_id, ts, gap,
+      |    max(epoch_us(ts + gap)) over (partition by user_id
+      |      order by ts, event_id
+      |      rows between unbounded preceding and 1 preceding) as prev_end
+      |  from o),
+      |flagged as (select user_id, event_id, ts, gap,
+      |    case when prev_end is null or epoch_us(ts) >= prev_end
+      |         then 1 else 0 end as new_s
+      |  from m),
+      |numbered as (select user_id, ts, gap,
+      |    sum(new_s) over (partition by user_id order by ts, event_id
+      |      rows unbounded preceding) as sid
+      |  from flagged)
+      |select user_id, min(ts) as session_start,
+      |  max(ts + gap) as session_end,
+      |  cast(count(*) as bigint) as n_events
+      |from numbered group by user_id, sid
+      |order by user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "30 minutes")
+            .otherwise("10 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Watermark horizon for the lateness audit (micros): 1 hour. */
   val LatenessHorizonUs = 3600L * 1000000L
 
@@ -538,8 +586,8 @@ object EventsStream {
   }
 
   val queries: Seq[Q] =
-    Seq(sessionizeEvents, watermarkLateness, hourlyCountsStreamed,
-      dedupStreamed, userActivityState, intervalJoinStreamed,
-      intervalJoinOuterStreamed, customSourceStreamed,
-      sessionWindowStreamed)
+    Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
+      hourlyCountsStreamed, dedupStreamed, userActivityState,
+      intervalJoinStreamed, intervalJoinOuterStreamed,
+      customSourceStreamed, sessionWindowStreamed)
 }
