@@ -550,6 +550,70 @@ class MysqlProtocolSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("auth-phase fuzz: malformed tails deny cleanly, never hang or kill") {
+    val users = Map("carol" -> MysqlServer.cachingSha2Cred("p4ss"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      def rawConnect(payload: Array[Byte]): Option[String] = {
+        val sock = new Socket("127.0.0.1", server.boundPort)
+        try {
+          val in = new BufferedInputStream(sock.getInputStream)
+          val out = new BufferedOutputStream(sock.getOutputStream)
+          readPacket(in) // handshake
+          writePacket(out, 1, payload)
+          out.flush()
+          // follow the negotiation with garbage answers until a
+          // terminal packet: the server must reach ERR/OK, not hang
+          var i = 0
+          while (i < 4) {
+            val (s, p) = readPacket(in)
+            (p(0) & 0xFF) match {
+              case 0xFF =>
+                return Some(new String(p, 9, p.length - 9,
+                  StandardCharsets.UTF_8))
+              case 0x00 => return None
+              case _ =>
+                writePacket(out, s + 1, Array[Byte](0x02))
+                out.flush()
+            }
+            i += 1
+          }
+          fail("no terminal auth packet within 4 rounds")
+        } finally sock.close()
+      }
+      def resp41(tail: Array[Byte], flags: Int): Array[Byte] = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(leBytes(flags, 4)); b.write(leBytes(1 << 24, 4))
+        b.write(255); b.write(new Array[Byte](23)); b.write(tail)
+        b.toByteArray
+      }
+      val pluginAuth = 0x00000200 | 0x00008000 | 0x00080000
+      // no NUL terminator on the username
+      assert(rawConnect(resp41("carol".getBytes, pluginAuth)).isDefined)
+      // auth-response length byte pointing past the packet end
+      assert(rawConnect(resp41(
+        "carol".getBytes ++ Array[Byte](0, 99.toByte, 1, 2), pluginAuth))
+        .exists(_.contains("Access denied")))
+      // unknown plugin name offered: the server answers (AuthSwitch to
+      // the account's plugin) and the client hangs up mid-switch — the
+      // EOF must not take the server down (proven by the clean
+      // connection at the end of this test)
+      rawConnect(resp41(
+        "carol".getBytes ++ Array[Byte](0, 0) ++
+          "totally_made_up_plugin".getBytes ++ Array[Byte](0),
+        pluginAuth))
+      // truncated response: just the username and nothing else
+      assert(rawConnect(resp41("carol".getBytes ++ Array[Byte](0),
+        pluginAuth)).isDefined)
+      // and the server still serves a clean connection afterwards
+      val ok = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(ok.authError.isEmpty, ok.authError)
+      assert(ok.ping())
+      ok.quit()
+    } finally server.stop()
+  }
+
   test("auth plugin switch: each client lands on its account's plugin") {
     val users = Map(
       "carol" -> MysqlServer.cachingSha2Cred("p4ss"),
