@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.{NamedReference, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -72,6 +73,12 @@ object RangeSource {
     * beyond it the generated `sq` column wraps, so sq-based zone maps
     * and closed-form aggregates are disabled. */
   val SqExactMaxId: Long = 3037000499L
+
+  /** Last runtime-filter narrowing applied to any RangeScan
+    * ((lo, hi) after the IN-set intersection) — observability hook for
+    * the spec; runtime filtering happens driver-side at execution, so
+    * a static is the honest way to witness it. */
+  @volatile var lastRuntimeBounds: Option[(Long, Long)] = None
 }
 
 class RangeTable(end: Long, slices: Int, batchRows: Long = 16384L)
@@ -288,7 +295,45 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
     nPushed: Int, batchRows: Long = 16384L,
     sqMin: Long = Long.MinValue, sqMax: Long = Long.MaxValue,
     nZone: Int = 0, limited: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+
+  /** Runtime-narrowed bounds: start at the compile-time interval and
+    * tighten when [[filter]] delivers join-key values at execution
+    * (dynamic partition pruning over DSv2). defs below — NOT lazy
+    * vals — so partition planning sees the post-filter interval even
+    * though EXPLAIN/statistics already forced an earlier evaluation. */
+  private var rlo = lo
+  private var rhi = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  /** Dynamic pruning at execution: the runtime predicate arrives as
+    * `id IN (v…)` built from the selective join side's actual keys;
+    * the generated interval intersects with the value span, so the
+    * re-planned slices skip everything outside it — the DSv2 analogue
+    * of partition-pruned file sources under DPP (and of the
+    * reference's synopsis-guided block skips, consulted at run time
+    * like its PSMA lookups, doradb-storage/src/col/attr.rs:30-60). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val vals = p.children().toSeq.collect {
+          case l: V2Literal[_] => l.value() match {
+            case v: java.lang.Long => v.longValue()
+            case v: java.lang.Integer => v.intValue().toLong
+          }
+        }
+        if (vals.nonEmpty) {
+          rlo = math.max(rlo, vals.min)
+          rhi = math.min(rhi, vals.max + 1)
+          RangeSource.lastRuntimeBounds = Some((rlo, rhi))
+        }
+      }
+    }
+  }
+
   override def readSchema(): StructType = required
 
   /** The slice grid with its per-partition synopsis consulted: a slice
@@ -297,14 +342,14 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
     * predicate interval is skipped at PLANNING time — the reference's
     * SMA block-skip (doradb-storage/src/col/sma.rs:9-44, attr.rs:30-60)
     * done at Spark's partition granularity. */
-  private lazy val allSlices: Seq[RangePartition] = {
+  private def allSlices: Seq[RangePartition] = {
     val n = math.max(1, slices)
-    val span = hi - lo
+    val span = math.max(0L, rhi - rlo)
     (0 until n).map { i =>
-      RangePartition(lo + span * i / n, lo + span * (i + 1) / n)
+      RangePartition(rlo + span * i / n, rlo + span * (i + 1) / n)
     }
   }
-  private lazy val surviving: Seq[RangePartition] =
+  private def surviving: Seq[RangePartition] =
     allSlices.filter { p =>
       p.start < p.end && {
         // the synopsis is only valid where sq = id² is exact AND

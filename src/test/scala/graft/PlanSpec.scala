@@ -246,6 +246,30 @@ class PlanSpec extends AnyFunSuite {
       s"rank<=k did not fuse into WindowGroupLimit:\n$plan")
   }
 
+  test("DSv2 runtime filtering: join keys narrow the scan at execution") {
+    import org.apache.spark.sql.functions._
+    graft.sources.RangeSource.lastRuntimeBounds = None
+    val fact = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    // a selective dim: 10 keys clustered in [40000, 40900]
+    val dim = spark.range(0, 1000)
+      .select((col("id") * 100).as("k"), (col("id") % 100).as("cat"))
+      .filter(col("cat") === 4 && col("k") >= 40000 && col("k") < 41000)
+    val joined = fact.join(dim, col("id") === col("k"))
+      .select(col("id"), col("sq"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq ==
+      Seq(40400L), s"unexpected join result: ${rows.toSeq}")
+    // the runtime IN-filter reached the scan and narrowed its interval
+    val narrowed = graft.sources.RangeSource.lastRuntimeBounds
+    assert(narrowed.isDefined, "runtime filter never reached the source " +
+      "(SupportsRuntimeV2Filtering not applied)")
+    val (rlo, rhi) = narrowed.get
+    assert(rlo >= 40000L && rhi <= 41000L,
+      s"runtime bounds not narrowed: [$rlo, $rhi)")
+  }
+
   test("V2 catalog: identifiers resolve, pushdown survives, writes refuse") {
     // multi-part identifier resolution, straight through SQL
     val df = spark.sql(
