@@ -304,4 +304,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(sinkFiles() == filesAfterFirst,
       "restart rewrote the sink — offsets were not honored")
   }
+
+  test("RocksDB state store: merging session stream agrees with default") {
+    // The HDFS-backed default provider keeps state on the JVM heap — a
+    // 100 TB ingest runs RocksDB instead (bounded memory, spillable
+    // SST state). The MERGING session-window path is the hardest state
+    // access pattern (range read + merge-and-replace), so prove it
+    // end-to-end on the production backend: same drained result as the
+    // default provider, through the real runtime.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val defaultRun = EventsStream
+      .runSessionWindowStream(spark, TestSpark.Sf)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocksRun = EventsStream
+        .runSessionWindowStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(rocksRun == defaultRun,
+        "RocksDB-backed session merge diverged from the default provider")
+      assert(rocksRun.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
