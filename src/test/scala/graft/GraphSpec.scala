@@ -113,4 +113,36 @@ class GraphSpec extends AnyFunSuite {
     // and the derivation is non-trivial here: multiple components
     assert(got.values.toSet.size > 1, "fixture collapsed to one component")
   }
+
+  test("cc early exit is exact and the probe actually fires") {
+    // a generous round BUDGET returns the same labels as the default:
+    // the convergence probe must exit at the fixpoint rather than pay
+    // 50 edge-joins (this test completing in spec time IS the evidence
+    // the exit fires; without it 50 materialized rounds would dominate
+    // the suite)
+    val edges = Graph.ccEdges(Tables.df(spark, TestSpark.Sf, "orders"))
+    val tight = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loose = Graph.connectedComponents(edges, rounds = 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose == tight, "early exit diverged from bounded-round result")
+  }
+
+  test("sharedCcUndirected memoizes one materialized symmetric relation") {
+    val a = Graph.sharedCcUndirected(spark, TestSpark.Sf)
+    val b = Graph.sharedCcUndirected(spark, TestSpark.Sf)
+    assert(a eq b, "second call must return the cached frame")
+    assert(a.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]))
+    // symmetric by construction: (s,d) present iff (d,s) present
+    val got = a.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got.forall { case (s, d) => got.contains((d, s)) })
+    // and the entry path over the cache equals the self-owned path
+    val viaCache = Graph.connectedComponentsOver(a).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Graph.connectedComponents(
+      Graph.ccEdges(Tables.df(spark, TestSpark.Sf, "orders"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCache == direct)
+  }
 }
