@@ -162,8 +162,13 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       var resp = first
       var respSeq = seq0
       var secure = false
+      // An SSLRequest is EXACTLY the 32-byte head (4 flags + 4 max
+      // packet + 1 charset + 23 reserved) — match the frame precisely:
+      // a malformed <=36-byte HandshakeResponse41 that happens to set
+      // CLIENT_SSL must fail authentication cleanly, not stall the
+      // connection inside a TLS handshake it never intended.
       if ((leU32(first, 0) & ClientSsl) != 0 && ssl.isDefined &&
-          first.length <= 36) {
+          first.length == 32) {
         // TLS upgrade in place: wrap the accepted socket server-side;
         // the real HandshakeResponse41 (and everything after) arrives
         // encrypted. The salt stays valid — only the channel changed.
@@ -771,6 +776,16 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         import org.apache.spark.sql.catalyst.plans.logical._
         val parsed = spark.sessionState.sqlParser.parsePlan(probe)
         val impure = parsed.exists {
+          // Read-only metadata commands (SHOW/DESCRIBE/EXPLAIN) ARE
+          // Command nodes, but running them at prepare time mutates
+          // nothing — allow-list them so their prepared statements keep
+          // reporting real column definitions (drivers read prepare-time
+          // metadata). EXPLAIN only formats its inner plan, never
+          // executes it, so even EXPLAIN <dml> is probe-safe.
+          case _: ShowTables | _: ShowColumns | _: ShowViews |
+              _: DescribeRelation | _: DescribeColumn => false
+          case _: org.apache.spark.sql.execution.command.ExplainCommand =>
+            false
           case _: Command | _: InsertIntoStatement | _: InsertIntoDir |
               _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => true
           case _ => false

@@ -317,6 +317,14 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
     * reference's synopsis-guided block skips, consulted at run time
     * like its PSMA lookups, doradb-storage/src/col/attr.rs:30-60). */
   override def filter(predicates: Array[Predicate]): Unit = {
+    // A limit-pushed scan already promised Spark an eliminated LIMIT by
+    // truncating hi; narrowing [rlo, rhi) afterwards could return fewer
+    // rows than that promise. The combination is unreachable today
+    // (limit pushes only directly above the scan, runtime filters only
+    // arrive under joins) but nothing structural forbids it — so refuse
+    // runtime narrowing outright on a limited scan rather than rely on
+    // planner coincidence.
+    if (limited) return
     predicates.foreach { p =>
       if (p.name() == "IN") {
         val vals = p.children().toSeq.collect {

@@ -550,6 +550,58 @@ class MysqlProtocolSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("CLIENT_SSL on a non-SSLRequest frame fails auth, not the TLS " +
+      "handshake") {
+    // An SSLRequest is EXACTLY 32 bytes. A malformed short
+    // HandshakeResponse41 (36 bytes here) that happens to set CLIENT_SSL
+    // must be parsed as a handshake response and denied cleanly over
+    // plaintext — the old <=36 heuristic would have stalled the
+    // connection inside a TLS handshake the client never started.
+    val ssl = MysqlServer.sslContextFromPkcs12(testKeystore, "changeit")
+    val users = Map("carol" -> MysqlServer.cachingSha2Cred("p4ss"))
+    val server = MysqlServer.start(spark, users = users, ssl = Some(ssl))
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      sock.setSoTimeout(5000)
+      try {
+        val in = new BufferedInputStream(sock.getInputStream)
+        val out = new BufferedOutputStream(sock.getOutputStream)
+        readPacket(in) // handshake
+        val flags = 0x00000200 | 0x00008000 | 0x00000800 // P41|SECURE|SSL
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(leBytes(flags, 4)); b.write(leBytes(1 << 24, 4))
+        b.write(255); b.write(new Array[Byte](23))
+        b.write("x".getBytes); b.write(0) // user "x"
+        b.write(Array[Byte](0, 0)) // empty auth response + garbage pad
+        assert(b.size() == 36)
+        writePacket(out, 1, b.toByteArray)
+        out.flush()
+        // the server must answer IN PLAINTEXT (terminal ERR, possibly
+        // after a negotiation round) — a read timeout here means it
+        // went into a TLS accept on our plaintext bytes
+        var denied = false
+        var i = 0
+        while (i < 4 && !denied) {
+          val (s, p) = readPacket(in)
+          (p(0) & 0xFF) match {
+            case 0xFF => denied = true
+            case 0x00 => fail("malformed CLIENT_SSL response authenticated")
+            case _ =>
+              writePacket(out, s + 1, Array[Byte](0x02)); out.flush()
+          }
+          i += 1
+        }
+        assert(denied, "no terminal ERR for the malformed frame")
+      } finally sock.close()
+      // a real 32-byte SSLRequest still upgrades fine afterwards
+      val c = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin), tls = true)
+      assert(c.authError.isEmpty, c.authError)
+      assert(c.ping())
+      c.quit()
+    } finally server.stop()
+  }
+
   test("auth-phase fuzz: malformed tails deny cleanly, never hang or kill") {
     val users = Map("carol" -> MysqlServer.cachingSha2Cred("p4ss"))
     val server = MysqlServer.start(spark, users = users)
@@ -1044,6 +1096,22 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val Right((_, nCols, _)) = c.prepare(
         "with q as (select 1 as x) select x from q")
       assert(nCols == 1)
+      // read-only metadata commands are Command nodes too, but they are
+      // allow-listed for the schema probe: drivers read PREPARE-time
+      // column definitions, and SHOW/DESCRIBE/EXPLAIN mutate nothing
+      val Right((_, showCols, _)) = c.prepare("show tables")
+      assert(showCols > 0, "SHOW TABLES lost its prepare-time column defs")
+      val Right((_, descCols, _)) = c.prepare("describe graft_prep_probe")
+      assert(descCols > 0, "DESCRIBE lost its prepare-time column defs")
+      val Right((_, explCols, _)) = c.prepare("explain select 1")
+      assert(explCols > 0, "EXPLAIN lost its prepare-time column defs")
+      // EXPLAIN only formats its inner plan — even EXPLAIN <dml> is
+      // probe-safe and must not run the insert
+      val Right((_, explDml, _)) = c.prepare(
+        "explain insert into graft_prep_probe values (1)")
+      assert(explDml > 0)
+      assert(spark.table("graft_prep_probe").count() == 0,
+        "EXPLAIN DML schema probe executed the INSERT")
       c.quit()
     } finally {
       server.stop()

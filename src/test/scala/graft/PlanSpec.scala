@@ -270,6 +270,33 @@ class PlanSpec extends AnyFunSuite {
       s"runtime bounds not narrowed: [$rlo, $rhi)")
   }
 
+  test("runtime narrowing is refused on a limit-pushed scan") {
+    // pushLimit truncates hi to honor an already-eliminated LIMIT; a
+    // later runtime filter narrowing the same interval would return
+    // fewer rows than that promise. The combination is planner-
+    // unreachable today, but the scan refuses it structurally.
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val pred = new Predicate("IN", Array(
+      Expressions.column("id"),
+      Expressions.literal(java.lang.Long.valueOf(40L)),
+      Expressions.literal(java.lang.Long.valueOf(50L))))
+    def spanAfterFilter(limited: Boolean): Long = {
+      val scan = new graft.sources.RangeScan(
+        0L, 100L, 4, schema, 0, limited = limited)
+      scan.filter(Array(pred))
+      scan.planInputPartitions().map {
+        case graft.sources.RangePartition(a, b) => b - a
+      }.sum
+    }
+    assert(spanAfterFilter(limited = false) == 11L,
+      "runtime IN-filter should narrow an unlimited scan to [40, 51)")
+    assert(spanAfterFilter(limited = true) == 100L,
+      "limit-pushed scan accepted runtime narrowing — row-count promise broken")
+  }
+
   test("V2 catalog: identifiers resolve, pushdown survives, writes refuse") {
     // multi-part identifier resolution, straight through SQL
     val df = spark.sql(
