@@ -778,6 +778,80 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---- hybrid retrieval: reciprocal-rank fusion ---------------------------
+
+  /** Fused list length per query. */
+  val FuseK = 5
+
+  /** Lexical candidate list bound (top-N by BM25). */
+  val LexK = 100
+
+  /** RRF smoothing constant (Cormack/Clarke/Buettcher's k = 60). */
+  val RrfC = 60
+
+  /** Hybrid retrieval fusion — the standard RAG-corpus retrieval shape:
+    * a DENSE ranked list per query (cosine top-k over embeddings) fused
+    * with a LEXICAL ranked list (BM25 over the aligned documents table;
+    * doc_id ≡ vec_id in the fixtures) by reciprocal-rank fusion,
+    * rrf(d) = Σ_lists 1/(C + rank_list(d)) with the classic C = 60. A
+    * document absent from a list contributes nothing for it — RRF is
+    * defined over the union of bounded candidate lists, never the
+    * corpus.
+    *
+    * Scale shape: both inputs are k-BOUNDED lists, so fusion is one
+    * broadcast join + one per-query window over ≤ TopK rows per query.
+    * The lexical list is a distributed top-N (orderBy.limit →
+    * TakeOrderedAndProject: per-partition heaps, no global sort) and
+    * the dense list is the ANN family's candidate generator — swap
+    * [[bruteForceTopK]] for [[lshTopK]]/[[ivfTopK]] at corpus scales
+    * where exact scoring is the bottleneck; the fusion stage is
+    * retriever-agnostic. Ranks are integers and the two reciprocal
+    * terms are summed in a fixed spelled order, so the score is
+    * bit-identical cross-engine (ties broken by neighbor id). */
+  val hybridRrf: Q = Q.df(
+    "retrieval_rrf_fusion",
+    s"""with dense as (select query_id, neighbor_id, rnk
+       |  from ($bruteForceOracle) t),
+       |lexr as (select doc_id, lrnk from (
+       |    select doc_id, cast(row_number() over (
+       |        order by bm25 desc, doc_id) as bigint) as lrnk
+       |    from (${TextAnalysis.bm25OracleSql}) b) r
+       |  where lrnk <= $LexK),
+       |fused as (select d.query_id, d.neighbor_id,
+       |    1.0 / ($RrfC.0 + cast(d.rnk as double))
+       |      + coalesce(1.0 / ($RrfC.0 + cast(l.lrnk as double)), 0.0) as rrf
+       |  from dense d left join lexr l on l.doc_id = d.neighbor_id)
+       |select query_id, neighbor_id, fused_rank, round(rrf, 6) as rrf_score
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by rrf desc, neighbor_id) as bigint) as fused_rank
+       |      from fused) t
+       |where fused_rank <= $FuseK
+       |order by query_id, fused_rank""".stripMargin) { (s, dir) =>
+    val dense = bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    val lex = TextAnalysis.bm25Frame(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(LexK)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("lrnk"))
+    val fused = dense
+      .join(broadcast(lex), dense("neighbor_id") === lex("doc_id"), "left")
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(1.0d) / (lit(RrfC.toDouble) + col("rnk").cast("double")) +
+          coalesce(
+            lit(1.0d) / (lit(RrfC.toDouble) + col("lrnk").cast("double")),
+            lit(0.0d))).as("rrf"))
+    fused
+      .withColumn("fused_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("fused_rank") <= FuseK)
+      .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
   // ---- kNN label propagation ----------------------------------------------
 
   /** Neighbors consulted per unlabeled vector. */
@@ -1054,6 +1128,6 @@ object Similarity {
 
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
-      annRecall, knnPropagateQ, hardNegativesQ, marginPairsQ,
+      annRecall, hybridRrf, knnPropagateQ, hardNegativesQ, marginPairsQ,
       embedDecontamQ)
 }

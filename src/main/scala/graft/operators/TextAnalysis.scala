@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -757,12 +758,12 @@ object TextAnalysis {
     * [[textEntropy]] contract: per-term scores are summed as a
     * sorted-list fold and rounded to 6 decimals; every double
     * subexpression is spelled in the same order in both engines. */
-  val textBm25: Q = {
-    // dlnorm = dl/avgdl spelled as dl*N/tot (one double divide, same
-    // associativity both sides); 1-b folded to 0.25 by hand.
-    Q.df(
-      "text_bm25_scores",
-      """with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+  // dlnorm = dl/avgdl spelled as dl*N/tot (one double divide, same
+  // associativity both sides); 1-b folded to 0.25 by hand. The oracle
+  // text and the frame builder are exposed to [[Similarity]]'s hybrid
+  // fusion entry, which nests both verbatim.
+  private[operators] val bm25OracleSql: String =
+    """with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
         |              from documents),
         |tf as (select doc_id, tok, cast(count(*) as bigint) as c
         |       from toks group by doc_id, tok),
@@ -788,7 +789,10 @@ object TextAnalysis {
         |select doc_id, n_terms,
         |  round(list_reduce(list_prepend(cast(0 as double), ss),
         |    (acc, x) -> acc + x), 6) as bm25
-        |from agg order by doc_id""".stripMargin) { (s, dir) =>
+        |from agg order by doc_id""".stripMargin
+
+  private[operators] def bm25Frame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
       val toks = Tables.df(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
@@ -815,8 +819,10 @@ object TextAnalysis {
           round(aggregate(col("ss"), lit(0.0d), (acc, x) => acc + x), 6)
             .as("bm25"))
         .orderBy(col("doc_id"))
-    }
   }
+
+  val textBm25: Q =
+    Q.df("text_bm25_scores", bm25OracleSql)((s, dir) => bm25Frame(s, dir))
 
   /** BPE merge-candidate mining — the inner step of byte-pair-encoding
     * tokenizer training: count every within-word adjacent character
