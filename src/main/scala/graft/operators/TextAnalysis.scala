@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -853,6 +854,151 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Bounded merge rounds for [[textBpeMergeLoop]]. */
+  val BpeMergeRounds = 4
+
+  /** Iterative BPE merge training — the ACTUAL tokenizer-training inner
+    * loop, not just one round of candidate mining ([[textBpePairs]]):
+    * k = [[BpeMergeRounds]] rounds of (count adjacent symbol pairs,
+    * freq-weighted) → (pick the top pair: count desc, pair asc) →
+    * (apply the merge leftmost-greedy, non-overlapping) over the
+    * word-TYPE table. Output is the learned merge list in order — the
+    * artifact a BPE tokenizer ships.
+    *
+    * Merge application is the positional "islands" form: candidate
+    * positions (sym=a ∧ next=b) grouped into runs of consecutive
+    * positions (pos − row_number), keeping odd ranks within each run —
+    * exactly leftmost-greedy for BOTH the a≠b chain case ("ababab")
+    * and the a=b run case ("aaaa" → two merges, not three). Everything
+    * is integer counts, string compares, and window row_numbers —
+    * bit-exact cross-engine; the oracle unrolls the same k rounds as
+    * MATERIALIZED CTE chains.
+    *
+    * Scale shape: all per-round state is the word-type symbol table —
+    * VOCABULARY-sized (Heaps-sublinear in the corpus), reached from the
+    * corpus by one map-side-combined type count; pair counting is one
+    * lead() window + one partial-agg groupBy on the (bounded) symbol-
+    * pair space; the winner is a 1-row broadcast; rounds materialize
+    * and free like the graph loops, so storage stays O(symbol table),
+    * never O(table · rounds). Nothing driver-sized at any corpus
+    * scale. */
+  val textBpeMergeLoop: Q = {
+    def oracle: String = {
+      val rounds = (0 until BpeMergeRounds).map { r =>
+        s"""p$r as materialized (
+           |  select w, freq, pos, sym,
+           |         lead(sym) over (partition by w order by pos) as nxt
+           |  from s$r),
+           |win$r as materialized (
+           |  select sym as a, nxt as b, cast(sum(freq) as bigint) as cnt
+           |  from p$r where nxt is not null
+           |  group by sym, nxt
+           |  order by cnt desc, a asc, b asc limit 1),
+           |ch$r as materialized (
+           |  select w, pos from (
+           |    select w, pos,
+           |           row_number() over (partition by w, isl order by pos) as rk
+           |    from (
+           |      select p.w, p.pos,
+           |             p.pos - row_number() over (
+           |               partition by p.w order by p.pos) as isl
+           |      from p$r p join win$r x on p.sym = x.a and p.nxt = x.b) t1
+           |  ) t2 where rk % 2 = 1),
+           |s${r + 1} as materialized (
+           |  select w, freq,
+           |         cast(row_number() over (partition by w order by pos)
+           |           as bigint) as pos,
+           |         sym
+           |  from (
+           |    select p.w, p.freq, p.pos,
+           |           case when c1.pos is not null then p.sym || p.nxt
+           |                else p.sym end as sym
+           |    from p$r p
+           |    left join ch$r c1 on c1.w = p.w and c1.pos = p.pos
+           |    left join ch$r c0 on c0.w = p.w and c0.pos = p.pos - 1
+           |    where c0.pos is null) t)""".stripMargin
+      }.mkString(",\n")
+      val winners = (0 until BpeMergeRounds).map { r =>
+        s"""select cast(${r + 1} as bigint) as round, a as left_sym,
+           |  b as right_sym, a || b as merged, cnt from win$r"""
+          .stripMargin
+      }.mkString("\nunion all\n")
+      s"""with wt as materialized (
+         |  select w, cast(count(*) as bigint) as freq from (
+         |    select unnest(string_split(text, ' ')) as w from documents) t
+         |  where length(w) >= 2 group by w),
+         |s0 as materialized (
+         |  select w, freq, pos, substring(w, cast(pos as int), 1) as sym
+         |  from (select w, freq,
+         |          cast(unnest(range(1, length(w) + 1)) as bigint) as pos
+         |        from wt) t),
+         |$rounds
+         |select * from ($winners) u order by round""".stripMargin
+    }
+    Q.df("text_bpe_merge_loop", oracle) { (s, dir) =>
+      import graft.plans.Checkpoints
+      val wWin = Window.partitionBy("w").orderBy("pos")
+      val wt = Tables.df(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      var syms = Checkpoints.materialize(
+        wt.select(col("w"), col("freq"),
+            posexplode(split(col("w"), "")).as(Seq("pos0", "sym")))
+          .select(col("w"), col("freq"),
+            (col("pos0") + 1).cast("long").as("pos"), col("sym")))
+      var winners = Vector.empty[DataFrame]
+      for (r <- 1 to BpeMergeRounds) {
+        // p is consumed three times per round (winner, candidates,
+        // rebuild) — one boundary instead of three window passes
+        val p = Checkpoints.materialize(
+          syms.withColumn("nxt", lead(col("sym"), 1).over(wWin)))
+        val win = p.filter(col("nxt").isNotNull)
+          .groupBy(col("sym").as("a"), col("nxt").as("b"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(1)
+        val winM = Checkpoints.materialize(win)
+        val cand = p.join(broadcast(winM),
+            p("sym") === winM("a") && p("nxt") === winM("b"))
+          .select(p("w"), p("pos"))
+          .withColumn("isl", col("pos") - row_number().over(wWin))
+        val chosen = Checkpoints.materialize(cand
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("w", "isl").orderBy("pos")))
+          .filter(col("rk") % 2 === 1)
+          .select(col("w").as("cw"), col("pos").as("cpos")))
+        val at = chosen.select(col("cw").as("w1"), col("cpos").as("p1"))
+        val before = chosen.select(col("cw").as("w0"), col("cpos").as("p0"))
+        // chosen is merge-OCCURRENCE-sized (top-pair hits, orders of
+        // magnitude under the symbol table) — broadcast both probes so
+        // the rebuild is one stored-block scan, not two char-table
+        // shuffles per round
+        val next = Checkpoints.materialize(p
+          .join(broadcast(at),
+            p("w") === col("w1") && p("pos") === col("p1"), "left")
+          .join(broadcast(before),
+            p("w") === col("w0") && p("pos") === col("p0") + 1, "left")
+          .filter(col("p0").isNull)
+          .select(p("w"), p("freq"), p("pos").as("oldpos"),
+            when(col("p1").isNotNull, concat(p("sym"), p("nxt")))
+              .otherwise(p("sym")).as("sym"))
+          .select(col("w"), col("freq"),
+            row_number().over(Window.partitionBy("w").orderBy("oldpos"))
+              .cast("long").as("pos"),
+            col("sym")))
+        winners :+= winM.select(
+          lit(r).cast("long").as("round"), col("a").as("left_sym"),
+          col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
+          col("cnt"))
+        Seq(p, chosen, syms).foreach(Checkpoints.free)
+        syms = next
+      }
+      Checkpoints.free(syms)
+      winners.reduce(_ unionByName _).orderBy(col("round"))
+    }
+  }
+
   /** Per-language head/middle/tail split by LM score (the CCNet
     * bucketing: each language's documents ranked by how well a
     * corpus-trained LM predicts them, then cut into thirds — "head"
@@ -1005,6 +1151,6 @@ object TextAnalysis {
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
-      textNormalizeUnicode, textBm25, textBpePairs,
+      textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       qualityPerplexityBuckets, langConfusion, gopherRules)
 }

@@ -161,4 +161,27 @@ class TextSpec extends AnyFunSuite {
         s"$lang bucket fractions off terciles: $frac")
     }
   }
+
+  test("BPE merge loop: ordered distinct merges with non-increasing counts") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.textBpeMergeLoop.run(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq ==
+      (1L to TextAnalysis.BpeMergeRounds).toSeq)
+    // the merged symbol is the concatenation of the pair, and each
+    // round learns a NEW merge (the applied pair cannot win again —
+    // every occurrence was consumed)
+    assert(rows.forall { case (_, a, b, m, _) => m == a + b })
+    assert(rows.map(m => (m._2, m._3)).distinct.length == rows.length,
+      "a pair won twice — merges were not applied")
+    // top-pair counts never increase round over round: the winner is
+    // removed, runners-up are <= the old max, and any NEW pair's count
+    // is bounded by the number of merges just performed
+    val cnts = rows.sortBy(_._1).map(_._5)
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => y <= x },
+      s"top-pair counts increased: ${cnts.toSeq}")
+    assert(cnts.last > 0)
+  }
 }
