@@ -305,30 +305,79 @@ class StreamingSpec extends AnyFunSuite {
       "restart rewrote the sink — offsets were not honored")
   }
 
-  test("RocksDB state store: merging session stream agrees with default") {
-    // The HDFS-backed default provider keeps state on the JVM heap — a
-    // 100 TB ingest runs RocksDB instead (bounded memory, spillable
-    // SST state). The MERGING session-window path is the hardest state
-    // access pattern (range read + merge-and-replace), so prove it
-    // end-to-end on the production backend: same drained result as the
-    // default provider, through the real runtime.
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    val defaultRun = EventsStream
-      .runSessionWindowStream(spark, TestSpark.Sf)
-      .collect().map(_.toString).sorted.toSeq
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val rocksRun = EventsStream
+  // The HDFS-backed default provider keeps state on the JVM heap — a
+  // 100 TB ingest runs RocksDB instead (bounded memory, spillable SST
+  // state). Run every stateful access pattern once under each provider
+  // and demand identical drained results, through the real runtime.
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withProvider[A](provider: Option[String])(f: => A): A = {
+    val prev = spark.conf.getOption(ProviderKey)
+    provider match {
+      case Some(p) => spark.conf.set(ProviderKey, p)
+      case None => spark.conf.unset(ProviderKey)
+    }
+    try f finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  private val matrixNames = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Incremental mapGroupsWithState drive (two micro-batches, state
+    * carried across them) — the cross-batch keyed-state path the batch
+    * entry cannot exercise. Returns the Update-mode emission log. */
+  private def driveActivityIncremental(): Seq[String] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val name = s"activity_matrix_${matrixNames.incrementAndGet()}"
+    val in = MemoryStream[Event]
+    val q = EventsStream.runningUserActivity(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:01:00"), 2, "view", 3.0))
+    q.processAllAvailable()
+    in.addData(
+      Event(3, ts("2024-01-01 00:02:00"), 1, "click", 2.5),
+      Event(4, ts("2024-01-01 00:03:00"), 3, "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect().map(_.toString).sorted.toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test("state-store provider matrix: every stateful stream agrees " +
+      "across default and RocksDB") {
+    // Patterns, hardest first: merging session windows (range read +
+    // merge-and-replace), dropDuplicates keyed state, two-sided
+    // stream-stream join state with expiry emission (outer), inner
+    // join state, and cross-batch mapGroupsWithState.
+    val runners: Seq[(String, () => Seq[String])] = Seq(
+      ("session-window merge", () => EventsStream
         .runSessionWindowStream(spark, TestSpark.Sf)
-        .collect().map(_.toString).sorted.toSeq
-      assert(rocksRun == defaultRun,
-        "RocksDB-backed session merge diverged from the default provider")
-      assert(rocksRun.nonEmpty)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+        .collect().map(_.toString).sorted.toSeq),
+      ("dropDuplicates dedup", () => EventsStream
+        .runDedupStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq),
+      ("interval join", () => EventsStream
+        .runIntervalJoinStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq),
+      ("interval join outer", () => EventsStream
+        .runIntervalJoinOuterStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq),
+      ("mapGroupsWithState incremental", () => driveActivityIncremental()))
+    runners.foreach { case (nm, run) =>
+      val dflt = withProvider(None)(run())
+      val rocks = withProvider(Some(RocksProvider))(run())
+      assert(rocks == dflt, s"$nm diverged under RocksDB")
+      assert(rocks.nonEmpty, s"$nm produced no rows")
     }
   }
 }
