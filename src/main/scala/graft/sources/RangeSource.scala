@@ -64,10 +64,24 @@ object RangeSource {
   val Schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("sq", LongType, nullable = false),
-    StructField("h", LongType, nullable = false)))
+    StructField("h", LongType, nullable = false),
+    StructField("seg", LongType, nullable = false)))
 
   /** The Knuth multiplicative hash column, shared with the oracle. */
   def hash(id: Long): Long = (id * 2654435761L) % 4294967296L
+
+  /** Rows per storage segment: `seg` = id div [[SegRows]] is the
+    * segment-id attribute — constant over any segment-aligned batch,
+    * the shape real columnar stores carry for block-level metadata
+    * columns (tenant / date / shard of a sorted block). */
+  val SegRows: Long = 16384L
+
+  /** Count of columnar batches whose `seg` column was served as a
+    * CONSTANT vector (the Data-Blocks `Codec::Single` / RLE-1 mirror:
+    * one value decoded for the whole vector instead of n fills).
+    * Local-mode observability hook for the spec, like
+    * [[lastRuntimeBounds]]. */
+  val constantSegBatches = new java.util.concurrent.atomic.LongAdder
 
   /** Largest id whose square is exact in int64 (⌊√Long.MaxValue⌋):
     * beyond it the generated `sq` column wraps, so sq-based zone maps
@@ -478,6 +492,7 @@ class RangeReaderFactory(required: StructType)
         case "id" => (id: Long) => id
         case "sq" => (id: Long) => id * id
         case "h" => (id: Long) => RangeSource.hash(id)
+        case "seg" => (id: Long) => id / RangeSource.SegRows
       }
       override def next(): Boolean = { cur += 1; cur < rp.end }
       override def get(): InternalRow = {
@@ -496,22 +511,36 @@ class RangeReaderFactory(required: StructType)
     * batches, and Spark's whole-stage codegen consumes the batch
     * through its vectorized ColumnarToRow bridge instead of one
     * virtual call per row. Same pruned projection contract as the row
-    * reader. */
+    * reader.
+    *
+    * The `seg` column mirrors the reference's `Codec::Single` (RLE-1
+    * constant vector, doradb-storage/src/col/codec/mod.rs:9-33): when
+    * requested, batches are CAPPED at segment boundaries so seg is
+    * constant over every batch, and it is served through Spark's
+    * [[ConstantColumnVector]] — one value set per batch instead of n
+    * putLongs. At 100 TB this is the decode-bandwidth shape: a
+    * block-constant attribute costs O(1) per vector, not O(rows). */
   override def supportColumnarReads(p: InputPartition): Boolean =
     p.isInstanceOf[RangePartition]
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
     import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
     val rp = p.asInstanceOf[RangePartition]
     val batchSize = 4096
     new PartitionReader[ColumnarBatch] {
       private var cur = rp.start
-      private val vectors =
-        OnHeapColumnVector.allocateColumns(batchSize, required)
-      private val batch =
-        new ColumnarBatch(vectors.map(v => v: ColumnVector))
+      private val hasSeg = required.fieldNames.contains("seg")
+      private val vectors: Array[ColumnVector] = required.fields.map { f =>
+        if (f.name == "seg")
+          new ConstantColumnVector(batchSize, LongType): ColumnVector
+        else {
+          val v = new OnHeapColumnVector(batchSize, f.dataType)
+          v: ColumnVector
+        }
+      }
+      private val batch = new ColumnarBatch(vectors)
       private val fills: Array[(OnHeapColumnVector, Int, Long) => Unit] =
         required.fieldNames.map {
           case "id" => (v: OnHeapColumnVector, i: Int, id: Long) =>
@@ -520,19 +549,34 @@ class RangeReaderFactory(required: StructType)
             v.putLong(i, id * id)
           case "h" => (v: OnHeapColumnVector, i: Int, id: Long) =>
             v.putLong(i, RangeSource.hash(id))
+          case "seg" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
         }
       override def next(): Boolean = {
         if (cur >= rp.end) return false
-        val n = math.min(batchSize.toLong, rp.end - cur).toInt
+        var n = math.min(batchSize.toLong, rp.end - cur)
+        if (hasSeg) {
+          // cap at the next segment boundary — seg is then constant
+          // over the whole batch by construction
+          val boundary =
+            (cur / RangeSource.SegRows + 1) * RangeSource.SegRows
+          n = math.min(n, boundary - cur)
+        }
+        val rows = n.toInt
         var c = 0
         while (c < vectors.length) {
-          vectors(c).reset()
-          val fill = fills(c)
-          var i = 0
-          while (i < n) { fill(vectors(c), i, cur + i); i += 1 }
+          vectors(c) match {
+            case cv: ConstantColumnVector =>
+              cv.setLong(cur / RangeSource.SegRows)
+              RangeSource.constantSegBatches.increment()
+            case ov: OnHeapColumnVector =>
+              ov.reset()
+              val fill = fills(c)
+              var i = 0
+              while (i < rows) { fill(ov, i, cur + i); i += 1 }
+          }
           c += 1
         }
-        batch.setNumRows(n)
+        batch.setNumRows(rows)
         cur += n
         true
       }

@@ -270,6 +270,41 @@ class PlanSpec extends AnyFunSuite {
       s"runtime bounds not narrowed: [$rlo, $rhi)")
   }
 
+  test("segment column reads as a CONSTANT vector (Codec::Single mirror)") {
+    // `seg` = id div 16384 is block-constant; the columnar reader caps
+    // batches at segment boundaries and serves it via a
+    // ConstantColumnVector — one value per batch, not one putLong per
+    // row. Value-check against the closed form AND witness the
+    // constant-vector path actually firing.
+    import org.apache.spark.sql.functions._
+    graft.sources.RangeSource.constantSegBatches.reset()
+    val table = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    val got = table.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+        max(col("id")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val segRows = graft.sources.RangeSource.SegRows
+    val want = (0L until 100000L).groupBy(_ / segRows).toSeq
+      .map { case (s, ids) => (s, ids.length.toLong, ids.min, ids.max) }
+      .sortBy(_._1)
+    assert(got.toSeq == want, "seg grouping diverged from id div SegRows")
+    assert(graft.sources.RangeSource.constantSegBatches.sum() > 0,
+      "no batch served seg through the constant vector")
+    // the scan stayed columnar with the constant vector in the batch
+    val plan = table.select(col("seg"), col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"seg projection fell off the columnar path:\n$plan")
+    // and a seg-less projection is untouched (no boundary capping,
+    // no constant vectors involved)
+    graft.sources.RangeSource.constantSegBatches.reset()
+    assert(table.select(col("id")).filter(col("id") < 10).count() == 10)
+    assert(graft.sources.RangeSource.constantSegBatches.sum() == 0)
+  }
+
   test("runtime narrowing is refused on a limit-pushed scan") {
     // pushLimit truncates hi to honor an already-eliminated LIMIT; a
     // later runtime filter narrowing the same interval would return
