@@ -319,6 +319,45 @@ object Relational {
       s.sql(joinReorderWideSql(s"${Tables.StatsDb}."))
     }
 
+  /** A 20-relation join graph — the regime the reference's own comment
+    * warns about (">20 relations will be very slow",
+    * doradb-plan/src/join/graph.rs:10-15; its optimizer prints the
+    * plan-time split at rule_optimize.rs:164-181). Extends the
+    * 13-relation snowflake with the co-order branch: l2's order, its
+    * customer chain, a third lineitem fact on that order, and its
+    * supplier chain. Used for PLANNING-TIME measurement only
+    * (CboPlanSpec times Catalyst's DP at this width and records the
+    * split vs the heuristic path) — never executed, so the fact-fact
+    * fan-out is irrelevant. */
+  def joinReorderHugeSql(prefix: String): String =
+    s"""select cn.n_name as cust_nation, count(*) as cnt
+       |from ${prefix}lineitem l
+       |join ${prefix}orders o on l.l_orderkey = o.o_orderkey
+       |join ${prefix}customer c on o.o_custkey = c.c_custkey
+       |join ${prefix}nation cn on c.c_nationkey = cn.n_nationkey
+       |join ${prefix}region cr on cn.n_regionkey = cr.r_regionkey
+       |join ${prefix}supplier s on l.l_suppkey = s.s_suppkey
+       |join ${prefix}nation sn on s.s_nationkey = sn.n_nationkey
+       |join ${prefix}region sr on sn.n_regionkey = sr.r_regionkey
+       |join ${prefix}part p on l.l_partkey = p.p_partkey
+       |join ${prefix}lineitem l2
+       |  on l2.l_partkey = p.p_partkey and l2.l_quantity > 45
+       |join ${prefix}supplier s2 on l2.l_suppkey = s2.s_suppkey
+       |join ${prefix}nation sn2 on s2.s_nationkey = sn2.n_nationkey
+       |join ${prefix}region sr2 on sn2.n_regionkey = sr2.r_regionkey
+       |join ${prefix}orders o2 on l2.l_orderkey = o2.o_orderkey
+       |join ${prefix}customer c2 on o2.o_custkey = c2.c_custkey
+       |join ${prefix}nation cn3 on c2.c_nationkey = cn3.n_nationkey
+       |join ${prefix}region cr3 on cn3.n_regionkey = cr3.r_regionkey
+       |join ${prefix}lineitem l3
+       |  on l3.l_orderkey = o2.o_orderkey and l3.l_linenumber = 1
+       |join ${prefix}supplier s3 on l3.l_suppkey = s3.s_suppkey
+       |join ${prefix}nation sn4 on s3.s_nationkey = sn4.n_nationkey
+       |where cr.r_name = 'ASIA' and sr2.r_name = 'EUROPE'
+       |  and p.p_size < 25
+       |group by cn.n_name
+       |order by cn.n_name""".stripMargin
+
   // ---- Distinct / Sort / Limit / Offset / top-k -------------------------
 
   val distinctRows: Q = Q.df(

@@ -75,6 +75,47 @@ class CboPlanSpec extends AnyFunSuite {
       s"join order unchanged by CostBasedJoinReorder:\n$without")
   }
 
+  test("20-relation graph: DP reorder fires and planning time is pinned " +
+      "(reference warns '>20 very slow' at this width)") {
+    // The reference bounds its DP at 31 relations and warns ">20
+    // relations will be very slow" (doradb-plan/src/join/graph.rs:
+    // 10-15); its optimizer prints the plan-time split
+    // (rule_optimize.rs:164-181). Mirror the measurement on Catalyst:
+    // time optimization of the 20-relation graph with the DP bound
+    // raised to cover it vs the heuristic (threshold-12) path, assert
+    // the DP actually rewrites the order, and bound the DP's planning
+    // cost. Measured numbers are recorded in BASELINE.md.
+    Tables.registerStats(spark, TestSpark.Sf)
+    val sql = Relational.joinReorderHugeSql(s"${Tables.StatsDb}.")
+    val key = "spark.sql.cbo.joinReorder.dp.threshold"
+    def timePlan(threshold: Int, reorder: Boolean): (Seq[String], Long) = {
+      spark.conf.set(key, threshold.toString)
+      try {
+        val t0 = System.nanoTime()
+        val plan = planWith(sql, reorder)
+        (leafOrder(plan), (System.nanoTime() - t0) / 1000000L)
+      } finally spark.conf.set(key, "16")
+    }
+    val (baseline, _) = timePlan(24, reorder = false)
+    assert(baseline.length == 20, s"expected 20 leaves, got $baseline")
+    // warm the non-DP path once (first planning pays rule-init costs)
+    timePlan(12, reorder = true)
+    val (heur, heurMs) = timePlan(12, reorder = true)
+    assert(heur == baseline,
+      "threshold-12 heuristic path should keep syntactic order at 20 " +
+        "relations (DP silently skipped)")
+    val (dp, dpMs) = timePlan(24, reorder = true)
+    assert(dp != baseline,
+      s"20-relation join order unchanged by CostBasedJoinReorder:\n$baseline")
+    info(s"plan-time split at 20 relations: DP ${dpMs}ms vs " +
+      s"heuristic ${heurMs}ms")
+    // the DP must not be pathological at this width — Catalyst prunes
+    // its DP with the star-schema filter and cost bounds, so the wall
+    // the reference warns about shows up as seconds, not minutes; keep
+    // a generous regression bound
+    assert(dpMs < 60000L, s"20-relation DP planning took ${dpMs}ms")
+  }
+
   test("13-relation graph still cost-reorders: dp.threshold raised past " +
       "Catalyst's default 12") {
     // Reference bound: 31 relations (doradb-plan/src/join/graph.rs:
