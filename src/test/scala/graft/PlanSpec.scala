@@ -303,6 +303,18 @@ class PlanSpec extends AnyFunSuite {
     graft.sources.RangeSource.constantSegBatches.reset()
     assert(table.select(col("id")).filter(col("id") < 10).count() == 10)
     assert(graft.sources.RangeSource.constantSegBatches.sum() == 0)
+    // segment ELIMINATION: seg predicates are exact id-bound
+    // translations, so they push fully into the scan (block pruning
+    // from block-id arithmetic, no residual filter left for Spark)
+    val eq = table.filter(col("seg") === 3)
+    assert(eq.queryExecution.executedPlan.toString
+      .contains(s"bounds=[${3 * segRows}, ${4 * segRows}) "),
+      "seg equality did not narrow the generated interval")
+    assert(eq.count() == segRows)
+    val lt = table.filter(col("seg") < 2).select(col("id"))
+    assert(lt.queryExecution.executedPlan.toString
+      .contains(s"bounds=[0, ${2 * segRows}) "))
+    assert(lt.count() == 2 * segRows)
   }
 
   test("runtime narrowing is refused on a limit-pushed scan") {
