@@ -731,6 +731,130 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- IVF + PQ composed (the billion-vector index shape) ----------------
+
+  /** IVFPQ — the composition every billion-vector deployment actually
+    * runs (FAISS's IVFx,PQy; Jégou et al. §V): the coarse quantizer
+    * restricts candidates to [[NProbe]] probed Voronoi cells AND the
+    * corpus exists only as per-cell PQ codes, so a query touches
+    * (NProbe/C) of the lists and scores each candidate with M table
+    * lookups instead of a raw-vector dot. Both models come from the
+    * shared per-corpus trained caches (one Lloyd run each, reused
+    * across entries like a real index build). Candidate generation is
+    * the IVF bucket equi-join; scoring is the ADC sorted-fold — the
+    * corpus side only ever carries (id, cell, m, code), 32×-compressed.
+    * The oracle composes the two late-bound oracles' machinery with the
+    * cell-membership join added to the ADC dots. */
+  def ivfPqTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
+    import spark.implicits._
+    val cm = trainedCentroids(emb, dir)
+    val cb = trainedCodebooks(emb, dir)
+    lastTrained = cm
+    lastPq = cb
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    // corpus representation: cell id + M one-byte codes per vector
+    val codes = unit
+      .flatMap { case (id, u) =>
+        val cid = nearestCentroids(u, 1, cm)(0)
+        (0 until PqM).iterator
+          .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
+      }
+      .toDF("neighbor_id", "cid", "m", "code")
+    val cbDf = (for { m <- 0 until PqM; c <- 0 until PqKs }
+      yield (m, c, cb(m)(c))).toDF("m", "code", "cv")
+    // queries carry their probed cells crossed with their subvectors
+    val queries = unit.filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        for {
+          c <- nearestCentroids(u, NProbe, cm).iterator
+          m <- (0 until PqM).iterator
+        } yield (id, c, m, subOf(u, m))
+      }
+      .toDF("query_id", "cid", "m", "qv")
+    codes.join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(queries), Seq("cid", "m"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", cosExpr(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(sort_array(collect_list(col("d"))), lit(0.0d),
+        (a, x) => a + x).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("score"), 6).as("adc_score"))
+  }
+
+  /** Late-bound composition of [[ivfOracle]]'s assignment/probe CTEs
+    * and [[pqOracle]]'s encode/ADC CTEs, with cell membership joined
+    * into the dots. */
+  private def ivfPqOracle: String = {
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    val cb = Option(lastPq).getOrElse(initCodebooks)
+    val centroidRows = cm.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+    val cbRows = (for { m <- 0 until PqM; k <- 0 until PqKs } yield
+      s"($m, $k, [${cb(m)(k).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
+    def dotCu(c: String, e: String): String =
+      s"list_sum(list_transform(range(1, len($e.u) + 1), i -> $c.v[i] * $e.u[i]))"
+    s"""with c(cid, v) as (values
+       |    $centroidRows),
+       |cb(m, k, v) as (values
+       |    $cbRows),
+       |e as ($sqlUnit),
+       |cscore as (
+       |  select e.vec_id, c.cid,
+       |    row_number() over (partition by e.vec_id
+       |      order by ${dotCu("c", "e")} desc, c.cid) as crn
+       |  from e cross join c),
+       |assign as (select vec_id, cid from cscore where crn = 1),
+       |probes as (select vec_id, cid from cscore
+       |           where vec_id < $NumQueries and crn <= $NProbe),
+       |sub as (
+       |  select vec_id, ms.m,
+       |    list_transform(range(1, $PqSubDim + 1),
+       |      i -> u[ms.m * $PqSubDim + i]) as s
+       |  from e cross join (select unnest(range($PqM)) as m) ms),
+       |codes as (
+       |  select vec_id, m, k as code from (
+       |    select sub.vec_id, sub.m, cb.k,
+       |      row_number() over (partition by sub.vec_id, sub.m
+       |        order by list_sum(list_transform(range(1, $PqSubDim + 1),
+       |          i -> (sub.s[i] - cb.v[i]) * (sub.s[i] - cb.v[i]))) asc,
+       |          cb.k asc) as rn
+       |    from sub join cb on sub.m = cb.m) t
+       |  where rn = 1),
+       |dots as (
+       |  select p.vec_id as query_id, cv.vec_id as neighbor_id,
+       |    list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> qs.s[i] * cb.v[i])) as d
+       |  from codes cv
+       |  join assign a on a.vec_id = cv.vec_id
+       |  join probes p on p.cid = a.cid
+       |  join cb on cb.m = cv.m and cb.k = cv.code
+       |  join sub qs on qs.m = cv.m and qs.vec_id = p.vec_id
+       |  where p.vec_id <> cv.vec_id),
+       |scores as (
+       |  select query_id, neighbor_id,
+       |    list_reduce(list_sort(list(d)), (a, b) -> a + b) as score
+       |  from dots group by query_id, neighbor_id)
+       |select query_id, neighbor_id, rnk, round(score, 6) as adc_score
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by score desc, neighbor_id) as bigint) as rnk
+       |      from scores) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annIvfPq: Q = Q.df("ann_ivfpq_topk", ivfPqOracle) { (s, dir) =>
+    ivfPqTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Recall@k of both ANN paths against the exact top-k — the index-
     * quality evaluation every ANN deployment runs before trading recall
     * for throughput. Pure composition of the three kernels above: the
@@ -1128,6 +1252,6 @@ object Similarity {
 
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
-      annRecall, hybridRrf, knnPropagateQ, hardNegativesQ, marginPairsQ,
-      embedDecontamQ)
+      annIvfPq, annRecall, hybridRrf, knnPropagateQ, hardNegativesQ,
+      marginPairsQ, embedDecontamQ)
 }

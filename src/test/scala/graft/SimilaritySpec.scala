@@ -68,6 +68,30 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"PQ ADC recall@${Similarity.TopK} = $recall")
   }
 
+  test("IVFPQ composes both quantizers: cell-restricted ADC with " +
+      "usable recall, candidates a subset of the probed cells") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.nonEmpty)
+    // the candidate pool is IVF's: every IVFPQ hit must come from a
+    // probed cell, i.e. be among the pairs plain IVF could have scored
+    val ivfAll = Similarity.ivfTopK(emb, 1000000, TestSpark.Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.subsetOf(ivfAll),
+      "IVFPQ returned a neighbor outside the probed cells")
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    // double approximation (cell restriction + 32x code compression):
+    // still must clearly beat the 1/8 candidate-budget baseline
+    assert(recall > 0.15, s"IVFPQ recall $recall too low")
+    info(s"IVFPQ recall@${Similarity.TopK} = $recall")
+  }
+
   test("k-means quantizer training is monotone in the spherical objective") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val unit = emb.select(col("embedding")).collect()
