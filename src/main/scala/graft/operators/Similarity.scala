@@ -976,6 +976,65 @@ object Similarity {
       .orderBy(col("query_id"), col("fused_rank"))
   }
 
+  /** Expansion terms kept per query by [[prfExpansion]]. */
+  val PrfTerms = 5
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style, the
+    * classic retrieval second pass): treat each query's dense top-k as
+    * the relevant feedback set, mine the terms that recur across those
+    * documents (feedback document frequency), drop the original global
+    * query terms, and keep the top [[PrfTerms]] per query — the terms a
+    * second retrieval round would OR into the query. All-integer
+    * (distinct-pair counts, rank ties by term asc) → exact
+    * cross-engine.
+    *
+    * Scale shape: the feedback set is k-BOUNDED per query (the dense
+    * top-k), so it broadcasts into the per-doc distinct-token stream —
+    * the corpus-sized side is scanned once and reduced by the join
+    * before any shuffle; the global query-term exclusion is a 3-row
+    * broadcast anti-join; ranking is a per-query window over ≤ k·terms
+    * rows. No global sorts, nothing driver-sized. */
+  val prfExpansion: Q = Q.df(
+    "retrieval_prf_expansion",
+    s"""with dense as (select query_id, neighbor_id
+       |  from ($bruteForceOracle) t),
+       |toks as (select distinct doc_id, tok from (
+       |  select doc_id, unnest(string_split(text, ' ')) as tok
+       |  from documents) t),
+       |q as (select tok from (
+       |  select tok, cast(count(*) as bigint) as df from toks group by tok
+       |  order by df desc, tok asc limit 3) t),
+       |fb as (select d.query_id, t.tok, cast(count(*) as bigint) as df_fb
+       |  from dense d join toks t on t.doc_id = d.neighbor_id
+       |  where t.tok not in (select tok from q)
+       |  group by d.query_id, t.tok)
+       |select query_id, tok as term, rnk, df_fb from (
+       |  select *, cast(row_number() over (partition by query_id
+       |    order by df_fb desc, tok asc) as bigint) as rnk from fb) z
+       |where rnk <= $PrfTerms
+       |order by query_id, rnk""".stripMargin) { (s, dir) =>
+    val dense = bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+      .select(col("query_id"), col("neighbor_id"))
+    val toks = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .distinct()
+    val qterms = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(3)
+      .select(col("tok"))
+    val fb = toks.join(broadcast(dense),
+        toks("doc_id") === col("neighbor_id"))
+      .join(broadcast(qterms), Seq("tok"), "left_anti")
+      .groupBy(col("query_id"), col("tok"))
+      .agg(count(lit(1)).as("df_fb"))
+    fb.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("df_fb").desc, col("tok").asc)).cast("long"))
+      .filter(col("rnk") <= PrfTerms)
+      .select(col("query_id"), col("tok").as("term"), col("rnk"),
+        col("df_fb"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- kNN label propagation ----------------------------------------------
 
   /** Neighbors consulted per unlabeled vector. */
@@ -1252,6 +1311,6 @@ object Similarity {
 
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
-      annIvfPq, annRecall, hybridRrf, knnPropagateQ, hardNegativesQ,
-      marginPairsQ, embedDecontamQ)
+      annIvfPq, annRecall, hybridRrf, prfExpansion, knnPropagateQ,
+      hardNegativesQ, marginPairsQ, embedDecontamQ)
 }
