@@ -461,8 +461,9 @@ object Graph {
       // convergence probe: both operands are stored blocks, the node set
       // is identical on both sides (a round never drops nodes), so this
       // is one node-sized hash join + count — far cheaper than the
-      // edge-sized round it saves
-      converged = next
+      // edge-sized round it saves. Skipped on the final budgeted round,
+      // where its answer could not change control flow anyway.
+      converged = r + 1 < rounds && next
         .join(labels.select(col("node"), col("lbl").as("plbl")), Seq("node"))
         .filter(col("lbl") =!= col("plbl"))
         .isEmpty

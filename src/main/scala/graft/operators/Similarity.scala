@@ -509,24 +509,34 @@ object Similarity {
     * and the final top-k mirrors [[ivfTopK]] bit-for-bit. Run-to-run
     * training noise is irrelevant to the compare: the dumped result and
     * the rendered oracle come from the SAME run's centroids. */
-  private def ivfOracle: String = {
-    val cm = Option(lastTrained).getOrElse(initCentroids)
-    val centroidRows = cm.zipWithIndex.map { case (v, i) =>
+  /** `c(cid, v)` VALUES rows for a trained centroid matrix. */
+  private def sqlCentroidValues(cm: Array[Array[Double]]): String = {
+    val rows = cm.zipWithIndex.map { case (v, i) =>
       s"($i, [${v.mkString(", ")}]::DOUBLE[])"
     }.mkString(",\n    ")
-    def dotCu(c: String, e: String): String =
-      s"list_sum(list_transform(range(1, len($e.u) + 1), i -> $c.v[i] * $e.u[i]))"
-    s"""with c(cid, v) as (values
-       |    $centroidRows),
-       |e as ($sqlUnit),
-       |scored as (
+    s"c(cid, v) as (values\n    $rows)"
+  }
+
+  /** Coarse-quantizer CTEs shared by the IVF and IVFPQ oracles: every
+    * vector ranked against every centroid ((-dot, cid) order, exactly
+    * [[nearestCentroids]]'s tiebreak), single-cell assignment, and the
+    * query probe set. Requires `c` and `e` in scope. */
+  private def sqlAssignProbeCtes: String =
+    s"""scored as (
        |  select e.vec_id, e.u, c.cid,
        |    row_number() over (partition by e.vec_id
-       |      order by ${dotCu("c", "e")} desc, c.cid) as crn
+       |      order by list_sum(list_transform(range(1, len(e.u) + 1),
+       |        i -> c.v[i] * e.u[i])) desc, c.cid) as crn
        |  from e cross join c),
        |assign as (select vec_id, u, cid from scored where crn = 1),
        |probes as (select vec_id, u, cid from scored
-       |           where vec_id < $NumQueries and crn <= $NProbe),
+       |           where vec_id < $NumQueries and crn <= $NProbe)""".stripMargin
+
+  private def ivfOracle: String = {
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    s"""with ${sqlCentroidValues(cm)},
+       |e as ($sqlUnit),
+       |$sqlAssignProbeCtes,
        |pairs as (
        |  select q.vec_id as query_id, a.vec_id as neighbor_id,
        |    ${sqlDotU("q", "a")} as cos
@@ -647,6 +657,25 @@ object Similarity {
     * cross-engine determinism contract). Codebook and query relations
     * are model-sized broadcasts — the corpus side only ever carries
     * (id, m, code). */
+  /** Shared ADC tail: per-(query, neighbor) sorted-fold of the M
+    * per-subspace dots, then the per-query top-k — the scoring
+    * semantics BOTH PQ entries must share bit-for-bit (the composed
+    * IVFPQ differs only in candidate generation). Input columns:
+    * query_id, neighbor_id, qv (query subvector), cv (codeword). */
+  private def adcTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", cosExpr(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(aggregate(sort_array(collect_list(col("d"))), lit(0.0d),
+        (a, x) => a + x).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("score"), 6).as("adc_score"))
+
   def pqTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
     val spark = emb.sparkSession
     DotProduct.ensureRegistered(spark)
@@ -666,33 +695,23 @@ object Similarity {
         (0 until PqM).iterator.map(m => (id, m, subOf(u, m)))
       }
       .toDF("query_id", "m", "qv")
-    codes.join(broadcast(cbDf), Seq("m", "code"))
-      .join(broadcast(queries), Seq("m"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", cosExpr(col("qv"), col("cv")))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(aggregate(sort_array(collect_list(col("d"))), lit(0.0d),
-        (a, x) => a + x).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("score"), 6).as("adc_score"))
+    adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(queries), Seq("m")), k)
   }
 
-  /** Late-bound like [[ivfOracle]]: the TRAINED codebooks embed as
-    * VALUES literals, encoding reproduces [[nearestCode]]'s (dist asc,
-    * k asc) order, and the score folds the per-subspace dots over a
-    * sorted list on both sides. */
-  private def pqOracle: String = {
-    val cb = Option(lastPq).getOrElse(initCodebooks)
+  /** `cb(m, k, v)` VALUES rows for trained codebooks. */
+  private def sqlCodebookValues(cb: Array[Array[Array[Double]]]): String = {
     val rows = (for { m <- 0 until PqM; k <- 0 until PqKs } yield
       s"($m, $k, [${cb(m)(k).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
-    s"""with cb(m, k, v) as (values
-       |    $rows),
-       |e as ($sqlUnit),
-       |sub as (
+    s"cb(m, k, v) as (values\n    $rows)"
+  }
+
+  /** PQ encoding CTEs shared by the PQ and IVFPQ oracles: per-vector
+    * subvectors and the L2-nearest codeword per (vector, subspace) —
+    * (dist asc, k asc), exactly [[nearestCode]]'s order. Requires `cb`
+    * and `e` in scope. */
+  private def sqlPqEncodeCtes: String =
+    s"""sub as (
        |  select vec_id, ms.m,
        |    list_transform(range(1, $PqSubDim + 1),
        |      i -> u[ms.m * $PqSubDim + i]) as s
@@ -705,16 +724,12 @@ object Similarity {
        |          i -> (sub.s[i] - cb.v[i]) * (sub.s[i] - cb.v[i]))) asc,
        |          cb.k asc) as rn
        |    from sub join cb on sub.m = cb.m) t
-       |  where rn = 1),
-       |dots as (
-       |  select qs.vec_id as query_id, c.vec_id as neighbor_id,
-       |    list_sum(list_transform(range(1, $PqSubDim + 1),
-       |      i -> qs.s[i] * cb.v[i])) as d
-       |  from codes c
-       |  join cb on cb.m = c.m and cb.k = c.code
-       |  join sub qs on qs.m = c.m
-       |  where qs.vec_id < $NumQueries and qs.vec_id <> c.vec_id),
-       |scores as (
+       |  where rn = 1)""".stripMargin
+
+  /** Sorted-fold ADC scores + top-k tail shared by both PQ oracles.
+    * Requires `dots(query_id, neighbor_id, d)` in scope. */
+  private def sqlAdcTail: String =
+    s"""scores as (
        |  select query_id, neighbor_id,
        |    list_reduce(list_sort(list(d)), (a, b) -> a + b) as score
        |  from dots group by query_id, neighbor_id)
@@ -724,6 +739,25 @@ object Similarity {
        |      from scores) t
        |where rnk <= $TopK
        |order by query_id, rnk""".stripMargin
+
+  /** Late-bound like [[ivfOracle]]: the TRAINED codebooks embed as
+    * VALUES literals, encoding reproduces [[nearestCode]]'s (dist asc,
+    * k asc) order, and the score folds the per-subspace dots over a
+    * sorted list on both sides. */
+  private def pqOracle: String = {
+    val cb = Option(lastPq).getOrElse(initCodebooks)
+    s"""with ${sqlCodebookValues(cb)},
+       |e as ($sqlUnit),
+       |$sqlPqEncodeCtes,
+       |dots as (
+       |  select qs.vec_id as query_id, c.vec_id as neighbor_id,
+       |    list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> qs.s[i] * cb.v[i])) as d
+       |  from codes c
+       |  join cb on cb.m = c.m and cb.k = c.code
+       |  join sub qs on qs.m = c.m
+       |  where qs.vec_id < $NumQueries and qs.vec_id <> c.vec_id),
+       |$sqlAdcTail""".stripMargin
   }
 
   val annPq: Q = Q.df("ann_pq_adc_topk", pqOracle) { (s, dir) =>
@@ -773,61 +807,23 @@ object Similarity {
         } yield (id, c, m, subOf(u, m))
       }
       .toDF("query_id", "cid", "m", "qv")
-    codes.join(broadcast(cbDf), Seq("m", "code"))
-      .join(broadcast(queries), Seq("cid", "m"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("d", cosExpr(col("qv"), col("cv")))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(aggregate(sort_array(collect_list(col("d"))), lit(0.0d),
-        (a, x) => a + x).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-        round(col("score"), 6).as("adc_score"))
+    adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(queries), Seq("cid", "m")), k)
   }
 
   /** Late-bound composition of [[ivfOracle]]'s assignment/probe CTEs
-    * and [[pqOracle]]'s encode/ADC CTEs, with cell membership joined
-    * into the dots. */
+    * and [[pqOracle]]'s encode/ADC CTEs — all four fragments SHARED
+    * with those oracles textually, so a tie-break or fold fix lands in
+    * every entry at once — with cell membership joined into the
+    * dots. */
   private def ivfPqOracle: String = {
     val cm = Option(lastTrained).getOrElse(initCentroids)
     val cb = Option(lastPq).getOrElse(initCodebooks)
-    val centroidRows = cm.zipWithIndex.map { case (v, i) =>
-      s"($i, [${v.mkString(", ")}]::DOUBLE[])"
-    }.mkString(",\n    ")
-    val cbRows = (for { m <- 0 until PqM; k <- 0 until PqKs } yield
-      s"($m, $k, [${cb(m)(k).mkString(", ")}]::DOUBLE[])").mkString(",\n    ")
-    def dotCu(c: String, e: String): String =
-      s"list_sum(list_transform(range(1, len($e.u) + 1), i -> $c.v[i] * $e.u[i]))"
-    s"""with c(cid, v) as (values
-       |    $centroidRows),
-       |cb(m, k, v) as (values
-       |    $cbRows),
+    s"""with ${sqlCentroidValues(cm)},
+       |${sqlCodebookValues(cb)},
        |e as ($sqlUnit),
-       |cscore as (
-       |  select e.vec_id, c.cid,
-       |    row_number() over (partition by e.vec_id
-       |      order by ${dotCu("c", "e")} desc, c.cid) as crn
-       |  from e cross join c),
-       |assign as (select vec_id, cid from cscore where crn = 1),
-       |probes as (select vec_id, cid from cscore
-       |           where vec_id < $NumQueries and crn <= $NProbe),
-       |sub as (
-       |  select vec_id, ms.m,
-       |    list_transform(range(1, $PqSubDim + 1),
-       |      i -> u[ms.m * $PqSubDim + i]) as s
-       |  from e cross join (select unnest(range($PqM)) as m) ms),
-       |codes as (
-       |  select vec_id, m, k as code from (
-       |    select sub.vec_id, sub.m, cb.k,
-       |      row_number() over (partition by sub.vec_id, sub.m
-       |        order by list_sum(list_transform(range(1, $PqSubDim + 1),
-       |          i -> (sub.s[i] - cb.v[i]) * (sub.s[i] - cb.v[i]))) asc,
-       |          cb.k asc) as rn
-       |    from sub join cb on sub.m = cb.m) t
-       |  where rn = 1),
+       |$sqlAssignProbeCtes,
+       |$sqlPqEncodeCtes,
        |dots as (
        |  select p.vec_id as query_id, cv.vec_id as neighbor_id,
        |    list_sum(list_transform(range(1, $PqSubDim + 1),
@@ -838,16 +834,7 @@ object Similarity {
        |  join cb on cb.m = cv.m and cb.k = cv.code
        |  join sub qs on qs.m = cv.m and qs.vec_id = p.vec_id
        |  where p.vec_id <> cv.vec_id),
-       |scores as (
-       |  select query_id, neighbor_id,
-       |    list_reduce(list_sort(list(d)), (a, b) -> a + b) as score
-       |  from dots group by query_id, neighbor_id)
-       |select query_id, neighbor_id, rnk, round(score, 6) as adc_score
-       |from (select *, cast(row_number() over (partition by query_id
-       |        order by score desc, neighbor_id) as bigint) as rnk
-       |      from scores) t
-       |where rnk <= $TopK
-       |order by query_id, rnk""".stripMargin
+       |$sqlAdcTail""".stripMargin
   }
 
   val annIvfPq: Q = Q.df("ann_ivfpq_topk", ivfPqOracle) { (s, dir) =>
@@ -941,28 +928,56 @@ object Similarity {
        |        order by bm25 desc, doc_id) as bigint) as lrnk
        |    from (${TextAnalysis.bm25OracleSql}) b) r
        |  where lrnk <= $LexK),
-       |fused as (select d.query_id, d.neighbor_id,
-       |    1.0 / ($RrfC.0 + cast(d.rnk as double))
+       |qids as (select distinct query_id from dense),
+       |keys as (select distinct query_id, neighbor_id from (
+       |    select query_id, neighbor_id from dense
+       |    union all
+       |    select q.query_id, l.doc_id as neighbor_id
+       |    from qids q cross join lexr l) t
+       |  where query_id <> neighbor_id),
+       |fused as (select k.query_id, k.neighbor_id,
+       |    coalesce(1.0 / ($RrfC.0 + cast(d.rnk as double)), 0.0)
        |      + coalesce(1.0 / ($RrfC.0 + cast(l.lrnk as double)), 0.0) as rrf
-       |  from dense d left join lexr l on l.doc_id = d.neighbor_id)
+       |  from keys k
+       |  left join dense d on d.query_id = k.query_id
+       |    and d.neighbor_id = k.neighbor_id
+       |  left join lexr l on l.doc_id = k.neighbor_id)
        |select query_id, neighbor_id, fused_rank, round(rrf, 6) as rrf_score
        |from (select *, cast(row_number() over (partition by query_id
        |        order by rrf desc, neighbor_id) as bigint) as fused_rank
        |      from fused) t
        |where fused_rank <= $FuseK
        |order by query_id, fused_rank""".stripMargin) { (s, dir) =>
-    val dense = bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
-    val lex = TextAnalysis.bm25Frame(s, dir)
+    import graft.plans.Checkpoints
+    // both ranked lists are consumed by the candidate union AND the
+    // rank lookups below — materialize each ONCE (they are k-bounded:
+    // queries·TopK and LexK rows) so neither retrieval pipeline
+    // re-runs per consumer
+    val dense = Checkpoints.materialize(
+      bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rnk")))
+    val lex = Checkpoints.materialize(TextAnalysis.bm25Frame(s, dir)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(LexK)
       .select(col("doc_id"),
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
-          .cast("long").as("lrnk"))
-    val fused = dense
-      .join(broadcast(lex), dense("neighbor_id") === lex("doc_id"), "left")
+          .cast("long").as("lrnk")))
+    // RRF is over the UNION of the two bounded candidate lists: a
+    // lexical-only document must stay retrievable (it scores by its
+    // lexical term alone), and a query's own document is excluded on
+    // both routes (dense already self-excludes)
+    val keys = dense.select(col("query_id"), col("neighbor_id"))
+      .unionByName(dense.select(col("query_id")).distinct()
+        .crossJoin(broadcast(lex.select(col("doc_id").as("neighbor_id")))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+    val fused = keys
+      .join(dense, Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(lex), keys("neighbor_id") === lex("doc_id"), "left")
       .select(col("query_id"), col("neighbor_id"),
-        (lit(1.0d) / (lit(RrfC.toDouble) + col("rnk").cast("double")) +
+        (coalesce(
+          lit(1.0d) / (lit(RrfC.toDouble) + col("rnk").cast("double")),
+          lit(0.0d)) +
           coalesce(
             lit(1.0d) / (lit(RrfC.toDouble) + col("lrnk").cast("double")),
             lit(0.0d))).as("rrf"))
@@ -1013,11 +1028,17 @@ object Similarity {
        |    order by df_fb desc, tok asc) as bigint) as rnk from fb) z
        |where rnk <= $PrfTerms
        |order by query_id, rnk""".stripMargin) { (s, dir) =>
+    import graft.plans.Checkpoints
     val dense = bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
       .select(col("query_id"), col("neighbor_id"))
-    val toks = Tables.df(s, dir, "documents")
+    // the distinct (doc, token) stream feeds BOTH the global-df query
+    // terms and the feedback counts — materialize it once so the
+    // corpus is scanned (and the distinct shuffled) a single time; the
+    // final frame is PrfTerms·queries rows, so it is materialized and
+    // the token stream freed before returning
+    val toks = Checkpoints.materialize(Tables.df(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
-      .distinct()
+      .distinct())
     val qterms = toks.groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok").asc).limit(3)
       .select(col("tok"))
@@ -1026,13 +1047,15 @@ object Similarity {
       .join(broadcast(qterms), Seq("tok"), "left_anti")
       .groupBy(col("query_id"), col("tok"))
       .agg(count(lit(1)).as("df_fb"))
-    fb.withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("df_fb").desc, col("tok").asc)).cast("long"))
-      .filter(col("rnk") <= PrfTerms)
-      .select(col("query_id"), col("tok").as("term"), col("rnk"),
-        col("df_fb"))
-      .orderBy(col("query_id"), col("rnk"))
+    val out = Checkpoints.materialize(
+      fb.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("df_fb").desc, col("tok").asc)).cast("long"))
+        .filter(col("rnk") <= PrfTerms)
+        .select(col("query_id"), col("tok").as("term"), col("rnk"),
+          col("df_fb")))
+    Checkpoints.free(toks)
+    out.orderBy(col("query_id"), col("rnk"))
   }
 
   // ---- kNN label propagation ----------------------------------------------

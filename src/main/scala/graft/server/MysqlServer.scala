@@ -775,17 +775,23 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         // definitions at EXECUTE time anyway.
         import org.apache.spark.sql.catalyst.plans.logical._
         val parsed = spark.sessionState.sqlParser.parsePlan(probe)
+        // Read-only metadata commands (the SHOW/DESCRIBE statement
+        // families + EXPLAIN) ARE Command nodes, but running them at
+        // prepare time mutates nothing — allow-list them so their
+        // prepared statements keep reporting real column definitions
+        // (drivers read prepare-time metadata). Matched by node-name
+        // prefix because the family spans two packages and both plan
+        // styles (catalyst ShowTables/DescribeRelation/…, execution
+        // ShowNamespacesCommand/…) and every Show*/Describe* node in
+        // Spark is a metadata read; EXPLAIN only formats its inner
+        // plan, never executes it, so even EXPLAIN <dml> is probe-safe.
+        def readOnlyMeta(p: LogicalPlan): Boolean = {
+          val n = p.getClass.getSimpleName
+          n.startsWith("Show") || n.startsWith("Describe") ||
+            p.isInstanceOf[org.apache.spark.sql.execution.command.ExplainCommand]
+        }
         val impure = parsed.exists {
-          // Read-only metadata commands (SHOW/DESCRIBE/EXPLAIN) ARE
-          // Command nodes, but running them at prepare time mutates
-          // nothing — allow-list them so their prepared statements keep
-          // reporting real column definitions (drivers read prepare-time
-          // metadata). EXPLAIN only formats its inner plan, never
-          // executes it, so even EXPLAIN <dml> is probe-safe.
-          case _: ShowTables | _: ShowColumns | _: ShowViews |
-              _: DescribeRelation | _: DescribeColumn => false
-          case _: org.apache.spark.sql.execution.command.ExplainCommand =>
-            false
+          case p if readOnlyMeta(p) => false
           case _: Command | _: InsertIntoStatement | _: InsertIntoDir |
               _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => true
           case _ => false

@@ -1103,6 +1103,14 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(showCols > 0, "SHOW TABLES lost its prepare-time column defs")
       val Right((_, descCols, _)) = c.prepare("describe graft_prep_probe")
       assert(descCols > 0, "DESCRIBE lost its prepare-time column defs")
+      // the allow-list covers the whole families, not a node list:
+      // SHOW DATABASES parses to an execution-side RunnableCommand and
+      // DESCRIBE FUNCTION to a different catalyst node than DESCRIBE
+      val Right((_, dbCols, _)) = c.prepare("show databases")
+      assert(dbCols > 0, "SHOW DATABASES lost its prepare-time column defs")
+      val Right((_, fnCols, _)) = c.prepare("describe function abs")
+      assert(fnCols > 0,
+        "DESCRIBE FUNCTION lost its prepare-time column defs")
       val Right((_, explCols, _)) = c.prepare("explain select 1")
       assert(explCols > 0, "EXPLAIN lost its prepare-time column defs")
       // EXPLAIN only formats its inner plan — even EXPLAIN <dml> is
