@@ -138,17 +138,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     val out = new BufferedOutputStream(client.getOutputStream)
     try {
       val connId = connIds.incrementAndGet()
-      // Per-connection CSPRNG salt: a derivable salt (e.g. from connId,
-      // which restarts at 1 every boot) would make a captured scramble
-      // replayable as soon as the salt repeats. Bytes are masked into
-      // the protocol's printable-nonzero range like the reference does.
-      val salt = new Array[Byte](20)
-      saltRng.nextBytes(salt)
-      var si = 0
-      while (si < salt.length) {
-        salt(si) = (0x21 + ((salt(si) & 0xFF) % 0x5d)).toByte
-        si += 1
-      }
+      val salt = newSalt()
       writePacket(out, 0, handshakeV10(connId, salt))
       out.flush()
       // First client packet: either an SSLRequest (32-byte head only —
@@ -188,7 +178,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         cout.flush()
       } else if (authPhase(cin, cout, resp, respSeq, clientFlags, salt,
           secure))
-        commandLoop(cin, cout)
+        commandLoop(cin, cout, secure)
     } catch {
       case _: EOFException => // client went away
       case _: Throwable if !running.get() =>
@@ -215,6 +205,24 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * against the stored double-SHA2; over plaintext the stage is
     * REFUSED with a clean ERR (the RSA-encrypted-password option is
     * not served), since the password cannot travel safely. */
+  /** Per-connection CSPRNG salt: a derivable salt (e.g. from connId,
+    * which restarts at 1 every boot) would make a captured scramble
+    * replayable as soon as the salt repeats. Bytes are masked into the
+    * protocol's printable-nonzero range like the reference does. A
+    * FRESH salt is also minted per COM_CHANGE_USER re-authentication —
+    * reusing the connection's original salt would let a captured
+    * change-user scramble replay within the same session. */
+  private def newSalt(): Array[Byte] = {
+    val salt = new Array[Byte](20)
+    saltRng.nextBytes(salt)
+    var si = 0
+    while (si < salt.length) {
+      salt(si) = (0x21 + ((salt(si) & 0xFF) % 0x5d)).toByte
+      si += 1
+    }
+    salt
+  }
+
   private def authPhase(in: InputStream, out: OutputStream,
       resp: Array[Byte], seq0: Int, flags: Long,
       salt: Array[Byte], secure: Boolean): Boolean = {
@@ -331,6 +339,74 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     }
   }
 
+  /** COM_CHANGE_USER re-authentication: parse the new username, mint a
+    * FRESH salt ([[newSalt]] — the scramble in the command payload was
+    * computed against the connection's original salt, so it is ignored
+    * and the check re-runs against the new one), and verify through an
+    * AuthSwitchRequest to the ACCOUNT's plugin (the server may always
+    * re-ask; mysqld itself answers COM_CHANGE_USER this way when the
+    * offered plugin or salt does not suit it). true = switched (OK
+    * written); false = refused (ERR written, old identity kept — the
+    * session stays usable, exactly mysqld's behavior). The packet flow
+    * for unknown users is uniform with [[authPhase]]'s dummy-credential
+    * discipline, and caching_sha2 full authentication follows the same
+    * TLS-only plaintext rule. */
+  private def changeUser(in: InputStream, out: OutputStream,
+      cmd: Array[Byte], secure: Boolean): Boolean = {
+    var seq = 0
+    def denied(user: String): Boolean = {
+      writePacket(out, seq + 1, errPacket(1045, "28000",
+        s"Access denied for user '$user'"))
+      out.flush(); false
+    }
+    def accept(): Boolean = {
+      writePacket(out, seq + 1, okPacket()); out.flush(); true
+    }
+    try {
+      val unameEnd = cmd.indexOf(0.toByte, 1)
+      if (unameEnd < 0) return denied("")
+      val user = new String(cmd, 1, unameEnd - 1, StandardCharsets.UTF_8)
+      if (users.isEmpty) return accept() // permissive dev mode
+      val known = users.contains(user)
+      val cred = users.getOrElse(user, DummyCred)
+      val salt2 = newSalt()
+      val sw = new java.io.ByteArrayOutputStream()
+      sw.write(0xFE)
+      sw.write(cred.plugin.getBytes(StandardCharsets.US_ASCII)); sw.write(0)
+      sw.write(salt2, 0, salt2.length); sw.write(0)
+      writePacket(out, seq + 1, sw.toByteArray)
+      out.flush()
+      val (s2, r2) = readPacket(in)
+      seq = s2
+      val fastOk = cred.plugin match {
+        case CachingSha2Plugin => cachingSha2Ok(salt2, r2, cred.verifier)
+        case _ => nativePasswordOk(salt2, r2, cred.verifier)
+      }
+      if (known && fastOk) {
+        if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
+          writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
+          seq += 1
+        }
+        accept()
+      } else if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
+        writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
+        out.flush()
+        val (s3, r3) = readPacket(in)
+        seq = s3
+        val rsaReq = r3.length == 1 && r3(0) == 0x02
+        if (secure && r3.nonEmpty && !rsaReq) {
+          val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
+          val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
+          val pwOk = java.security.MessageDigest.isEqual(
+            doubleSha256(pw), cred.verifier)
+          if (known && pwOk) accept() else denied(user)
+        } else denied(user)
+      } else denied(user)
+    } catch {
+      case scala.util.control.NonFatal(_) => denied("?")
+    }
+  }
+
   /** One prepared statement: the original text, its placeholder count,
     * the result schema derived at prepare time, and the param type
     * bytes from the last EXECUTE that carried them (the protocol sends
@@ -361,13 +437,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * surfaces it. */
   private final class ConnState { var ansiQuotes = false }
 
-  private def commandLoop(in: InputStream, out: OutputStream): Unit = {
+  private def commandLoop(in: InputStream, out: OutputStream,
+      secure: Boolean = false): Unit = {
     var open = true
     // Statement registry is per CONNECTION (protocol scope): ids restart
     // at 1 on each connection and die with it, like mysqld's.
     val stmts = scala.collection.mutable.Map.empty[Long, Prepared]
     var nextStmtId = 0L
-    val conn = new ConnState
+    var conn = new ConnState
     while (open) {
       val (_, cmd) = readPacket(in)
       if (cmd.isEmpty) open = false
@@ -375,6 +452,17 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         case ComQuit => open = false
         case ComPing => writePacket(out, 1, okPacket()); out.flush()
         case ComInitDb => writePacket(out, 1, okPacket()); out.flush()
+        case ComChangeUser =>
+          // Re-authentication on an open connection — the command every
+          // connection pool issues to hand a pooled link to a new
+          // tenant. On SUCCESS the session state is wiped like mysqld
+          // wipes it (prepared statements, session sql_mode); on
+          // FAILURE the connection stays usable under the OLD identity
+          // (mysqld keeps the session; only the switch is refused).
+          if (changeUser(in, out, cmd, secure)) {
+            stmts.clear()
+            conn = new ConnState
+          }
         case ComStmtPrepare =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           nextStmtId += 1
@@ -1176,6 +1264,7 @@ object MysqlServer {
   // command bytes (public protocol)
   val ComQuit = 0x01
   val ComInitDb = 0x02
+  val ComChangeUser = 0x11
   val ComQuery = 0x03
   val ComFieldList = 0x04
   val ComPing = 0x0e

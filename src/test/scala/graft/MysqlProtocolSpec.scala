@@ -166,6 +166,53 @@ class MysqlProtocolSpec extends AnyFunSuite {
       out.flush()
     }
 
+    /** COM_CHANGE_USER with the given credentials: sends the command,
+      * answers the server's AuthSwitchRequest with a scramble over the
+      * FRESH salt it carries, and drains to the terminal packet. */
+    def changeUser(nu: String, npw: Option[String]): Either[String, Unit] = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(MysqlServer.ComChangeUser)
+      b.write(nu.getBytes(StandardCharsets.UTF_8)); b.write(0)
+      b.write(0) // empty auth response — the server re-asks via switch
+      b.write(0) // database: none
+      b.write(leBytes(255, 2)) // charset
+      sendRaw(b.toByteArray)
+      val (s1, p1) = readPacket(in)
+      (p1(0) & 0xFF) match {
+        case 0xFF =>
+          return Left(new String(p1, 9, p1.length - 9, StandardCharsets.UTF_8))
+        case 0xFE => // AuthSwitchRequest: plugin NUL, fresh salt NUL
+          val pe = p1.indexOf(0, 1)
+          val plug = new String(p1, 1, pe - 1, StandardCharsets.US_ASCII)
+          val se = { val i = p1.indexOf(0, pe + 1); if (i < 0) p1.length else i }
+          val salt2 = java.util.Arrays.copyOfRange(p1, pe + 1, se)
+          val scr = npw.map { pw =>
+            if (plug == MysqlServer.CachingSha2Plugin)
+              MysqlServer.cachingSha2Scramble(salt2, pw)
+            else MysqlServer.nativeScramble(salt2, pw)
+          }.getOrElse(Array.emptyByteArray)
+          writePacket(out, s1 + 1, scr); out.flush()
+        case other => return Left(s"unexpected packet 0x$other%02x")
+      }
+      var i = 0
+      while (i < 4) {
+        val (s, p) = readPacket(in)
+        (p(0) & 0xFF) match {
+          case 0x00 => return Right(())
+          case 0xFF =>
+            return Left(new String(p, 9, p.length - 9, StandardCharsets.UTF_8))
+          case 0x01 if p.length >= 2 && p(1) == 0x04 =>
+            // perform_full_authentication expects a RESPONSE: ask for
+            // the (unserved) RSA key — the plaintext server answers a
+            // clean terminal ERR instead of waiting forever
+            writePacket(out, s + 1, Array[Byte](0x02)); out.flush()
+          case _ => // AuthMoreData fast_auth_success — keep draining
+        }
+        i += 1
+      }
+      Left("no terminal packet after auth switch")
+    }
+
     /** Read one packet; Some(message) if it is an ERR packet. */
     def readErr(): Option[String] = {
       val (_, p) = readPacket(in)
@@ -663,6 +710,48 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(ok.authError.isEmpty, ok.authError)
       assert(ok.ping())
       ok.quit()
+    } finally server.stop()
+  }
+
+  test("COM_CHANGE_USER: pooled re-auth switches identity, wipes session " +
+      "state, and a refused switch keeps the old session usable") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val users = Map(
+      "carol" -> MysqlServer.cachingSha2Cred("p4ss"),
+      "dave" -> MysqlServer.nativeCred("hunter2"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      val c = new Client(server.boundPort, "carol", Some("p4ss"),
+        plugin = Some(MysqlServer.CachingSha2Plugin))
+      assert(c.authError.isEmpty, c.authError)
+      // session state to be wiped: a prepared statement + ANSI_QUOTES
+      val Right((stmtId, _, _)) = c.prepare("select 1 as a")
+      assert(c.query("set sql_mode = 'ANSI_QUOTES'").isRight)
+      // wrong password: refused, and the OLD session fully survives —
+      // including its prepared statement and its sql_mode
+      assert(c.changeUser("dave", Some("wrong"))
+        .left.exists(_.contains("Access denied")))
+      assert(c.ping(), "refused switch killed the connection")
+      assert(c.execute(stmtId, Nil).isRight,
+        "refused switch dropped the old session's statement")
+      // successful switch to the native-plugin account (cross-plugin:
+      // the AuthSwitchRequest re-targets the scramble)
+      assert(c.changeUser("dave", Some("hunter2")).isRight)
+      val Right((_, rows)) = c.query("select 40 + 2 as a")
+      assert(rows == Seq(Seq(Some("42"))))
+      // session state was wiped by the switch: statement gone...
+      assert(c.execute(stmtId, Nil).left.exists(
+        _.contains("Unknown prepared statement")),
+        "CHANGE_USER kept the old session's prepared statement")
+      // ...and sql_mode reset (double-quoted strings are literals again)
+      val Right((_, lit)) = c.query("select \"x\" as v")
+      assert(lit == Seq(Seq(Some("x"))),
+        "CHANGE_USER kept the old session's ANSI_QUOTES mode")
+      // unknown user: refused, connection still answers
+      assert(c.changeUser("mallory", Some("p4ss"))
+        .left.exists(_.contains("Access denied")))
+      assert(c.ping())
+      c.quit()
     } finally server.stop()
   }
 
