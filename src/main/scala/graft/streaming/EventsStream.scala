@@ -339,9 +339,16 @@ object EventsStream {
     * entry emits only the fingerprint SET — deterministic, and equal
     * to batch `distinct` when everything fits one horizon. */
   def runDedupStream(s: SparkSession, dir: String): DataFrame =
+    runDedupStreamAt(s, dir,
+      java.nio.file.Files.createTempDirectory("graft_stream_").toString)
+
+  /** [[runDedupStream]] against a CALLER-owned working directory, so
+    * the checkpoint (`<tmp>/ckpt`) outlives the run — the state-source
+    * spec reads the state store back offline from it. */
+  def runDedupStreamAt(s: SparkSession, dir: String,
+      tmp: String): DataFrame =
     withStreamPartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
     val outDir = s"$tmp/out"
     val raw = s.read.parquet(s"$dir/documents.parquet")
     val docs = s.readStream.schema(raw.schema)

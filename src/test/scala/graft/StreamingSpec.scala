@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -351,6 +352,33 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.table(name).collect().map(_.toString).sorted.toSeq
     spark.catalog.dropTempView(name)
     rows
+  }
+
+  test("state data source: the dedup stream's store reads back offline " +
+      "and its live keys are exactly the emitted fingerprints") {
+    // Spark's statestore/state-metadata DSv2 readers are the offline
+    // state-inspection surface a production streaming deployment leans
+    // on (debugging a hot store, auditing state size per operator) —
+    // prove the checkpoint this engine writes is readable by them and
+    // CONSISTENT with the stream's output. The fixture's event-time
+    // span (~500 s) sits inside the 1 h dedup horizon, so no key has
+    // been evicted and the live key set must equal the sink's
+    // fingerprint set exactly.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_statesrc_").toString
+    val sunk = EventsStream.runDedupStreamAt(spark, TestSpark.Sf, tmp)
+      .collect().map(_.getString(0)).toSet
+    assert(sunk.nonEmpty)
+    val meta = spark.read.format("state-metadata").load(s"$tmp/ckpt")
+    val ops = meta.select("operatorName").collect()
+      .map(_.getString(0)).toSeq
+    assert(ops.exists(_.toLowerCase.contains("dedup")),
+      s"unexpected operator metadata: $ops")
+    val state = spark.read.format("statestore").load(s"$tmp/ckpt")
+    val keys = state.select(col("key.fp")).collect()
+      .map(_.getString(0)).toSet
+    assert(keys == sunk,
+      s"state keys (${keys.size}) != sink fingerprints (${sunk.size})")
   }
 
   test("state-store provider matrix: every stateful stream agrees " +
