@@ -352,6 +352,50 @@ object TextAnalysis {
       .orderBy(col("k")).limit(400)
   }
 
+  /** Spark 4's VARIANT type driven end-to-end: per-row JSON text is
+    * parsed ONCE into a variant (the open semi-structured column format
+    * an ingest pipeline stores telemetry/props in), then typed path
+    * extraction pulls scalars, a nested-object member, an array
+    * element, and a missing path (NULL through try_variant_get). The
+    * oracle reconstructs the same JSON text and extracts through
+    * DuckDB's JSON path kernels — extracted SCALARS are compared; the
+    * variant binary and schema text never travel (engine-internal
+    * encodings are not part of the cross-engine contract). One
+    * codegen-friendly scan, zero shuffle at any scale. */
+  val exprVariant: Q = Q.df(
+    "expr_variant",
+    """with j as (select doc_id,
+      |  '{"id": ' || doc_id || ', "lang": "' || lang || '", "n": ' ||
+      |  n_chars || ', "nested": {"flag": ' ||
+      |  cast(doc_id % 2 = 0 as varchar) || '}, "arr": [' || doc_id ||
+      |  ', ' || n_chars || ']}' as txt
+      |from documents)
+      |select doc_id,
+      |  cast(json_extract(txt, '$.id') as bigint) as vid,
+      |  json_extract_string(txt, '$.lang') as vlang,
+      |  cast(json_extract(txt, '$.nested.flag') as boolean) as vflag,
+      |  cast(json_extract(txt, '$.arr[1]') as bigint) as varr1,
+      |  cast(json_extract(txt, '$.missing') as bigint) as vmissing
+      |from j order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .withColumn("txt", concat(
+        lit("{\"id\": "), col("doc_id"),
+        lit(", \"lang\": \""), col("lang"),
+        lit("\", \"n\": "), col("n_chars"),
+        lit(", \"nested\": {\"flag\": "),
+        (col("doc_id") % 2 === 0).cast("string"),
+        lit("}, \"arr\": ["), col("doc_id"), lit(", "), col("n_chars"),
+        lit("]}")))
+      .withColumn("v", expr("parse_json(txt)"))
+      .select(col("doc_id"),
+        expr("variant_get(v, '$.id', 'bigint')").as("vid"),
+        expr("variant_get(v, '$.lang', 'string')").as("vlang"),
+        expr("variant_get(v, '$.nested.flag', 'boolean')").as("vflag"),
+        expr("variant_get(v, '$.arr[1]', 'bigint')").as("varr1"),
+        expr("try_variant_get(v, '$.missing', 'bigint')").as("vmissing"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing gram size (tokens) and window (grams) — k=3, w=4 gives
     * the guarantee that any shared token run of length >= k+w-1 = 6
     * leaves at least one common fingerprint. */
@@ -1209,7 +1253,8 @@ object TextAnalysis {
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
-      jsonExtractProps, jsonBuild, textEntropy, textLmScore, textWinnow,
+      jsonExtractProps, jsonBuild, exprVariant, textEntropy, textLmScore,
+      textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       textBpeEncodeStats,
