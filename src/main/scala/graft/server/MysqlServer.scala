@@ -178,7 +178,8 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         cout.flush()
       } else if (authPhase(cin, cout, resp, respSeq, clientFlags, salt,
           secure))
-        commandLoop(cin, cout, secure)
+        commandLoop(cin, cout, secure,
+          (clientFlags & ClientMultiStatements) != 0)
     } catch {
       case _: EOFException => // client went away
       case _: Throwable if !running.get() =>
@@ -438,7 +439,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private final class ConnState { var ansiQuotes = false }
 
   private def commandLoop(in: InputStream, out: OutputStream,
-      secure: Boolean = false): Unit = {
+      secure: Boolean = false, multi: Boolean = false): Unit = {
     var open = true
     // Statement registry is per CONNECTION (protocol scope): ids restart
     // at 1 on each connection and die with it, like mysqld's.
@@ -523,9 +524,27 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           out.flush()
         case ComQuery =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
-          sql match {
-            case ExplainRe(mode, stmt) => runExplain(out, mode, stmt, conn)
-            case _ => runQuery(out, sql, conn)
+          // CLIENT_MULTI_STATEMENTS: split at top-level ';' and answer
+          // one resultset per statement, every non-final terminal
+          // packet flagged SERVER_MORE_RESULTS_EXISTS; an error aborts
+          // the remainder (mysqld semantics). Without the capability
+          // the text passes through whole — a stray ';' is then the
+          // parser's problem, exactly as before.
+          val parts =
+            if (multi) MysqlServer.splitStatements(sql) else Seq(sql)
+          if (parts.isEmpty) { writePacket(out, 1, okPacket()); out.flush() }
+          else {
+            var live = true
+            parts.zipWithIndex.foreach { case (p, idx) =>
+              if (live) {
+                val moreAfter = idx < parts.length - 1
+                live = p match {
+                  case ExplainRe(mode, stmt) =>
+                    runExplain(out, mode, stmt, conn, moreAfter)
+                  case _ => runQuery(out, p, conn, moreAfter)
+                }
+              }
+            }
           }
         case ComFieldList =>
           // COM_FIELD_LIST: NUL-terminated table name (+ field wildcard,
@@ -565,7 +584,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * EXPLAIN (extended | codegen | cost | formatted), defaulting to
     * formatted via [[graft.plans.Explain]]. */
   private def runExplain(out: OutputStream, mode: String,
-      stmt0: String, conn: ConnState): Unit = {
+      stmt0: String, conn: ConnState, more: Boolean = false): Boolean = {
     try {
       val stmt =
         if (conn.ansiQuotes) Dialect.ansiQuotes(stmt0)
@@ -586,14 +605,18 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         buf.write(lenencInt(b.length)); buf.write(b)
         send(buf.toByteArray)
       }
-      send(eofPacket())
+      send(eofPacket(
+        StatusAutocommit | (if (more) StatusMoreResults else 0)))
+      out.flush()
+      true
     } catch {
       case e: Throwable =>
         writePacket(out, 1, errPacket(1064, "42000",
           String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
             .take(400)))
+        out.flush()
+        false
     }
-    out.flush()
   }
 
   /** The session variables a stock client's bootstrap reads (the mysql
@@ -768,8 +791,16 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         }
   }
 
+  /** Execute one statement and answer its resultset / OK / ERR.
+    * `more` = further statements of the same multi-statement COM_QUERY
+    * follow — the resultset's TERMINAL packet then carries
+    * SERVER_MORE_RESULTS_EXISTS so the client keeps reading. Returns
+    * false when the statement errored (a multi-statement sequence
+    * aborts there, like mysqld). */
   private def runQuery(out: OutputStream, sql: String,
-      conn: ConnState): Unit = {
+      conn: ConnState, more: Boolean = false): Boolean = {
+    val endStatus =
+      StatusAutocommit | (if (more) StatusMoreResults else 0)
     val result =
       try evalStatement(sql, conn)
       catch {
@@ -778,10 +809,12 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
             String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
               .take(400)))
           out.flush()
-          return
+          return false
       }
+    var completed = true
     result match {
-      case Left(affected) => writePacket(out, 1, okPacket(affected))
+      case Left(affected) =>
+        writePacket(out, 1, okPacket(affected, endStatus))
       case Right((schema, rows)) =>
         var seq = 1
         def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
@@ -818,14 +851,16 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               throw new PacketTooLarge
             send(payload)
           }
-          send(eofPacket())
+          send(eofPacket(endStatus))
         } catch {
           case _: PacketTooLarge =>
             send(errPacket(1153, "08S01",
               "row exceeds the 16 MB single-packet limit"))
+            completed = false
         }
     }
     out.flush()
+    completed
   }
 
   // ---- prepared statements (binary protocol) -----------------------------
@@ -1206,16 +1241,17 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     buf.toByteArray
   }
 
-  private def okPacket(affected: Long = 0L): Array[Byte] = {
+  private def okPacket(affected: Long = 0L,
+      status: Int = StatusAutocommit): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
     buf.write(0x00)
     buf.write(lenencInt(affected)); buf.write(lenencInt(0)) // last insert id
-    buf.write(leBytes(StatusAutocommit, 2)); buf.write(leBytes(0, 2)) // warnings
+    buf.write(leBytes(status, 2)); buf.write(leBytes(0, 2)) // warnings
     buf.toByteArray
   }
 
-  private def eofPacket(): Array[Byte] =
-    Array[Byte](0xFE.toByte, 0, 0) ++ leBytes(StatusAutocommit, 2)
+  private def eofPacket(status: Int = StatusAutocommit): Array[Byte] =
+    Array[Byte](0xFE.toByte, 0, 0) ++ leBytes(status, 2)
 
   private def errPacket(code: Int, sqlState: String, msg: String): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
@@ -1348,8 +1384,57 @@ object MysqlServer {
   val ClientSecureConnection = 0x00008000L
   val ClientPluginAuth = 0x00080000L
   val ClientPluginAuthLenencData = 0x00200000L
+  val ClientMultiStatements = 0x00010000L
+  val ClientMultiResults = 0x00020000L
   val ServerCaps: Long = ClientProtocol41 | ClientPluginAuth |
-    ClientConnectWithDb | ClientSecureConnection
+    ClientConnectWithDb | ClientSecureConnection |
+    ClientMultiStatements | ClientMultiResults
+
+  /** Split a COM_QUERY payload into its top-level statements at `;`,
+    * honoring the lexical islands a splitter must not look inside:
+    * single-/double-/backtick-quoted runs (with backslash escapes in
+    * the string forms), `#` and `-- ` line comments (the mysqld rule —
+    * two dashes followed by whitespace), and block comments. Used only
+    * when the client negotiated CLIENT_MULTI_STATEMENTS; single
+    * statements pass through untouched. */
+  def splitStatements(sql: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          cur += q; i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val d = sql.charAt(i)
+            cur += d
+            if (d == '\\' && q != '`' && i + 1 < n) {
+              cur += sql.charAt(i + 1); i += 2
+            } else { if (d == q) closed = true; i += 1 }
+          }
+        case '#' =>
+          while (i < n && sql.charAt(i) != '\n') { cur += sql.charAt(i); i += 1 }
+        case '-' if i + 2 < n && sql.charAt(i + 1) == '-' &&
+            " \t\n".indexOf(sql.charAt(i + 2)) >= 0 =>
+          while (i < n && sql.charAt(i) != '\n') { cur += sql.charAt(i); i += 1 }
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          cur ++= "/*"; i += 2
+          while (i + 1 < n &&
+              !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) {
+            cur += sql.charAt(i); i += 1
+          }
+          if (i + 1 < n) { cur ++= "*/"; i += 2 }
+          else if (i < n) { cur += sql.charAt(i); i += 1 }
+        case ';' =>
+          parts += cur.toString; cur.clear(); i += 1
+        case c => cur += c; i += 1
+      }
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Load a PKCS#12 keystore into a server SSLContext (the keystore is
     * deployment-provided, e.g. `keytool -genkeypair -storetype PKCS12`;
@@ -1444,6 +1529,7 @@ object MysqlServer {
 
   val Utf8mb4Charset = 255
   val StatusAutocommit = 0x0002
+  val StatusMoreResults = 0x0008
   val NotNullFlag = 0x0001
 
   /** Protocol type byte for a Spark SQL type (text protocol: values are

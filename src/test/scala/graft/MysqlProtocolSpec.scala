@@ -28,7 +28,8 @@ class MysqlProtocolSpec extends AnyFunSuite {
     * that just sends a native scramble). */
   private final class Client(port: Int, user: String = "graft",
       password: Option[String] = None, plugin: Option[String] = None,
-      tls: Boolean = false, forceFullAuth: Boolean = false) {
+      tls: Boolean = false, forceFullAuth: Boolean = false,
+      multi: Boolean = false) {
     private var sock: Socket = new Socket("127.0.0.1", port)
     private var in = new BufferedInputStream(sock.getInputStream)
     private var out = new BufferedOutputStream(sock.getOutputStream)
@@ -84,6 +85,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
       var flags = 0x00000200 | 0x00008000 // PROTOCOL_41 | SECURE_CONN
       if (plugin.isDefined) flags |= 0x00080000 // PLUGIN_AUTH
       if (tls) flags |= 0x00000800 // CLIENT_SSL
+      if (multi) flags |= 0x00010000 // CLIENT_MULTI_STATEMENTS
       var respSeq = 1
       if (tls) {
         // SSLRequest: the 32-byte head only, then upgrade the socket
@@ -267,6 +269,85 @@ class MysqlProtocolSpec extends AnyFunSuite {
             }.toList
           Right((cols, rows))
       }
+    }
+
+    /** COM_QUERY under CLIENT_MULTI_STATEMENTS: reads resultsets until
+      * the TERMINAL packet of one stops carrying
+      * SERVER_MORE_RESULTS_EXISTS (0x0008) — the packet-level contract
+      * a stock connector's allowMultiQueries path follows. An ERR ends
+      * the sequence (the server aborted the rest). */
+    def queryAll(sql: String)
+        : Seq[Either[String, (Seq[String], Seq[Seq[Option[String]]])]] = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComQuery.toByte) ++
+        sql.getBytes(StandardCharsets.UTF_8))
+      out.flush()
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[Either[String, (Seq[String], Seq[Seq[Option[String]]])]]
+      var more = true
+      while (more) {
+        val (_, first) = readPacket(in)
+        (first(0) & 0xFF) match {
+          case 0xFF =>
+            acc += Left(new String(first, 9, first.length - 9,
+              StandardCharsets.UTF_8))
+            more = false
+          case 0x00 => // OK: affected + insertId lenencs, then status u16
+            val (_, u1) = readLenencInt(first, 1)
+            val (_, u2) = readLenencInt(first, 1 + u1)
+            val st = (first(1 + u1 + u2) & 0xFF) |
+              ((first(2 + u1 + u2) & 0xFF) << 8)
+            acc += Right((Nil, Nil))
+            more = (st & 0x0008) != 0
+          case _ =>
+            val (nCols, _) = readLenencInt(first, 0)
+            val cols = (0 until nCols.toInt).map { _ =>
+              val (_, defPkt) = readPacket(in)
+              var off = 0
+              var names = List.empty[String]
+              (0 until 6).foreach { _ =>
+                val (len, used) = readLenencInt(defPkt, off)
+                names ::= new String(defPkt, off + used, len.toInt,
+                  StandardCharsets.UTF_8)
+                off += used + len.toInt
+              }
+              names(1)
+            }
+            val (_, eof1) = readPacket(in)
+            assert((eof1(0) & 0xFF) == 0xFE)
+            val rows = scala.collection.mutable
+              .ArrayBuffer.empty[Seq[Option[String]]]
+            var status = 0
+            var done = false
+            while (!done) {
+              val (_, p) = readPacket(in)
+              if ((p(0) & 0xFF) == 0xFE && p.length < 9) {
+                status = (p(3) & 0xFF) | ((p(4) & 0xFF) << 8)
+                done = true
+              } else if ((p(0) & 0xFF) == 0xFF) {
+                acc += Left(new String(p, 9, p.length - 9,
+                  StandardCharsets.UTF_8))
+                return acc.toSeq
+              } else {
+                var off = 0
+                val vals =
+                  scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+                while (off < p.length) {
+                  if ((p(off) & 0xFF) == 0xFB) { vals += None; off += 1 }
+                  else {
+                    val (len, used) = readLenencInt(p, off)
+                    vals += Some(new String(p, off + used, len.toInt,
+                      StandardCharsets.UTF_8))
+                    off += used + len.toInt
+                  }
+                }
+                rows += vals.toSeq
+              }
+            }
+            acc += Right((cols, rows.toSeq))
+            more = (status & 0x0008) != 0
+        }
+      }
+      acc.toSeq
     }
 
     /** COM_QUERY expecting an OK (no resultset) → Left(err) or
@@ -710,6 +791,39 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(ok.authError.isEmpty, ok.authError)
       assert(ok.ping())
       ok.quit()
+    } finally server.stop()
+  }
+
+  test("multi-statement COM_QUERY: per-statement resultsets chained by " +
+      "SERVER_MORE_RESULTS_EXISTS; errors abort the remainder") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort, multi = true)
+      // three statements, three resultsets, in order; the ';' inside
+      // the string literal and the comment must NOT split
+      val rs = c.queryAll(
+        "select 1 as a; select 'x;y' as b -- trailing; comment\n" +
+          "; select 2 + 2 as c")
+      assert(rs.length == 3, s"expected 3 resultsets, got ${rs.length}")
+      assert(rs(0) == Right((Seq("a"), Seq(Seq(Some("1"))))))
+      assert(rs(1) == Right((Seq("b"), Seq(Seq(Some("x;y"))))))
+      assert(rs(2) == Right((Seq("c"), Seq(Seq(Some("4"))))))
+      // an error aborts the rest: statement 2 fails, statement 3 is
+      // never executed and never answered
+      val er = c.queryAll("select 1 as a; select bogus_col; select 3 as z")
+      assert(er.length == 2, s"expected 2 packets, got ${er.length}")
+      assert(er(0).isRight && er(1).isLeft)
+      assert(c.ping(), "aborted multi-statement killed the connection")
+      // a client WITHOUT the capability gets the old single-statement
+      // behavior: the raw text (with its ';') goes to the parser whole
+      val plain = new Client(server.boundPort)
+      assert(plain.query("select 1 as a; select 2 as b").isLeft,
+        "non-multi client's ';' text should fail as one statement")
+      assert((plain.serverCaps & MysqlServer.ClientMultiStatements) != 0,
+        "server must advertise CLIENT_MULTI_STATEMENTS")
+      plain.quit()
+      c.quit()
     } finally server.stop()
   }
 
