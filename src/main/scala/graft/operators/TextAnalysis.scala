@@ -365,10 +365,9 @@ object TextAnalysis {
   val exprVariant: Q = Q.df(
     "expr_variant",
     """with j as (select doc_id,
-      |  '{"id": ' || doc_id || ', "lang": "' || lang || '", "n": ' ||
-      |  n_chars || ', "nested": {"flag": ' ||
-      |  cast(doc_id % 2 = 0 as varchar) || '}, "arr": [' || doc_id ||
-      |  ', ' || n_chars || ']}' as txt
+      |  to_json({'id': doc_id, 'lang': lang, 'n': n_chars,
+      |           'nested': {'flag': doc_id % 2 = 0},
+      |           'arr': [doc_id, cast(n_chars as bigint)]}) as txt
       |from documents)
       |select doc_id,
       |  cast(json_extract(txt, '$.id') as bigint) as vid,
@@ -377,15 +376,15 @@ object TextAnalysis {
       |  cast(json_extract(txt, '$.arr[1]') as bigint) as varr1,
       |  cast(json_extract(txt, '$.missing') as bigint) as vmissing
       |from j order by doc_id""".stripMargin) { (s, dir) =>
+    // each engine builds the JSON with its OWN struct serializer (so
+    // quotes/backslashes in string members escape correctly); only the
+    // EXTRACTED scalars travel into the compare, never the raw text
     Tables.df(s, dir, "documents")
-      .withColumn("txt", concat(
-        lit("{\"id\": "), col("doc_id"),
-        lit(", \"lang\": \""), col("lang"),
-        lit("\", \"n\": "), col("n_chars"),
-        lit(", \"nested\": {\"flag\": "),
-        (col("doc_id") % 2 === 0).cast("string"),
-        lit("}, \"arr\": ["), col("doc_id"), lit(", "), col("n_chars"),
-        lit("]}")))
+      .withColumn("txt", to_json(struct(
+        col("doc_id").as("id"), col("lang").as("lang"),
+        col("n_chars").as("n"),
+        struct((col("doc_id") % 2 === 0).as("flag")).as("nested"),
+        array(col("doc_id"), col("n_chars").cast("long")).as("arr"))))
       .withColumn("v", expr("parse_json(txt)"))
       .select(col("doc_id"),
         expr("variant_get(v, '$.id', 'bigint')").as("vid"),

@@ -270,11 +270,6 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           val end = { val i = resp.indexOf(0.toByte, off); if (i < 0) resp.length else i }
           Some(new String(resp, off, end - off, StandardCharsets.US_ASCII))
         } else None // pluginless client: verify its bytes as-is
-      def verify(cred: StoredCred, response: Array[Byte]): Boolean =
-        cred.plugin match {
-          case CachingSha2Plugin => cachingSha2Ok(salt, response, cred.verifier)
-          case _ => nativePasswordOk(salt, response, cred.verifier)
-        }
       // Unknown users verify against a constant dummy credential on the
       // DEFAULT plugin so the packet flow (AuthSwitch or not, hashing
       // cost) is uniform with a real caching_sha2 account — an early
@@ -282,62 +277,79 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       // channel that enumerates usernames.
       val known = users.contains(user)
       val cred = users.getOrElse(user, DummyCred)
-        val response =
-          if (clientPlugin.exists(_ != cred.plugin)) {
-            // AuthSwitchRequest: 0xFE, account plugin name NUL, salt NUL
-            val sw = new java.io.ByteArrayOutputStream()
-            sw.write(0xFE)
-            sw.write(cred.plugin.getBytes(StandardCharsets.US_ASCII))
-            sw.write(0)
-            sw.write(salt, 0, salt.length); sw.write(0)
-            writePacket(out, seq + 1, sw.toByteArray)
-            out.flush()
-            val (s2, r2) = readPacket(in) // AuthSwitchResponse: raw data
-            seq = s2
-            r2
-          } else authResp
-        // verify runs UNCONDITIONALLY (before the known check) so the
-        // hashing cost is identical for unknown users — the dummy
-        // value alone must never authenticate, hence the known gate
-        val fastOk = verify(cred, response)
-        if (known && fastOk) {
-          if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
-            // fast_auth_success AuthMoreData, then OK (mysqld framing)
-            writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
-            seq += 1
-          }
-          accept()
-        } else if (cred.plugin == CachingSha2Plugin &&
-            cred.verifier.nonEmpty) {
-          // A caching_sha2 fast-auth stage that did not verify (wrong
-          // scramble, or none at all): mysqld falls back to full
-          // authentication (perform_full_authentication). Over TLS
-          // the client then sends its NUL-terminated plaintext
-          // password — verified against the stored double-SHA2
-          // (constant-time). Over plaintext, or when the client asks
-          // for the unserved RSA key (0x02), the stage is refused
-          // with a clean ERR instead of stalling the client.
-          writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
+      val response =
+        if (clientPlugin.exists(_ != cred.plugin)) {
+          // AuthSwitchRequest: 0xFE, account plugin name NUL, salt NUL
+          val sw = new java.io.ByteArrayOutputStream()
+          sw.write(0xFE)
+          sw.write(cred.plugin.getBytes(StandardCharsets.US_ASCII))
+          sw.write(0)
+          sw.write(salt, 0, salt.length); sw.write(0)
+          writePacket(out, seq + 1, sw.toByteArray)
           out.flush()
-          val (s3, r3) = readPacket(in)
-          seq = s3
-          // only the LONE 0x02 byte is the RSA-key request; a longer
-          // payload starting with 0x02 is a legal password byte
-          val rsaReq = r3.length == 1 && r3(0) == 0x02
-          if (secure && r3.nonEmpty && !rsaReq) {
-            val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
-            val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
-            val pwOk = java.security.MessageDigest.isEqual(
-              doubleSha256(pw), cred.verifier)
-            if (known && pwOk) accept() else denied(user)
-          } else denied(user)
-        } else denied(user)
+          val (s2, r2) = readPacket(in) // AuthSwitchResponse: raw data
+          seq = s2
+          r2
+        } else authResp
+      finishAuth(in, out, seq, user, known, cred, salt, response, secure)
     } catch {
       // malformed handshake tail (truncated lenenc, NULL/negative lenenc
       // length making copyOfRange throw IllegalArgument, short
       // scramble): deny, never throw the connection handler
       case scala.util.control.NonFatal(_) => denied("?")
     }
+  }
+
+  /** The credential check SHARED by the connection phase and
+    * COM_CHANGE_USER, from the moment a (cred, salt, response) triple
+    * exists: fast-auth verification (which runs UNCONDITIONALLY, before
+    * the `known` gate, so hashing cost is identical for unknown users —
+    * the dummy value alone must never authenticate), caching_sha2's
+    * fast_auth_success framing, and its full-authentication fallback —
+    * over TLS the client's NUL-terminated plaintext password verifies
+    * against the stored double-SHA2 (constant-time); over plaintext, or
+    * when the client asks for the unserved RSA key (the LONE 0x02
+    * byte — a longer payload starting 0x02 is a legal password byte),
+    * the stage is refused with a clean ERR instead of stalling. true =
+    * authenticated (OK written); false = denied (ERR written). */
+  private def finishAuth(in: InputStream, out: OutputStream, seq0: Int,
+      user: String, known: Boolean, cred: StoredCred, salt: Array[Byte],
+      response: Array[Byte], secure: Boolean): Boolean = {
+    var seq = seq0
+    def accept(): Boolean = {
+      writePacket(out, seq + 1, okPacket()); out.flush(); true
+    }
+    def denied(): Boolean = {
+      writePacket(out, seq + 1, errPacket(1045, "28000",
+        s"Access denied for user '$user'"))
+      out.flush(); false
+    }
+    val fastOk = cred.plugin match {
+      case CachingSha2Plugin => cachingSha2Ok(salt, response, cred.verifier)
+      case _ => nativePasswordOk(salt, response, cred.verifier)
+    }
+    if (known && fastOk) {
+      if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
+        // fast_auth_success AuthMoreData, then OK (mysqld framing)
+        writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
+        seq += 1
+      }
+      accept()
+    } else if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
+      // fast auth did not verify → perform_full_authentication
+      writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
+      out.flush()
+      val (s3, r3) = readPacket(in)
+      seq = s3
+      val rsaReq = r3.length == 1 && r3(0) == 0x02
+      if (secure && r3.nonEmpty && !rsaReq) {
+        val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
+        val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
+        val pwOk = java.security.MessageDigest.isEqual(
+          doubleSha256(pw), cred.verifier)
+        if (known && pwOk) accept() else denied()
+      } else denied()
+    } else denied()
   }
 
   /** COM_CHANGE_USER re-authentication: parse the new username, mint a
@@ -379,30 +391,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       out.flush()
       val (s2, r2) = readPacket(in)
       seq = s2
-      val fastOk = cred.plugin match {
-        case CachingSha2Plugin => cachingSha2Ok(salt2, r2, cred.verifier)
-        case _ => nativePasswordOk(salt2, r2, cred.verifier)
-      }
-      if (known && fastOk) {
-        if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
-          writePacket(out, seq + 1, Array[Byte](0x01, 0x03))
-          seq += 1
-        }
-        accept()
-      } else if (cred.plugin == CachingSha2Plugin && cred.verifier.nonEmpty) {
-        writePacket(out, seq + 1, Array[Byte](0x01, 0x04))
-        out.flush()
-        val (s3, r3) = readPacket(in)
-        seq = s3
-        val rsaReq = r3.length == 1 && r3(0) == 0x02
-        if (secure && r3.nonEmpty && !rsaReq) {
-          val end = { val i = r3.indexOf(0.toByte); if (i < 0) r3.length else i }
-          val pw = new String(r3, 0, end, StandardCharsets.UTF_8)
-          val pwOk = java.security.MessageDigest.isEqual(
-            doubleSha256(pw), cred.verifier)
-          if (known && pwOk) accept() else denied(user)
-        } else denied(user)
-      } else denied(user)
+      finishAuth(in, out, seq, user, known, cred, salt2, r2, secure)
     } catch {
       case scala.util.control.NonFatal(_) => denied("?")
     }
@@ -532,17 +521,26 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           // parser's problem, exactly as before.
           val parts =
             if (multi) MysqlServer.splitStatements(sql) else Seq(sql)
-          if (parts.isEmpty) { writePacket(out, 1, okPacket()); out.flush() }
-          else {
+          if (parts.isEmpty) {
+            // all-comment / all-';' text: mysqld's ERR 1065
+            writePacket(out, 1, errPacket(1065, "42000", "Query was empty"))
+            out.flush()
+          } else {
+            // packet sequence-ids number CONTINUOUSLY across the chained
+            // resultsets of one COM_QUERY response (reset happens at the
+            // next command, not per statement)
             var live = true
+            var seq = 1
             parts.zipWithIndex.foreach { case (p, idx) =>
               if (live) {
                 val moreAfter = idx < parts.length - 1
-                live = p match {
+                val (ok, next) = p match {
                   case ExplainRe(mode, stmt) =>
-                    runExplain(out, mode, stmt, conn, moreAfter)
-                  case _ => runQuery(out, p, conn, moreAfter)
+                    runExplain(out, mode, stmt, conn, moreAfter, seq)
+                  case _ => runQuery(out, p, conn, moreAfter, seq)
                 }
+                live = ok
+                seq = next
               }
             }
           }
@@ -584,14 +582,15 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * EXPLAIN (extended | codegen | cost | formatted), defaulting to
     * formatted via [[graft.plans.Explain]]. */
   private def runExplain(out: OutputStream, mode: String,
-      stmt0: String, conn: ConnState, more: Boolean = false): Boolean = {
+      stmt0: String, conn: ConnState, more: Boolean = false,
+      startSeq: Int = 1): (Boolean, Int) = {
+    var seq = startSeq
     try {
       val stmt =
         if (conn.ansiQuotes) Dialect.ansiQuotes(stmt0)
         else Dialect.mysqlQuotes(stmt0)
       val text = graft.plans.Explain.explainSql(spark, stmt,
         Option(mode).map(_.toLowerCase).getOrElse("formatted"))
-      var seq = 1
       def send(payload: Array[Byte]): Unit = {
         writePacket(out, seq, payload); seq += 1
       }
@@ -608,14 +607,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       send(eofPacket(
         StatusAutocommit | (if (more) StatusMoreResults else 0)))
       out.flush()
-      true
+      (true, seq)
     } catch {
       case e: Throwable =>
-        writePacket(out, 1, errPacket(1064, "42000",
+        writePacket(out, seq, errPacket(1064, "42000",
           String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
             .take(400)))
         out.flush()
-        false
+        (false, seq + 1)
     }
   }
 
@@ -794,29 +793,35 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   /** Execute one statement and answer its resultset / OK / ERR.
     * `more` = further statements of the same multi-statement COM_QUERY
     * follow — the resultset's TERMINAL packet then carries
-    * SERVER_MORE_RESULTS_EXISTS so the client keeps reading. Returns
-    * false when the statement errored (a multi-statement sequence
-    * aborts there, like mysqld). */
+    * SERVER_MORE_RESULTS_EXISTS so the client keeps reading.
+    * `startSeq` = this resultset's first packet sequence-id: within ONE
+    * COM_QUERY response the ids number CONTINUOUSLY across chained
+    * resultsets (sequence-checking stock clients abort with "Packets
+    * out of order" on a restart); ids reset only at command
+    * boundaries. Returns (completed, nextSeq) — completed=false when
+    * the statement errored (a multi-statement sequence aborts there,
+    * like mysqld). */
   private def runQuery(out: OutputStream, sql: String,
-      conn: ConnState, more: Boolean = false): Boolean = {
+      conn: ConnState, more: Boolean = false,
+      startSeq: Int = 1): (Boolean, Int) = {
     val endStatus =
       StatusAutocommit | (if (more) StatusMoreResults else 0)
+    var seq = startSeq
     val result =
       try evalStatement(sql, conn)
       catch {
         case e: Throwable =>
-          writePacket(out, 1, errPacket(1064, "42000",
+          writePacket(out, seq, errPacket(1064, "42000",
             String.valueOf(e.getMessage).linesIterator.take(4).mkString(" ")
               .take(400)))
           out.flush()
-          return false
+          return (false, seq + 1)
       }
     var completed = true
     result match {
       case Left(affected) =>
-        writePacket(out, 1, okPacket(affected, endStatus))
+        writePacket(out, seq, okPacket(affected, endStatus)); seq += 1
       case Right((schema, rows)) =>
-        var seq = 1
         def send(payload: Array[Byte]): Unit = { writePacket(out, seq, payload); seq += 1 }
         send(lenencInt(schema.length))
         schema.fields.foreach(f => send(columnDefinition(f)))
@@ -860,7 +865,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         }
     }
     out.flush()
-    completed
+    (completed, seq)
   }
 
   // ---- prepared statements (binary protocol) -----------------------------
@@ -1400,11 +1405,20 @@ object MysqlServer {
   def splitStatements(sql: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
+    // a part with no code — only comments/whitespace — is dropped, not
+    // executed: mysqld's parser treats a trailing '; -- done' as
+    // whitespace, not as an (erroring) empty statement
+    var hasCode = false
     var i = 0
     val n = sql.length
+    def flush(): Unit = {
+      if (hasCode) parts += cur.toString.trim
+      cur.clear(); hasCode = false
+    }
     while (i < n) {
       sql.charAt(i) match {
         case q @ ('\'' | '"' | '`') =>
+          hasCode = true
           cur += q; i += 1
           var closed = false
           while (i < n && !closed) {
@@ -1428,12 +1442,14 @@ object MysqlServer {
           if (i + 1 < n) { cur ++= "*/"; i += 2 }
           else if (i < n) { cur += sql.charAt(i); i += 1 }
         case ';' =>
-          parts += cur.toString; cur.clear(); i += 1
-        case c => cur += c; i += 1
+          flush(); i += 1
+        case c =>
+          if (!c.isWhitespace) hasCode = true
+          cur += c; i += 1
       }
     }
-    parts += cur.toString
-    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+    flush()
+    parts.toSeq
   }
 
   /** Load a PKCS#12 keystore into a server SSLContext (the keystore is

@@ -194,7 +194,7 @@ class MysqlProtocolSpec extends AnyFunSuite {
             else MysqlServer.nativeScramble(salt2, pw)
           }.getOrElse(Array.emptyByteArray)
           writePacket(out, s1 + 1, scr); out.flush()
-        case other => return Left(s"unexpected packet 0x$other%02x")
+        case other => return Left(f"unexpected packet 0x$other%02x")
       }
       var i = 0
       while (i < 4) {
@@ -223,51 +223,80 @@ class MysqlProtocolSpec extends AnyFunSuite {
       else None
     }
 
+    /** Parse one TEXT resultset whose first (column-count) packet has
+      * already been read; returns columns, rows, and the TERMINAL
+      * packet's status flags — the shared reader behind [[query]] and
+      * [[queryAll]]. A mid-resultset ERR surfaces as Left. */
+    /** Sequence-id of the last packet [[readTextResultset]] consumed —
+      * lets [[queryAll]] assert CONTINUOUS numbering across chained
+      * resultsets, the check libmysql clients enforce (pkt_nr). */
+    private var lastSeqRead = 0
+
+    private def readTextResultset(first: Array[Byte])
+        : Either[String, (Seq[String], Seq[Seq[Option[String]]], Int)] = {
+      val (nCols, _) = readLenencInt(first, 0)
+      val cols = (0 until nCols.toInt).map { _ =>
+        val (ds, defPkt) = readPacket(in)
+        assert(ds == lastSeqRead + 1,
+          s"packet seq jumped ${lastSeqRead} -> $ds")
+        lastSeqRead = ds
+        // ColumnDefinition41: skip def/schema/table/org_table, read name
+        var off = 0
+        var names = List.empty[String]
+        (0 until 6).foreach { _ =>
+          val (len, used) = readLenencInt(defPkt, off)
+          names ::= new String(defPkt, off + used, len.toInt,
+            StandardCharsets.UTF_8)
+          off += used + len.toInt
+        }
+        names(1) // 5th lenenc string = column name
+      }
+      val (es, eof1) = readPacket(in)
+      assert((eof1(0) & 0xFF) == 0xFE, "expected EOF after column defs")
+      assert(es == lastSeqRead + 1, s"packet seq jumped ${lastSeqRead} -> $es")
+      lastSeqRead = es
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Option[String]]]
+      while (true) {
+        val (ps, p) = readPacket(in)
+        assert(ps == lastSeqRead + 1,
+          s"packet seq jumped ${lastSeqRead} -> $ps")
+        lastSeqRead = ps
+        if ((p(0) & 0xFF) == 0xFE && p.length < 9)
+          return Right((cols, rows.toSeq,
+            (p(3) & 0xFF) | ((p(4) & 0xFF) << 8)))
+        else if ((p(0) & 0xFF) == 0xFF)
+          return Left(new String(p, 9, p.length - 9, StandardCharsets.UTF_8))
+        else {
+          var off = 0
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+          while (off < p.length) {
+            if ((p(off) & 0xFF) == 0xFB) { vals += None; off += 1 }
+            else {
+              val (len, used) = readLenencInt(p, off)
+              vals += Some(new String(p, off + used, len.toInt,
+                StandardCharsets.UTF_8))
+              off += used + len.toInt
+            }
+          }
+          rows += vals.toSeq
+        }
+      }
+      sys.error("unreachable")
+    }
+
     /** COM_QUERY → Left(err message) or Right(columns, rows-as-strings). */
     def query(sql: String): Either[String, (Seq[String], Seq[Seq[Option[String]]])] = {
       val payload = Array[Byte](MysqlServer.ComQuery.toByte) ++
         sql.getBytes(StandardCharsets.UTF_8)
       writePacket(out, 0, payload)
       out.flush()
-      val (_, first) = readPacket(in)
+      val (s, first) = readPacket(in)
+      lastSeqRead = s
       (first(0) & 0xFF) match {
         case 0xFF =>
           Left(new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
         case 0x00 => Right((Nil, Nil))
-        case _ =>
-          val (nCols, _) = readLenencInt(first, 0)
-          val cols = (0 until nCols.toInt).map { _ =>
-            val (_, defPkt) = readPacket(in)
-            // ColumnDefinition41: skip def/schema/table/org_table, read name
-            var off = 0
-            var names = List.empty[String]
-            (0 until 6).foreach { _ =>
-              val (len, used) = readLenencInt(defPkt, off)
-              names ::= new String(defPkt, off + used, len.toInt,
-                StandardCharsets.UTF_8)
-              off += used + len.toInt
-            }
-            names(1) // 5th lenenc string = column name
-          }
-          val (_, eof1) = readPacket(in)
-          assert((eof1(0) & 0xFF) == 0xFE, "expected EOF after column defs")
-          val rows = Iterator.continually(readPacket(in)._2)
-            .takeWhile(p => (p(0) & 0xFF) != 0xFE || p.length >= 9)
-            .map { p =>
-              var off = 0
-              val vals = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
-              while (off < p.length) {
-                if ((p(off) & 0xFF) == 0xFB) { vals += None; off += 1 }
-                else {
-                  val (len, used) = readLenencInt(p, off)
-                  vals += Some(new String(p, off + used, len.toInt,
-                    StandardCharsets.UTF_8))
-                  off += used + len.toInt
-                }
-              }
-              vals.toSeq
-            }.toList
-          Right((cols, rows))
+        case _ => readTextResultset(first).map { case (c, r, _) => (c, r) }
       }
     }
 
@@ -284,8 +313,16 @@ class MysqlProtocolSpec extends AnyFunSuite {
       val acc = scala.collection.mutable.ArrayBuffer
         .empty[Either[String, (Seq[String], Seq[Seq[Option[String]]])]]
       var more = true
+      var chainStarted = false
       while (more) {
-        val (_, first) = readPacket(in)
+        val (fs, first) = readPacket(in)
+        // continuity across the WHOLE response: the next resultset's
+        // first packet continues the previous one's numbering
+        if (chainStarted)
+          assert(fs == lastSeqRead + 1,
+            s"resultset chain seq jumped ${lastSeqRead} -> $fs")
+        lastSeqRead = fs
+        chainStarted = true
         (first(0) & 0xFF) match {
           case 0xFF =>
             acc += Left(new String(first, 9, first.length - 9,
@@ -299,52 +336,14 @@ class MysqlProtocolSpec extends AnyFunSuite {
             acc += Right((Nil, Nil))
             more = (st & 0x0008) != 0
           case _ =>
-            val (nCols, _) = readLenencInt(first, 0)
-            val cols = (0 until nCols.toInt).map { _ =>
-              val (_, defPkt) = readPacket(in)
-              var off = 0
-              var names = List.empty[String]
-              (0 until 6).foreach { _ =>
-                val (len, used) = readLenencInt(defPkt, off)
-                names ::= new String(defPkt, off + used, len.toInt,
-                  StandardCharsets.UTF_8)
-                off += used + len.toInt
-              }
-              names(1)
+            readTextResultset(first) match {
+              case Left(err) =>
+                acc += Left(err)
+                more = false
+              case Right((cols, rows, status)) =>
+                acc += Right((cols, rows))
+                more = (status & 0x0008) != 0
             }
-            val (_, eof1) = readPacket(in)
-            assert((eof1(0) & 0xFF) == 0xFE)
-            val rows = scala.collection.mutable
-              .ArrayBuffer.empty[Seq[Option[String]]]
-            var status = 0
-            var done = false
-            while (!done) {
-              val (_, p) = readPacket(in)
-              if ((p(0) & 0xFF) == 0xFE && p.length < 9) {
-                status = (p(3) & 0xFF) | ((p(4) & 0xFF) << 8)
-                done = true
-              } else if ((p(0) & 0xFF) == 0xFF) {
-                acc += Left(new String(p, 9, p.length - 9,
-                  StandardCharsets.UTF_8))
-                return acc.toSeq
-              } else {
-                var off = 0
-                val vals =
-                  scala.collection.mutable.ArrayBuffer.empty[Option[String]]
-                while (off < p.length) {
-                  if ((p(off) & 0xFF) == 0xFB) { vals += None; off += 1 }
-                  else {
-                    val (len, used) = readLenencInt(p, off)
-                    vals += Some(new String(p, off + used, len.toInt,
-                      StandardCharsets.UTF_8))
-                    off += used + len.toInt
-                  }
-                }
-                rows += vals.toSeq
-              }
-            }
-            acc += Right((cols, rows.toSeq))
-            more = (status & 0x0008) != 0
         }
       }
       acc.toSeq
@@ -815,6 +814,13 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(er.length == 2, s"expected 2 packets, got ${er.length}")
       assert(er(0).isRight && er(1).isLeft)
       assert(c.ping(), "aborted multi-statement killed the connection")
+      // a trailing comment-only part is whitespace, not an (erroring)
+      // empty statement — mysqld semantics
+      val tc = c.queryAll("select 7 as a; -- cleanup done")
+      assert(tc == Seq(Right((Seq("a"), Seq(Seq(Some("7")))))), s"$tc")
+      // while an ALL-comment / all-';' query is ERR 1065 'Query was
+      // empty', exactly mysqld's answer
+      assert(c.queryAll(";").exists(_.left.exists(_.contains("empty"))))
       // a client WITHOUT the capability gets the old single-statement
       // behavior: the raw text (with its ';') goes to the parser whole
       val plain = new Client(server.boundPort)
