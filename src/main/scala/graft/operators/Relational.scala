@@ -1696,6 +1696,21 @@ object Relational {
       |order by et nulls first, event_id
       |limit 100""".stripMargin)
 
+  /** Lateral column aliases (an alias referenced by LATER select-list
+    * expressions — the chained-derivation SQL shape analysts write
+    * instead of nesting subqueries) + ORDER BY ALL (every select-list
+    * column, left to right). The same text is valid in both engines;
+    * doc_id is unique so ORDER BY ALL is totally deterministic. Casts
+    * keep both sides BIGINT (DuckDB would derive int32 arithmetic). */
+  val exprLateralAlias: Q = Q.shared(
+    "expr_lateral_alias",
+    """select doc_id,
+      |  cast(n_chars + 1 as bigint) as b,
+      |  cast(b * 2 as bigint) as c,
+      |  cast(c - b as bigint) as d
+      |from documents
+      |order by all""".stripMargin)
+
   /** ntile bucketing — equal-frequency quartiles per partition, the
     * windowed form pipelines use for per-group percentile banding (e.g.
     * "top quartile of documents per source by length"). Deterministic:
@@ -1872,5 +1887,6 @@ object Relational {
     pivotStatus, unpivotMeasures, exprString2,
     windowRank, windowRunningSum, windowTumblingEvents, windowLeadLag,
     windowRangeFrame, windowDistribution, windowNtile, aggBitwise,
-    aggGroupingId, sortNullsPlacement, exprHigherOrder, windowRollingMedian)
+    aggGroupingId, sortNullsPlacement, exprHigherOrder, windowRollingMedian,
+    exprLateralAlias)
 }
