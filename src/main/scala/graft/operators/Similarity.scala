@@ -853,20 +853,26 @@ object Similarity {
     * derived tables, so recall stays hash-checked end to end. */
   val annRecall: Q = Q.df(
     "ann_recall_at_k", {
-      // ivfOracle embeds the run's trained centroids (late-bound).
+      // ivfOracle / ivfPqOracle embed the run's trained models
+      // (late-bound).
       s"""with exact as (select query_id, neighbor_id from ($bruteForceOracle) t),
          |lshk as (select query_id, neighbor_id from ($lshOracle) t),
-         |ivfk as (select query_id, neighbor_id from ($ivfOracle) t)
+         |ivfk as (select query_id, neighbor_id from ($ivfOracle) t),
+         |ivfpqk as (select query_id, neighbor_id from ($ivfPqOracle) t)
          |select exact.query_id,
          |  round(cast(sum(case when l.neighbor_id is not null then 1 else 0 end)
          |          as double) / cast($TopK as double), 6) as lsh_recall,
          |  round(cast(sum(case when i.neighbor_id is not null then 1 else 0 end)
-         |          as double) / cast($TopK as double), 6) as ivf_recall
+         |          as double) / cast($TopK as double), 6) as ivf_recall,
+         |  round(cast(sum(case when p.neighbor_id is not null then 1 else 0 end)
+         |          as double) / cast($TopK as double), 6) as ivfpq_recall
          |from exact
          |left join lshk l on l.query_id = exact.query_id
          |  and l.neighbor_id = exact.neighbor_id
          |left join ivfk i on i.query_id = exact.query_id
          |  and i.neighbor_id = exact.neighbor_id
+         |left join ivfpqk p on p.query_id = exact.query_id
+         |  and p.neighbor_id = exact.neighbor_id
          |group by exact.query_id
          |order by exact.query_id""".stripMargin
     }) { (s, dir) =>
@@ -877,15 +883,20 @@ object Similarity {
       .withColumn("in_lsh", lit(1))
     val ivf = ivfTopK(emb, TopK, dir).select("query_id", "neighbor_id")
       .withColumn("in_ivf", lit(1))
+    val ivfpq = ivfPqTopK(emb, TopK, dir).select("query_id", "neighbor_id")
+      .withColumn("in_ivfpq", lit(1))
     exact
       .join(lsh, keys, "left")
       .join(ivf, keys, "left")
+      .join(ivfpq, keys, "left")
       .groupBy(col("query_id"))
       .agg(
         round(sum(coalesce(col("in_lsh"), lit(0))).cast("double")
           / lit(TopK).cast("double"), 6).as("lsh_recall"),
         round(sum(coalesce(col("in_ivf"), lit(0))).cast("double")
-          / lit(TopK).cast("double"), 6).as("ivf_recall"))
+          / lit(TopK).cast("double"), 6).as("ivf_recall"),
+        round(sum(coalesce(col("in_ivfpq"), lit(0))).cast("double")
+          / lit(TopK).cast("double"), 6).as("ivfpq_recall"))
       .orderBy(col("query_id"))
   }
 
