@@ -317,6 +317,28 @@ class PlanSpec extends AnyFunSuite {
     assert(lt.count() == 2 * segRows)
   }
 
+  test("retrieval fusion/expansion plans stay broadcast-shaped") {
+    // the RRF and PRF compositions promise k-bounded broadcast joins:
+    // no cartesian product anywhere, the explicit candidate cross a
+    // broadcast nested loop, and the bounded-list lookups broadcast
+    // hash joins — the shapes that survive a corpus 100x this size
+    val rrfPlan = graft.operators.Similarity.hybridRrf
+      .run(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+    assert(!rrfPlan.contains("CartesianProduct"),
+      s"RRF plan degraded to a cartesian:\n$rrfPlan")
+    assert(rrfPlan.contains("BroadcastNestedLoopJoin"),
+      "RRF candidate cross lost its broadcast hint")
+    // PRF materializes its PrfTerms·queries-row result and frees the
+    // token stream before returning — so the consumable plan must
+    // bottom out in stored blocks (no corpus re-scan on consumption),
+    // which is exactly its single-pass promise
+    val prf = graft.operators.Similarity.prfExpansion
+      .run(spark, TestSpark.Sf)
+    assert(prf.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "PRF output re-derives from the corpus instead of stored blocks")
+  }
+
   test("runtime narrowing is refused on a limit-pushed scan") {
     // pushLimit truncates hi to honor an already-eliminated LIMIT; a
     // later runtime filter narrowing the same interval would return
