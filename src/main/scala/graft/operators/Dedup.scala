@@ -156,10 +156,10 @@ object Dedup {
     * the kernels via `base`; callers with ad-hoc frames (specs) omit it
     * and get a private, freed-after-use materialization. */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame]
 
   def sharedShingleArrays(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, dir),
+    shingleCache.once((s, dir))(
       Checkpoints.materialize(
         shingleHashArrays(Tables.df(s, dir, "documents"))))
 
@@ -712,10 +712,10 @@ object Dedup {
     * session, and the histogram entry then costs one aggregation over
     * stored blocks instead of a second full CC run. */
   private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame]
 
   def sharedDupClusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((s, dir),
+    clusterCache.once((s, dir))(
       Checkpoints.materialize(
         dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold,
           sharedBase = Some(sharedShingleArrays(s, dir)))))

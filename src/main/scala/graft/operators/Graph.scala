@@ -77,10 +77,10 @@ object Graph {
     * invalidation path; entries live for the process (a handful of
     * sessions × dirs, each ≤ the distinct-edge count in storage). */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame]
 
   def sharedOrderEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir),
+    edgeCache.once((s, dir))(
       graft.plans.Checkpoints.materialize(
         orderEdges(Tables.df(s, dir, "orders"))))
 
@@ -399,10 +399,10 @@ object Graph {
     * re-running the scan + union + distinct each time. Edge-sized,
     * never freed (it IS the cache). */
   private val ccUndCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame]
 
   def sharedCcUndirected(s: SparkSession, dir: String): DataFrame =
-    ccUndCache.getOrElseUpdate((s, dir),
+    ccUndCache.once((s, dir))(
       graft.plans.Checkpoints.materialize(
         symmetrize(ccEdges(Tables.df(s, dir, "orders")))))
 

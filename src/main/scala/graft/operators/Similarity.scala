@@ -392,11 +392,11 @@ object Similarity {
     * by fixture dir; training is deterministic per corpus (seeded init,
     * fixed iteration count). */
   private[operators] val trainedCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+    new graft.plans.Memo[String, Array[Array[Double]]]
 
   private[operators] def trainedCentroids(emb: DataFrame, dir: String)
       : Array[Array[Double]] =
-    trainedCache.getOrElseUpdate(dir, trainCentroids(emb))
+    trainedCache.once(dir)(trainCentroids(emb))
 
   /** Per-partition primitive kernel: dot against every centroid, return
     * the indices of the `take` best (descending, index tiebreak). The
@@ -640,11 +640,11 @@ object Similarity {
   @volatile private var lastPq: Array[Array[Array[Double]]] = null
 
   private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+    new graft.plans.Memo[String, Array[Array[Array[Double]]]]
 
   private[operators] def trainedCodebooks(emb: DataFrame, dir: String)
       : Array[Array[Array[Double]]] =
-    pqCache.getOrElseUpdate(dir, trainCodebooks(emb))
+    pqCache.once(dir)(trainCodebooks(emb))
 
   /** ADC (asymmetric distance computation) top-k: the corpus exists
     * only as M small code columns; each query scores a neighbor as
@@ -992,14 +992,19 @@ object Similarity {
           coalesce(
             lit(1.0d) / (lit(RrfC.toDouble) + col("lrnk").cast("double")),
             lit(0.0d))).as("rrf"))
-    fused
+    // materialize the (FuseK·queries)-bounded fusion so the two input
+    // lists can be freed immediately — without this every invocation
+    // (bench warm-up + samples + verify) leaks two stored block sets
+    val out = Checkpoints.materialize(fused
       .withColumn("fused_rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("rrf").desc, col("neighbor_id"))).cast("long"))
       .filter(col("fused_rank") <= FuseK)
       .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
-        round(col("rrf"), 6).as("rrf_score"))
-      .orderBy(col("query_id"), col("fused_rank"))
+        round(col("rrf"), 6).as("rrf_score")))
+    Checkpoints.free(dense)
+    Checkpoints.free(lex)
+    out.orderBy(col("query_id"), col("fused_rank"))
   }
 
   /** Expansion terms kept per query by [[prfExpansion]]. */

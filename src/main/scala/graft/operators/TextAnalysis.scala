@@ -984,13 +984,12 @@ object TextAnalysis {
     * [[graft.operators.Graph.sharedOrderEdges]]: the two entries (and
     * bench warm-ups) share one training run; the cache owns the
     * materialized frames, all vocabulary-sized. */
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      (Seq[DataFrame], DataFrame)]
+  private val bpeCache = new graft.plans.Memo[
+    (org.apache.spark.sql.SparkSession, String), (Seq[DataFrame], DataFrame)]
 
   private[operators] def bpeTrained(s: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[DataFrame], DataFrame) =
-    bpeCache.getOrElseUpdate((s, dir), {
+    bpeCache.once((s, dir)) {
       import graft.plans.Checkpoints
       val wWin = Window.partitionBy("w").orderBy("pos")
       val wt = Tables.df(s, dir, "documents")
@@ -1047,7 +1046,7 @@ object TextAnalysis {
         syms = next
       }
       (winners, syms)
-    })
+    }
 
   val textBpeMergeLoop: Q = Q.df(
     "text_bpe_merge_loop", {

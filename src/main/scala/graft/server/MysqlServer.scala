@@ -363,7 +363,13 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * session stays usable, exactly mysqld's behavior). The packet flow
     * for unknown users is uniform with [[authPhase]]'s dummy-credential
     * discipline, and caching_sha2 full authentication follows the same
-    * TLS-only plaintext rule. */
+    * TLS-only plaintext rule.
+    *
+    * Only the username is consumed from the payload: the trailing
+    * database and charset fields are deliberately ignored, consistent
+    * with COM_INIT_DB being an OK no-op — this server exposes a single
+    * catalog, so "switch default database" has nothing to switch, and
+    * the connection's charset stays the handshake-negotiated utf8mb4. */
   private def changeUser(in: InputStream, out: OutputStream,
       cmd: Array[Byte], secure: Boolean): Boolean = {
     var seq = 0
@@ -1430,8 +1436,10 @@ object MysqlServer {
           }
         case '#' =>
           while (i < n && sql.charAt(i) != '\n') { cur += sql.charAt(i); i += 1 }
-        case '-' if i + 2 < n && sql.charAt(i + 1) == '-' &&
-            " \t\n".indexOf(sql.charAt(i + 2)) >= 0 =>
+        // mysqld's rule: '--' followed by whitespace (incl. '\r' for
+        // CRLF clients) or end-of-input opens a line comment
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' &&
+            (i + 2 >= n || " \t\r\n".indexOf(sql.charAt(i + 2)) >= 0) =>
           while (i < n && sql.charAt(i) != '\n') { cur += sql.charAt(i); i += 1 }
         case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
           cur ++= "/*"; i += 2

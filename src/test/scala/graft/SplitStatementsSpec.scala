@@ -44,6 +44,19 @@ class SplitStatementsSpec extends AnyFunSuite {
     assert(splitStatements(stmts.mkString(";") + ";") == stmts)
   }
 
+  test("'--' at end of input and CR-opened '--' comments lex as comments") {
+    // bare trailing '--' is whitespace to mysqld, not an executable part
+    assert(splitStatements("select 1; --") == Seq("select 1"))
+    assert(splitStatements("--") == Seq.empty)
+    // '\r' counts as the comment-opening whitespace (CRLF clients): a
+    // ';' later on the commented line must NOT split
+    assert(splitStatements("select 1 --\r; all commented ;\nselect 2")
+      .length == 1)
+    assert(splitStatements("select 1; --\r\nselect 2").length == 2)
+    // '--' followed by a non-whitespace char is still code (mysqld rule)
+    assert(splitStatements("select 1 --2; select 3").length == 2)
+  }
+
   test("comment-only and empty inputs yield no statements") {
     Seq("", "  ", ";", ";;  ;", "-- only a comment", "# note",
       "/* block */", "/* a */ ; -- b \n; # c").foreach { sql =>
