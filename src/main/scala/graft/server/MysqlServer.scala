@@ -441,6 +441,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     val stmts = scala.collection.mutable.Map.empty[Long, Prepared]
     var nextStmtId = 0L
     var conn = new ConnState
+    // CLIENT_MULTI_STATEMENTS is the one capability a client may toggle
+    // MID-CONNECTION (COM_SET_OPTION) — connectors flip it off around
+    // untrusted text to close the stacked-query injection channel. The
+    // handshake bit seeds the live state; the toggle mutates it.
+    var multiOn = multi
     while (open) {
       val (_, cmd) = readPacket(in)
       if (cmd.isEmpty) open = false
@@ -458,6 +463,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           if (changeUser(in, out, cmd, secure)) {
             stmts.clear()
             conn = new ConnState
+            // session reset restores the HANDSHAKE-negotiated
+            // multi-statement setting (a COM_SET_OPTION toggle is
+            // session state, wiped like sql_mode)
+            multiOn = multi
           }
         case ComStmtPrepare =>
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
@@ -508,6 +517,30 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               st.longDataOverflow = false
             }
           writePacket(out, 1, okPacket()); out.flush()
+        case ComSetOption =>
+          // COM_SET_OPTION: u16 LE operand toggles the session's
+          // multi-statement splitting (MYSQL_OPTION_MULTI_STATEMENTS_
+          // ON/OFF — the completion of the CLIENT_MULTI_STATEMENTS
+          // surface). Success answers EOF under classic framing (this
+          // server does not advertise CLIENT_DEPRECATE_EOF); any other
+          // operand is mysqld's ERR 1047.
+          if (cmd.length >= 3) {
+            val opt = (cmd(1) & 0xFF) | ((cmd(2) & 0xFF) << 8)
+            opt match {
+              case OptionMultiStatementsOn =>
+                multiOn = true
+                writePacket(out, 1, eofPacket())
+              case OptionMultiStatementsOff =>
+                multiOn = false
+                writePacket(out, 1, eofPacket())
+              case _ =>
+                writePacket(out, 1, errPacket(1047, "08S01",
+                  "Unknown command"))
+            }
+          } else
+            writePacket(out, 1, errPacket(1835, "HY000",
+              "Malformed communication packet"))
+          out.flush()
         case ComStmtFetch =>
           // Server-side cursors are not served, but the command is
           // DECODED (like the reference's command enum, doradb-protocol/
@@ -526,7 +559,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           // the text passes through whole — a stray ';' is then the
           // parser's problem, exactly as before.
           val parts =
-            if (multi) MysqlServer.splitStatements(sql) else Seq(sql)
+            if (multiOn) MysqlServer.splitStatements(sql) else Seq(sql)
           if (parts.isEmpty) {
             // all-comment / all-';' text: mysqld's ERR 1065
             writePacket(out, 1, errPacket(1065, "42000", "Query was empty"))
@@ -1320,7 +1353,12 @@ object MysqlServer {
   val ComStmtSendLongData = 0x18
   val ComStmtClose = 0x19
   val ComStmtReset = 0x1a
+  val ComSetOption = 0x1b
   val ComStmtFetch = 0x1c
+
+  /** COM_SET_OPTION operands (the only two the protocol defines). */
+  val OptionMultiStatementsOn = 0
+  val OptionMultiStatementsOff = 1
 
   /** Positions are found by a quote- AND comment-aware scan: `?` inside
     * quoted literals (with doubled-quote and backslash escapes) or

@@ -371,6 +371,21 @@ class MysqlProtocolSpec extends AnyFunSuite {
       (readPacket(in)._2(0) & 0xFF) == 0x00
     }
 
+    /** COM_SET_OPTION → Right(()) on the protocol's EOF answer,
+      * Left(err) on ERR. `opt` travels as u16 LE per the spec. */
+    def setOption(opt: Int): Either[String, Unit] = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComSetOption.toByte,
+        (opt & 0xFF).toByte, ((opt >> 8) & 0xFF).toByte))
+      out.flush()
+      val (_, p) = readPacket(in)
+      (p(0) & 0xFF) match {
+        case 0xFE if p.length < 9 => Right(())
+        case 0xFF => Left(new String(p, 9, p.length - 9,
+          StandardCharsets.UTF_8))
+        case other => Left(s"unexpected head $other")
+      }
+    }
+
     /** COM_FIELD_LIST → column names (empty on ERR). */
     def fieldList(table: String): Seq[String] = {
       val payload = Array[Byte](MysqlServer.ComFieldList.toByte) ++
@@ -828,6 +843,37 @@ class MysqlProtocolSpec extends AnyFunSuite {
         "non-multi client's ';' text should fail as one statement")
       assert((plain.serverCaps & MysqlServer.ClientMultiStatements) != 0,
         "server must advertise CLIENT_MULTI_STATEMENTS")
+      plain.quit()
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("COM_SET_OPTION toggles multi-statement splitting mid-connection") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      // a handshake-negotiated multi client turns the option OFF: the
+      // next ';' text must go to the parser whole (stacked-query
+      // defense, the reason connectors issue this command)
+      val c = new Client(server.boundPort, multi = true)
+      assert(c.queryAll("select 1 as a; select 2 as b").length == 2)
+      assert(c.setOption(MysqlServer.OptionMultiStatementsOff).isRight)
+      assert(c.query("select 1 as a; select 2 as b").isLeft,
+        "OFF client's ';' text must fail as one statement")
+      // ... and back ON
+      assert(c.setOption(MysqlServer.OptionMultiStatementsOn).isRight)
+      assert(c.queryAll("select 3 as a; select 4 as b").map(_.isRight) ==
+        Seq(true, true))
+      // a client that never negotiated the capability can still enable
+      // splitting via the command (mysqld allows this — the handshake
+      // bit only seeds the session default)
+      val plain = new Client(server.boundPort)
+      assert(plain.query("select 1 as a; select 2 as b").isLeft)
+      assert(plain.setOption(MysqlServer.OptionMultiStatementsOn).isRight)
+      assert(plain.queryAll("select 5 as a; select 6 as b").length == 2)
+      // an undefined operand is ERR 1047, connection stays usable
+      assert(plain.setOption(7).isLeft)
+      assert(plain.ping())
       plain.quit()
       c.quit()
     } finally server.stop()
