@@ -816,9 +816,15 @@ object Similarity {
     * with those oracles textually, so a tie-break or fold fix lands in
     * every entry at once — with cell membership joined into the
     * dots. */
-  private def ivfPqOracle: String = {
-    val cm = Option(lastTrained).getOrElse(initCentroids)
-    val cb = Option(lastPq).getOrElse(initCodebooks)
+  private def ivfPqOracle: String =
+    ivfPqOracleFor(Option(lastTrained).getOrElse(initCentroids),
+      Option(lastPq).getOrElse(initCodebooks))
+
+  /** [[ivfPqOracle]] rendered against an EXPLICIT model pair — the
+    * persisted-index entries embed their own (stored / base-trained)
+    * models instead of the session's full-corpus ones. */
+  private def ivfPqOracleFor(cm: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]]): String = {
     s"""with ${sqlCentroidValues(cm)},
        |${sqlCodebookValues(cb)},
        |e as ($sqlUnit),
@@ -839,6 +845,188 @@ object Similarity {
 
   val annIvfPq: Q = Q.df("ann_ivfpq_topk", ivfPqOracle) { (s, dir) =>
     ivfPqTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- Persisted index: store, serve, incremental add --------------------
+
+  /** Corpus slice treated as the "incoming batch" by the incremental
+    * entry: vec_id ≡ this (mod 10) — a deterministic ~10% independent
+    * of corpus scale, the ANN analogue of
+    * [[Dedup.IncrementalBatchSource]]'s source-keyed batch. */
+  val AnnBatchMod = 9
+
+  /** Models embedded by the incremental entry's late-bound oracle: the
+    * BASE-trained pair read back from the stored index (same contract
+    * as [[lastTrained]] — dump and oracle come from one run). */
+  @volatile private var lastBaseCm: Array[Array[Double]] = null
+  @volatile private var lastBaseCb: Array[Array[Array[Double]]] = null
+
+  /** Write a complete servable index — coarse centroids, PQ codebooks,
+    * and the encoded corpus — as three parquet tables under `root`.
+    * This is the artifact a real deployment ships: the corpus-sized
+    * piece is `codes` at (id, cell, M one-byte codes) ≈ 32×-compressed;
+    * the two model tables are KB-sized. Encoding is the same primitive
+    * flatMap as [[ivfPqTopK]] — one pass, zero shuffle (the write's
+    * partitioning is the scan's). */
+  private def writeIndex(emb: DataFrame, cm: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], root: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cm.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    (for { m <- 0 until PqM; c <- 0 until PqKs } yield (m, c, cb(m)(c)))
+      .toDF("m", "code", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    withUnit(emb).as[(Long, Array[Double])]
+      .flatMap { case (id, u) =>
+        val cid = nearestCentroids(u, 1, cm)(0)
+        (0 until PqM).iterator
+          .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
+      }
+      .toDF("neighbor_id", "cid", "m", "code")
+      .write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** Read a stored model pair back. Doubles round-trip parquet exactly,
+    * so the served results are bit-equal to the training run's; sorts
+    * pin the collect order. Model-sized collects only (C×dim + M·Ks
+    * codewords ≈ KBs). */
+  private def readModels(spark: org.apache.spark.sql.SparkSession,
+      root: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import spark.implicits._
+    val cm = spark.read.parquet(s"$root/centroids")
+      .select(col("cid"), col("cv")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val flat = spark.read.parquet(s"$root/codebooks")
+      .select(col("m"), col("code"), col("cv"))
+      .as[(Int, Int, Array[Double])].collect()
+    val cb = Array.ofDim[Array[Double]](PqM, PqKs)
+    flat.foreach { case (m, c, v) => cb(m)(c) = v }
+    (cm, cb)
+  }
+
+  /** Serve IVFPQ queries from a STORED index at `root`: models are
+    * read back from the model tables (not taken from memory) and the
+    * candidate side is the stored `codes` parquet — the fresh-process
+    * read path. Queries (raw vectors — ADC is asymmetric) carry probed
+    * cells × subvectors against the read-back centroids; scoring is
+    * the shared [[adcTopK]] tail. */
+  private def serveFromIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, root: String,
+      k: Int): (DataFrame,
+        (Array[Array[Double]], Array[Array[Array[Double]]])) = {
+    DotProduct.ensureRegistered(s)
+    import s.implicits._
+    val (cm, cb) = readModels(s, root)
+    val codes = s.read.parquet(s"$root/codes")
+    val cbDf = s.read.parquet(s"$root/codebooks")
+    val queries = withUnit(Tables.df(s, dir, "embeddings"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        for {
+          c <- nearestCentroids(u, NProbe, cm).iterator
+          m <- (0 until PqM).iterator
+        } yield (id, c, m, subOf(u, m))
+      }
+      .toDF("query_id", "cid", "m", "qv")
+    (adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(queries), Seq("cid", "m")), k), (cm, cb))
+  }
+
+  /** One stored FULL-corpus index per (session, fixture dir) — built
+    * from the shared trained caches (no extra Lloyd runs) and written
+    * once; and one BASE index (corpus minus the incoming batch, models
+    * trained on the base ONLY — the frozen-codebook regime incremental
+    * ingestion actually runs). Both under fresh temp roots; the Memo
+    * guarantees at-most-once builds under concurrent first touch. */
+  private val fullIndexCache = new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String]
+  private val baseIndexCache = new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String]
+
+  private def tempIndexRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ann-$tag").toString
+
+  private[graft] def fullIndexRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    fullIndexCache.once((s, dir)) {
+      val emb = Tables.df(s, dir, "embeddings")
+      val root = tempIndexRoot("full")
+      writeIndex(emb, trainedCentroids(emb, dir), trainedCodebooks(emb, dir),
+        root)
+      root
+    }
+
+  private[graft] def baseIndexRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    baseIndexCache.once((s, dir)) {
+      val base = Tables.df(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 =!= AnnBatchMod)
+      val root = tempIndexRoot("base")
+      writeIndex(base, trainCentroids(base), trainCodebooks(base), root)
+      root
+    }
+
+  /** Persisted-index serving: train once, WRITE the index (centroids +
+    * codebooks + encoded corpus), then answer the standard query set
+    * entirely from the stored artifact — the deployment shape the
+    * in-session [[annIvfPq]] memoization stands in for. Results are
+    * bit-equal to [[annIvfPq]] (parquet round-trips both models and
+    * codes exactly), so the same late-bound oracle verifies the
+    * store+serve round trip end to end. */
+  val annIndexPersist: Q = Q.df("ann_index_persist", ivfPqOracle) { (s, dir) =>
+    val root = fullIndexRoot(s, dir)
+    val (res, (cm, cb)) = serveFromIndex(s, dir, root, TopK)
+    lastTrained = cm
+    lastPq = cb
+    res.orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Incremental add without retrain: the base index stores ~90% of
+    * the corpus with models trained on the base alone; the incoming
+    * batch is encoded against the STORED codebooks (read back, frozen
+    * — per-batch work is one encode pass over the batch, nothing
+    * corpus-sized recomputes) and unioned with the stored codes for
+    * serving. The oracle embeds the base-trained models and encodes
+    * the whole corpus against them — exactly what stored-base ∪
+    * encoded-batch amounts to, so frozen-model ingestion is
+    * hash-verified, not asserted. */
+  val annIndexIncremental: Q = Q.df(
+    "ann_index_incremental",
+    ivfPqOracleFor(
+      Option(lastBaseCm).getOrElse(initCentroids),
+      Option(lastBaseCb).getOrElse(initCodebooks))) { (s, dir) =>
+    import s.implicits._
+    DotProduct.ensureRegistered(s)
+    val root = baseIndexRoot(s, dir)
+    val (cm, cb) = readModels(s, root)
+    lastBaseCm = cm
+    lastBaseCb = cb
+    val batchCodes = withUnit(Tables.df(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === AnnBatchMod))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, u) =>
+        val cid = nearestCentroids(u, 1, cm)(0)
+        (0 until PqM).iterator
+          .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
+      }
+      .toDF("neighbor_id", "cid", "m", "code")
+    val codes = s.read.parquet(s"$root/codes").unionByName(batchCodes)
+    val cbDf = s.read.parquet(s"$root/codebooks")
+    val queries = withUnit(Tables.df(s, dir, "embeddings"))
+      .as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        for {
+          c <- nearestCentroids(u, NProbe, cm).iterator
+          m <- (0 until PqM).iterator
+        } yield (id, c, m, subOf(u, m))
+      }
+      .toDF("query_id", "cid", "m", "qv")
+    adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
+      .join(broadcast(queries), Seq("cid", "m")), TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -1350,6 +1538,7 @@ object Similarity {
 
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
-      annIvfPq, annRecall, hybridRrf, prfExpansion, knnPropagateQ,
+      annIvfPq, annIndexPersist, annIndexIncremental, annRecall,
+      hybridRrf, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

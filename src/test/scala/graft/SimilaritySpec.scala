@@ -92,6 +92,43 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"IVFPQ recall@${Similarity.TopK} = $recall")
   }
 
+  test("persisted index: stored artifact serves bit-equal to the " +
+      "in-memory IVFPQ path; build is at-most-once; codes read parquet") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val root = Similarity.fullIndexRoot(spark, TestSpark.Sf)
+    // the artifact has all three tables on disk
+    Seq("centroids", "codebooks", "codes").foreach { t =>
+      assert(new java.io.File(s"$root/$t").exists(), s"missing $t")
+    }
+    // memoized: a second call returns the SAME root (no rebuild)
+    assert(Similarity.fullIndexRoot(spark, TestSpark.Sf) == root)
+    val stored = SparkEntry.queries("ann_index_persist")(spark, TestSpark.Sf)
+      .collect().map(_.toSeq).toSeq
+    val mem = Similarity.ivfPqTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .orderBy(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("rnk"))
+      .collect().map(_.toSeq).toSeq
+    assert(stored == mem,
+      "stored-index serving diverged from the in-memory IVFPQ path")
+    // the served plan's candidate side is a parquet scan of the stored
+    // index, not a recomputation from raw embeddings
+    val plan = SparkEntry.queries("ann_index_persist")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), s"no stored-codes scan in plan:\n$plan")
+  }
+
+  test("incremental add: batch encoded against frozen base models " +
+      "equals whole-corpus encoding under those models") {
+    val res = SparkEntry.queries("ann_index_incremental")(
+      spark, TestSpark.Sf).collect()
+    assert(res.nonEmpty)
+    // every query answered with a full top-k: the batch union did not
+    // drop or duplicate candidates (codes are unique per (id, m))
+    val perQuery = res.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(perQuery == Set(Similarity.TopK),
+      s"per-query result sizes $perQuery")
+  }
+
   test("k-means quantizer training is monotone in the spherical objective") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val unit = emb.select(col("embedding")).collect()
