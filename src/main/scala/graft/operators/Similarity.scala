@@ -1148,6 +1148,25 @@ object Similarity {
        |where fused_rank <= $FuseK
        |order by query_id, fused_rank""".stripMargin) { (s, dir) =>
     import graft.plans.Checkpoints
+    val (ranked, dense, lex) = rrfBuild(s, dir)
+    // materialize the (FuseK·queries)-bounded fusion so the two input
+    // lists can be freed immediately — without this every invocation
+    // (bench warm-up + samples + verify) leaks two stored block sets
+    val out = Checkpoints.materialize(ranked)
+    Checkpoints.free(dense)
+    Checkpoints.free(lex)
+    out.orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  /** RRF construction before the final materialize — split out so the
+    * plan-shape spec can assert the broadcast-shaped fusion on the
+    * live plan (the entry's returned frame is checkpoint-backed).
+    * Returns (ranked fusion, dense list, lex list); the caller owns
+    * freeing the two materialized input lists. */
+  private[graft] def rrfBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.plans.Checkpoints
     // both ranked lists are consumed by the candidate union AND the
     // rank lookups below — materialize each ONCE (they are k-bounded:
     // queries·TopK and LexK rows) so neither retrieval pipeline
@@ -1180,19 +1199,14 @@ object Similarity {
           coalesce(
             lit(1.0d) / (lit(RrfC.toDouble) + col("lrnk").cast("double")),
             lit(0.0d))).as("rrf"))
-    // materialize the (FuseK·queries)-bounded fusion so the two input
-    // lists can be freed immediately — without this every invocation
-    // (bench warm-up + samples + verify) leaks two stored block sets
-    val out = Checkpoints.materialize(fused
+    val ranked = fused
       .withColumn("fused_rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("rrf").desc, col("neighbor_id"))).cast("long"))
       .filter(col("fused_rank") <= FuseK)
       .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
-        round(col("rrf"), 6).as("rrf_score")))
-    Checkpoints.free(dense)
-    Checkpoints.free(lex)
-    out.orderBy(col("query_id"), col("fused_rank"))
+        round(col("rrf"), 6).as("rrf_score"))
+    (ranked, dense, lex)
   }
 
   /** Expansion terms kept per query by [[prfExpansion]]. */

@@ -93,6 +93,83 @@ object RangeSource {
     * the spec; runtime filtering happens driver-side at execution, so
     * a static is the honest way to witness it. */
   @volatile var lastRuntimeBounds: Option[(Long, Long)] = None
+
+  /** Rows skipped by PSMA positional sub-ranges (reader-side witness,
+    * like [[constantSegBatches]]): partition rows minus the probed
+    * sub-range's rows, summed over partitions. */
+  val psmaSkippedRows = new java.util.concurrent.atomic.LongAdder
+}
+
+/** Positional SMA over one partition's hash column — the intra-block
+  * POSITION lookup the reference layers on its min/max synopsis
+  * (doradb-storage/src/col/sma.rs:255-345, repr.rs:134-160): a table
+  * indexed by the LEADING NON-ZERO BYTE of (value − min) — slot =
+  * byte index × 256 + byte value — whose slots hold the [first, last)
+  * row sub-range of the partition containing any value of that byte
+  * bucket. An equality probe then reads only the sub-range instead of
+  * the whole partition: the zone map can never skip on a hash column
+  * (its min/max spans the domain in any non-trivial block), but the
+  * position table still bounds WHERE inside the block the matches can
+  * sit. Build is two arithmetic passes at partition open — the
+  * analogue of building the synopsis at block-write time (a real
+  * store persists it alongside the block; this generated source has
+  * no write side, so open-time build is the honest equivalent and
+  * costs two multiply-loops, no row materialization). `h` deltas fit
+  * u32 (the hash is mod 2³²), so the table is the reference's 4-byte
+  * 1024-slot shape. */
+final class Psma(start: Long, end: Long, valueOf: Long => Long) {
+  private var minV: Long = Long.MaxValue
+  private var maxV: Long = Long.MinValue
+  // slot ranges as row OFFSETS within the partition; last = 0 = empty
+  // (the reference's (0u16, 0u16) empty encoding — offset 0 can never
+  // be a live `last`, which is always first+1 or more). 8×256 slots:
+  // the general 8-byte-delta table (sma.rs build_lookup8 / Entry2048)
+  // serves any int64 column; a write side with domain statistics would
+  // narrow to the 1/2/4-byte kinds like the reference does.
+  private val first: Array[Long] = new Array[Long](8 * 256)
+  private val last: Array[Long] = new Array[Long](8 * 256)
+
+  locally { // pass 1: block min/max
+    var id = start
+    while (id < end) {
+      val v = valueOf(id)
+      if (v < minV) minV = v
+      if (v > maxV) maxV = v
+      id += 1
+    }
+  }
+  locally { // pass 2: fill [first, last) per leading-byte slot
+    var id = start
+    while (id < end) {
+      val s = slot(valueOf(id) - minV)
+      val off = id - start
+      if (last(s) == 0L) { first(s) = off; last(s) = off + 1 }
+      else last(s) = off + 1
+      id += 1
+    }
+  }
+
+  /** Leading non-zero byte of a u64 delta, big-endian byte order
+    * (repr.rs:141-155: all-zero deltas land in the last byte's zero
+    * slot). */
+  private def slot(delta: Long): Int = {
+    var idx = 0
+    var shift = 56
+    while (shift > 0 && ((delta >>> shift) & 0xFFL) == 0L) {
+      idx += 1; shift -= 8
+    }
+    idx * 256 + ((delta >>> shift) & 0xFFL).toInt
+  }
+
+  /** Absolute [start, end) id sub-range that can contain `v`; empty
+    * when the synopsis proves absence (out of min/max, or the byte
+    * bucket never occurred). */
+  def probe(v: Long): (Long, Long) = {
+    if (v < minV || v > maxV) return (start, start)
+    val s = slot(v - minV)
+    if (last(s) == 0L) (start, start)
+    else (start + first(s), start + last(s))
+  }
 }
 
 class RangeTable(end: Long, slices: Int, batchRows: Long = 16384L)
@@ -120,6 +197,10 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
   private var sqMax = Long.MaxValue
   private var nZone = 0
   private var nResidual = 0
+  // PSMA probes: equality values on `h`/`sq` remembered for
+  // reader-side positional sub-range skipping (the predicates stay
+  // residual / zone-tracked)
+  private var psmaProbes: List[(String, Long)] = Nil
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.Schema
 
@@ -170,7 +251,20 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
       case f @ LessThan("sq", v: Long) => zone(f) { sqMax = math.min(sqMax, v - 1) }
       case f @ LessThanOrEqual("sq", v: Long) => zone(f) { sqMax = math.min(sqMax, v) }
       case f @ EqualTo("sq", v: Long) =>
+        // zone interval (partition-level skip) AND a PSMA probe: in
+        // the one partition the zone map cannot eliminate, the
+        // position table narrows to the value's leading-byte run —
+        // on this monotone column, ~1/256th of the block
         zone(f) { sqMin = math.max(sqMin, v); sqMax = math.min(sqMax, v) }
+        psmaProbes ::= ("sq", v)
+      // `h` equality: no zone map can skip on a hash column, and on a
+      // uniformly-hashed block the PSMA sub-range honestly degrades
+      // toward the whole block (equal-bucket values scatter end to
+      // end) — but min/max still proves absence and edge runs still
+      // trim; remember the probe, keep the predicate residual
+      // (synopses narrow, never replace filtering)
+      case f @ EqualTo("h", v: Long) =>
+        psmaProbes ::= ("h", v); residual += f
       case other => nResidual += 1; residual += other
     }
     pushed = accepted.toArray
@@ -185,7 +279,8 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
   /** True when every filter became an interval bound — residuals (zone
     * or otherwise) mean Spark still filters rows after the scan, so
     * aggregate/limit pushdown would answer over the WRONG row set. */
-  private def noResiduals: Boolean = nZone == 0 && nResidual == 0
+  private def noResiduals: Boolean =
+    nZone == 0 && nResidual == 0 && psmaProbes.isEmpty
 
   // ---- aggregate pushdown (SMA-answered, like the reference's
   // synopsis lookups — doradb-storage/src/col/sma.rs): over the
@@ -292,7 +387,8 @@ class RangeScanBuilder(end: Long, slices: Int, batchRows: Long = 16384L)
           s"funcs=${forms.map(_._1.name).mkString(",")}")
     case None =>
       new RangeScan(lo, math.max(lo, hi), slices,
-        required, pushed.length, batchRows, sqMin, sqMax, nZone, limited)
+        required, pushed.length, batchRows, sqMin, sqMax, nZone, limited,
+        psmaProbes)
   }
 }
 
@@ -327,7 +423,8 @@ case class RangeAggPartition(values: Array[Any]) extends InputPartition
 class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
     nPushed: Int, batchRows: Long = 16384L,
     sqMin: Long = Long.MinValue, sqMax: Long = Long.MaxValue,
-    nZone: Int = 0, limited: Boolean = false)
+    nZone: Int = 0, limited: Boolean = false,
+    psmaProbes: Seq[(String, Long)] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -410,6 +507,7 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
     * the zone-skip count. */
   override def description(): String =
     s"graft-range bounds=[$lo, $hi) pushed=$nPushed zone=$nZone " +
+      s"psma=${psmaProbes.length} " +
       s"parts=${surviving.length}/${allSlices.length} " +
       (if (limited) "limited=true " else "") +
       s"cols=${required.fieldNames.mkString(",")}"
@@ -435,7 +533,7 @@ class RangeScan(lo: Long, hi: Long, slices: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(required)
+    new RangeReaderFactory(required, psmaProbes)
 
   /** Streaming face of the same scan: the committed OFFSET is a row
     * position in [lo, hi); each micro-batch covers the next
@@ -500,12 +598,40 @@ class RangeMicroBatchStream(lo: Long, hi: Long, slices: Int,
 
 case class RangePartition(start: Long, end: Long) extends InputPartition
 
-class RangeReaderFactory(required: StructType)
+class RangeReaderFactory(required: StructType,
+    psmaProbes: Seq[(String, Long)] = Nil)
     extends PartitionReaderFactory {
+
+  /** Emission bounds for a partition: the PSMA-probed sub-range when
+    * equality probes are present (conjunction ⇒ sub-range
+    * intersection), the whole partition otherwise. One position table
+    * per probed column per partition; the skipped-row delta feeds the
+    * [[RangeSource.psmaSkippedRows]] witness. */
+  private def emitBounds(rp: RangePartition): (Long, Long) =
+    if (psmaProbes.isEmpty) (rp.start, rp.end)
+    else {
+      var s = rp.start
+      var e = rp.end
+      psmaProbes.groupBy(_._1).foreach { case (colName, probes) =>
+        val valueOf: Long => Long = colName match {
+          case "h" => RangeSource.hash
+          case "sq" => id => id * id
+        }
+        val psma = new Psma(rp.start, rp.end, valueOf)
+        probes.foreach { case (_, v) =>
+          val (ps, pe) = psma.probe(v)
+          s = math.max(s, ps); e = math.min(e, pe)
+        }
+      }
+      if (e < s) e = s
+      RangeSource.psmaSkippedRows.add((rp.end - rp.start) - (e - s))
+      (s, e)
+    }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RangePartition]
+    val (emitStart, emitEnd) = emitBounds(rp)
     new PartitionReader[InternalRow] {
-      private var cur = rp.start - 1
+      private var cur = emitStart - 1
       // resolve the pruned projection ONCE per partition, not per row
       private val cols: Array[Long => Long] = required.fieldNames.map {
         case "id" => (id: Long) => id
@@ -513,7 +639,7 @@ class RangeReaderFactory(required: StructType)
         case "h" => (id: Long) => RangeSource.hash(id)
         case "seg" => (id: Long) => id / RangeSource.SegRows
       }
-      override def next(): Boolean = { cur += 1; cur < rp.end }
+      override def next(): Boolean = { cur += 1; cur < emitEnd }
       override def get(): InternalRow = {
         val vals = new Array[Any](cols.length)
         var i = 0
@@ -547,9 +673,10 @@ class RangeReaderFactory(required: StructType)
     import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
     import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
     val rp = p.asInstanceOf[RangePartition]
+    val (emitStart, emitEnd) = emitBounds(rp)
     val batchSize = 4096
     new PartitionReader[ColumnarBatch] {
-      private var cur = rp.start
+      private var cur = emitStart
       private val hasSeg = required.fieldNames.contains("seg")
       private val vectors: Array[ColumnVector] = required.fields.map { f =>
         if (f.name == "seg")
@@ -571,8 +698,8 @@ class RangeReaderFactory(required: StructType)
           case "seg" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
         }
       override def next(): Boolean = {
-        if (cur >= rp.end) return false
-        var n = math.min(batchSize.toLong, rp.end - cur)
+        if (cur >= emitEnd) return false
+        var n = math.min(batchSize.toLong, emitEnd - cur)
         if (hasSeg) {
           // cap at the next segment boundary — seg is then constant
           // over the whole batch by construction

@@ -317,17 +317,80 @@ class PlanSpec extends AnyFunSuite {
     assert(lt.count() == 2 * segRows)
   }
 
+  test("PSMA positional lookup: h equality reads only the probed " +
+      "sub-range inside each partition") {
+    // the zone map cannot skip on the hash column (its min/max spans
+    // the domain in any non-trivial partition); the PSMA position
+    // table still bounds WHERE in the partition a value can sit —
+    // the reference's intra-block lookup (col/sma.rs:255-345)
+    import org.apache.spark.sql.functions._
+    graft.sources.RangeSource.psmaSkippedRows.reset()
+    val table = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    val probe = 54321L
+    val v = graft.sources.RangeSource.hash(probe)
+    val q = table.filter(col("h") === v).select(col("id"), col("h"))
+    // multiplication by an odd constant mod 2^32 is injective on this
+    // id range: exactly one matching row, value-correct
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((probe, v)))
+    // the probe is visible in the scan description; on a UNIFORM hash
+    // column equal-bucket values scatter across the block, so the
+    // sub-range honestly degrades toward the whole partition (the
+    // reference's PSMA has the same property) — only edge runs trim
+    assert(q.queryExecution.executedPlan.toString.contains("psma=1"),
+      "h equality not remembered as a PSMA probe")
+    assert(graft.sources.RangeSource.psmaSkippedRows.sum() > 0L,
+      "PSMA probe never consulted")
+    // absence: a value under every partition's min is proven absent by
+    // the synopsis min/max — zero rows, every row skipped
+    graft.sources.RangeSource.psmaSkippedRows.reset()
+    assert(table.filter(col("h") === 1L).count() == 0)
+    assert(graft.sources.RangeSource.psmaSkippedRows.sum() > 90000L,
+      "absent-value probe did not skip")
+    // where PSMA shines — a CLUSTERED (here monotone) column: the sq
+    // zone map eliminates 7 of 8 partitions, and inside the survivor
+    // the position table narrows to the value's leading-byte run,
+    // ~1/256th of the block instead of all 12500 rows
+    graft.sources.RangeSource.psmaSkippedRows.reset()
+    val sqProbe = 54321L * 54321L
+    val sq = table.filter(col("sq") === sqProbe).select(col("id"))
+    assert(sq.collect().map(_.getLong(0)).toSeq == Seq(54321L))
+    val sqSkipped = graft.sources.RangeSource.psmaSkippedRows.sum()
+    assert(sqSkipped > 12000L,
+      s"sq PSMA skipped only $sqSkipped of the surviving partition")
+    // control: probes only fire for equality — a plain range query
+    // touches no PSMA
+    graft.sources.RangeSource.psmaSkippedRows.reset()
+    assert(table.filter(col("id") < 100).count() == 100)
+    assert(graft.sources.RangeSource.psmaSkippedRows.sum() == 0)
+  }
+
   test("retrieval fusion/expansion plans stay broadcast-shaped") {
     // the RRF and PRF compositions promise k-bounded broadcast joins:
     // no cartesian product anywhere, the explicit candidate cross a
     // broadcast nested loop, and the bounded-list lookups broadcast
     // hash joins — the shapes that survive a corpus 100x this size
-    val rrfPlan = graft.operators.Similarity.hybridRrf
-      .run(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+    // the ENTRY's returned frame is checkpoint-backed (it materializes
+    // the bounded fusion and frees its two input lists), so the shape
+    // assertions run on the live construction plan via rrfBuild
+    val (ranked, rrfDense, rrfLex) =
+      graft.operators.Similarity.rrfBuild(spark, TestSpark.Sf)
+    val rrfPlan = ranked.queryExecution.executedPlan.toString
     assert(!rrfPlan.contains("CartesianProduct"),
       s"RRF plan degraded to a cartesian:\n$rrfPlan")
     assert(rrfPlan.contains("BroadcastNestedLoopJoin"),
       "RRF candidate cross lost its broadcast hint")
+    graft.plans.Checkpoints.free(rrfDense)
+    graft.plans.Checkpoints.free(rrfLex)
+    // and the entry itself bottoms out in stored blocks, its
+    // single-materialize promise
+    val rrfOut = graft.operators.Similarity.hybridRrf
+      .run(spark, TestSpark.Sf)
+    assert(rrfOut.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "RRF output re-derives from the corpus instead of stored blocks")
     // PRF materializes its PrfTerms·queries-row result and frees the
     // token stream before returning — so the consumable plan must
     // bottom out in stored blocks (no corpus re-scan on consumption),
