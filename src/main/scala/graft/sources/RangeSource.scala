@@ -65,7 +65,15 @@ object RangeSource {
     StructField("id", LongType, nullable = false),
     StructField("sq", LongType, nullable = false),
     StructField("h", LongType, nullable = false),
-    StructField("seg", LongType, nullable = false)))
+    StructField("seg", LongType, nullable = false),
+    StructField("par", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
+  /** The packed-bool column: id parity. A per-row-alternating flag is
+    * the worst case for RLE and the natural case for a BITMAP codec —
+    * the third member of the reference's codec enum
+    * (doradb-storage/src/col/codec/mod.rs:9-33, Codec::Bitmap). */
+  def par(id: Long): Boolean = (id & 1L) == 0L
 
   /** The Knuth multiplicative hash column, shared with the oracle. */
   def hash(id: Long): Long = (id * 2654435761L) % 4294967296L
@@ -98,6 +106,57 @@ object RangeSource {
     * like [[constantSegBatches]]): partition rows minus the probed
     * sub-range's rows, summed over partitions. */
   val psmaSkippedRows = new java.util.concurrent.atomic.LongAdder
+
+  /** Count of columnar batches whose `par` column was served through
+    * the packed-bitmap vector (witness, like [[constantSegBatches]]). */
+  val bitmapParBatches = new java.util.concurrent.atomic.LongAdder
+}
+
+/** Bitmap-backed boolean vector — the `Codec::Bitmap` mirror
+  * (doradb-storage/src/col/codec/mod.rs:29-30, col/bitmap.rs): the
+  * column exists only as packed bits (one long word per 64 rows, 8×
+  * denser than Spark's byte-per-bool OnHeapColumnVector), and reads
+  * are single bit tests — byte-addressable without decompression,
+  * the Data-Blocks property the reference's codec design cites. The
+  * column is non-nullable by construction, so the null face is
+  * constant. */
+final class BitmapColumnVector(capacity: Int)
+    extends org.apache.spark.sql.vectorized.ColumnVector(
+      org.apache.spark.sql.types.BooleanType) {
+  private val words = new Array[Long]((capacity + 63) >> 6)
+
+  def clear(): Unit = java.util.Arrays.fill(words, 0L)
+
+  def setBit(i: Int, v: Boolean): Unit =
+    if (v) words(i >> 6) |= 1L << (i & 63)
+
+  override def getBoolean(i: Int): Boolean =
+    ((words(i >> 6) >>> (i & 63)) & 1L) == 1L
+
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def close(): Unit = ()
+
+  private def unsupported: Nothing =
+    throw new UnsupportedOperationException("bitmap vector is boolean-only")
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getLong(i: Int): Long = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    unsupported
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = unsupported
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = unsupported
+  override def getBinary(i: Int): Array[Byte] = unsupported
+  override def getChild(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector = unsupported
 }
 
 /** Positional SMA over one partition's hash column — the intra-block
@@ -633,11 +692,12 @@ class RangeReaderFactory(required: StructType,
     new PartitionReader[InternalRow] {
       private var cur = emitStart - 1
       // resolve the pruned projection ONCE per partition, not per row
-      private val cols: Array[Long => Long] = required.fieldNames.map {
+      private val cols: Array[Long => Any] = required.fieldNames.map {
         case "id" => (id: Long) => id
         case "sq" => (id: Long) => id * id
         case "h" => (id: Long) => RangeSource.hash(id)
         case "seg" => (id: Long) => id / RangeSource.SegRows
+        case "par" => (id: Long) => RangeSource.par(id)
       }
       override def next(): Boolean = { cur += 1; cur < emitEnd }
       override def get(): InternalRow = {
@@ -681,6 +741,9 @@ class RangeReaderFactory(required: StructType,
       private val vectors: Array[ColumnVector] = required.fields.map { f =>
         if (f.name == "seg")
           new ConstantColumnVector(batchSize, LongType): ColumnVector
+        else if (f.name == "par")
+          // packed-bool bitmap vector (Codec::Bitmap mirror)
+          new BitmapColumnVector(batchSize): ColumnVector
         else {
           val v = new OnHeapColumnVector(batchSize, f.dataType)
           v: ColumnVector
@@ -696,6 +759,7 @@ class RangeReaderFactory(required: StructType,
           case "h" => (v: OnHeapColumnVector, i: Int, id: Long) =>
             v.putLong(i, RangeSource.hash(id))
           case "seg" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
+          case "par" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
         }
       override def next(): Boolean = {
         if (cur >= emitEnd) return false
@@ -714,6 +778,13 @@ class RangeReaderFactory(required: StructType,
             case cv: ConstantColumnVector =>
               cv.setLong(cur / RangeSource.SegRows)
               RangeSource.constantSegBatches.increment()
+            case bv: BitmapColumnVector =>
+              bv.clear()
+              var i = 0
+              while (i < rows) {
+                bv.setBit(i, RangeSource.par(cur + i)); i += 1
+              }
+              RangeSource.bitmapParBatches.increment()
             case ov: OnHeapColumnVector =>
               ov.reset()
               val fill = fills(c)

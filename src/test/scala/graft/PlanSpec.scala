@@ -317,6 +317,50 @@ class PlanSpec extends AnyFunSuite {
     assert(lt.count() == 2 * segRows)
   }
 
+  test("par column reads as a packed BITMAP vector (Codec::Bitmap " +
+      "mirror) — the codec enum's third member, alongside constant " +
+      "and array vectors") {
+    import org.apache.spark.sql.functions._
+    graft.sources.RangeSource.bitmapParBatches.reset()
+    val table = spark.read
+      .format(classOf[graft.sources.RangeTableProvider].getName)
+      .option("end", "100000").option("slices", "8").load()
+    // value-check: id parity splits the interval exactly in half, and
+    // the parity-conditional sums match the closed forms
+    val got = table.groupBy(col("par"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val evens = (0L until 100000L).filter(_ % 2 == 0)
+    val odds = (0L until 100000L).filter(_ % 2 == 1)
+    assert(got.toSeq == Seq(
+      (false, odds.length.toLong, odds.sum),
+      (true, evens.length.toLong, evens.sum)))
+    assert(graft.sources.RangeSource.bitmapParBatches.sum() > 0,
+      "no batch served par through the bitmap vector")
+    // all three codec kinds coexist in ONE batch: par (bitmap), seg
+    // (constant), id (array) — and the scan stays columnar
+    graft.sources.RangeSource.bitmapParBatches.reset()
+    graft.sources.RangeSource.constantSegBatches.reset()
+    val mixed = table.select(col("id"), col("seg"), col("par"))
+    assert(mixed.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "mixed-codec projection fell off the columnar path")
+    // aggregate over all three columns so pruning keeps each codec
+    // live (count() alone would prune id and seg away)
+    val r = mixed.filter(col("par"))
+      .agg(sum(col("id")).as("s"), max(col("seg")).as("m"))
+      .collect()(0)
+    assert(r.getLong(0) == evens.sum &&
+      r.getLong(1) == (100000L - 2) / graft.sources.RangeSource.SegRows)
+    assert(graft.sources.RangeSource.bitmapParBatches.sum() > 0)
+    assert(graft.sources.RangeSource.constantSegBatches.sum() > 0)
+    // a par-less projection touches no bitmap vector
+    graft.sources.RangeSource.bitmapParBatches.reset()
+    assert(table.select(col("id")).filter(col("id") < 10).count() == 10)
+    assert(graft.sources.RangeSource.bitmapParBatches.sum() == 0)
+  }
+
   test("PSMA positional lookup: h equality reads only the probed " +
       "sub-range inside each partition") {
     // the zone map cannot skip on the hash column (its min/max spans
