@@ -1118,8 +1118,9 @@ object Similarity {
     * retriever-agnostic. Ranks are integers and the two reciprocal
     * terms are summed in a fixed spelled order, so the score is
     * bit-identical cross-engine (ties broken by neighbor id). */
-  val hybridRrf: Q = Q.df(
-    "retrieval_rrf_fusion",
+  /** The RRF oracle text — named so [[retrievalEvalNdcg]] can nest it
+    * verbatim (the [[annRecall]] composition discipline). */
+  private def rrfOracle: String =
     s"""with dense as (select query_id, neighbor_id, rnk
        |  from ($bruteForceOracle) t),
        |lexr as (select doc_id, lrnk from (
@@ -1146,40 +1147,49 @@ object Similarity {
        |        order by rrf desc, neighbor_id) as bigint) as fused_rank
        |      from fused) t
        |where fused_rank <= $FuseK
-       |order by query_id, fused_rank""".stripMargin) { (s, dir) =>
-    import graft.plans.Checkpoints
-    val (ranked, dense, lex) = rrfBuild(s, dir)
-    // materialize the (FuseK·queries)-bounded fusion so the two input
-    // lists can be freed immediately — without this every invocation
-    // (bench warm-up + samples + verify) leaks two stored block sets
-    val out = Checkpoints.materialize(ranked)
-    Checkpoints.free(dense)
-    Checkpoints.free(lex)
-    out.orderBy(col("query_id"), col("fused_rank"))
+       |order by query_id, fused_rank""".stripMargin
+
+  val hybridRrf: Q = Q.df("retrieval_rrf_fusion", rrfOracle) { (s, dir) =>
+    rrfBuild(s, dir).orderBy(col("query_id"), col("fused_rank"))
   }
 
-  /** RRF construction before the final materialize — split out so the
-    * plan-shape spec can assert the broadcast-shaped fusion on the
-    * live plan (the entry's returned frame is checkpoint-backed).
-    * Returns (ranked fusion, dense list, lex list); the caller owns
-    * freeing the two materialized input lists. */
-  private[graft] def rrfBuild(s: org.apache.spark.sql.SparkSession,
-      dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    import graft.plans.Checkpoints
-    // both ranked lists are consumed by the candidate union AND the
-    // rank lookups below — materialize each ONCE (they are k-bounded:
-    // queries·TopK and LexK rows) so neither retrieval pipeline
-    // re-runs per consumer
-    val dense = Checkpoints.materialize(
+  /** The dense and lexical ranked lists, each materialized ONCE per
+    * (session, fixture dir) and shared by every retrieval consumer
+    * (fusion, nDCG evaluation, bench warm-ups) — the
+    * [[graft.operators.Graph.sharedOrderEdges]] convention. Both are
+    * k-bounded (queries·TopK and LexK rows) so the cache owns two tiny
+    * stored block sets per corpus, and neither retrieval pipeline ever
+    * re-runs per consumer. */
+  private val denseListCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val lexListCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private[graft] def sharedDenseList(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    denseListCache.once((s, dir))(graft.plans.Checkpoints.materialize(
       bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
-        .select(col("query_id"), col("neighbor_id"), col("rnk")))
-    val lex = Checkpoints.materialize(TextAnalysis.bm25Frame(s, dir)
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(LexK)
-      .select(col("doc_id"),
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
-          .cast("long").as("lrnk")))
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))))
+
+  private[graft] def sharedLexList(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    lexListCache.once((s, dir))(graft.plans.Checkpoints.materialize(
+      TextAnalysis.bm25Frame(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(LexK)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long").as("lrnk"))))
+
+  /** RRF construction over the shared ranked lists — split out so the
+    * plan-shape spec can assert the broadcast-shaped fusion on the
+    * live plan. The returned plan bottoms out in the two STORED lists,
+    * so consumption is a join over k-bounded blocks, never a corpus
+    * re-scan. */
+  private[graft] def rrfBuild(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val dense = sharedDenseList(s, dir)
+    val lex = sharedLexList(s, dir)
     // RRF is over the UNION of the two bounded candidate lists: a
     // lexical-only document must stay retrievable (it scores by its
     // lexical term alone), and a query's own document is excluded on
@@ -1199,14 +1209,158 @@ object Similarity {
           coalesce(
             lit(1.0d) / (lit(RrfC.toDouble) + col("lrnk").cast("double")),
             lit(0.0d))).as("rrf"))
-    val ranked = fused
+    fused
       .withColumn("fused_rank", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("rrf").desc, col("neighbor_id"))).cast("long"))
       .filter(col("fused_rank") <= FuseK)
       .select(col("query_id"), col("neighbor_id"), col("fused_rank"),
         round(col("rrf"), 6).as("rrf_score"))
-    (ranked, dense, lex)
+  }
+
+  /** Evaluation cut-off for [[retrievalEvalNdcg]] — the fused list's
+    * own depth, so all three systems are judged at the same k. */
+  val EvalK: Int = FuseK
+
+  /** Retrieval quality evaluation — the retrieval analogue of
+    * [[annRecall]]: judge the fused, dense-only, and lexical-only
+    * rankings with nDCG@k and MRR@k against a deterministic relevance
+    * rule (a neighbor is relevant iff it shares the query vector's
+    * `label` — the label-match qrels every ANN/retrieval benchmark
+    * uses when no human judgments exist). Binary-relevance DCG@k =
+    * Σ rel_i / log2(i+1); the ideal ranking puts all R relevant
+    * documents first, so IDCG folds the same series to min(k, R);
+    * MRR = 1/first-relevant-rank. Both folds run over SORTED bounded
+    * lists (k ≤ 5 terms per cell) and every term is a single division
+    * of exact integers — the cross-engine determinism contract.
+    *
+    * Scale shape: the three ranked lists are k-bounded (3·queries·k
+    * rows total); relevance is two label-table scans each joining a
+    * BROADCAST list; the ideal-gain side joins the label histogram
+    * (distinct-label-sized). Nothing corpus-shaped survives past the
+    * list construction, and both input lists come from the shared
+    * per-corpus caches — one retrieval run serves every consumer. The
+    * oracle nests the RRF, dense, and BM25 oracles verbatim. */
+  val retrievalEvalNdcg: Q = Q.df(
+    "retrieval_eval_ndcg",
+    s"""with fusedq as (select query_id, neighbor_id, fused_rank as rnk
+       |  from ($rrfOracle) f where fused_rank <= $EvalK),
+       |denseq as (select query_id, neighbor_id, rnk
+       |  from ($bruteForceOracle) t where rnk <= $EvalK),
+       |lexr as (select doc_id, lrnk from (
+       |    select doc_id, cast(row_number() over (
+       |        order by bm25 desc, doc_id) as bigint) as lrnk
+       |    from (${TextAnalysis.bm25OracleSql}) b) r
+       |  where lrnk <= $LexK),
+       |qids as (select distinct query_id from denseq),
+       |lexq as (select query_id, neighbor_id, rnk from (
+       |    select q.query_id, l.doc_id as neighbor_id,
+       |      cast(row_number() over (partition by q.query_id
+       |        order by l.lrnk) as bigint) as rnk
+       |    from qids q cross join lexr l
+       |    where q.query_id <> l.doc_id) t
+       |  where rnk <= $EvalK),
+       |lists as (
+       |  select 'dense' as retriever, query_id, neighbor_id, rnk from denseq
+       |  union all
+       |  select 'fused' as retriever, query_id, neighbor_id, rnk from fusedq
+       |  union all
+       |  select 'lexical' as retriever, query_id, neighbor_id, rnk from lexq),
+       |lab as (select vec_id, label from embeddings),
+       |scored as (select l.retriever, l.query_id, l.rnk,
+       |    case when ql.label = nl.label then 1.0 else 0.0 end as rel
+       |  from lists l
+       |  join lab ql on ql.vec_id = l.query_id
+       |  join lab nl on nl.vec_id = l.neighbor_id),
+       |perq as (select retriever, query_id,
+       |    list_reduce(list_sort(
+       |      list(rel / log2(cast(rnk as double) + 1.0))),
+       |      (a, b) -> a + b) as dcg,
+       |    min(case when rel > 0 then rnk end) as fr
+       |  from scored group by retriever, query_id),
+       |labcnt as (select label, count(*) as lc from lab group by label),
+       |ideal as (select q.query_id,
+       |    least($EvalK, c.lc - 1) as m
+       |  from qids q
+       |  join lab ql on ql.vec_id = q.query_id
+       |  join labcnt c on c.label = ql.label),
+       |idcg as (select query_id,
+       |    case when m >= 1 then list_reduce(list_sort(
+       |        list_transform(range(1, m + 1),
+       |          i -> 1.0 / log2(cast(i as double) + 1.0))),
+       |        (a, b) -> a + b)
+       |      else 0.0 end as ideal_dcg
+       |  from ideal)
+       |select p.retriever, p.query_id,
+       |  round(case when i.ideal_dcg > 0 then p.dcg / i.ideal_dcg
+       |    else 0.0 end, 6) as ndcg,
+       |  round(case when p.fr is not null
+       |    then 1.0 / cast(p.fr as double) else 0.0 end, 6) as mrr
+       |from perq p join idcg i on i.query_id = p.query_id
+       |order by p.retriever, p.query_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.df(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val ranked = rrfBuild(s, dir)
+    val dense = sharedDenseList(s, dir)
+    val lex = sharedLexList(s, dir)
+    val qids = dense.select(col("query_id")).distinct()
+    val denseL = dense.filter(col("rnk") <= EvalK)
+      .select(lit("dense").as("retriever"), col("query_id"),
+        col("neighbor_id"), col("rnk"))
+    val fusedL = ranked.filter(col("fused_rank") <= EvalK)
+      .select(lit("fused").as("retriever"), col("query_id"),
+        col("neighbor_id"), col("fused_rank").as("rnk"))
+    val lexL = qids.crossJoin(broadcast(lex))
+      .filter(col("query_id") =!= col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("lrnk")))
+        .cast("long"))
+      .filter(col("rnk") <= EvalK)
+      .select(lit("lexical").as("retriever"), col("query_id"),
+        col("doc_id").as("neighbor_id"), col("rnk"))
+    val lists = denseL.unionByName(fusedL).unionByName(lexL)
+    // relevance: two label-table passes, each joining the BROADCAST
+    // k-bounded list side
+    val ql = labels.select(col("vec_id").as("query_id"),
+      col("label").as("ql"))
+    val nl = labels.select(col("vec_id").as("neighbor_id"),
+      col("label").as("nl"))
+    val scored = nl
+      .join(broadcast(ql.join(broadcast(lists), Seq("query_id"))),
+        Seq("neighbor_id"))
+      .withColumn("rel",
+        when(col("ql") === col("nl"), lit(1.0d)).otherwise(lit(0.0d)))
+    val perQ = scored
+      .withColumn("term",
+        col("rel") / log2(col("rnk").cast("double") + lit(1.0d)))
+      .groupBy(col("retriever"), col("query_id"))
+      .agg(
+        aggregate(sort_array(collect_list(col("term"))), lit(0.0d),
+          (a, x) => a + x).as("dcg"),
+        min(when(col("rel") > 0, col("rnk"))).as("fr"))
+    // ideal gain: R relevant documents exist corpus-wide (the label
+    // histogram is distinct-label-sized and broadcasts)
+    val labCnt = labels.groupBy(col("label")).agg(count(lit(1)).as("lc"))
+    val ideal = ql.join(broadcast(qids), Seq("query_id"))
+      .join(broadcast(labCnt), col("ql") === col("label"))
+      .withColumn("m", least(lit(EvalK.toLong), col("lc") - 1L))
+      .withColumn("ideal_dcg",
+        when(col("m") >= 1L,
+          aggregate(
+            sort_array(transform(sequence(lit(1L), col("m")),
+              i => lit(1.0d) / log2(i.cast("double") + lit(1.0d)))),
+            lit(0.0d), (a, x) => a + x))
+          .otherwise(lit(0.0d)))
+      .select(col("query_id"), col("ideal_dcg"))
+    perQ
+      .join(broadcast(ideal), Seq("query_id"))
+      .select(col("retriever"), col("query_id"),
+        round(when(col("ideal_dcg") > 0, col("dcg") / col("ideal_dcg"))
+          .otherwise(lit(0.0d)), 6).as("ndcg"),
+        round(when(col("fr").isNotNull,
+            lit(1.0d) / col("fr").cast("double"))
+          .otherwise(lit(0.0d)), 6).as("mrr"))
+      .orderBy(col("retriever"), col("query_id"))
   }
 
   /** Expansion terms kept per query by [[prfExpansion]]. */
@@ -1553,6 +1707,6 @@ object Similarity {
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
       annIvfPq, annIndexPersist, annIndexIncremental, annRecall,
-      hybridRrf, prfExpansion, knnPropagateQ,
+      hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

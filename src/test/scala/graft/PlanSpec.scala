@@ -416,25 +416,17 @@ class PlanSpec extends AnyFunSuite {
     // no cartesian product anywhere, the explicit candidate cross a
     // broadcast nested loop, and the bounded-list lookups broadcast
     // hash joins — the shapes that survive a corpus 100x this size
-    // the ENTRY's returned frame is checkpoint-backed (it materializes
-    // the bounded fusion and frees its two input lists), so the shape
-    // assertions run on the live construction plan via rrfBuild
-    val (ranked, rrfDense, rrfLex) =
-      graft.operators.Similarity.rrfBuild(spark, TestSpark.Sf)
+    val ranked = graft.operators.Similarity.rrfBuild(spark, TestSpark.Sf)
     val rrfPlan = ranked.queryExecution.executedPlan.toString
     assert(!rrfPlan.contains("CartesianProduct"),
       s"RRF plan degraded to a cartesian:\n$rrfPlan")
     assert(rrfPlan.contains("BroadcastNestedLoopJoin"),
       "RRF candidate cross lost its broadcast hint")
-    graft.plans.Checkpoints.free(rrfDense)
-    graft.plans.Checkpoints.free(rrfLex)
-    // and the entry itself bottoms out in stored blocks, its
-    // single-materialize promise
-    val rrfOut = graft.operators.Similarity.hybridRrf
-      .run(spark, TestSpark.Sf)
-    assert(rrfOut.queryExecution.optimizedPlan.collectLeaves().forall(
+    // the fusion bottoms out in the two SHARED stored lists — never a
+    // corpus re-scan on consumption
+    assert(ranked.queryExecution.optimizedPlan.collectLeaves().forall(
       _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
-      "RRF output re-derives from the corpus instead of stored blocks")
+      "RRF fusion re-derives from the corpus instead of stored lists")
     // PRF materializes its PrfTerms·queries-row result and frees the
     // token stream before returning — so the consumable plan must
     // bottom out in stored blocks (no corpus re-scan on consumption),
