@@ -1101,6 +1101,233 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Unigram-LM tokenizer (the PRUNE family: SentencePiece /
+  // Kudo 2018) ------------------------------------------------------------
+
+  /** Seed vocabulary size for [[unigramTrained]]. */
+  val UniSeedSize = 200
+  /** Prune rounds (each keeps the top ⌈3n/4⌉ pieces). */
+  val UniRounds = 3
+  /** Longest candidate piece (SentencePiece's
+    * max_sentencepiece_length analogue). */
+  val UniMaxLen = 4
+  /** Longest eligible word type — training state stays bounded on
+    * pathological tokens, the corpus-filtering step every
+    * SentencePiece run performs. */
+  val UniMaxWord = 30
+  /** lcm(1..10): a position is covered by at most 10 candidate
+    * occurrences (Σ_{l=1..4} l), so scaling each position's unit of
+    * responsibility to 2520/cov keeps the EM-style scores EXACT
+    * integers — no float folds anywhere in the loop. */
+  val UniLcm = 2520L
+
+  /** Shared oracle prefix: word types, candidate-piece occurrences,
+    * the seeded vocabulary, and [[UniRounds]] unrolled score→prune
+    * rounds (v1..vR), every CTE MATERIALIZED (the iterative-oracle
+    * discipline). Scoring is the deterministic EM surrogate described
+    * at [[unigramTrained]]. */
+  private def uniOraclePrefix: String = {
+    val rounds = (1 to UniRounds).map { r =>
+      val prev = if (r == 1) "seed" else s"v${r - 1}"
+      s"""wo$r as materialized (
+         |  select o.w, o.freq, o.i, o.l, o.piece
+         |  from occ o join $prev v on o.piece = v.piece),
+         |cov$r as materialized (
+         |  select w, j, cast(count(*) as bigint) as cov from (
+         |    select o.w, o.i + d.d as j
+         |    from wo$r o cross join (select unnest(range(0, $UniMaxLen)) as d) d
+         |    where d.d < o.l) t
+         |  group by w, j),
+         |sc$r as materialized (
+         |  select piece, cast(sum(freq * ($UniLcm // cov)) as bigint) as score
+         |  from (
+         |    select o.piece, o.freq, c.cov
+         |    from wo$r o
+         |    cross join (select unnest(range(0, $UniMaxLen)) as d) d
+         |    join cov$r c on c.w = o.w and c.j = o.i + d.d
+         |    where d.d < o.l) t
+         |  group by piece),
+         |v$r as materialized (
+         |  select piece, score from (
+         |    select piece, score,
+         |      row_number() over (order by score desc, piece) as rk
+         |    from sc$r) t
+         |  where rk <= (3 * (select count(*) from sc$r) + 3) // 4)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""with wt as materialized (
+       |  select w, cast(count(*) as bigint) as freq from (
+       |    select unnest(string_split(text, ' ')) as w from documents) t
+       |  where length(w) between 2 and $UniMaxWord group by w),
+       |occ as materialized (
+       |  select t.w, t.freq, p.i, l.l, substring(t.w, p.i, l.l) as piece
+       |  from wt t
+       |  cross join (select unnest(range(1, ${UniMaxWord + 1})) as i) p
+       |  cross join (select unnest(range(1, ${UniMaxLen + 1})) as l) l
+       |  where p.i + l.l - 1 <= length(t.w)),
+       |seed as materialized (
+       |  select piece from (
+       |    select piece, row_number() over (order by s desc, piece) as rk
+       |    from (select piece, cast(sum(freq) as bigint) as s
+       |          from occ group by piece) t) u
+       |  where rk <= $UniSeedSize),
+       |$rounds""".stripMargin
+  }
+
+  /** Trained unigram artifact, memoized per (session, fixture dir)
+    * like [[bpeTrained]]: the candidate-occurrence relation (word-TYPE
+    * sized — the trainer's working set, kept for the encode entry) and
+    * the final scored vocabulary.
+    *
+    * This is the PRUNE tokenizer family (SentencePiece's unigram LM,
+    * Kudo 2018) structurally: seed a large substring vocabulary, score
+    * every piece by an EM-style responsibility over the corpus, prune
+    * the bottom quarter, re-score against the shrunken vocabulary,
+    * repeat. The scoring step is a deterministic EM surrogate: instead
+    * of forward-backward segmentation posteriors, each character
+    * position of each word splits one unit of responsibility UNIFORMLY
+    * among the surviving candidate occurrences covering it (scaled by
+    * lcm(1..10) so everything stays integer-exact), and a piece's
+    * score is the frequency-weighted sum over its covered positions.
+    * Pieces that explain many positions few rivals cover score high —
+    * the same pressure EM applies — while the whole loop stays
+    * bit-reproducible cross-engine, which real SentencePiece (float
+    * log-likelihoods, annealed EM) is not.
+    *
+    * Scale shape: state is word-TYPE × position bounded (never
+    * corpus-token sized); every round is two joins + two aggregations
+    * against a ≤[[UniSeedSize]]-piece broadcast vocabulary; per-round
+    * frames are materialized and freed ([[graft.plans.Checkpoints]]);
+    * only the scalar vocabulary count ever reaches the driver. */
+  private val uniCache = new graft.plans.Memo[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+
+  private[operators] def unigramTrained(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    uniCache.once((s, dir)) {
+      import graft.plans.Checkpoints
+      val wt = Tables.df(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("w"))
+        .filter(length(col("w")).between(2, UniMaxWord))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val occ = Checkpoints.materialize(wt
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(1), length(col("w")))).as("i"))
+        .select(col("w"), col("freq"), col("i"),
+          explode(sequence(lit(1), lit(UniMaxLen))).as("l"))
+        .filter(col("i") + col("l") - 1 <= length(col("w")))
+        .withColumn("piece", expr("substring(w, i, l)")))
+      var vocab = Checkpoints.materialize(occ
+        .groupBy("piece").agg(sum("freq").as("s0"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("s0").desc, col("piece"))))
+        .filter(col("rk") <= UniSeedSize)
+        .select(col("piece")))
+      var vocabScored: DataFrame = null
+      for (_ <- 1 to UniRounds) {
+        // occurrences of the CURRENT vocabulary — two consumers
+        // (coverage + scoring), one boundary
+        val wo = Checkpoints.materialize(
+          occ.join(broadcast(vocab.select(col("piece"))), Seq("piece")))
+        val cov = wo
+          .select(col("w"),
+            explode(sequence(col("i"), col("i") + col("l") - 1)).as("j"))
+          .groupBy(col("w"), col("j")).agg(count(lit(1)).as("cov"))
+        val scored = Checkpoints.materialize(wo
+          .select(col("w"), col("freq"), col("piece"),
+            explode(sequence(col("i"), col("i") + col("l") - 1)).as("j"))
+          .join(cov, Seq("w", "j"))
+          .groupBy(col("piece"))
+          .agg(sum(col("freq") * expr(s"$UniLcm div cov")).as("score")))
+        val n = scored.count() // vocabulary-sized scalar
+        val keep = (3 * n + 3) / 4
+        val next = Checkpoints.materialize(scored
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("score").desc, col("piece"))))
+          .filter(col("rk") <= keep)
+          .select(col("piece"), col("score")))
+        Seq(wo, scored, vocab).foreach(Checkpoints.free)
+        if (vocabScored != null) Checkpoints.free(vocabScored)
+        vocab = next
+        vocabScored = next
+      }
+      (occ, vocabScored)
+    }
+
+  /** The trained prune-loop's outcome: the final scored vocabulary,
+    * rank included so every round's score→prune arithmetic is
+    * hash-verified end to end. */
+  val textUnigramPruneLoop: Q = Q.df(
+    "text_unigram_prune_loop",
+    s"""$uniOraclePrefix
+       |select piece, score,
+       |  cast(row_number() over (order by score desc, piece) as bigint)
+       |    as rank
+       |from v$UniRounds
+       |order by rank""".stripMargin) { (s, dir) =>
+    val (_, vocab) = unigramTrained(s, dir)
+    vocab
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("piece"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** Encode-side statistics over the shared artifact: per document,
+    * eligible word count, total final-vocab piece occurrences, and
+    * covered character positions — the corpus pass is ONE broadcast
+    * join of word-TYPE stats onto the word stream plus a map-side
+    * aggregation (the [[textBpeEncodeStats]] shape). */
+  val textUnigramEncodeStats: Q = Q.df(
+    "text_unigram_encode_stats",
+    s"""$uniOraclePrefix,
+       |wocc as materialized (
+       |  select o.w, o.i, o.l from occ o
+       |  join v$UniRounds v on o.piece = v.piece),
+       |wn as materialized (
+       |  select w, cast(count(*) as bigint) as n_occ_w
+       |  from wocc group by w),
+       |wcov as materialized (
+       |  select w, cast(count(*) as bigint) as n_cov_w from (
+       |    select distinct w, i + d.d as j
+       |    from wocc cross join (select unnest(range(0, $UniMaxLen)) as d) d
+       |    where d.d < l) t
+       |  group by w),
+       |dw as (select doc_id, w from (
+       |    select doc_id, unnest(string_split(text, ' ')) as w
+       |    from documents) t
+       |  where length(w) between 2 and $UniMaxWord)
+       |select doc_id, cast(count(*) as bigint) as n_words,
+       |  cast(coalesce(sum(coalesce(n_occ_w, 0)), 0) as bigint) as n_occ,
+       |  cast(coalesce(sum(coalesce(n_cov_w, 0)), 0) as bigint) as n_cov
+       |from dw left join wn using (w) left join wcov using (w)
+       |group by doc_id order by doc_id""".stripMargin) { (s, dir) =>
+    import graft.plans.Checkpoints
+    val (occ, vocab) = unigramTrained(s, dir)
+    val wo = Checkpoints.materialize(
+      occ.join(broadcast(vocab.select(col("piece"))), Seq("piece")))
+    val wn = wo.groupBy(col("w")).agg(count(lit(1)).as("n_occ_w"))
+    val wcov = wo
+      .select(col("w"),
+        explode(sequence(col("i"), col("i") + col("l") - 1)).as("j"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("n_cov_w"))
+    val wstats = Checkpoints.materialize(wn.join(wcov, Seq("w")))
+    Checkpoints.free(wo)
+    val out = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")).between(2, UniMaxWord))
+      .join(broadcast(wstats), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        coalesce(sum(coalesce(col("n_occ_w"), lit(0L))), lit(0L))
+          .as("n_occ"),
+        coalesce(sum(coalesce(col("n_cov_w"), lit(0L))), lit(0L))
+          .as("n_cov"))
+      .orderBy(col("doc_id"))
+    out
+  }
+
   /** Per-language head/middle/tail split by LM score (the CCNet
     * bucketing: each language's documents ranked by how well a
     * corpus-trained LM predicts them, then cut into thirds — "head"
@@ -1255,6 +1482,6 @@ object TextAnalysis {
       textWinnow,
       textLmBigram, textFeatureHash, textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
-      textBpeEncodeStats,
+      textBpeEncodeStats, textUnigramPruneLoop, textUnigramEncodeStats,
       qualityPerplexityBuckets, langConfusion, gopherRules)
 }

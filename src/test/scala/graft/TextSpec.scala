@@ -184,4 +184,33 @@ class TextSpec extends AnyFunSuite {
       s"top-pair counts increased: ${cnts.toSeq}")
     assert(cnts.last > 0)
   }
+
+  test("unigram prune loop: vocab shrinks 200 -> ceil(3n/4) per round, " +
+      "scores rank-ordered, pieces bounded and seed-derived") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.textUnigramPruneLoop
+      .run(spark, TestSpark.Sf).collect()
+    // 3 rounds of keep-ceil(3n/4) from a 200-piece seed: 150, 113, 85
+    val expected = (1 to TextAnalysis.UniRounds)
+      .foldLeft(TextAnalysis.UniSeedSize.toLong)((n, _) => (3 * n + 3) / 4)
+    assert(rows.length == expected, s"final vocab ${rows.length}")
+    // ranks are 1..n in score-desc, piece-asc order
+    val ranked = rows.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(ranked.map(_._3).toSeq == (1L to expected).toSeq)
+    val scores = ranked.map(_._2)
+    assert(scores.zip(scores.tail).forall { case (a, b) => b <= a },
+      "scores not non-increasing in rank")
+    assert(scores.forall(_ > 0))
+    assert(ranked.forall(_._1.length <= TextAnalysis.UniMaxLen),
+      "piece longer than the candidate cap")
+    // encode stats cover every eligible doc word's occurrences:
+    // n_occ >= n_words is not guaranteed (words may be uncovered),
+    // but coverage never exceeds occurrences and both are nonnegative
+    val enc = TextAnalysis.textUnigramEncodeStats
+      .run(spark, TestSpark.Sf).collect()
+    assert(enc.nonEmpty)
+    assert(enc.forall(r => r.getLong(2) >= 0 && r.getLong(3) >= 0 &&
+      r.getLong(3) <= r.getLong(2) * TextAnalysis.UniMaxLen))
+  }
 }
