@@ -66,6 +66,52 @@ object EventsStream {
       }
   }
 
+  /** [[runningUserActivity]] on Spark 4's transformWithState — the
+    * successor stateful API ("arbitrary stateful processing v2"):
+    * state is declared as NAMED TYPED HANDLES on a StatefulProcessor
+    * (a ValueState here) instead of one opaque GroupState, which is
+    * what unlocks multiple state variables, per-variable TTL, timers,
+    * and offline state-source inspection per variable. Semantics are
+    * identical to the mapGroupsWithState form — the spec pins
+    * result-equality on the same incremental drive — and the
+    * streaming runtime requires the RocksDB provider for this API
+    * (the matrix runs it there). */
+  final class ActivityProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserActivity] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[UserActivity] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserActivity]("activity",
+        org.apache.spark.sql.Encoders.product[UserActivity],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserActivity] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserActivity(uid, 0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserActivity(uid, n, tot)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserActivityTws(events: Dataset[Event])
+      : Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ActivityProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom state with 0..n outputs per group per batch — the
     * flatMapGroupsWithState surface: emit one alert row for every
     * multiple of `step` the user's cumulative value crosses. */
@@ -406,6 +452,72 @@ object EventsStream {
         .orderBy(col("user_id"))
   }
 
+  /** The RocksDB provider class — transformWithState's required state
+    * backend (and the production choice generally). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Execute [[runningUserActivityTws]] through the REAL streaming
+    * runtime (the API has no batch shortcut here: batch evaluation
+    * needs a state-store coordinator only the streaming runtime
+    * mints): events as a file-source stream, AvailableNow drain,
+    * Update-mode emissions appended to parquet with their micro-batch
+    * id, RocksDB provider (required by transformWithState). State
+    * carries across batches, so each user's LAST emission holds the
+    * full cumulative totals regardless of how the drain was split into
+    * micro-batches — the final aggregation picks it per user. */
+  def runTransformWithStateStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, RocksDbProvider)
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+        val outDir = s"$tmp/out"
+        val ev = Tables.eventsStream(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Event]
+        val q = runningUserActivityTws(ev).toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            batch.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+        // last emission per user: struct max is lexicographic on
+        // batch_id first (no window, one map-side-combined aggregate)
+        s.read.parquet(outDir)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("batch_id"), col("n_events"),
+            col("total_value"))).as("st"))
+          .select(col("user_id"), col("st.n_events").as("n_events"),
+            round(col("st.total_value"), 6).as("total_value"))
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
+  /** transformWithState through the driver gate, driven end-to-end on
+    * the streaming runtime under RocksDB. Oracle discipline as
+    * [[userActivityState]]: iterator-order double fold inside the
+    * processor, round(6) at the surface. */
+  val transformWithStateQ: Q = Q.df(
+    "stream_transform_with_state",
+    """select user_id, cast(count(*) as bigint) as n_events,
+      |  round(cast(sum(cast(value as decimal(12,2))) as double), 6)
+      |    as total_value
+      |from events group by user_id order by user_id""".stripMargin) {
+    (s, dir) =>
+      runTransformWithStateStream(s, dir).orderBy(col("user_id"))
+  }
+
   /** Execute the stream-stream INTERVAL join end-to-end: views and
     * purchases read as two independent file-source streams over the
     * same events fixture, joined with watermarks + a time-bound
@@ -595,6 +707,7 @@ object EventsStream {
   val queries: Seq[Q] =
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,
+      transformWithStateQ,
       intervalJoinStreamed, intervalJoinOuterStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }

@@ -354,6 +354,47 @@ class StreamingSpec extends AnyFunSuite {
     rows
   }
 
+  /** [[driveActivityIncremental]]'s twin on transformWithState: same
+    * two micro-batches, same keys, Update-mode emission log. */
+  private def driveActivityTwsIncremental(): Seq[String] = {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val name = s"activity_tws_${matrixNames.incrementAndGet()}"
+    val in = MemoryStream[Event]
+    val q = EventsStream.runningUserActivityTws(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .start()
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:01:00"), 2, "view", 3.0))
+    q.processAllAvailable()
+    in.addData(
+      Event(3, ts("2024-01-01 00:02:00"), 1, "click", 2.5),
+      Event(4, ts("2024-01-01 00:03:00"), 3, "click", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect().map(_.toString).sorted.toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test("transformWithState: cross-batch ValueState carries, and the " +
+      "emission log equals mapGroupsWithState's on the same drive") {
+    // the successor API must agree with the v1 stateful API on the
+    // identical incremental workload; transformWithState REQUIRES the
+    // RocksDB provider, so both run there (mapGroupsWithState's
+    // default-vs-RocksDB agreement is the matrix test's job)
+    val mgws = withProvider(Some(RocksProvider))(driveActivityIncremental())
+    val tws = withProvider(Some(RocksProvider))(driveActivityTwsIncremental())
+    assert(tws == mgws,
+      s"transformWithState diverged from mapGroupsWithState:\n$tws\n$mgws")
+    assert(tws.nonEmpty)
+    // user 1's second-batch emission shows the carried state (2 events)
+    assert(tws.exists(r => r.contains("[1,2,4.0]")),
+      s"no cumulative second-batch emission for user 1 in $tws")
+  }
+
   test("state data source: the dedup stream's store reads back offline " +
       "and its live keys are exactly the emitted fingerprints") {
     // Spark's statestore/state-metadata DSv2 readers are the offline
