@@ -15,8 +15,17 @@ import org.apache.spark.sql.SparkSession
   * (ln sf, ln t). A corpus-linear operator has α ≤ 1; fixed per-job
   * overhead (scheduling, codegen, streaming-runtime setup) only ever
   * FLATTENS the curve at fixture scale, so the gate asserts α < 1.3
-  * for every audited cell — a super-linear (pairwise/quadratic) shape
-  * would show α → 2 over these two decades and fail loudly.
+  * for every audited cell.
+  *
+  * The slope fit alone is NOT a sufficient gate: a flat,
+  * overhead-dominated first decade drags the least-squares slope down
+  * even when the last decade blows up (times of 1.3/2/60 s fit
+  * α ≈ 0.8). The LAST decade's ratio t(sf0.1)/t(sf0.01) is the
+  * honest data-growth signal — linear growth is bounded by 10× (the
+  * data factor) even with zero overhead, while a data-dominated
+  * quadratic shows ~100× — so a second gate bounds it at
+  * [[MaxDecadeRatio]], above every legitimate linear reading observed
+  * (max 3.0×) and far below any super-linear blowup.
   *
   * Warm-up per (cell, scale) is untimed and absorbs the per-corpus
   * memoized artifact builds (trained models, shingle index, symmetric
@@ -29,7 +38,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Output: one JSON line per cell (times per scale, per-decade ratios,
   * fitted exponent) then a markdown table for BASELINE.md. Exit 1 if
-  * any cell's exponent breaches the gate.
+  * any cell breaches either gate.
   */
 object ScaleCurve {
 
@@ -50,6 +59,12 @@ object ScaleCurve {
 
   /** Gate: fitted exponent must stay below this for every cell. */
   val MaxExponent = 1.3
+
+  /** Gate: the LAST decade's growth ratio must stay below this —
+    * linear growth caps at 10x per decade, so 12 allows full
+    * data-dominated linearity plus noise while catching any
+    * super-linear blowup the slope fit would smooth over. */
+  val MaxDecadeRatio = 12.0
 
   val Scales: Seq[(String, Double)] = Seq(
     "/root/testdata/sf0.001" -> 0.001,
@@ -101,10 +116,16 @@ object ScaleCurve {
 
     spark.stop()
 
-    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    // -1 is the failure sentinel throughout the JSON record: a NaN
+    // exponent must not round to a perfect-looking 0.0, and a ratio
+    // against a failed sample must not print as a negative time ratio
+    def r3(v: Double): Double =
+      if (v.isNaN) -1 else math.round(v * 1000) / 1000.0
+    def ratio(num: Double, den: Double): Double =
+      if (num > 0 && den > 0) r3(num / den) else -1
     rows.foreach { case (name, ts, a) =>
-      val decade1 = if (ts(0) > 0) r3(ts(1) / ts(0)) else -1
-      val decade2 = if (ts(1) > 0) r3(ts(2) / ts(1)) else -1
+      val decade1 = ratio(ts(1), ts(0))
+      val decade2 = ratio(ts(2), ts(1))
       println(s"""{"cell":"$name","t_sf0.001":${r3(ts(0))},""" +
         s""""t_sf0.01":${r3(ts(1))},"t_sf0.1":${r3(ts(2))},""" +
         s""""decade_ratios":[$decade1,$decade2],"exponent":${r3(a)}}""")
@@ -118,13 +139,20 @@ object ScaleCurve {
       println(f"| `$name` | ${ts(0)}%.2f s | ${ts(1)}%.2f s | ${ts(2)}%.2f s " +
         f"| $d1 / $d2 | ${a}%.2f |")
     }
-    val breaches = rows.filter { case (_, _, a) => a.isNaN || a >= MaxExponent }
+    val breaches = rows.filter { case (_, ts, a) =>
+      a.isNaN || a >= MaxExponent ||
+        (ts(1) > 0 && ts(2) / ts(1) >= MaxDecadeRatio)
+    }
     if (breaches.nonEmpty) {
-      breaches.foreach { case (n, _, a) =>
-        System.err.println(f"[scale] GATE BREACH: $n exponent $a%.2f >= $MaxExponent")
+      breaches.foreach { case (n, ts, a) =>
+        val d2 = if (ts(1) > 0) ts(2) / ts(1) else Double.NaN
+        System.err.println(
+          f"[scale] GATE BREACH: $n exponent $a%.2f (max $MaxExponent) " +
+            f"last-decade ratio $d2%.2f (max $MaxDecadeRatio)")
       }
       sys.exit(1)
     }
-    println(s"\n[scale] PASS: all ${rows.size} exponents < $MaxExponent")
+    println(s"\n[scale] PASS: all ${rows.size} cells under exponent " +
+      s"$MaxExponent and last-decade ratio $MaxDecadeRatio")
   }
 }

@@ -1231,8 +1231,12 @@ object Similarity {
     * Σ rel_i / log2(i+1); the ideal ranking puts all R relevant
     * documents first, so IDCG folds the same series to min(k, R);
     * MRR = 1/first-relevant-rank. Both folds run over SORTED bounded
-    * lists (k ≤ 5 terms per cell) and every term is a single division
-    * of exact integers — the cross-engine determinism contract.
+    * lists (k ≤ 5 terms per cell); each term divides an exact-integer
+    * relevance by log2 of an exact-integer rank, so cross-engine
+    * agreement rests on the shared log2-then-round(6) policy the
+    * window-distribution entries established (JVM and DuckDB log2 can
+    * differ in the last ulp; round(6) absorbs it) — not on raw
+    * bit-equality of the folds.
     *
     * Scale shape: the three ranked lists are k-bounded (3·queries·k
     * rows total); relevance is two label-table scans each joining a

@@ -1247,8 +1247,11 @@ object TextAnalysis {
             Window.orderBy(col("score").desc, col("piece"))))
           .filter(col("rk") <= keep)
           .select(col("piece"), col("score")))
+        // vocab is the seed frame in round 1 and the previous round's
+        // kept vocabulary after — exactly one live predecessor either
+        // way, freed here (vocabScored is always that same frame, so
+        // it needs no separate free)
         Seq(wo, scored, vocab).foreach(Checkpoints.free)
-        if (vocabScored != null) Checkpoints.free(vocabScored)
         vocab = next
         vocabScored = next
       }

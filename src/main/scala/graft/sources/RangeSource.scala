@@ -78,6 +78,19 @@ object RangeSource {
   /** The Knuth multiplicative hash column, shared with the oracle. */
   def hash(id: Long): Long = (id * 2654435761L) % 4294967296L
 
+  /** The long-typed generated-column formulas — the SINGLE source of
+    * truth shared by the row reader, the columnar fills, and the PSMA
+    * builder. Three consumers spell these semantics; divergence
+    * between the PSMA index function and the emitted rows would
+    * silently break the [first, last) containment guarantee (rows
+    * dropped, not an error), so they must all read from here. `par`
+    * is boolean and lives in [[par]]. */
+  val LongGen: Map[String, Long => Long] = Map(
+    "id" -> identity[Long] _,
+    "sq" -> ((id: Long) => id * id),
+    "h" -> (hash _),
+    "seg" -> ((id: Long) => id / SegRows))
+
   /** Rows per storage segment: `seg` = id div [[SegRows]] is the
     * segment-id attribute — constant over any segment-aligned batch,
     * the shape real columnar stores carry for block-level metadata
@@ -672,11 +685,7 @@ class RangeReaderFactory(required: StructType,
       var s = rp.start
       var e = rp.end
       psmaProbes.groupBy(_._1).foreach { case (colName, probes) =>
-        val valueOf: Long => Long = colName match {
-          case "h" => RangeSource.hash
-          case "sq" => id => id * id
-        }
-        val psma = new Psma(rp.start, rp.end, valueOf)
+        val psma = new Psma(rp.start, rp.end, RangeSource.LongGen(colName))
         probes.foreach { case (_, v) =>
           val (ps, pe) = psma.probe(v)
           s = math.max(s, ps); e = math.min(e, pe)
@@ -693,11 +702,8 @@ class RangeReaderFactory(required: StructType,
       private var cur = emitStart - 1
       // resolve the pruned projection ONCE per partition, not per row
       private val cols: Array[Long => Any] = required.fieldNames.map {
-        case "id" => (id: Long) => id
-        case "sq" => (id: Long) => id * id
-        case "h" => (id: Long) => RangeSource.hash(id)
-        case "seg" => (id: Long) => id / RangeSource.SegRows
         case "par" => (id: Long) => RangeSource.par(id)
+        case other => RangeSource.LongGen(other)
       }
       override def next(): Boolean = { cur += 1; cur < emitEnd }
       override def get(): InternalRow = {
@@ -752,14 +758,12 @@ class RangeReaderFactory(required: StructType,
       private val batch = new ColumnarBatch(vectors)
       private val fills: Array[(OnHeapColumnVector, Int, Long) => Unit] =
         required.fieldNames.map {
-          case "id" => (v: OnHeapColumnVector, i: Int, id: Long) =>
-            v.putLong(i, id)
-          case "sq" => (v: OnHeapColumnVector, i: Int, id: Long) =>
-            v.putLong(i, id * id)
-          case "h" => (v: OnHeapColumnVector, i: Int, id: Long) =>
-            v.putLong(i, RangeSource.hash(id))
-          case "seg" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
-          case "par" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
+          // seg/par fill through their own vector kinds (constant /
+          // bitmap), not the on-heap long path
+          case "seg" | "par" => (_: OnHeapColumnVector, _: Int, _: Long) => ()
+          case other =>
+            val g = RangeSource.LongGen(other)
+            (v: OnHeapColumnVector, i: Int, id: Long) => v.putLong(i, g(id))
         }
       override def next(): Boolean = {
         if (cur >= emitEnd) return false
