@@ -451,6 +451,17 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       if (cmd.isEmpty) open = false
       else cmd(0) match {
         case ComQuit => open = false
+        case ComResetConnection =>
+          // COM_RESET_CONNECTION: wipe session state WITHOUT
+          // re-authentication — the cheap pooled-link recycle (the
+          // expensive one, COM_CHANGE_USER, also switches identity).
+          // mysqld's defined scope: prepared statements, session
+          // variables, and session options revert to their
+          // connection-start values; the user stays. Answer OK.
+          stmts.clear()
+          conn = new ConnState
+          multiOn = multi
+          writePacket(out, 1, okPacket()); out.flush()
         case ComPing => writePacket(out, 1, okPacket()); out.flush()
         case ComInitDb => writePacket(out, 1, okPacket()); out.flush()
         case ComChangeUser =>
@@ -1343,6 +1354,7 @@ object MysqlServer {
 
   // command bytes (public protocol)
   val ComQuit = 0x01
+  val ComResetConnection = 0x1f
   val ComInitDb = 0x02
   val ComChangeUser = 0x11
   val ComQuery = 0x03

@@ -112,6 +112,86 @@ object EventsStream {
         OutputMode.Update())
   }
 
+  final case class SessionSummary(
+      user_id: Long, n_events: Long, event_ids: Seq[Long])
+
+  /** transformWithState's FULL surface — the capabilities the v1
+    * stateful API structurally lacks, in one processor: TWO named
+    * state variables per key (a ValueState event counter + a
+    * ListState of the session's event ids) and a per-key EVENT-TIME
+    * TIMER that closes the session when the watermark passes
+    * last-event + gap. Input batches only accumulate state and re-arm
+    * the key's single timer (previous timers deleted — listTimers /
+    * deleteTimer is itself part of the surface); emission happens
+    * exclusively on timer EXPIRY, where both variables are read,
+    * emitted, and cleared. mapGroupsWithState can approximate this
+    * only by serializing everything into one state object and
+    * polling timeouts; here each variable is its own store column
+    * family, separately TTL-able and separately visible to the
+    * offline state reader. */
+  final class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionSummary] {
+    @transient private var count:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var ids:
+        org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      ids = getHandle.getListState[Long]("ids",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionSummary] = {
+      var n = if (count.exists()) count.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        ids.appendValue(e.event_id)
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      count.update(n)
+      // exactly one live timer per key: re-arm at last-event + gap
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionSummary] = {
+      val out = SessionSummary(uid,
+        if (count.exists()) count.get() else 0L,
+        ids.get().toSeq.sorted)
+      count.clear()
+      ids.clear()
+      Iterator.single(out)
+    }
+  }
+
+  /** Timer-closed sessions over a watermarked event stream (gap
+    * default 10 s; event-time timers require TimeMode.EventTime and a
+    * watermark on the input). */
+  def timerSessions(events: Dataset[Event],
+      gapMs: Long = 10000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Update())
+  }
+
   /** Custom state with 0..n outputs per group per batch — the
     * flatMapGroupsWithState surface: emit one alert row for every
     * multiple of `step` the user's cumulative value crosses. */

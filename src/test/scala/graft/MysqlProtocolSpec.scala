@@ -371,6 +371,14 @@ class MysqlProtocolSpec extends AnyFunSuite {
       (readPacket(in)._2(0) & 0xFF) == 0x00
     }
 
+    /** COM_RESET_CONNECTION → true on OK. */
+    def resetConnection(): Boolean = {
+      writePacket(out, 0,
+        Array[Byte](MysqlServer.ComResetConnection.toByte))
+      out.flush()
+      (readPacket(in)._2(0) & 0xFF) == 0x00
+    }
+
     /** COM_SET_OPTION → Right(()) on the protocol's EOF answer,
       * Left(err) on ERR. `opt` travels as u16 LE per the spec. */
     def setOption(opt: Int): Either[String, Unit] = {
@@ -875,6 +883,39 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(plain.setOption(7).isLeft)
       assert(plain.ping())
       plain.quit()
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("COM_RESET_CONNECTION: wipes session state without re-auth") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      // session state to wipe: a prepared statement, the ANSI_QUOTES
+      // dialect flip, and a SET_OPTION-enabled multi-statement toggle
+      val Right((sid, _, _)) = c.prepare("select o_orderkey from orders " +
+        "where o_orderkey = ?"): @unchecked
+      assert(c.query("SET sql_mode = 'ANSI_QUOTES'").isRight)
+      assert(c.query("select o_orderkey as \"q\" from orders limit 1")
+        .isRight, "ANSI_QUOTES not in effect before reset")
+      assert(c.setOption(MysqlServer.OptionMultiStatementsOn).isRight)
+      assert(c.queryAll("select 1 as a; select 2 as b").length == 2)
+      assert(c.resetConnection(), "reset refused")
+      // still authenticated — a plain query works immediately
+      assert(c.query("select 3 as z").isRight)
+      // statement registry wiped: the old id is gone
+      assert(c.execute(sid,
+        Seq((0x08, Some(MysqlServer.leBytes(1, 8))))).isLeft,
+        "prepared statement survived the reset")
+      // dialect reverted: double quotes are strings again, so the
+      // aliased-identifier form no longer parses as an identifier
+      assert(c.query("select \"lit\" as s from orders limit 1")
+        .exists(_._2 == Seq(Seq(Some("lit")))),
+        "double-quoted literal not restored after reset")
+      // multi-statement toggle reverted to the handshake value (off)
+      assert(c.query("select 1 as a; select 2 as b").isLeft,
+        "multi-statement toggle survived the reset")
       c.quit()
     } finally server.stop()
   }

@@ -379,6 +379,47 @@ class StreamingSpec extends AnyFunSuite {
     rows
   }
 
+  test("transformWithState timers + multi-variable state: an event-time " +
+      "timer closes the session, emitting both state variables") {
+    withProvider(Some(RocksProvider)) {
+      import spark.implicits._
+      implicit val sq = spark.sqlContext
+      val name = s"tws_timer_${matrixNames.incrementAndGet()}"
+      val in = MemoryStream[Event]
+      val q = EventsStream.timerSessions(in.toDS(), gapMs = 10000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .start()
+      // batch 1: user 1's session (2 events, 60 s apart is ONE session
+      // only because the timer re-arms on the second event)
+      in.addData(
+        Event(11, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(12, ts("2024-01-01 00:00:05"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 advances the watermark past user 1's timer
+      // (00:00:15); its own timer (01:00:10) stays armed
+      in.addData(Event(21, ts("2024-01-01 01:00:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      // batch 3: watermark (01:00:00 from batch 2) > user 1's expiry —
+      // the timer fires HERE and emits the closed session
+      in.addData(Event(31, ts("2024-01-01 02:00:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[EventsStream.SessionSummary]
+        .collect().toSeq
+      q.stop()
+      spark.catalog.dropTempView(name)
+      assert(rows.exists(r =>
+        r.user_id == 1 && r.n_events == 2 && r.event_ids == Seq(11L, 12L)),
+        s"user 1's timer-closed session missing or wrong: $rows")
+      // user 3 arrived last — its timer cannot have fired yet
+      assert(!rows.exists(_.user_id == 3),
+        s"user 3's session closed before any watermark passed it: $rows")
+      // input batches themselves emit nothing: every emission is a
+      // timer expiry carrying BOTH state variables
+      assert(rows.forall(r => r.n_events > 0 && r.event_ids.nonEmpty))
+    }
+  }
+
   test("transformWithState: cross-batch ValueState carries, and the " +
       "emission log equals mapGroupsWithState's on the same drive") {
     // the successor API must agree with the v1 stateful API on the
