@@ -598,6 +598,74 @@ object EventsStream {
       runTransformWithStateStream(s, dir).orderBy(col("user_id"))
   }
 
+  /** Inactivity gap for the executed timer-session entry: 1 hour keeps
+    * both populations non-trivial at every fixture scale (sf0.001:
+    * 14 of 15 users close; sf0.1: 1380 of 1500 — the rest are held
+    * open because the final watermark never proves them quiet). */
+  val TimerSessionGapMs: Long = 3600000L
+
+  /** Execute [[timerSessions]] end-to-end: event-time TIMERS through
+    * the real streaming runtime (RocksDB provider — required by
+    * transformWithState). The single-file fixture drains in ONE data
+    * micro-batch (same assumption the interval-join entries document),
+    * so every user's timer is armed once at their last event + gap;
+    * the trailing no-data micro-batch then runs with the eviction
+    * watermark at the global max event time and fires every timer ≤ it
+    * (`TimerStateImpl.getExpiredTimers` iterates `timerTs <=
+    * threshold`, threshold = `eventTimeWatermarkForEviction` —
+    * verified against the Spark 4.1.2 bytecode). Each fired timer
+    * emits BOTH state variables (count + sorted id list) exactly once;
+    * users whose last event is within one gap of the corpus max stay
+    * open and never emit — watermark-gated emission is the operator's
+    * contract, so the oracle computes the same provability condition
+    * (ms-floored, the precision Spark tracks watermarks at). */
+  def runTimerSessionsStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, RocksDbProvider)
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+        val outDir = s"$tmp/out"
+        val ev = Tables.eventsStream(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value")).as[Event]
+        val q = timerSessions(ev, gapMs = TimerSessionGapMs).toDF()
+          .writeStream
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+
+  val timerSessionsStreamed: Q = Q.df(
+    "stream_timer_sessions",
+    s"""with w as (select max(epoch_us(ts)) // 1000 as w from events)
+       |select user_id, cast(count(*) as bigint) as n_events,
+       |  array_to_string(list_sort(list(event_id)), ',') as event_ids
+       |from events cross join w
+       |group by user_id, w.w
+       |having max(epoch_us(ts)) // 1000 + ${TimerSessionGapMs} <= w.w
+       |order by user_id""".stripMargin) { (s, dir) =>
+    runTimerSessionsStream(s, dir)
+      // the driver compare needs scalar cells: join the (already
+      // sorted) id list into one csv string
+      .select(col("user_id"), col("n_events"),
+        array_join(col("event_ids"), ",").as("event_ids"))
+      .orderBy(col("user_id"))
+  }
+
   /** Execute the stream-stream INTERVAL join end-to-end: views and
     * purchases read as two independent file-source streams over the
     * same events fixture, joined with watermarks + a time-bound
@@ -787,7 +855,7 @@ object EventsStream {
   val queries: Seq[Q] =
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,
-      transformWithStateQ,
+      transformWithStateQ, timerSessionsStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }
