@@ -225,6 +225,80 @@ object TextAnalysis {
     featureHash(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
   }
 
+  /** Buckets for the linear classifier's hashed feature space. */
+  val ClassifierBuckets = 4096
+
+  /** Deterministic per-bucket weight — the stand-in for a TRAINED
+    * model's weight vector: Knuth multiplicative scatter of the bucket
+    * id into [-1000, 1000]. Integer-exact on both engines. */
+  def classifierWeight(bucket: Int): Long =
+    ((bucket.toLong * 2654435761L) & 0xFFFFFFFFL) % 2001L - 1000L
+
+  /** fastText-style linear quality classifier INFERENCE (Joulin et al.
+    * 2016, the architecture CCNet and the LLaMA data pipeline use as a
+    * binary quality filter): each document becomes a bag of hashed
+    * unigram + adjacent-bigram features (`wordNgrams=2`), every
+    * feature votes its bucket's weight, and the sign of the summed
+    * vote is the keep/drop decision. The "trained" weights here are
+    * formula-derived from the bucket id (see [[classifierWeight]]) so
+    * the oracle can reproduce them exactly; a real model would
+    * broadcast its `ClassifierBuckets`-sized weight array to the same
+    * kernel — identical plan shape either way.
+    *
+    * Scale shape: ZERO shuffle — one Dataset kernel pass scores each
+    * document in a single loop (the model is O(buckets), never
+    * corpus-sized), exactly how a 100 TB quality-filter stage runs:
+    * score+filter fused into the ingest scan. All arithmetic is
+    * integer (Σ of ±1000 votes), so the compare is hash-exact. */
+  def classifierScore(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        var dot = 0L
+        var n = 0L
+        def vote(feat: String): Unit = {
+          val b = ((Text.fnv64(feat) & 0xFFFFFFFFL) % ClassifierBuckets).toInt
+          dot += classifierWeight(b)
+          n += 1L
+        }
+        toks.foreach(vote)
+        var i = 0
+        while (i < toks.length - 1) {
+          vote(toks(i) + "_" + toks(i + 1))
+          i += 1
+        }
+        (id, n, dot, if (dot >= 0L) "keep" else "drop")
+      }
+      .toDF("doc_id", "n_feats", "dot", "label")
+  }
+
+  val textClassifierScore: Q = Q.df(
+    "text_classifier_score",
+    s"""with tok as (select doc_id, unnest(string_split(text, ' ')) as tok,
+       |    generate_subscripts(string_split(text, ' '), 1) as pos
+       |  from documents),
+       |feats as (
+       |  select doc_id, tok as feat from tok
+       |  union all
+       |  select doc_id, feat from (
+       |    select doc_id, tok || '_' || lead(tok) over
+       |      (partition by doc_id order by pos) as feat from tok)
+       |  where feat is not null),
+       |w as (select doc_id,
+       |    (cast(${Text.sqlFnv64("feat")} % 4294967296::hugeint
+       |          % $ClassifierBuckets as bigint)
+       |     * 2654435761) % 4294967296 % 2001 - 1000 as w
+       |  from feats)
+       |select doc_id, cast(count(*) as bigint) as n_feats,
+       |  cast(sum(w) as bigint) as dot,
+       |  case when sum(w) >= 0 then 'keep' else 'drop' end as label
+       |from w group by doc_id order by doc_id""".stripMargin) { (s, dir) =>
+    classifierScore(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
+  }
+
   /** PII-pattern flags — the filter a training-data pipeline runs before
     * anything else. Pure regexp column expressions (no lookbehind, so
     * the patterns behave identically under Java regex and RE2). */
@@ -1483,7 +1557,7 @@ object TextAnalysis {
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, exprVariant, textEntropy, textLmScore,
       textWinnow,
-      textLmBigram, textFeatureHash, textNgramNovelty,
+      textLmBigram, textFeatureHash, textClassifierScore, textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       textBpeEncodeStats, textUnigramPruneLoop, textUnigramEncodeStats,
       qualityPerplexityBuckets, langConfusion, gopherRules)

@@ -213,4 +213,28 @@ class TextSpec extends AnyFunSuite {
     assert(enc.forall(r => r.getLong(2) >= 0 && r.getLong(3) >= 0 &&
       r.getLong(3) <= r.getLong(2) * TextAnalysis.UniMaxLen))
   }
+
+  test("classifier score: zero-shuffle plan, bounded votes, hand-checked doc") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val scored = TextAnalysis.classifierScore(docs)
+    // features: unigrams a, b, a + bigrams a_b, b_a → n_feats = 5
+    val r = scored.collect()(0)
+    assert(r.getLong(1) == 5L)
+    val exp = Seq("a", "b", "a", "a_b", "b_a").map { f =>
+      TextAnalysis.classifierWeight(
+        ((Text.fnv64(f) & 0xFFFFFFFFL) % TextAnalysis.ClassifierBuckets).toInt)
+    }.sum
+    assert(r.getLong(2) == exp)
+    assert(r.getString(3) == (if (exp >= 0) "keep" else "drop"))
+    // every vote is in [-1000, 1000], so |dot| <= 1000 * n_feats
+    val full = TextAnalysis.classifierScore(
+      Tables.df(spark, TestSpark.Sf, "documents")).collect()
+    assert(full.forall(x => math.abs(x.getLong(2)) <= 1000L * x.getLong(1)))
+    // the filter stage fuses into the scan: no Exchange anywhere
+    val plan = TextAnalysis.classifierScore(
+      Tables.df(spark, TestSpark.Sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
