@@ -666,6 +666,50 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-STATIC dimension join executed end-to-end — the standard
+    * production enrichment front: a fact stream joined per micro-batch
+    * against a static dimension table (the static side is re-planned
+    * each batch, so a dimension refresh between batches would be
+    * picked up — the semantics that distinguish this from a one-shot
+    * batch join). The dimension is explicitly `broadcast()`: at 100 TB
+    * the stream side never shuffles for this join — each micro-batch's
+    * scan gets the dim hash table shipped to it, and the downstream
+    * aggregation is the only exchange. Complete-mode accumulation
+    * across batches equals the one-shot batch join the oracle runs. */
+  def runStaticJoinStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val outDir = s"$tmp/out"
+      val dim = broadcast(Tables.df(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = Tables.eventsStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(m(col("value"))).as("total"))
+      val q = joined.writeStream
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+    }
+
+  val staticJoinStreamed: Q = Q.df(
+    "stream_static_join",
+    s"""select c_mktsegment, event_type,
+       |  cast(count(*) as bigint) as n,
+       |  cast(sum(${sqlM("value")}) as double) as total
+       |from events join customer on user_id = c_custkey
+       |group by 1, 2 order by 1, 2""".stripMargin) { (s, dir) =>
+    runStaticJoinStream(s, dir)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Execute the stream-stream INTERVAL join end-to-end: views and
     * purchases read as two independent file-source streams over the
     * same events fixture, joined with watermarks + a time-bound
@@ -818,6 +862,105 @@ object EventsStream {
     runRangeSourceStream(s).orderBy(col("bucket"))
   }
 
+  /** Latest applied MERGE generation under `tmp/gen`: dirs are named
+    * `g<batchId>`, so the newest id IS the replay high-watermark. */
+  private def latestGen(tmp: String): Option[(Long, java.io.File)] = {
+    val d = new java.io.File(s"$tmp/gen")
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .flatMap(f =>
+        scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
+      .sortBy(_._1).lastOption
+  }
+
+  /** Apply ONE micro-batch's per-bucket aggregate to the running
+    * target by MERGE semantics — WHEN MATCHED add the deltas, WHEN NOT
+    * MATCHED insert — via the same full-outer + coalesce rewrite the
+    * batch `dml_merge_upsert` entry uses (parquet has no native MERGE;
+    * the rewrite is the portable form). Exactly-once under retries
+    * comes from the REPLAY GUARD, not from luck: each apply writes a
+    * new generation directory named by its batch id, and a batch whose
+    * id is ≤ the newest generation is skipped — the transactional
+    * (streamId, batchId) high-watermark idiom every foreachBatch sink
+    * that does non-idempotent work must carry (additive MERGE applied
+    * twice would double-count). Returns true when the batch was
+    * applied, false when the guard skipped it (spec-pinned). */
+  def applyMergeBatch(s: SparkSession, tmp: String, agg: DataFrame,
+      bid: Long): Boolean = {
+    val cur = latestGen(tmp)
+    if (cur.exists(_._1 >= bid)) false
+    else {
+      val next = cur match {
+        case None => agg
+        case Some((_, f)) =>
+          s.read.parquet(f.toString)
+            .select(col("bucket"), col("n").as("tn"),
+              col("sum_sq").as("tsq"))
+            .join(agg, Seq("bucket"), "full_outer")
+            .select(col("bucket"),
+              (coalesce(col("tn"), lit(0L)) +
+                coalesce(col("n"), lit(0L))).as("n"),
+              (coalesce(col("tsq"), lit(0L)) +
+                coalesce(col("sum_sq"), lit(0L))).as("sum_sq"))
+      }
+      next.write.mode("overwrite").parquet(s"$tmp/gen/g$bid")
+      true
+    }
+  }
+
+  /** The current merged target (latest generation); empty when none. */
+  def applyMergeBatchRead(s: SparkSession, tmp: String): DataFrame =
+    latestGen(tmp) match {
+      case Some((_, f)) => s.read.parquet(f.toString)
+      case None => s.emptyDataFrame
+    }
+
+  /** Streaming MERGE upsert executed end-to-end — the CDC-apply
+    * pattern: the custom DSv2 range source drains under admission
+    * control (16384 rows/batch → 7 micro-batches), and EACH batch's
+    * per-bucket aggregate MERGEs into the running target (batch 0
+    * takes the all-INSERT path, batches 1-6 the all-UPDATE path; a
+    * batch straddling a new bucket would take both). The final target
+    * must equal the one-shot aggregate — any dropped, replayed, or
+    * double-applied batch shifts a bucket's count. At 100 TB each
+    * apply touches only target ∪ batch keys; generations are the swap
+    * a table format (Delta/Iceberg) would do transactionally. */
+  def runMergeUpsertStream(s: SparkSession): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_").toString
+      val q = s.readStream
+        .format(classOf[graft.sources.RangeTableProvider].getName)
+        .option("end", "100000").option("slices", "4")
+        .option("batchRows", "16384")
+        .load()
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val agg = batch
+            .groupBy((col("id") % 11).as("bucket"))
+            .agg(count(lit(1)).as("n"), sum(col("sq")).as("sum_sq"))
+          applyMergeBatch(s, tmp, agg, bid)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      applyMergeBatchRead(s, tmp)
+    }
+
+  val mergeUpsertStreamed: Q = Q.df(
+    "stream_merge_upsert",
+    """with t as (select range as id, range * range as sq
+      |  from range(0, 100000))
+      |select id % 11 as bucket, cast(count(*) as bigint) as n,
+      |  cast(sum(sq) as bigint) as sum_sq
+      |from t group by bucket order by bucket""".stripMargin) { (s, dir) =>
+    runMergeUpsertStream(s).orderBy(col("bucket"))
+  }
+
   /** Execute [[sessions]] through the REAL streaming runtime. Session
     * windows are the one windowed aggregation whose streaming state
     * MERGES: an arriving event can bridge two open sessions into one,
@@ -855,7 +998,8 @@ object EventsStream {
   val queries: Seq[Q] =
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,
-      transformWithStateQ, timerSessionsStreamed,
+      transformWithStateQ, timerSessionsStreamed, staticJoinStreamed,
+      mergeUpsertStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }

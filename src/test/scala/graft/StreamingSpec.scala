@@ -463,6 +463,28 @@ class StreamingSpec extends AnyFunSuite {
       s"state keys (${keys.size}) != sink fingerprints (${sunk.size})")
   }
 
+  test("merge-upsert replay guard: a re-delivered batch id is skipped, " +
+      "an advancing id merges (update + insert paths)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_merge_spec_").toString
+    val b0 = Seq((1L, 10L, 100L), (2L, 5L, 50L))
+      .toDF("bucket", "n", "sum_sq")
+    assert(EventsStream.applyMergeBatch(spark, tmp, b0, 0L))
+    // REPLAY of batch 0 (a foreachBatch retry): guard must refuse
+    assert(!EventsStream.applyMergeBatch(spark, tmp, b0, 0L))
+    // batch 1: bucket 1 updates, bucket 3 inserts
+    val b1 = Seq((1L, 2L, 20L), (3L, 7L, 70L)).toDF("bucket", "n", "sum_sq")
+    assert(EventsStream.applyMergeBatch(spark, tmp, b1, 1L))
+    // a late replay of an OLD id after newer generations: refused too
+    assert(!EventsStream.applyMergeBatch(spark, tmp, b0, 0L))
+    val rows = EventsStream.applyMergeBatchRead(spark, tmp)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 12L, 120L), (2L, 5L, 50L), (3L, 7L, 70L)),
+      s"merged state wrong: $rows")
+  }
+
   test("state-store provider matrix: every stateful stream agrees " +
       "across default and RocksDB") {
     // Patterns, hardest first: merging session windows (range read +
