@@ -555,6 +555,87 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- Filtered ANN (metadata predicate at query time) --------------------
+
+  /** The filtered-search predicate: even-label corpus vectors only.
+    * Rendered identically in [[sqlFilteredPred]]. */
+  private def filteredPred: Column = col("label") % 2 === 0
+  private val sqlFilteredPred = "label % 2 = 0"
+
+  /** FILTERED ANN — top-k under a metadata predicate, the query shape
+    * every real vector deployment serves ("similar docs, but only
+    * lang='en' / not-deleted / in-tenant"). The predicate is applied to
+    * the INVERTED LISTS before the candidate join (pre-filtering), not
+    * to the ranked output (post-filtering): a post-filter on a
+    * selective predicate starves the result below k because the k
+    * unfiltered winners may all fail it, while the pre-filtered probe
+    * ranks only eligible vectors and keeps k full within the probed
+    * cells. The coarse quantizer is the SHARED per-corpus model — one
+    * index serves filtered and unfiltered traffic; only the list
+    * traversal changes, exactly how FAISS/Vespa-style engines run
+    * predicate-filtered scans.
+    *
+    * Scale shape: the predicate reaches the parquet scan (pushed
+    * filter on a metadata column) and everything downstream shrinks by
+    * its selectivity; no post-hoc k-starvation retries. */
+  def ivfFilteredTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
+    import spark.implicits._
+    val cm = trainedCentroids(emb, dir)
+    lastTrained = cm
+    val corpus = withUnit(emb.filter(filteredPred))
+      .as[(Long, Array[Double])]
+      .map { case (id, u) => (id, u, nearestCentroids(u, 1, cm)(0)) }
+      .toDF("neighbor_id", "cv", "cid")
+    val queries = withUnit(emb).as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        nearestCentroids(u, NProbe, cm).map(c => (id, u, c))
+      }
+      .toDF("query_id", "qv", "cid")
+    queries.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** [[ivfOracle]] with the predicate applied to the corpus side (the
+    * assignment CTE joins back to the labels); same late-bound trained
+    * centroids. */
+  private def ivfFilteredOracle: String = {
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    s"""with ${sqlCentroidValues(cm)},
+       |e as ($sqlUnit),
+       |$sqlAssignProbeCtes,
+       |assignf as (
+       |  select a.* from assign a
+       |  join embeddings em on a.vec_id = em.vec_id
+       |  where em.$sqlFilteredPred),
+       |pairs as (
+       |  select q.vec_id as query_id, a.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "a")} as cos
+       |  from probes q join assignf a on q.cid = a.cid
+       |  where q.vec_id <> a.vec_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+       |from (select *, cast(row_number() over (
+       |        partition by query_id order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annFiltered: Q = Q.df("ann_filtered_topk", ivfFilteredOracle) {
+    (s, dir) =>
+      ivfFilteredTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- Product quantization (ADC scoring) --------------------------------
 
   /** PQ geometry: M subspaces × Ks codewords over the unit vectors.
@@ -1709,7 +1790,8 @@ object Similarity {
   }
 
   val queries: Seq[Q] =
-    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annPq,
+    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annFiltered,
+      annPq,
       annIvfPq, annIndexPersist, annIndexIncremental, annRecall,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
