@@ -55,7 +55,12 @@ object ScaleCurve {
     "text_bpe_merge_loop",        // word-TYPE state merge loop
     "stream_interval_join",       // two-sided watermark state
     "events_attribution",         // sessionized credit assignment
-    "corpus_source_overlap")      // cross-source shingle agreement
+    "corpus_source_overlap",      // cross-source shingle agreement
+    "stream_timer_sessions",      // per-key timer state, watermark-bounded
+    "stream_static_join",         // broadcast dim join per micro-batch
+    "text_classifier_score",      // zero-shuffle kernel scan
+    "ann_filtered_topk",          // pre-filtered inverted lists
+    "retrieval_eval_ndcg")        // k-bounded ranked-list evaluation
 
   /** Gate: fitted exponent must stay below this for every cell. */
   val MaxExponent = 1.3

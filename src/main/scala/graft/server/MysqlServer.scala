@@ -5,7 +5,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, EOFException,
 import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
-import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
@@ -72,8 +72,14 @@ import org.apache.spark.sql.types._
   *    COM_STMT_CLOSE (silent) and COM_STMT_RESET complete the
   *    lifecycle. Param types are remembered across executions of a
   *    handle, as the protocol requires when new_params_bound_flag = 0.
-  *  - COM_PING / COM_INIT_DB / COM_QUIT; everything else answers ERR
-  *    1047 (unknown command) without dropping the connection.
+  *  - COM_PING / COM_INIT_DB / COM_QUIT, and the admin quartet the
+  *    reference's command enum also decodes (doradb-protocol/src/mysql/
+  *    cmd/mod.rs:21-25): COM_STATISTICS (raw-string status line — the
+  *    `mysqladmin status` framing, no OK/resultset envelope),
+  *    COM_PROCESS_INFO (SHOW PROCESSLIST resultset from the live
+  *    registry), COM_PROCESS_KILL (close a connection by id; ERR 1094
+  *    for unknown ids), COM_DEBUG (EOF ack). Everything else answers
+  *    ERR 1047 (unknown command) without dropping the connection.
   *
   * Row values travel as text (the MySQL text protocol), so the Spark →
   * wire mapping is `Row.get(i).toString` plus a type byte per column for
@@ -97,6 +103,16 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private val running = new AtomicBoolean(true)
   private val connIds = new AtomicInteger(0)
   private val saltRng = new java.security.SecureRandom()
+
+  /** Admin-command state: server start for COM_STATISTICS' uptime,
+    * statements served (mysqld's Questions), and the live-connection
+    * registry COM_PROCESS_INFO lists and COM_PROCESS_KILL targets. */
+  private val startedAtMs = System.currentTimeMillis()
+  private val questions = new AtomicLong(0)
+  private final class LiveConn(val id: Int, val socket: Socket,
+      val startedMs: Long) { @volatile var user: String = "" }
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[Integer, LiveConn]
 
   def boundPort: Int = socket.getLocalPort
 
@@ -136,8 +152,12 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     // packet at most); buffering starts after the channel is settled.
     val rawIn = client.getInputStream
     val out = new BufferedOutputStream(client.getOutputStream)
+    val connId = connIds.incrementAndGet()
+    // registered before the handshake (mysqld lists connecting clients
+    // too); removed on the way out, whatever the exit path
+    val lc = new LiveConn(connId, client, System.currentTimeMillis())
+    live.put(connId, lc)
     try {
-      val connId = connIds.incrementAndGet()
       val salt = newSalt()
       writePacket(out, 0, handshakeV10(connId, salt))
       out.flush()
@@ -177,14 +197,14 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           errPacket(1043, "08S01", "pre-4.1 clients are not supported"))
         cout.flush()
       } else if (authPhase(cin, cout, resp, respSeq, clientFlags, salt,
-          secure))
+          secure, lc))
         commandLoop(cin, cout, secure,
-          (clientFlags & ClientMultiStatements) != 0)
+          (clientFlags & ClientMultiStatements) != 0, lc)
     } catch {
       case _: EOFException => // client went away
       case _: Throwable if !running.get() =>
       case e: Throwable => System.err.println(s"[mysql] conn: $e")
-    } finally client.close()
+    } finally { live.remove(connId); client.close() }
   }
 
   /** Connection-phase credential check with plugin negotiation; true =
@@ -226,7 +246,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
 
   private def authPhase(in: InputStream, out: OutputStream,
       resp: Array[Byte], seq0: Int, flags: Long,
-      salt: Array[Byte], secure: Boolean): Boolean = {
+      salt: Array[Byte], secure: Boolean, lc: LiveConn): Boolean = {
     var seq = seq0
     def accept(): Boolean = {
       writePacket(out, seq + 1, okPacket()); out.flush(); true
@@ -236,7 +256,15 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
         s"Access denied for user '$user'"))
       out.flush(); false
     }
-    if (users.isEmpty) return accept() // permissive dev mode (loopback bind)
+    if (users.isEmpty) { // permissive dev mode (loopback bind)
+      // no credential check, but record who the client CLAIMS to be so
+      // the COM_PROCESS_INFO listing stays meaningful
+      val off = 4 + 4 + 1 + 23
+      val e = resp.indexOf(0.toByte, off)
+      if (e > off)
+        lc.user = new String(resp, off, e - off, StandardCharsets.UTF_8)
+      return accept()
+    }
     try {
       var off = 4 + 4 + 1 + 23 // flags, max-packet, charset, reserved
       val unameEnd = resp.indexOf(0.toByte, off)
@@ -291,7 +319,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           seq = s2
           r2
         } else authResp
-      finishAuth(in, out, seq, user, known, cred, salt, response, secure)
+      val ok = finishAuth(in, out, seq, user, known, cred, salt, response,
+        secure)
+      if (ok) lc.user = user
+      ok
     } catch {
       // malformed handshake tail (truncated lenenc, NULL/negative lenenc
       // length making copyOfRange throw IllegalArgument, short
@@ -371,7 +402,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
     * catalog, so "switch default database" has nothing to switch, and
     * the connection's charset stays the handshake-negotiated utf8mb4. */
   private def changeUser(in: InputStream, out: OutputStream,
-      cmd: Array[Byte], secure: Boolean): Boolean = {
+      cmd: Array[Byte], secure: Boolean, lc: LiveConn): Boolean = {
     var seq = 0
     def denied(user: String): Boolean = {
       writePacket(out, seq + 1, errPacket(1045, "28000",
@@ -385,7 +416,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       val unameEnd = cmd.indexOf(0.toByte, 1)
       if (unameEnd < 0) return denied("")
       val user = new String(cmd, 1, unameEnd - 1, StandardCharsets.UTF_8)
-      if (users.isEmpty) return accept() // permissive dev mode
+      if (users.isEmpty) { lc.user = user; return accept() } // dev mode
       val known = users.contains(user)
       val cred = users.getOrElse(user, DummyCred)
       val salt2 = newSalt()
@@ -397,7 +428,9 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       out.flush()
       val (s2, r2) = readPacket(in)
       seq = s2
-      finishAuth(in, out, seq, user, known, cred, salt2, r2, secure)
+      val ok = finishAuth(in, out, seq, user, known, cred, salt2, r2, secure)
+      if (ok) lc.user = user
+      ok
     } catch {
       case scala.util.control.NonFatal(_) => denied("?")
     }
@@ -434,7 +467,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private final class ConnState { var ansiQuotes = false }
 
   private def commandLoop(in: InputStream, out: OutputStream,
-      secure: Boolean = false, multi: Boolean = false): Unit = {
+      secure: Boolean, multi: Boolean, lc: LiveConn): Unit = {
     var open = true
     // Statement registry is per CONNECTION (protocol scope): ids restart
     // at 1 on each connection and die with it, like mysqld's.
@@ -464,6 +497,80 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           writePacket(out, 1, okPacket()); out.flush()
         case ComPing => writePacket(out, 1, okPacket()); out.flush()
         case ComInitDb => writePacket(out, 1, okPacket()); out.flush()
+        case ComStatistics =>
+          // COM_STATISTICS answers ONE packet whose payload is a raw
+          // human-readable ASCII string — no OK/ERR/resultset framing
+          // (the `mysqladmin status` wire shape). Fields mirror
+          // mysqld's line; table-cache counters are fixed (this server
+          // has no table cache to report).
+          val up = (System.currentTimeMillis() - startedAtMs) / 1000L
+          val qs = questions.get()
+          val qps =
+            if (up > 0) f"${qs.toDouble / up}%.3f" else f"$qs%d.000"
+          val stats = s"Uptime: $up  Threads: ${live.size}  " +
+            s"Questions: $qs  Slow queries: 0  Opens: 0  " +
+            s"Flush tables: 1  Open tables: 0  " +
+            s"Queries per second avg: $qps"
+          writePacket(out, 1, stats.getBytes(StandardCharsets.US_ASCII))
+          out.flush()
+        case ComProcessInfo =>
+          // COM_PROCESS_INFO: the SHOW PROCESSLIST resultset, built
+          // from the live-connection registry (no SQL round trip).
+          // Commands render as mysqld does: the asking connection is
+          // mid-command ("Query"), everyone else idles ("Sleep").
+          var seq = 1
+          def send(p: Array[Byte]): Unit = {
+            writePacket(out, seq, p); seq += 1
+          }
+          val fields = Seq(
+            StructField("Id", LongType), StructField("User", StringType),
+            StructField("Command", StringType),
+            StructField("Time", LongType))
+          send(lenencInt(fields.length))
+          fields.foreach(f => send(columnDefinition(f)))
+          send(eofPacket())
+          val now = System.currentTimeMillis()
+          live.values.toArray(Array.empty[LiveConn]).sortBy(_.id)
+            .foreach { c =>
+              val buf = new java.io.ByteArrayOutputStream()
+              def cell(s: String): Unit = {
+                val b = s.getBytes(StandardCharsets.UTF_8)
+                buf.write(lenencInt(b.length)); buf.write(b)
+              }
+              cell(c.id.toString)
+              cell(c.user)
+              cell(if (c.id == lc.id) "Query" else "Sleep")
+              cell(((now - c.startedMs) / 1000L).toString)
+              send(buf.toByteArray)
+            }
+          send(eofPacket(StatusAutocommit))
+          out.flush()
+        case ComProcessKill =>
+          // COM_PROCESS_KILL: u32 LE connection id. Closing the
+          // victim's socket ends its read loop cleanly (the same path
+          // as a client hangup); an unknown id is mysqld's ERR 1094.
+          // Self-kill is legal: OK is written first, then this loop
+          // dies on its closed socket.
+          if (cmd.length >= 5) {
+            val id = leU32(cmd, 1).toInt
+            val victim = live.get(id)
+            if (victim != null) {
+              writePacket(out, 1, okPacket()); out.flush()
+              try victim.socket.close() catch { case _: Throwable => () }
+            } else {
+              writePacket(out, 1,
+                errPacket(1094, "HY000", s"Unknown thread id: $id"))
+              out.flush()
+            }
+          } else {
+            writePacket(out, 1, errPacket(1835, "HY000",
+              "Malformed communication packet"))
+            out.flush()
+          }
+        case ComDebug =>
+          // COM_DEBUG: mysqld dumps internals to ITS OWN stderr and
+          // answers EOF — the wire carries only the acknowledgement.
+          writePacket(out, 1, eofPacket()); out.flush()
         case ComChangeUser =>
           // Re-authentication on an open connection — the command every
           // connection pool issues to hand a pooled link to a new
@@ -471,7 +578,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           // wipes it (prepared statements, session sql_mode); on
           // FAILURE the connection stays usable under the OLD identity
           // (mysqld keeps the session; only the switch is refused).
-          if (changeUser(in, out, cmd, secure)) {
+          if (changeUser(in, out, cmd, secure, lc)) {
             stmts.clear()
             conn = new ConnState
             // session reset restores the HANDSHAKE-negotiated
@@ -489,7 +596,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           if (cmd.length < 10)
             { writePacket(out, 1, errPacket(1835, "HY000",
                 "Malformed communication packet")); out.flush() }
-          else runExecute(out, stmts, cmd, conn)
+          else { questions.incrementAndGet(); runExecute(out, stmts, cmd, conn) }
         case ComStmtSendLongData =>
           // COM_STMT_SEND_LONG_DATA: stmt_id u32 + param_id u16 + raw
           // chunk; chunks for one param concatenate in arrival order.
@@ -562,6 +669,7 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
             "This version of MySQL doesn't yet support 'cursor protocol'"))
           out.flush()
         case ComQuery =>
+          questions.incrementAndGet()
           val sql = new String(cmd, 1, cmd.length - 1, StandardCharsets.UTF_8)
           // CLIENT_MULTI_STATEMENTS: split at top-level ';' and answer
           // one resultset per statement, every non-final terminal
@@ -1367,6 +1475,10 @@ object MysqlServer {
   val ComStmtReset = 0x1a
   val ComSetOption = 0x1b
   val ComStmtFetch = 0x1c
+  val ComStatistics = 0x09
+  val ComProcessInfo = 0x0a
+  val ComProcessKill = 0x0c
+  val ComDebug = 0x0d
 
   /** COM_SET_OPTION operands (the only two the protocol defines). */
   val OptionMultiStatementsOn = 0

@@ -371,6 +371,44 @@ class MysqlProtocolSpec extends AnyFunSuite {
       (readPacket(in)._2(0) & 0xFF) == 0x00
     }
 
+    /** COM_STATISTICS → the raw status line (no packet envelope). */
+    def statistics(): String = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComStatistics.toByte))
+      out.flush()
+      new String(readPacket(in)._2, StandardCharsets.US_ASCII)
+    }
+
+    /** COM_PROCESS_INFO → the processlist resultset. */
+    def processInfo()
+        : Either[String, (Seq[String], Seq[Seq[Option[String]]])] = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComProcessInfo.toByte))
+      out.flush()
+      val (s, first) = readPacket(in)
+      lastSeqRead = s
+      (first(0) & 0xFF) match {
+        case 0xFF =>
+          Left(new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
+        case _ => readTextResultset(first).map { case (c, r, _) => (c, r) }
+      }
+    }
+
+    /** COM_PROCESS_KILL → true on OK, false on ERR. */
+    def processKill(id: Long): Boolean = {
+      writePacket(out, 0,
+        Array[Byte](MysqlServer.ComProcessKill.toByte) ++
+          MysqlServer.leBytes(id.toInt, 4))
+      out.flush()
+      (readPacket(in)._2(0) & 0xFF) == 0x00
+    }
+
+    /** COM_DEBUG → true on the EOF ack. */
+    def debug(): Boolean = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComDebug.toByte))
+      out.flush()
+      val p = readPacket(in)._2
+      (p(0) & 0xFF) == 0xFE && p.length < 9
+    }
+
     /** COM_RESET_CONNECTION → true on OK. */
     def resetConnection(): Boolean = {
       writePacket(out, 0,
@@ -886,6 +924,46 @@ class MysqlProtocolSpec extends AnyFunSuite {
       c.quit()
     } finally server.stop()
   }
+
+  test("admin commands: statistics line, processlist, kill by id, debug ack") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val a = new Client(server.boundPort)
+      val b = new Client(server.boundPort)
+      assert(a.query("select 1 as x").isRight)
+      assert(b.query("select 2 as y").isRight)
+      // raw status line: mysqladmin-status framing, counters live
+      val st = a.statistics()
+      assert(st.startsWith("Uptime: ") && st.contains("Threads: 2"), st)
+      val qs = st.split("Questions: ")(1).split(" ")(0).toLong
+      assert(qs >= 2, s"questions counter stuck: $st")
+      // processlist: both connections, the asker mid-Query
+      val Right((cols, rows)) = a.processInfo(): @unchecked
+      assert(cols == Seq("Id", "User", "Command", "Time"))
+      assert(rows.length == 2, s"expected both connections: $rows")
+      assert(rows.forall(_(1).contains("graft")), s"user column: $rows")
+      assert(rows.count(_(2).contains("Query")) == 1, s"commands: $rows")
+      // kill the idle one by its listed id; its socket dies cleanly
+      val victimId = rows.find(_(2).contains("Sleep")).get.head.get.toLong
+      assert(!a.processKill(99999L), "unknown thread id must ERR")
+      assert(a.processKill(victimId), "kill refused")
+      intercept[Exception] { (1 to 3).foreach(_ => b.query("select 3 as z")) }
+      // the registry shrinks once the victim's loop exits
+      assert(eventually(20) {
+        a.processInfo().exists(_._2.length == 1)
+      }, "killed connection still listed")
+      assert(a.debug(), "COM_DEBUG must answer EOF")
+      assert(a.query("select 4 as w").isRight)
+      a.quit()
+    } finally server.stop()
+  }
+
+  /** Poll `cond` up to `tries` times, 100 ms apart. */
+  private def eventually(tries: Int)(cond: => Boolean): Boolean =
+    (1 to tries).exists { _ =>
+      if (cond) true else { Thread.sleep(100); false }
+    }
 
   test("COM_RESET_CONNECTION: wipes session state without re-auth") {
     Tables.registerAll(spark, TestSpark.Sf)
