@@ -39,6 +39,7 @@ object Session {
       .withExtensions(graft.functions.UnicodeNormalize.inject)
       .withExtensions(graft.plans.AsOfJoinNative.inject)
       .withExtensions(graft.plans.NormalizeRules.inject)
+      .withExtensions(graft.plans.MvRewrite.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

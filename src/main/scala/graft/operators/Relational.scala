@@ -1857,7 +1857,34 @@ object Relational {
       .orderBy(col("doc_id"))
   }
 
+  /** Materialized-view AUTOMATIC rewrite through the driver gate: the
+    * query below aggregates the BASE lineitem table; the injected
+    * [[graft.plans.MvRewrite]] rule redirects it to the
+    * (returnflag, linestatus, shipdate) summary and re-aggregates the
+    * partials — grouping by a strict SUBSET of the MV dimensions, the
+    * roll-up case that makes an MV a reusable asset rather than one
+    * query's cache. The ORACLE computes from the base table in DuckDB,
+    * so the hash compare proves the rewrite is semantically invisible
+    * (decimal partials make the roll-up bit-exact). The rewrite firing
+    * (MV scanned, base scan gone) is plan-asserted in MvRewriteSpec. */
+  val mvRewriteRollup: Q = Q.df("mv_rewrite_rollup",
+    """select l_returnflag, cast(count(*) as bigint) as n_items,
+      |  cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(12,2))) as double)
+      |    as sum_price
+      |from lineitem group by l_returnflag
+      |order by l_returnflag""".stripMargin) { (s, dir) =>
+    graft.plans.MvRewrite.ensure(s, dir)
+    Tables.df(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(m(col("l_quantity"))).as("sum_qty"),
+        dsum(m(col("l_extendedprice"))).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Seq[Q] = Seq(
+    mvRewriteRollup,
     exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,
     setopUnionAll, setopUnionDistinct, setopUnionByName,

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Money._
+import graft.plans.MvRewrite
+
+/** The MV automatic-rewrite rule: fires on exactly the answerable
+  * shapes, vetoes everything else, and is semantically invisible. */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def base: DataFrame = Tables.df(spark, TestSpark.Sf, "lineitem")
+
+  /** Root paths of every file scan in the optimized plan (the plan's
+    * string form does not render paths). */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  private def scansBase(df: DataFrame): Boolean =
+    scanPaths(df).exists(_.endsWith("lineitem.parquet"))
+
+  private def scansMv(df: DataFrame): Boolean =
+    scanPaths(df).exists(_.contains("mv_lineitem_agg"))
+
+  test("subset roll-up rewrites to the MV scan and equals the direct run") {
+    MvRewrite.ensure(spark, TestSpark.Sf)
+    def q = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), dsum(m(col("l_quantity"))).as("sq"))
+      .orderBy(col("l_returnflag"))
+    assert(scansMv(q), s"MV scan missing: ${scanPaths(q)}")
+    assert(!scansBase(q), s"base scan kept: ${scanPaths(q)}")
+    val rewritten = q.collect().toSeq
+    spark.conf.set(MvRewrite.EnabledKey, "false")
+    val direct =
+      try { assert(scansBase(q)); q.collect().toSeq }
+      finally spark.conf.set(MvRewrite.EnabledKey, "true")
+    assert(rewritten == direct, "rewrite changed the answer")
+  }
+
+  test("full-dimension grouping rewrites too (exact-match case)") {
+    MvRewrite.ensure(spark, TestSpark.Sf)
+    val q = base
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(count(lit(1)).as("n"))
+    assert(scansMv(q) && !scansBase(q), scanPaths(q))
+  }
+
+  test("non-dimension keys, filters, and foreign aggregates all veto") {
+    MvRewrite.ensure(spark, TestSpark.Sf)
+    // grouping key outside the MV dimensions
+    assert(scansBase(base.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))))
+    // a filter between the aggregate and the scan is not answerable
+    assert(scansBase(base.filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))))
+    // an aggregate the summary has no partial for
+    assert(scansBase(base.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))))
+    // DISTINCT cannot roll up from counts
+    assert(scansBase(base.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_linestatus")).as("d"))))
+    // a raw double sum (no decimal cast) has no exact partial
+    assert(scansBase(base.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"))))
+  }
+
+  test("another table's identical shape is untouched (source pinning)") {
+    MvRewrite.ensure(spark, TestSpark.Sf)
+    val orders = Tables.df(spark, TestSpark.Sf, "orders")
+    val q = orders.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(q).exists(_.endsWith("orders.parquet")) && !scansMv(q),
+      scanPaths(q))
+  }
+}
