@@ -275,9 +275,10 @@ object TextAnalysis {
       .toDF("doc_id", "n_feats", "dot", "label")
   }
 
-  val textClassifierScore: Q = Q.df(
-    "text_classifier_score",
-    s"""with tok as (select doc_id, unnest(string_split(text, ' ')) as tok,
+  /** Shared oracle fragment: per-doc integer vote sum (`doc_id, dot`)
+    * — consumed by the score entry and the AUC evaluation. */
+  private def classifierDotCte: String =
+    s"""tok as (select doc_id, unnest(string_split(text, ' ')) as tok,
        |    generate_subscripts(string_split(text, ' '), 1) as pos
        |  from documents),
        |feats as (
@@ -291,12 +292,78 @@ object TextAnalysis {
        |    (cast(${Text.sqlFnv64("feat")} % 4294967296::hugeint
        |          % $ClassifierBuckets as bigint)
        |     * 2654435761) % 4294967296 % 2001 - 1000 as w
-       |  from feats)
-       |select doc_id, cast(count(*) as bigint) as n_feats,
-       |  cast(sum(w) as bigint) as dot,
-       |  case when sum(w) >= 0 then 'keep' else 'drop' end as label
-       |from w group by doc_id order by doc_id""".stripMargin) { (s, dir) =>
+       |  from feats),
+       |dots as (select doc_id, cast(count(*) as bigint) as n_feats,
+       |    cast(sum(w) as bigint) as dot
+       |  from w group by doc_id)""".stripMargin
+
+  val textClassifierScore: Q = Q.df(
+    "text_classifier_score",
+    s"""with $classifierDotCte
+       |select doc_id, n_feats, dot,
+       |  case when dot >= 0 then 'keep' else 'drop' end as label
+       |from dots order by doc_id""".stripMargin) { (s, dir) =>
     classifierScore(Tables.df(s, dir, "documents")).orderBy(col("doc_id"))
+  }
+
+  /** Classifier EVALUATION: per-source ROC-AUC of the vote score
+    * against a deterministic relevance rule (`doc_id % 3 = 0` — the
+    * fixture's stand-in for held-out labels, the same device the
+    * retrieval-eval entry uses for qrels). AUC is computed by the
+    * Mann-Whitney rank-sum identity, with TIES (integer vote sums
+    * collide) handled by average ranks; every intermediate is kept in
+    * integer HALF-UNITS — 2·avgRank = 2·minRank + (tieCount − 1) — so
+    * the only floating-point step is the final division, identical on
+    * both engines. AUC = (Σ_pos avgRank − n₊(n₊+1)/2) / (n₊·n₋).
+    *
+    * Scale shape: one score pass (the zero-shuffle kernel), one
+    * per-source sort for ranks (partitioned window, no global sort),
+    * and a source-cardinality output — the standard offline
+    * model-QA report over any corpus size. */
+  def classifierAuc(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = classifierScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("pos", (col("doc_id") % 3 === 0).cast("long"))
+    val bySrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val byDot = bySrc.orderBy(col("dot"))
+    val tie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("dot"))
+    val ranked = scored
+      .withColumn("min_rank", rank().over(byDot).cast("long"))
+      .withColumn("tie_cnt", count(lit(1)).over(tie))
+      .withColumn("avg_rank2",
+        lit(2L) * col("min_rank") + col("tie_cnt") - lit(1L))
+    ranked.groupBy(col("source"))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1L, col("avg_rank2"))
+          .otherwise(lit(0L))).as("rank2_pos"))
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        round((col("rank2_pos") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
+  val textClassifierAuc: Q = Q.df(
+    "classifier_eval_auc",
+    s"""with $classifierDotCte,
+       |scored as (select d.doc_id, d.dot, doc.source,
+       |    case when d.doc_id % 3 = 0 then 1 else 0 end as pos
+       |  from dots d join documents doc using (doc_id)),
+       |ranked as (select source, pos,
+       |    2 * rank() over (partition by source order by dot)
+       |      + count(*) over (partition by source, dot) - 1 as avg_rank2
+       |  from scored)
+       |select source, cast(sum(pos) as bigint) as n_pos,
+       |  cast(sum(1 - pos) as bigint) as n_neg,
+       |  round(cast(sum(case when pos = 1 then avg_rank2 else 0 end)
+       |        - sum(pos) * (sum(pos) + 1) as double)
+       |    / (2.0 * sum(pos) * sum(1 - pos)), 6) as auc
+       |from ranked group by source order by source""".stripMargin) {
+    (s, dir) =>
+      classifierAuc(Tables.df(s, dir, "documents")).orderBy(col("source"))
   }
 
   /** PII-pattern flags — the filter a training-data pipeline runs before
@@ -1557,7 +1624,8 @@ object TextAnalysis {
       textRollingFingerprint, textPiiFlags, textRepetition,
       jsonExtractProps, jsonBuild, exprVariant, textEntropy, textLmScore,
       textWinnow,
-      textLmBigram, textFeatureHash, textClassifierScore, textNgramNovelty,
+      textLmBigram, textFeatureHash, textClassifierScore, textClassifierAuc,
+      textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       textBpeEncodeStats, textUnigramPruneLoop, textUnigramEncodeStats,
       qualityPerplexityBuckets, langConfusion, gopherRules)
