@@ -863,11 +863,16 @@ object EventsStream {
   }
 
   /** Latest applied MERGE generation under `tmp/gen`: dirs are named
-    * `g<batchId>`, so the newest id IS the replay high-watermark. */
+    * `g<batchId>`, so the newest id IS the replay high-watermark. A
+    * generation counts as APPLIED only once its `_SUCCESS` marker
+    * exists — a torn overwrite (crash mid-write) must re-apply, not
+    * read as committed (the commit-marker discipline a table format's
+    * transaction log provides for real). */
   private def latestGen(tmp: String): Option[(Long, java.io.File)] = {
     val d = new java.io.File(s"$tmp/gen")
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .filter(f => f.isDirectory && f.getName.startsWith("g") &&
+        new java.io.File(f, "_SUCCESS").exists())
       .flatMap(f =>
         scala.util.Try(f.getName.drop(1).toLong).toOption.map(_ -> f))
       .sortBy(_._1).lastOption

@@ -483,6 +483,17 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, 12L, 120L), (2L, 5L, 50L), (3L, 7L, 70L)),
       s"merged state wrong: $rows")
+    // a TORN generation (dir exists, no _SUCCESS commit marker — a
+    // crash mid-overwrite) must NOT count as applied: the retry of
+    // that batch id goes through
+    assert(new java.io.File(s"$tmp/gen/g2").mkdirs())
+    assert(EventsStream.applyMergeBatch(spark, tmp, b1, 2L),
+      "torn generation blocked its own retry")
+    val rows2 = EventsStream.applyMergeBatchRead(spark, tmp)
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows2 == Seq((1L, 14L, 140L), (2L, 5L, 50L), (3L, 14L, 140L)),
+      s"post-retry state wrong: $rows2")
   }
 
   test("state-store provider matrix: every stateful stream agrees " +
