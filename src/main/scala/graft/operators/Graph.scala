@@ -238,6 +238,54 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Weighted single-source shortest paths, bounded Bellman-Ford: after
+    * k relaxation rounds, `d` is the min-WEIGHT over all paths of ≤ k
+    * hops (strictly more information than [[bfsLevels]]' hop count —
+    * the cheapest route, not the shortest one). Edge weights are
+    * deterministic per edge ((src + dst) % 7 + 1 — the fixture's
+    * stand-in for a latency/cost column), integer throughout. Each
+    * round is the same join-frontier + min-groupBy Pregel lowering as
+    * BFS: the min re-aggregation combines map-side, so per-round
+    * shuffle volume is bounded by the reached-node set, never by path
+    * multiplicity. k stays a small constant (bounded-radius routing /
+    * neighborhood-cost features); an unbounded SSSP would add the
+    * convergence probe + checkpoint-and-free discipline
+    * [[connectedComponentsOver]] establishes. */
+  def ssspDistances(edges: DataFrame, source: Long, rounds: Int)
+      : DataFrame = {
+    val weighted = edges.select(col("src"), col("dst"),
+      ((col("src") + col("dst")) % lit(7L) + lit(1L)).as("w"))
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val next = dist.join(weighted, dist("node") === weighted("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.union(next).groupBy("node").agg(min("d").as("d"))
+    }
+    dist
+  }
+
+  val ssspQ: Q = Q.df(
+    "graph_sssp_bounded", {
+      val round = (i: Int) =>
+        s"""d$i as (select node, min(d) as d from (
+           |  select node, d from d${i - 1}
+           |  union all
+           |  select e.dst as node, x.d + e.w as d
+           |  from d${i - 1} x join we e on e.src = x.node) u
+           |  group by node)""".stripMargin
+      s"""with edges as ($edgesSql),
+         |we as (select src, dst, (src + dst) % 7 + 1 as w from edges),
+         |d0 as (select cast($BfsSource as bigint) as node,
+         |       cast(0 as bigint) as d),
+         |${(1 to BfsHops).map(round).mkString(",\n")}
+         |select node, cast(d as bigint) as d
+         |from d$BfsHops order by node""".stripMargin
+    }) { (s, dir) =>
+    ssspDistances(sharedOrderEdges(s, dir), BfsSource, BfsHops)
+      .orderBy(col("node"))
+  }
+
   /** Minimum shared-neighbor count surfaced by the link-prediction
     * feature below — bounds the output to genuinely-connected pairs. */
   val MinCommon = 3
@@ -508,6 +556,6 @@ object Graph {
   }
 
   val queries: Seq[Q] =
-    Seq(pageRankQ, trianglesQ, bfsQ, commonNeighborsQ, kcoreQ,
+    Seq(pageRankQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
       connectedComponentsQ)
 }
