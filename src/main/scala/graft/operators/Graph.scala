@@ -204,36 +204,46 @@ object Graph {
     * lowering as [[pageRank]]; the plan stays k joins deep (k is a
     * small constant — crawl-depth / neighborhood-feature queries), so
     * no per-round checkpoint is needed. */
-  def bfsLevels(edges: DataFrame, source: Long, hops: Int): DataFrame = {
+  /** Shared bounded-relaxation kernel (BFS and SSSP are the same
+    * Pregel lowering with different per-edge step costs): k rounds of
+    * frontier-join + union + min-groupBy. */
+  private def relaxRounds(edges: DataFrame, source: Long, rounds: Int,
+      cost: org.apache.spark.sql.Column): DataFrame = {
+    val weighted = edges.select(col("src"), col("dst"), cost.as("w"))
     var dist = edges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("d"))
-    for (_ <- 1 to hops) {
-      val next = dist.join(edges, dist("node") === edges("src"))
-        .select(col("dst").as("node"), (col("d") + lit(1L)).as("d"))
+    for (_ <- 1 to rounds) {
+      val next = dist.join(weighted, dist("node") === weighted("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
       dist = dist.union(next).groupBy("node").agg(min("d").as("d"))
     }
     dist
   }
 
+  /** One oracle CTE round of the same relaxation; `step` is the SQL
+    * cost term added per traversed edge, `rel` the edge relation. */
+  private def relaxRoundSql(i: Int, rel: String, step: String): String =
+    s"""d$i as (select node, min(d) as d from (
+       |  select node, d from d${i - 1}
+       |  union all
+       |  select e.dst as node, x.d + $step as d
+       |  from d${i - 1} x join $rel e on e.src = x.node) u
+       |  group by node)""".stripMargin
+
+  def bfsLevels(edges: DataFrame, source: Long, hops: Int): DataFrame =
+    relaxRounds(edges, source, hops, lit(1L))
+
   /** Hop-distance query (≤ [[BfsHops]] hops from node [[BfsSource]]);
     * the oracle chains one CTE per round, each spelling the same
     * union + min-groupBy frontier step. */
   val bfsQ: Q = Q.df(
-    "graph_bfs_levels", {
-      val round = (i: Int) =>
-        s"""d$i as (select node, min(d) as d from (
-           |  select node, d from d${i - 1}
-           |  union all
-           |  select e.dst as node, x.d + 1 as d
-           |  from d${i - 1} x join edges e on e.src = x.node) u
-           |  group by node)""".stripMargin
-      s"""with edges as ($edgesSql),
-         |d0 as (select cast($BfsSource as bigint) as node,
-         |       cast(0 as bigint) as d),
-         |${(1 to BfsHops).map(round).mkString(",\n")}
-         |select node, cast(d as bigint) as d
-         |from d$BfsHops order by node""".stripMargin
-    }) { (s, dir) =>
+    "graph_bfs_levels",
+    s"""with edges as ($edgesSql),
+       |d0 as (select cast($BfsSource as bigint) as node,
+       |       cast(0 as bigint) as d),
+       |${(1 to BfsHops).map(relaxRoundSql(_, "edges", "1")).mkString(",\n")}
+       |select node, cast(d as bigint) as d
+       |from d$BfsHops order by node""".stripMargin) { (s, dir) =>
     bfsLevels(sharedOrderEdges(s, dir), BfsSource, BfsHops)
       .orderBy(col("node"))
   }
@@ -252,36 +262,19 @@ object Graph {
     * convergence probe + checkpoint-and-free discipline
     * [[connectedComponentsOver]] establishes. */
   def ssspDistances(edges: DataFrame, source: Long, rounds: Int)
-      : DataFrame = {
-    val weighted = edges.select(col("src"), col("dst"),
-      ((col("src") + col("dst")) % lit(7L) + lit(1L)).as("w"))
-    var dist = edges.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0L).as("d"))
-    for (_ <- 1 to rounds) {
-      val next = dist.join(weighted, dist("node") === weighted("src"))
-        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
-      dist = dist.union(next).groupBy("node").agg(min("d").as("d"))
-    }
-    dist
-  }
+      : DataFrame =
+    relaxRounds(edges, source, rounds,
+      (col("src") + col("dst")) % lit(7L) + lit(1L))
 
   val ssspQ: Q = Q.df(
-    "graph_sssp_bounded", {
-      val round = (i: Int) =>
-        s"""d$i as (select node, min(d) as d from (
-           |  select node, d from d${i - 1}
-           |  union all
-           |  select e.dst as node, x.d + e.w as d
-           |  from d${i - 1} x join we e on e.src = x.node) u
-           |  group by node)""".stripMargin
-      s"""with edges as ($edgesSql),
-         |we as (select src, dst, (src + dst) % 7 + 1 as w from edges),
-         |d0 as (select cast($BfsSource as bigint) as node,
-         |       cast(0 as bigint) as d),
-         |${(1 to BfsHops).map(round).mkString(",\n")}
-         |select node, cast(d as bigint) as d
-         |from d$BfsHops order by node""".stripMargin
-    }) { (s, dir) =>
+    "graph_sssp_bounded",
+    s"""with edges as ($edgesSql),
+       |we as (select src, dst, (src + dst) % 7 + 1 as w from edges),
+       |d0 as (select cast($BfsSource as bigint) as node,
+       |       cast(0 as bigint) as d),
+       |${(1 to BfsHops).map(relaxRoundSql(_, "we", "e.w")).mkString(",\n")}
+       |select node, cast(d as bigint) as d
+       |from d$BfsHops order by node""".stripMargin) { (s, dir) =>
     ssspDistances(sharedOrderEdges(s, dir), BfsSource, BfsHops)
       .orderBy(col("node"))
   }

@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.DecimalType
 
 /** Materialized-view AUTOMATIC REWRITE — the optimizer capability that
   * makes MVs useful without queries opting in: an aggregate over the
@@ -65,7 +64,15 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** Build the MV parquet for `dir`'s lineitem (once) and point the
     * rule at it. Decimal sums per the Money convention keep the
-    * roll-up exact. */
+    * roll-up exact.
+    *
+    * The enable is deliberately SESSION-scoped and never reset: an MV
+    * exists precisely so every later eligible query benefits without
+    * opting in. That is safe because eligibility is bit-exact by
+    * construction — the match requires the exact Money decimal type
+    * (per-row rounding under any other scale cannot be reproduced from
+    * partials and vetoes), non-empty grouping, and the pinned source —
+    * so a rewritten query can never answer differently, only faster. */
   def ensure(s: SparkSession, dir: String): Unit = {
     import graft.functions.Money.m
     val path = mvBuilt.once(dir) {
@@ -117,7 +124,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => a.name
       case _ => return None
     }
-    if (!groupNames.forall(Dims.contains)) return None
+    // a GLOBAL aggregate (no grouping) is vetoed: Sum over an empty MV
+    // yields NULL where count must yield 0, and the nullability flip
+    // would leak into the parent schema
+    if (groupNames.isEmpty || !groupNames.forall(Dims.contains)) return None
     val mvPath = conf(PathKey)
     val mv = mvPlans.once(mvPath)(
       SparkSession.active.read.parquet(mvPath).queryExecution.analyzed)
@@ -136,7 +146,12 @@ object MvRewrite extends Rule[LogicalPlan] {
             Some(Sum(mvAttr("cnt")).toAggregateExpression())
           case s: Sum =>
             s.child match {
-              case c: Cast if c.dataType.isInstanceOf[DecimalType] =>
+              // the cast must be EXACTLY the Money type the partials
+              // were built with: a differently-scaled decimal rounds
+              // per ROW before summing, which one post-hoc cast of the
+              // partial sum cannot reproduce — answering it from the
+              // MV would be silently wrong, so it vetoes
+              case c: Cast if c.dataType == graft.functions.Money.M =>
                 c.child match {
                   case a: AttributeReference if Measures.contains(a.name) =>
                     // Sum over the already-widened partial widens again;

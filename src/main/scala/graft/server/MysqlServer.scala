@@ -202,6 +202,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           (clientFlags & ClientMultiStatements) != 0, lc)
     } catch {
       case _: EOFException => // client went away
+      case _: java.net.SocketException =>
+        // socket closed under this loop — a client reset, or a
+        // COM_PROCESS_KILL (incl. self-kill after its OK): the legal
+        // end of a connection, not an error to log
       case _: Throwable if !running.get() =>
       case e: Throwable => System.err.println(s"[mysql] conn: $e")
     } finally { live.remove(connId); client.close() }

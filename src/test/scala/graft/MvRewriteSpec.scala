@@ -72,6 +72,14 @@ class MvRewriteSpec extends AnyFunSuite {
     // a raw double sum (no decimal cast) has no exact partial
     assert(scansBase(base.groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity")).as("s"))))
+    // a DIFFERENTLY-scaled decimal cast rounds per row before summing —
+    // not reproducible from the Money-typed partials, so it vetoes
+    assert(scansBase(base.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 0))).as("s"))))
+    // a GLOBAL aggregate (no grouping) vetoes: Sum over an empty MV is
+    // NULL where count must be 0
+    assert(scansBase(base.agg(count(lit(1)).as("n"))))
   }
 
   test("another table's identical shape is untouched (source pinning)") {
