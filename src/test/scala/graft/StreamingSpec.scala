@@ -496,6 +496,71 @@ class StreamingSpec extends AnyFunSuite {
       s"post-retry state wrong: $rows2")
   }
 
+  test("timer + multi-variable state SURVIVES a checkpointed restart: " +
+      "counts span both runs, re-armed timers fire, unexpired hold") {
+    withProvider(Some(RocksProvider)) {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tws_restart_").toString
+      val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+      def ship(name: String, events: Seq[Event]): Unit = {
+        // stage as one parquet part, then move it into the watched dir
+        val stage = s"$root/stage_$name"
+        events.toDS().coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+      }
+      def drain(): Unit = {
+        val ev = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+          .parquet(srcDir).as[Event]
+        val q = EventsStream.timerSessions(ev, gapMs = 3600000L)
+          .toDF().writeStream
+          .outputMode(OutputMode.Update())
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(s"$root/out")
+          }.start()
+        q.awaitTermination()
+      }
+      // run 1: three users, 10-minute span — every timer arms at
+      // last-event + 1h, none can fire (watermark stops at 00:10)
+      ship("h1", Seq(
+        Event(11, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(12, ts("2024-01-01 00:05:00"), 1, "view", 1.0),
+        Event(21, ts("2024-01-01 00:02:00"), 2, "click", 1.0),
+        Event(31, ts("2024-01-01 00:10:00"), 3, "click", 1.0)))
+      drain()
+      assert(!new java.io.File(s"$root/out").exists() ||
+        spark.read.parquet(s"$root/out").isEmpty,
+        "no timer may fire inside run 1's 10-minute watermark span")
+      // run 2, SAME checkpoint: user 3 continues (re-arm), user 99
+      // drives the watermark to 10:00
+      ship("h2", Seq(
+        Event(32, ts("2024-01-01 02:00:00"), 3, "view", 1.0),
+        Event(99, ts("2024-01-01 10:00:00"), 99, "click", 1.0)))
+      drain()
+      val rows = spark.read.parquet(s"$root/out")
+        .as[EventsStream.SessionSummary].collect().toSeq
+      // users 1 and 2 close with RUN-1 state only — proof the
+      // ValueState/ListState/timers were RESTORED, not rebuilt
+      assert(rows.exists(r => r.user_id == 1 && r.n_events == 2 &&
+        r.event_ids == Seq(11L, 12L)), s"user 1 state lost: $rows")
+      assert(rows.exists(r => r.user_id == 2 && r.n_events == 1 &&
+        r.event_ids == Seq(21L)), s"user 2 state lost: $rows")
+      // user 3's session spans BOTH runs: the run-2 event re-armed the
+      // restored timer and the emission carries ids from both files
+      assert(rows.exists(r => r.user_id == 3 && r.n_events == 2 &&
+        r.event_ids == Seq(31L, 32L)),
+        s"user 3's cross-restart session wrong: $rows")
+      // user 99's timer (11:00) is past the final watermark: held open
+      assert(!rows.exists(_.user_id == 99), s"user 99 closed early: $rows")
+    }
+  }
+
   test("state-store provider matrix: every stateful stream agrees " +
       "across default and RocksDB") {
     // Patterns, hardest first: merging session windows (range read +
