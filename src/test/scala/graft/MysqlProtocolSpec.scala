@@ -965,6 +965,59 @@ class MysqlProtocolSpec extends AnyFunSuite {
       if (cond) true else { Thread.sleep(100); false }
     }
 
+  test("concurrent connections: parallel clients query, prepare, and list " +
+      "each other; the registry drains to empty on quit") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val n = 6
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val ready = new java.util.concurrent.CyclicBarrier(n)
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          try {
+            val c = new Client(server.boundPort)
+            ready.await() // all authenticated before anyone proceeds
+            (1 to 5).foreach { j =>
+              c.query(s"select ${i * 100 + j} as v") match {
+                case Right((_, Seq(Seq(Some(v))))) =>
+                  if (v != (i * 100 + j).toString)
+                    errors.add(s"t$i q$j: wrong value $v")
+                case other => errors.add(s"t$i q$j: $other")
+              }
+            }
+            val Right((sid, _, _)) = c.prepare(
+              "select o_orderkey from orders where o_orderkey = ?"): @unchecked
+            c.execute(sid,
+              Seq((0x08, Some(MysqlServer.leBytes(1, 8))))) match {
+              case Left(e) => errors.add(s"t$i exec: $e")
+              case Right(_) =>
+            }
+            ready.await() // nobody lists until everyone finished querying
+            c.processInfo() match {
+              case Right((_, rows)) =>
+                if (rows.length < n) // everyone still connected here
+                  errors.add(s"t$i processlist: only ${rows.length} rows")
+              case Left(e) => errors.add(s"t$i processlist: $e")
+            }
+            ready.await() // nobody quits until everyone has listed
+            c.quit()
+          } catch {
+            case e: Throwable => errors.add(s"t$i: $e")
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      assert(errors.isEmpty, s"concurrent failures: $errors")
+      // after every client quit, a fresh observer sees only itself
+      val obs = new Client(server.boundPort)
+      assert(eventually(20) { obs.processInfo().exists(_._2.length == 1) },
+        "registry did not drain to the observer alone")
+      obs.quit()
+    } finally server.stop()
+  }
+
   test("COM_RESET_CONNECTION: wipes session state without re-auth") {
     Tables.registerAll(spark, TestSpark.Sf)
     val server = MysqlServer.start(spark)
