@@ -1883,8 +1883,29 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The MV lifecycle COMPOSED through the gate: the summary is built
+    * from a base slice, incrementally refreshed with a delta batch
+    * (partials merged, base never re-scanned), and the rewrite then
+    * answers a FULL-table aggregate from the refreshed artifact — the
+    * oracle recomputes from the complete base table, so the compare
+    * proves build + refresh + rewrite are jointly exact. */
+  val mvIncrementalRewrite: Q = Q.df(
+    "mv_incremental_rewrite",
+    """select l_linestatus, cast(count(*) as bigint) as n_items,
+      |  cast(sum(cast(l_extendedprice as decimal(12,2))) as double)
+      |    as sum_price
+      |from lineitem group by l_linestatus
+      |order by l_linestatus""".stripMargin) { (s, dir) =>
+    graft.plans.MvRewrite.ensureIncremental(s, dir)
+    Tables.df(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(m(col("l_extendedprice"))).as("sum_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val queries: Seq[Q] = Seq(
-    mvRewriteRollup,
+    mvRewriteRollup, mvIncrementalRewrite,
     exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,
     setopUnionAll, setopUnionDistinct, setopUnionByName,

@@ -91,6 +91,47 @@ object MvRewrite extends Rule[LogicalPlan] {
     s.conf.set(EnabledKey, "true")
   }
 
+  /** dir -> incrementally-refreshed MV path. */
+  private val mvIncBuilt = new Memo[String, String]
+
+  /** The full MV LIFECYCLE composed: build the summary from a BASE
+    * slice of lineitem, then MERGE a delta batch's partials in — the
+    * refresh touches only stored-MV ∪ delta keys, never re-scanning
+    * the base slice (the `dml_incremental_rollup` maintenance shape
+    * applied to this MV) — and point the rewrite at the refreshed
+    * artifact so a FULL-table query is answered from it. Decimal
+    * partials re-aggregate exactly; the widened sum precision is cast
+    * back so the refreshed MV keeps the canonical schema. */
+  def ensureIncremental(s: SparkSession, dir: String): Unit = {
+    import graft.functions.Money.m
+    val path = mvIncBuilt.once(dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_mv_")
+        .toString
+      val li = graft.Tables.df(s, dir, "lineitem")
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(Dims.map(col): _*)
+          .agg(count(lit(1)).as("cnt"),
+            sum(m(col("l_quantity"))).as("sum_l_quantity"),
+            sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"))
+      partials(li.filter(col("l_orderkey") % 10 =!= 9))
+        .write.parquet(s"$root/base")
+      val stored = s.read.parquet(s"$root/base")
+      val sumType = stored.schema("sum_l_quantity").dataType
+      val delta = partials(li.filter(col("l_orderkey") % 10 === 9))
+      stored.unionByName(delta)
+        .groupBy(Dims.map(col): _*)
+        .agg(sum(col("cnt")).as("cnt"),
+          sum(col("sum_l_quantity")).cast(sumType).as("sum_l_quantity"),
+          sum(col("sum_l_extendedprice")).cast(sumType)
+            .as("sum_l_extendedprice"))
+        .write.parquet(s"$root/mv_lineitem_agg")
+      s"$root/mv_lineitem_agg"
+    }
+    s.conf.set(PathKey, path)
+    s.conf.set(SrcKey, s"$dir/lineitem.parquet")
+    s.conf.set(EnabledKey, "true")
+  }
+
   private def conf(key: String): String =
     SQLConf.get.getConfString(key, "")
 

@@ -82,6 +82,29 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scansBase(base.agg(count(lit(1)).as("n"))))
   }
 
+  test("incremental refresh equals a full rebuild, and the rewrite " +
+      "serves from the refreshed artifact") {
+    MvRewrite.ensureIncremental(spark, TestSpark.Sf)
+    val incPath = spark.conf.get(MvRewrite.PathKey)
+    assert(incPath.nonEmpty)
+    // refreshed summary == one-shot rebuild over the full table
+    val refreshed = spark.read.parquet(incPath)
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .collect().toSeq
+    val full = base
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(m(col("l_quantity"))).as("sum_l_quantity"),
+        sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .collect().toSeq
+    assert(refreshed == full, "refresh diverged from the full rebuild")
+    // the rewrite now reads the refreshed path
+    val q = base.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
+    assert(scanPaths(q).exists(_.endsWith("mv_lineitem_agg")) &&
+      !scansBase(q), scanPaths(q))
+  }
+
   test("another table's identical shape is untouched (source pinning)") {
     MvRewrite.ensure(spark, TestSpark.Sf)
     val orders = Tables.df(spark, TestSpark.Sf, "orders")
