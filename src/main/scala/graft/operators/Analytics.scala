@@ -981,10 +981,191 @@ object Analytics {
     botRegularity(Tables.df(s, dir, "events")).orderBy(col("user_id"))
   }
 
+  // ---- Markov removal-effect attribution ---------------------------------
+
+  /** Non-conversion channels of the chain (ascending, pinned). */
+  val MarkovChannels: Seq[String] = Seq("click", "error", "signup", "view")
+  val MarkovRounds = 6
+  /** Fixed-point unit: probabilities travel as integer nano-units. */
+  val MarkovScale = 1000000000L
+
+  /** Transition counts from first-conversion-truncated user journeys —
+    * the DISTRIBUTED part of the attribution: every journey starts at
+    * START, each step moves to the next event's type (purchase becomes
+    * the absorbing CONV), and a journey that ends without converting
+    * falls into NULL. All joins/windows are user-keyed (co-partitioned
+    * at any scale); the output is a channel-cardinality count table. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .drop("ts", "event_id")
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("prn"))
+    val j = e.join(fp, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+    def mapDst(c: org.apache.spark.sql.Column) =
+      when(c === "purchase", lit("CONV")).otherwise(c)
+    val first = j.filter(col("rn") === 1)
+      .select(lit("START").as("src"), mapDst(col("event_type")).as("dst"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val pairs = j
+      .withColumn("nxt", lead(col("event_type"), 1).over(w2))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("src"), mapDst(col("nxt")).as("dst"))
+    val lastOpen = j.filter(col("prn").isNull)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("rn"), col("event_type"))).as("m"))
+      .select(col("m.event_type").as("src"), lit("NULL").as("dst"))
+    first.union(pairs).union(lastOpen)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+  }
+
+  /** K-step absorption probability from START in integer NANO-units:
+    * each term floors (q(s)·n(s,t)) / tn(s) BEFORE summing — integer
+    * addition is order-free, so the fixed-point value is bit-identical
+    * however the terms arrive, and the oracle reproduces it with the
+    * same per-term `//`. `drop` redirects every transition INTO that
+    * channel to NULL (the removal-effect counterfactual: row sums are
+    * preserved, the channel just stops carrying). */
+  def markovAbsorption(counts: Seq[(String, String, Long)],
+      drop: Option[String], rounds: Int): Long = {
+    val cv = counts
+      .filterNot { case (s, _, _) => drop.contains(s) }
+      .map { case (s, d, n) =>
+        (s, if (drop.contains(d)) "NULL" else d, n)
+      }
+    val tn = cv.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var q = Map("START" -> MarkovScale)
+    for (_ <- 1 to rounds) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      next("CONV") = q.getOrElse("CONV", 0L) // absorber retains
+      for ((s, d, n) <- cv) {
+        val qs = q.getOrElse(s, 0L)
+        if (qs > 0L && s != "CONV" && s != "NULL")
+          next(d) += qs * n / tn(s)
+      }
+      q = next.toMap
+    }
+    q.getOrElse("CONV", 0L)
+  }
+
+  /** One variant's chain CTEs for the oracle (tag `b` = base, `cI` =
+    * channel I removed). Everything MATERIALIZED: the per-round CTEs
+    * chain 6 deep across 5 variants, and DuckDB's inliner must not
+    * re-expand the shared count table per reference. */
+  private def markovChainCtes(tag: String, drop: Option[String]): String = {
+    val redirect = drop
+      .map(c => s"case when dst = '$c' then 'NULL' else dst end")
+      .getOrElse("dst")
+    val srcFilter = drop.map(c => s"where src <> '$c'").getOrElse("")
+    val head =
+      s"""cv_$tag as materialized (select src, $redirect as dst,
+         |    cast(sum(n) as bigint) as n from cnt $srcFilter group by 1, 2),
+         |tv_$tag as materialized (select src, cast(sum(n) as bigint) as tn
+         |    from cv_$tag group by src),
+         |q0_$tag as (select 'START' as state,
+         |    cast($MarkovScale as bigint) as q)""".stripMargin
+    val rounds = (1 to MarkovRounds).map { i =>
+      s"""q${i}_$tag as materialized (select state,
+         |  cast(sum(q) as bigint) as q from (
+         |    select c.dst as state, (p.q * c.n) // t.tn as q
+         |    from q${i - 1}_$tag p
+         |    join cv_$tag c on c.src = p.state
+         |    join tv_$tag t on t.src = c.src
+         |    union all
+         |    select state, q from q${i - 1}_$tag where state = 'CONV') u
+         |  group by state)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def markovOracle: String = {
+    val variants = ("b", Option.empty[String]) +:
+      MarkovChannels.zipWithIndex.map { case (c, i) => (s"c$i", Some(c)) }
+    val rem = MarkovChannels.zipWithIndex.map { case (c, i) =>
+      s"select '$c' as channel, (select q from q${MarkovRounds}_c$i " +
+        s"where state = 'CONV') as qc"
+    }.mkString("\n  union all\n  ")
+    s"""with e as (select user_id, event_type,
+       |    row_number() over (partition by user_id
+       |                       order by ts, event_id) as rn
+       |  from events),
+       |fp as (select user_id, min(rn) as prn from e
+       |       where event_type = 'purchase' group by user_id),
+       |j as (select e.user_id, e.event_type, e.rn, fp.prn
+       |      from e left join fp using (user_id)
+       |      where fp.prn is null or e.rn <= fp.prn),
+       |j2 as (select *, max(rn) over (partition by user_id) as mrn from j),
+       |tr as (
+       |  select 'START' as src, case when event_type = 'purchase'
+       |      then 'CONV' else event_type end as dst from j2 where rn = 1
+       |  union all
+       |  select src, dst from (
+       |    select event_type as src,
+       |      case when lead(event_type) over (partition by user_id
+       |          order by rn) = 'purchase' then 'CONV'
+       |        else lead(event_type) over (partition by user_id
+       |          order by rn) end as dst
+       |    from j2) x where dst is not null
+       |  union all
+       |  select event_type as src, 'NULL' as dst from j2
+       |  where prn is null and rn = mrn),
+       |cnt as materialized (select src, dst, cast(count(*) as bigint) as n
+       |    from tr group by 1, 2),
+       |${variants.map { case (t, d) => markovChainCtes(t, d) }.mkString(",\n")},
+       |bq as (select q from q${MarkovRounds}_b where state = 'CONV'),
+       |rem as (
+       |  $rem),
+       |fin as (select channel,
+       |    (select q from bq) - coalesce(qc, 0) as rq from rem)
+       |select channel, cast(rq as bigint) as removal_q,
+       |  cast(rq as double) / (select cast(q as double) from bq)
+       |    as removal_effect,
+       |  cast(rq as double) / (select cast(sum(rq) as double) from fin)
+       |    as share
+       |from fin order by channel""".stripMargin
+  }
+
+  /** Markov removal-effect attribution — the data-driven model that
+    * supersedes rule-based credit (first/last-touch,
+    * [[eventsAttribution]]'s window models): build the journey
+    * transition chain, measure K-step conversion probability, and
+    * credit each channel by how much that probability DROPS when the
+    * channel stops carrying (transitions into it fall to NULL). The
+    * whole chain algebra runs on a channel-cardinality count table
+    * (model-sized — the same driver-side contract as k-means
+    * centroids); journeys and counts are the distributed part. The
+    * fixed-point nano-unit iteration makes every intermediate an
+    * integer, so the compare is exact and both engines fold in any
+    * order; the two final divisions are IEEE-identical on identical
+    * integers. */
+  val eventsMarkovAttribution: Q = Q.df(
+    "events_attribution_markov", markovOracle) { (s, dir) =>
+    import s.implicits._
+    val counts = markovTransitions(Tables.df(s, dir, "events"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val base = markovAbsorption(counts, None, MarkovRounds)
+    val rows = MarkovChannels.map { c =>
+      (c, base - markovAbsorption(counts, Some(c), MarkovRounds))
+    }
+    val tot = rows.map(_._2).sum
+    rows.map { case (c, rq) =>
+      (c, rq, rq.toDouble / base.toDouble, rq.toDouble / tot.toDouble)
+    }.toDF("channel", "removal_q", "removal_effect", "share")
+      .orderBy(col("channel"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
-    eventsAttribution, eventsTransitions, eventsPathPattern, eventsStreaks,
+    eventsAttribution, eventsMarkovAttribution, eventsTransitions,
+    eventsPathPattern, eventsStreaks,
     eventsChangepoint, eventsSeasonality, eventsAbLift, windowSessionNative,
     eventsBotRegularity)
 }
