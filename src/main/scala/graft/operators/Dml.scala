@@ -550,6 +550,38 @@ object Dml {
       .orderBy(col("source"))
   }
 
+  /** XML source/sink executed through the gate — the format Spark 4
+    * absorbed into core (the former spark-xml package): rows travel as
+    * repeated row-tag elements, the reader infers/accepts a schema and
+    * re-assembles typed columns. A projection round-trips through XML
+    * files and is re-aggregated from the read-back; the oracle derives
+    * the same aggregate straight from the fixture, so element
+    * encoding/escaping and the typed re-parse are what the hash pins.
+    * (Text columns stay OUT of the projection: XML escaping of
+    * arbitrary corpus text round-trips correctly but slowly; the
+    * metadata projection is the realistic interchange shape.) */
+  val sourceXmlRoundtrip: Q = Q.df(
+    "source_xml_roundtrip",
+    """select source, cast(count(*) as bigint) as n_docs,
+      |  cast(sum(cast(n_chars as bigint)) as bigint) as total_chars,
+      |  cast(min(doc_id) as bigint) as first_doc
+      |from documents where n_chars >= 50
+      |group by source order by source""".stripMargin) { (s, dir) =>
+    val io = s"$roundtripDir/xml"
+    val base = Tables.df(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    base.write.mode("overwrite").option("rowTag", "doc")
+      .format("xml").save(io)
+    s.read.schema(base.schema).option("rowTag", "doc").format("xml")
+      .load(io)
+      .filter(col("n_chars") >= 50)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   /** Schema evolution across parquet file generations — the drift every
     * long-lived 100 TB dataset accumulates: an early ingest generation
     * lacks a column later generations carry. The Spark-native answer is
@@ -809,7 +841,7 @@ object Dml {
 
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
-    dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip,
+    dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip, sourceXmlRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
     sourceCatalogTable)
