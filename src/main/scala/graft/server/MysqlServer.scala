@@ -69,9 +69,13 @@ import org.apache.spark.sql.types._
   *    splices them as typed SQL literals, and answers a binary
   *    resultset; COM_STMT_SEND_LONG_DATA accumulates chunked string/
   *    blob param values ahead of EXECUTE (silent, cleared by RESET);
-  *    COM_STMT_CLOSE (silent) and COM_STMT_RESET complete the
-  *    lifecycle. Param types are remembered across executions of a
-  *    handle, as the protocol requires when new_params_bound_flag = 0.
+  *    CURSOR_TYPE_READ_ONLY EXECUTEs open a server-side cursor whose
+  *    rows COM_STMT_FETCH pages out (EOF flagged CURSOR_EXISTS /
+  *    LAST_ROW_SENT; FOR_UPDATE and SCROLLABLE cursors refused with a
+  *    clean ERR 1235); COM_STMT_CLOSE (silent) and COM_STMT_RESET
+  *    (which also closes the cursor) complete the lifecycle. Param
+  *    types are remembered across executions of a handle, as the
+  *    protocol requires when new_params_bound_flag = 0.
   *  - COM_PING / COM_INIT_DB / COM_QUIT, and the admin quartet the
   *    reference's command enum also decodes (doradb-protocol/src/mysql/
   *    cmd/mod.rs:21-25): COM_STATISTICS (raw-string status line — the
@@ -448,6 +452,11 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
   private final class Prepared(val sql: String, val nParams: Int,
       val schema: StructType) {
     var paramTypes: Array[Int] = Array.emptyIntArray
+    /** Open READ-ONLY cursor: the EXECUTE's materialized (maxRows-
+      * capped, like every resultset here) rows awaiting COM_STMT_FETCH.
+      * Replaced by the next EXECUTE, discarded by RESET/CLOSE. */
+    var cursor: Option[(StructType,
+      Iterator[org.apache.spark.sql.Row])] = None
     /** COM_STMT_SEND_LONG_DATA accumulator, keyed by param index:
       * chunks append in arrival order; a param with accumulated data
       * takes its value from here and carries NO inline value in the
@@ -632,11 +641,12 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           if (cmd.length >= 5) stmts.remove(leU32(cmd, 1))
         case ComStmtReset =>
           // discard accumulated long data (the command's defined job),
-          // including a poisoned overflow state → OK
+          // a poisoned overflow state, and any open cursor → OK
           if (cmd.length >= 5)
             stmts.get(leU32(cmd, 1)).foreach { st =>
               st.longData.clear()
               st.longDataOverflow = false
+              st.cursor = None
             }
           writePacket(out, 1, okPacket()); out.flush()
         case ComSetOption =>
@@ -664,13 +674,46 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
               "Malformed communication packet"))
           out.flush()
         case ComStmtFetch =>
-          // Server-side cursors are not served, but the command is
-          // DECODED (like the reference's command enum, doradb-protocol/
-          // src/mysql/cmd/mod.rs:40,78) and answered with a clean ERR —
-          // a cursor-requesting client gets a diagnosable refusal, not
-          // an unknown-command fallthrough or a stall.
-          writePacket(out, 1, errPacket(1235, "42000",
-            "This version of MySQL doesn't yet support 'cursor protocol'"))
+          // COM_STMT_FETCH pages an open READ-ONLY cursor: stmt_id u32
+          // + num_rows u32 → up to num_rows binary rows, then EOF with
+          // CURSOR_EXISTS (and LAST_ROW_SENT once drained — further
+          // fetches keep answering the drained EOF, like mysqld).
+          if (cmd.length >= 9) {
+            val id = leU32(cmd, 1)
+            val want = leU32(cmd, 5).toInt
+            stmts.get(id) match {
+              case None =>
+                writePacket(out, 1, errPacket(1243, "HY000",
+                  s"Unknown prepared statement handler ($id) given to " +
+                    "FETCH"))
+              case Some(st) if st.cursor.isEmpty =>
+                writePacket(out, 1, errPacket(1421, "HY000",
+                  s"The statement ($id) has no open cursor."))
+              case Some(st) =>
+                val (schema, it) = st.cursor.get
+                var seq = 1
+                def send(p: Array[Byte]): Unit = {
+                  writePacket(out, seq, p); seq += 1
+                }
+                var n = 0
+                try {
+                  while (n < want && it.hasNext) {
+                    val payload = binaryRow(schema, it.next())
+                    if (payload.length >= MaxPacket)
+                      throw new PacketTooLarge
+                    send(payload); n += 1
+                  }
+                  send(eofPacket(StatusAutocommit | StatusCursorExists |
+                    (if (it.hasNext) 0 else StatusLastRowSent)))
+                } catch {
+                  case _: PacketTooLarge =>
+                    send(errPacket(1153, "08S01",
+                      "row exceeds the 16 MB single-packet limit"))
+                }
+            }
+          } else
+            writePacket(out, 1, errPacket(1835, "HY000",
+              "Malformed communication packet"))
           out.flush()
         case ComQuery =>
           questions.incrementAndGet()
@@ -1136,16 +1179,18 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       out.flush()
       return
     }
-    // EXECUTE's flags byte requesting a server-side cursor
-    // (CURSOR_TYPE_READ_ONLY/FOR_UPDATE/SCROLLABLE): refused cleanly —
-    // the client would otherwise wait on COM_STMT_FETCH for rows this
-    // server never buffers.
-    if ((cmd(5) & 0x07) != 0) {
+    // EXECUTE's flags byte: CURSOR_TYPE_READ_ONLY (0x01) is SERVED —
+    // rows are materialized (maxRows-capped like every resultset here)
+    // and paged out by COM_STMT_FETCH; FOR_UPDATE/SCROLLABLE (0x02/
+    // 0x04) have no meaning without locks/backward seeks and stay
+    // cleanly refused.
+    if ((cmd(5) & 0x06) != 0) {
       writePacket(out, 1, errPacket(1235, "42000",
         "This version of MySQL doesn't yet support 'cursor protocol'"))
       out.flush()
       return
     }
+    val wantCursor = (cmd(5) & 0x01) != 0
     val result =
       try {
         // stmt_id u32 + flags u8 + iteration_count u32 → params at 10
@@ -1203,6 +1248,15 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       }
     result match {
       case Left(affected) => writePacket(out, 1, okPacket(affected))
+      case Right((schema, rows)) if wantCursor =>
+        // cursor open: answer ONLY the column definition block, EOF
+        // flagged CURSOR_EXISTS; the rows wait for COM_STMT_FETCH
+        st.cursor = Some((schema, rows.iterator))
+        var seq = 1
+        def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
+        send(lenencInt(schema.length))
+        schema.fields.foreach(f => send(columnDefinition(f)))
+        send(eofPacket(StatusAutocommit | StatusCursorExists))
       case Right((schema, rows)) =>
         var seq = 1
         def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
@@ -1720,6 +1774,8 @@ object MysqlServer {
   val Utf8mb4Charset = 255
   val StatusAutocommit = 0x0002
   val StatusMoreResults = 0x0008
+  val StatusCursorExists = 0x0040
+  val StatusLastRowSent = 0x0080
   val NotNullFlag = 0x0001
 
   /** Protocol type byte for a Spark SQL type (text protocol: values are

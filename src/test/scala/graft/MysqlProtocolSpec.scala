@@ -540,6 +540,63 @@ class MysqlProtocolSpec extends AnyFunSuite {
       }
     }
 
+    /** EXECUTE with a cursor flag: expect ONLY column defs + an EOF
+      * whose status is returned alongside the (name, type) defs. */
+    def executeCursor(stmtId: Long, flags: Int)
+        : Either[String, (Seq[(String, Int)], Int)] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      buf.write(MysqlServer.ComStmtExecute)
+      buf.write(leBytes(stmtId.toInt, 4))
+      buf.write(flags)
+      buf.write(leBytes(1, 4))
+      writePacket(out, 0, buf.toByteArray)
+      out.flush()
+      val (_, first) = readPacket(in)
+      (first(0) & 0xFF) match {
+        case 0xFF =>
+          Left(new String(first, 9, first.length - 9, StandardCharsets.UTF_8))
+        case _ =>
+          val (nCols, _) = readLenencInt(first, 0)
+          val defs = (0 until nCols.toInt).map { _ =>
+            val (_, defPkt) = readPacket(in)
+            var off = 0
+            var names = List.empty[String]
+            (0 until 6).foreach { _ =>
+              val (len, used) = readLenencInt(defPkt, off)
+              names ::= new String(defPkt, off + used, len.toInt,
+                StandardCharsets.UTF_8)
+              off += used + len.toInt
+            }
+            val tpe = defPkt(off + 1 + 2 + 4) & 0xFF
+            (names(1), tpe)
+          }
+          val (_, eof) = readPacket(in)
+          assert((eof(0) & 0xFF) == 0xFE, "expected EOF after defs")
+          val status = (eof(3) & 0xFF) | ((eof(4) & 0xFF) << 8)
+          Right((defs, status))
+      }
+    }
+
+    /** COM_STMT_FETCH: up to `n` binary rows + the EOF status. */
+    def fetch(stmtId: Long, n: Int, types: Seq[Int])
+        : Either[String, (Seq[Seq[Option[String]]], Int)] = {
+      writePacket(out, 0, Array[Byte](MysqlServer.ComStmtFetch.toByte) ++
+        leBytes(stmtId.toInt, 4) ++ leBytes(n, 4))
+      out.flush()
+      val first = readPacket(in)._2
+      if ((first(0) & 0xFF) == 0xFF)
+        return Left(new String(first, 9, first.length - 9,
+          StandardCharsets.UTF_8))
+      var rows = List.empty[Seq[Option[String]]]
+      var p = first
+      while ((p(0) & 0xFF) != 0xFE || p.length >= 9) {
+        rows ::= decodeBinaryRow(p, types)
+        p = readPacket(in)._2
+      }
+      val status = (p(3) & 0xFF) | ((p(4) & 0xFF) << 8)
+      Right((rows.reverse, status))
+    }
+
     /** COM_STMT_CLOSE (no server response by protocol). */
     def closeStmt(stmtId: Long): Unit = {
       writePacket(out, 0, Array[Byte](MysqlServer.ComStmtClose.toByte) ++
@@ -921,6 +978,50 @@ class MysqlProtocolSpec extends AnyFunSuite {
       assert(plain.setOption(7).isLeft)
       assert(plain.ping())
       plain.quit()
+      c.quit()
+    } finally server.stop()
+  }
+
+  test("server-side READ_ONLY cursor: EXECUTE defers rows, FETCH pages, " +
+      "drained EOF flags LAST_ROW_SENT, RESET closes, others refused") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val server = MysqlServer.start(spark)
+    try {
+      val c = new Client(server.boundPort)
+      val Right((sid, _, _)) = c.prepare(
+        "select o_orderkey from orders order by o_orderkey limit 7")
+        : @unchecked
+      // SCROLLABLE stays refused
+      assert(c.executeCursor(sid, 0x04).isLeft, "scrollable must refuse")
+      // READ_ONLY: defs only, CURSOR_EXISTS set, no rows inline
+      val Right((defs, st0)) = c.executeCursor(sid, 0x01): @unchecked
+      assert(defs.map(_._1) == Seq("o_orderkey"))
+      assert((st0 & MysqlServer.StatusCursorExists) != 0, st0.toString)
+      val types = defs.map(_._2)
+      // page 3 + 3 + 3: the last page carries the final row + the flag
+      val Right((r1, s1)) = c.fetch(sid, 3, types): @unchecked
+      val Right((r2, s2)) = c.fetch(sid, 3, types): @unchecked
+      val Right((r3, s3)) = c.fetch(sid, 3, types): @unchecked
+      assert(r1.length == 3 && r2.length == 3 && r3.length == 1,
+        s"${r1.length}/${r2.length}/${r3.length}")
+      assert((s1 & MysqlServer.StatusLastRowSent) == 0)
+      assert((s2 & MysqlServer.StatusLastRowSent) == 0)
+      assert((s3 & MysqlServer.StatusLastRowSent) != 0)
+      val keys = (r1 ++ r2 ++ r3).map(_.head.get.toLong)
+      assert(keys.length == 7 && keys == keys.sorted && keys.distinct == keys,
+        s"paged keys wrong: $keys")
+      // drained cursor keeps answering the drained EOF
+      val Right((r4, s4)) = c.fetch(sid, 5, types): @unchecked
+      assert(r4.isEmpty && (s4 & MysqlServer.StatusLastRowSent) != 0)
+      // a plain EXECUTE on the same handle still streams inline
+      val Right((_, inline)) = c.execute(sid, Seq.empty): @unchecked
+      assert(inline.length == 7)
+      // RESET closes the (re-opened) cursor
+      assert(c.executeCursor(sid, 0x01).isRight)
+      assert(c.resetStmt(sid))
+      assert(c.fetch(sid, 1, types).isLeft, "fetch after RESET must ERR")
+      // unknown handle
+      assert(c.fetch(9999L, 1, types).isLeft)
       c.quit()
     } finally server.stop()
   }
@@ -1554,24 +1655,27 @@ class MysqlProtocolSpec extends AnyFunSuite {
     }
   }
 
-  test("cursor protocol answers a clean ERR 1235, connection stays up") {
+  test("unsupported cursor kinds answer a clean ERR, connection stays up") {
     val server = MysqlServer.start(spark)
     try {
       val c = new Client(server.boundPort)
-      // COM_STMT_FETCH (0x1c): decoded and refused, not unknown-command
+      // COM_STMT_FETCH on a never-prepared handle: decoded and refused
       c.sendRaw(Array[Byte](MysqlServer.ComStmtFetch.toByte,
         1, 0, 0, 0, 10, 0, 0, 0))
-      assert(c.readErr().exists(_.contains("cursor protocol")))
-      // EXECUTE with CURSOR_TYPE_READ_ONLY flag: same refusal
+      assert(c.readErr().exists(_.contains("FETCH")))
+      // EXECUTE asking FOR_UPDATE / SCROLLABLE cursors: refused (the
+      // READ_ONLY kind is served — its own spec covers the lifecycle)
       val Right((id, _, _)) = c.prepare("select 1 as a")
-      val buf = new java.io.ByteArrayOutputStream()
-      buf.write(MysqlServer.ComStmtExecute)
-      buf.write(leBytes(id.toInt, 4))
-      buf.write(0x01) // CURSOR_TYPE_READ_ONLY
-      buf.write(leBytes(1, 4))
-      c.sendRaw(buf.toByteArray)
-      assert(c.readErr().exists(_.contains("cursor protocol")))
-      assert(c.ping()) // both refusals left the connection usable
+      Seq(0x02, 0x04).foreach { flag =>
+        val buf = new java.io.ByteArrayOutputStream()
+        buf.write(MysqlServer.ComStmtExecute)
+        buf.write(leBytes(id.toInt, 4))
+        buf.write(flag)
+        buf.write(leBytes(1, 4))
+        c.sendRaw(buf.toByteArray)
+        assert(c.readErr().exists(_.contains("cursor protocol")))
+      }
+      assert(c.ping()) // every refusal left the connection usable
       c.quit()
     } finally server.stop()
   }
