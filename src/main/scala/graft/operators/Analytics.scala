@@ -1161,10 +1161,130 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** Shapley attribution over channel COALITIONS — the third member of
+    * the attribution trio (rule-based windows, Markov removal, and now
+    * the game-theoretic split): each user journey contributes its
+    * pre-conversion channel SET as a 4-bit mask, the coalition value
+    * v(S) counts converted users whose mask fits inside S, and each
+    * channel's Shapley value averages its marginal contribution over
+    * all orderings. With n = 4 channels the factorial weights share
+    * denominator n! = 24, so 24·φ is an exact INTEGER
+    * (Σ_S |S|!·(n−1−|S|)!·[v(S∪{c}) − v(S)]) — no float folds; the
+    * output share divides two identical integers.
+    *
+    * Scale shape: the distributed part reduces every journey to one
+    * (mask, converted) row and v(S) to a 16-row table (users ×
+    * broadcast subsets, containment by bitmask); the Shapley sum runs
+    * on those 16 integers — model-sized driver algebra, the k-means
+    * contract. 2^n stays model-sized for the single-digit channel
+    * counts marketing attribution runs at. */
+  def shapleyCoalitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bit = MarkovChannels.zipWithIndex.toMap // click=1,error=2,...
+    val bitExpr = MarkovChannels.zipWithIndex
+      .map { case (c, i) =>
+        when(col("event_type") === c, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val e = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("prn"))
+    // converted users' PRE-conversion events only; a user whose first
+    // event converts has no such rows and contributes to no coalition
+    // (standard treatment — no channel can claim an instant conversion)
+    val perUser = e.join(fp, Seq("user_id"))
+      .filter(col("rn") < col("prn"))
+      .withColumn("b", bitExpr)
+      .groupBy(col("user_id"))
+      .agg(expr("bit_or(b)").as("mask"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val full = (1L << bit.size) - 1
+    val subsets = (0 until (1 << MarkovChannels.length)).map(_.toLong)
+      .toDF("s")
+    perUser
+      .crossJoin(broadcast(subsets))
+      .filter(col("mask").bitwiseAND(lit(full) - col("s")) === 0L)
+      .groupBy(col("s")).agg(count(lit(1)).as("v"))
+  }
+
+  /** 24·φ per channel from the 16-row coalition-value table. */
+  def shapleyFromValues(v: Map[Long, Long]): Seq[(String, Long)] = {
+    val n = MarkovChannels.length
+    def fact(k: Int): Long = (1 to k).product.toLong
+    MarkovChannels.zipWithIndex.map { case (c, i) =>
+      val cb = 1L << i
+      var acc = 0L
+      (0 until (1 << n)).map(_.toLong).filter(s => (s & cb) == 0).foreach {
+        s =>
+          val size = java.lang.Long.bitCount(s)
+          acc += fact(size) * fact(n - 1 - size) *
+            (v.getOrElse(s | cb, 0L) - v.getOrElse(s, 0L))
+      }
+      (c, acc)
+    }
+  }
+
+  val eventsShapley: Q = Q.df(
+    "events_attribution_shapley", {
+      val n = MarkovChannels.length
+      val bits = MarkovChannels.zipWithIndex
+        .map { case (c, i) => s"when event_type = '$c' then ${1L << i}" }
+        .mkString(" ", " ", " else 0 end")
+      // weights |S|!(n-1-|S|)! for n=4 by subset size
+      val wBySize = (0 until n).map(k =>
+        ((1 to k).product.toLong * (1 to (n - 1 - k)).product.toLong))
+      val wCase = wBySize.zipWithIndex
+        .map { case (wt, k) => s"when $k then $wt" }
+        .mkString("case bit_count(subsets.s) ", " ", " else 0 end")
+      s"""with e as (select user_id, event_type,
+         |    row_number() over (partition by user_id
+         |                       order by ts, event_id) as rn
+         |  from events),
+         |fp as (select user_id, min(rn) as prn from e
+         |       where event_type = 'purchase' group by user_id),
+         |pu as (select e.user_id,
+         |    bit_or(case$bits) as mask
+         |  from e join fp using (user_id)
+         |  where e.rn < fp.prn
+         |  group by e.user_id),
+         |subsets as (select range as s from range(0, ${1 << n})),
+         |v as materialized (select s, cast(count(*) as bigint) as v
+         |  from pu cross join subsets
+         |  where (mask & (${(1 << n) - 1} - s)) = 0
+         |  group by s),
+         |phi as (${MarkovChannels.zipWithIndex.map { case (c, i) =>
+        s"""select '$c' as channel, cast(sum(($wCase) *
+           |    (coalesce(vc.v, 0) - coalesce(v0.v, 0))) as bigint)
+           |    as phi24
+           |  from subsets
+           |  left join v v0 on v0.s = subsets.s
+           |  left join v vc on vc.s = subsets.s | ${1L << i}
+           |  where (subsets.s & ${1L << i}) = 0""".stripMargin
+      }.mkString("\n  union all\n")})
+         |select channel, phi24,
+         |  cast(phi24 as double) /
+         |    (select cast(sum(phi24) as double) from phi) as share
+         |from phi order by channel""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    val v = shapleyCoalitions(Tables.df(s, dir, "events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val phi = shapleyFromValues(v)
+    val tot = phi.map(_._2).sum
+    phi.map { case (c, p) => (c, p, p.toDouble / tot.toDouble) }
+      .toDF("channel", "phi24", "share")
+      .orderBy(col("channel"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
-    eventsAttribution, eventsMarkovAttribution, eventsTransitions,
+    eventsAttribution, eventsMarkovAttribution, eventsShapley,
+    eventsTransitions,
     eventsPathPattern, eventsStreaks,
     eventsChangepoint, eventsSeasonality, eventsAbLift, windowSessionNative,
     eventsBotRegularity)
