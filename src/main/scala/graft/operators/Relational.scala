@@ -1871,7 +1871,10 @@ object Relational {
     """select l_returnflag, cast(count(*) as bigint) as n_items,
       |  cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
       |  cast(sum(cast(l_extendedprice as decimal(12,2))) as double)
-      |    as sum_price
+      |    as sum_price,
+      |  cast(min(cast(l_quantity as decimal(12,2))) as double) as min_qty,
+      |  cast(max(cast(l_extendedprice as decimal(12,2))) as double)
+      |    as max_price
       |from lineitem group by l_returnflag
       |order by l_returnflag""".stripMargin) { (s, dir) =>
     graft.plans.MvRewrite.ensure(s, dir)
@@ -1879,7 +1882,9 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         dsum(m(col("l_quantity"))).as("sum_qty"),
-        dsum(m(col("l_extendedprice"))).as("sum_price"))
+        dsum(m(col("l_extendedprice"))).as("sum_price"),
+        min(m(col("l_quantity"))).cast("double").as("min_qty"),
+        max(m(col("l_extendedprice"))).cast("double").as("max_price"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.internal.SQLConf
 
 /** Materialized-view AUTOMATIC REWRITE — the optimizer capability that
@@ -51,10 +51,23 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** MV dimensions (grouping keys the summary can serve). */
   val Dims: Seq[String] = Seq("l_returnflag", "l_linestatus", "l_shipdate")
 
-  /** base measure column -> MV partial-sum column */
-  private val Measures = Map(
-    "l_quantity" -> "sum_l_quantity",
-    "l_extendedprice" -> "sum_l_extendedprice")
+  /** Base measure columns with MV partials (`sum_`/`min_`/`max_`
+    * prefixed columns per measure, plus the shared `cnt`). */
+  private val Measures = Set("l_quantity", "l_extendedprice")
+
+  /** The measure name iff `e` is EXACTLY the Money-cast of one: a
+    * differently-scaled decimal rounds per ROW before aggregating,
+    * which no post-hoc transform of the partials can reproduce —
+    * answering it from the MV would be silently wrong, so it vetoes. */
+  private def moneyMeasure(e: Expression): Option[String] = e match {
+    case c: Cast if c.dataType == graft.functions.Money.M =>
+      c.child match {
+        case a: AttributeReference if Measures.contains(a.name) =>
+          Some(a.name)
+        case _ => None
+      }
+    case _ => None
+  }
 
   /** dir -> built MV path (at most one build per fixture dir). */
   private val mvBuilt = new Memo[String, String]
@@ -73,16 +86,28 @@ object MvRewrite extends Rule[LogicalPlan] {
     * (per-row rounding under any other scale cannot be reproduced from
     * partials and vetoes), non-empty grouping, and the pinned source —
     * so a rewritten query can never answer differently, only faster. */
-  def ensure(s: SparkSession, dir: String): Unit = {
+  /** The MV's partial-aggregate projection — ONE builder serves the
+    * full build and the incremental refresh so the schemas can never
+    * diverge. Counts and decimal sums re-aggregate by Sum; min/max
+    * partials re-aggregate by Min/Max (self-mergeable, no widening). */
+  private def mvPartials(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.Money.m
+    df.groupBy(Dims.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(m(col("l_quantity"))).as("sum_l_quantity"),
+        sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"),
+        min(m(col("l_quantity"))).as("min_l_quantity"),
+        max(m(col("l_quantity"))).as("max_l_quantity"),
+        min(m(col("l_extendedprice"))).as("min_l_extendedprice"),
+        max(m(col("l_extendedprice"))).as("max_l_extendedprice"))
+  }
+
+  def ensure(s: SparkSession, dir: String): Unit = {
     val path = mvBuilt.once(dir) {
       val p = java.nio.file.Files.createTempDirectory("graft_mv_")
         .toString + "/mv_lineitem_agg"
-      graft.Tables.df(s, dir, "lineitem")
-        .groupBy(Dims.map(col): _*)
-        .agg(count(lit(1)).as("cnt"),
-          sum(m(col("l_quantity"))).as("sum_l_quantity"),
-          sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"))
+      mvPartials(graft.Tables.df(s, dir, "lineitem"))
         .write.mode("overwrite").parquet(p)
       p
     }
@@ -103,27 +128,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     * partials re-aggregate exactly; the widened sum precision is cast
     * back so the refreshed MV keeps the canonical schema. */
   def ensureIncremental(s: SparkSession, dir: String): Unit = {
-    import graft.functions.Money.m
     val path = mvIncBuilt.once(dir) {
       val root = java.nio.file.Files.createTempDirectory("graft_mv_")
         .toString
       val li = graft.Tables.df(s, dir, "lineitem")
-      def partials(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(Dims.map(col): _*)
-          .agg(count(lit(1)).as("cnt"),
-            sum(m(col("l_quantity"))).as("sum_l_quantity"),
-            sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"))
-      partials(li.filter(col("l_orderkey") % 10 =!= 9))
+      mvPartials(li.filter(col("l_orderkey") % 10 =!= 9))
         .write.parquet(s"$root/base")
       val stored = s.read.parquet(s"$root/base")
       val sumType = stored.schema("sum_l_quantity").dataType
-      val delta = partials(li.filter(col("l_orderkey") % 10 === 9))
+      val delta = mvPartials(li.filter(col("l_orderkey") % 10 === 9))
       stored.unionByName(delta)
         .groupBy(Dims.map(col): _*)
         .agg(sum(col("cnt")).as("cnt"),
           sum(col("sum_l_quantity")).cast(sumType).as("sum_l_quantity"),
           sum(col("sum_l_extendedprice")).cast(sumType)
-            .as("sum_l_extendedprice"))
+            .as("sum_l_extendedprice"),
+          min(col("min_l_quantity")).as("min_l_quantity"),
+          max(col("max_l_quantity")).as("max_l_quantity"),
+          min(col("min_l_extendedprice")).as("min_l_extendedprice"),
+          max(col("max_l_extendedprice")).as("max_l_extendedprice"))
         .write.parquet(s"$root/mv_lineitem_agg")
       s"$root/mv_lineitem_agg"
     }
@@ -186,25 +209,21 @@ object MvRewrite extends Rule[LogicalPlan] {
           case c: Count if c.children == Seq(Literal(1)) =>
             Some(Sum(mvAttr("cnt")).toAggregateExpression())
           case s: Sum =>
-            s.child match {
-              // the cast must be EXACTLY the Money type the partials
-              // were built with: a differently-scaled decimal rounds
-              // per ROW before summing, which one post-hoc cast of the
-              // partial sum cannot reproduce — answering it from the
-              // MV would be silently wrong, so it vetoes
-              case c: Cast if c.dataType == graft.functions.Money.M =>
-                c.child match {
-                  case a: AttributeReference if Measures.contains(a.name) =>
-                    // Sum over the already-widened partial widens again;
-                    // cast back to the original result type (lossless —
-                    // the values are the same sums)
-                    Some(Cast(
-                      Sum(mvAttr(Measures(a.name))).toAggregateExpression(),
-                      ae.dataType))
-                  case _ => None
-                }
-              case _ => None
+            moneyMeasure(s.child).map { a =>
+              // Sum over the already-widened partial widens again;
+              // cast back to the original result type (lossless —
+              // the values are the same sums)
+              Cast(Sum(mvAttr("sum_" + a)).toAggregateExpression(),
+                ae.dataType)
             }
+          case mn: Min =>
+            // min of per-group mins IS the min — self-mergeable, no
+            // precision widening, no cast needed
+            moneyMeasure(mn.child).map(a =>
+              Min(mvAttr("min_" + a)).toAggregateExpression())
+          case mx: Max =>
+            moneyMeasure(mx.child).map(a =>
+              Max(mvAttr("max_" + a)).toAggregateExpression())
           case _ => None
         }
       case _ => None

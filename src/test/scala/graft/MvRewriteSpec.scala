@@ -35,7 +35,9 @@ class MvRewriteSpec extends AnyFunSuite {
   test("subset roll-up rewrites to the MV scan and equals the direct run") {
     MvRewrite.ensure(spark, TestSpark.Sf)
     def q = base.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), dsum(m(col("l_quantity"))).as("sq"))
+      .agg(count(lit(1)).as("n"), dsum(m(col("l_quantity"))).as("sq"),
+        min(m(col("l_quantity"))).as("mn"),
+        max(m(col("l_extendedprice"))).as("mx"))
       .orderBy(col("l_returnflag"))
     assert(scansMv(q), s"MV scan missing: ${scanPaths(q)}")
     assert(!scansBase(q), s"base scan kept: ${scanPaths(q)}")
@@ -95,7 +97,11 @@ class MvRewriteSpec extends AnyFunSuite {
       .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .agg(count(lit(1)).as("cnt"),
         sum(m(col("l_quantity"))).as("sum_l_quantity"),
-        sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"))
+        sum(m(col("l_extendedprice"))).as("sum_l_extendedprice"),
+        min(m(col("l_quantity"))).as("min_l_quantity"),
+        max(m(col("l_quantity"))).as("max_l_quantity"),
+        min(m(col("l_extendedprice"))).as("min_l_extendedprice"),
+        max(m(col("l_extendedprice"))).as("max_l_extendedprice"))
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .collect().toSeq
     assert(refreshed == full, "refresh diverged from the full rebuild")
