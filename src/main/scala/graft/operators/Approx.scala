@@ -322,6 +322,41 @@ object Approx {
       .orderBy(col("event_type"))
   }
 
+  /** Persisted TOP-K sketch rollup — Spark 4's DataSketches
+    * frequent-items trio (approx_top_k_accumulate / _combine /
+    * _estimate) run in the same warehouse shape as the HLL rollup: a
+    * daily job persists one frequency sketch per day, and the rollup
+    * merges the STORED sketches to answer "top event types over any
+    * range" without re-reading facts. With the tracked-item budget
+    * above the domain cardinality (20 ≫ 5 event types) the sketch
+    * never evicts, so its counts are EXACT and the entry is
+    * hash-oracle-able; the final ranking re-sorts the estimates
+    * deterministically ((count desc, item)) rather than trusting the
+    * sketch's internal tie order. At true heavy-hitter scale the same
+    * code runs with the budget ≪ domain and the CMS/Misra-Gries
+    * entries' epsilon contracts take over. */
+  val approxTopKRollup: Q = Q.df(
+    "approx_topk_sketch_rollup",
+    """select event_type, cast(count(*) as bigint) as cnt
+      |from events group by event_type
+      |order by cnt desc, event_type limit 3""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_topk_").toString
+    val ev = Tables.df(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    ev.groupBy(col("day"))
+      .agg(expr("approx_top_k_accumulate(event_type, 20)").as("sk"))
+      .write.mode("overwrite").parquet(tmp)
+    val sk = s.read.parquet(tmp)
+    sk.agg(expr(
+        "approx_top_k_estimate(approx_top_k_combine(sk, 20), 5)").as("e"))
+      .select(explode(col("e")).as("x"))
+      .select(col("x.item").as("event_type"),
+        col("x.count").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(3)
+  }
+
   /** Misra-Gries counter budget: bounds BOTH the per-partition summary
     * memory and the selection threshold (heavy = count·k > n). */
   val MgCounters = 64
@@ -398,5 +433,6 @@ object Approx {
 
   val queries: Seq[Q] =
     Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
-      approxMergeable, bitmapDistinct, approxSketchRollup, misraGriesHitters)
+      approxMergeable, bitmapDistinct, approxSketchRollup, approxTopKRollup,
+      misraGriesHitters)
 }
