@@ -1909,8 +1909,36 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** SQL SCRIPTING (Spark 4's procedural surface: BEGIN…END compound
+    * statements, DECLAREd local variables, WHILE control flow): the
+    * script partitions the orders count across five loop iterations by
+    * key residue and accumulates into a session-local variable — the
+    * final SELECT only reconciles with the oracle's one-shot count if
+    * every iteration really ran and every SET re-bound the variable.
+    * The scripting conf is a parser capability toggle (no effect on
+    * non-script SQL), enabled once for the session. */
+  val sqlScriptingLoop: Q = Q.df(
+    "sql_scripting_loop",
+    """select cast(count(*) as bigint) as n_orders,
+      |  cast(5 as bigint) as rounds from orders""".stripMargin) {
+    (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql(
+        """BEGIN
+          |  DECLARE total BIGINT DEFAULT 0;
+          |  DECLARE i BIGINT DEFAULT 0;
+          |  WHILE i < 5 DO
+          |    SET total = total +
+          |      (SELECT count(*) FROM orders WHERE o_orderkey % 5 = i);
+          |    SET i = i + 1;
+          |  END WHILE;
+          |  SELECT total AS n_orders, i AS rounds;
+          |END""".stripMargin)
+  }
+
   val queries: Seq[Q] = Seq(
-    mvRewriteRollup, mvIncrementalRewrite,
+    mvRewriteRollup, mvIncrementalRewrite, sqlScriptingLoop,
     exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,
     setopUnionAll, setopUnionDistinct, setopUnionByName,
