@@ -60,7 +60,10 @@ object ScaleCurve {
     "stream_static_join",         // broadcast dim join per micro-batch
     "text_classifier_score",      // zero-shuffle kernel scan
     "ann_filtered_topk",          // pre-filtered inverted lists
-    "retrieval_eval_ndcg")        // k-bounded ranked-list evaluation
+    "retrieval_eval_ndcg",        // k-bounded ranked-list evaluation
+    "events_attribution_markov",  // journeys distributed, chain model-sized
+    "classifier_eval_auc",        // score scan + per-source rank windows
+    "approx_topk_sketch_rollup")  // persisted daily frequency sketches
 
   /** Gate: fitted exponent must stay below this for every cell. */
   val MaxExponent = 1.3
