@@ -995,7 +995,13 @@ object Analytics {
     * the absorbing CONV), and a journey that ends without converting
     * falls into NULL. All joins/windows are user-keyed (co-partitioned
     * at any scale); the output is a channel-cardinality count table. */
-  def markovTransitions(events: DataFrame): DataFrame = {
+  /** Every user's journey rows with their position and the user's
+    * first-purchase position (`prn`, NULL when never converting) — the
+    * shared preparation both data-driven attribution models truncate
+    * from (Markov keeps rows ≤ prn including the conversion; Shapley
+    * keeps strictly pre-conversion rows of converted users). One
+    * definition so the trio's journey semantics cannot desynchronize. */
+  private def journeysWithFirstPurchase(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -1005,7 +1011,12 @@ object Analytics {
       .drop("ts", "event_id")
     val fp = e.filter(col("event_type") === "purchase")
       .groupBy("user_id").agg(min("rn").as("prn"))
-    val j = e.join(fp, Seq("user_id"), "left")
+    e.join(fp, Seq("user_id"), "left")
+  }
+
+  def markovTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = journeysWithFirstPurchase(events)
       .filter(col("prn").isNull || col("rn") <= col("prn"))
     def mapDst(c: org.apache.spark.sql.Column) =
       when(c === "purchase", lit("CONV")).otherwise(c)
@@ -1047,7 +1058,10 @@ object Analytics {
       for ((s, d, n) <- cv) {
         val qs = q.getOrElse(s, 0L)
         if (qs > 0L && s != "CONV" && s != "NULL")
-          next(d) += qs * n / tn(s)
+          // BigInt product: qs (≤ 1e9) times a raw transition count
+          // must not wrap a Long at extreme corpus sizes — the oracle's
+          // hugeint multiply is exact, and this side must match it
+          next(d) += (BigInt(qs) * n / tn(s)).toLong
       }
       q = next.toMap
     }
@@ -1122,7 +1136,8 @@ object Analytics {
        |rem as (
        |  $rem),
        |fin as (select channel,
-       |    (select q from bq) - coalesce(qc, 0) as rq from rem)
+       |    coalesce((select q from bq), 0) - coalesce(qc, 0) as rq
+       |  from rem)
        |select channel, cast(rq as bigint) as removal_q,
        |  cast(rq as double) / (select cast(q as double) from bq)
        |    as removal_effect,
@@ -1155,8 +1170,12 @@ object Analytics {
       (c, base - markovAbsorption(counts, Some(c), MarkovRounds))
     }
     val tot = rows.map(_._2).sum
+    // degenerate fixture slice (no reachable conversions): the oracle's
+    // divisions yield NULL, so this side must too — never NaN
+    def ratio(num: Long, den: Long): java.lang.Double =
+      if (den == 0L) null else num.toDouble / den.toDouble
     rows.map { case (c, rq) =>
-      (c, rq, rq.toDouble / base.toDouble, rq.toDouble / tot.toDouble)
+      (c, rq, ratio(rq, base), ratio(rq, tot))
     }.toDF("channel", "removal_q", "removal_effect", "share")
       .orderBy(col("channel"))
   }
@@ -1179,24 +1198,16 @@ object Analytics {
     * contract. 2^n stays model-sized for the single-digit channel
     * counts marketing attribution runs at. */
   def shapleyCoalitions(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bit = MarkovChannels.zipWithIndex.toMap // click=1,error=2,...
     val bitExpr = MarkovChannels.zipWithIndex
       .map { case (c, i) =>
         when(col("event_type") === c, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val e = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-    val fp = e.filter(col("event_type") === "purchase")
-      .groupBy("user_id").agg(min("rn").as("prn"))
     // converted users' PRE-conversion events only; a user whose first
     // event converts has no such rows and contributes to no coalition
     // (standard treatment — no channel can claim an instant conversion)
-    val perUser = e.join(fp, Seq("user_id"))
-      .filter(col("rn") < col("prn"))
+    val perUser = journeysWithFirstPurchase(events)
+      .filter(col("prn").isNotNull && col("rn") < col("prn"))
       .withColumn("b", bitExpr)
       .groupBy(col("user_id"))
       .agg(expr("bit_or(b)").as("mask"))
@@ -1275,8 +1286,13 @@ object Analytics {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val phi = shapleyFromValues(v)
     val tot = phi.map(_._2).sum
-    phi.map { case (c, p) => (c, p, p.toDouble / tot.toDouble) }
-      .toDF("channel", "phi24", "share")
+    // no coalition value anywhere (degenerate slice): NULL like the
+    // oracle's division, never NaN
+    phi.map { case (c, p) =>
+      (c, p,
+        (if (tot == 0L) null
+         else p.toDouble / tot.toDouble): java.lang.Double)
+    }.toDF("channel", "phi24", "share")
       .orderBy(col("channel"))
   }
 

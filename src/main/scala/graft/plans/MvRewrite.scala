@@ -28,9 +28,11 @@ import org.apache.spark.sql.internal.SQLConf
   *    (a predicate on a non-dimension column is not answerable);
   *  - every grouping key must be an MV dimension;
   *  - every aggregate must be one of the recognized forms
-  *    (`count(1)`, `sum(cast(measure as decimal))` with no DISTINCT
-  *    and no FILTER clause). One unrecognized expression vetoes the
-  *    whole rewrite — a partial rewrite would read both tables.
+  *    (`count(1)`, or `sum`/`min`/`max` over EXACTLY the Money-cast of
+  *    a measure, with no DISTINCT and no FILTER clause; no grouping at
+  *    all also vetoes — Sum over an empty MV is NULL where count must
+  *    be 0). One unrecognized expression vetoes the whole rewrite — a
+  *    partial rewrite would read both tables.
   * Output names, exprIds, and types are preserved (the decimal
   * roll-up's widened precision is cast back), so the parent plan is
   * untouched.
@@ -75,17 +77,6 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** MV path -> analyzed scan plan (stable exprIds per session). */
   private val mvPlans = new Memo[String, LogicalPlan]
 
-  /** Build the MV parquet for `dir`'s lineitem (once) and point the
-    * rule at it. Decimal sums per the Money convention keep the
-    * roll-up exact.
-    *
-    * The enable is deliberately SESSION-scoped and never reset: an MV
-    * exists precisely so every later eligible query benefits without
-    * opting in. That is safe because eligibility is bit-exact by
-    * construction — the match requires the exact Money decimal type
-    * (per-row rounding under any other scale cannot be reproduced from
-    * partials and vetoes), non-empty grouping, and the pinned source —
-    * so a rewritten query can never answer differently, only faster. */
   /** The MV's partial-aggregate projection — ONE builder serves the
     * full build and the incremental refresh so the schemas can never
     * diverge. Counts and decimal sums re-aggregate by Sum; min/max
@@ -103,6 +94,16 @@ object MvRewrite extends Rule[LogicalPlan] {
         max(m(col("l_extendedprice"))).as("max_l_extendedprice"))
   }
 
+  /** Build the MV parquet for `dir`'s lineitem (once) and point the
+    * rule at it.
+    *
+    * The enable is deliberately SESSION-scoped and never reset: an MV
+    * exists precisely so every later eligible query benefits without
+    * opting in. That is safe because eligibility is bit-exact by
+    * construction — the match requires the exact Money decimal type
+    * (per-row rounding under any other scale cannot be reproduced from
+    * partials and vetoes), non-empty grouping, and the pinned source —
+    * so a rewritten query can never answer differently, only faster. */
   def ensure(s: SparkSession, dir: String): Unit = {
     val path = mvBuilt.once(dir) {
       val p = java.nio.file.Files.createTempDirectory("graft_mv_")

@@ -680,7 +680,9 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           // fetches keep answering the drained EOF, like mysqld).
           if (cmd.length >= 9) {
             val id = leU32(cmd, 1)
-            val want = leU32(cmd, 5).toInt
+            // u32 num_rows clamped: 0xFFFFFFFF ("fetch everything")
+            // must not wrap negative and starve the loop
+            val want = math.min(leU32(cmd, 5), Int.MaxValue.toLong).toInt
             stmts.get(id) match {
               case None =>
                 writePacket(out, 1, errPacket(1243, "HY000",
@@ -1191,6 +1193,10 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
       return
     }
     val wantCursor = (cmd(5) & 0x01) != 0
+    // mysqld closes an open cursor on ANY re-execute of the handle —
+    // including one that fails or runs inline — so a later FETCH can
+    // never serve the superseded resultset
+    st.cursor = None
     val result =
       try {
         // stmt_id u32 + flags u8 + iteration_count u32 → params at 10
@@ -1246,23 +1252,26 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           out.flush()
           return
       }
+    // the column-definition block shared by the cursor-open and inline
+    // answers; returns the continuation sequence id
+    def sendDefs(schema: StructType, eofStatus: Int): Int = {
+      var seq = 1
+      def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
+      send(lenencInt(schema.length))
+      schema.fields.foreach(f => send(columnDefinition(f)))
+      send(eofPacket(eofStatus))
+      seq
+    }
     result match {
       case Left(affected) => writePacket(out, 1, okPacket(affected))
       case Right((schema, rows)) if wantCursor =>
         // cursor open: answer ONLY the column definition block, EOF
         // flagged CURSOR_EXISTS; the rows wait for COM_STMT_FETCH
         st.cursor = Some((schema, rows.iterator))
-        var seq = 1
-        def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
-        send(lenencInt(schema.length))
-        schema.fields.foreach(f => send(columnDefinition(f)))
-        send(eofPacket(StatusAutocommit | StatusCursorExists))
+        sendDefs(schema, StatusAutocommit | StatusCursorExists)
       case Right((schema, rows)) =>
-        var seq = 1
+        var seq = sendDefs(schema, StatusAutocommit)
         def send(p: Array[Byte]): Unit = { writePacket(out, seq, p); seq += 1 }
-        send(lenencInt(schema.length))
-        schema.fields.foreach(f => send(columnDefinition(f)))
-        send(eofPacket())
         try {
           rows.foreach { r =>
             val payload = binaryRow(schema, r)

@@ -105,10 +105,11 @@ class MvRewriteSpec extends AnyFunSuite {
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
       .collect().toSeq
     assert(refreshed == full, "refresh diverged from the full rebuild")
-    // the rewrite now reads the refreshed path
+    // the rewrite now reads THE refreshed artifact — the exact path
+    // just registered, not merely any MV-suffixed one
     val q = base.groupBy(col("l_linestatus")).agg(count(lit(1)).as("n"))
-    assert(scanPaths(q).exists(_.endsWith("mv_lineitem_agg")) &&
-      !scansBase(q), scanPaths(q))
+    assert(scanPaths(q).exists(_.endsWith(incPath)) && !scansBase(q),
+      s"expected $incPath in ${scanPaths(q)}")
   }
 
   test("another table's identical shape is untouched (source pinning)") {

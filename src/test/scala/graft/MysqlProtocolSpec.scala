@@ -1013,9 +1013,13 @@ class MysqlProtocolSpec extends AnyFunSuite {
       // drained cursor keeps answering the drained EOF
       val Right((r4, s4)) = c.fetch(sid, 5, types): @unchecked
       assert(r4.isEmpty && (s4 & MysqlServer.StatusLastRowSent) != 0)
-      // a plain EXECUTE on the same handle still streams inline
+      // a plain EXECUTE on the same handle still streams inline — and
+      // CLOSES the open cursor (mysqld semantics): a later FETCH must
+      // not serve the superseded resultset
       val Right((_, inline)) = c.execute(sid, Seq.empty): @unchecked
       assert(inline.length == 7)
+      assert(c.fetch(sid, 1, types).isLeft,
+        "plain EXECUTE must close the open cursor")
       // RESET closes the (re-opened) cursor
       assert(c.executeCursor(sid, 0x01).isRight)
       assert(c.resetStmt(sid))
