@@ -68,9 +68,29 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.allQueries
-      .filter(q => only.isEmpty || only.contains(q.name))
-      .map { q =>
+    // Family-boundary session hygiene: a 300+-query single session
+    // otherwise accumulates every family's state — memoized
+    // checkpointed artifacts, cached relations, loaded RocksDB state
+    // stores — and the storage pressure uniformly inflates late cells
+    // (the r12 record showed untouched `events_*` cells 1.2-1.5× and
+    // retrieval_eval_ndcg 7.1 s in-suite vs 1.95 s isolated-warm).
+    // Between families nothing is shared, so drain: release every
+    // memoized artifact's blocks, drop cached plans, unload streaming
+    // state stores. The per-cell UNTIMED warm-up below rebuilds the
+    // next family's artifacts, so timed samples still measure steady
+    // state — now against a clean storage budget.
+    def familyHygiene(): Unit = {
+      graft.plans.Memo.drainAll()
+      spark.catalog.clearCache()
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+      System.gc()
+    }
+
+    val results = SparkEntry.queryGroups.flatMap { case (_, qs) =>
+      val selected = qs.filter(q => only.isEmpty || only.contains(q.name))
+      if (selected.nonEmpty) familyHygiene()
+      selected.map { q =>
         // One UNTIMED warm-up execution per cell: the r8 driver record
         // carried 4-9 s first-sample costs in session-heavy cells
         // (graph family, minhash_lsh, funnel) that min-of-samples did
@@ -99,6 +119,7 @@ object Bench {
           (good.size < samples.size || good.max > good.min * 3)
         (q.name, best, ok, contended)
       }
+    }
     def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) r3(v) else "-1")

@@ -5,27 +5,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
+  /** The engine's query surface grouped by operator family (one entry
+    * per module). The grouping is the bench harness's session-hygiene
+    * boundary: families share trained artifacts internally (memoized
+    * edge relations, shingle indexes, ranked lists) but not across, so
+    * between families the harness can drain session state without
+    * changing what any timed sample measures. */
+  def queryGroups: Seq[(String, Seq[Q])] = Seq(
+    "tpch" -> graft.tpch.Tpch.queries,
+    "tpch_ref" -> graft.tpch.RefTpch.queries,
+    "relational" -> graft.operators.Relational.queries,
+    "skew" -> graft.operators.Skew.queries,
+    "approx" -> graft.operators.Approx.queries,
+    "dedup" -> graft.operators.Dedup.queries,
+    "similarity" -> graft.operators.Similarity.queries,
+    "cluster" -> graft.operators.Cluster.queries,
+    "quantize" -> graft.operators.Quantize.queries,
+    "text" -> graft.operators.TextAnalysis.queries,
+    "pipeline" -> graft.operators.Pipeline.queries,
+    "corpus" -> graft.operators.Corpus.queries,
+    "dml" -> graft.operators.Dml.queries,
+    "multimodal" -> graft.operators.Multimodal.queries,
+    "temporal" -> graft.operators.Temporal.queries,
+    "graph" -> graft.operators.Graph.queries,
+    "analytics" -> graft.operators.Analytics.queries,
+    "streaming" -> graft.streaming.EventsStream.queries,
+    "types" -> graft.types.TypesQueries.queries)
+
   /** Every verifiable query the engine exposes (grows per SURVEY.md §2). */
-  def allQueries: Seq[Q] =
-    graft.tpch.Tpch.queries ++
-      graft.tpch.RefTpch.queries ++
-      graft.operators.Relational.queries ++
-      graft.operators.Skew.queries ++
-      graft.operators.Approx.queries ++
-      graft.operators.Dedup.queries ++
-      graft.operators.Similarity.queries ++
-      graft.operators.Cluster.queries ++
-      graft.operators.Quantize.queries ++
-      graft.operators.TextAnalysis.queries ++
-      graft.operators.Pipeline.queries ++
-      graft.operators.Corpus.queries ++
-      graft.operators.Dml.queries ++
-      graft.operators.Multimodal.queries ++
-      graft.operators.Temporal.queries ++
-      graft.operators.Graph.queries ++
-      graft.operators.Analytics.queries ++
-      graft.streaming.EventsStream.queries ++
-      graft.types.TypesQueries.queries
+  def allQueries: Seq[Q] = queryGroups.flatMap(_._2)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

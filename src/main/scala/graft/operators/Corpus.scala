@@ -383,23 +383,31 @@ object Corpus {
     val grams = docs.select(col("doc_id"), col("source"),
       explode(graft.functions.Text.shingles(col("text"), 3)).as("g"))
       .select(col("doc_id"), col("source"), xxhash64(col("g")).as("gh"))
-    // The distinct bench frame feeds TWO consumers (the sketch build and
-    // the exact-join side) — materialize it once or the benchmark-source
-    // shingle kernel re-runs per consumer (the jaccardPairs lesson).
-    val bench = graft.plans.Checkpoints.materialize(
-      grams.filter(col("source") === benchSource)
-        .select(col("gh")).distinct())
+    // The distinct bench subtree feeds TWO consumers (the sketch build
+    // and the exact-join side) and is deliberately NOT checkpointed
+    // between them: the subtree is filter-pruned to the benchmark slice
+    // at the scan, so recomputing it once costs less than a
+    // materialize+free round trip of its distinct-hash set (an r9
+    // lifecycle pass added exactly that pair here and regressed the
+    // entry ~2.8× — a checkpoint write+read+blocking-free is several
+    // scheduled jobs, while the slice re-scan is one pruned pass).
+    val bench = grams.filter(col("source") === benchSource)
+      .select(col("gh")).distinct()
     // The sketch is the MODEL here: one fixed-size binary (~100 KB for
     // 800k bits) collected to the driver and shipped back as a literal —
     // the same model-only collect as the trained k-means centroids, and
     // what `might_contain` requires (its filter side must be a constant
-    // or scalar subquery, never a per-row column).
+    // or scalar subquery, never a per-row column). The literal lands in
+    // the stage's task binary ONCE per stage (Literal is a codegen
+    // reference, and BloomFilterMightContain deserializes it lazily once
+    // per task), so the 100 KB constant is a per-stage broadcast, not a
+    // per-row cost.
     val bf: Array[Byte] = bench
       .agg(expr("graft_bloom_agg(gh, cast(100000 as bigint), " +
         "cast(800000 as bigint))").as("bf"))
       .head().getAs[Array[Byte]]("bf")
     val corpus = grams.filter(col("source") =!= benchSource)
-    val out = corpus
+    corpus
       .join(broadcast(bench.withColumn("inb", lit(1))), Seq("gh"), "left")
       .withColumn("hit",
         call_function(graft.functions.Bloom.probeName, lit(bf), col("gh")))
@@ -407,11 +415,6 @@ object Corpus {
       .agg(
         sum(coalesce(col("inb"), lit(0))).as("n_contaminated"),
         min(col("hit") || col("inb").isNull).as("no_false_negative"))
-    // Materialize the per-doc report (the result's own size) so the
-    // bench blocks can be freed synchronously, not pinned per sample.
-    val outM = graft.plans.Checkpoints.materialize(out)
-    graft.plans.Checkpoints.free(bench)
-    outM
   }
 
   val decontaminateBloomQ: Q = Q.df(

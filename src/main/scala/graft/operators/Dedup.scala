@@ -156,7 +156,8 @@ object Dedup {
     * the kernels via `base`; callers with ad-hoc frames (specs) omit it
     * and get a private, freed-after-use materialization. */
   private val shingleCache =
-    new graft.plans.Memo[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      Checkpoints.free)
 
   def sharedShingleArrays(s: SparkSession, dir: String): DataFrame =
     shingleCache.once((s, dir))(
@@ -712,7 +713,8 @@ object Dedup {
     * session, and the histogram entry then costs one aggregation over
     * stored blocks instead of a second full CC run. */
   private val clusterCache =
-    new graft.plans.Memo[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      Checkpoints.free)
 
   def sharedDupClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.once((s, dir))(

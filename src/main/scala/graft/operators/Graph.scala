@@ -77,7 +77,8 @@ object Graph {
     * invalidation path; entries live for the process (a handful of
     * sessions × dirs, each ≤ the distinct-edge count in storage). */
   private val edgeCache =
-    new graft.plans.Memo[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
 
   def sharedOrderEdges(s: SparkSession, dir: String): DataFrame =
     edgeCache.once((s, dir))(
@@ -440,7 +441,8 @@ object Graph {
     * re-running the scan + union + distinct each time. Edge-sized,
     * never freed (it IS the cache). */
   private val ccUndCache =
-    new graft.plans.Memo[(SparkSession, String), DataFrame]
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
 
   def sharedCcUndirected(s: SparkSession, dir: String): DataFrame =
     ccUndCache.once((s, dir))(

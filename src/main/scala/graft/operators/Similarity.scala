@@ -1242,9 +1242,11 @@ object Similarity {
     * stored block sets per corpus, and neither retrieval pipeline ever
     * re-runs per consumer. */
   private val denseListCache =
-    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
   private val lexListCache =
-    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
 
   private[graft] def sharedDenseList(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =

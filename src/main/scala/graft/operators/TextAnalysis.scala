@@ -1126,7 +1126,11 @@ object TextAnalysis {
     * bench warm-ups) share one training run; the cache owns the
     * materialized frames, all vocabulary-sized. */
   private val bpeCache = new graft.plans.Memo[
-    (org.apache.spark.sql.SparkSession, String), (Seq[DataFrame], DataFrame)]
+    (org.apache.spark.sql.SparkSession, String), (Seq[DataFrame], DataFrame)]({
+      case (frames, vocab) =>
+        frames.foreach(graft.plans.Checkpoints.free)
+        graft.plans.Checkpoints.free(vocab)
+    })
 
   private[operators] def bpeTrained(s: org.apache.spark.sql.SparkSession,
       dir: String): (Seq[DataFrame], DataFrame) =
@@ -1341,7 +1345,11 @@ object TextAnalysis {
     * frames are materialized and freed ([[graft.plans.Checkpoints]]);
     * only the scalar vocabulary count ever reaches the driver. */
   private val uniCache = new graft.plans.Memo[
-    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]({
+      case (a, b) =>
+        graft.plans.Checkpoints.free(a)
+        graft.plans.Checkpoints.free(b)
+    })
 
   private[operators] def unigramTrained(
       s: org.apache.spark.sql.SparkSession, dir: String)

@@ -17,9 +17,21 @@ package graft.plans
   * reentrant); cross-cache composition (e.g. duplicate clusters built
   * on the shared shingle index) is fine — each cache locks its own key
   * space only.
+  *
+  * `release` (optional constructor arg) frees the resources behind a
+  * cached value — `Checkpoints.free` for materialized frames — and is
+  * invoked per entry by [[clear]]. Every instance self-registers with
+  * [[Memo.drainAll]], the session-hygiene hook the bench harness calls
+  * between operator families: a 300+-query single session otherwise
+  * accumulates every family's pinned executor-storage blocks, and the
+  * storage pressure taxes late cells (the r12 late-session elevation).
+  * Draining is safe by construction — a later touch just rebuilds.
   */
-final class Memo[K, V] {
+final class Memo[K, V](release: V => Unit) {
+  def this() = this((_: V) => ())
+
   private val map = new java.util.concurrent.ConcurrentHashMap[K, V]()
+  Memo.register(this)
 
   /** Return the cached value for `key`, building it at most once. */
   def once(key: K)(build: => V): V =
@@ -27,4 +39,26 @@ final class Memo[K, V] {
 
   /** Peek without building (for read-only inspection paths). */
   def get(key: K): Option[V] = Option(map.get(key))
+
+  /** Evict every entry, releasing each value's backing resources. */
+  def clear(): Unit = {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val v = it.next().getValue
+      it.remove()
+      release(v)
+    }
+  }
+}
+
+object Memo {
+  private val all =
+    new java.util.concurrent.ConcurrentLinkedQueue[Memo[_, _]]()
+
+  private def register(m: Memo[_, _]): Unit = all.add(m)
+
+  /** Clear every live memo (bench family-boundary hygiene). Memos are
+    * module-level singletons, so `all` is bounded by the number of
+    * cache sites in the codebase, not by session activity. */
+  def drainAll(): Unit = all.forEach(_.clear())
 }
