@@ -341,9 +341,15 @@ object TextAnalysis {
         sum(when(col("pos") === 1L, col("avg_rank2"))
           .otherwise(lit(0L))).as("rank2_pos"))
       .select(col("source"), col("n_pos"), col("n_neg"),
-        round((col("rank2_pos") - col("n_pos") * (col("n_pos") + 1))
-          .cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        // Degenerate-slice guard: a source with zero positives (or
+        // negatives) has no defined AUC. Spark's Divide by zero yields
+        // NULL but DuckDB's IEEE float division yields NaN/inf, so the
+        // guard is explicit NULL on BOTH sides (the ratio() convention
+        // the Markov attribution entries use).
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("rank2_pos") - col("n_pos") * (col("n_pos") + 1))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
   val textClassifierAuc: Q = Q.df(
@@ -358,9 +364,11 @@ object TextAnalysis {
        |  from scored)
        |select source, cast(sum(pos) as bigint) as n_pos,
        |  cast(sum(1 - pos) as bigint) as n_neg,
-       |  round(cast(sum(case when pos = 1 then avg_rank2 else 0 end)
-       |        - sum(pos) * (sum(pos) + 1) as double)
-       |    / (2.0 * sum(pos) * sum(1 - pos)), 6) as auc
+       |  case when sum(pos) > 0 and sum(1 - pos) > 0 then
+       |    round(cast(sum(case when pos = 1 then avg_rank2 else 0 end)
+       |          - sum(pos) * (sum(pos) + 1) as double)
+       |      / (2.0 * sum(pos) * sum(1 - pos)), 6)
+       |  else null end as auc
        |from ranked group by source order by source""".stripMargin) {
     (s, dir) =>
       classifierAuc(Tables.df(s, dir, "documents")).orderBy(col("source"))

@@ -194,8 +194,19 @@ object MvRewrite extends Rule[LogicalPlan] {
     // would leak into the parent schema
     if (groupNames.isEmpty || !groupNames.forall(Dims.contains)) return None
     val mvPath = conf(PathKey)
-    val mv = mvPlans.once(mvPath)(
+    // The analyzed scan is cached per path (schema inference once per
+    // session), but every rewrite splices a FRESH instance: a query
+    // containing two eligible aggregates (self-join / union of
+    // roll-ups) would otherwise share one plan object's exprIds AFTER
+    // DeduplicateRelations has already run, mis-binding join/union
+    // attributes. newInstance() re-mints the relation's output ids.
+    val mvCached = mvPlans.once(mvPath)(
       SparkSession.active.read.parquet(mvPath).queryExecution.analyzed)
+    val mv = mvCached match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance()
+      case other => other
+    }
     def mvAttr(n: String): Attribute = mv.output.find(_.name == n).get
 
     def rollup(e: Expression): Option[Expression] = e match {
@@ -208,7 +219,13 @@ object MvRewrite extends Rule[LogicalPlan] {
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case c: Count if c.children == Seq(Literal(1)) =>
-            Some(Sum(mvAttr("cnt")).toAggregateExpression())
+            // Count is non-nullable; Sum is nullable. Coalesce with 0
+            // restores the original attribute's nullability so the
+            // rewritten output schema matches what the parent operators
+            // were resolved against (values agree regardless — grouping
+            // is non-empty, so the Sum never actually yields NULL).
+            Some(Coalesce(Seq(
+              Sum(mvAttr("cnt")).toAggregateExpression(), Literal(0L))))
           case s: Sum =>
             moneyMeasure(s.child).map { a =>
               // Sum over the already-widened partial widens again;
@@ -236,7 +253,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       case al @ Alias(child, name) =>
         rollup(child) match {
           case Some(r) => Alias(r, name)(exprId = al.exprId)
-          case None => return None
+          case None =>
+            // Aggregate-free scalar expressions over grouping dims (and
+            // literals CollapseProject folded into the aggregate list —
+            // e.g. `.withColumn("tag", lit(..))` above a roll-up) are
+            // answerable: re-bind their dimension refs to the MV scan.
+            val aggFree = child.collectFirst {
+              case ae: AggregateExpression => ae }.isEmpty
+            if (aggFree &&
+                child.references.forall(r => groupNames.contains(r.name)))
+              Alias(child.transform {
+                case a: AttributeReference => mvAttr(a.name)
+              }, name)(exprId = al.exprId)
+            else return None
         }
       case _ => return None
     }

@@ -564,10 +564,19 @@ final class MysqlServer(spark: SparkSession, port: Int, maxRows: Int,
           // as a client hangup); an unknown id is mysqld's ERR 1094.
           // Self-kill is legal: OK is written first, then this loop
           // dies on its closed socket.
+          // Authorization mirrors mysqld's same-user rule: with users
+          // configured, a connection may kill only connections it owns
+          // (ERR 1095 otherwise — there is no PROCESS/SUPER grant
+          // surface here). The permissive kill-anyone behavior survives
+          // only in dev mode (no users, loopback bind).
           if (cmd.length >= 5) {
             val id = leU32(cmd, 1).toInt
             val victim = live.get(id)
-            if (victim != null) {
+            if (victim != null && users.nonEmpty && victim.user != lc.user) {
+              writePacket(out, 1, errPacket(1095, "HY000",
+                s"You are not owner of thread $id"))
+              out.flush()
+            } else if (victim != null) {
               writePacket(out, 1, okPacket()); out.flush()
               try victim.socket.close() catch { case _: Throwable => () }
             } else {

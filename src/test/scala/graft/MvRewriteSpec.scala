@@ -112,6 +112,43 @@ class MvRewriteSpec extends AnyFunSuite {
       s"expected $incPath in ${scanPaths(q)}")
   }
 
+  test("two eligible aggregates in ONE query get distinct MV instances") {
+    MvRewrite.ensure(spark, TestSpark.Sf)
+    // A union of two roll-ups (and a self-join below) puts TWO rewritten
+    // aggregates into one plan AFTER DeduplicateRelations has run —
+    // splicing one shared plan object would duplicate exprIds and
+    // mis-bind attributes. Each rewrite must splice a fresh instance.
+    def side(d: String) = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).withColumn("side", lit(d))
+    val u = side("a").unionByName(side("b")).orderBy(col("side"), col("l_returnflag"))
+    assert(scansMv(u) && !scansBase(u), scanPaths(u))
+    val mvScans = u.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] => lr
+    }
+    assert(mvScans.size == 2, s"expected two MV scans, got ${mvScans.size}")
+    assert(mvScans(0).output.map(_.exprId).toSet
+        .intersect(mvScans(1).output.map(_.exprId).toSet).isEmpty,
+      "the two spliced MV scans share exprIds")
+    val byFlag = side("a").drop("side").as("l")
+      .join(side("b").drop("side").as("r"), Seq("l_returnflag"))
+    assert(scansMv(byFlag) && !scansBase(byFlag), scanPaths(byFlag))
+    spark.conf.set(MvRewrite.EnabledKey, "false")
+    val direct = try byFlag.orderBy(col("l_returnflag")).collect().toSeq
+      finally spark.conf.set(MvRewrite.EnabledKey, "true")
+    assert(byFlag.orderBy(col("l_returnflag")).collect().toSeq == direct,
+      "double rewrite changed the answer")
+  }
+
+  test("rewritten count keeps the original non-nullable schema") {
+    MvRewrite.ensure(spark, TestSpark.Sf)
+    val q = base.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(scansMv(q))
+    assert(!q.queryExecution.optimizedPlan.schema("n").nullable,
+      "count roll-up flipped nullability")
+  }
+
   test("another table's identical shape is untouched (source pinning)") {
     MvRewrite.ensure(spark, TestSpark.Sf)
     val orders = Tables.df(spark, TestSpark.Sf, "orders")

@@ -1064,6 +1064,33 @@ class MysqlProtocolSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("kill is same-user-only once users are configured") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    val users = Map(
+      "alice" -> MysqlServer.nativeCred("s3cret"),
+      "dave" -> MysqlServer.nativeCred("hunter2"))
+    val server = MysqlServer.start(spark, users = users)
+    try {
+      val alice = new Client(server.boundPort, "alice", Some("s3cret"))
+      val dave = new Client(server.boundPort, "dave", Some("hunter2"))
+      val dave2 = new Client(server.boundPort, "dave", Some("hunter2"))
+      assert(alice.authError.isEmpty && dave.authError.isEmpty &&
+        dave2.authError.isEmpty)
+      assert(alice.query("select 1 as x").isRight)
+      val Right((_, rows)) = alice.processInfo(): @unchecked
+      val daveId = rows.find(r => r(1).contains("dave")).get.head.get.toLong
+      // cross-user kill: ERR (mysqld's 1095), victim link unharmed
+      assert(!alice.processKill(daveId), "cross-user kill must ERR 1095")
+      assert(dave.ping() || dave2.ping(), "victim link was harmed")
+      // same-user kill still works (dave kills dave's other connection)
+      val Right((_, rows2)) = dave.processInfo(): @unchecked
+      val otherDave = rows2.find(r => r(1).contains("dave") &&
+        !r(2).contains("Query")).get.head.get.toLong
+      assert(dave.processKill(otherDave), "same-user kill refused")
+      alice.quit(); dave.quit()
+    } finally server.stop()
+  }
+
   /** Poll `cond` up to `tries` times, 100 ms apart. */
   private def eventually(tries: Int)(cond: => Boolean): Boolean =
     (1 to tries).exists { _ =>
