@@ -304,12 +304,17 @@ object Similarity {
     * embedding (same sequential dot fold → identical signs), joins
     * same-bucket candidates, and re-ranks by the unit-vector cosine —
     * the exact pair of [[lshKeys]]/[[lshTopK]]. */
-  private def lshOracle: String = {
-    val planeRows = planes.zipWithIndex.flatMap { case (tbl, t) =>
+  /** The seeded hyperplanes as a VALUES list (shared by the LSH and
+    * graph-beam oracles). */
+  private def planeRowsSql: String =
+    planes.zipWithIndex.flatMap { case (tbl, t) =>
       tbl.zipWithIndex.map { case (p, i) =>
         s"($t, ${1L << i}, [${p.mkString(", ")}]::DOUBLE[])"
       }
     }.mkString(",\n    ")
+
+  private def lshOracle: String = {
+    val planeRows = planeRowsSql
     val dotPv =
       "list_sum(list_transform(range(1, len(e.v) + 1), i -> p.pv[i] * e.v[i]))"
     s"""with p(tbl, bitval, pv) as (values
@@ -1791,10 +1796,217 @@ object Similarity {
         .orderBy(col("doc_id"))
   }
 
+  // ---- Graph-walk ANN (NSW-family beam search) ----------------------------
+
+  /** kNN out-degree before symmetrization (degree cap is 2·M after). */
+  val GraphM = 6
+  /** Beam width (live frontier per query). */
+  val BeamWidth = 8
+  /** Expansion rounds. */
+  val BeamRounds = 4
+  /** Fixed entry nodes: the first [[GraphEntryPoints]] corpus ids past
+    * the query range — the NSW/HNSW "entry point" made deterministic. */
+  val GraphEntryPoints = 4
+
+  /** Bounded kNN neighbor graph: per-node top-[[GraphM]] among LSH
+    * bucket-mates by cosine — the navigable-small-world build reusing
+    * the seeded-hyperplane buckets as the candidate generator (a real
+    * HNSW build does the same with its own beam; buckets bound the
+    * candidate pair count to collisions, never n²). Per-node truncation
+    * to M keeps the graph |V|·M rows — the serving artifact is linear in
+    * the corpus, and each beam round below touches at most B·M of it per
+    * query. */
+  def neighborGraph(emb: DataFrame): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val keys = lshKeys(emb)
+    val vecs = withUnit(emb)
+    val pairs = keys
+      .select(col("vec_id").as("src"), col("table"), col("bucket"))
+      .join(keys.select(col("vec_id").as("dst"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      // dedup collisions across tables BEFORE carrying vectors around
+      .select(col("src"), col("dst")).distinct()
+    val knn = pairs
+      .join(vecs.select(col("vec_id").as("src"), col("u").as("su")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("u").as("du")), Seq("dst"))
+      .withColumn("cos", cosExpr(col("su"), col("du")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn") <= GraphM)
+      .select(col("src"), col("dst"), col("cos"))
+    // NSW links are UNDIRECTED: a directed kNN digraph routes poorly
+    // (greedy walks fall off the reverse-edge side of the small world).
+    // Symmetrize, then re-cap per node at 2·M so a hub's in-degree
+    // cannot blow the per-round frontier bound.
+    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos")))
+      .distinct()
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .filter(col("rn2") <= 2 * GraphM)
+      .select(col("src"), col("dst"))
+  }
+
+  /** The neighbor graph is the INDEX — built once per (session, dir)
+    * like the IVF/PQ codebooks, shared by the entry, the bench warm-ups
+    * and the recall spec. */
+  private val graphCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  private[graft] def sharedNeighborGraph(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graphCache.once((s, dir))(graft.plans.Checkpoints.materialize(
+      neighborGraph(Tables.df(s, dir, "embeddings"))))
+
+  /** Greedy beam search over the neighbor graph — the query-time half of
+    * the NSW family. Start every query at the fixed entry nodes; each
+    * round expands the current top-[[BeamWidth]] of the visited set
+    * through the graph's out-edges, scores only the NEWLY reached
+    * nodes, and re-ranks. Top-k of the visited set is the answer.
+    *
+    * Everything is deterministic (seeded planes → deterministic graph;
+    * fixed entry points; total tie order by neighbor id), so the oracle
+    * replays the identical walk as an unrolled materialized-CTE chain.
+    *
+    * Scale shape: per round the frontier join is B rows per query
+    * against an M-out-degree graph — candidates ≤ q·B·M, scored against
+    * a broadcast query set; the corpus is touched only through the
+    * graph artifact and the id-keyed vector lookups. No round depends
+    * on corpus size, which is what makes graph ANN the serving-stack
+    * winner: work is O(q·B·M·R), index is O(n·M). */
+  def graphBeamTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import graft.plans.Checkpoints
+    DotProduct.ensureRegistered(s)
+    val edges = sharedNeighborGraph(s, dir)
+    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    val entries = corpus.filter(col("neighbor_id") >= NumQueries &&
+      col("neighbor_id") < NumQueries + GraphEntryPoints)
+    var visited = Checkpoints.materialize(score(
+      queries.select(col("query_id"))
+        .crossJoin(broadcast(entries.select(col("neighbor_id"))))))
+    for (_ <- 1 to BeamRounds) {
+      val beam = visited
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rn") <= BeamWidth)
+        .select(col("query_id"), col("neighbor_id"))
+      val reached = beam
+        .join(edges, beam("neighbor_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("neighbor_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .distinct()
+        // score only nodes this query has not visited yet
+        .join(visited.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+      val next = Checkpoints.materialize(
+        visited.unionByName(score(reached)))
+      Checkpoints.free(visited)
+      visited = next
+    }
+    visited
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** The identical walk in DuckDB: graph build (bucket join → per-node
+    * top-M), then [[BeamRounds]] unrolled rounds of expand / anti-visit
+    * / score / union, each MATERIALIZED (the iterative-oracle rule). */
+  private def graphBeamOracle: String = {
+    val dotPv =
+      "list_sum(list_transform(range(1, len(e.v) + 1), i -> p.pv[i] * e.v[i]))"
+    val sb = new StringBuilder
+    sb ++=
+      s"""with p(tbl, bitval, pv) as (values
+         |    $planeRowsSql),
+         |e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+         |keys as materialized (
+         |  select e.vec_id, p.tbl,
+         |    sum(case when $dotPv >= 0 then p.bitval else 0 end) as bucket
+         |  from e cross join p group by e.vec_id, p.tbl),
+         |u as materialized ($sqlUnit),
+         |cand as materialized (
+         |  select distinct a.vec_id as src, b.vec_id as dst
+         |  from keys a join keys b on a.tbl = b.tbl and a.bucket = b.bucket
+         |  where a.vec_id <> b.vec_id),
+         |knn as materialized (
+         |  select src, dst, cos from (
+         |    select cand.src, cand.dst, ${sqlDotU("us", "ud")} as cos,
+         |      row_number() over (partition by cand.src
+         |        order by ${sqlDotU("us", "ud")} desc, cand.dst) as rn
+         |    from cand join u us on us.vec_id = cand.src
+         |              join u ud on ud.vec_id = cand.dst) t
+         |  where rn <= $GraphM),
+         |sym as materialized (
+         |  select src, dst, cos from knn
+         |  union
+         |  select dst as src, src as dst, cos from knn),
+         |edges as materialized (
+         |  select src, dst from (
+         |    select src, dst, row_number() over (partition by src
+         |        order by cos desc, dst) as rn2 from sym) t
+         |  where rn2 <= ${2 * GraphM}),
+         |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+         |v0 as materialized (
+         |  select q.query_id, c.vec_id as neighbor_id,
+         |    ${sqlDotU("q", "c")} as cos
+         |  from q cross join u c
+         |  where c.vec_id >= $NumQueries
+         |    and c.vec_id < ${NumQueries + GraphEntryPoints}),
+         |""".stripMargin
+    for (r <- 1 to BeamRounds) {
+      sb ++=
+        s"""x$r as materialized (
+           |  select distinct b.query_id, ed.dst as neighbor_id
+           |  from (select *, row_number() over (partition by query_id
+           |          order by cos desc, neighbor_id) as rn from v${r - 1}) b
+           |  join edges ed on ed.src = b.neighbor_id
+           |  where b.rn <= $BeamWidth and ed.dst <> b.query_id),
+           |n$r as materialized (
+           |  select x.query_id, x.neighbor_id, ${sqlDotU("uq", "uc")} as cos
+           |  from x$r x join u uq on uq.vec_id = x.query_id
+           |             join u uc on uc.vec_id = x.neighbor_id
+           |  where not exists (select 1 from v${r - 1} v
+           |    where v.query_id = x.query_id
+           |      and v.neighbor_id = x.neighbor_id)),
+           |v$r as materialized (
+           |  select * from v${r - 1} union all select * from n$r),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""fin as (select *, cast(row_number() over (partition by query_id
+         |    order by cos desc, neighbor_id) as bigint) as rnk
+         |  from v$BeamRounds)
+         |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+         |from fin where rnk <= $TopK
+         |order by query_id, rnk""".stripMargin
+    sb.toString
+  }
+
+  val annGraphBeam: Q = Q.df("ann_graph_beam", graphBeamOracle) { (s, dir) =>
+    graphBeamTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annFiltered,
       annPq,
       annIvfPq, annIndexPersist, annIndexIncremental, annRecall,
+      annGraphBeam,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

@@ -51,6 +51,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall too low")
   }
 
+  test("graph-beam top-k: bounded walk reaches usable recall") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    // the index invariant: symmetrized degree never exceeds 2*M
+    val deg = Similarity.neighborGraph(emb)
+      .groupBy("src").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0)
+    assert(deg <= 2 * Similarity.GraphM, s"out-degree $deg exceeds 2M")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beam = Similarity.graphBeamTopK(spark, TestSpark.Sf, Similarity.TopK)
+      .collect()
+    // the walk's work bound: visited <= entries + R*B*M per query, so
+    // no query can return more than TopK rows and every returned list
+    // is cos-descending
+    beam.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= Similarity.TopK)
+      val cos = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val approx = beam.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // R*B*M = 144 scored candidates vs a corpus >= 500: the walk must
+    // clearly beat the random-subset baseline
+    assert(recall > 0.2, s"graph-beam recall $recall too low")
+    info(s"graph-beam recall@${Similarity.TopK} = $recall")
+  }
+
   test("PQ/ADC top-k: 32x-compressed codes retain usable recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
