@@ -839,8 +839,134 @@ object Dml {
         |group by bucket order by bucket""".stripMargin)
   }
 
+  // ---- partition-pruned row-level MERGE ----------------------------------
+
+  private[graft] val PrunedTarget = "graft_dml_merge_pruned"
+
+  /** Per-partition file inventory of a partitioned managed table:
+    * partition dir name → (file name, length, mtime) triples. The
+    * byte-identity witness for untouched partitions. */
+  private[graft] def partitionInventory(s: org.apache.spark.sql.SparkSession,
+      name: String): Map[String, Seq[(String, Long, Long)]] = {
+    val root = tablePath(s, name)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { dir =>
+        dir.getPath.getName -> fs.listStatus(dir.getPath).toSeq
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+          .sortBy(_._1)
+      }.toMap
+  }
+
+  /** Years the three CDC batches touch (one partition each — disjoint,
+    * so the final state is order-independent and oracle-expressible). */
+  private[graft] val MergeYears = Seq(1996, 1998, 2000)
+
+  /** The row-level target: orders keyed by o_orderkey, PARTITIONED by
+    * order year, value in exact integer cents (decimal-cast before the
+    * ×100 so both engines round identically). The partition key is a
+    * function of the row's own business date — immutable under update,
+    * the standard date-partitioned-fact CDC contract. */
+  private[graft] def mergePrunedBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.df(s, dir, "orders").select(
+      col("o_orderkey"),
+      (graft.functions.Money.m(col("o_totalprice")) * lit(100))
+        .cast("long").as("cents"),
+      year(col("o_orderdate")).cast("int").as("yr"))
+
+  /** Batch for year `y`: updates (every 20th existing key at 2× cents)
+    * plus inserts (a disjoint key range in the same partition). */
+  private[graft] def mergePrunedBatch(base: org.apache.spark.sql.DataFrame,
+      y: Int): org.apache.spark.sql.DataFrame = {
+    val hit = base.filter(col("yr") === y && col("o_orderkey") % 20 === 0)
+    hit.select(col("o_orderkey"), (col("cents") * 2).as("cents"), col("yr"))
+      .unionByName(hit.select(
+        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        (col("cents") + 7).as("cents"), col("yr")))
+  }
+
+  private[graft] def createMergePrunedTarget(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    dropManaged(s, PrunedTarget)
+    mergePrunedBase(s, dir)
+      .write.partitionBy("yr").format("parquet").saveAsTable(PrunedTarget)
+  }
+
+  /** Apply ONE CDC batch, rewriting ONLY the partitions it touches.
+    *
+    * The touched-partition set is collected from the batch itself (a
+    * model-sized list — partitions, not rows); the target read is
+    * partition-pruned to that set; the merge is an anti-join + union;
+    * and the write uses DYNAMIC partition overwrite, so partitions
+    * absent from the batch keep their files byte-for-byte (spec-proven
+    * by file inventory). This is the transactional-format MERGE shape
+    * (Delta/Iceberg replaceWhere) expressed on plain parquet: at 100 TB
+    * a daily CDC batch touching 3 of 3000 day-partitions rewrites
+    * 0.1% of the table instead of all of it — the difference between
+    * `dml_merge_upsert`'s honest full rewrite (right for its
+    * aggregate-sized target) and what row-level CDC needs. */
+  private[graft] def applyMergePrunedBatch(
+      s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val touched = batch.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val existing = s.table(PrunedTarget)
+        .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+      val merged = existing
+        .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(batch)
+        .select(col("o_orderkey"), col("cents"), col("yr"))
+      // materialize severs the self-read (insertInto refuses to
+      // overwrite a relation it is also scanning) AND bounds the
+      // rewrite input to the touched partitions' rows
+      val m = graft.plans.Checkpoints.materialize(merged)
+      m.write.mode("overwrite").insertInto(PrunedTarget)
+      graft.plans.Checkpoints.free(m)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  val dmlMergePruned: Q = Q.df(
+    "dml_merge_pruned",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr in (${MergeYears.mkString(", ")}) and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select o_orderkey + 100000000, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    createMergePrunedTarget(s, dir)
+    val base = mergePrunedBase(s, dir)
+    MergeYears.foreach(y => applyMergePrunedBatch(s, mergePrunedBatch(base, y)))
+    s.table(PrunedTarget).select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
-    dmlMergeUpsert, dmlCompactRewrite, joinBucketed, scanPartitionPruned,
+    dmlMergeUpsert, dmlMergePruned, dmlCompactRewrite, joinBucketed,
+    scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip, sourceXmlRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dml
+
+/** Partition-pruned row-level MERGE: a CDC batch rewrites ONLY the
+  * partitions containing matched keys; every other partition's files
+  * stay byte-for-byte identical (the replaceWhere/dynamic-overwrite
+  * contract transactional formats give, proven here by file
+  * inventory). */
+class MergePrunedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("one batch rewrites only its partition; the rest byte-identical") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    Dml.createMergePrunedTarget(spark, TestSpark.Sf)
+    val before = Dml.partitionInventory(spark, Dml.PrunedTarget)
+    assert(before.size >= 5, s"expected >=5 year partitions: ${before.keys}")
+
+    val base = Dml.mergePrunedBase(spark, TestSpark.Sf)
+    val y = Dml.MergeYears.head
+    val batch = Dml.mergePrunedBatch(base, y)
+    assert(batch.count() > 0, "fixture has no rows for the batch year")
+
+    // the touched-partition read is partition-PRUNED: every file the
+    // merge input scans lives under the touched partition dir
+    val touchedRead = spark.table(Dml.PrunedTarget).filter(col("yr") === y)
+    val files = touchedRead.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"yr=$y")),
+      s"merge input read beyond yr=$y: ${files.filterNot(_.contains(s"yr=$y")).take(3).toSeq}")
+
+    Dml.applyMergePrunedBatch(spark, batch)
+    val after = Dml.partitionInventory(spark, Dml.PrunedTarget)
+
+    assert(after.keySet == before.keySet, "partition set changed")
+    assert(after(s"yr=$y") != before(s"yr=$y"),
+      "touched partition was not rewritten")
+    (before.keySet - s"yr=$y").foreach { p =>
+      assert(after(p) == before(p),
+        s"untouched partition $p changed: ${before(p)} -> ${after(p)}")
+    }
+
+    // row-level semantics on the touched partition: updates applied,
+    // inserts present, unmatched rows intact
+    val got = spark.table(Dml.PrunedTarget).filter(col("yr") === y)
+      .select("o_orderkey", "cents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseY = base.filter(col("yr") === y)
+      .select("o_orderkey", "cents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    baseY.foreach { case (k, c) =>
+      if (k % 20 == 0) {
+        assert(got(k) == c * 2, s"update missed for key $k")
+        assert(got(k + 100000000L) == c + 7, s"insert missed for key $k")
+      } else assert(got(k) == c, s"unmatched row $k disturbed")
+    }
+    assert(got.size == baseY.size + baseY.count(_._1 % 20 == 0),
+      "row count off after merge")
+  }
+}
