@@ -65,8 +65,27 @@ object ScaleCurve {
     "classifier_eval_auc",        // score scan + per-source rank windows
     "approx_topk_sketch_rollup")  // persisted daily frequency sketches
 
+  /** Streaming cells run the admission-controlled drive
+    * ([[graft.streaming.EventsStream.auditScaledStream]]): events split
+    * into [[graft.streaming.EventsStream.AuditRowsPerFile]]-row files,
+    * one file admitted per trigger, so micro-batch count grows with the
+    * corpus (1/3/25) and the audit measures a DATA term instead of the
+    * one-batch drain's fixed setup (whose negative slopes said nothing).
+    * These rows carry the batch count in the table and get an extra
+    * gate: per-BATCH time flat across the last decade — the measured
+    * form of "state is watermark-bounded". */
+  val StreamCells: Set[String] = Set(
+    "stream_interval_join", "stream_timer_sessions", "stream_static_join")
+
   /** Gate: fitted exponent must stay below this for every cell. */
   val MaxExponent = 1.3
+
+  /** Gate (stream cells): per-batch time may grow at most this much
+    * over the last decade — flat-ish per-batch work is the bounded-state
+    * claim; 3x allows scheduler noise at fixture scale while catching
+    * any state-accumulation blowup (unbounded state would grow
+    * per-batch time with every admitted batch). */
+  val MaxPerBatchRatio = 3.0
 
   /** Gate: the LAST decade's growth ratio must stay below this —
     * linear growth caps at 10x per decade, so 12 allows full
@@ -84,30 +103,39 @@ object ScaleCurve {
     val spark = Session.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def exec(name: String, dir: String): Unit =
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
+    // returns the cell's data term: micro-batch count for stream cells
+    // (the scaled drive), 0 for batch cells (noop-sink execution)
+    def exec(name: String, dir: String): Long =
+      if (StreamCells.contains(name))
+        graft.streaming.EventsStream.auditScaledStream(name, spark, dir)
+      else {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        0L
+      }
 
     // session-level warm-up at the smallest scale: JVM/codegen cost
     // must not be billed to the first audited cell
     try exec(Cells.head, Scales.head._1) catch { case _: Throwable => () }
 
-    val rows: Seq[(String, Seq[Double], Double)] = Cells.map { name =>
-      val times = Scales.map { case (dir, _) =>
+    val rows: Seq[(String, Seq[Double], Double, Seq[Long])] = Cells.map { name =>
+      val measured = Scales.map { case (dir, _) =>
         try {
           exec(name, dir) // untimed: artifact builds + per-scale codegen
           val samples = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            exec(name, dir)
-            (System.nanoTime() - t0) / 1e9
+            val b = exec(name, dir)
+            ((System.nanoTime() - t0) / 1e9, b)
           }
-          samples.min
+          samples.minBy(_._1)
         } catch {
           case e: Throwable =>
             System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
-            -1.0
+            (-1.0, 0L)
         }
       }
+      val times = measured.map(_._1)
+      val batches = measured.map(_._2)
       // least-squares slope of ln t over ln sf (3 points, 2 decades)
       val alpha = if (times.forall(_ > 0)) {
         val xs = Scales.map { case (_, sf) => math.log(sf) }
@@ -119,7 +147,7 @@ object ScaleCurve {
         val den = xs.map(x => (x - mx) * (x - mx)).sum
         num / den
       } else Double.NaN
-      (name, times, alpha)
+      (name, times, alpha, batches)
     }
 
     spark.stop()
@@ -131,36 +159,58 @@ object ScaleCurve {
       if (v.isNaN) -1 else math.round(v * 1000) / 1000.0
     def ratio(num: Double, den: Double): Double =
       if (num > 0 && den > 0) r3(num / den) else -1
-    rows.foreach { case (name, ts, a) =>
+    // per-batch times for stream cells (the flat-ish gate's quantity)
+    def perBatch(ts: Seq[Double], bs: Seq[Long], i: Int): Double =
+      if (ts(i) > 0 && bs(i) > 0) ts(i) / bs(i) else -1.0
+    rows.foreach { case (name, ts, a, bs) =>
       val decade1 = ratio(ts(1), ts(0))
       val decade2 = ratio(ts(2), ts(1))
+      val extra = if (bs.exists(_ > 0))
+        s""","batches":[${bs.mkString(",")}],""" +
+          s""""per_batch":[${(0 to 2).map(i => r3(perBatch(ts, bs, i)))
+            .mkString(",")}]"""
+      else ""
       println(s"""{"cell":"$name","t_sf0.001":${r3(ts(0))},""" +
         s""""t_sf0.01":${r3(ts(1))},"t_sf0.1":${r3(ts(2))},""" +
-        s""""decade_ratios":[$decade1,$decade2],"exponent":${r3(a)}}""")
+        s""""decade_ratios":[$decade1,$decade2],"exponent":${r3(a)}$extra}""")
     }
     println()
     println("| cell | sf0.001 | sf0.01 | sf0.1 | ratio/decade | exponent α |")
     println("|---|---|---|---|---|---|")
-    rows.foreach { case (name, ts, a) =>
+    rows.foreach { case (name, ts, a, bs) =>
       val d1 = if (ts(0) > 0) f"${ts(1) / ts(0)}%.2f" else "-"
       val d2 = if (ts(1) > 0) f"${ts(2) / ts(1)}%.2f" else "-"
-      println(f"| `$name` | ${ts(0)}%.2f s | ${ts(1)}%.2f s | ${ts(2)}%.2f s " +
+      def cell(i: Int): String =
+        if (bs(i) > 0) f"${ts(i)}%.2f s (${bs(i)}b, ${perBatch(ts, bs, i)}%.2f/b)"
+        else f"${ts(i)}%.2f s"
+      println(s"| `$name` | ${cell(0)} | ${cell(1)} | ${cell(2)} " +
         f"| $d1 / $d2 | ${a}%.2f |")
     }
-    val breaches = rows.filter { case (_, ts, a) =>
+    val breaches = rows.filter { case (name, ts, a, bs) =>
+      val pbBreach = StreamCells.contains(name) && {
+        val pb1 = perBatch(ts, bs, 1)
+        val pb2 = perBatch(ts, bs, 2)
+        pb1 <= 0 || pb2 <= 0 || pb2 / pb1 >= MaxPerBatchRatio ||
+          bs(2) <= bs(1) // the data term must actually grow
+      }
       a.isNaN || a >= MaxExponent ||
-        (ts(1) > 0 && ts(2) / ts(1) >= MaxDecadeRatio)
+        (ts(1) > 0 && ts(2) / ts(1) >= MaxDecadeRatio) || pbBreach
     }
     if (breaches.nonEmpty) {
-      breaches.foreach { case (n, ts, a) =>
+      breaches.foreach { case (n, ts, a, bs) =>
         val d2 = if (ts(1) > 0) ts(2) / ts(1) else Double.NaN
+        val pb = if (bs.exists(_ > 0))
+          f" per-batch ratio ${perBatch(ts, bs, 2) / perBatch(ts, bs, 1)}%.2f" +
+            s" batches ${bs.mkString("/")}"
+        else ""
         System.err.println(
           f"[scale] GATE BREACH: $n exponent $a%.2f (max $MaxExponent) " +
-            f"last-decade ratio $d2%.2f (max $MaxDecadeRatio)")
+            f"last-decade ratio $d2%.2f (max $MaxDecadeRatio)$pb")
       }
       sys.exit(1)
     }
     println(s"\n[scale] PASS: all ${rows.size} cells under exponent " +
-      s"$MaxExponent and last-decade ratio $MaxDecadeRatio")
+      s"$MaxExponent, last-decade ratio $MaxDecadeRatio, and stream " +
+      s"per-batch ratio $MaxPerBatchRatio")
   }
 }

@@ -550,7 +550,125 @@ object Graph {
         .orderBy(col("node"))
   }
 
+  // ---- community detection (label propagation) ---------------------------
+
+  /** Node count / block size of the community fixture graph: a planted
+    * 6-block structure (intra-block edges from one modular projection,
+    * sparse cross-block edges from another) so community RECOVERY is
+    * measurable, not just executable — the CC/PageRank graphs are
+    * near-uniform and have no community signal to find. */
+  val LpaNodes = 600
+  val LpaBlock = 100
+  val LpaRounds = 4
+
+  /** Planted-partition edge list: ~98% of orders project to an edge
+    * INSIDE the source node's 100-node block; every 50th order instead
+    * emits a cross-block edge. Distinct, no self-loops — arithmetic
+    * both engines reproduce exactly. */
+  def lpaEdges(orders: DataFrame): DataFrame =
+    orders.selectExpr(
+        s"cast(o_custkey % $LpaNodes as long) as src",
+        s"""cast(case when o_orderkey % 50 = 0
+           |  then (o_orderkey * 17) % $LpaNodes
+           |  else ((o_custkey % $LpaNodes) div $LpaBlock) * $LpaBlock
+           |       + (o_orderkey * 31) % $LpaBlock end as long) as dst"""
+          .stripMargin)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  val lpaEdgesSql: String =
+    s"""select distinct src, dst from (
+       |  select o_custkey % $LpaNodes as src,
+       |    case when o_orderkey % 50 = 0
+       |      then (o_orderkey * 17) % $LpaNodes
+       |      else ((o_custkey % $LpaNodes) // $LpaBlock) * $LpaBlock
+       |           + (o_orderkey * 31) % $LpaBlock end as dst
+       |  from orders) t
+       |where src <> dst""".stripMargin
+
+  private val lpaUndCache =
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  def sharedLpaUndirected(s: SparkSession, dir: String): DataFrame =
+    lpaUndCache.once((s, dir))(
+      graft.plans.Checkpoints.materialize(
+        symmetrize(lpaEdges(Tables.df(s, dir, "orders")))))
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007, made deterministic): start with singleton labels; each
+    * round every node adopts the label with the highest neighbor vote
+    * count plus its own single self-vote, ties broken by SMALLEST
+    * label. Synchronous rounds + total tie order make the algorithm a
+    * pure function of the edge relation — the property that lets the
+    * oracle replay it and the driver hash-compare it (the classic
+    * randomized-async LPA is unverifiable by construction).
+    *
+    * Scale shape: each round is one edge⋈label join, one (node, label)
+    * count aggregate, and one per-node arg-max window — all shuffles
+    * keyed on node ids, state O(nodes), per-round relations
+    * materialized and freed like [[connectedComponentsOver]]. The
+    * standard next rung (Louvain) adds a modularity objective but the
+    * same join-aggregate round shape. */
+  def communitiesOver(und: DataFrame, rounds: Int = LpaRounds): DataFrame = {
+    import graft.plans.Checkpoints
+    import org.apache.spark.sql.expressions.Window
+    var labels = Checkpoints.materialize(
+      und.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val nbVotes = und.select(col("src"), col("dst"))
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .select(col("src").as("node"), col("lbl"))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("n"))
+      val votes = nbVotes
+        .unionByName(labels.select(col("node"), col("lbl"), lit(1L).as("n")))
+        .groupBy(col("node"), col("lbl")).agg(sum(col("n")).as("n"))
+      val next = Checkpoints.materialize(votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("n").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl")))
+      Checkpoints.free(labels)
+      labels = next
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  private def lpaOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      val p = i - 1
+      s"""v$i as materialized (
+         |  select node, lbl, sum(n) as n from (
+         |    select und.src as node, l$p.lbl, count(*) as n
+         |    from und join l$p on und.dst = l$p.node
+         |    group by und.src, l$p.lbl
+         |    union all
+         |    select node, lbl, 1 as n from l$p) t
+         |  group by node, lbl),
+         |l$i as materialized (
+         |  select node, lbl from (
+         |    select node, lbl, row_number() over (
+         |      partition by node order by n desc, lbl) as rn
+         |    from v$i) t
+         |  where rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""with e as materialized ($lpaEdgesSql),
+       |und as materialized (select distinct src, dst from (
+       |  select src, dst from e union all select dst, src from e) t),
+       |l0 as materialized (
+       |  select node, node as lbl from (select distinct src as node from und) t),
+       |$rounds
+       |select node, lbl as community from l$LpaRounds
+       |order by node""".stripMargin
+  }
+
+  val communitiesQ: Q = Q.df("graph_communities", lpaOracle) { (s, dir) =>
+    communitiesOver(sharedLpaUndirected(s, dir)).orderBy(col("node"))
+  }
+
   val queries: Seq[Q] =
     Seq(pageRankQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
-      connectedComponentsQ)
+      connectedComponentsQ, communitiesQ)
 }

@@ -1000,6 +1000,98 @@ object EventsStream {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  // ---- admission-controlled scale-audit drive ----------------------------
+
+  /** Rows per split file for the scale-audit drive. The single-file
+    * fixture drains in ONE micro-batch at every scale, so the audited
+    * time is runtime setup, not data (the r12 streaming rows' negative
+    * slopes). Splitting events into fixed-size files and admitting one
+    * file per trigger makes the micro-batch COUNT grow with the corpus
+    * (1 / 3 / 25 across the shipped scales) — the audit then gates the
+    * measured form of "state is watermark-bounded": per-batch time
+    * flat-ish while total grows with the data. */
+  val AuditRowsPerFile = 4096
+
+  private val splitCache =
+    new graft.plans.Memo[(SparkSession, String), String]
+
+  private def splitEventsDir(s: SparkSession, dir: String): String =
+    splitCache.once((s, dir)) {
+      val ev = Tables.df(s, dir, "events")
+      val files = math.max(1L,
+        (ev.count() + AuditRowsPerFile - 1) / AuditRowsPerFile).toInt
+      val out = java.nio.file.Files.createTempDirectory("graft_split_")
+        .toString + "/events"
+      // the split copy is written via Tables.df, so its timestamps are
+      // already micros-normalized — safe for a plain readStream
+      ev.repartition(files).write.parquet(out)
+      out
+    }
+
+  private def splitStream(s: SparkSession, dir: String): DataFrame = {
+    val split = splitEventsDir(s, dir)
+    s.readStream.schema(s.read.parquet(split).schema)
+      .option("maxFilesPerTrigger", "1").parquet(split)
+  }
+
+  /** Drive `name`'s streaming kernel through the real runtime under
+    * admission control; returns the micro-batch count (the audit's
+    * visible data term). Timing is the caller's. */
+  def auditScaledStream(name: String, s: SparkSession, dir: String): Long =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_audit_")
+        .toString
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      def drain(df: DataFrame, mode: OutputMode, append: Boolean): Unit = {
+        val q = df.writeStream
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            batches.incrementAndGet()
+            b.write.mode(if (append) "append" else "overwrite")
+              .parquet(s"$tmp/out")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      name match {
+        case "stream_interval_join" =>
+          def side(t: String): DataFrame =
+            splitStream(s, dir).filter(col("event_type") === t)
+          drain(intervalJoin(side("view"), side("purchase"),
+            graft.operators.Temporal.RangeWindowSec),
+            OutputMode.Append(), append = true)
+        case "stream_static_join" =>
+          val dim = broadcast(Tables.df(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")))
+          drain(splitStream(s, dir)
+            .join(dim, col("user_id") === col("c_custkey"))
+            .groupBy(col("c_mktsegment"), col("event_type"))
+            .agg(count(lit(1)).as("n"), dsum(m(col("value"))).as("total")),
+            OutputMode.Complete(), append = false)
+        case "stream_timer_sessions" =>
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, RocksDbProvider)
+          try {
+            val ev = splitStream(s, dir)
+              .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value")).as[Event]
+            drain(timerSessions(ev, gapMs = TimerSessionGapMs).toDF(),
+              OutputMode.Update(), append = true)
+          } finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        case other => throw new IllegalArgumentException(
+          s"no scaled audit drive for $other")
+      }
+      batches.get()
+    }
+
   val queries: Seq[Q] =
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,

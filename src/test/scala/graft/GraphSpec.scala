@@ -128,6 +128,48 @@ class GraphSpec extends AnyFunSuite {
     assert(loose == tight, "early exit diverged from bounded-round result")
   }
 
+  test("label-propagation communities: deterministic, at positive " +
+      "modularity, recovering the planted blocks") {
+    import org.apache.spark.sql.functions._
+    val und = Graph.sharedLpaUndirected(spark, TestSpark.Sf)
+    val com = Graph.communitiesOver(und)
+    val com2 = Graph.communitiesOver(und)
+    // pure function of the edge relation: two runs bit-identical
+    assert(com.orderBy("node").collect().toSeq ==
+      com2.orderBy("node").collect().toSeq, "LPA is not deterministic")
+
+    // modularity of the found partition over the same graph:
+    // Q = (1/2m) * sum over directed edges in the same community of
+    // (1 - k_src*k_dst/2m). Positive and substantial = real structure
+    // found (a random partition scores ~0).
+    val deg = und.groupBy(col("src").as("node")).count()
+      .select(col("node"), col("count").as("k"))
+    val m2 = und.count().toDouble // = 2m (und is symmetric)
+    val lbl = com.select(col("node"), col("community"))
+    val q = und
+      .join(lbl.select(col("node").as("src"), col("community").as("cs")), Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("community").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .join(deg.select(col("node").as("src"), col("k").as("ks")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("k").as("kd")), Seq("dst"))
+      .agg(sum(lit(1.0) - col("ks") * col("kd") / lit(m2)).as("s"))
+      .head().getDouble(0) / m2
+    assert(q > 0.1, s"modularity $q too low — no community structure found")
+
+    // planted-block recovery: most nodes must share their block's
+    // majority label (the fixture has 6 planted blocks)
+    val agree = com
+      .withColumn("block", (col("node") / Graph.LpaBlock).cast("long"))
+      .groupBy(col("block"), col("community")).count()
+      .groupBy(col("block")).agg(max(col("count")).as("maj"),
+        sum(col("count")).as("tot"))
+      .agg(sum(col("maj")).as("m"), sum(col("tot")).as("t"))
+      .head()
+    val frac = agree.getLong(0).toDouble / agree.getLong(1)
+    info(f"modularity $q%.3f, planted-block majority agreement $frac%.2f")
+    assert(frac > 0.5, s"block agreement $frac — planted structure missed")
+  }
+
   test("sharedCcUndirected memoizes one materialized symmetric relation") {
     val a = Graph.sharedCcUndirected(spark, TestSpark.Sf)
     val b = Graph.sharedCcUndirected(spark, TestSpark.Sf)
