@@ -910,7 +910,8 @@ object Similarity {
     * persisted-index entries embed their own (stored / base-trained)
     * models instead of the session's full-corpus ones. */
   private def ivfPqOracleFor(cm: Array[Array[Double]],
-      cb: Array[Array[Array[Double]]]): String = {
+      cb: Array[Array[Array[Double]]],
+      candidateWhere: String = ""): String = {
     s"""with ${sqlCentroidValues(cm)},
        |${sqlCodebookValues(cb)},
        |e as ($sqlUnit),
@@ -925,7 +926,7 @@ object Similarity {
        |  join probes p on p.cid = a.cid
        |  join cb on cb.m = cv.m and cb.k = cv.code
        |  join sub qs on qs.m = cv.m and qs.vec_id = p.vec_id
-       |  where p.vec_id <> cv.vec_id),
+       |  where p.vec_id <> cv.vec_id$candidateWhere),
        |$sqlAdcTail""".stripMargin
   }
 
@@ -1002,12 +1003,20 @@ object Similarity {
     * the shared [[adcTopK]] tail. */
   private def serveFromIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, root: String,
-      k: Int): (DataFrame,
+      k: Int,
+      tombstones: Option[org.apache.spark.sql.Column] = None): (DataFrame,
         (Array[Array[Double]], Array[Array[Array[Double]]])) = {
     DotProduct.ensureRegistered(s)
     import s.implicits._
     val (cm, cb) = readModels(s, root)
-    val codes = s.read.parquet(s"$root/codes")
+    // deletes are served as TOMBSTONES: the stored code rows of deleted
+    // vectors are excluded BEFORE list probing (pre-filter — the
+    // ann_filtered_topk lesson: post-filtering the ranked list starves
+    // k), so the index files never rewrite on delete and a compaction
+    // job can drop tombstoned codes lazily — the standard
+    // vector-store delete path
+    val codes = tombstones.foldLeft(s.read.parquet(s"$root/codes"))(
+      (c, dead) => c.filter(!dead))
     val cbDf = s.read.parquet(s"$root/codebooks")
     val queries = withUnit(Tables.df(s, dir, "embeddings"))
       .as[(Long, Array[Double])]
@@ -1065,6 +1074,31 @@ object Similarity {
   val annIndexPersist: Q = Q.df("ann_index_persist", ivfPqOracle) { (s, dir) =>
     val root = fullIndexRoot(s, dir)
     val (res, (cm, cb)) = serveFromIndex(s, dir, root, TopK)
+    lastTrained = cm
+    lastPq = cb
+    res.orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Tombstone modulus for [[annIndexDelete]] (vec_id % 7 == 3 deleted). */
+  val AnnDeleteMod = 3
+
+  /** DELETE from the persisted index without rewriting it: serve the
+    * standard query set with a tombstone set excluded from the stored
+    * code rows before list probing. k stays full (survivors re-rank
+    * up), the index artifact is untouched on disk, and the oracle is
+    * the same late-bound IVFPQ oracle with the tombstone predicate on
+    * the candidate side — deletion semantics hash-verified, not
+    * asserted. Completes the index lifecycle: build → persist →
+    * incremental add → delete. */
+  val annIndexDelete: Q = Q.df(
+    "ann_index_delete",
+    ivfPqOracleFor(
+      Option(lastTrained).getOrElse(initCentroids),
+      Option(lastPq).getOrElse(initCodebooks),
+      s" and cv.vec_id % 7 <> $AnnDeleteMod")) { (s, dir) =>
+    val root = fullIndexRoot(s, dir)
+    val (res, (cm, cb)) = serveFromIndex(s, dir, root, TopK,
+      tombstones = Some(col("neighbor_id") % 7 === AnnDeleteMod))
     lastTrained = cm
     lastPq = cb
     res.orderBy(col("query_id"), col("rnk"))
@@ -2002,11 +2036,113 @@ object Similarity {
     graphBeamTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- binary (sign-bit) quantization + Hamming rerank --------------------
+
+  /** Hamming candidate budget before the exact rerank. */
+  val HammingCandidates = 50
+
+  /** 1-bit-per-dimension sign codes: bit i set iff v[i] >= 0, packed
+    * into two 32-bit words (two words, not one 64-bit code, so neither
+    * engine ever shifts into the sign bit — `1::BIGINT << 63` is
+    * engine-defined). 64 dims × 8-byte doubles → 16 bytes: a 32×
+    * compression whose distance is two XOR+popcounts — the binary
+    * quantization modern vector stores run their first-pass scan on. */
+  def binaryCodes(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+          "acc + if(v[i] >= 0d, shiftleft(1L, i), 0L))").as("h1"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> " +
+          "acc + if(v[i] >= 0d, shiftleft(1L, i - 32), 0L))").as("h2"))
+
+  /** Two-stage retrieval: Hamming distance over the 16-byte codes
+    * selects [[HammingCandidates]] per query (the cheap scan — at
+    * 100 TB this pass reads 1/32 of the raw corpus bytes and the code
+    * table is what stays hot), then the exact cosine reranks only the
+    * candidates (id-keyed vector fetch). Sign codes, popcounts, and
+    * the rerank fold are all exact cross-engine, so unlike LSH/IVF the
+    * oracle replays BOTH stages bit-for-bit. */
+  def binaryHammingTopK(emb: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val codes = binaryCodes(emb)
+    val qCodes = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("h1").as("q1"), col("h2").as("q2"))
+    val cand = codes.select(col("vec_id").as("neighbor_id"),
+        col("h1"), col("h2"))
+      .crossJoin(broadcast(qCodes))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        (expr("bit_count(h1 ^ q1)") + expr("bit_count(h2 ^ q2)"))
+          .cast("long"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("crn") <= HammingCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val unit = withUnit(emb)
+    cand
+      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qv"))),
+        Seq("query_id"))
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"), col("hamming"))
+  }
+
+  private def binaryHammingOracle: String =
+    s"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+       |codes as materialized (
+       |  select vec_id,
+       |    cast(list_sum(list_transform(range(1, 33), i ->
+       |      case when v[i] >= 0 then (1::BIGINT << (i - 1))
+       |           else 0::BIGINT end)) as bigint) as h1,
+       |    cast(list_sum(list_transform(range(33, 65), i ->
+       |      case when v[i] >= 0 then (1::BIGINT << (i - 33))
+       |           else 0::BIGINT end)) as bigint) as h2
+       |  from e),
+       |cand as materialized (
+       |  select q.vec_id as query_id, c.vec_id as neighbor_id,
+       |    cast(bit_count(xor(c.h1, q.h1))
+       |       + bit_count(xor(c.h2, q.h2)) as bigint) as hamming
+       |  from codes q join codes c on q.vec_id <> c.vec_id
+       |  where q.vec_id < $NumQueries),
+       |topc as materialized (
+       |  select query_id, neighbor_id, hamming from (
+       |    select *, row_number() over (partition by query_id
+       |      order by hamming, neighbor_id) as crn from cand) t
+       |  where crn <= $HammingCandidates),
+       |u as ($sqlUnit),
+       |pairs as (
+       |  select topc.query_id, topc.neighbor_id, topc.hamming,
+       |    ${sqlDotU("uq", "uc")} as cos
+       |  from topc join u uq on uq.vec_id = topc.query_id
+       |            join u uc on uc.vec_id = topc.neighbor_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim, hamming
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+
+  val annBinaryHamming: Q = Q.df("ann_binary_hamming", binaryHammingOracle) {
+    (s, dir) =>
+      binaryHammingTopK(Tables.df(s, dir, "embeddings"), TopK)
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Seq[Q] =
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annFiltered,
       annPq,
-      annIvfPq, annIndexPersist, annIndexIncremental, annRecall,
-      annGraphBeam,
+      annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
+      annRecall,
+      annGraphBeam, annBinaryHamming,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

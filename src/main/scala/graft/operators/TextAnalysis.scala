@@ -1635,6 +1635,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ---- overlapping chunk windows (RAG / context-length preprocessing) ----
+
+  /** Window width / stride in tokens (stride < width ⇒ 16-token
+    * overlap between consecutive chunks — the standard RAG chunking). */
+  val ChunkW = 64
+  val ChunkStride = 48
+
+  /** Split every document into overlapping token windows with stable
+    * chunk ids — the preprocessing every retrieval/context pipeline
+    * runs before embedding. Chunk starts are a per-document arithmetic
+    * sequence, so the operator is one generator expression per row (no
+    * shuffle at all until a consumer aggregates); output carries exact
+    * token counts and an md5 content hash per chunk so the driver can
+    * hash-compare the chunk CONTENT without shipping chunk text through
+    * the compare. At 100 TB: embarrassingly parallel, output rows ≈
+    * tokens/stride, and the hash column is what dedup-by-chunk joins
+    * on downstream. */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("t")) - 1, lit(ChunkStride))))
+      .select(col("doc_id"),
+        expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
+        slice(col("t"), col("start") + 1, lit(ChunkW)).as("piece"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("piece")).cast("long").as("n_tokens"),
+        md5(array_join(col("piece"), " ")).as("chunk_hash"))
+
+  val textChunkWindows: Q = Q.df(
+    "text_chunk_windows",
+    s"""with toks as (select doc_id, string_split(text, ' ') as t
+       |              from documents),
+       |starts as (select doc_id, t,
+       |    unnest(range(0, len(t), $ChunkStride)) as start
+       |  from toks)
+       |select doc_id,
+       |  cast(start // $ChunkStride as bigint) as chunk_id,
+       |  cast(len(t[start + 1 : start + $ChunkW]) as bigint) as n_tokens,
+       |  md5(array_to_string(t[start + 1 : start + $ChunkW], ' '))
+       |    as chunk_hash
+       |from starts
+       |order by doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    chunkWindows(Tables.df(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
       textRollingFingerprint, textPiiFlags, textRepetition,
@@ -1644,5 +1691,6 @@ object TextAnalysis {
       textNgramNovelty,
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       textBpeEncodeStats, textUnigramPruneLoop, textUnigramEncodeStats,
-      qualityPerplexityBuckets, langConfusion, gopherRules)
+      qualityPerplexityBuckets, langConfusion, gopherRules,
+      textChunkWindows)
 }

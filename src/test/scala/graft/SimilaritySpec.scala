@@ -79,6 +79,37 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"graph-beam recall@${Similarity.TopK} = $recall")
   }
 
+  test("binary-Hamming two-stage: high recall, candidates bounded") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.binaryHammingTopK(emb, Similarity.TopK).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length == Similarity.TopK, "k starved")
+    }
+    val approx = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // 50 Hamming candidates out of >=500: sign-bit distance must beat
+    // the 10% random baseline decisively
+    assert(recall > 0.3, s"binary-Hamming recall $recall too low")
+    info(s"binary-Hamming recall@${Similarity.TopK} = $recall")
+  }
+
+  test("index delete: tombstoned ids never surface, k stays full") {
+    val out = Similarity.queries.find(_.name == "ann_index_delete").get
+      .run(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) % 7 != Similarity.AnnDeleteMod,
+        s"tombstoned neighbor ${r.getLong(1)} served")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK,
+        s"query $q starved to ${rows.length} after delete (post-filtering?)")
+    }
+  }
+
   test("PQ/ADC top-k: 32x-compressed codes retain usable recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
