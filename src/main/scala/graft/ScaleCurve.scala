@@ -63,7 +63,11 @@ object ScaleCurve {
     "retrieval_eval_ndcg",        // k-bounded ranked-list evaluation
     "events_attribution_markov",  // journeys distributed, chain model-sized
     "classifier_eval_auc",        // score scan + per-source rank windows
-    "approx_topk_sketch_rollup")  // persisted daily frequency sketches
+    "approx_topk_sketch_rollup",  // persisted daily frequency sketches
+    "ann_graph_beam",             // frontier-join beam walk, O(q·B·M·R)
+    "ann_binary_hamming",         // 16-byte code scan + bounded rerank
+    "graph_communities",          // per-round edge⋈label + arg-max window
+    "dml_merge_pruned")           // touched-partition CDC rewrite
 
   /** Streaming cells run the admission-controlled drive
     * ([[graft.streaming.EventsStream.auditScaledStream]]): events split
@@ -150,6 +154,9 @@ object ScaleCurve {
       (name, times, alpha, batches)
     }
 
+    // reclaim every memoized artifact (incl. the split-events temp
+    // copies) before the session goes away
+    try graft.plans.Memo.drainAll() catch { case _: Throwable => () }
     spark.stop()
 
     // -1 is the failure sentinel throughout the JSON record: a NaN
@@ -199,10 +206,12 @@ object ScaleCurve {
     if (breaches.nonEmpty) {
       breaches.foreach { case (n, ts, a, bs) =>
         val d2 = if (ts(1) > 0) ts(2) / ts(1) else Double.NaN
-        val pb = if (bs.exists(_ > 0))
-          f" per-batch ratio ${perBatch(ts, bs, 2) / perBatch(ts, bs, 1)}%.2f" +
-            s" batches ${bs.mkString("/")}"
-        else ""
+        val pb = if (bs.exists(_ > 0)) {
+          val pb1 = perBatch(ts, bs, 1)
+          val pb2 = perBatch(ts, bs, 2)
+          val r = if (pb1 > 0 && pb2 > 0) f"${pb2 / pb1}%.2f" else "-"
+          s" per-batch ratio $r batches ${bs.mkString("/")}"
+        } else ""
         System.err.println(
           f"[scale] GATE BREACH: $n exponent $a%.2f (max $MaxExponent) " +
             f"last-decade ratio $d2%.2f (max $MaxDecadeRatio)$pb")

@@ -881,13 +881,18 @@ object Dml {
       year(col("o_orderdate")).cast("int").as("yr"))
 
   /** Batch for year `y`: updates (every 20th existing key at 2× cents)
-    * plus inserts (a disjoint key range in the same partition). */
+    * plus inserts. Insert keys are the NEGATIVE mirror of the source
+    * key (−k − 1): TPC-H orderkeys are strictly positive at every scale
+    * factor, so the minted keys can never collide with a real one — a
+    * fixed positive offset would silently collide once
+    * max(o_orderkey) crossed it (SF ≈ 17 for +1e8) and break the
+    * upsert semantics the oracle's full-outer join assumes. */
   private[graft] def mergePrunedBatch(base: org.apache.spark.sql.DataFrame,
       y: Int): org.apache.spark.sql.DataFrame = {
     val hit = base.filter(col("yr") === y && col("o_orderkey") % 20 === 0)
     hit.select(col("o_orderkey"), (col("cents") * 2).as("cents"), col("yr"))
       .unionByName(hit.select(
-        (col("o_orderkey") + 100000000L).as("o_orderkey"),
+        (-col("o_orderkey") - 1).as("o_orderkey"),
         (col("cents") + 7).as("cents"), col("yr")))
   }
 
@@ -950,7 +955,7 @@ object Dml {
        |batch as (
        |  select o_orderkey, cents * 2 as cents, yr from hit
        |  union all
-       |  select o_orderkey + 100000000, cents + 7, yr from hit)
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
        |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
        |  coalesce(u.cents, b.cents) as cents,
        |  coalesce(b.yr, u.yr) as yr

@@ -25,7 +25,14 @@ package graft.plans
   * between operator families: a 300+-query single session otherwise
   * accumulates every family's pinned executor-storage blocks, and the
   * storage pressure taxes late cells (the r12 late-session elevation).
-  * Draining is safe by construction — a later touch just rebuilds.
+  *
+  * DRAIN CONTRACT: [[clear]]/[[Memo.drainAll]] may only run while no
+  * query is consuming a cached value — freeing a localCheckpoint'd
+  * frame under a live consumer loses its blocks with no recompute path
+  * (lineage is truncated). The bench satisfies this by draining only at
+  * family boundaries on its single driver thread; a concurrent-session
+  * owner (e.g. the SQL server) must quiesce first. A later `once` after
+  * a drain is always safe — it just rebuilds.
   */
 final class Memo[K, V](release: V => Unit) {
   def this() = this((_: V) => ())

@@ -1012,8 +1012,22 @@ object EventsStream {
     * flat-ish while total grows with the data. */
   val AuditRowsPerFile = 4096
 
+  /** Recursive delete for the audit's temp artifacts. */
+  private def deleteTree(root: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq
+          .reverseIterator
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    } catch { case _: Throwable => () }
+
   private val splitCache =
-    new graft.plans.Memo[(SparkSession, String), String]
+    new graft.plans.Memo[(SparkSession, String), String](
+      path => deleteTree(
+        java.nio.file.Paths.get(path).getParent.toString))
 
   private def splitEventsDir(s: SparkSession, dir: String): String =
     splitCache.once((s, dir)) {
@@ -1055,7 +1069,10 @@ object EventsStream {
               .parquet(s"$tmp/out")
           }
           .start()
-        q.awaitTermination()
+        // the audit only counts batches; the checkpoint + sink copy are
+        // per-CALL scratch (36 calls per ScaleCurve run) — delete them
+        // or repeated audits fill the temp filesystem
+        try q.awaitTermination() finally deleteTree(tmp)
       }
       name match {
         case "stream_interval_join" =>

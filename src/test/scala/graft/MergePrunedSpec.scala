@@ -53,7 +53,7 @@ class MergePrunedSpec extends AnyFunSuite {
     baseY.foreach { case (k, c) =>
       if (k % 20 == 0) {
         assert(got(k) == c * 2, s"update missed for key $k")
-        assert(got(k + 100000000L) == c + 7, s"insert missed for key $k")
+        assert(got(-k - 1) == c + 7, s"insert missed for key $k")
       } else assert(got(k) == c, s"unmatched row $k disturbed")
     }
     assert(got.size == baseY.size + baseY.count(_._1 % 20 == 0),
