@@ -374,6 +374,110 @@ object TextAnalysis {
       classifierAuc(Tables.df(s, dir, "documents")).orderBy(col("source"))
   }
 
+  /** Per-source precision / recall / F1 / Cohen's kappa of the
+    * classifier's keep decision against the deterministic relevance
+    * rule — the confusion-matrix report every filtering-model rollout
+    * reads next to its AUC. Every metric is ONE division of exact
+    * integer counts (F1 as 2tp/(2tp+fp+fn); kappa via the integer
+    * identity (n·(tp+tn) − marg)/(n² − marg) with
+    * marg = (tp+fp)(tp+fn)+(fn+tn)(fp+tn) — the (po−pe)/(1−pe) form
+    * with the 1/n's cleared), so cross-engine parity needs no float
+    * folds; degenerate slices guard to NULL on both sides. Scale: one
+    * score pass + a source-cardinality aggregate. */
+  def classifierPrf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = classifierScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("pred", (col("dot") >= 0).cast("long"))
+      .withColumn("act", (col("doc_id") % 3 === 0).cast("long"))
+    val c = scored.groupBy(col("source")).agg(
+      sum(when(col("pred") === 1 && col("act") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("act") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("act") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("act") === 0, 1L).otherwise(0L)).as("tn"))
+    val n = col("tp") + col("fp") + col("fn") + col("tn")
+    val marg = (col("tp") + col("fp")) * (col("tp") + col("fn")) +
+      (col("fn") + col("tn")) * (col("fp") + col("tn"))
+    c.select(col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+        .as("prec"),
+      when(col("tp") + col("fn") > 0,
+        round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+        .as("rec"),
+      when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        round((lit(2) * col("tp")).cast("double") /
+          (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"),
+      when(n * n =!= marg,
+        round((n * (col("tp") + col("tn")) - marg).cast("double") /
+          (n * n - marg), 6)).as("kappa"))
+  }
+
+  val textClassifierPrf: Q = Q.df(
+    "classifier_eval_prf",
+    s"""with $classifierDotCte,
+       |s as (select d.doc_id, doc.source,
+       |    case when d.dot >= 0 then 1 else 0 end as pred,
+       |    case when d.doc_id % 3 = 0 then 1 else 0 end as act
+       |  from dots d join documents doc using (doc_id)),
+       |c as (select source,
+       |    cast(sum(case when pred = 1 and act = 1 then 1 else 0 end) as bigint) as tp,
+       |    cast(sum(case when pred = 1 and act = 0 then 1 else 0 end) as bigint) as fp,
+       |    cast(sum(case when pred = 0 and act = 1 then 1 else 0 end) as bigint) as fn,
+       |    cast(sum(case when pred = 0 and act = 0 then 1 else 0 end) as bigint) as tn
+       |  from s group by source)
+       |select source, tp, fp, fn, tn,
+       |  case when tp + fp > 0
+       |    then round(cast(tp as double) / (tp + fp), 6) end as prec,
+       |  case when tp + fn > 0
+       |    then round(cast(tp as double) / (tp + fn), 6) end as rec,
+       |  case when 2 * tp + fp + fn > 0
+       |    then round(cast(2 * tp as double) / (2 * tp + fp + fn), 6)
+       |    end as f1,
+       |  case when (tp+fp+fn+tn) * (tp+fp+fn+tn)
+       |         <> (tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)
+       |    then round(cast((tp+fp+fn+tn) * (tp+tn)
+       |           - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) as double)
+       |      / ((tp+fp+fn+tn) * (tp+fp+fn+tn)
+       |         - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn))), 6)
+       |    end as kappa
+       |from c order by source""".stripMargin) { (s, dir) =>
+    classifierPrf(Tables.df(s, dir, "documents")).orderBy(col("source"))
+  }
+
+  /** Reliability table (the data behind a calibration diagram): vote
+    * scores clamped to [−5000, 4999] and binned at width 1000 (the
+    * shift-then-floor-divide keeps the operand non-negative, where
+    * Spark `div` and DuckDB `//` agree), with per-bin count and
+    * empirical positive rate. A well-calibrated filter shows acc rising
+    * monotonically with the score bin — the check run before picking a
+    * keep threshold. One score pass, bin-cardinality output. */
+  def classifierReliability(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    classifierScore(docs)
+      .withColumn("act", (col("doc_id") % 3 === 0).cast("long"))
+      .withColumn("bin",
+        (expr("(greatest(least(dot, 4999L), -5000L) + 5000L) div 1000")
+          - lit(5)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("act")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("acc"))
+
+  val textClassifierReliability: Q = Q.df(
+    "classifier_eval_reliability",
+    s"""with $classifierDotCte
+       |select (greatest(least(dot, 4999), -5000) + 5000) // 1000 - 5 as bin,
+       |  cast(count(*) as bigint) as n,
+       |  cast(sum(case when doc_id % 3 = 0 then 1 else 0 end) as bigint)
+       |    as n_pos,
+       |  round(cast(sum(case when doc_id % 3 = 0 then 1 else 0 end)
+       |      as double) / count(*), 6) as acc
+       |from dots group by 1 order by bin""".stripMargin) { (s, dir) =>
+    classifierReliability(Tables.df(s, dir, "documents"))
+      .orderBy(col("bin"))
+  }
+
   /** PII-pattern flags — the filter a training-data pipeline runs before
     * anything else. Pure regexp column expressions (no lookbehind, so
     * the patterns behave identically under Java regex and RE2). */
@@ -1692,5 +1796,5 @@ object TextAnalysis {
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       textBpeEncodeStats, textUnigramPruneLoop, textUnigramEncodeStats,
       qualityPerplexityBuckets, langConfusion, gopherRules,
-      textChunkWindows)
+      textChunkWindows, textClassifierPrf, textClassifierReliability)
 }
