@@ -966,6 +966,67 @@ object EventsStream {
     runMergeUpsertStream(s).orderBy(col("bucket"))
   }
 
+  /** Streaming PARTITION-PRUNED row-level MERGE — the CDC-apply
+    * pattern over a date-partitioned row-level target: the change
+    * stream is staged as one file per batch and admitted one file per
+    * trigger, and each micro-batch's apply rewrites ONLY the partitions
+    * its keys touch (dynamic partition overwrite via
+    * [[graft.operators.Dml.applyMergePrunedBatch]]) — untouched
+    * partition files stay byte-identical, the shape a 100 TB CDC
+    * pipeline needs (a daily batch rewrites 3 of 3000 day-partitions).
+    *
+    * Exactly-once here needs NO generation guard, unlike the additive
+    * [[runMergeUpsertStream]]: a pruned apply is IDEMPOTENT by
+    * construction (batch values do not derive from the target, and
+    * re-applying anti-joins the same keys back out before re-inserting
+    * them), so a replayed micro-batch converges to the same partition
+    * content. The final table must equal the one-shot oracle — any
+    * dropped batch loses its year's updates. */
+  def runMergePrunedStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Dml
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_").toString
+      Dml.createMergePrunedTarget(s, dir)
+      val base = Dml.mergePrunedBase(s, dir)
+      // stage the CDC stream: one parquet file per merge year, flat
+      // dir, name-ordered — the file source admits them one per trigger
+      val cdcDir = s"$tmp/cdc"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
+      Dml.MergeYears.zipWithIndex.foreach { case (y, i) =>
+        val stage = s"$tmp/stage$i"
+        Dml.mergePrunedBatch(base, y).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+      }
+      val schema = s.read.parquet(cdcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(cdcDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dml.applyMergePrunedBatch(s, batch)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.table(Dml.PrunedTarget)
+        .select(col("o_orderkey"), col("cents"), col("yr"))
+    }
+
+  val mergePrunedStreamed: Q = Q.df(
+    "stream_merge_pruned",
+    graft.operators.Dml.queries.find(_.name == "dml_merge_pruned").get
+      .oracle.get) { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    runMergePrunedStream(s, dir).orderBy(col("o_orderkey"))
+  }
+
   /** Execute [[sessions]] through the REAL streaming runtime. Session
     * windows are the one windowed aggregation whose streaming state
     * MERGES: an arriving event can bridge two open sessions into one,
@@ -1113,7 +1174,7 @@ object EventsStream {
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,
       transformWithStateQ, timerSessionsStreamed, staticJoinStreamed,
-      mergeUpsertStreamed,
+      mergeUpsertStreamed, mergePrunedStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }
