@@ -943,6 +943,84 @@ object Dml {
     }
   }
 
+  /** Full CDC op semantics on the same partition-pruned scaffolding:
+    * the batch carries an `op` column — U (update existing), I (insert
+    * new key), D (delete existing) — and one apply handles all three:
+    * anti-join EVERY batch key out of the touched partitions, then
+    * re-insert only the non-delete rows. This is the WHEN MATCHED
+    * UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT triad of a
+    * real MERGE INTO, still rewriting only touched partitions. */
+  private[graft] def mergeCdcBatch(base: org.apache.spark.sql.DataFrame,
+      y: Int): org.apache.spark.sql.DataFrame = {
+    val hit = base.filter(col("yr") === y)
+    hit.filter(col("o_orderkey") % 20 === 0)
+      .select(lit("U").as("op"), col("o_orderkey"),
+        (col("cents") * 2).as("cents"), col("yr"))
+      .unionByName(hit.filter(col("o_orderkey") % 20 === 0)
+        .select(lit("I").as("op"), (-col("o_orderkey") - 1).as("o_orderkey"),
+          (col("cents") + 7).as("cents"), col("yr")))
+      .unionByName(hit.filter(col("o_orderkey") % 20 === 5)
+        .select(lit("D").as("op"), col("o_orderkey"), col("cents"),
+          col("yr")))
+  }
+
+  private[graft] def applyMergeCdcBatch(
+      s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val touched = batch.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val existing = s.table(PrunedTarget)
+        .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+      val merged = existing
+        .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(batch.filter(col("op") =!= "D")
+          .select(col("o_orderkey"), col("cents"), col("yr")))
+        .select(col("o_orderkey"), col("cents"), col("yr"))
+      val m = graft.plans.Checkpoints.materialize(merged)
+      m.write.mode("overwrite").insertInto(PrunedTarget)
+      graft.plans.Checkpoints.free(m)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  val dmlMergeCdcOps: Q = Q.df(
+    "dml_merge_cdc_ops",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr in (${MergeYears.mkString(", ")})),
+       |batch as (
+       |  select 'U' as op, o_orderkey, cents * 2 as cents, yr from hit
+       |    where o_orderkey % 20 = 0
+       |  union all
+       |  select 'I', -o_orderkey - 1, cents + 7, yr from hit
+       |    where o_orderkey % 20 = 0
+       |  union all
+       |  select 'D', o_orderkey, cents, yr from hit
+       |    where o_orderkey % 20 = 5)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |where coalesce(u.op, '') <> 'D'
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    createMergePrunedTarget(s, dir)
+    val base = mergePrunedBase(s, dir)
+    MergeYears.foreach(y => applyMergeCdcBatch(s, mergeCdcBatch(base, y)))
+    s.table(PrunedTarget).select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val dmlMergePruned: Q = Q.df(
     "dml_merge_pruned",
     s"""with base as (
@@ -970,7 +1048,8 @@ object Dml {
   }
 
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
-    dmlMergeUpsert, dmlMergePruned, dmlCompactRewrite, joinBucketed,
+    dmlMergeUpsert, dmlMergePruned, dmlMergeCdcOps, dmlCompactRewrite,
+    joinBucketed,
     scanPartitionPruned,
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip, sourceXmlRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
