@@ -1910,26 +1910,22 @@ object Similarity {
     * graph artifact and the id-keyed vector lookups. No round depends
     * on corpus size, which is what makes graph ANN the serving-stack
     * winner: work is O(q·B·M·R), index is O(n·M). */
-  def graphBeamTopK(s: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int): DataFrame = {
+  /** The iterated frontier-expansion walk shared by the flat and the
+    * layered entries: visited₀ = score(seeds); each round expands the
+    * current top-[[BeamWidth]] through `edges`, anti-joins the
+    * already-visited, scores only the fresh nodes, re-ranks. Returns
+    * the final MATERIALIZED visited relation (caller owns its blocks;
+    * they are model-sized — ≤ q·(seeds + R·B·deg) rows). */
+  private def beamWalk(queries: DataFrame, corpus: DataFrame,
+      edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     import graft.plans.Checkpoints
-    DotProduct.ensureRegistered(s)
-    val edges = sharedNeighborGraph(s, dir)
-    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
-    val queries = vecs.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("u").as("qv"))
-    val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
     def score(cand: DataFrame): DataFrame = cand
       .join(broadcast(queries), Seq("query_id"))
       .join(corpus, Seq("neighbor_id"))
       .withColumn("cos", cosExpr(col("qv"), col("cv")))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
-    val entries = corpus.filter(col("neighbor_id") >= NumQueries &&
-      col("neighbor_id") < NumQueries + GraphEntryPoints)
-    var visited = Checkpoints.materialize(score(
-      queries.select(col("query_id"))
-        .crossJoin(broadcast(entries.select(col("neighbor_id"))))))
-    for (_ <- 1 to BeamRounds) {
+    var visited = Checkpoints.materialize(score(seeds))
+    for (_ <- 1 to rounds) {
       val beam = visited
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -1950,90 +1946,210 @@ object Similarity {
       visited = next
     }
     visited
+  }
+
+  private def topKOf(visited: DataFrame, k: Int): DataFrame =
+    visited
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
         round(col("cos"), 6).as("cos_sim"))
+
+  def graphBeamTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    val edges = sharedNeighborGraph(s, dir)
+    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
+    val entries = corpus.filter(col("neighbor_id") >= NumQueries &&
+      col("neighbor_id") < NumQueries + GraphEntryPoints)
+    val seeds = queries.select(col("query_id"))
+      .crossJoin(broadcast(entries.select(col("neighbor_id"))))
+    topKOf(beamWalk(queries, corpus, edges, seeds, BeamRounds), k)
   }
 
-  /** The identical walk in DuckDB: graph build (bucket join → per-node
-    * top-M), then [[BeamRounds]] unrolled rounds of expand / anti-visit
-    * / score / union, each MATERIALIZED (the iterative-oracle rule). */
-  private def graphBeamOracle: String = {
-    val dotPv =
-      "list_sum(list_transform(range(1, len(e.v) + 1), i -> p.pv[i] * e.v[i]))"
-    val sb = new StringBuilder
-    sb ++=
-      s"""with p(tbl, bitval, pv) as (values
-         |    $planeRowsSql),
-         |e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
-         |keys as materialized (
-         |  select e.vec_id, p.tbl,
-         |    sum(case when $dotPv >= 0 then p.bitval else 0 end) as bucket
-         |  from e cross join p group by e.vec_id, p.tbl),
-         |u as materialized ($sqlUnit),
-         |cand as materialized (
-         |  select distinct a.vec_id as src, b.vec_id as dst
-         |  from keys a join keys b on a.tbl = b.tbl and a.bucket = b.bucket
-         |  where a.vec_id <> b.vec_id),
-         |knn as materialized (
-         |  select src, dst, cos from (
-         |    select cand.src, cand.dst, ${sqlDotU("us", "ud")} as cos,
-         |      row_number() over (partition by cand.src
-         |        order by ${sqlDotU("us", "ud")} desc, cand.dst) as rn
-         |    from cand join u us on us.vec_id = cand.src
-         |              join u ud on ud.vec_id = cand.dst) t
-         |  where rn <= $GraphM),
-         |sym as materialized (
-         |  select src, dst, cos from knn
-         |  union
-         |  select dst as src, src as dst, cos from knn),
-         |edges as materialized (
-         |  select src, dst from (
-         |    select src, dst, row_number() over (partition by src
-         |        order by cos desc, dst) as rn2 from sym) t
-         |  where rn2 <= ${2 * GraphM}),
-         |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
-         |v0 as materialized (
-         |  select q.query_id, c.vec_id as neighbor_id,
-         |    ${sqlDotU("q", "c")} as cos
-         |  from q cross join u c
-         |  where c.vec_id >= $NumQueries
-         |    and c.vec_id < ${NumQueries + GraphEntryPoints}),
+  private val beamDotPv =
+    "list_sum(list_transform(range(1, len(e.v) + 1), i -> p.pv[i] * e.v[i]))"
+
+  /** Shared oracle prelude: planes, raw vectors, per-table buckets,
+    * unit vectors. */
+  private def beamPreludeSql: String =
+    s"""with p(tbl, bitval, pv) as (values
+       |    $planeRowsSql),
+       |e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+       |keys as materialized (
+       |  select e.vec_id, p.tbl,
+       |    sum(case when $beamDotPv >= 0 then p.bitval else 0 end) as bucket
+       |  from e cross join p group by e.vec_id, p.tbl),
+       |u as materialized ($sqlUnit)""".stripMargin
+
+  /** Graph-build fragment (cand → per-node top-M → symmetrize → cap
+    * 2M), CTE names prefixed so the layered oracle can build two
+    * graphs in one chain. */
+  private def graphBuildSql(p: String, keysRel: String): String =
+    s"""${p}cand as materialized (
+       |  select distinct a.vec_id as src, b.vec_id as dst
+       |  from $keysRel a join $keysRel b
+       |    on a.tbl = b.tbl and a.bucket = b.bucket
+       |  where a.vec_id <> b.vec_id),
+       |${p}knn as materialized (
+       |  select src, dst, cos from (
+       |    select ${p}cand.src, ${p}cand.dst, ${sqlDotU("us", "ud")} as cos,
+       |      row_number() over (partition by ${p}cand.src
+       |        order by ${sqlDotU("us", "ud")} desc, ${p}cand.dst) as rn
+       |    from ${p}cand join u us on us.vec_id = ${p}cand.src
+       |              join u ud on ud.vec_id = ${p}cand.dst) t
+       |  where rn <= $GraphM),
+       |${p}sym as materialized (
+       |  select src, dst, cos from ${p}knn
+       |  union
+       |  select dst as src, src as dst, cos from ${p}knn),
+       |${p}edges as materialized (
+       |  select src, dst from (
+       |    select src, dst, row_number() over (partition by src
+       |        order by cos desc, dst) as rn2 from ${p}sym) t
+       |  where rn2 <= ${2 * GraphM})""".stripMargin
+
+  /** Unrolled beam rounds continuing from `<p>v0` over `edgesRel`:
+    * each round expand / anti-visit / score / union, MATERIALIZED
+    * (the iterative-oracle rule). Ends at `<p>v$rounds`. */
+  private def beamRoundsSql(p: String, edgesRel: String,
+      rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""${p}x$r as materialized (
+         |  select distinct b.query_id, ed.dst as neighbor_id
+         |  from (select *, row_number() over (partition by query_id
+         |          order by cos desc, neighbor_id) as rn from ${p}v${r - 1}) b
+         |  join $edgesRel ed on ed.src = b.neighbor_id
+         |  where b.rn <= $BeamWidth and ed.dst <> b.query_id),
+         |${p}n$r as materialized (
+         |  select x.query_id, x.neighbor_id, ${sqlDotU("uq", "uc")} as cos
+         |  from ${p}x$r x join u uq on uq.vec_id = x.query_id
+         |             join u uc on uc.vec_id = x.neighbor_id
+         |  where not exists (select 1 from ${p}v${r - 1} v
+         |    where v.query_id = x.query_id
+         |      and v.neighbor_id = x.neighbor_id)),
+         |${p}v$r as materialized (
+         |  select * from ${p}v${r - 1} union all select * from ${p}n$r),
          |""".stripMargin
-    for (r <- 1 to BeamRounds) {
-      sb ++=
-        s"""x$r as materialized (
-           |  select distinct b.query_id, ed.dst as neighbor_id
-           |  from (select *, row_number() over (partition by query_id
-           |          order by cos desc, neighbor_id) as rn from v${r - 1}) b
-           |  join edges ed on ed.src = b.neighbor_id
-           |  where b.rn <= $BeamWidth and ed.dst <> b.query_id),
-           |n$r as materialized (
-           |  select x.query_id, x.neighbor_id, ${sqlDotU("uq", "uc")} as cos
-           |  from x$r x join u uq on uq.vec_id = x.query_id
-           |             join u uc on uc.vec_id = x.neighbor_id
-           |  where not exists (select 1 from v${r - 1} v
-           |    where v.query_id = x.query_id
-           |      and v.neighbor_id = x.neighbor_id)),
-           |v$r as materialized (
-           |  select * from v${r - 1} union all select * from n$r),
-           |""".stripMargin
-    }
-    sb ++=
-      s"""fin as (select *, cast(row_number() over (partition by query_id
-         |    order by cos desc, neighbor_id) as bigint) as rnk
-         |  from v$BeamRounds)
-         |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
-         |from fin where rnk <= $TopK
-         |order by query_id, rnk""".stripMargin
-    sb.toString
-  }
+    }.mkString
+
+  private def beamFinalSql(visitedRel: String): String =
+    s"""fin as (select *, cast(row_number() over (partition by query_id
+       |    order by cos desc, neighbor_id) as bigint) as rnk
+       |  from $visitedRel)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+       |from fin where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+
+  /** The identical walk in DuckDB: graph build (bucket join → per-node
+    * top-M), then [[BeamRounds]] unrolled rounds. */
+  private def graphBeamOracle: String =
+    s"""$beamPreludeSql,
+       |${graphBuildSql("", "keys")},
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |v0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id >= $NumQueries
+       |    and c.vec_id < ${NumQueries + GraphEntryPoints}),
+       |${beamRoundsSql("", "edges", BeamRounds)}${beamFinalSql(s"v$BeamRounds")}"""
+      .stripMargin
 
   val annGraphBeam: Q = Q.df("ann_graph_beam", graphBeamOracle) { (s, dir) =>
     graphBeamTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- hierarchical (HNSW-style) two-layer beam search ---------------------
+
+  /** Upper-layer membership: every 8th vector — the deterministic
+    * stand-in for HNSW's geometric level draw (expected 1/8 of nodes
+    * on layer 1, none higher at fixture scale). */
+  val LayerMod = 8
+
+  /** Fixed layer-1 entry nodes (the first layer-1 ids past the query
+    * range — present at every fixture scale). */
+  val L1Entries: Seq[Long] = Seq(16L, 24L, 32L, 40L)
+
+  /** Layer-1 walk rounds (the coarse route-to-region phase). */
+  val L1Rounds = 2
+
+  private val layerCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** Layer-1 neighbor graph: the same bounded build over ONLY the
+    * layer-1 nodes (the LSH key kernel runs on the filtered eighth of
+    * the corpus — pushdown prunes before the kernel). */
+  private[graft] def sharedLayerGraph(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    layerCache.once((s, dir))(graft.plans.Checkpoints.materialize(
+      neighborGraph(Tables.df(s, dir, "embeddings")
+        .filter(col("vec_id") % LayerMod === 0))))
+
+  /** HNSW-style hierarchical search: a SHORT walk on the sparse upper
+    * layer routes each query to its region (2 rounds over the 1/8
+    * graph), and the top-[[GraphEntryPoints]] of that walk seed the
+    * full layer-0 beam — replacing the flat entry's FIXED global entry
+    * points with query-adaptive ones. This is exactly why HNSW layers
+    * exist: entry quality, not candidate volume. Work adds q·B·M·2 on
+    * a graph 1/8 the size; everything stays deterministic, so the
+    * oracle chains the two walks (two graph builds, two unrolled
+    * round chains) and hash-verifies the whole hierarchy. */
+  def hnswLayeredTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    val e0 = sharedNeighborGraph(s, dir)
+    val e1 = sharedLayerGraph(s, dir)
+    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
+    val seeds1 = queries.select(col("query_id"))
+      .crossJoin(broadcast(corpus.select(col("neighbor_id"))
+        .filter(col("neighbor_id").isin(L1Entries: _*))))
+    val v1 = beamWalk(queries, corpus, e1, seeds1, L1Rounds)
+    val seeds0 = v1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= GraphEntryPoints)
+      .select(col("query_id"), col("neighbor_id"))
+    val v0 = beamWalk(queries, corpus, e0, seeds0, BeamRounds)
+    // beamWalk materialized score(seeds0) eagerly, so the layer-1
+    // visited set can be released before the result is consumed
+    graft.plans.Checkpoints.free(v1)
+    topKOf(v0, k)
+  }
+
+  private def hnswLayeredOracle: String =
+    s"""$beamPreludeSql,
+       |keys1 as materialized (
+       |  select * from keys where vec_id % $LayerMod = 0),
+       |${graphBuildSql("", "keys")},
+       |${graphBuildSql("l1", "keys1")},
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |av0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})),
+       |${beamRoundsSql("a", "l1edges", L1Rounds)}bv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from av$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("b", "edges", BeamRounds)}${beamFinalSql(s"bv$BeamRounds")}"""
+      .stripMargin
+
+  val annHnswLayered: Q = Q.df("ann_hnsw_layered", hnswLayeredOracle) {
+    (s, dir) =>
+      hnswLayeredTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
   }
 
   // ---- binary (sign-bit) quantization + Hamming rerank --------------------
@@ -2142,7 +2258,7 @@ object Similarity {
       annPq,
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annRecall,
-      annGraphBeam, annBinaryHamming,
+      annGraphBeam, annHnswLayered, annBinaryHamming,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

@@ -79,6 +79,26 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"graph-beam recall@${Similarity.TopK} = $recall")
   }
 
+  test("layered (HNSW-style) beam: query-adaptive entries lift recall") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      (exact intersect rows.map(r => (r.getLong(0), r.getLong(1))).toSet)
+        .size.toDouble / exact.size
+    val flat = recallOf(
+      Similarity.graphBeamTopK(spark, TestSpark.Sf, Similarity.TopK).collect())
+    val layered = recallOf(
+      Similarity.hnswLayeredTopK(spark, TestSpark.Sf, Similarity.TopK).collect())
+    info(s"flat beam recall $flat, layered recall $layered")
+    assert(layered > 0.2, s"layered recall $layered too low")
+    // the hierarchy exists for entry quality: routing through the
+    // upper layer must not LOSE to the fixed global entry points
+    assert(layered >= flat - 0.05,
+      s"layered ($layered) materially below flat ($flat)")
+  }
+
   test("binary-Hamming two-stage: high recall, candidates bounded") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
