@@ -65,9 +65,15 @@ object ScaleCurve {
     "classifier_eval_auc",        // score scan + per-source rank windows
     "approx_topk_sketch_rollup",  // persisted daily frequency sketches
     "ann_graph_beam",             // frontier-join beam walk, O(q·B·M·R)
+    "ann_hnsw_layered",           // two-layer walk, upper graph 1/8 size
     "ann_binary_hamming",         // 16-byte code scan + bounded rerank
     "graph_communities",          // per-round edge⋈label + arg-max window
     "dml_merge_pruned")           // touched-partition CDC rewrite
+  // stream_merge_pruned is NOT audited: its 3-batch CDC apply is
+  // scale-independent by design (fixed batch count, fixed streaming
+  // setup per run), so neither the alpha fit nor the per-batch gate
+  // would measure anything — the kernel's data term is what
+  // dml_merge_pruned's row above covers.
 
   /** Streaming cells run the admission-controlled drive
     * ([[graft.streaming.EventsStream.auditScaledStream]]): events split

@@ -918,7 +918,19 @@ object Dml {
     * aggregate-sized target) and what row-level CDC needs. */
   private[graft] def applyMergePrunedBatch(
       s: org.apache.spark.sql.SparkSession,
-      batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch: org.apache.spark.sql.DataFrame): Unit =
+    applyPruned(s, batch,
+      batch.select(col("o_orderkey"), col("cents"), col("yr")))
+
+  /** The shared pruned-rewrite core both MERGE shapes go through:
+    * `batch` supplies the matched keys and touched partitions;
+    * `inserts` is what survives into the rewrite (all batch rows for
+    * the upsert form, the non-delete rows for the CDC-op form). A fix
+    * to the conf dance / self-read guard / anti-join lands in both
+    * paths by construction. */
+  private def applyPruned(s: org.apache.spark.sql.SparkSession,
+      batch: org.apache.spark.sql.DataFrame,
+      inserts: org.apache.spark.sql.DataFrame): Unit = {
     val touched = batch.select(col("yr")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
@@ -929,7 +941,7 @@ object Dml {
         .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
       val merged = existing
         .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
-        .unionByName(batch)
+        .unionByName(inserts)
         .select(col("o_orderkey"), col("cents"), col("yr"))
       // materialize severs the self-read (insertInto refuses to
       // overwrite a relation it is also scanning) AND bounds the
@@ -966,28 +978,10 @@ object Dml {
 
   private[graft] def applyMergeCdcBatch(
       s: org.apache.spark.sql.SparkSession,
-      batch: org.apache.spark.sql.DataFrame): Unit = {
-    val touched = batch.select(col("yr")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val existing = s.table(PrunedTarget)
-        .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
-      val merged = existing
-        .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
-        .unionByName(batch.filter(col("op") =!= "D")
-          .select(col("o_orderkey"), col("cents"), col("yr")))
-        .select(col("o_orderkey"), col("cents"), col("yr"))
-      val m = graft.plans.Checkpoints.materialize(merged)
-      m.write.mode("overwrite").insertInto(PrunedTarget)
-      graft.plans.Checkpoints.free(m)
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+      batch: org.apache.spark.sql.DataFrame): Unit =
+    applyPruned(s, batch,
+      batch.filter(col("op") =!= "D")
+        .select(col("o_orderkey"), col("cents"), col("yr")))
 
   val dmlMergeCdcOps: Q = Q.df(
     "dml_merge_cdc_ops",

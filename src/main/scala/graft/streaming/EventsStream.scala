@@ -1021,8 +1021,7 @@ object EventsStream {
 
   val mergePrunedStreamed: Q = Q.df(
     "stream_merge_pruned",
-    graft.operators.Dml.queries.find(_.name == "dml_merge_pruned").get
-      .oracle.get) { (s, dir) =>
+    graft.operators.Dml.dmlMergePruned.oracle.get) { (s, dir) =>
     graft.Tables.registerAll(s, dir)
     runMergePrunedStream(s, dir).orderBy(col("o_orderkey"))
   }
