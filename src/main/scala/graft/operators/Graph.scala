@@ -636,8 +636,19 @@ object Graph {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
-  private def lpaOracle: String = {
-    val rounds = (1 to LpaRounds).map { i =>
+  /** Shared oracle prelude (edges, symmetric relation, singleton
+    * labels) and the LPA round chain ending at `l$LpaRounds` — used by
+    * the LPA oracle and as the seed phase of the Louvain oracle. */
+  private def lpaPreludeSql: String =
+    s"""with e as materialized ($lpaEdgesSql),
+       |und as materialized (select distinct src, dst from (
+       |  select src, dst from e union all select dst, src from e) t),
+       |l0 as materialized (
+       |  select node, node as lbl from (select distinct src as node from und) t)"""
+      .stripMargin
+
+  private def lpaRoundsSql: String =
+    (1 to LpaRounds).map { i =>
       val p = i - 1
       s"""v$i as materialized (
          |  select node, lbl, sum(n) as n from (
@@ -654,21 +665,128 @@ object Graph {
          |    from v$i) t
          |  where rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""with e as materialized ($lpaEdgesSql),
-       |und as materialized (select distinct src, dst from (
-       |  select src, dst from e union all select dst, src from e) t),
-       |l0 as materialized (
-       |  select node, node as lbl from (select distinct src as node from und) t),
-       |$rounds
+
+  private def lpaOracle: String =
+    s"""$lpaPreludeSql,
+       |$lpaRoundsSql
        |select node, lbl as community from l$LpaRounds
        |order by node""".stripMargin
-  }
 
   val communitiesQ: Q = Q.df("graph_communities", lpaOracle) { (s, dir) =>
     communitiesOver(sharedLpaUndirected(s, dir)).orderBy(col("node"))
   }
 
+  /** Louvain move rounds. */
+  val LouvainRounds = 2
+
+  /** Modularity-ASCENT refinement (the Louvain local phase), made
+    * deterministic and exact, over the LPA partition: each synchronous
+    * round every node scores joining each candidate community C (its
+    * neighbors' communities plus its own) by the modularity gain
+    * scaled through by 2m —
+    * `score(i,C) = 2m·e(i→C) − k_i·(tot(C) − [i∈C]·k_i)` — ALL
+    * integers, so the argmax (ties by smallest community label) is
+    * bit-exact cross-engine; no float modularity ever enters the
+    * decision. Classic Louvain moves nodes SEQUENTIALLY (which is
+    * unparallelizable and order-dependent); the synchronous variant is
+    * the distributed form (Prat-Pérez et al.'s family), deterministic
+    * by construction — and seeded with the LPA labels, because
+    * synchronous ascent from singletons crawls (measured Q 0.057 after
+    * 2 rounds) while refining an already-coherent partition is exactly
+    * the two-phase shape the Louvain paper prescribes. Quality is
+    * asserted by the spec's measured modularity, not a monotonicity
+    * claim synchronous moves don't carry.
+    *
+    * Scale shape per round: one edge⋈label join + a (node, community)
+    * count, one community-total aggregate, one per-node arg-max window
+    * — node/edge-keyed shuffles, per-round frames materialized and
+    * freed; only the single 2m scalar reaches the driver. */
+  def louvainOver(und: DataFrame, rounds: Int = LouvainRounds): DataFrame = {
+    import graft.plans.Checkpoints
+    import org.apache.spark.sql.expressions.Window
+    val m2 = und.count() // 2m — one model-sized scalar
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    var labels = Checkpoints.materialize(
+      communitiesOver(und).select(col("node"), col("community").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val tot = labels.join(deg, Seq("node"))
+        .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("tot"))
+      val nbr = und.select(col("src"), col("dst"))
+        .join(labels.select(col("node").as("dst"), col("lbl").as("c")),
+          Seq("dst"))
+        .select(col("src").as("node"), col("c"))
+        .groupBy(col("node"), col("c")).agg(count(lit(1)).as("e"))
+      val cand = nbr
+        .unionByName(labels.select(col("node"), col("lbl").as("c"),
+          lit(0L).as("e")))
+        .groupBy(col("node"), col("c")).agg(sum(col("e")).as("e"))
+      val scored = cand
+        .join(deg, Seq("node"))
+        .join(tot, Seq("c"))
+        .join(labels.select(col("node"), col("lbl").as("own")), Seq("node"))
+        .withColumn("score", lit(m2) * col("e") -
+          col("k") * (col("tot") -
+            when(col("c") === col("own"), col("k")).otherwise(lit(0L))))
+      val next = Checkpoints.materialize(scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("score").desc, col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("c").as("lbl")))
+      Checkpoints.free(labels)
+      labels = next
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  private def louvainOracle: String = {
+    val rounds = (1 to LouvainRounds).map { i =>
+      val p = i - 1
+      s"""tot$i as materialized (
+         |  select l.lbl as c, cast(sum(d.k) as bigint) as tot
+         |  from g$p l join deg d on d.node = l.node group by l.lbl),
+         |nbr$i as materialized (
+         |  select und.src as node, l.lbl as c, count(*) as e
+         |  from und join g$p l on l.node = und.dst
+         |  group by und.src, l.lbl),
+         |cand$i as materialized (
+         |  select node, c, cast(sum(e) as bigint) as e from (
+         |    select node, c, e from nbr$i
+         |    union all
+         |    select node, lbl as c, 0 as e from g$p) t
+         |  group by node, c),
+         |sc$i as materialized (
+         |  select cand.node, cand.c,
+         |    m2.v * cand.e - d.k * (t.tot -
+         |      case when cand.c = o.lbl then d.k else 0 end) as score
+         |  from cand$i cand
+         |  join deg d on d.node = cand.node
+         |  join tot$i t on t.c = cand.c
+         |  join g$p o on o.node = cand.node
+         |  cross join m2),
+         |g$i as materialized (
+         |  select node, c as lbl from (
+         |    select node, c, row_number() over (partition by node
+         |      order by score desc, c) as rn from sc$i) t
+         |  where rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$lpaPreludeSql,
+       |$lpaRoundsSql,
+       |m2 as (select cast(count(*) as bigint) as v from und),
+       |deg as materialized (
+       |  select src as node, cast(count(*) as bigint) as k
+       |  from und group by src),
+       |g0 as materialized (select node, lbl from l$LpaRounds),
+       |$rounds
+       |select node, lbl as community from g$LouvainRounds
+       |order by node""".stripMargin
+  }
+
+  val louvainQ: Q = Q.df("graph_louvain_rounds", louvainOracle) { (s, dir) =>
+    louvainOver(sharedLpaUndirected(s, dir)).orderBy(col("node"))
+  }
+
   val queries: Seq[Q] =
     Seq(pageRankQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
-      connectedComponentsQ, communitiesQ)
+      connectedComponentsQ, communitiesQ, louvainQ)
 }

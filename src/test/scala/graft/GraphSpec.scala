@@ -128,6 +128,25 @@ class GraphSpec extends AnyFunSuite {
     assert(loose == tight, "early exit diverged from bounded-round result")
   }
 
+  /** Measured modularity of a (node, community) partition over `und`:
+    * Q = (1/2m)·Σ_{(i,j)∈und, c_i=c_j} (1 − k_i·k_j/2m). */
+  private def modularity(und: org.apache.spark.sql.DataFrame,
+      com: org.apache.spark.sql.DataFrame): Double = {
+    import org.apache.spark.sql.functions._
+    val deg = und.groupBy(col("src").as("node")).count()
+      .select(col("node"), col("count").as("k"))
+    val m2 = und.count().toDouble
+    val lbl = com.select(col("node"), col("community"))
+    und
+      .join(lbl.select(col("node").as("src"), col("community").as("cs")), Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("community").as("cd")), Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .join(deg.select(col("node").as("src"), col("k").as("ks")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("k").as("kd")), Seq("dst"))
+      .agg(sum(lit(1.0) - col("ks") * col("kd") / lit(m2)).as("s"))
+      .head().getDouble(0) / m2
+  }
+
   test("label-propagation communities: deterministic, at positive " +
       "modularity, recovering the planted blocks") {
     import org.apache.spark.sql.functions._
@@ -138,22 +157,9 @@ class GraphSpec extends AnyFunSuite {
     assert(com.orderBy("node").collect().toSeq ==
       com2.orderBy("node").collect().toSeq, "LPA is not deterministic")
 
-    // modularity of the found partition over the same graph:
-    // Q = (1/2m) * sum over directed edges in the same community of
-    // (1 - k_src*k_dst/2m). Positive and substantial = real structure
-    // found (a random partition scores ~0).
-    val deg = und.groupBy(col("src").as("node")).count()
-      .select(col("node"), col("count").as("k"))
-    val m2 = und.count().toDouble // = 2m (und is symmetric)
-    val lbl = com.select(col("node"), col("community"))
-    val q = und
-      .join(lbl.select(col("node").as("src"), col("community").as("cs")), Seq("src"))
-      .join(lbl.select(col("node").as("dst"), col("community").as("cd")), Seq("dst"))
-      .filter(col("cs") === col("cd"))
-      .join(deg.select(col("node").as("src"), col("k").as("ks")), Seq("src"))
-      .join(deg.select(col("node").as("dst"), col("k").as("kd")), Seq("dst"))
-      .agg(sum(lit(1.0) - col("ks") * col("kd") / lit(m2)).as("s"))
-      .head().getDouble(0) / m2
+    // modularity: positive and substantial = real structure found
+    // (a random partition scores ~0)
+    val q = modularity(und, com)
     assert(q > 0.1, s"modularity $q too low — no community structure found")
 
     // planted-block recovery: most nodes must share their block's
@@ -168,6 +174,20 @@ class GraphSpec extends AnyFunSuite {
     val frac = agree.getLong(0).toDouble / agree.getLong(1)
     info(f"modularity $q%.3f, planted-block majority agreement $frac%.2f")
     assert(frac > 0.5, s"block agreement $frac — planted structure missed")
+  }
+
+  test("louvain rounds: exact-integer gains find modular structure") {
+    import org.apache.spark.sql.functions._
+    val und = Graph.sharedLpaUndirected(spark, TestSpark.Sf)
+    val com = Graph.louvainOver(und)
+    // deterministic (the integer argmax has a total tie order)
+    assert(com.orderBy("node").collect().toSeq ==
+      Graph.louvainOver(und).orderBy("node").collect().toSeq)
+    val q = modularity(und, com)
+    info(f"louvain modularity after ${Graph.LouvainRounds} rounds: $q%.3f")
+    // singleton start scores ~ -sum((k/2m)^2) < 0; two ascent rounds
+    // must find genuinely modular structure on the planted graph
+    assert(q > 0.1, s"louvain modularity $q too low")
   }
 
   test("sharedCcUndirected memoizes one materialized symmetric relation") {
