@@ -97,11 +97,21 @@ object ScaleCurve {
     * per-batch time with every admitted batch). */
   val MaxPerBatchRatio = 3.0
 
-  /** Gate: the LAST decade's growth ratio must stay below this —
-    * linear growth caps at 10x per decade, so 12 allows full
-    * data-dominated linearity plus noise while catching any
-    * super-linear blowup the slope fit would smooth over. */
-  val MaxDecadeRatio = 12.0
+  /** Gate (batch cells): the LAST decade's growth ratio must stay
+    * below this. The worst legitimate batch reading observed across
+    * rounds is 2.94x (fixture-scale cells are overhead-dominated, far
+    * from the 10x data bound), so 5.0 catches a super-linear decade
+    * the slope fit would smooth over while leaving honest headroom —
+    * the old 12.0 would have admitted an 11x decade. */
+  val MaxDecadeRatio = 5.0
+
+  /** Gate (stream cells): total-time decade bound. The admitted batch
+    * COUNT grows 3 → 25 across the last decade by design, so total
+    * time legitimately grows up to ~8.3x at perfectly flat per-batch
+    * cost — the per-batch ratio gate above is the honest bounded-state
+    * signal for these cells; this bound only catches a total blowup
+    * beyond even that. */
+  val StreamMaxDecadeRatio = 12.0
 
   val Scales: Seq[(String, Double)] = Seq(
     "/root/testdata/sf0.001" -> 0.001,
@@ -206,8 +216,11 @@ object ScaleCurve {
         pb1 <= 0 || pb2 <= 0 || pb2 / pb1 >= MaxPerBatchRatio ||
           bs(2) <= bs(1) // the data term must actually grow
       }
+      val decadeMax =
+        if (StreamCells.contains(name)) StreamMaxDecadeRatio
+        else MaxDecadeRatio
       a.isNaN || a >= MaxExponent ||
-        (ts(1) > 0 && ts(2) / ts(1) >= MaxDecadeRatio) || pbBreach
+        (ts(1) > 0 && ts(2) / ts(1) >= decadeMax) || pbBreach
     }
     if (breaches.nonEmpty) {
       breaches.foreach { case (n, ts, a, bs) =>
@@ -218,14 +231,17 @@ object ScaleCurve {
           val r = if (pb1 > 0 && pb2 > 0) f"${pb2 / pb1}%.2f" else "-"
           s" per-batch ratio $r batches ${bs.mkString("/")}"
         } else ""
+        val dm = if (StreamCells.contains(n)) StreamMaxDecadeRatio
+          else MaxDecadeRatio
         System.err.println(
           f"[scale] GATE BREACH: $n exponent $a%.2f (max $MaxExponent) " +
-            f"last-decade ratio $d2%.2f (max $MaxDecadeRatio)$pb")
+            f"last-decade ratio $d2%.2f (max $dm)$pb")
       }
       sys.exit(1)
     }
     println(s"\n[scale] PASS: all ${rows.size} cells under exponent " +
-      s"$MaxExponent, last-decade ratio $MaxDecadeRatio, and stream " +
-      s"per-batch ratio $MaxPerBatchRatio")
+      s"$MaxExponent, last-decade ratio $MaxDecadeRatio (batch) / " +
+      s"$StreamMaxDecadeRatio (stream), and stream per-batch ratio " +
+      s"$MaxPerBatchRatio")
   }
 }

@@ -1037,9 +1037,18 @@ object Similarity {
     * once; and one BASE index (corpus minus the incoming batch, models
     * trained on the base ONLY — the frozen-codebook regime incremental
     * ingestion actually runs). Both under fresh temp roots; the Memo
-    * guarantees at-most-once builds under concurrent first touch. */
-  private val fullIndexCache = new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String]
-  private val baseIndexCache = new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String]
+    * guarantees at-most-once builds under concurrent first touch.
+    * Path-valued memos carry a release that deletes the index root:
+    * without it every family-boundary [[graft.plans.Memo.drainAll]]
+    * would orphan a corpus-sized codes directory on disk for the
+    * process lifetime (the next family's warm-up rebuilds under a
+    * fresh root). */
+  private val fullIndexCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+  private val baseIndexCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
 
   private def tempIndexRoot(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-ann-$tag").toString

@@ -47,13 +47,21 @@ final class Memo[K, V](release: V => Unit) {
   /** Peek without building (for read-only inspection paths). */
   def get(key: K): Option[V] = Option(map.get(key))
 
-  /** Evict every entry, releasing each value's backing resources. */
+  /** Evict every entry, releasing each value's backing resources. A
+    * throwing release (stopped session, FS error on a temp-dir delete)
+    * must not abort the loop or propagate into the bench's
+    * family-boundary drain — log and keep releasing the rest.
+    */
   def clear(): Unit = {
     val it = map.entrySet().iterator()
     while (it.hasNext) {
       val v = it.next().getValue
       it.remove()
-      release(v)
+      try release(v)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] Memo release failed (continuing): $e")
+      }
     }
   }
 }

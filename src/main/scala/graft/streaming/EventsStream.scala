@@ -1014,7 +1014,11 @@ object EventsStream {
           ()
         }
         .start()
-      q.awaitTermination()
+      // the result is read from the managed target table, so the
+      // staged CDC files + checkpoint are pure scratch once the drain
+      // finishes — delete them or every bench warm-up/sample mints
+      // another graft_stream_ dir for the process lifetime
+      try q.awaitTermination() finally deleteTree(tmp)
       s.table(Dml.PrunedTarget)
         .select(col("o_orderkey"), col("cents"), col("yr"))
     }
@@ -1072,17 +1076,9 @@ object EventsStream {
     * flat-ish while total grows with the data. */
   val AuditRowsPerFile = 4096
 
-  /** Recursive delete for the audit's temp artifacts. */
+  /** Recursive delete for streaming temp artifacts (shared impl). */
   private def deleteTree(root: String): Unit =
-    try {
-      val p = java.nio.file.Paths.get(root)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq
-          .reverseIterator
-          .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
-    } catch { case _: Throwable => () }
+    graft.plans.Scratch.deleteTree(root)
 
   private val splitCache =
     new graft.plans.Memo[(SparkSession, String), String](
