@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Stored NSW-graph lifecycle: persist / incremental insert / tombstone
+  * delete. The oracle hash-verifies each entry's VALUES; these specs pin
+  * the lifecycle CONTRACTS the values alone don't show — serving from
+  * the store is bit-equal to serving in memory, an incremental insert
+  * never touches the frozen artifact's files, and a delete both empties
+  * the tombstone set from results and keeps k full. */
+class GraphIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+    df.select(col("query_id"), col("neighbor_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+
+  /** (name, length, mtime) per file under a stored edge table — the
+    * frozen-artifact witness (same discipline as MergePrunedSpec). */
+  private def inventory(root: String): Seq[(String, Long, Long)] =
+    Option(new java.io.File(s"$root/edges").listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => (f.getName, f.length(), f.lastModified()))
+      .sortBy(_._1)
+
+  test("served-from-store is bit-equal to the in-memory walk") {
+    val fromStore = rows(Similarity.annGraphPersist.run(spark, TestSpark.Sf))
+    val inMemory = rows(
+      Similarity.graphBeamTopK(spark, TestSpark.Sf, Similarity.TopK))
+    assert(fromStore.nonEmpty)
+    assert(fromStore == inMemory, "stored-graph serving diverged")
+  }
+
+  test("incremental insert leaves the frozen base graph untouched " +
+    "and makes the batch reachable") {
+    // force the base build, snapshot its files, then run the insert+serve
+    val root = Similarity.graphBaseRoot(spark, TestSpark.Sf)
+    val before = inventory(root)
+    assert(before.nonEmpty, "base graph artifact missing")
+    val served = rows(
+      Similarity.annGraphIncremental.run(spark, TestSpark.Sf))
+    assert(inventory(root) == before,
+      "incremental insert rewrote the frozen base graph files")
+    // inserted nodes are servable: some top-k neighbor comes from the
+    // batch slice (true at every fixture scale — 15/16/35 of 100)
+    assert(served.exists(_._2 % 10 == Similarity.AnnBatchMod),
+      "no batch node reachable after insert")
+    // and every query still gets the full k
+    served.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size == Similarity.TopK, s"query $q served ${rs.size} rows")
+    }
+  }
+
+  test("tombstone delete: no tombstoned neighbor served, k stays full, " +
+    "stored artifact untouched") {
+    val root = Similarity.graphIndexRoot(spark, TestSpark.Sf)
+    val before = inventory(root)
+    val served = rows(Similarity.annGraphDelete.run(spark, TestSpark.Sf))
+    assert(inventory(root) == before,
+      "delete rewrote the stored graph files")
+    assert(!served.exists(_._2 % 7 == Similarity.AnnDeleteMod),
+      "tombstoned neighbor served")
+    served.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size == Similarity.TopK, s"query $q served ${rs.size} rows")
+    }
+  }
+}
