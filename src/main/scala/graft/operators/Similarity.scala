@@ -1113,6 +1113,53 @@ object Similarity {
     res.orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Compacted index root: the stored code lists rewritten WITHOUT the
+    * tombstoned rows — the OPTIMIZE job [[annIndexDelete]]'s lazy
+    * tombstones defer to. Models are copied by parquet round trip
+    * (exact for doubles), so the compacted index serves bit-equal to
+    * tombstone-filtered serving on the original — which is exactly
+    * what the entry's oracle and [[IndexCompactSpec]] prove. At 100 TB
+    * this is the same economics as [[Dml.dmlCompactRewrite]]: deletes
+    * stay O(1) at write time, and a background rewrite reclaims the
+    * dead rows (and the per-probe scan cost) when their fraction
+    * justifies one pass over the code table. */
+  private val compactIndexCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def compactIndexRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    compactIndexCache.once((s, dir)) {
+      val full = fullIndexRoot(s, dir)
+      val root = tempIndexRoot("compact")
+      Seq("centroids", "codebooks").foreach(t =>
+        s.read.parquet(s"$full/$t").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$t"))
+      s.read.parquet(s"$full/codes")
+        .filter(col("neighbor_id") % 7 =!= AnnDeleteMod)
+        .write.mode("overwrite").parquet(s"$root/codes")
+      root
+    }
+
+  /** Serve the standard query set from the COMPACTED index with no
+    * tombstone predicate anywhere — deletion is now physical. The
+    * oracle is [[annIndexDelete]]'s (tombstone-filtered candidates),
+    * so compaction-then-serve ≡ tombstone-filtered-serve is
+    * hash-verified end to end, and the spec adds the row-count shrink
+    * the values can't show. */
+  val annIndexCompact: Q = Q.df(
+    "ann_index_compact",
+    ivfPqOracleFor(
+      Option(lastTrained).getOrElse(initCentroids),
+      Option(lastPq).getOrElse(initCodebooks),
+      s" and cv.vec_id % 7 <> $AnnDeleteMod")) { (s, dir) =>
+    val root = compactIndexRoot(s, dir)
+    val (res, (cm, cb)) = serveFromIndex(s, dir, root, TopK)
+    lastTrained = cm
+    lastPq = cb
+    res.orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Incremental add without retrain: the base index stores ~90% of
     * the corpus with models trained on the base alone; the incoming
     * batch is encoded against the STORED codebooks (read back, frozen
@@ -2458,7 +2505,7 @@ object Similarity {
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annFiltered,
       annPq,
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
-      annRecall,
+      annIndexCompact, annRecall,
       annGraphBeam, annHnswLayered, annBinaryHamming,
       annGraphPersist, annGraphIncremental, annGraphDelete,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
