@@ -68,7 +68,14 @@ object ScaleCurve {
     "ann_hnsw_layered",           // two-layer walk, upper graph 1/8 size
     "ann_binary_hamming",         // 16-byte code scan + bounded rerank
     "graph_communities",          // per-round edge⋈label + arg-max window
-    "dml_merge_pruned")           // touched-partition CDC rewrite
+    "dml_merge_pruned",           // touched-partition CDC rewrite
+    "ann_graph_persist",          // serving from the STORED edge table
+    "ann_graph_incremental")      // frozen-graph insert: O(batch·B·M·R)
+  // ann_graph_incremental runs auditIncrementalInsert (see exec below):
+  // the insert walk is rebuilt EVERY timed sample, bypassing the
+  // serving memo, so the measured quantity is the per-batch insert
+  // contract itself (batch = the fixture's 10% corpus slice → the
+  // batch term scales 10× per decade like the corpus term).
   // stream_merge_pruned is NOT audited: its 3-batch CDC apply is
   // scale-independent by design (fixed batch count, fixed streaming
   // setup per run), so neither the alpha fit nor the per-batch gate
@@ -102,7 +109,20 @@ object ScaleCurve {
     * rounds is 2.94x (fixture-scale cells are overhead-dominated, far
     * from the 10x data bound), so 5.0 catches a super-linear decade
     * the slope fit would smooth over while leaving honest headroom —
-    * the old 12.0 would have admitted an 11x decade. */
+    * the old 12.0 would have admitted an 11x decade.
+    *
+    * RECALIBRATION OBLIGATION: 5.0 is calibrated to the CURRENT
+    * fixtures, where per-job overhead dominates and flattens every
+    * honest linear cell well under the 10x data factor. A genuinely
+    * data-dominated linear cell legitimately approaches the full 10x
+    * per decade (which [[MaxExponent]] = 1.3 would still pass), so if
+    * the fixture scales change, or a new cell's sf0.1 time is large
+    * enough that fixed overhead stops masking the data term (rule of
+    * thumb: t(sf0.1) >> 10x the session's per-job floor, ~0.3-0.5 s
+    * here), re-derive this bound from the observed linear readings at
+    * the new scales before trusting a breach — a 6x decade on a
+    * 30-second data-dominated cell is honest linearity, not a
+    * regression. */
   val MaxDecadeRatio = 5.0
 
   /** Gate (stream cells): total-time decade bound. The admitted batch
@@ -129,8 +149,11 @@ object ScaleCurve {
       if (StreamCells.contains(name))
         graft.streaming.EventsStream.auditScaledStream(name, spark, dir)
       else {
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        val df =
+          if (name == "ann_graph_incremental")
+            graft.operators.Similarity.auditIncrementalInsert(spark, dir)
+          else SparkEntry.queries(name)(spark, dir)
+        df.write.format("noop").mode("overwrite").save()
         0L
       }
 

@@ -679,6 +679,21 @@ object Graph {
   /** Louvain move rounds. */
   val LouvainRounds = 2
 
+  /** The Louvain SEED (the [[LpaRounds]]-round LPA partition) is a
+    * trained artifact like the symmetric edge relation: every ascent
+    * entry (louvain rounds, the hierarchy) refines the SAME partition
+    * of the same immutable fixture, so rebuilding the 4 LPA rounds per
+    * execution measured seed rebuild, not ascent. Memoized per
+    * (session, dir) with the usual release-on-drain discipline; the
+    * cached frame is node-sized. Consumers must NOT free it. */
+  private val lpaLabelsCache =
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  def sharedLpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaLabelsCache.once((s, dir))(
+      communitiesOver(sharedLpaUndirected(s, dir)))
+
   /** Modularity-ASCENT refinement (the Louvain local phase), made
     * deterministic and exact, over the LPA partition: each synchronous
     * round every node scores joining each candidate community C (its
@@ -701,21 +716,33 @@ object Graph {
     * count, one community-total aggregate, one per-node arg-max window
     * — node/edge-keyed shuffles, per-round frames materialized and
     * freed; only the single 2m scalar reaches the driver. */
-  def louvainOver(und: DataFrame, rounds: Int = LouvainRounds): DataFrame = {
+  /** The synchronous exact-integer ascent core, generalized to a
+    * WEIGHTED symmetric edge relation `(src, dst, w)` so the same code
+    * runs the phase-1 local moves (w = 1) and the phase-2 moves on the
+    * CONTRACTED community graph (w = inter-community edge counts,
+    * self-loops carrying the intra-community mass). Degrees are weight
+    * sums; `e(i→C)` sums weights over non-self-loop edges (a node's
+    * self-loop moves with it, contributing equally to every candidate,
+    * so it never enters the argmax); `m2` is Σw, invariant under
+    * contraction — which is what keeps the two levels' scores on the
+    * same modularity scale. `seed` is NOT freed (callers pass shared
+    * memoized partitions); intermediate rounds are materialized and
+    * freed; the returned frame is materialized and owned by the caller. */
+  private def ascend(wedges: DataFrame, m2: Long, seed: DataFrame,
+      rounds: Int): DataFrame = {
     import graft.plans.Checkpoints
     import org.apache.spark.sql.expressions.Window
-    val m2 = und.count() // 2m — one model-sized scalar
-    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
-    var labels = Checkpoints.materialize(
-      communitiesOver(und).select(col("node"), col("community").as("lbl")))
+    val deg = wedges.groupBy(col("src").as("node")).agg(sum(col("w")).as("k"))
+    var labels = seed
+    var owned = false
     for (_ <- 1 to rounds) {
       val tot = labels.join(deg, Seq("node"))
         .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("tot"))
-      val nbr = und.select(col("src"), col("dst"))
+      val nbr = wedges.filter(col("src") =!= col("dst"))
         .join(labels.select(col("node").as("dst"), col("lbl").as("c")),
           Seq("dst"))
-        .select(col("src").as("node"), col("c"))
-        .groupBy(col("node"), col("c")).agg(count(lit(1)).as("e"))
+        .select(col("src").as("node"), col("c"), col("w"))
+        .groupBy(col("node"), col("c")).agg(sum(col("w")).as("e"))
       val cand = nbr
         .unionByName(labels.select(col("node"), col("lbl").as("c"),
           lit(0L).as("e")))
@@ -733,60 +760,150 @@ object Graph {
             .orderBy(col("score").desc, col("c"))))
         .filter(col("rn") === 1)
         .select(col("node"), col("c").as("lbl")))
-      Checkpoints.free(labels)
+      if (owned) Checkpoints.free(labels)
       labels = next
+      owned = true
     }
-    labels.select(col("node"), col("lbl").as("community"))
+    labels
   }
 
-  private def louvainOracle: String = {
-    val rounds = (1 to LouvainRounds).map { i =>
-      val p = i - 1
-      s"""tot$i as materialized (
+  def louvainOver(und: DataFrame, seed: DataFrame,
+      rounds: Int = LouvainRounds): DataFrame =
+    ascend(und.withColumn("w", lit(1L)), und.count() /* 2m scalar */,
+      seed, rounds)
+      .select(col("node"), col("lbl").as("community"))
+
+  /** Unrolled weighted-ascent rounds in DuckDB, the oracle twin of
+    * [[ascend]]: prefix-named materialized CTEs over an edge relation
+    * `(src, dst, w)`, a degree relation `(node, k)`, and seed labels
+    * `<p>g0`; ends at `<p>g$rounds`. `m2` must already be in scope. */
+  private def ascendRoundsSql(p: String, edges: String, degRel: String,
+      rounds: Int): String =
+    (1 to rounds).map { i =>
+      val prev = s"${p}g${i - 1}"
+      s"""${p}tot$i as materialized (
          |  select l.lbl as c, cast(sum(d.k) as bigint) as tot
-         |  from g$p l join deg d on d.node = l.node group by l.lbl),
-         |nbr$i as materialized (
-         |  select und.src as node, l.lbl as c, count(*) as e
-         |  from und join g$p l on l.node = und.dst
-         |  group by und.src, l.lbl),
-         |cand$i as materialized (
+         |  from $prev l join $degRel d on d.node = l.node group by l.lbl),
+         |${p}nbr$i as materialized (
+         |  select e.src as node, l.lbl as c, cast(sum(e.w) as bigint) as e
+         |  from $edges e join $prev l on l.node = e.dst
+         |  where e.src <> e.dst
+         |  group by e.src, l.lbl),
+         |${p}cand$i as materialized (
          |  select node, c, cast(sum(e) as bigint) as e from (
-         |    select node, c, e from nbr$i
+         |    select node, c, e from ${p}nbr$i
          |    union all
-         |    select node, lbl as c, 0 as e from g$p) t
+         |    select node, lbl as c, 0 as e from $prev) t
          |  group by node, c),
-         |sc$i as materialized (
+         |${p}sc$i as materialized (
          |  select cand.node, cand.c,
          |    m2.v * cand.e - d.k * (t.tot -
          |      case when cand.c = o.lbl then d.k else 0 end) as score
-         |  from cand$i cand
-         |  join deg d on d.node = cand.node
-         |  join tot$i t on t.c = cand.c
-         |  join g$p o on o.node = cand.node
+         |  from ${p}cand$i cand
+         |  join $degRel d on d.node = cand.node
+         |  join ${p}tot$i t on t.c = cand.c
+         |  join $prev o on o.node = cand.node
          |  cross join m2),
-         |g$i as materialized (
+         |${p}g$i as materialized (
          |  select node, c as lbl from (
          |    select node, c, row_number() over (partition by node
-         |      order by score desc, c) as rn from sc$i) t
+         |      order by score desc, c) as rn from ${p}sc$i) t
          |  where rn = 1)""".stripMargin
     }.mkString(",\n")
+
+  /** Shared oracle prelude for the ascent entries: LPA seed chain,
+    * 2m scalar, unit-weighted edge relation, degrees, `g0` = seed. */
+  private def ascendPreludeSql: String =
     s"""$lpaPreludeSql,
        |$lpaRoundsSql,
        |m2 as (select cast(count(*) as bigint) as v from und),
+       |undw as (select src, dst, cast(1 as bigint) as w from und),
        |deg as materialized (
        |  select src as node, cast(count(*) as bigint) as k
        |  from und group by src),
        |g0 as materialized (select node, lbl from l$LpaRounds),
-       |$rounds
+       |${ascendRoundsSql("", "undw", "deg", LouvainRounds)}""".stripMargin
+
+  private def louvainOracle: String =
+    s"""$ascendPreludeSql
        |select node, lbl as community from g$LouvainRounds
        |order by node""".stripMargin
-  }
+
+  /** The memoized LPA partition reshaped as an ascent seed. */
+  private def sharedSeed(s: SparkSession, dir: String): DataFrame =
+    sharedLpaLabels(s, dir)
+      .select(col("node"), col("community").as("lbl"))
 
   val louvainQ: Q = Q.df("graph_louvain_rounds", louvainOracle) { (s, dir) =>
-    louvainOver(sharedLpaUndirected(s, dir)).orderBy(col("node"))
+    louvainOver(sharedLpaUndirected(s, dir), sharedSeed(s, dir))
+      .orderBy(col("node"))
+  }
+
+  /** Level-2 ascent rounds on the contracted community graph. */
+  val HierarchyRounds = 2
+
+  /** Full two-phase Louvain: local moves, then CONTRACTION — the phase
+    * that makes the method scale on power-law graphs (Blondel et al.
+    * 2008): the phase-1 partition collapses into super-nodes via ONE
+    * groupBy over the edge relation keyed by community pairs
+    * (self-loops keep the intra-community mass, so Σw and every degree
+    * are preserved and level-2 scores stay on the same modularity
+    * scale), the identical exact-integer ascent reruns on the
+    * contracted weighted graph, and the level-2 labels project back
+    * through the level-1 partition with one node-keyed join. At 100×
+    * the contraction is what keeps later levels cheap: the level-2
+    * relation is communities², typically orders of magnitude below the
+    * edge count, while phase 1 remains the only pass that touches
+    * every edge. */
+  def louvainHierarchy(und: DataFrame, seed: DataFrame): DataFrame = {
+    import graft.plans.Checkpoints
+    val m2 = und.count() // 2m — invariant under contraction
+    val l1 = ascend(und.withColumn("w", lit(1L)), m2, seed, LouvainRounds)
+    val cg = Checkpoints.materialize(und
+      .join(l1.select(col("node").as("src"), col("lbl").as("csrc")),
+        Seq("src"))
+      .join(l1.select(col("node").as("dst"), col("lbl").as("cdst")),
+        Seq("dst"))
+      .groupBy(col("csrc").as("src"), col("cdst").as("dst"))
+      .agg(count(lit(1)).as("w")))
+    val h0 = Checkpoints.materialize(
+      cg.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    val h = ascend(cg, m2, h0, HierarchyRounds)
+    val out = Checkpoints.materialize(
+      l1.select(col("node"), col("lbl").as("c1"))
+        .join(h.select(col("node").as("c1"), col("lbl").as("community")),
+          Seq("c1"))
+        .select(col("node"), col("community")))
+    Seq(l1, cg, h0, h).foreach(Checkpoints.free)
+    out
+  }
+
+  private def louvainHierarchyOracle: String =
+    s"""$ascendPreludeSql,
+       |cg as materialized (
+       |  select ls.lbl as src, ld.lbl as dst, cast(count(*) as bigint) as w
+       |  from und join g$LouvainRounds ls on ls.node = und.src
+       |           join g$LouvainRounds ld on ld.node = und.dst
+       |  group by ls.lbl, ld.lbl),
+       |cdeg as materialized (
+       |  select src as node, cast(sum(w) as bigint) as k
+       |  from cg group by src),
+       |hg0 as materialized (
+       |  select node, node as lbl
+       |  from (select distinct src as node from cg) t),
+       |${ascendRoundsSql("h", "cg", "cdeg", HierarchyRounds)}
+       |select g.node, h.lbl as community
+       |from g$LouvainRounds g join hg$HierarchyRounds h on h.node = g.lbl
+       |order by g.node""".stripMargin
+
+  val louvainHierarchyQ: Q = Q.df(
+    "graph_louvain_hierarchy", louvainHierarchyOracle) { (s, dir) =>
+    louvainHierarchy(sharedLpaUndirected(s, dir), sharedSeed(s, dir))
+      .orderBy(col("node"))
   }
 
   val queries: Seq[Q] =
     Seq(pageRankQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
-      connectedComponentsQ, communitiesQ, louvainQ)
+      connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ)
 }

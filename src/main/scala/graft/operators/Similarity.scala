@@ -2021,21 +2021,32 @@ object Similarity {
   /** Serve the standard query set by beam walk over an ARBITRARY edge
     * relation (in-memory graph, stored parquet graph, stored ∪
     * freshly-inserted) — the shared query-time half of every lifecycle
-    * entry. `entryFilter` picks the seed nodes (the delete entry
-    * excludes tombstoned entries). */
-  private def serveGraphWalk(s: org.apache.spark.sql.SparkSession,
-      dir: String, edges: DataFrame,
-      entryFilter: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    * entry. `entries` is the seed-node id relation (one `neighbor_id`
+    * column): derived from a filter for the in-session entries, read
+    * from the stored artifact for the compacted index. */
+  private def serveGraphWalkFrom(s: org.apache.spark.sql.SparkSession,
+      dir: String, edges: DataFrame, entries: DataFrame, k: Int)
+      : DataFrame = {
     DotProduct.ensureRegistered(s)
     val vecs = withUnit(Tables.df(s, dir, "embeddings"))
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
     val seeds = queries.select(col("query_id"))
-      .crossJoin(broadcast(corpus.filter(entryFilter)
-        .select(col("neighbor_id"))))
+      .crossJoin(broadcast(entries.select(col("neighbor_id"))))
     topKOf(beamWalk(queries, corpus, edges, seeds, BeamRounds), k)
   }
+
+  /** [[serveGraphWalkFrom]] with seeds picked from the corpus by a
+    * predicate (the delete entry excludes tombstoned entries). */
+  private def serveGraphWalk(s: org.apache.spark.sql.SparkSession,
+      dir: String, edges: DataFrame,
+      entryFilter: org.apache.spark.sql.Column, k: Int): DataFrame =
+    serveGraphWalkFrom(s, dir, edges,
+      Tables.df(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"))
+        .filter(entryFilter),
+      k)
 
   def graphBeamTopK(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int): DataFrame =
@@ -2399,8 +2410,25 @@ object Similarity {
     * replays the base build, the insert walk, the link selection and
     * the serve walk as one materialized-CTE chain — frozen-graph
     * ingestion hash-verified, not asserted. */
-  val annGraphIncremental: Q = Q.df(
-    "ann_graph_incremental", graphIncrementalOracle) { (s, dir) =>
+  /** The insert walk's product — each batch node's top-[[GraphM]]
+    * links into the frozen base graph — memoized per (session, dir)
+    * like the index roots, with [[graft.plans.Checkpoints.free]] as
+    * the release: the batch and the base artifact are immutable for a
+    * session's lifetime, so re-running the walk per execution (bench
+    * warm-ups + samples) only re-derived the identical edge set while
+    * leaking each run's localCheckpoint blocks until session end. The
+    * cached frame is batch × M rows — ingest-batch-sized, never
+    * corpus-sized. */
+  private val incrEdgesCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** Run the insert walk fresh (no memo): each batch node
+    * beam-searches its neighbors over the frozen stored base, top-M
+    * visited become its links. Returns the MATERIALIZED link table
+    * (batch × M rows); the caller owns its blocks. */
+  private def buildIncrementalEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     DotProduct.ensureRegistered(s)
     val stored = storedGraphEdges(s, graphBaseRoot(s, dir))
     val vecs = withUnit(Tables.df(s, dir, "embeddings"))
@@ -2419,6 +2447,18 @@ object Similarity {
       .filter(col("rn") <= GraphM)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst")))
     graft.plans.Checkpoints.free(ivisited)
+    newEdges
+  }
+
+  private def incrementalEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    incrEdgesCache.once((s, dir))(buildIncrementalEdges(s, dir))
+
+  /** Serve over stored ∪ new edges (both directions), stored files
+    * untouched. */
+  private def serveWithInserted(s: org.apache.spark.sql.SparkSession,
+      dir: String, newEdges: DataFrame): DataFrame = {
+    val stored = storedGraphEdges(s, graphBaseRoot(s, dir))
     val combined = stored
       .unionByName(newEdges)
       .unionByName(newEdges.select(col("dst").as("src"),
@@ -2426,6 +2466,25 @@ object Similarity {
     serveGraphWalk(s, dir, combined, defaultEntryFilter, TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  val annGraphIncremental: Q = Q.df(
+    "ann_graph_incremental", graphIncrementalOracle) { (s, dir) =>
+    serveWithInserted(s, dir, incrementalEdges(s, dir))
+  }
+
+  /** Scale-audit drive: rebuild the insert walk EVERY sample
+    * (bypassing the session memo, which exists to amortize serving
+    * sessions) so the audited time carries the per-batch insert cost —
+    * the O(batch·B·M·R) contract — not just the serve. The fixture's
+    * batch is a 10% corpus slice, so batch work scales 10× per decade
+    * exactly like the corpus term; a super-linear insert surfaces in
+    * the decade-ratio gate. Each sample's link table is model-sized
+    * (batch × M) and unreferenced after the noop sink consumes the
+    * serve — reclaimed by the context cleaner, never accumulated
+    * across scales. */
+  private[graft] def auditIncrementalInsert(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    serveWithInserted(s, dir, buildIncrementalEdges(s, dir))
 
   /** Tombstone-delete on the stored graph: serve with the tombstone
     * set (vec_id % 7 = [[AnnDeleteMod]], the [[annIndexDelete]]
@@ -2444,6 +2503,56 @@ object Similarity {
             col("dst") % 7 =!= AnnDeleteMod),
         defaultEntryFilter && col("neighbor_id") % 7 =!= AnnDeleteMod,
         TopK)
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Compacted graph root: the stored edge table rewritten WITHOUT
+    * edges touching tombstoned nodes, plus the surviving entry-point
+    * list — the OPTIMIZE pass [[annGraphDelete]]'s lazy tombstones
+    * defer to, completing the graph index's 5-step lifecycle (build →
+    * persist → incremental → delete → compact) exactly as
+    * [[compactIndexRoot]] did for IVFPQ. The entry list is PART of the
+    * artifact (a real graph index ships its entry points with its
+    * edges), so serving needs no tombstone predicate anywhere: deleted
+    * nodes are physically unroutable and unseedable. Same 100 TB
+    * economics as the IVFPQ pass — deletes stay O(1), one background
+    * edge-table rewrite reclaims the dead rows and the per-walk
+    * filter. */
+  private val graphCompactCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def graphCompactRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graphCompactCache.once((s, dir)) {
+      val full = graphIndexRoot(s, dir)
+      val root = tempIndexRoot("graphcompact")
+      s.read.parquet(s"$full/edges")
+        .filter(col("src") % 7 =!= AnnDeleteMod &&
+          col("dst") % 7 =!= AnnDeleteMod)
+        .write.mode("overwrite").parquet(s"$root/edges")
+      // the entry list is model-sized (a handful of ids): one file
+      Tables.df(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"))
+        .filter(defaultEntryFilter && col("neighbor_id") % 7 =!= AnnDeleteMod)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/entries")
+      root
+    }
+
+  /** Serve the standard query set from the COMPACTED graph with no
+    * tombstone predicate anywhere — deletion is now physical, and both
+    * the edges and the seed entry points come from the stored
+    * artifact. The oracle is [[annGraphDelete]]'s (tombstone-filtered
+    * edges + seeds), so compact-then-serve ≡ tombstone-filtered-serve
+    * is hash-verified end to end; [[GraphIndexSpec]] adds the
+    * bit-equality and edge-count-shrink assertions the values can't
+    * show. */
+  val annGraphCompact: Q = Q.df("ann_graph_compact", graphDeleteOracle) {
+    (s, dir) =>
+      val root = graphCompactRoot(s, dir)
+      serveGraphWalkFrom(s, dir, storedGraphEdges(s, root),
+        s.read.parquet(s"$root/entries"), TopK)
         .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -2507,7 +2616,7 @@ object Similarity {
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
       annGraphBeam, annHnswLayered, annBinaryHamming,
-      annGraphPersist, annGraphIncremental, annGraphDelete,
+      annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
 }

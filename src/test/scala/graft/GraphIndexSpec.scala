@@ -19,13 +19,22 @@ class GraphIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq.sorted
 
-  /** (name, length, mtime) per file under a stored edge table — the
-    * frozen-artifact witness (same discipline as MergePrunedSpec). */
-  private def inventory(root: String): Seq[(String, Long, Long)] =
+  /** (name, length, mtime, md5) per file under a stored edge table —
+    * the frozen-artifact witness (same discipline as MergePrunedSpec,
+    * plus a CONTENT hash: filesystem mtime granularity can be a full
+    * second, so a same-name same-size rewrite landing inside the
+    * original timestamp's window would otherwise pass "untouched"
+    * undetected; spec-scale files are small enough to hash whole). */
+  private def inventory(root: String): Seq[(String, Long, Long, String)] =
     Option(new java.io.File(s"$root/edges").listFiles()).toSeq.flatten
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
-      .map(f => (f.getName, f.length(), f.lastModified()))
+      .map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        (f.getName, f.length(), f.lastModified(), md5)
+      }
       .sortBy(_._1)
 
   test("served-from-store is bit-equal to the in-memory walk") {
@@ -68,5 +77,33 @@ class GraphIndexSpec extends AnyFunSuite {
     served.groupBy(_._1).foreach { case (q, rs) =>
       assert(rs.size == Similarity.TopK, s"query $q served ${rs.size} rows")
     }
+  }
+
+  test("graph compaction: physical delete serves bit-equal to " +
+    "tombstone-filtered serving and shrinks the stored edge table") {
+    val del = rows(Similarity.annGraphDelete.run(spark, TestSpark.Sf))
+    val comp = rows(Similarity.annGraphCompact.run(spark, TestSpark.Sf))
+    assert(comp.nonEmpty)
+    assert(comp == del, "compact-then-serve diverged from tombstone serve")
+    assert(!comp.exists(_._2 % 7 == Similarity.AnnDeleteMod),
+      "tombstoned neighbor served from the compacted graph")
+    // the rewrite dropped EXACTLY the tombstone-touching edges
+    val full = spark.read.parquet(
+      s"${Similarity.graphIndexRoot(spark, TestSpark.Sf)}/edges")
+    val compacted = spark.read.parquet(
+      s"${Similarity.graphCompactRoot(spark, TestSpark.Sf)}/edges")
+    val expect = full
+      .filter(col("src") % 7 =!= Similarity.AnnDeleteMod &&
+        col("dst") % 7 =!= Similarity.AnnDeleteMod)
+      .count()
+    assert(compacted.count() == expect,
+      s"compacted edge count ${compacted.count()} != filtered $expect")
+    assert(expect < full.count(), "compaction reclaimed nothing")
+    // the stored entry list survives tombstone-free and non-empty
+    val entries = spark.read.parquet(
+      s"${Similarity.graphCompactRoot(spark, TestSpark.Sf)}/entries")
+      .collect().map(_.getLong(0))
+    assert(entries.nonEmpty &&
+      entries.forall(_ % 7 != Similarity.AnnDeleteMod))
   }
 }

@@ -176,18 +176,56 @@ class GraphSpec extends AnyFunSuite {
     assert(frac > 0.5, s"block agreement $frac — planted structure missed")
   }
 
-  test("louvain rounds: exact-integer gains find modular structure") {
+  private def lpaSeed(): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    Graph.sharedLpaLabels(spark, TestSpark.Sf)
+      .select(col("node"), col("community").as("lbl"))
+  }
+
+  test("louvain rounds: exact-integer gains find modular structure") {
     val und = Graph.sharedLpaUndirected(spark, TestSpark.Sf)
-    val com = Graph.louvainOver(und)
+    val com = Graph.louvainOver(und, lpaSeed())
     // deterministic (the integer argmax has a total tie order)
     assert(com.orderBy("node").collect().toSeq ==
-      Graph.louvainOver(und).orderBy("node").collect().toSeq)
+      Graph.louvainOver(und, lpaSeed()).orderBy("node").collect().toSeq)
     val q = modularity(und, com)
     info(f"louvain modularity after ${Graph.LouvainRounds} rounds: $q%.3f")
     // singleton start scores ~ -sum((k/2m)^2) < 0; two ascent rounds
     // must find genuinely modular structure on the planted graph
     assert(q > 0.1, s"louvain modularity $q too low")
+  }
+
+  test("sharedLpaLabels memoizes the ascent seed; the seeded path " +
+      "equals a self-built LPA seed") {
+    import org.apache.spark.sql.functions._
+    val a = Graph.sharedLpaLabels(spark, TestSpark.Sf)
+    assert(a eq Graph.sharedLpaLabels(spark, TestSpark.Sf),
+      "second call must return the cached frame")
+    val und = Graph.sharedLpaUndirected(spark, TestSpark.Sf)
+    val fresh = Graph.communitiesOver(und)
+    assert(a.orderBy("node").collect().toSeq ==
+      fresh.orderBy("node").collect().toSeq,
+      "memoized seed diverged from a fresh LPA run")
+  }
+
+  test("louvain hierarchy: contraction preserves 2m and degree mass, " +
+      "level-2 refines without losing modularity, deterministic") {
+    import org.apache.spark.sql.functions._
+    val und = Graph.sharedLpaUndirected(spark, TestSpark.Sf)
+    val h = Graph.louvainHierarchy(und, lpaSeed())
+    assert(h.orderBy("node").collect().toSeq ==
+      Graph.louvainHierarchy(und, lpaSeed()).orderBy("node").collect().toSeq,
+      "hierarchy is not deterministic")
+    val l1 = Graph.louvainOver(und, lpaSeed())
+    val q1 = modularity(und, l1)
+    val q2 = modularity(und, h)
+    info(f"modularity: phase-1 $q1%.3f -> hierarchy $q2%.3f")
+    // contraction + level-2 moves refine the SAME objective on the same
+    // scale (sum w and degrees invariant), so quality must not regress
+    assert(q2 >= q1 - 1e-9, s"hierarchy lost modularity: $q1 -> $q2")
+    assert(q2 > 0.1, s"hierarchy modularity $q2 too low")
+    // every node still labeled exactly once
+    assert(h.count() == und.select(col("src")).distinct().count())
   }
 
   test("sharedCcUndirected memoizes one materialized symmetric relation") {
