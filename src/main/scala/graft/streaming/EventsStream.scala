@@ -249,6 +249,35 @@ object EventsStream {
       boundSec: Long): DataFrame =
     intervalJoin(views, purchases, boundSec, "left_outer")
 
+  /** FULL OUTER form of [[intervalJoin]]: BOTH sides' unmatched rows
+    * emit null-padded once the watermark proves their window closed —
+    * a genuinely different runtime path from the left-outer entry,
+    * because the runtime must track expiry emission on both state
+    * stores, and the two sides' provability conditions are asymmetric
+    * (they fall out of the same join bound read from each side): a
+    * view's window closes at `v_ts + bound`, a purchase's at `p_ts`
+    * itself (any future view has `v_ts ≥ watermark`, and matching
+    * needs `v_ts ≤ p_ts`, so `p_ts < watermark` is the proof). The
+    * output's `user_id` coalesces across sides — the view-side column
+    * is null on purchase-expiry rows. */
+  def intervalJoinFull(views: DataFrame, purchases: DataFrame,
+      boundSec: Long): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("v_user_id"),
+        col("event_id").as("v_event_id"), col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+    v.join(p,
+      col("v_user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
+      "full_outer")
+      .select(coalesce(col("v_user_id"), col("p_user_id")).as("user_id"),
+        col("v_event_id"), col("p_event_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Streaming exact dedup by content fingerprint within the watermark
     * horizon (`dropDuplicatesWithinWatermark`): the state store holds one
     * 16-byte fingerprint per distinct document seen inside the horizon
@@ -817,6 +846,64 @@ object EventsStream {
       .orderBy(col("v_event_id"), col("p_event_id"))
   }
 
+  /** Execute the FULL OUTER interval join end-to-end (the
+    * [[runIntervalJoinOuterStream]] drive with both-side expiry
+    * emission). The oracle applies the two provability conditions the
+    * doc on [[intervalJoinFull]] derives, each against the GLOBAL
+    * watermark floored to Spark's millisecond tracking precision. */
+  def runIntervalJoinFullStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    def side(eventType: String): DataFrame =
+      Tables.eventsStream(s, dir).filter(col("event_type") === eventType)
+    val joined = intervalJoinFull(side("view"), side("purchase"),
+      graft.operators.Temporal.RangeWindowSec)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val intervalJoinFullStreamed: Q = Q.df(
+    "stream_interval_join_full", {
+      val boundSec = graft.operators.Temporal.RangeWindowSec
+      s"""with v as (select user_id, event_id, ts from events
+         |           where event_type = 'view'),
+         |p as (select user_id, event_id, ts from events
+         |      where event_type = 'purchase'),
+         |wm as (select (least((select max(epoch_us(ts)) // 1000 from v),
+         |                     (select max(epoch_us(ts)) // 1000 from p))
+         |          - 3600000) * 1000 as w)
+         |select coalesce(v.user_id, p.user_id) as user_id,
+         |  v.event_id as v_event_id,
+         |  p.event_id as p_event_id,
+         |  epoch_us(p.ts) - epoch_us(v.ts) as gap_us
+         |from v full join p
+         |  on v.user_id = p.user_id
+         | and p.ts >= v.ts
+         | and p.ts < v.ts + interval $boundSec second
+         |cross join wm
+         |where (v.event_id is not null and p.event_id is not null)
+         |   or (p.event_id is null and v.event_id is not null
+         |       and epoch_us(v.ts) + ${boundSec * 1000000L} < wm.w)
+         |   or (v.event_id is null and p.event_id is not null
+         |       and epoch_us(p.ts) < wm.w)
+         |order by v_event_id nulls first, p_event_id nulls first"""
+        .stripMargin
+    }) { (s, dir) =>
+    runIntervalJoinFullStream(s, dir)
+      .orderBy(col("v_event_id").asc_nulls_first,
+        col("p_event_id").asc_nulls_first)
+  }
+
   /** The custom DSv2 source's STREAMING face executed through the real
     * runtime: the range source drains under admission control (16384
     * rows per micro-batch → 7 batches for 100k rows, offsets
@@ -1171,5 +1258,6 @@ object EventsStream {
       transformWithStateQ, timerSessionsStreamed, staticJoinStreamed,
       mergeUpsertStreamed, mergePrunedStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
+      intervalJoinFullStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }

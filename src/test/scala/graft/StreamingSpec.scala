@@ -580,6 +580,9 @@ class StreamingSpec extends AnyFunSuite {
       ("interval join outer", () => EventsStream
         .runIntervalJoinOuterStream(spark, TestSpark.Sf)
         .collect().map(_.toString).sorted.toSeq),
+      ("interval join full outer", () => EventsStream
+        .runIntervalJoinFullStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq),
       ("mapGroupsWithState incremental", () => driveActivityIncremental()))
     runners.foreach { case (nm, run) =>
       val dflt = withProvider(None)(run())

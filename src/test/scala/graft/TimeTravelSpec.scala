@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dml
+
+/** Generation-swapped time travel: the oracle hash-verifies the
+  * `VERSION AS OF 2` VALUES; these specs pin the lifecycle contracts
+  * the values can't show — every retained version reads as the exact
+  * k-batch replay, untouched partitions share files byte-for-byte
+  * across manifests (no copy-per-version), and vacuum reclaims exactly
+  * the unreferenced generations while retained versions keep reading
+  * identically. */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Replay k upsert batches against the base with plain DataFrame ops
+    * — the independent ground truth for version k. */
+  private def replay(k: Int): Seq[(Long, Long, Int)] = {
+    val base = Dml.mergePrunedBase(spark, TestSpark.Sf)
+    val state = Dml.TimeTravelYears.take(k).foldLeft(base) { (cur, y) =>
+      val batch = Dml.mergePrunedBatch(base, y)
+      cur.join(batch.select(col("o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .unionByName(batch)
+    }
+    state.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+  }
+
+  private def readV(root: String, k: Int): Seq[(Long, Long, Int)] =
+    Dml.readVersionAsOf(spark, root, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq.sorted
+
+  test("every version reads as the exact k-batch replay") {
+    val root = Dml.timeTravelRoot(spark, TestSpark.Sf)
+    (0 to Dml.TimeTravelYears.size).foreach { k =>
+      assert(readV(root, k) == replay(k), s"version $k diverged")
+    }
+  }
+
+  test("untouched partitions are SHARED across manifests, not copied") {
+    val root = Dml.timeTravelRoot(spark, TestSpark.Sf)
+    val last = Dml.TimeTravelYears.size
+    val m0 = Dml.readManifest(root, 0)
+    val mLast = Dml.readManifest(root, last)
+    val untouched = m0.keySet -- Dml.TimeTravelYears.toSet
+    assert(untouched.nonEmpty, "fixture has no untouched years")
+    untouched.foreach { y =>
+      assert(mLast(y) == m0(y),
+        s"untouched year $y repointed: ${m0(y)} -> ${mLast(y)}")
+    }
+    // and each touched year points at ITS batch's generation
+    Dml.TimeTravelYears.zipWithIndex.foreach { case (y, i) =>
+      assert(mLast(y) == s"data/g${i + 1}/yr=$y",
+        s"touched year $y not at generation ${i + 1}: ${mLast(y)}")
+    }
+  }
+
+  test("vacuum retains the last N versions, reclaims exactly the " +
+      "unreferenced partition dirs, and retained reads are unchanged") {
+    // a private root so vacuum can't disturb the shared memoized one
+    val base = Dml.mergePrunedBase(spark, TestSpark.Sf)
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-tt-spec").toString
+    try {
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      // hand-rolled v0 manifest (writeManifest is private): tsv lines
+      val body = years.map(y => s"$y\tdata/g0/yr=$y").mkString("\n")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/manifests"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/manifests/v0.tsv"), body)
+      Dml.TimeTravelYears.zipWithIndex.foreach { case (y, i) =>
+        Dml.applyTimeTravelBatch(spark, root, i + 1,
+          Dml.mergePrunedBatch(base, y))
+      }
+      val last = Dml.TimeTravelYears.size
+      val before2 = readV(root, last - 1)
+      val before3 = readV(root, last)
+      Dml.vacuumTimeTravel(root, retain = 2)
+      assert(Dml.timeTravelVersions(root) == Seq(last - 1, last),
+        "retention kept the wrong versions")
+      // dropped versions are unreadable
+      intercept[IllegalArgumentException](Dml.readVersionAsOf(spark, root, 0))
+      // retained versions read byte-identically
+      assert(readV(root, last - 1) == before2, "retained v2 changed")
+      assert(readV(root, last) == before3, "retained v3 changed")
+      // reclaimed exactly the dirs no retained manifest references:
+      // g0's copies of the first two touched years (superseded before
+      // v2) are gone; every dir a retained manifest names survives
+      val y1 = Dml.TimeTravelYears(0)
+      val y2 = Dml.TimeTravelYears(1)
+      assert(!new java.io.File(s"$root/data/g0/yr=$y1").exists(),
+        s"unreferenced g0/yr=$y1 not reclaimed")
+      assert(!new java.io.File(s"$root/data/g0/yr=$y2").exists(),
+        s"unreferenced g0/yr=$y2 not reclaimed")
+      val referenced = Seq(last - 1, last)
+        .flatMap(k => Dml.readManifest(root, k).values).toSet
+      referenced.foreach { d =>
+        assert(new java.io.File(s"$root/$d").exists(),
+          s"referenced dir $d was deleted")
+      }
+    } finally graft.plans.Scratch.deleteTree(root)
+  }
+}
