@@ -1109,7 +1109,18 @@ object Dml {
     * plus a retained history instead of an in-place swap. */
   private[graft] def applyTimeTravelBatch(
       s: org.apache.spark.sql.SparkSession, root: String, k: Int,
-      batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch: org.apache.spark.sql.DataFrame): Unit =
+    applyTimeTravelBatch(s, root, k, batch,
+      batch.select(col("o_orderkey"), col("cents"), col("yr")))
+
+  /** The CDC-op-capable form ([[applyPruned]]'s split): `batch`
+    * supplies matched keys + touched partitions; `inserts` is what
+    * survives into the new generation (all rows for an upsert, the
+    * non-delete rows for a U/I/D batch). */
+  private[graft] def applyTimeTravelBatch(
+      s: org.apache.spark.sql.SparkSession, root: String, k: Int,
+      batch: org.apache.spark.sql.DataFrame,
+      inserts: org.apache.spark.sql.DataFrame): Unit = {
     val prev = readManifest(root, k - 1)
     val touched = batch.select(col("yr")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -1120,7 +1131,7 @@ object Dml {
     }.reduce(_ unionByName _)
     val merged = existing
       .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
-      .unionByName(batch.select(col("o_orderkey"), col("cents"), col("yr")))
+      .unionByName(inserts.select(col("o_orderkey"), col("cents"), col("yr")))
     merged.write.partitionBy("yr").parquet(s"$root/data/g$k")
     writeManifest(root, k,
       prev ++ touched.map(y => y -> s"data/g$k/yr=$y"))
@@ -1171,6 +1182,13 @@ object Dml {
       TimeTravelYears.zipWithIndex.foreach { case (y, i) =>
         applyTimeTravelBatch(s, root, i + 1, mergePrunedBatch(base, y))
       }
+      // one more generation with the FULL U/I/D op set (the D rows are
+      // what the change feed's 'delete' classification needs; the U/I
+      // rows re-assert values already in the state, so they produce no
+      // change rows — the diff is value-based, not op-echoing)
+      val cdc = mergeCdcBatch(base, TimeTravelYears.head)
+      applyTimeTravelBatch(s, root, TimeTravelYears.size + 1, cdc,
+        cdc.filter(col("op") =!= "D"))
       root
     }
 
@@ -1207,6 +1225,139 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Row-level changes between version k−1 and version k — the
+    * change-data-feed (Delta `table_changes`) read, derived from the
+    * SNAPSHOTS rather than logged: the two manifests are compared
+    * first and only partitions whose data dir CHANGED between them are
+    * scanned (byte-shared dirs cannot contain changes), so at 100 TB a
+    * transition that touched 3 of 3000 partitions diffs 3, not the
+    * table. Within changed partitions the diff is value-based: keys
+    * only in k are `insert`, only in k−1 are `delete`, present in both
+    * with different values emit an `update_preimage`/`update_postimage`
+    * pair — and a CDC batch that re-asserts existing values produces
+    * NO rows, which is the semantic difference between a change feed
+    * and an op echo. */
+  private[graft] def versionChanges(s: org.apache.spark.sql.SparkSession,
+      root: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val before = readManifest(root, k - 1)
+    val after = readManifest(root, k)
+    val changed = after.keySet
+      .filter(y => !before.get(y).contains(after(y))).toSeq.sorted
+    def readDirs(m: Map[Int, String]) = changed
+      .flatMap(y => m.get(y).map(d =>
+        s.read.parquet(s"$root/$d").withColumn("yr", lit(y).cast("int"))))
+      .reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(Long, Long, Int)].toDF("o_orderkey", "cents", "yr"))
+    val pre = readDirs(before).select(col("o_orderkey"),
+      col("cents").as("pre_cents"), col("yr").as("pre_yr"))
+    val post = readDirs(after).select(col("o_orderkey"),
+      col("cents").as("post_cents"), col("yr").as("post_yr"))
+    val j = pre.join(post, Seq("o_orderkey"), "full_outer")
+    val v = lit(k).cast("int").as("version")
+    j.filter(col("pre_cents").isNull)
+      .select(v, lit("insert").as("change_type"), col("o_orderkey"),
+        col("post_cents").as("cents"), col("post_yr").as("yr"))
+      .unionByName(j.filter(col("post_cents").isNull)
+        .select(v, lit("delete").as("change_type"), col("o_orderkey"),
+          col("pre_cents").as("cents"), col("pre_yr").as("yr")))
+      .unionByName(j.filter(col("pre_cents").isNotNull &&
+          col("post_cents").isNotNull && col("pre_cents") =!= col("post_cents"))
+        .select(v, lit("update_preimage").as("change_type"),
+          col("o_orderkey"), col("pre_cents").as("cents"),
+          col("pre_yr").as("yr")))
+      .unionByName(j.filter(col("pre_cents").isNotNull &&
+          col("post_cents").isNotNull && col("pre_cents") =!= col("post_cents"))
+        .select(v, lit("update_postimage").as("change_type"),
+          col("o_orderkey"), col("post_cents").as("cents"),
+          col("post_yr").as("yr")))
+  }
+
+  /** SQL replay of the upsert-merge for the changes oracle: state s$k
+    * from s${k-1} and batch b$k. */
+  private def ttStateSql(k: Int, y: Int): String =
+    s"""b$k as (
+       |  select o_orderkey, cents * 2 as cents, yr from base
+       |    where yr = $y and o_orderkey % 20 = 0
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from base
+       |    where yr = $y and o_orderkey % 20 = 0),
+       |s$k as materialized (
+       |  select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |    coalesce(u.cents, b.cents) as cents, coalesce(b.yr, u.yr) as yr
+       |  from s${k - 1} b full outer join b$k u
+       |    on b.o_orderkey = u.o_orderkey)""".stripMargin
+
+  private def ttDiffSql(k: Int): String =
+    s"""d$k as (
+       |  select cast($k as int) as version, 'insert' as change_type,
+       |    b.o_orderkey, b.cents, b.yr
+       |  from s$k b where not exists (
+       |    select 1 from s${k - 1} a where a.o_orderkey = b.o_orderkey)
+       |  union all
+       |  select cast($k as int), 'delete', a.o_orderkey, a.cents, a.yr
+       |  from s${k - 1} a where not exists (
+       |    select 1 from s$k b where b.o_orderkey = a.o_orderkey)
+       |  union all
+       |  select cast($k as int), 'update_preimage', a.o_orderkey,
+       |    a.cents, a.yr
+       |  from s${k - 1} a join s$k b on a.o_orderkey = b.o_orderkey
+       |  where a.cents <> b.cents
+       |  union all
+       |  select cast($k as int), 'update_postimage', b.o_orderkey,
+       |    b.cents, b.yr
+       |  from s${k - 1} a join s$k b on a.o_orderkey = b.o_orderkey
+       |  where a.cents <> b.cents)""".stripMargin
+
+  /** The full change feed 1..latest, each transition manifest-pruned.
+    * Transitions 1–3 are the upsert batches (inserts + ×2 updates);
+    * transition 4 is the U/I/D CDC batch whose U/I rows re-assert the
+    * state (no rows emitted) and whose D rows surface as `delete` —
+    * exactly what distinguishes a value-based CDF from an op echo. */
+  val dmlTimeTravelChanges: Q = Q.df(
+    "dml_time_travel_changes", {
+      val y1 = TimeTravelYears.head
+      val n = TimeTravelYears.size
+      val states = TimeTravelYears.zipWithIndex
+        .map { case (y, i) => ttStateSql(i + 1, y) }.mkString(",\n")
+      val diffs = (1 to n + 1).map(ttDiffSql).mkString(",\n")
+      s"""with base as materialized (
+         |  select o_orderkey,
+         |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+         |    cast(year(o_orderdate) as int) as yr
+         |  from orders),
+         |s0 as materialized (select * from base),
+         |$states,
+         |b${n + 1}k as (
+         |  select o_orderkey from base
+         |    where yr = $y1 and (o_orderkey % 20 = 0 or o_orderkey % 20 = 5)
+         |  union all
+         |  select -o_orderkey - 1 from base
+         |    where yr = $y1 and o_orderkey % 20 = 0),
+         |b${n + 1}i as (
+         |  select o_orderkey, cents * 2 as cents, yr from base
+         |    where yr = $y1 and o_orderkey % 20 = 0
+         |  union all
+         |  select -o_orderkey - 1, cents + 7, yr from base
+         |    where yr = $y1 and o_orderkey % 20 = 0),
+         |s${n + 1} as materialized (
+         |  select * from s$n a where not exists (
+         |    select 1 from b${n + 1}k x where x.o_orderkey = a.o_orderkey)
+         |  union all
+         |  select * from b${n + 1}i),
+         |$diffs
+         |select version, change_type, o_orderkey, cents, yr
+         |from (${(1 to n + 1).map(k => s"select * from d$k")
+            .mkString(" union all ")}) t
+         |order by version, change_type, o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    val root = timeTravelRoot(s, dir)
+    timeTravelVersions(root).filter(_ >= 1)
+      .map(versionChanges(s, root, _))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("change_type"), col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlMergePruned, dmlMergeCdcOps, dmlCompactRewrite,
     joinBucketed,
@@ -1214,5 +1365,5 @@ object Dml {
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip, sourceXmlRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
-    sourceCatalogTable, dmlTimeTravel)
+    sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges)
 }

@@ -854,7 +854,12 @@ object Graph {
     * the contraction is what keeps later levels cheap: the level-2
     * relation is communities², typically orders of magnitude below the
     * edge count, while phase 1 remains the only pass that touches
-    * every edge. */
+    * every edge. On the planted fixture the level-2 moves find no
+    * community-level merge that improves Q — i.e. they verify Louvain's
+    * own TERMINATION condition at a fixpoint (the seed→ascent gain is
+    * carried by level 1; see `graph_modularity_exact` for the measured
+    * ladder) — while the oracle still replays the full contraction +
+    * weighted-ascent algebra. */
   def louvainHierarchy(und: DataFrame, seed: DataFrame): DataFrame = {
     import graft.plans.Checkpoints
     val m2 = und.count() // 2m — invariant under contraction
@@ -903,7 +908,130 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** EXACT modularity of a partition, as integers: over the symmetric
+    * relation, Q·(2m)² = 2m·Σ_C e_C − Σ_C tot_C² (e_C = ordered intra
+    * pairs, tot_C = summed degrees), so the metric the quality specs
+    * eyeball becomes an oracle-verified ENGINE surface — numerator and
+    * denominator are exact int64 (bounded by |und|² ≈ 1.3e11 at the
+    * fixture's 600-node graph, far under the 9.2e18 ceiling), and the
+    * one surface division is a single shared expression, IEEE-identical
+    * cross-engine. Everything stays in-plan (two aggregates + a
+    * cross-joined scalar row), no driver scalar. */
+  def modularityExact(und: DataFrame, labels: DataFrame,
+      tag: String): DataFrame = {
+    val l = labels.select(col("node"), col("community"))
+    val se = und
+      .join(l.select(col("node").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(l.select(col("node").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .agg(count(lit(1)).as("se"))
+    val st = l
+      .join(und.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")),
+        Seq("node"))
+      .groupBy(col("community")).agg(sum(col("k")).as("tot"))
+      .agg(sum(col("tot") * col("tot")).as("st"))
+    val m2 = und.agg(count(lit(1)).as("m2"))
+    se.crossJoin(st).crossJoin(m2)
+      .select(lit(tag).as("plabel"),
+        (col("m2") * col("se") - col("st")).as("num"),
+        (col("m2") * col("m2")).as("den"))
+      .withColumn("q", round(col("num").cast("double") /
+        col("den").cast("double"), 6))
+  }
+
+  /** The same metric in DuckDB over partition relation `rel(node,
+    * community)`; CTE names prefixed `t`. `deg` and `m2` come from the
+    * ascent prelude. */
+  private def modularityMetricSql(t: String, rel: String,
+      tag: String): String =
+    s"""${t}se as (
+       |  select cast(count(*) as bigint) as se
+       |  from und join $rel l1 on l1.node = und.src
+       |           join $rel l2 on l2.node = und.dst
+       |  where l1.community = l2.community),
+       |${t}st as (
+       |  select cast(sum(tot * tot) as bigint) as st from (
+       |    select cast(sum(d.k) as bigint) as tot
+       |    from $rel p join deg d on d.node = p.node
+       |    group by p.community) x),
+       |${t}met as (
+       |  select '$tag' as plabel,
+       |    cast(m2.v * ${t}se.se - ${t}st.st as bigint) as num,
+       |    cast(m2.v * m2.v as bigint) as den
+       |  from m2, ${t}se, ${t}st)""".stripMargin
+
+  /** The local and hierarchy PARTITIONS are deterministic artifacts of
+    * (session, dir) exactly like the LPA seed — the metric entry
+    * consumes them, it doesn't re-derive them, so its timed runs
+    * measure the three metric aggregates (the operator) while
+    * `graph_louvain_rounds` / `graph_louvain_hierarchy` keep measuring
+    * their own ascents un-memoized. Node-sized frames, released on
+    * family drain. */
+  private val louvainLocalCache =
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+  private val louvainHierCache =
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  def sharedLouvainLocal(s: SparkSession, dir: String): DataFrame =
+    louvainLocalCache.once((s, dir))(
+      louvainOver(sharedLpaUndirected(s, dir), sharedSeed(s, dir)))
+
+  def sharedLouvainHierarchy(s: SparkSession, dir: String): DataFrame =
+    louvainHierCache.once((s, dir))(
+      louvainHierarchy(sharedLpaUndirected(s, dir), sharedSeed(s, dir)))
+
+  /** Modularity of the LPA seed vs the full Louvain hierarchy, exact.
+    * The one entry that makes partition QUALITY an oracle-checked
+    * output instead of a spec-side eyeball — and documents, in data,
+    * what each phase buys. */
+  val modularityExactQ: Q = Q.df(
+    "graph_modularity_exact", {
+      // same CTE chain as the hierarchy oracle (shared generators),
+      // continued into the two metric fragments instead of a label dump
+      s"""$ascendPreludeSql,
+         |cg as materialized (
+         |  select ls.lbl as src, ld.lbl as dst, cast(count(*) as bigint) as w
+         |  from und join g$LouvainRounds ls on ls.node = und.src
+         |           join g$LouvainRounds ld on ld.node = und.dst
+         |  group by ls.lbl, ld.lbl),
+         |cdeg as materialized (
+         |  select src as node, cast(sum(w) as bigint) as k
+         |  from cg group by src),
+         |hg0 as materialized (
+         |  select node, node as lbl
+         |  from (select distinct src as node from cg) t),
+         |${ascendRoundsSql("h", "cg", "cdeg", HierarchyRounds)},
+         |hfinal as materialized (
+         |  select g.node, h.lbl as community
+         |  from g$LouvainRounds g join hg$HierarchyRounds h on h.node = g.lbl),
+         |seedp as materialized (
+         |  select node, lbl as community from l$LpaRounds),
+         |localp as materialized (
+         |  select node, lbl as community from g$LouvainRounds),
+         |${modularityMetricSql("s", "seedp", "lpa_seed")},
+         |${modularityMetricSql("g", "localp", "louvain_local")},
+         |${modularityMetricSql("h", "hfinal", "louvain_hierarchy")}
+         |select plabel, num, den,
+         |  round(cast(num as double) / cast(den as double), 6) as q
+         |from (select * from smet union all select * from gmet
+         |      union all select * from hmet) t
+         |order by plabel""".stripMargin
+    }) { (s, dir) =>
+    val und = sharedLpaUndirected(s, dir)
+    modularityExact(und, sharedLpaLabels(s, dir), "lpa_seed")
+      .unionByName(modularityExact(und, sharedLouvainLocal(s, dir),
+        "louvain_local"))
+      .unionByName(modularityExact(und, sharedLouvainHierarchy(s, dir),
+        "louvain_hierarchy"))
+      .orderBy(col("plabel"))
+  }
+
   val queries: Seq[Q] =
     Seq(pageRankQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
-      connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ)
+      connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ,
+      modularityExactQ)
 }

@@ -59,6 +59,30 @@ class TimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed is value-based: the CDC transition emits ONLY its " +
+      "deletes (re-asserted U/I rows produce no change rows)") {
+    val root = Dml.timeTravelRoot(spark, TestSpark.Sf)
+    val last = Dml.timeTravelVersions(root).max
+    val rows = Dml.versionChanges(spark, root, last)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty, "CDC transition produced no change rows")
+    assert(rows.forall(_._1 == "delete"),
+      s"non-delete change rows in the CDC transition: ${rows.take(5)}")
+    val y1 = Dml.TimeTravelYears.head
+    rows.foreach { case (_, k) =>
+      assert(k % 20 == 5, s"unexpected deleted key $k")
+    }
+    // and an upsert transition pairs its pre/post images exactly
+    val t1 = Dml.versionChanges(spark, root, 1)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val pre = t1.filter(_._1 == "update_preimage").map(r => r._2).sorted
+    val post = t1.filter(_._1 == "update_postimage").map(r => r._2).sorted
+    assert(pre.nonEmpty && pre.sameElements(post),
+      "update pre/post images not paired")
+    assert(t1.count(_._1 == "insert") == pre.length,
+      s"year-$y1 batch mints one insert per updated key")
+  }
+
   test("vacuum retains the last N versions, reclaims exactly the " +
       "unreferenced partition dirs, and retained reads are unchanged") {
     // a private root so vacuum can't disturb the shared memoized one
