@@ -2146,6 +2146,58 @@ object Similarity {
     graphBeamTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
   }
 
+  /** FILTERED graph search — [[annFiltered]]'s query shape served from
+    * the NSW graph: the walk routes through EVERY node (pre-filtering
+    * the graph would fragment its connectivity — the reason production
+    * filtered-HNSW routes through non-matching nodes and filters at
+    * candidate emission), and only the visited set is restricted to
+    * the metadata predicate before the final top-k, so k re-ranks
+    * densely over matching neighbors. Same `label % 2 = 0` predicate
+    * as the IVF filtered entry — the serving-feature matrix now covers
+    * both index families. At very low predicate selectivity the beam
+    * should widen with 1/selectivity (ACORN-style) to keep k full;
+    * at this fixture's ~0.5 the standard beam suffices (spec-checked
+    * by the oracle's full-k output). */
+  def graphFilteredTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    val emb = Tables.df(s, dir, "embeddings")
+    val vecs = withUnit(emb)
+    val queries = vecs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"),
+      col("u").as("cv"))
+    val seeds = queries.select(col("query_id"))
+      .crossJoin(broadcast(corpus.filter(defaultEntryFilter)
+        .select(col("neighbor_id"))))
+    val visited = beamWalk(queries, corpus, sharedNeighborGraph(s, dir),
+      seeds, BeamRounds)
+    val allowed = emb.filter(filteredPred)
+      .select(col("vec_id").as("neighbor_id"))
+    topKOf(visited.join(allowed, Seq("neighbor_id")), k)
+  }
+
+  private def graphFilteredOracle: String =
+    s"""$beamPreludeSql,
+       |${graphBuildSql("", "keys")},
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |v0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id >= $NumQueries
+       |    and c.vec_id < ${NumQueries + GraphEntryPoints}),
+       |${beamRoundsSql("", "edges", BeamRounds)}fv as (
+       |  select v.* from v$BeamRounds v
+       |  join embeddings em on em.vec_id = v.neighbor_id
+       |  where em.$sqlFilteredPred),
+       |${beamFinalSql("fv")}""".stripMargin
+
+  val annGraphFiltered: Q = Q.df("ann_graph_filtered", graphFilteredOracle) {
+    (s, dir) =>
+      graphFilteredTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- hierarchical (HNSW-style) two-layer beam search ---------------------
 
   /** Upper-layer membership: every 8th vector — the deterministic
@@ -2615,7 +2667,7 @@ object Similarity {
       annPq,
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
-      annGraphBeam, annHnswLayered, annBinaryHamming,
+      annGraphBeam, annGraphFiltered, annHnswLayered, annBinaryHamming,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)

@@ -79,6 +79,52 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"graph-beam recall@${Similarity.TopK} = $recall")
   }
 
+  test("filtered graph search: predicate honored, k stays full, " +
+      "recall vs the filtered exact baseline is usable") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val out = Similarity.graphFilteredTopK(spark, TestSpark.Sf,
+      Similarity.TopK).collect()
+    // every returned neighbor satisfies the metadata predicate
+    val allowed = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty && out.forall(r => allowed(r.getLong(1))),
+      "non-matching neighbor returned")
+    // k full (route-through-all keeps enough matching candidates)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length == Similarity.TopK,
+        s"query $q returned ${rows.length} rows")
+    }
+    // recall against the exact FILTERED baseline, computed driver-side
+    // over the spec-scale fixture (top-k among matching corpus only)
+    val all = emb
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getAs[Number](2).longValue))
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val units = all.map { case (id, v, _) => id -> unit(v) }.toMap
+    val exact = (for {
+      q <- all.map(_._1).filter(_ < Similarity.NumQueries)
+      top = all.filter { case (id, _, lbl) =>
+          id != q && lbl % 2 == 0
+        }
+        .map { case (id, _, _) =>
+          (id, units(q).zip(units(id)).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (id, cos) => (-cos, id) }
+        .take(Similarity.TopK)
+      (id, _) <- top
+    } yield (q, id)).toSet
+    val approx = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"filtered graph recall@${Similarity.TopK} = $recall")
+    assert(recall > 0.2, s"filtered graph recall $recall too low")
+  }
+
   test("layered (HNSW-style) beam: query-adaptive entries lift recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
