@@ -161,6 +161,85 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Seed-set modulus for personalized PageRank (node % 10 == 0). */
+  val PprSeedMod = 10
+
+  /** PERSONALIZED PageRank: the teleport vector concentrates on a seed
+    * SET instead of uniform — the ranking primitive behind "expand
+    * from these trusted domains / these labeled docs" (TrustRank,
+    * seed-based crawl frontier scoring, related-item expansion). Same
+    * integer-exact loop as [[pageRank]] (scaled int64 ranks, floor
+    * divisions on non-negative operands agree cross-engine), with
+    * r0 = SCALE/|S| on seeds and 0 elsewhere, and the teleport term
+    * paid only to seeds each iteration. Same scale shape too: one
+    * edge⋈rank join + one dst-keyed aggregate per iteration, nothing
+    * node-sized at the driver (|S| is one count scalar). */
+  def personalizedPageRank(edges: DataFrame,
+      iters: Int = PrIters): DataFrame = {
+    import graft.plans.Checkpoints
+    val withDeg = Checkpoints.materialize(
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("outd")), "src"))
+    val nodes = Checkpoints.materialize(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
+    val nSeeds = nodes.filter(col("node") % PprSeedMod === 0).count()
+    val seedRank = RankScale / nSeeds
+    val base = (Teleport * seedRank) / 100L
+    val isSeed = col("node") % PprSeedMod === 0
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(seedRank)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outd").as("c"))
+        .groupBy("dst").agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            expr(s"${DampNum}L * coalesce(inflow, 0L) div 100L"))
+            .as("rank"))
+    }
+    val resolved = Checkpoints.materialize(ranks)
+    Seq(withDeg, nodes).foreach(Checkpoints.free)
+    resolved
+  }
+
+  val pprQ: Q = Q.df(
+    "graph_pagerank_personalized", {
+      val iterCte = (i: Int) =>
+        s"""r$i as (
+           |  select n.node,
+           |    case when n.node % $PprSeedMod = 0
+           |      then (select b from base) else 0 end
+           |    + 85 * coalesce(fl.inflow, 0) // 100 as rank
+           |  from nodes n
+           |  left join (
+           |    select d.dst, sum(r.rank // d.outd) as inflow
+           |    from deg d join r${i - 1} r on d.src = r.node
+           |    group by d.dst) fl on fl.dst = n.node)"""
+          .stripMargin
+      s"""with edges as ($edgesSql),
+         |nodes as (select src as node from edges
+         |          union select dst from edges),
+         |ns as (select count(*) as n from nodes where node % $PprSeedMod = 0),
+         |sr as (select ${RankScale} // n as v from ns),
+         |base as (select 15 * (select v from sr) // 100 as b from sr),
+         |deg as (select src, dst, outd from edges
+         |        join (select src as s2, count(*) as outd
+         |              from edges group by src) o on o.s2 = edges.src),
+         |r0 as (select node,
+         |         case when node % $PprSeedMod = 0
+         |           then (select v from sr) else 0 end as rank
+         |       from nodes),
+         |${(1 to PrIters).map(iterCte).mkString(",\n")}
+         |select node, cast(rank as bigint) as rank
+         |from r$PrIters order by node""".stripMargin
+    }) { (s, dir) =>
+    personalizedPageRank(sharedOrderEdges(s, dir))
+      .orderBy(col("node"))
+  }
+
   /** Orient the directed multigraph's edges low→high (dropping
     * direction and duplicates), then count each node's triangle
     * memberships: wedges (a→b, b→c) closed by (a→c), a<b<c. */
@@ -1031,7 +1110,7 @@ object Graph {
   }
 
   val queries: Seq[Q] =
-    Seq(pageRankQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
+    Seq(pageRankQ, pprQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
       connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ,
       modularityExactQ)
 }

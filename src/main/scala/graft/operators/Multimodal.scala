@@ -160,6 +160,64 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Thumbnail cells and samples per cell for [[multimodalResize]]. */
+  val ThumbCells = 4
+  val ThumbSamples = 8
+
+  /** One thumbnail cell: grid index + sampled-mean byte value. */
+  final case class ThumbCell(doc_id: Long, cell: Long, mean_byte: Long)
+
+  /** Resize/thumbnail through the binary pipeline: the payload's byte
+    * range is split into [[ThumbCells]] blocks and each block's value
+    * is the floor-mean of [[ThumbSamples]] stride-sampled bytes —
+    * bounded work per object REGARDLESS of payload size, which is the
+    * honest 100 TB shape (a real resize box-filters pixel blocks after
+    * decode; the stub stands in for the pixel read while the sampling
+    * arithmetic, schema, and per-partition batch iteration are the
+    * production plumbing). All positions are floor divisions of
+    * non-negative ints and the mean is an integer floor-div, so the
+    * oracle replays every sampled byte exactly. */
+  def resizeThumbnails(media: Dataset[Media]): Dataset[ThumbCell] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      (0 until ThumbCells).iterator.map { c =>
+        val sum = (0 until ThumbSamples).map { j =>
+          if (n == 0) 0L
+          else {
+            val pos = (c * n) / ThumbCells + (j * (n / ThumbCells)) / ThumbSamples
+            (m.payload(pos) & 0xff).toLong
+          }
+        }.sum
+        ThumbCell(m.doc_id, c.toLong, sum / ThumbSamples)
+      }
+    }
+  }
+
+  val multimodalResize: Q = Q.df(
+    "multimodal_resize",
+    s"""with h as (select doc_id, hex(encode(text)) as hx,
+       |  cast(octet_length(encode(text)) as bigint) as n from documents),
+       |c as (select doc_id, hx, n, unnest(range(0, $ThumbCells)) as cell
+       |      from h),
+       |s as (select doc_id, hx, n, cell, unnest(range(0, $ThumbSamples)) as j
+       |      from c),
+       |p as (select doc_id, cell,
+       |        case when n = 0 then 0
+       |          else ${sqlByteAt("hx",
+              s"(cell * n) // $ThumbCells + (j * (n // $ThumbCells)) // $ThumbSamples")}
+       |        end as b
+       |      from s)
+       |select doc_id, cast(cell as bigint) as cell,
+       |  cast(sum(b) // $ThumbSamples as bigint) as mean_byte
+       |from p group by doc_id, cell
+       |order by doc_id, cell""".stripMargin) { (s, dir) =>
+    resizeThumbnails(mediaTable(s, dir))
+      .toDF()
+      .orderBy(col("doc_id"), col("cell"))
+  }
+
   val queries: Seq[Q] =
-    Seq(multimodalMeta, multimodalFeatures, multimodalFrameSample)
+    Seq(multimodalMeta, multimodalFeatures, multimodalFrameSample,
+      multimodalResize)
 }

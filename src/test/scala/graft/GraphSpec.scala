@@ -223,6 +223,28 @@ class GraphSpec extends AnyFunSuite {
     assert(h.count() == und.select(col("src")).distinct().count())
   }
 
+  test("personalized pagerank concentrates mass near the seed set " +
+      "and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val edges = Graph.sharedOrderEdges(spark, TestSpark.Sf)
+    val pr = Graph.personalizedPageRank(edges)
+    assert(pr.orderBy("node").collect().toSeq ==
+      Graph.personalizedPageRank(edges).orderBy("node").collect().toSeq)
+    val rows = pr.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val total = rows.map(_._2).sum.toDouble
+    val seedShare = rows.filter(_._1 % Graph.PprSeedMod == 0)
+      .map(_._2).sum / total
+    val seedFrac = rows.count(_._1 % Graph.PprSeedMod == 0).toDouble /
+      rows.length
+    info(f"seed mass share $seedShare%.3f vs seed node fraction $seedFrac%.3f")
+    // personalization: the seed set holds MORE mass than its node share
+    // (uniform pagerank would give ~seedFrac on this near-regular graph)
+    assert(seedShare > seedFrac * 1.5,
+      s"no personalization: share $seedShare vs fraction $seedFrac")
+    // and walk mass actually spreads: some non-seed node is nonzero
+    assert(rows.exists(r => r._1 % Graph.PprSeedMod != 0 && r._2 > 0))
+  }
+
   test("sharedCcUndirected memoizes one materialized symmetric relation") {
     val a = Graph.sharedCcUndirected(spark, TestSpark.Sf)
     val b = Graph.sharedCcUndirected(spark, TestSpark.Sf)

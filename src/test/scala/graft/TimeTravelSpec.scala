@@ -83,6 +83,22 @@ class TimeTravelSpec extends AnyFunSuite {
       s"year-$y1 batch mints one insert per updated key")
   }
 
+  test("change feed scans ONLY the partitions whose manifest entry " +
+      "changed (manifest-diff pruning, inputFiles-proven)") {
+    val root = Dml.timeTravelRoot(spark, TestSpark.Sf)
+    // transition 2 touched exactly TimeTravelYears(1): its diff may read
+    // that partition's pre (g0) and post (g2) dirs — nothing else
+    val y = Dml.TimeTravelYears(1)
+    val files = Dml.versionChanges(spark, root, 2).inputFiles.toSeq
+      .map(f => java.net.URI.create(f).getPath)
+    assert(files.nonEmpty, "no input files resolved")
+    val okPrefixes = Seq(s"$root/data/g0/yr=$y", s"$root/data/g2/yr=$y")
+    files.foreach { f =>
+      assert(okPrefixes.exists(p => f.startsWith(p)),
+        s"change feed read an untouched partition's file: $f")
+    }
+  }
+
   test("vacuum retains the last N versions, reclaims exactly the " +
       "unreferenced partition dirs, and retained reads are unchanged") {
     // a private root so vacuum can't disturb the shared memoized one
