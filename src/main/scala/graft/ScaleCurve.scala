@@ -71,11 +71,17 @@ object ScaleCurve {
     "dml_merge_pruned",           // touched-partition CDC rewrite
     "ann_graph_persist",          // serving from the STORED edge table
     "ann_graph_incremental")      // frozen-graph insert: O(batch·B·M·R)
-  // ann_graph_incremental runs auditIncrementalInsert (see exec below):
-  // the insert walk is rebuilt EVERY timed sample, bypassing the
-  // serving memo, so the measured quantity is the per-batch insert
-  // contract itself (batch = the fixture's 10% corpus slice → the
-  // batch term scales 10× per decade like the corpus term).
+  // Cells whose audited quantity differs from their serving entry run
+  // a dedicated drive instead of SparkEntry.queries — declarative, like
+  // StreamCells, so the dispatch below doesn't accrete name checks.
+  // ann_graph_incremental: the insert walk is rebuilt EVERY timed
+  // sample, bypassing the serving memo, so the measured quantity is
+  // the per-batch insert contract itself (batch = the fixture's 10%
+  // corpus slice → the batch term scales 10× per decade like the
+  // corpus term).
+  val AuditOverrides: Map[String, (SparkSession, String) => Unit] = Map(
+    "ann_graph_incremental" ->
+      ((s, d) => graft.operators.Similarity.auditIncrementalInsert(s, d)))
   // stream_merge_pruned is NOT audited: its 3-batch CDC apply is
   // scale-independent by design (fixed batch count, fixed streaming
   // setup per run), so neither the alpha fit nor the per-batch gate
@@ -148,13 +154,12 @@ object ScaleCurve {
     def exec(name: String, dir: String): Long =
       if (StreamCells.contains(name))
         graft.streaming.EventsStream.auditScaledStream(name, spark, dir)
-      else {
-        val df =
-          if (name == "ann_graph_incremental")
-            graft.operators.Similarity.auditIncrementalInsert(spark, dir)
-          else SparkEntry.queries(name)(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
-        0L
+      else AuditOverrides.get(name) match {
+        case Some(drive) => drive(spark, dir); 0L
+        case None =>
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          0L
       }
 
     // session-level warm-up at the smallest scale: JVM/codegen cost

@@ -1125,16 +1125,28 @@ object Dml {
     val touched = batch.select(col("yr")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) { writeManifest(root, k, prev); return }
-    val existing = touched.map { y =>
-      s.read.parquet(s"$root/${prev(y)}")
-        .withColumn("yr", lit(y).cast("int"))
-    }.reduce(_ unionByName _)
+    // a touched year absent from the previous manifest is a NEW
+    // partition (routine CDC insert case): its existing side is empty
+    val existing = touched.flatMap { y =>
+      prev.get(y).map(d => s.read.parquet(s"$root/$d")
+        .withColumn("yr", lit(y).cast("int")))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(inserts.select(col("o_orderkey"), col("cents"),
+        col("yr")).limit(0))
     val merged = existing
       .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
       .unionByName(inserts.select(col("o_orderkey"), col("cents"), col("yr")))
     merged.write.partitionBy("yr").parquet(s"$root/data/g$k")
+    // manifest entries must track what the write actually produced: a
+    // touched partition whose merge came out EMPTY (all rows deleted)
+    // gets no data dir from partitionBy, so its entry is DROPPED —
+    // pointing a manifest at a never-created dir would brick every
+    // later version read. Survivors repoint to this generation.
+    val written = touched.filter(y => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/data/g$k/yr=$y")))
     writeManifest(root, k,
-      prev ++ touched.map(y => y -> s"data/g$k/yr=$y"))
+      prev -- touched.filterNot(written.contains) ++
+        written.map(y => y -> s"data/g$k/yr=$y"))
   }
 
   /** Retention: keep the last `retain` manifests; delete every
@@ -1242,8 +1254,11 @@ object Dml {
     import s.implicits._
     val before = readManifest(root, k - 1)
     val after = readManifest(root, k)
-    val changed = after.keySet
-      .filter(y => !before.get(y).contains(after(y))).toSeq.sorted
+    // symmetric diff of the manifests: an entry present in k−1 but
+    // ABSENT from k is a fully-deleted partition and must surface as
+    // delete rows, not be skipped (its pre side reads, post is empty)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(y => before.get(y) != after.get(y)).toSeq.sorted
     def readDirs(m: Map[Int, String]) = changed
       .flatMap(y => m.get(y).map(d =>
         s.read.parquet(s"$root/$d").withColumn("yr", lit(y).cast("int"))))
@@ -1254,23 +1269,25 @@ object Dml {
     val post = readDirs(after).select(col("o_orderkey"),
       col("cents").as("post_cents"), col("yr").as("post_yr"))
     val j = pre.join(post, Seq("o_orderkey"), "full_outer")
-    val v = lit(k).cast("int").as("version")
-    j.filter(col("pre_cents").isNull)
-      .select(v, lit("insert").as("change_type"), col("o_orderkey"),
-        col("post_cents").as("cents"), col("post_yr").as("yr"))
-      .unionByName(j.filter(col("post_cents").isNull)
-        .select(v, lit("delete").as("change_type"), col("o_orderkey"),
-          col("pre_cents").as("cents"), col("pre_yr").as("yr")))
-      .unionByName(j.filter(col("pre_cents").isNotNull &&
-          col("post_cents").isNotNull && col("pre_cents") =!= col("post_cents"))
-        .select(v, lit("update_preimage").as("change_type"),
-          col("o_orderkey"), col("pre_cents").as("cents"),
-          col("pre_yr").as("yr")))
-      .unionByName(j.filter(col("pre_cents").isNotNull &&
-          col("post_cents").isNotNull && col("pre_cents") =!= col("post_cents"))
-        .select(v, lit("update_postimage").as("change_type"),
-          col("o_orderkey"), col("post_cents").as("cents"),
-          col("post_yr").as("yr")))
+    // single pass over the diff join: each row explodes into its 0–2
+    // change rows (a 4-branch union would duplicate the join + both
+    // partition scans into every branch — 4× the I/O per transition)
+    def ch(t: String, c: String, y: String) =
+      struct(lit(t).as("change_type"), col(c).as("cents"), col(y).as("yr"))
+    j.select(lit(k).cast("int").as("version"), col("o_orderkey"),
+        explode(
+          when(col("pre_cents").isNull,
+            array(ch("insert", "post_cents", "post_yr")))
+          .when(col("post_cents").isNull,
+            array(ch("delete", "pre_cents", "pre_yr")))
+          .when(col("pre_cents") =!= col("post_cents"),
+            array(ch("update_preimage", "pre_cents", "pre_yr"),
+              ch("update_postimage", "post_cents", "post_yr")))
+          .otherwise(array().cast(
+            "array<struct<change_type:string,cents:bigint,yr:int>>")))
+          .as("c"))
+      .select(col("version"), col("c.change_type").as("change_type"),
+        col("o_orderkey"), col("c.cents").as("cents"), col("c.yr").as("yr"))
   }
 
   /** SQL replay of the upsert-merge for the changes oracle: state s$k

@@ -963,9 +963,13 @@ object Graph {
     out
   }
 
-  private def louvainHierarchyOracle: String =
-    s"""$ascendPreludeSql,
-       |cg as materialized (
+  /** Contraction + level-2 ascent + back-projection as one shared CTE
+    * fragment (continues from the ascent prelude's `g$LouvainRounds`;
+    * ends at `hfinal(node, community)`) — the hierarchy entry and the
+    * modularity metric verify the SAME contraction algebra by
+    * construction. */
+  private def contractionSql: String =
+    s"""cg as materialized (
        |  select ls.lbl as src, ld.lbl as dst, cast(count(*) as bigint) as w
        |  from und join g$LouvainRounds ls on ls.node = und.src
        |           join g$LouvainRounds ld on ld.node = und.dst
@@ -976,10 +980,17 @@ object Graph {
        |hg0 as materialized (
        |  select node, node as lbl
        |  from (select distinct src as node from cg) t),
-       |${ascendRoundsSql("h", "cg", "cdeg", HierarchyRounds)}
-       |select g.node, h.lbl as community
-       |from g$LouvainRounds g join hg$HierarchyRounds h on h.node = g.lbl
-       |order by g.node""".stripMargin
+       |${ascendRoundsSql("h", "cg", "cdeg", HierarchyRounds)},
+       |hfinal as materialized (
+       |  select g.node, h.lbl as community
+       |  from g$LouvainRounds g join hg$HierarchyRounds h
+       |    on h.node = g.lbl)""".stripMargin
+
+  private def louvainHierarchyOracle: String =
+    s"""$ascendPreludeSql,
+       |$contractionSql
+       |select node, community from hfinal
+       |order by node""".stripMargin
 
   val louvainHierarchyQ: Q = Q.df(
     "graph_louvain_hierarchy", louvainHierarchyOracle) { (s, dir) =>
@@ -1069,24 +1080,10 @@ object Graph {
     * what each phase buys. */
   val modularityExactQ: Q = Q.df(
     "graph_modularity_exact", {
-      // same CTE chain as the hierarchy oracle (shared generators),
-      // continued into the two metric fragments instead of a label dump
+      // the SAME contraction chain as the hierarchy oracle (shared
+      // fragment), continued into the three metric fragments
       s"""$ascendPreludeSql,
-         |cg as materialized (
-         |  select ls.lbl as src, ld.lbl as dst, cast(count(*) as bigint) as w
-         |  from und join g$LouvainRounds ls on ls.node = und.src
-         |           join g$LouvainRounds ld on ld.node = und.dst
-         |  group by ls.lbl, ld.lbl),
-         |cdeg as materialized (
-         |  select src as node, cast(sum(w) as bigint) as k
-         |  from cg group by src),
-         |hg0 as materialized (
-         |  select node, node as lbl
-         |  from (select distinct src as node from cg) t),
-         |${ascendRoundsSql("h", "cg", "cdeg", HierarchyRounds)},
-         |hfinal as materialized (
-         |  select g.node, h.lbl as community
-         |  from g$LouvainRounds g join hg$HierarchyRounds h on h.node = g.lbl),
+         |$contractionSql,
          |seedp as materialized (
          |  select node, lbl as community from l$LpaRounds),
          |localp as materialized (

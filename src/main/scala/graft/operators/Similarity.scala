@@ -2024,9 +2024,12 @@ object Similarity {
     * entry. `entries` is the seed-node id relation (one `neighbor_id`
     * column): derived from a filter for the in-session entries, read
     * from the stored artifact for the compacted index. */
-  private def serveGraphWalkFrom(s: org.apache.spark.sql.SparkSession,
-      dir: String, edges: DataFrame, entries: DataFrame, k: Int)
-      : DataFrame = {
+  /** The standard-query-set walk's full VISITED relation over an
+    * arbitrary edge relation and seed entry list — shared by plain
+    * serving (top-k of it) and filtered serving (predicate before the
+    * top-k). */
+  private def walkVisited(s: org.apache.spark.sql.SparkSession,
+      dir: String, edges: DataFrame, entries: DataFrame): DataFrame = {
     DotProduct.ensureRegistered(s)
     val vecs = withUnit(Tables.df(s, dir, "embeddings"))
     val queries = vecs.filter(col("vec_id") < NumQueries)
@@ -2034,8 +2037,13 @@ object Similarity {
     val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
     val seeds = queries.select(col("query_id"))
       .crossJoin(broadcast(entries.select(col("neighbor_id"))))
-    topKOf(beamWalk(queries, corpus, edges, seeds, BeamRounds), k)
+    beamWalk(queries, corpus, edges, seeds, BeamRounds)
   }
+
+  private def serveGraphWalkFrom(s: org.apache.spark.sql.SparkSession,
+      dir: String, edges: DataFrame, entries: DataFrame, k: Int)
+      : DataFrame =
+    topKOf(walkVisited(s, dir, edges, entries), k)
 
   /** [[serveGraphWalkFrom]] with seeds picked from the corpus by a
     * predicate (the delete entry excludes tombstoned entries). */
@@ -2160,18 +2168,9 @@ object Similarity {
     * by the oracle's full-k output). */
   def graphFilteredTopK(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int): DataFrame = {
-    DotProduct.ensureRegistered(s)
     val emb = Tables.df(s, dir, "embeddings")
-    val vecs = withUnit(emb)
-    val queries = vecs.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("u").as("qv"))
-    val corpus = vecs.select(col("vec_id").as("neighbor_id"),
-      col("u").as("cv"))
-    val seeds = queries.select(col("query_id"))
-      .crossJoin(broadcast(corpus.filter(defaultEntryFilter)
-        .select(col("neighbor_id"))))
-    val visited = beamWalk(queries, corpus, sharedNeighborGraph(s, dir),
-      seeds, BeamRounds)
+    val visited = walkVisited(s, dir, sharedNeighborGraph(s, dir),
+      emb.select(col("vec_id").as("neighbor_id")).filter(defaultEntryFilter))
     val allowed = emb.filter(filteredPred)
       .select(col("vec_id").as("neighbor_id"))
     topKOf(visited.join(allowed, Seq("neighbor_id")), k)
@@ -2530,13 +2529,17 @@ object Similarity {
     * the O(batch·B·M·R) contract — not just the serve. The fixture's
     * batch is a 10% corpus slice, so batch work scales 10× per decade
     * exactly like the corpus term; a super-linear insert surfaces in
-    * the decade-ratio gate. Each sample's link table is model-sized
-    * (batch × M) and unreferenced after the noop sink consumes the
-    * serve — reclaimed by the context cleaner, never accumulated
-    * across scales. */
+    * the decade-ratio gate. Executes to the noop sink itself so the
+    * sample's link-table blocks can be FREED here (the Checkpoints
+    * discipline — 9 audit samples of leaked localCheckpoint blocks is
+    * the accumulation pattern the Memo drain work exists to prevent). */
   private[graft] def auditIncrementalInsert(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    serveWithInserted(s, dir, buildIncrementalEdges(s, dir))
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val newEdges = buildIncrementalEdges(s, dir)
+    try serveWithInserted(s, dir, newEdges)
+      .write.format("noop").mode("overwrite").save()
+    finally graft.plans.Checkpoints.free(newEdges)
+  }
 
   /** Tombstone-delete on the stored graph: serve with the tombstone
     * set (vec_id % 7 = [[AnnDeleteMod]], the [[annIndexDelete]]

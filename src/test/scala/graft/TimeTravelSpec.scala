@@ -99,6 +99,47 @@ class TimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("full-partition delete drops the manifest entry (and surfaces " +
+      "as deletes in the feed); new-partition insert creates one") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-tt-spec2").toString
+    try {
+      // tiny hand-built base: two years, two keys each
+      val base = Seq((1L, 10L, 2001), (2L, 20L, 2001),
+        (3L, 30L, 2002), (4L, 40L, 2002))
+        .toDF("o_orderkey", "cents", "yr")
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/manifests"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/manifests/v0.tsv"),
+        "2001\tdata/g0/yr=2001\n2002\tdata/g0/yr=2002")
+      // batch 1 deletes EVERY key of 2001 (empty inserts side)
+      val delAll = base.filter(col("yr") === 2001)
+      Dml.applyTimeTravelBatch(spark, root, 1, delAll, delAll.limit(0))
+      val m1 = Dml.readManifest(root, 1)
+      assert(!m1.contains(2001), "empty partition kept a manifest entry")
+      assert(m1(2002) == "data/g0/yr=2002")
+      // v1 reads cleanly without the dropped partition
+      assert(Dml.readVersionAsOf(spark, root, 1)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+      // and the feed emits exactly the two deletes
+      val ch1 = Dml.versionChanges(spark, root, 1)
+        .collect().map(r => (r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(ch1 == Seq(("delete", 1L), ("delete", 2L)), s"feed: $ch1")
+      // batch 2 inserts a NEW year absent from every prior manifest
+      val newYear = Seq((9L, 90L, 2050)).toDF("o_orderkey", "cents", "yr")
+      Dml.applyTimeTravelBatch(spark, root, 2, newYear)
+      assert(Dml.readManifest(root, 2)(2050) == "data/g2/yr=2050")
+      assert(Dml.readVersionAsOf(spark, root, 2)
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 9L))
+      val ch2 = Dml.versionChanges(spark, root, 2)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(ch2 == Seq(("insert", 9L)), s"feed: $ch2")
+    } finally graft.plans.Scratch.deleteTree(root)
+  }
+
   test("vacuum retains the last N versions, reclaims exactly the " +
       "unreferenced partition dirs, and retained reads are unchanged") {
     // a private root so vacuum can't disturb the shared memoized one
