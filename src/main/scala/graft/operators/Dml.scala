@@ -1237,6 +1237,74 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF: publish a NEW version whose
+    * manifest is a copy of the target version's — METADATA-ONLY, no
+    * data dir is written or copied, because the restored version's
+    * files are still retained and manifests are just pointers. That is
+    * the Delta RESTORE shape, and the reason it is O(manifest) at
+    * 100 TB while remaining a forward-history operation (the versions
+    * between stay readable until vacuum; the change feed shows the
+    * restore transition as the value-level inverse of what it undoes). */
+  private[graft] def restoreVersion(root: String, toVersion: Int): Int = {
+    val k = timeTravelVersions(root).max + 1
+    writeManifest(root, k, readManifest(root, toVersion))
+    k
+  }
+
+  /** A separate versioned root for the restore entry (the shared
+    * [[timeTravelRoot]] must stay immutable once built — mutating it
+    * would make sibling entries' outputs depend on execution order):
+    * base + the first two upsert batches, then RESTORE to version 1. */
+  private val ttRestoreCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def timeTravelRestoreRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ttRestoreCache.once((s, dir)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ttrestore").toString
+      val base = mergePrunedBase(s, dir)
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      writeManifest(root, 0, years.map(y => y -> s"data/g0/yr=$y").toMap)
+      TimeTravelYears.take(2).zipWithIndex.foreach { case (y, i) =>
+        applyTimeTravelBatch(s, root, i + 1, mergePrunedBatch(base, y))
+      }
+      restoreVersion(root, 1)
+      root
+    }
+
+  /** Read the LATEST version after the restore — provably the state
+    * after batch 1 alone, though batch 2 was applied after it (the
+    * oracle replays just batch 1). [[TimeTravelSpec]] pins the
+    * metadata-only property (no new data dir) and the feed's inverse
+    * view of the undone batch. */
+  val dmlTimeTravelRestore: Q = Q.df(
+    "dml_time_travel_restore",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = ${TimeTravelYears.head} and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = timeTravelRestoreRoot(s, dir)
+    readVersionAsOf(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Row-level changes between version k−1 and version k — the
     * change-data-feed (Delta `table_changes`) read, derived from the
     * SNAPSHOTS rather than logged: the two manifests are compared
@@ -1382,5 +1450,6 @@ object Dml {
     dmlZorder, sourceTextRoundtrip, sourceOrcRoundtrip, sourceXmlRoundtrip,
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
-    sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges)
+    sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
+    dmlTimeTravelRestore)
 }

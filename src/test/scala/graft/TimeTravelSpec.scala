@@ -140,6 +140,31 @@ class TimeTravelSpec extends AnyFunSuite {
     } finally graft.plans.Scratch.deleteTree(root)
   }
 
+  test("restore is metadata-only and the feed shows it as the inverse " +
+      "of the undone batch") {
+    val root = Dml.timeTravelRestoreRoot(spark, TestSpark.Sf)
+    val restored = Dml.timeTravelVersions(root).max
+    // no data generation was written for the restore version
+    assert(!new java.io.File(s"$root/data/g$restored").exists(),
+      "restore copied data instead of the manifest")
+    assert(Dml.readManifest(root, restored) == Dml.readManifest(root, 1),
+      "restored manifest differs from its target version's")
+    // the feed's restore transition inverts batch 2: its minted keys
+    // (negative mirrors in year 2) leave as deletes, its x2 updates
+    // return as update pairs
+    val y2 = Dml.TimeTravelYears(1)
+    val ch = Dml.versionChanges(spark, root, restored)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getInt(4)))
+    assert(ch.nonEmpty)
+    val dels = ch.filter(_._1 == "delete")
+    assert(dels.nonEmpty && dels.forall(r => r._2 < 0 && r._3 == y2),
+      s"unexpected restore deletes: ${dels.take(3).toSeq}")
+    val pre = ch.count(_._1 == "update_preimage")
+    assert(pre > 0 && pre == ch.count(_._1 == "update_postimage"))
+    assert(!ch.exists(_._1 == "insert"),
+      "restore of an upsert batch cannot insert")
+  }
+
   test("vacuum retains the last N versions, reclaims exactly the " +
       "unreferenced partition dirs, and retained reads are unchanged") {
     // a private root so vacuum can't disturb the shared memoized one
