@@ -261,7 +261,20 @@ object EventsStream {
     * output's `user_id` coalesces across sides — the view-side column
     * is null on purchase-expiry rows. */
   def intervalJoinFull(views: DataFrame, purchases: DataFrame,
-      boundSec: Long): DataFrame = {
+      boundSec: Long): DataFrame =
+    intervalJoinTwoSided(views, purchases, boundSec, "full_outer")
+
+  /** RIGHT OUTER form: only the purchase side's unmatched rows emit on
+    * watermark proof (`p_ts < watermark` — the purchase-side condition
+    * [[intervalJoinFull]] derives); views expire silently. */
+  def intervalJoinRight(views: DataFrame, purchases: DataFrame,
+      boundSec: Long): DataFrame =
+    intervalJoinTwoSided(views, purchases, boundSec, "right_outer")
+
+  /** Shared assembly for the join types whose output can carry a NULL
+    * view side (full/right): user_id coalesces across sides. */
+  private def intervalJoinTwoSided(views: DataFrame, purchases: DataFrame,
+      boundSec: Long, joinType: String): DataFrame = {
     val v = views.withWatermark("ts", "1 hour")
       .select(col("user_id").as("v_user_id"),
         col("event_id").as("v_event_id"), col("ts").as("v_ts"))
@@ -272,7 +285,7 @@ object EventsStream {
       col("v_user_id") === col("p_user_id") &&
         col("p_ts") >= col("v_ts") &&
         col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
-      "full_outer")
+      joinType)
       .select(coalesce(col("v_user_id"), col("p_user_id")).as("user_id"),
         col("v_event_id"), col("p_event_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
@@ -904,6 +917,58 @@ object EventsStream {
         col("p_event_id").asc_nulls_first)
   }
 
+  /** Execute the RIGHT OUTER interval join end-to-end ([[
+    * runIntervalJoinFullStream]]'s drive with purchase-side-only expiry
+    * emission); completes the executed join-type matrix
+    * inner / left / right / full. */
+  def runIntervalJoinRightStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    def side(eventType: String): DataFrame =
+      Tables.eventsStream(s, dir).filter(col("event_type") === eventType)
+    val joined = intervalJoinRight(side("view"), side("purchase"),
+      graft.operators.Temporal.RangeWindowSec)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val intervalJoinRightStreamed: Q = Q.df(
+    "stream_interval_join_right", {
+      val boundSec = graft.operators.Temporal.RangeWindowSec
+      s"""with v as (select user_id, event_id, ts from events
+         |           where event_type = 'view'),
+         |p as (select user_id, event_id, ts from events
+         |      where event_type = 'purchase'),
+         |wm as (select (least((select max(epoch_us(ts)) // 1000 from v),
+         |                     (select max(epoch_us(ts)) // 1000 from p))
+         |          - 3600000) * 1000 as w)
+         |select coalesce(v.user_id, p.user_id) as user_id,
+         |  v.event_id as v_event_id,
+         |  p.event_id as p_event_id,
+         |  epoch_us(p.ts) - epoch_us(v.ts) as gap_us
+         |from v right join p
+         |  on v.user_id = p.user_id
+         | and p.ts >= v.ts
+         | and p.ts < v.ts + interval $boundSec second
+         |cross join wm
+         |where v.event_id is not null
+         |   or epoch_us(p.ts) < wm.w
+         |order by v_event_id nulls first, p_event_id""".stripMargin
+    }) { (s, dir) =>
+    runIntervalJoinRightStream(s, dir)
+      .orderBy(col("v_event_id").asc_nulls_first, col("p_event_id"))
+  }
+
   /** The custom DSv2 source's STREAMING face executed through the real
     * runtime: the range source drains under admission control (16384
     * rows per micro-batch → 7 batches for 100k rows, offsets
@@ -1258,6 +1323,6 @@ object EventsStream {
       transformWithStateQ, timerSessionsStreamed, staticJoinStreamed,
       mergeUpsertStreamed, mergePrunedStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
-      intervalJoinFullStreamed,
+      intervalJoinFullStreamed, intervalJoinRightStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }

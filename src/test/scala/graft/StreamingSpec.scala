@@ -583,6 +583,9 @@ class StreamingSpec extends AnyFunSuite {
       ("interval join full outer", () => EventsStream
         .runIntervalJoinFullStream(spark, TestSpark.Sf)
         .collect().map(_.toString).sorted.toSeq),
+      ("interval join right outer", () => EventsStream
+        .runIntervalJoinRightStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq),
       ("mapGroupsWithState incremental", () => driveActivityIncremental()))
     runners.foreach { case (nm, run) =>
       val dflt = withProvider(None)(run())
