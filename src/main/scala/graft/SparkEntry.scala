@@ -22,6 +22,7 @@ object SparkEntry {
     "cluster" -> graft.operators.Cluster.queries,
     "quantize" -> graft.operators.Quantize.queries,
     "text" -> graft.operators.TextAnalysis.queries,
+    "lexindex" -> graft.operators.LexIndex.queries,
     "pipeline" -> graft.operators.Pipeline.queries,
     "corpus" -> graft.operators.Corpus.queries,
     "dml" -> graft.operators.Dml.queries,

@@ -1181,28 +1181,36 @@ object Dml {
     new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
       graft.plans.Scratch.deleteTree)
 
+  /** Build the full versioned tree (base g0 + the [[TimeTravelYears]]
+    * upsert batches + the final U/I/D CDC generation) under a fresh
+    * temp root. Shared by the memoized serving root and the vacuum
+    * entry's PRIVATE root (vacuum mutates its tree, so it must never
+    * run against the root other entries read). */
+  private def buildTimeTravelTree(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-timetravel").toString
+    val base = mergePrunedBase(s, dir)
+    base.write.partitionBy("yr").parquet(s"$root/data/g0")
+    val years = base.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    writeManifest(root, 0, years.map(y => y -> s"data/g0/yr=$y").toMap)
+    TimeTravelYears.zipWithIndex.foreach { case (y, i) =>
+      applyTimeTravelBatch(s, root, i + 1, mergePrunedBatch(base, y))
+    }
+    // one more generation with the FULL U/I/D op set (the D rows are
+    // what the change feed's 'delete' classification needs; the U/I
+    // rows re-assert values already in the state, so they produce no
+    // change rows — the diff is value-based, not op-echoing)
+    val cdc = mergeCdcBatch(base, TimeTravelYears.head)
+    applyTimeTravelBatch(s, root, TimeTravelYears.size + 1, cdc,
+      cdc.filter(col("op") =!= "D"))
+    root
+  }
+
   private[graft] def timeTravelRoot(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    timeTravelCache.once((s, dir)) {
-      val root =
-        java.nio.file.Files.createTempDirectory("graft-timetravel").toString
-      val base = mergePrunedBase(s, dir)
-      base.write.partitionBy("yr").parquet(s"$root/data/g0")
-      val years = base.select(col("yr")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      writeManifest(root, 0, years.map(y => y -> s"data/g0/yr=$y").toMap)
-      TimeTravelYears.zipWithIndex.foreach { case (y, i) =>
-        applyTimeTravelBatch(s, root, i + 1, mergePrunedBatch(base, y))
-      }
-      // one more generation with the FULL U/I/D op set (the D rows are
-      // what the change feed's 'delete' classification needs; the U/I
-      // rows re-assert values already in the state, so they produce no
-      // change rows — the diff is value-based, not op-echoing)
-      val cdc = mergeCdcBatch(base, TimeTravelYears.head)
-      applyTimeTravelBatch(s, root, TimeTravelYears.size + 1, cdc,
-        cdc.filter(col("op") =!= "D"))
-      root
-    }
+    timeTravelCache.once((s, dir))(buildTimeTravelTree(s, dir))
 
   /** Read the MERGE target `VERSION AS OF` [[TimeTravelAsOf]] — the
     * state after exactly 2 of the 3 applied batches. The oracle replays
@@ -1394,6 +1402,31 @@ object Dml {
        |  from s${k - 1} a join s$k b on a.o_orderkey = b.o_orderkey
        |  where a.cents <> b.cents)""".stripMargin
 
+  /** The final U/I/D CDC generation as state SQL: `b<n+1>k` (matched
+    * keys — the %20∈{0,5} updates/deletes plus the synthetic-insert
+    * keys), `b<n+1>i` (surviving rows), and `s<n+1>` (the post-batch
+    * state). Requires `base` and `s<n>` in scope; shared by the change
+    * feed's and the vacuum entry's oracles (one spelling of the CDC
+    * batch — [[mergeCdcBatch]]'s SQL mirror). */
+  private def ttCdcStateSql(n: Int, y1: Int): String =
+    s"""b${n + 1}k as (
+       |  select o_orderkey from base
+       |    where yr = $y1 and (o_orderkey % 20 = 0 or o_orderkey % 20 = 5)
+       |  union all
+       |  select -o_orderkey - 1 from base
+       |    where yr = $y1 and o_orderkey % 20 = 0),
+       |b${n + 1}i as (
+       |  select o_orderkey, cents * 2 as cents, yr from base
+       |    where yr = $y1 and o_orderkey % 20 = 0
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from base
+       |    where yr = $y1 and o_orderkey % 20 = 0),
+       |s${n + 1} as materialized (
+       |  select * from s$n a where not exists (
+       |    select 1 from b${n + 1}k x where x.o_orderkey = a.o_orderkey)
+       |  union all
+       |  select * from b${n + 1}i)""".stripMargin
+
   /** The full change feed 1..latest, each transition manifest-pruned.
     * Transitions 1–3 are the upsert batches (inserts + ×2 updates);
     * transition 4 is the U/I/D CDC batch whose U/I rows re-assert the
@@ -1413,23 +1446,7 @@ object Dml {
          |  from orders),
          |s0 as materialized (select * from base),
          |$states,
-         |b${n + 1}k as (
-         |  select o_orderkey from base
-         |    where yr = $y1 and (o_orderkey % 20 = 0 or o_orderkey % 20 = 5)
-         |  union all
-         |  select -o_orderkey - 1 from base
-         |    where yr = $y1 and o_orderkey % 20 = 0),
-         |b${n + 1}i as (
-         |  select o_orderkey, cents * 2 as cents, yr from base
-         |    where yr = $y1 and o_orderkey % 20 = 0
-         |  union all
-         |  select -o_orderkey - 1, cents + 7, yr from base
-         |    where yr = $y1 and o_orderkey % 20 = 0),
-         |s${n + 1} as materialized (
-         |  select * from s$n a where not exists (
-         |    select 1 from b${n + 1}k x where x.o_orderkey = a.o_orderkey)
-         |  union all
-         |  select * from b${n + 1}i),
+         |${ttCdcStateSql(n, y1)},
          |$diffs
          |select version, change_type, o_orderkey, cents, yr
          |from (${(1 to n + 1).map(k => s"select * from d$k")
@@ -1443,6 +1460,69 @@ object Dml {
       .orderBy(col("version"), col("change_type"), col("o_orderkey"))
   }
 
+  /** Versions the vacuum entry retains (the last 2 of 5: v0 base +
+    * 3 upserts + 1 CDC generation). */
+  private[graft] val VacuumRetain = 2
+
+  /** Private vacuumed tree — the SAME build as [[timeTravelRoot]] but
+    * never shared with the other time-travel entries, because VACUUM
+    * mutates the tree (drops manifests, reclaims unreferenced
+    * generation dirs) and the shared root must keep serving every
+    * version. Build-then-vacuum runs once per (session, dir); hard
+    * requires pin the retention arithmetic at serve-build time. */
+  private val vacuumCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def vacuumedRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    vacuumCache.once((s, dir)) {
+      val root = buildTimeTravelTree(s, dir)
+      val before = timeTravelVersions(root)
+      vacuumTimeTravel(root, VacuumRetain)
+      val after = timeTravelVersions(root)
+      require(after == before.takeRight(VacuumRetain),
+        s"vacuum retention broke: built $before, kept $after")
+      root
+    }
+
+  /** VACUUM as an executed surface: retention-expire old snapshots,
+    * then serve the LATEST version from the reclaimed tree — the
+    * read every downstream job does right after the nightly vacuum.
+    * Storage-reclaim semantics (exactly the unreferenced generation
+    * dirs deleted, retained versions byte-identical to their
+    * pre-vacuum reads, expired reads refused) are pinned by
+    * [[graft.TimeTravelSpec]]; this entry makes the vacuumed-tree READ
+    * a timed, oracle-gated surface. The oracle replays all 4 batches
+    * (3 upserts + the U/I/D CDC set) against the base — the state
+    * vacuum must preserve bit-for-bit while deleting everything else.
+    * At 100 TB vacuum is the ONLY byte-reclaim point of the
+    * shared-file snapshot design, and is metadata-driven: it reads
+    * manifests, never data files, so its cost is O(versions ×
+    * partitions), not O(table). */
+  val dmlVacuumRetention: Q = Q.df(
+    "dml_vacuum_retention", {
+      val y1 = TimeTravelYears.head
+      val n = TimeTravelYears.size
+      val states = TimeTravelYears.zipWithIndex
+        .map { case (y, i) => ttStateSql(i + 1, y) }.mkString(",\n")
+      s"""with base as materialized (
+         |  select o_orderkey,
+         |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+         |    cast(year(o_orderdate) as int) as yr
+         |  from orders),
+         |s0 as materialized (select * from base),
+         |$states,
+         |${ttCdcStateSql(n, y1)}
+         |select o_orderkey, cents, yr from s${n + 1}
+         |order by o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    val root = vacuumedRoot(s, dir)
+    readVersionAsOf(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlMergePruned, dmlMergeCdcOps, dmlCompactRewrite,
     joinBucketed,
@@ -1451,5 +1531,5 @@ object Dml {
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
-    dmlTimeTravelRestore)
+    dmlTimeTravelRestore, dmlVacuumRetention)
 }

@@ -379,6 +379,65 @@ object Graph {
       .filter(col("n_common") >= minCommon)
   }
 
+  /** Integer scale for [[resourceAllocation]] (µ-units: 1/deg ≤ 1, so
+    * per-neighbor contributions are ≤ 10⁶ and a pair's sum ≤ 10⁶·deg —
+    * far inside int64 at any graph size). */
+  val RaScale = 1000000L
+
+  /** Top-scored candidate pairs kept by [[resourceAllocationQ]]. */
+  val RaTopPairs = 200
+
+  /** Resource-Allocation link prediction (Zhou/Lü/Zhang 2009): score a
+    * non-edge pair (x, y) by Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z) — each common
+    * neighbor "forwards one unit of resource" split across its degree,
+    * so a shared HUB contributes almost nothing while a shared
+    * low-degree node is strong evidence. The standard refinement of
+    * the raw common-neighbor count ([[commonNeighbors]]) and the
+    * usual candidate generator for "users who bought X also…" edges.
+    *
+    * Same scale shape as [[commonNeighbors]]: one self-join on the
+    * shared neighbor key (never materializing non-pairs), one
+    * broadcastable degree aggregate joined on that same key BEFORE the
+    * pair groupBy, one pair-keyed aggregate. Scores are exact int64
+    * µ-units ([[RaScale]] div deg — floor division on non-negative
+    * operands agrees with DuckDB `//`), so the cross-engine compare is
+    * hash-exact with no float log/division drift (why RA over
+    * Adamic-Adar's 1/ln deg here: identical ranking intent, exact
+    * arithmetic). Final ranking is orderBy+limit → single
+    * TakeOrderedAndProject, no global sort at scale. */
+  def resourceAllocation(edges: DataFrame, minCommon: Int): DataFrame = {
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+    val e1 = edges.select(col("src").as("s1"), col("dst"))
+    val e2 = edges.select(col("src").as("s2"), col("dst"))
+    e1.join(e2, "dst")
+      .filter(col("s1") < col("s2"))
+      .join(indeg, "dst")
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(s"${RaScale}L div indeg")).as("ra_score"))
+      .filter(col("n_common") >= minCommon)
+  }
+
+  val resourceAllocationQ: Q = Q.df(
+    "graph_link_prediction_ra",
+    s"""with edges as ($edgesSql),
+       |indeg as (select dst, count(*) as indeg from edges group by dst),
+       |p as (select a.src as s1, b.src as s2,
+       |        cast(count(*) as bigint) as n_common,
+       |        cast(sum($RaScale // i.indeg) as bigint) as ra_score
+       |      from edges a join edges b
+       |        on a.dst = b.dst and a.src < b.src
+       |      join indeg i on i.dst = a.dst
+       |      group by a.src, b.src)
+       |select s1, s2, n_common, ra_score from p
+       |where n_common >= $MinCommon
+       |order by ra_score desc, s1, s2
+       |limit $RaTopPairs""".stripMargin) { (s, dir) =>
+    resourceAllocation(sharedOrderEdges(s, dir), MinCommon)
+      .orderBy(col("ra_score").desc, col("s1"), col("s2"))
+      .limit(RaTopPairs)
+  }
+
   val commonNeighborsQ: Q = Q.df(
     "graph_common_neighbors",
     s"""with edges as ($edgesSql),
@@ -1107,7 +1166,8 @@ object Graph {
   }
 
   val queries: Seq[Q] =
-    Seq(pageRankQ, pprQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ, kcoreQ,
+    Seq(pageRankQ, pprQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ,
+      resourceAllocationQ, kcoreQ,
       connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ,
       modularityExactQ)
 }

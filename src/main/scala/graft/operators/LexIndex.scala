@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Stored INVERTED INDEX for lexical retrieval — the Lucene shape
+  * re-expressed as parquet segments, completing the stored-artifact
+  * story the ANN family opened: dense retrieval persists centroids +
+  * codes ([[Similarity]] `ann_index_*`), lexical retrieval persists
+  * postings + stats, and BOTH serve queries from frozen files without
+  * touching the corpus again.
+  *
+  * A segment is four tables under one root:
+  *   - `postings/` — (tok, doc_id, c), hash-PARTITIONED by token bucket
+  *     so a query's terms prune to their buckets at planning time
+  *     (the on-disk analogue of a term dictionary seek; at 100 TB a
+  *     3-term query reads 3/[[IdxBuckets]] of the postings bytes, and
+  *     the bucket count scales with vocabulary without re-sharding
+  *     doc data);
+  *   - `doclen/` — (doc_id, dl) for length normalization;
+  *   - `df/` — (tok, df), the term dictionary with document
+  *     frequencies (vocabulary-sized, not corpus-sized);
+  *   - `stats/` — one row (n, tot): corpus size and total length.
+  *
+  * Unlike the ANN index, whose frozen-model incremental regime is
+  * approximate by construction, lexical segments merge EXACTLY:
+  * df/dl/stats are integer counts, so serving base ∪ delta with
+  * summed statistics is bit-equal to a full rebuild — which is why
+  * Lucene-family engines never retrain anything on segment merge.
+  * [[textIndexIncrementalQ]] makes that exactness an oracle-gated
+  * claim: its oracle is the SAME full-corpus SQL as the full index's.
+  *
+  * Reference: doradb-index's stored-structure lifecycle is the
+  * capability target (build/persist/serve); the postings layout and
+  * the BM25 serve are standard IR (Robertson/Spärck Jones), expressed
+  * Spark-first as partitioned parquet + broadcast joins.
+  */
+object LexIndex {
+
+  /** Token-hash partition count for the postings table. Sized so a
+    * fixture bucket holds a few thousand postings; at corpus scale the
+    * knob grows with VOCABULARY (postings rows per bucket), never with
+    * doc count — the layout survives a 100× corpus unchanged because
+    * per-bucket files just grow and the 3-term query still reads 3
+    * buckets. */
+  val IdxBuckets = 16
+
+  /** Query-term count (the 3 hottest-df terms — [[TextAnalysis]]'s
+    * corpus-derived query, so the entries survive fixture
+    * regeneration). */
+  val QTerms = 3
+
+  /** Relevance-ranked result depth served per query. */
+  val ServeTopN = 50
+
+  /** The incoming batch for the incremental entry: doc_id ≡ this
+    * (mod 10) — a deterministic ~10% slice, the lexical analogue of
+    * [[Similarity.AnnBatchMod]]. */
+  val BatchMod = 7
+
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+
+  /** Write one segment (postings, doclen, df, stats) under
+    * `root/seg/`. One tokenize pass materialized once, three map-side
+    * combined aggregates off it, zero joins — the standard index-build
+    * shape. The postings write partitions by the token-hash bucket, so
+    * the files ARE the term-sharded layout the serve prunes against. */
+  private[graft] def writeSegment(docs: DataFrame, root: String,
+      seg: String): Unit = {
+    val tf = graft.plans.Checkpoints.materialize(
+      toks(docs).groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c")))
+    try {
+      tf.withColumn("b",
+          pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$root/$seg/postings")
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+      dl.write.mode("overwrite").parquet(s"$root/$seg/doclen")
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$root/$seg/df")
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+        .write.mode("overwrite").parquet(s"$root/$seg/stats")
+    } finally graft.plans.Checkpoints.free(tf)
+  }
+
+  /** Serve the BM25 top-[[ServeTopN]] from stored segments: the merged
+    * term dictionary picks the [[QTerms]] hottest terms (model-sized
+    * collect — terms and their summed df, never postings), their
+    * buckets prune the postings scan at PLANNING time, and scoring is
+    * [[TextAnalysis.bm25ScoreExpr]] over the pruned posting rows joined
+    * to broadcast stats — the corpus text is never read. Segment
+    * statistics SUM exactly (disjoint doc sets, integer counts), so
+    * multi-segment serve ≡ single-segment serve over the union. */
+  private[graft] def serveBm25(s: SparkSession, root: String,
+      segs: Seq[String]): DataFrame = {
+    import s.implicits._
+    def read(t: String): DataFrame =
+      segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
+    val terms: Seq[(String, Long)] = read("df")
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(QTerms)
+      .as[(String, Long)].collect().toSeq
+    val buckets = terms.map(_._1).toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
+        .as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val st = read("stats").agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+    val postings = read("postings")
+      .filter(col("b").isin(buckets: _*) &&
+        col("tok").isin(terms.map(_._1): _*))
+    postings
+      .join(broadcast(terms.toDF("tok", "df")), "tok")
+      .join(read("doclen"), "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), TextAnalysis.bm25ScoreExpr.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(col("s"))).as("ss"))
+      .select(col("doc_id"), col("n_terms"),
+        round(aggregate(col("ss"), lit(0.0d), (acc, x) => acc + x), 6)
+          .as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(ServeTopN)
+  }
+
+  /** One stored full-corpus index per (session, dir), and one
+    * base+delta pair (base segment over doc_id % 10 ≠ [[BatchMod]],
+    * delta appended as its OWN segment — base files never rewritten,
+    * the Lucene append-a-segment discipline; [[graft.TextIndexSpec]]
+    * md5-witnesses both claims). Roots are released on family drain. */
+  private val fullCache =
+    new graft.plans.Memo[(SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+  private val incrCache =
+    new graft.plans.Memo[(SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def fullIndexRoot(s: SparkSession, dir: String): String =
+    fullCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-lexindex").toString
+      writeSegment(Tables.df(s, dir, "documents"), root, "full")
+      root
+    }
+
+  private[graft] def incrIndexRoot(s: SparkSession, dir: String): String =
+    incrCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-lexincr").toString
+      val docs = Tables.df(s, dir, "documents")
+      writeSegment(docs.filter(col("doc_id") % 10 =!= BatchMod),
+        root, "base")
+      writeSegment(docs.filter(col("doc_id") % 10 === BatchMod),
+        root, "delta")
+      root
+    }
+
+  /** Build + persist, then prove the artifact: the returned row is the
+    * postings-table inventory read back from the STORED files (posting
+    * count, vocabulary size, doc count, token total), which the oracle
+    * recomputes from the raw corpus — any row lost or duplicated by
+    * the partitioned write flips a count. */
+  val textIndexPersistQ: Q = Q.df(
+    "text_index_persist",
+    """with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+      |              from documents),
+      |tf as (select doc_id, tok, cast(count(*) as bigint) as c
+      |       from toks group by doc_id, tok)
+      |select cast(count(*) as bigint) as n_postings,
+      |  cast(count(distinct tok) as bigint) as n_terms,
+      |  cast(count(distinct doc_id) as bigint) as n_docs,
+      |  cast(sum(c) as bigint) as n_tokens
+      |from tf""".stripMargin) { (s, dir) =>
+    val root = fullIndexRoot(s, dir)
+    s.read.parquet(s"$root/full/postings")
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("tok")).as("n_terms"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("c")).as("n_tokens"))
+  }
+
+  /** The ranked tail shared by both serve oracles: the all-docs BM25
+    * core ([[TextAnalysis.bm25CoreCtes]] — identical formula, identical
+    * fold) re-ranked by relevance. Rank order uses the ROUNDED score
+    * (both engines rank the same 6-decimal values; doc_id breaks
+    * ties). */
+  private def serveOracle: String =
+    s"""with ${TextAnalysis.bm25CoreCtes}
+       |select doc_id, n_terms, bm25
+       |from scored order by bm25 desc, doc_id limit $ServeTopN"""
+      .stripMargin
+
+  /** Serve the hottest-terms query from the stored full index: prune
+    * to the query terms' buckets, score only pruned postings, return
+    * the relevance top-[[ServeTopN]]. The corpus is never scanned —
+    * the spec's frozen-file witness plus the pruning assertion make
+    * "reads 3 buckets of stored postings" a checked property, not a
+    * doc claim. */
+  val textIndexServeQ: Q = Q.df(
+    "text_index_serve", serveOracle) { (s, dir) =>
+    serveBm25(s, fullIndexRoot(s, dir), Seq("full"))
+  }
+
+  /** Serve base ∪ delta with summed statistics — and the oracle is the
+    * FULL-corpus ranking: exact segment merge is the entry's claim
+    * (integer df/dl/stats sum exactly across disjoint segments), the
+    * property that lets a 100 TB ingest append small segments forever
+    * and compact lazily, never rebuilding. */
+  val textIndexIncrementalQ: Q = Q.df(
+    "text_index_incremental", serveOracle) { (s, dir) =>
+    serveBm25(s, incrIndexRoot(s, dir), Seq("base", "delta"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ)
+}

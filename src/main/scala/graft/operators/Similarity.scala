@@ -560,6 +560,73 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Cosine radius for [[ivfRangeSearch]], calibrated to the fixture
+    * corpus: at dim 64 random-ish unit vectors concentrate near
+    * orthogonality (the q0.99 of query-corpus cosines is ≈ 0.29 at
+    * sf0.01), so 0.25 selects the genuine near-neighbor tail (~10² of
+    * ~10⁵ brute-force pairs) at every fixture scale without going
+    * empty. */
+  val RangeTau = 0.25
+
+  /** RANGE (radius) search through the IVF index — the other primitive
+    * every vector API exposes beside top-k (FAISS `range_search`,
+    * pgvector `<->` + WHERE): return EVERY corpus vector with
+    * cos ≥ τ of the query, however many there are. Same probed
+    * inverted-list candidate join as [[ivfTopK]], but the per-query
+    * top-k WINDOW disappears entirely — the radius predicate is a plain
+    * filter on the scored pairs, so the plan has no per-query state at
+    * all and the result streams at whatever size the data dictates
+    * (the right shape for "collect every near-duplicate of these
+    * seeds": a k cap would truncate dense neighborhoods arbitrarily).
+    * Recall caveat is the IVF one, stated honestly: candidates outside
+    * the [[NProbe]] probed cells are unseen, and the ORACLE runs the
+    * same probed computation (trained-centroid literals), so the gate
+    * pins the index semantics, not brute force. */
+  def ivfRangeSearch(emb: DataFrame, tau: Double, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
+    import spark.implicits._
+    val cm = trainedCentroids(emb, dir)
+    lastTrained = cm
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    val corpus = unit
+      .map { case (id, u) => (id, u, nearestCentroids(u, 1, cm)(0)) }
+      .toDF("neighbor_id", "cv", "cid")
+    val queries = unit.filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        nearestCentroids(u, NProbe, cm).map(c => (id, u, c))
+      }
+      .toDF("query_id", "qv", "cid")
+    queries.join(corpus, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Same trained-quantizer CTEs as [[ivfOracle]]; the tail swaps the
+    * top-k window for the radius predicate. */
+  private def ivfRangeOracle: String = {
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    s"""with ${sqlCentroidValues(cm)},
+       |e as ($sqlUnit),
+       |$sqlAssignProbeCtes,
+       |pairs as (
+       |  select q.vec_id as query_id, a.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "a")} as cos
+       |  from probes q join assign a on q.cid = a.cid
+       |  where q.vec_id <> a.vec_id)
+       |select query_id, neighbor_id, round(cos, 6) as cos_sim
+       |from pairs where cos >= $RangeTau
+       |order by query_id, neighbor_id""".stripMargin
+  }
+
+  val annRangeSearch: Q = Q.df("ann_range_search", ivfRangeOracle) { (s, dir) =>
+    ivfRangeSearch(Tables.df(s, dir, "embeddings"), RangeTau, dir)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   // ---- Filtered ANN (metadata predicate at query time) --------------------
 
   /** The filtered-search predicate: even-label corpus vectors only.
@@ -848,6 +915,85 @@ object Similarity {
 
   val annPq: Q = Q.df("ann_pq_adc_topk", pqOracle) { (s, dir) =>
     pqTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Refine depth: the ADC shortlist re-ranked exactly is
+    * [[RerankFactor]]·k deep per query. */
+  val RerankFactor = 4
+
+  /** Two-stage PQ search with exact re-ranking — the "refine" stage
+    * (IVFADC+R, Jégou et al. §VI) every production PQ deployment runs:
+    * stage 1 scores the whole corpus through 32×-compressed codes and
+    * keeps only [[RerankFactor]]·k candidates per query; stage 2
+    * fetches JUST those candidates' raw vectors and re-scores with the
+    * exact cosine, repairing the quantization error ADC introduces near
+    * the decision boundary. The raw-vector fetch is the scarce resource
+    * at 100 TB: this plan touches raw vectors for queries×(R·k) rows
+    * only — the shortlist (query-count-bounded, never corpus-sized)
+    * BROADCASTS to the corpus scan, so the refine is one broadcast hash
+    * join + a per-query top-k window, never a corpus shuffle. */
+  def pqRerankTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val shortlist = pqTopK(emb, k * RerankFactor, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val unit = withUnit(emb)
+    val queries = unit.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qv"))
+    unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("cos", cosExpr(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Late-bound like [[pqOracle]] (same trained-codebook literals and
+    * encode/ADC CTEs), then the exact-cosine refine over the
+    * [[RerankFactor]]·k shortlist — the same two stages the Spark plan
+    * runs, in the same tie order (ADC: score desc, id; refine: cos
+    * desc, id). */
+  private def pqRerankOracle: String = {
+    val cb = Option(lastPq).getOrElse(initCodebooks)
+    s"""with ${sqlCodebookValues(cb)},
+       |e as ($sqlUnit),
+       |$sqlPqEncodeCtes,
+       |dots as (
+       |  select qs.vec_id as query_id, c.vec_id as neighbor_id,
+       |    list_sum(list_transform(range(1, $PqSubDim + 1),
+       |      i -> qs.s[i] * cb.v[i])) as d
+       |  from codes c
+       |  join cb on cb.m = c.m and cb.k = c.code
+       |  join sub qs on qs.m = c.m
+       |  where qs.vec_id < $NumQueries and qs.vec_id <> c.vec_id),
+       |scores as (
+       |  select query_id, neighbor_id,
+       |    list_reduce(list_sort(list(d)), (a, b) -> a + b) as score
+       |  from dots group by query_id, neighbor_id),
+       |short as (
+       |  select query_id, neighbor_id
+       |  from (select *, row_number() over (partition by query_id
+       |          order by score desc, neighbor_id) as rn from scores) t
+       |  where rn <= ${TopK * RerankFactor}),
+       |exact as (
+       |  select s.query_id, s.neighbor_id, ${sqlDotU("q", "c")} as cos
+       |  from short s
+       |  join e q on q.vec_id = s.query_id
+       |  join e c on c.vec_id = s.neighbor_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by cos desc, neighbor_id) as bigint) as rnk
+       |      from exact) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annPqRerank: Q = Q.df("ann_pq_rerank", pqRerankOracle) { (s, dir) =>
+    pqRerankTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -2666,8 +2812,9 @@ object Similarity {
       .stripMargin
 
   val queries: Seq[Q] =
-    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annFiltered,
-      annPq,
+    Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRangeSearch,
+      annFiltered,
+      annPq, annPqRerank,
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annBinaryHamming,

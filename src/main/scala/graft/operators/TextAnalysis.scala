@@ -1059,8 +1059,12 @@ object TextAnalysis {
   // associativity both sides); 1-b folded to 0.25 by hand. The oracle
   // text and the frame builder are exposed to [[Similarity]]'s hybrid
   // fusion entry, which nests both verbatim.
-  private[operators] val bm25OracleSql: String =
-    """with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+  /** The BM25 pipeline's CTE chain up to the per-doc rounded score
+    * (`scored(doc_id, n_terms, bm25)`); shared by the all-docs entry
+    * below and [[LexIndex]]'s stored-index serve oracles (which swap
+    * the tail for a relevance-ranked top-N). */
+  private[operators] val bm25CoreCtes: String =
+    """toks as (select doc_id, unnest(string_split(text, ' ')) as tok
         |              from documents),
         |tf as (select doc_id, tok, cast(count(*) as bigint) as c
         |       from toks group by doc_id, tok),
@@ -1082,13 +1086,31 @@ object TextAnalysis {
         |  join dl d on d.doc_id = t.doc_id
         |  cross join st),
         |agg as (select doc_id, cast(count(*) as bigint) as n_terms,
-        |          list_sort(list(s)) as ss from per group by doc_id)
-        |select doc_id, n_terms,
+        |          list_sort(list(s)) as ss from per group by doc_id),
+        |scored as (select doc_id, n_terms,
         |  round(list_reduce(list_prepend(cast(0 as double), ss),
-        |    (acc, x) -> acc + x), 6) as bm25
-        |from agg order by doc_id""".stripMargin
+        |    (acc, x) -> acc + x), 6) as bm25 from agg)""".stripMargin
 
-  private[operators] def bm25Frame(s: org.apache.spark.sql.SparkSession,
+  private[operators] val bm25OracleSql: String =
+    s"""with $bm25CoreCtes
+        |select doc_id, n_terms, bm25
+        |from scored order by doc_id""".stripMargin
+
+  /** The per-(doc, term) BM25 score as one Column over rows carrying
+    * `c` (term freq), `df`, `dl`, `n`, `tot` — the double expression
+    * spelled in exactly the oracle's left-to-right order, shared with
+    * [[LexIndex]]'s stored-index serve so batch scoring and index
+    * serving produce bit-identical doubles. */
+  private[operators] def bm25ScoreExpr: org.apache.spark.sql.Column =
+    log((col("n").minus(col("df")).cast("double") + lit(0.5d))
+        / (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) *
+      (col("c").cast("double") * lit(2.2d)) /
+      (col("c").cast("double") +
+        lit(1.2d) * (lit(0.25d) + lit(0.75d) *
+          (col("dl").cast("double") * col("n").cast("double")
+            / col("tot").cast("double"))))
+
+  private[graft] def bm25Frame(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
       val toks = Tables.df(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
@@ -1097,14 +1119,7 @@ object TextAnalysis {
       val st = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val q = dfreq.orderBy(col("df").desc, col("tok").asc).limit(3)
-      val score =
-        log((col("n").minus(col("df")).cast("double") + lit(0.5d))
-            / (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) *
-          (col("c").cast("double") * lit(2.2d)) /
-          (col("c").cast("double") +
-            lit(1.2d) * (lit(0.25d) + lit(0.75d) *
-              (col("dl").cast("double") * col("n").cast("double")
-                / col("tot").cast("double"))))
+      val score = bm25ScoreExpr
       tf.join(broadcast(q), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(st))

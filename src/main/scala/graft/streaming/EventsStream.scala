@@ -969,6 +969,74 @@ object EventsStream {
       .orderBy(col("v_event_id").asc_nulls_first, col("p_event_id"))
   }
 
+  /** LEFT SEMI form of [[intervalJoin]]: a view emits (its own columns
+    * only, AT MOST ONCE) when some purchase lands inside its window —
+    * the streaming "sessions that converted" filter. A genuinely
+    * distinct runtime path from the four outer/inner types: on match
+    * the runtime must mark the left row as already-emitted in its state
+    * store so a SECOND matching purchase cannot re-emit it (inner would
+    * emit again; outer tracks expiry instead), and the purchase side
+    * contributes no output columns at all. Unmatched views age out of
+    * state silently — no expiry emission — so the drained result needs
+    * no watermark-provability clause: it is exactly the EXISTS
+    * semi-join the oracle states. */
+  def intervalJoinSemi(views: DataFrame, purchases: DataFrame,
+      boundSec: Long): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("v_event_id"),
+        col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
+      "left_semi")
+      .select(col("user_id"), col("v_event_id"),
+        unix_micros(col("v_ts")).as("v_ts_us"))
+  }
+
+  /** Execute the LEFT SEMI interval join end-to-end through the real
+    * streaming runtime (AvailableNow drain, checkpointed state,
+    * match-time at-most-once emission). */
+  def runIntervalJoinSemiStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+    val outDir = s"$tmp/out"
+    def side(eventType: String): DataFrame =
+      Tables.eventsStream(s, dir).filter(col("event_type") === eventType)
+    val joined = intervalJoinSemi(side("view"), side("purchase"),
+      graft.operators.Temporal.RangeWindowSec)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
+  val intervalJoinSemiStreamed: Q = Q.df(
+    "stream_interval_join_semi", {
+      val boundSec = graft.operators.Temporal.RangeWindowSec
+      s"""select v.user_id, v.event_id as v_event_id,
+         |  epoch_us(v.ts) as v_ts_us
+         |from (select * from events where event_type = 'view') v
+         |where exists (
+         |  select 1 from events p
+         |  where p.event_type = 'purchase'
+         |    and p.user_id = v.user_id
+         |    and p.ts >= v.ts
+         |    and p.ts < v.ts + interval $boundSec second)
+         |order by v_event_id""".stripMargin
+    }) { (s, dir) =>
+    runIntervalJoinSemiStream(s, dir).orderBy(col("v_event_id"))
+  }
+
   /** The custom DSv2 source's STREAMING face executed through the real
     * runtime: the range source drains under admission control (16384
     * rows per micro-batch → 7 batches for 100k rows, offsets
@@ -1324,5 +1392,6 @@ object EventsStream {
       mergeUpsertStreamed, mergePrunedStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
       intervalJoinFullStreamed, intervalJoinRightStreamed,
+      intervalJoinSemiStreamed,
       customSourceStreamed, sessionWindowStreamed)
 }

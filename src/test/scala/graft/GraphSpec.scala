@@ -63,6 +63,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("resource-allocation link prediction matches a hand check and " +
+    "downweights shared hubs") {
+    import spark.implicits._
+    // candidate pair (1,2): common out-neighbors 10 (indeg 2 — only
+    // they point at it) and 11 (a hub: 1,2,3,4 point at it, indeg 4);
+    // pair (3,4) shares only hub 11
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+      (4L, 11L)).toDF("src", "dst")
+    val got = Graph.resourceAllocation(e, minCommon = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    val S = Graph.RaScale
+    assert(got((1L, 2L)) == S / 2 + S / 4, "pair (1,2): 1/2 + 1/4")
+    assert(got((3L, 4L)) == S / 4, "pair (3,4): hub-only evidence 1/4")
+    // the low-degree shared neighbor dominates: same n_common as any
+    // hub-pair would give, but 3x the score
+    assert(got((1L, 2L)) == 3 * got((3L, 4L)))
+    // fixture-scale sanity: every kept pair meets the support floor and
+    // no per-neighbor term can exceed RaScale
+    val rows = Graph.resourceAllocation(edges, Graph.MinCommon).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= Graph.MinCommon)
+      assert(r.getLong(3) <= r.getLong(2) * S)
+    }
+  }
+
   test("k-core: invariant holds, peeling is real, rounds suffice") {
     val spark = TestSpark.spark
     val edges = Graph.sharedOrderEdges(spark, TestSpark.Sf)

@@ -51,6 +51,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall too low")
   }
 
+  test("PQ rerank: exact refine never lowers ADC's recall, and served " +
+    "cosines are the true ones") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, Similarity.TopK)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val adc = Similarity.pqTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = Similarity
+      .pqRerankTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    def recall(got: Set[(Long, Long)]) =
+      (exact.keySet intersect got).size.toDouble / exact.size
+    // the refine re-ranks a RerankFactor×k ADC shortlist with the exact
+    // metric, so it can only promote true neighbors the compressed
+    // scores mis-ranked — never demote one the ADC top-k already had
+    // that survives in the deeper shortlist
+    assert(recall(rerank.map(_._1).toSet) >= recall(adc),
+      "exact refine lowered recall vs raw ADC")
+    // and every served cosine is the true (uncompressed) similarity
+    rerank.filter { case (k, _) => exact.contains(k) }.foreach {
+      case (k, c) => assert(math.abs(c - exact(k)) < 1e-9,
+        s"rerank served a non-exact cosine for $k")
+    }
+  }
+
+  test("IVF range search: every hit is inside the radius, and hits " +
+    "are exactly the brute-force set restricted to probed cells") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val hits = Similarity
+      .ivfRangeSearch(emb, Similarity.RangeTau, TestSpark.Sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(hits.nonEmpty, "radius search came back empty")
+    hits.foreach { case (k, c) =>
+      assert(c >= Similarity.RangeTau - 1e-6, s"hit $k outside radius: $c")
+    }
+    // subset of the brute-force radius set (probing can only drop)
+    val brute = Similarity.bruteForceTopK(emb, Int.MaxValue)
+      .filter(col("cos_sim") >= Similarity.RangeTau)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = hits.map(_._1).toSet
+    assert(got.subsetOf(brute), "range search returned a non-neighbor")
+    assert(got.size.toDouble / brute.size > 0.2,
+      s"probed radius recall ${got.size}/${brute.size} too low")
+  }
+
   test("graph-beam top-k: bounded walk reaches usable recall") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     // the index invariant: symmetrized degree never exceeds 2*M

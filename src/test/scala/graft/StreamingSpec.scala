@@ -586,6 +586,9 @@ class StreamingSpec extends AnyFunSuite {
       ("interval join right outer", () => EventsStream
         .runIntervalJoinRightStream(spark, TestSpark.Sf)
         .collect().map(_.toString).sorted.toSeq),
+      ("interval join left semi", () => EventsStream
+        .runIntervalJoinSemiStream(spark, TestSpark.Sf)
+        .collect().map(_.toString).sorted.toSeq),
       ("mapGroupsWithState incremental", () => driveActivityIncremental()))
     runners.foreach { case (nm, run) =>
       val dflt = withProvider(None)(run())

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LexIndex, TextAnalysis}
+
+/** Stored inverted-index lifecycle: persist / serve / incremental
+  * segment append. The oracle hash-verifies each entry's VALUES; these
+  * specs pin the lifecycle CONTRACTS the values don't show — serving
+  * is bit-equal to batch scoring, the serve plan PRUNES the postings
+  * scan to the query terms' buckets, serving never rewrites the stored
+  * files, and a delta append leaves the base segment byte-identical
+  * (the Lucene append-a-segment discipline). */
+class TextIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+    df.select(col("doc_id"), col("n_terms"), col("bm25"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+
+  /** Recursive (path, length, mtime, md5) inventory of a stored
+    * segment — the frozen-artifact witness (GraphIndexSpec's content
+    * hash over the bucket-directory tree). */
+  private def inventory(root: String): Seq[(String, Long, Long, String)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(root))
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map { f =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+        (f.getPath, f.length(), f.lastModified(), md5)
+      }
+      .sortBy(_._1)
+  }
+
+  test("index serve is bit-equal to batch BM25 re-ranked, and never " +
+    "rewrites the stored segment") {
+    val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val before = inventory(s"$root/full")
+    assert(before.nonEmpty, "stored index missing")
+    val served = rows(LexIndex.textIndexServeQ.run(spark, TestSpark.Sf))
+    assert(inventory(s"$root/full") == before,
+      "serve rewrote the stored index files")
+    val batch = rows(TextAnalysis.bm25Frame(spark, TestSpark.Sf)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(LexIndex.ServeTopN))
+    assert(served.nonEmpty && served == batch,
+      "stored-index serving diverged from batch BM25")
+  }
+
+  test("serve plan prunes the postings scan to the query terms' buckets") {
+    val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val df = LexIndex.serveBm25(spark, root, Seq("full"))
+    // sparkPlan (pre-AQE) exposes the file scans as collectable leaves
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.toString.contains("PartitionFilters"),
+      s"no bucket pruning in the serve plan:\n$plan")
+    val scanned = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("postings")) =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ <= LexIndex.QTerms),
+      s"postings scan read $scanned bucket dirs (> ${LexIndex.QTerms})")
+  }
+
+  test("delta append leaves the base segment byte-identical, and " +
+    "merged serve equals the full rebuild") {
+    val root = LexIndex.incrIndexRoot(spark, TestSpark.Sf)
+    val baseBefore = inventory(s"$root/base")
+    assert(baseBefore.nonEmpty && inventory(s"$root/delta").nonEmpty)
+    val merged = rows(LexIndex.textIndexIncrementalQ.run(spark, TestSpark.Sf))
+    assert(inventory(s"$root/base") == baseBefore,
+      "serve or delta append rewrote the base segment")
+    // exact segment merge: summed integer stats make base ∪ delta
+    // bit-equal to the single-segment full index
+    val full = rows(LexIndex.textIndexServeQ.run(spark, TestSpark.Sf))
+    assert(merged == full, "segment-merged serve diverged from full rebuild")
+  }
+
+  test("persist inventory matches a direct corpus recount") {
+    val got = LexIndex.textIndexPersistQ.run(spark, TestSpark.Sf)
+      .collect().head
+    val tf = Tables.df(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val exp = tf.agg(count(lit(1)), count_distinct(col("tok")),
+      count_distinct(col("doc_id")), sum(col("c"))).collect().head
+    assert(got.getLong(0) == exp.getLong(0) &&
+      got.getLong(1) == exp.getLong(1) &&
+      got.getLong(2) == exp.getLong(2) &&
+      got.getLong(3) == exp.getLong(3),
+      s"stored postings inventory $got != corpus recount $exp")
+  }
+}
