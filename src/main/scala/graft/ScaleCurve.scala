@@ -70,7 +70,9 @@ object ScaleCurve {
     "graph_communities",          // per-round edge⋈label + arg-max window
     "dml_merge_pruned",           // touched-partition CDC rewrite
     "ann_graph_persist",          // serving from the STORED edge table
-    "ann_graph_incremental")      // frozen-graph insert: O(batch·B·M·R)
+    "ann_graph_incremental",      // frozen-graph insert: O(batch·B·M·R)
+    "text_index_serve",           // stored postings: 3 of 16 buckets read
+    "ann_pq_rerank")              // corpus ADC + broadcast 4k exact refine
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.

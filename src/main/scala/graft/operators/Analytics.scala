@@ -1296,12 +1296,63 @@ object Analytics {
       .orderBy(col("channel"))
   }
 
+  /** Smoothing factor for [[eventsEwma]] (the classic 0.3 — recent
+    * days weigh in with a ~3-day effective memory). */
+  val EwmaAlpha = 0.3
+
+  /** Simple exponential smoothing over each type's daily series:
+    * s₁ = x₁, sₜ = sₜ₋₁ + α·(xₜ − sₜ₋₁) — the one-step-ahead forecast
+    * (ŷ = final level) behind capacity alerts and "is today unusual"
+    * baselines, complementing [[eventsChangepoint]] (level SHIFT
+    * detection) with level TRACKING. The recursion is inherently
+    * sequential per series, so it runs as a fold over the
+    * time-ordered daily list — per-group state is bounded by the DATE
+    * SPAN (days per type), never by event count, which is what makes
+    * the collect safe at 100 TB: the heavy reduction to daily counts
+    * is a map-side-combined groupBy, and the fold sees one double per
+    * day. Both engines fold the identical time-ordered list with the
+    * identical double expression (DuckDB list_reduce seeds with the
+    * first element; the Spark side seeds aggregate() with element 1
+    * over the tail), so the result is bit-identical before the one
+    * surface rounding. */
+  val eventsEwma: Q = Q.df(
+    "events_ewma_forecast",
+    s"""with daily as (
+       |  select event_type, cast(ts as date) as day,
+       |    cast(count(*) as bigint) as cnt
+       |  from events group by event_type, cast(ts as date)),
+       |srt as (select event_type,
+       |    list(cast(cnt as double) order by day) as xs,
+       |    cast(count(*) as bigint) as n_days
+       |  from daily group by event_type)
+       |select event_type, n_days,
+       |  round(list_reduce(xs,
+       |    (a, x) -> a + cast($EwmaAlpha as double) * (x - a)), 6) as level
+       |from srt order by event_type""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("s"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        round(aggregate(
+          expr("slice(s, 2, size(s) - 1)"),
+          element_at(col("s"), 1).getField("cnt").cast("double"),
+          (a, x) =>
+            a + lit(EwmaAlpha) * (x.getField("cnt").cast("double") - a)),
+          6).as("level"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
     eventsAttribution, eventsMarkovAttribution, eventsShapley,
     eventsTransitions,
     eventsPathPattern, eventsStreaks,
-    eventsChangepoint, eventsSeasonality, eventsAbLift, windowSessionNative,
+    eventsChangepoint, eventsSeasonality, eventsEwma, eventsAbLift,
+    windowSessionNative,
     eventsBotRegularity)
 }

@@ -215,6 +215,45 @@ object LexIndex {
     serveBm25(s, incrIndexRoot(s, dir), Seq("base", "delta"))
   }
 
+  /** Segment COMPACTION (Lucene's merge): base ∪ delta rewritten as
+    * one `merged` segment under the incremental root — postings rows
+    * union directly (disjoint doc sets: no row can collide), df sums
+    * per token, doclen unions, stats sum. The merged segment is added
+    * BESIDE the inputs (a merge never mutates its sources; the old
+    * segments remain servable until a retention pass drops them —
+    * exactly the stored-index compaction discipline of
+    * `ann_index_compact`). Built at most once per (session, dir). */
+  private val mergedBuilt =
+    new graft.plans.Memo[(SparkSession, String), String](_ => ())
+
+  private[graft] def mergedSegmentRoot(s: SparkSession,
+      dir: String): String =
+    mergedBuilt.once((s, dir)) {
+      val root = incrIndexRoot(s, dir)
+      def read(t: String): DataFrame =
+        Seq("base", "delta").map(g => s.read.parquet(s"$root/$g/$t"))
+          .reduce(_ unionByName _)
+      read("postings")
+        .write.mode("overwrite").partitionBy("b")
+        .parquet(s"$root/merged/postings")
+      read("doclen").write.mode("overwrite").parquet(s"$root/merged/doclen")
+      read("df").groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$root/merged/df")
+      read("stats").agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+        .write.mode("overwrite").parquet(s"$root/merged/stats")
+      root
+    }
+
+  /** Serve from the COMPACTED single segment — same oracle as the full
+    * index's (compaction must be invisible to queries); the spec pins
+    * merged-serve ≡ two-segment serve bit-equality and the source
+    * segments untouched. */
+  val textIndexCompactQ: Q = Q.df(
+    "text_index_compact", serveOracle) { (s, dir) =>
+    serveBm25(s, mergedSegmentRoot(s, dir), Seq("merged"))
+  }
+
   val queries: Seq[Q] =
-    Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ)
+    Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
+      textIndexCompactQ)
 }

@@ -502,6 +502,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** PII REDACTION — the rewrite the flags entry only detects: emails
+    * then phone numbers replaced by typed placeholders, the standard
+    * pre-training scrub (flag-only pipelines still ship the PII;
+    * training corpora need the substitution). Replacement order is part
+    * of the contract (phone runs on the email-redacted text) and the
+    * oracle nests its global regexp_replace in the same order; both
+    * engines' regex dialects agree on these character-class patterns
+    * (proven since the flags entry). One codegen'd scan pass, zero
+    * shuffle at any corpus size — redaction cost is O(bytes), which is
+    * why it rides the same pass as quality scoring in a real pipeline. */
+  val textPiiRedact: Q = Q.df(
+    "text_pii_redact",
+    s"""select doc_id,
+       |  cast(len(regexp_extract_all(text, '$EmailRe')) as bigint)
+       |    + cast(len(regexp_extract_all(text, '$PhoneRe')) as bigint)
+       |    as n_redacted,
+       |  regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g') as red_text
+       |from documents order by doc_id""".stripMargin) { (s, dir) =>
+    Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        (regexp_count(col("text"), lit(EmailRe)) +
+          regexp_count(col("text"), lit(PhoneRe))).cast("long")
+          .as("n_redacted"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]").as("red_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Within-document repetition (Gopher-style quality rule): the
     * fraction of duplicate word trigrams inside each document. Heavily
     * templated/looping text scores high and is dropped before training.
@@ -1803,7 +1832,7 @@ object TextAnalysis {
 
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
-      textRollingFingerprint, textPiiFlags, textRepetition,
+      textRollingFingerprint, textPiiFlags, textPiiRedact, textRepetition,
       jsonExtractProps, jsonBuild, exprVariant, textEntropy, textLmScore,
       textWinnow,
       textLmBigram, textFeatureHash, textClassifierScore, textClassifierAuc,

@@ -31,4 +31,24 @@ class EntrySpec extends AnyFunSuite {
       idx >= 0 && idx < 8 && b >= 0 && b <= 255
     })
   }
+
+  test("perceptual-hash near-dup: every derived re-encode pairs with " +
+    "exactly its source, banding loses nothing at the threshold") {
+    import graft.operators.Multimodal
+    val pairs = Multimodal
+      .phashNearDups(Multimodal.mediaWithVariants(spark, TestSpark.Sf),
+        Multimodal.HamThreshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVariants = Multimodal.mediaTable(spark, TestSpark.Sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % Multimodal.VariantMod === 0)
+      .count()
+    // one pair per variant, each source↔variant (a one-byte edit flips
+    // at most 2 gradient bits), no cross-object false positives (the
+    // fixture's min cross-object Hamming is 12)
+    assert(pairs.length == nVariants, s"${pairs.length} vs $nVariants")
+    assert(pairs.forall { case (a, b, h) =>
+      b - a == Multimodal.VariantIdOffset && h <= 2
+    }, s"unexpected pair set: ${pairs.take(5).mkString(", ")}")
+  }
 }

@@ -82,6 +82,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(merged == full, "segment-merged serve diverged from full rebuild")
   }
 
+  test("segment compaction: merged serve is bit-equal to two-segment " +
+    "serve, and the source segments stay byte-identical") {
+    val root = LexIndex.incrIndexRoot(spark, TestSpark.Sf)
+    val srcBefore = inventory(s"$root/base") ++ inventory(s"$root/delta")
+    val merged = rows(LexIndex.textIndexCompactQ.run(spark, TestSpark.Sf))
+    assert(inventory(s"$root/base") ++ inventory(s"$root/delta") == srcBefore,
+      "compaction mutated a source segment")
+    val two = rows(LexIndex.serveBm25(spark, root, Seq("base", "delta")))
+    assert(merged.nonEmpty && merged == two,
+      "compacted serve diverged from two-segment serve")
+    // the merged segment is one real segment: its stats row equals the
+    // summed inputs
+    val st = spark.read.parquet(s"$root/merged/stats").collect().head
+    val base = spark.read.parquet(s"$root/base/stats").collect().head
+    val delta = spark.read.parquet(s"$root/delta/stats").collect().head
+    assert(st.getLong(0) == base.getLong(0) + delta.getLong(0) &&
+      st.getLong(1) == base.getLong(1) + delta.getLong(1))
+  }
+
   test("persist inventory matches a direct corpus recount") {
     val got = LexIndex.textIndexPersistQ.run(spark, TestSpark.Sf)
       .collect().head
