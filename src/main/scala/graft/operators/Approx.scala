@@ -431,8 +431,85 @@ object Approx {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Count-Min sketch geometry: [[CmRows]] pairwise-independent hash
+    * rows × [[CmWidth]] counters. Hashes are `((a·(k mod p) + b) mod p)
+    * mod w` with p prime and a < 10³, so every product stays ≤ 10⁹ —
+    * exact int64 in BOTH engines (no black-box hash the oracle can't
+    * replay). Width 512 on ~10³ fixture keys keeps estimates tight but
+    * collisions real (the overestimate property is exercised, not
+    * vacuous). */
+  val CmRows = 4
+  val CmWidth = 512L
+  val CmP = 1000003L
+  val CmA = Seq(131L, 241L, 337L, 443L)
+  val CmB = Seq(17L, 29L, 41L, 53L)
+
+  /** Point-query keys: the deterministic low-id user slice. */
+  val CmQueryKeys = 20
+
+  private def cmHashSql(i: Int, k: String): String =
+    s"((${CmA(i)} * ($k % $CmP) + ${CmB(i)}) % $CmP) % $CmWidth"
+
+  /** COUNT-MIN SKETCH point estimation (Cormode/Muthukrishnan) — the
+    * third sketch family beside HLL (distinct) and Misra-Gries (heavy
+    * hitters): a d×w counter matrix answering "how many times did key k
+    * occur" with one-sided error, est ≥ true, P[est > true + εN] ≤ δ.
+    * The matrix builds as ONE map-side-combined groupBy over (row,
+    * bucket) — d×w rows total, broadcastable at any corpus size, and
+    * MERGEABLE by counter addition (the shard-then-merge deployment the
+    * HLL rollup entries model). Point queries join the query keys'
+    * d bucket coordinates against the broadcast matrix and take the
+    * per-key MIN. The entry emits exact count + estimate side by side;
+    * the one-sided overestimate guarantee (`est_n >= exact_n`, an
+    * algebraic identity of the structure) ships as a value-checked
+    * column, and the oracle replays the integer hash arithmetic
+    * exactly — no black-box hashing anywhere. */
+  val countMinPoint: Q = Q.df(
+    "approx_countmin_point", {
+      val hashes = (0 until CmRows).map(i =>
+        s"select user_id, $i as i, ${cmHashSql(i, "user_id")} as b from ev")
+        .mkString(" union all ")
+      s"""with ev as (select user_id from events),
+         |coords as ($hashes),
+         |sketch as (select i, b, cast(count(*) as bigint) as c
+         |           from coords group by i, b),
+         |qk as (select distinct user_id from ev
+         |       where user_id < $CmQueryKeys),
+         |qc as (${(0 until CmRows).map(i =>
+          s"select user_id, $i as i, ${cmHashSql(i, "user_id")} as b from qk")
+          .mkString(" union all ")}),
+         |est as (select qc.user_id, min(s.c) as est_n
+         |        from qc join sketch s on s.i = qc.i and s.b = qc.b
+         |        group by qc.user_id),
+         |exact as (select user_id, cast(count(*) as bigint) as exact_n
+         |          from ev where user_id < $CmQueryKeys group by user_id)
+         |select e.user_id, e.exact_n, cast(t.est_n as bigint) as est_n,
+         |  t.est_n >= e.exact_n as overestimates
+         |from exact e join est t on t.user_id = e.user_id
+         |order by e.user_id""".stripMargin
+    }) { (s, dir) =>
+    val ev = Tables.df(s, dir, "events").select(col("user_id"))
+    def coords(src: org.apache.spark.sql.DataFrame) = src.select(
+      col("user_id"),
+      posexplode(array((0 until CmRows).map(i =>
+        expr(cmHashSql(i, "user_id"))): _*)))
+      .toDF("user_id", "i", "b")
+    val sketch = coords(ev).groupBy(col("i"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val qk = ev.filter(col("user_id") < CmQueryKeys).distinct()
+    val est = coords(qk)
+      .join(broadcast(sketch), Seq("i", "b"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("est_n"))
+    val exact = ev.filter(col("user_id") < CmQueryKeys)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    exact.join(est, Seq("user_id"))
+      .select(col("user_id"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("overestimates"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Seq[Q] =
     Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
       approxMergeable, bitmapDistinct, approxSketchRollup, approxTopKRollup,
-      misraGriesHitters)
+      misraGriesHitters, countMinPoint)
 }

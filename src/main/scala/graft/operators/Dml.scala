@@ -1092,13 +1092,21 @@ object Dml {
       .map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".tsv"))
       .map(_.stripPrefix("v").stripSuffix(".tsv").toInt).sorted
 
+  /** Resolve a manifest dir entry against its table root. Entries are
+    * root-relative for dirs the table wrote itself; a SHALLOW CLONE's
+    * v0 manifest carries ABSOLUTE paths into the source table (the
+    * zero-copy pointer semantics), which pass through untouched. */
+  private[graft] def resolveDir(root: String, d: String): String =
+    if (d.startsWith("/")) d else s"$root/$d"
+
   /** `VERSION AS OF k`: read manifest k, scan each partition's data
     * dir, re-attach the partition column from the manifest key. */
   private[graft] def readVersionAsOf(s: org.apache.spark.sql.SparkSession,
       root: String, k: Int): org.apache.spark.sql.DataFrame =
     readManifest(root, k).toSeq.sortBy(_._1)
       .map { case (y, d) =>
-        s.read.parquet(s"$root/$d").withColumn("yr", lit(y).cast("int"))
+        s.read.parquet(resolveDir(root, d))
+          .withColumn("yr", lit(y).cast("int"))
       }
       .reduce(_ unionByName _)
 
@@ -1128,7 +1136,7 @@ object Dml {
     // a touched year absent from the previous manifest is a NEW
     // partition (routine CDC insert case): its existing side is empty
     val existing = touched.flatMap { y =>
-      prev.get(y).map(d => s.read.parquet(s"$root/$d")
+      prev.get(y).map(d => s.read.parquet(resolveDir(root, d))
         .withColumn("yr", lit(y).cast("int")))
     }.reduceOption(_ unionByName _)
       .getOrElse(inserts.select(col("o_orderkey"), col("cents"),
@@ -1337,7 +1345,8 @@ object Dml {
       .filter(y => before.get(y) != after.get(y)).toSeq.sorted
     def readDirs(m: Map[Int, String]) = changed
       .flatMap(y => m.get(y).map(d =>
-        s.read.parquet(s"$root/$d").withColumn("yr", lit(y).cast("int"))))
+        s.read.parquet(resolveDir(root, d))
+          .withColumn("yr", lit(y).cast("int"))))
       .reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(Long, Long, Int)].toDF("o_orderkey", "cents", "yr"))
     val pre = readDirs(before).select(col("o_orderkey"),
@@ -1523,6 +1532,88 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose v0 manifest POINTS at the source's current data dirs —
+    * zero bytes copied, O(manifest) at any table size. The clone then
+    * evolves independently: a batch applied to it writes generations
+    * under the CLONE root only (the pruned-apply reads source dirs
+    * through the absolute manifest entries, merges, and writes the
+    * clone's own `data/g1`), while the source keeps serving all its
+    * versions untouched — the dev/test-against-production-data pattern
+    * cloning exists for. */
+  private[graft] def shallowClone(srcRoot: String, cloneRoot: String): Unit = {
+    val latest = timeTravelVersions(srcRoot).max
+    writeManifest(cloneRoot, 0,
+      readManifest(srcRoot, latest).map { case (y, d) =>
+        y -> resolveDir(srcRoot, d)
+      })
+  }
+
+  /** The clone's divergent batch: ×3 updates on a key slice
+    * (yr = TimeTravelYears(1), o_orderkey % 20 = 10) NO source batch
+    * ever touched, so the oracle can derive the clone's state from the
+    * source chain exactly. */
+  private[graft] def cloneBatch(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    base.filter(col("yr") === TimeTravelYears(1) &&
+        col("o_orderkey") % 20 === 10)
+      .select(col("o_orderkey"), (col("cents") * 3).as("cents"), col("yr"))
+
+  private val cloneCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def cloneRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    cloneCache.once((s, dir)) {
+      val src = timeTravelRoot(s, dir)
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-clone").toString
+      shallowClone(src, root)
+      // the zero-copy witness, enforced at build time: cloning wrote
+      // manifests only, no data directory exists under the clone
+      require(!new java.io.File(s"$root/data").exists(),
+        "shallow clone materialized data files")
+      applyTimeTravelBatch(s, root, 1, cloneBatch(mergePrunedBase(s, dir)))
+      root
+    }
+
+  /** Read the DIVERGED clone's latest version. Oracle = the source's
+    * full 4-batch chain upserted with the clone's ×3 batch (those keys'
+    * source cents are still base cents — no source batch touches
+    * %20 = 10 — so the chain composes exactly). [[TimeTravelSpec]] pins
+    * the rest: the clone's v0 read ≡ the source's latest read
+    * (zero-copy serving) and the source's files untouched by the
+    * clone's divergence. */
+  val dmlCloneShallow: Q = Q.df(
+    "dml_clone_shallow", {
+      val y1 = TimeTravelYears.head
+      val n = TimeTravelYears.size
+      val states = TimeTravelYears.zipWithIndex
+        .map { case (y, i) => ttStateSql(i + 1, y) }.mkString(",\n")
+      s"""with base as materialized (
+         |  select o_orderkey,
+         |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+         |    cast(year(o_orderdate) as int) as yr
+         |  from orders),
+         |s0 as materialized (select * from base),
+         |$states,
+         |${ttCdcStateSql(n, y1)},
+         |cb as (select o_orderkey, cents * 3 as cents, yr from base
+         |       where yr = ${TimeTravelYears(1)} and o_orderkey % 20 = 10)
+         |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+         |  coalesce(u.cents, b.cents) as cents,
+         |  coalesce(b.yr, u.yr) as yr
+         |from s${n + 1} b full outer join cb u
+         |  on b.o_orderkey = u.o_orderkey
+         |order by o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    val root = cloneRoot(s, dir)
+    readVersionAsOf(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlMergePruned, dmlMergeCdcOps, dmlCompactRewrite,
     joinBucketed,
@@ -1531,5 +1622,5 @@ object Dml {
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
-    dmlTimeTravelRestore, dmlVacuumRetention)
+    dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow)
 }

@@ -87,6 +87,10 @@ object LexIndex {
     } finally graft.plans.Checkpoints.free(tf)
   }
 
+  /** Tombstone modulus for [[textIndexDeleteQ]]: doc_id ≡ this (mod 7)
+    * is deleted (the [[Similarity.AnnDeleteMod]] convention). */
+  val DeleteMod = 3
+
   /** Serve the BM25 top-[[ServeTopN]] from stored segments: the merged
     * term dictionary picks the [[QTerms]] hottest terms (model-sized
     * collect — terms and their summed df, never postings), their
@@ -96,7 +100,8 @@ object LexIndex {
     * statistics SUM exactly (disjoint doc sets, integer counts), so
     * multi-segment serve ≡ single-segment serve over the union. */
   private[graft] def serveBm25(s: SparkSession, root: String,
-      segs: Seq[String]): DataFrame = {
+      segs: Seq[String],
+      tombstones: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     def read(t: String): DataFrame =
       segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
@@ -109,9 +114,13 @@ object LexIndex {
         .as("b"))
       .collect().map(_.getInt(0)).distinct.toSeq
     val st = read("stats").agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
-    val postings = read("postings")
+    // deletes serve as TOMBSTONES on the postings rows only: df and the
+    // corpus stats keep counting deleted docs until a merge reclaims
+    // them — Lucene's documented semantics (docFreq includes
+    // deletions), which is what keeps delete O(1) at write time
+    val postings = tombstones.foldLeft(read("postings")
       .filter(col("b").isin(buckets: _*) &&
-        col("tok").isin(terms.map(_._1): _*))
+        col("tok").isin(terms.map(_._1): _*)))((p, dead) => p.filter(!dead))
     postings
       .join(broadcast(terms.toDF("tok", "df")), "tok")
       .join(read("doclen"), "doc_id")
@@ -253,7 +262,26 @@ object LexIndex {
     serveBm25(s, mergedSegmentRoot(s, dir), Seq("merged"))
   }
 
+  /** DELETE as tombstones on the stored index: the tombstoned docs'
+    * posting rows are excluded BEFORE scoring (never ranked, never
+    * returned), while df and the corpus stats keep counting them until
+    * a merge — Lucene's exact semantics (`docFreq` includes deletions),
+    * the design that keeps deletes O(1) at write time on a 100 TB
+    * index. The oracle states precisely that: full-corpus statistics,
+    * tombstoned docs excluded from the ranking. The stored artifact is
+    * proven untouched by the spec's content-hash witness. */
+  val textIndexDeleteQ: Q = Q.df(
+    "text_index_delete", {
+      s"""with ${TextAnalysis.bm25CoreCtes}
+         |select doc_id, n_terms, bm25
+         |from scored where doc_id % 7 <> $DeleteMod
+         |order by bm25 desc, doc_id limit $ServeTopN""".stripMargin
+    }) { (s, dir) =>
+    serveBm25(s, fullIndexRoot(s, dir), Seq("full"),
+      tombstones = Some(col("doc_id") % 7 === DeleteMod))
+  }
+
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
-      textIndexCompactQ)
+      textIndexCompactQ, textIndexDeleteQ)
 }

@@ -156,4 +156,20 @@ class ApproxSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no heavy hitters on fixture vocabulary")
     assert(got.toSeq == want.toSeq)
   }
+
+  test("count-min point queries: one-sided error, bounded overshoot") {
+    import graft.operators.Approx
+    val rows = Approx.countMinPoint.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no query keys on fixture")
+    val n = Tables.df(spark, TestSpark.Sf, "events").count()
+    // one-sided: the min over d rows can only overcount (collisions add)
+    rows.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"key $k underestimated: $est < $exact")
+      // expected excess per row is N/w; min over 4 independent rows
+      // stays well inside 5·N/w with huge margin on any fixture
+      assert(est - exact <= 5 * n / Approx.CmWidth + 1,
+        s"key $k overshoot ${est - exact} beyond the sketch bound")
+    }
+  }
 }

@@ -101,6 +101,26 @@ class TextIndexSpec extends AnyFunSuite {
       st.getLong(1) == base.getLong(1) + delta.getLong(1))
   }
 
+  test("tombstone delete: no deleted doc served, artifact untouched, " +
+    "stats still count deletions (Lucene docFreq semantics)") {
+    val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val before = inventory(s"$root/full")
+    val served = rows(LexIndex.textIndexDeleteQ.run(spark, TestSpark.Sf))
+    assert(inventory(s"$root/full") == before,
+      "delete rewrote the stored index files")
+    assert(served.nonEmpty)
+    assert(!served.exists(_._1 % 7 == LexIndex.DeleteMod),
+      "tombstoned doc served")
+    // scores of surviving docs are IDENTICAL to the undeleted serve
+    // (stats unchanged is the semantics, not an accident)
+    val undeleted = rows(LexIndex.textIndexServeQ.run(spark, TestSpark.Sf))
+      .filter(_._1 % 7 != LexIndex.DeleteMod).map(t => (t._1, t._3)).toMap
+    served.foreach { case (d, _, s) =>
+      undeleted.get(d).foreach(u => assert(u == s,
+        s"doc $d rescored under tombstones: $s vs $u"))
+    }
+  }
+
   test("persist inventory matches a direct corpus recount") {
     val got = LexIndex.textIndexPersistQ.run(spark, TestSpark.Sf)
       .collect().head

@@ -213,4 +213,35 @@ class TimeTravelSpec extends AnyFunSuite {
       }
     } finally graft.plans.Scratch.deleteTree(root)
   }
+
+  test("shallow clone: v0 serves the source's latest bytes with zero " +
+    "copy, and divergence never touches the source") {
+    val src = Dml.timeTravelRoot(spark, TestSpark.Sf)
+    def srcFiles(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(src))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = srcFiles()
+    val srcLatest = readV(src, Dml.timeTravelVersions(src).max)
+    // building cloneRoot clones AND applies the divergent batch
+    val clone = Dml.cloneRoot(spark, TestSpark.Sf)
+    // v0 of the clone IS the source's latest state (served through
+    // absolute pointer entries, no data under the clone at version 0)
+    assert(readV(clone, 0) == srcLatest, "clone v0 diverged from source")
+    // the diverged clone differs from the source exactly on the batch
+    val cloneLatest = readV(clone, Dml.timeTravelVersions(clone).max)
+    assert(cloneLatest != srcLatest, "clone batch was a no-op")
+    assert(cloneLatest.size == srcLatest.size, "clone batch changed keys")
+    // and the source tree is byte-for-byte what it was before the clone
+    assert(srcFiles() == before, "clone mutated the source table")
+    // the clone's own generation holds ONLY the touched partition
+    val g1 = new java.io.File(s"$clone/data/g1")
+    assert(g1.exists() &&
+      g1.listFiles().filter(_.isDirectory).map(_.getName).toSeq ==
+        Seq(s"yr=${Dml.TimeTravelYears(1)}"),
+      "clone generation not partition-pruned")
+  }
 }
