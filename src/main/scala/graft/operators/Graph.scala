@@ -1165,9 +1165,71 @@ object Graph {
       .orderBy(col("plabel"))
   }
 
+  /** Per-community CONDUCTANCE φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    * over the Louvain-local partition — the boundary-quality metric
+    * beside modularity's density view: a community with low φ keeps
+    * its random walks inside (the Leiden paper's well-connectedness
+    * concern; modularity alone can bless internally-disconnected
+    * groups). Exact integers end to end: in the symmetric doubled
+    * relation each cut edge {u,v} contributes exactly one
+    * (src∈C, dst∉C) row per side, so cut(C) is a plain filtered count,
+    * vol is the degree sum, and the single surface division is the
+    * only double. Same scale shape as the modularity entry (two
+    * label joins + community-keyed aggregates over the shared
+    * materialized partition). */
+  def conductanceExact(und: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("node"), col("community"))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    val vol = l.join(deg, Seq("node")).groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("k")).as("vol"))
+    val cut = und
+      .join(l.select(col("node").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(l.select(col("node").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .groupBy(col("cs").as("community")).agg(count(lit(1)).as("cut"))
+    val m2 = und.agg(count(lit(1)).as("v"))
+    vol.join(cut, Seq("community"), "left")
+      .na.fill(0L, Seq("cut"))
+      .crossJoin(broadcast(m2))
+      .filter(col("vol") < col("v")) // a whole-graph community has no cut
+      .select(col("community"), col("n_nodes"), col("cut"), col("vol"),
+        round(col("cut").cast("double") /
+          least(col("vol"), col("v") - col("vol")).cast("double"), 6)
+          .as("phi"))
+  }
+
+  val conductanceQ: Q = Q.df(
+    "graph_conductance",
+    s"""$ascendPreludeSql,
+       |localp as materialized (
+       |  select node, lbl as community from g$LouvainRounds),
+       |vol as (select p.community, cast(count(*) as bigint) as n_nodes,
+       |         cast(sum(d.k) as bigint) as vol
+       |        from localp p join deg d on d.node = p.node
+       |        group by p.community),
+       |cut as (select l1.community, cast(count(*) as bigint) as cut
+       |        from und join localp l1 on l1.node = und.src
+       |                 join localp l2 on l2.node = und.dst
+       |        where l1.community <> l2.community
+       |        group by l1.community)
+       |select v.community, v.n_nodes,
+       |  cast(coalesce(c.cut, 0) as bigint) as cut, v.vol,
+       |  round(cast(coalesce(c.cut, 0) as double)
+       |    / cast(least(v.vol, m2.v - v.vol) as double), 6) as phi
+       |from vol v left join cut c on c.community = v.community
+       |cross join m2
+       |where v.vol < m2.v
+       |order by v.community""".stripMargin) { (s, dir) =>
+    conductanceExact(sharedLpaUndirected(s, dir),
+      sharedLouvainLocal(s, dir))
+      .orderBy(col("community"))
+  }
+
   val queries: Seq[Q] =
     Seq(pageRankQ, pprQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ,
-      resourceAllocationQ, kcoreQ,
+      resourceAllocationQ, kcoreQ, conductanceQ,
       connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ,
       modularityExactQ)
 }

@@ -148,11 +148,87 @@ object LexIndex {
     new graft.plans.Memo[(SparkSession, String), String](
       graft.plans.Scratch.deleteTree)
 
+  /** Phrase results served per query. */
+  val PhraseTopN = 50
+
+  /** POSITIONAL extension of the full segment (Lucene's `.pos` file +
+    * a shingle-field bigram dictionary): `positions/` is (tok, doc_id,
+    * p) — token OCCURRENCES, the genuinely corpus-sized piece a
+    * positional index pays for phrase support — hash-partitioned by
+    * the same token buckets as the postings; `bigrams/` is the
+    * adjacent-pair count table (vocabulary²-bounded, in practice
+    * token-bounded) the serve derives its query from. One
+    * posexplode pass; the bigram counts ride a per-doc lead window
+    * (per-doc sequences — bounded window state). */
+  private[graft] def writePositions(docs: DataFrame, root: String,
+      seg: String): Unit = {
+    val pos = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ", -1)).as(Seq("p", "tok")))
+    pos.withColumn("b",
+        pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("b")
+      .parquet(s"$root/$seg/positions")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    pos.withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$root/$seg/bigrams")
+  }
+
+  /** PHRASE query from the stored positional index — the capability
+    * positions exist for: resolve the corpus's hottest bigram from the
+    * stored dictionary (model-sized collect), prune the positions scan
+    * to the two terms' buckets, and count exact adjacencies per doc by
+    * the position join (t2 at p+1 of t1) — Lucene's phrase scorer as
+    * one equi-join on (doc, position). */
+  private[graft] def servePhrase(s: SparkSession, root: String,
+      seg: String): DataFrame = {
+    import s.implicits._
+    val (t1, t2) = s.read.parquet(s"$root/$seg/bigrams")
+      .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(1)
+      .select(col("t1"), col("t2")).as[(String, String)].collect().head
+    val buckets = Seq(t1, t2).toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
+        .as("b"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val posT = s.read.parquet(s"$root/$seg/positions")
+      .filter(col("b").isin(buckets: _*))
+    val p1 = posT.filter(col("tok") === t1).select(col("doc_id"), col("p"))
+    val p2 = posT.filter(col("tok") === t2)
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    p1.join(p2, Seq("doc_id", "p"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_phrase"))
+      .orderBy(col("n_phrase").desc, col("doc_id")).limit(PhraseTopN)
+  }
+
+  val textIndexPhraseQ: Q = Q.df(
+    "text_index_phrase",
+    s"""with idx as (
+       |  select doc_id, l, unnest(range(1, len(l) + 1)) as i
+       |  from (select doc_id, string_split(text, ' ') as l
+       |        from documents)),
+       |pos as (select doc_id, i - 1 as p, l[i] as tok, l[i + 1] as nxt
+       |        from idx),
+       |bg as (select tok as t1, nxt as t2, cast(count(*) as bigint) as cnt
+       |       from pos where nxt is not null group by tok, nxt),
+       |top as (select t1, t2 from bg order by cnt desc, t1, t2 limit 1),
+       |hits as (select p.doc_id, cast(count(*) as bigint) as n_phrase
+       |         from pos p join top t on p.tok = t.t1 and p.nxt = t.t2
+       |         group by p.doc_id)
+       |select doc_id, n_phrase from hits
+       |order by n_phrase desc, doc_id limit $PhraseTopN""".stripMargin) {
+    (s, dir) => servePhrase(s, fullIndexRoot(s, dir), "full")
+  }
+
   private[graft] def fullIndexRoot(s: SparkSession, dir: String): String =
     fullCache.once((s, dir)) {
       val root =
         java.nio.file.Files.createTempDirectory("graft-lexindex").toString
-      writeSegment(Tables.df(s, dir, "documents"), root, "full")
+      val docs = Tables.df(s, dir, "documents")
+      writeSegment(docs, root, "full")
+      writePositions(docs, root, "full")
       root
     }
 
@@ -283,5 +359,5 @@ object LexIndex {
 
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
-      textIndexCompactQ, textIndexDeleteQ)
+      textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ)
 }

@@ -121,6 +121,41 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase query: position-join counts equal a direct adjacency " +
+    "recount, scan pruned to the two terms' buckets") {
+    val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val before = inventory(s"$root/full")
+    val df = LexIndex.servePhrase(spark, root, "full")
+    val served = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inventory(s"$root/full") == before,
+      "phrase serve rewrote the stored index")
+    assert(served.nonEmpty, "hottest bigram has no phrase hits")
+    // independent recount straight off the corpus text
+    val top = spark.read.parquet(s"$root/full/bigrams")
+      .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(1)
+      .collect().head
+    val (t1, t2) = (top.getString(0), top.getString(1))
+    val toks = Tables.df(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("p", "tok")))
+    val want = toks.filter(col("tok") === t1).as("a")
+      .join(toks.filter(col("tok") === t2).as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.doc_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a.doc_id")).limit(LexIndex.PhraseTopN)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == want, "phrase counts diverged from direct recount")
+    // the positions scan is bucket-pruned like the postings scan
+    val scanned = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("positions")) =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ <= 2),
+      s"positions scan read $scanned bucket dirs (> 2)")
+  }
+
   test("persist inventory matches a direct corpus recount") {
     val got = LexIndex.textIndexPersistQ.run(spark, TestSpark.Sf)
       .collect().head
