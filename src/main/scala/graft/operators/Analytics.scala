@@ -1346,13 +1346,89 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Holt's linear-trend smoothing factors. */
+  val HoltAlpha = 0.3
+  val HoltBeta = 0.2
+
+  /** HOLT linear-trend smoothing over each type's daily series —
+    * [[eventsEwma]] plus a trend state, the level+slope tracker behind
+    * "are we growing and how fast" capacity forecasts:
+    * l′ = α·x + (1−α)(l+t), t′ = β(l′−l) + (1−β)t, ŷ = l′+t′.
+    * Same fold-over-the-time-ordered-list shape as the SES entry (state
+    * bounded by date span), but the accumulator carries TWO fields —
+    * Spark folds a struct accumulator; the ORACLE runs the recursion as
+    * a recursive CTE over the indexed daily rows instead of a
+    * struct-lambda list_reduce, because DuckDB's struct-accumulator
+    * lambda mis-binds the accumulator fields past the second fold step
+    * (verified: a 2-element fold agrees, the 3rd step reads a wrong
+    * `a.l`) — the recursion states the identical double expressions and
+    * matches Spark bit-for-bit. */
+  val eventsHolt: Q = Q.df(
+    "events_holt_trend",
+    s"""with recursive daily as (
+       |  select event_type, cast(ts as date) as day,
+       |    cast(count(*) as bigint) as cnt
+       |  from events group by event_type, cast(ts as date)),
+       |di as (select event_type, cnt,
+       |    cast(row_number() over (partition by event_type order by day)
+       |      as bigint) as i
+       |  from daily),
+       |n as (select event_type, cast(count(*) as bigint) as n_days
+       |      from di group by event_type),
+       |h as (
+       |  select event_type, cast(1 as bigint) as i, cast(cnt as double) as l,
+       |    cast(0.0 as double) as t
+       |  from di where i = 1
+       |  union all
+       |  select d.event_type, h.i + 1,
+       |    cast($HoltAlpha * cast(d.cnt as double)
+       |      + ${1 - HoltAlpha} * (h.l + h.t) as double),
+       |    cast($HoltBeta * (($HoltAlpha * cast(d.cnt as double)
+       |        + ${1 - HoltAlpha} * (h.l + h.t)) - h.l)
+       |      + ${1 - HoltBeta} * h.t as double)
+       |  from h join di d on d.event_type = h.event_type and d.i = h.i + 1)
+       |select h.event_type, n.n_days,
+       |  round(h.l, 6) as level, round(h.t, 6) as trend,
+       |  round(h.l + h.t, 6) as forecast
+       |from h join n on n.event_type = h.event_type and h.i = n.n_days
+       |order by h.event_type""".stripMargin) { (s, dir) =>
+    def L(a: org.apache.spark.sql.Column) = a.getField("l")
+    def T(a: org.apache.spark.sql.Column) = a.getField("t")
+    Tables.df(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("s"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        aggregate(
+          expr("slice(s, 2, size(s) - 1)"),
+          struct(
+            element_at(col("s"), 1).getField("cnt").cast("double").as("l"),
+            lit(0.0d).as("t")),
+          (a, x) => {
+            val xl = x.getField("cnt").cast("double")
+            val lp = lit(HoltAlpha) * xl + lit(1 - HoltAlpha) * (L(a) + T(a))
+            struct(lp.as("l"),
+              (lit(HoltBeta) * (lp - L(a)) + lit(1 - HoltBeta) * T(a))
+                .as("t"))
+          }).as("st"))
+      .select(col("event_type"), col("n_days"),
+        round(col("st.l"), 6).as("level"),
+        round(col("st.t"), 6).as("trend"),
+        round(col("st.l") + col("st.t"), 6).as("forecast"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
     eventsAttribution, eventsMarkovAttribution, eventsShapley,
     eventsTransitions,
     eventsPathPattern, eventsStreaks,
-    eventsChangepoint, eventsSeasonality, eventsEwma, eventsAbLift,
+    eventsChangepoint, eventsSeasonality, eventsEwma, eventsHolt,
+    eventsAbLift,
     windowSessionNative,
     eventsBotRegularity)
 }

@@ -510,6 +510,69 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Total sample budget allocated by [[sampleNeyman]]. */
+  val NeymanBudget = 10000L
+
+  /** NEYMAN (optimal) stratified-sample allocation: under a fixed
+    * budget n, the variance-minimizing per-stratum sample size is
+    * n_h ∝ N_h·S_h (big AND internally-variable strata get more) — the
+    * classical survey-sampling design step that turns the per-source
+    * token statistics into the rates table [[stratifiedSample]]
+    * consumes (proportional allocation over-samples homogeneous
+    * boilerplate sources; Neyman provably minimizes the estimator
+    * variance). Everything up to the single sqrt is exact int64
+    * (count / sum / sum-of-squares per stratum; the cleared-denominator
+    * sample variance (N·Σx² − (Σx)²)/(N(N−1))); the stratum-weight
+    * total folds over the SORTED weight list so the one
+    * summation-order-sensitive double is deterministic cross-engine,
+    * and the final allocation is one floor per stratum. Strata count
+    * is model-sized — one map-side-combined groupBy over the corpus,
+    * nothing driver-sized. */
+  def sampleNeyman(docs: DataFrame, budget: Long): DataFrame = {
+    val g = docs.select(col("source"),
+        graft.functions.Text.tokenCount(col("text")).as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nh"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ssq"))
+      .filter(col("nh") > 1)
+      .withColumn("sd", sqrt(
+        (col("nh") * col("ssq") - col("s") * col("s")).cast("double") /
+          (col("nh") * (col("nh") - 1)).cast("double")))
+      .withColumn("w", col("nh").cast("double") * col("sd"))
+    val tot = g.agg(aggregate(sort_array(collect_list(col("w"))),
+      lit(0.0d), (a, x) => a + x).as("tw"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh").as("n_docs"),
+        round(col("sd"), 6).as("sd"),
+        floor(lit(budget.toDouble) * col("w") / col("tw")).cast("long")
+          .as("alloc"))
+  }
+
+  val sampleNeymanQ: Q = Q.df(
+    "sample_neyman_alloc",
+    s"""with t as (select source,
+       |    cast(len(string_split(text, ' ')) as bigint) as x
+       |  from documents),
+       |g as (select source, cast(count(*) as bigint) as nh,
+       |    cast(sum(x) as bigint) as s,
+       |    cast(sum(x * x) as bigint) as ssq
+       |  from t group by source),
+       |sw as (select source, nh,
+       |    sqrt(cast(nh * ssq - s * s as double)
+       |      / cast(nh * (nh - 1) as double)) as sd
+       |  from g where nh > 1),
+       |w as (select source, nh, sd, cast(nh as double) * sd as w from sw),
+       |tot as (select list_reduce(
+       |    list_prepend(cast(0.0 as double), list_sort(list(w))),
+       |    (a, x) -> a + x) as tw from w)
+       |select source, nh as n_docs, round(sd, 6) as sd,
+       |  cast(floor(${NeymanBudget}.0 * w.w / tot.tw) as bigint) as alloc
+       |from w cross join tot
+       |order by source""".stripMargin) { (s, dir) =>
+    sampleNeyman(Tables.df(s, dir, "documents"), NeymanBudget)
+      .orderBy(col("source"))
+  }
+
   // ---- per-source token statistics ---------------------------------------
 
   /** Per-source document-length profile: count plus exact ORDER
@@ -1248,5 +1311,6 @@ object Corpus {
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
     sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,
-    lengthHistogram, samplePpswor, dsirWeightsQ, waterfillQ, klDriftQ)
+    lengthHistogram, samplePpswor, dsirWeightsQ, waterfillQ, klDriftQ,
+    sampleNeymanQ)
 }

@@ -162,4 +162,49 @@ class AnalyticsSpec extends AnyFunSuite {
     // all four quartiles realized in at least one dimension
     assert(rows.map(_._5).distinct.length >= 3, "frequency quartiles degenerate")
   }
+
+  test("Holt trend: forecast = level + trend, and each type's trend " +
+    "sign agrees with its daily-count regression slope") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.eventsHolt.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (ty, l, t, f) =>
+      assert(math.abs(f - (l + t)) < 2e-6, s"$ty forecast != level+trend")
+    }
+    // regression slope per type over (day index, count)
+    val slope = Tables.df(spark, TestSpark.Sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(expr("regr_slope(cnt, cast(datediff(day, date'2020-01-01') as double))")
+        .as("b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Holt's trend needn't equal the global slope, but a clearly-sloped
+    // series must agree in SIGN where the slope is non-trivial
+    got.foreach { case (ty, _, t, _) =>
+      val b = slope(ty)
+      if (math.abs(b) > 0.2)
+        assert(t.sign == b.sign, s"$ty: holt trend $t vs slope $b")
+    }
+  }
+
+  test("Neyman allocation: within budget, monotone in N_h*S_h") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Corpus.sampleNeymanQ.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._4).sum
+    assert(total <= graft.operators.Corpus.NeymanBudget,
+      s"allocated $total over budget")
+    // floors lose at most one unit per stratum
+    assert(total > graft.operators.Corpus.NeymanBudget - rows.length,
+      s"allocated only $total")
+    // bigger N_h*sd_h never gets a smaller allocation
+    val byW = rows.sortBy(r => r._2 * r._3).map(_._4)
+    assert(byW.zip(byW.tail).forall { case (a, b) => a <= b },
+      "allocation not monotone in stratum weight")
+  }
 }
