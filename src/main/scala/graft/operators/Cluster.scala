@@ -370,7 +370,75 @@ object Cluster {
     kcenterSample(Tables.df(s, dir, "embeddings")).orderBy(col("rank"))
   }
 
+  /** SIMPLIFIED silhouette (Hruschka et al.): per point,
+    * a = distance to its OWN centroid, b = min distance to any OTHER
+    * centroid, s = (b−a)/max(a,b) ∈ [−1, 1] — the O(n·k)
+    * clustering-quality readout that replaces the O(n²) full silhouette
+    * at scale (the same substitution every large-scale evaluator
+    * makes), reported as a per-cluster mean. The cluster id is the
+    * serving assignment (dot-product argmax over the shared trained
+    * model), while distances are Euclidean to the literal centroids —
+    * so a point a non-unit centroid "owns" by dot but not by distance
+    * scores NEGATIVE, which is exactly the mis-fit signal the metric
+    * exists to surface. Per-point doubles are bit-identical cross-engine
+    * (same ascending-index squared-diff fold, one sqrt, order-free min);
+    * the per-cluster mean folds the SORTED value list. Per-group state
+    * is bounded by cluster size; at 100 TB swap the fold for a
+    * decimal-exact streaming sum — the metric itself stays one kernel
+    * pass + one cluster-keyed aggregate. */
+  def silhouetteSimplified(emb: DataFrame, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cm = centroidsFor(emb, dir)
+    val pts = Similarity.withUnit(emb).as[(Long, Array[Double])]
+      .map { case (id, u) =>
+        val own = Similarity.nearestCentroids(u, 1, cm)(0)
+        def dist(c: Array[Double]): Double = {
+          var s = 0.0
+          var i = 0
+          while (i < u.length) { val d = u(i) - c(i); s += d * d; i += 1 }
+          math.sqrt(s)
+        }
+        val a = dist(cm(own))
+        var b = Double.MaxValue
+        var k = 0
+        while (k < cm.length) {
+          if (k != own) { val d = dist(cm(k)); if (d < b) b = d }
+          k += 1
+        }
+        (id, own.toLong, (b - a) / math.max(a, b))
+      }.toDF("vec_id", "cid", "sil")
+    pts.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"),
+        sort_array(collect_list(col("sil"))).as("ss"))
+      .select(col("cid"), col("n_points"),
+        round(aggregate(col("ss"), lit(0.0d), (a, x) => a + x)
+          / col("n_points").cast("double"), 6).as("mean_sil"))
+  }
+
+  val clusterSilhouette: Q = Q.df(
+    "cluster_silhouette",
+    s"""with $assignSql,
+       |d as (select a.vec_id, a.cid as own, c.cid as k,
+       |    sqrt(list_sum(list_transform(range(1, len(a.u) + 1),
+       |      i -> (a.u[i] - c.v[i]) * (a.u[i] - c.v[i])))) as d
+       |  from assign a cross join c),
+       |ab as (select vec_id, own,
+       |    min(case when k = own then d end) as a,
+       |    min(case when k <> own then d end) as b
+       |  from d group by vec_id, own),
+       |s as (select own as cid, (b - a) / greatest(a, b) as sil from ab),
+       |g as (select cid, cast(count(*) as bigint) as n_points,
+       |    list_sort(list(sil)) as ss from s group by cid)
+       |select cid, n_points,
+       |  round(list_reduce(list_prepend(cast(0 as double), ss),
+       |      (acc, x) -> acc + x) / cast(n_points as double), 6) as mean_sil
+       |from g order by cid""".stripMargin) { (s, dir) =>
+    silhouetteSimplified(Tables.df(s, dir, "embeddings"), dir)
+      .orderBy(col("cid"))
+  }
+
   val queries: Seq[Q] =
     Seq(clusterKmeans, dedupSemantic, sampleClusterBalanced, clusterPurity,
-      sampleClassBalance, kcenterQ)
+      sampleClassBalance, kcenterQ, clusterSilhouette)
 }

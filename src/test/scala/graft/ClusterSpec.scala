@@ -108,4 +108,25 @@ class ClusterSpec extends AnyFunSuite {
     assert(worst <= ds.last + 1e-6,
       s"uncovered point at $worst > last pick ${ds.last}")
   }
+
+  test("simplified silhouette: values bounded, covers every cluster, " +
+    "population-weighted mean positive for the trained model") {
+    import graft.operators.Cluster
+    val rows = Cluster.silhouetteSimplified(
+      Tables.df(spark, TestSpark.Sf, "embeddings"), TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cid, n, s) =>
+      assert(n > 0 && s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9,
+        s"cluster $cid mean silhouette $s out of range")
+    }
+    // clusters partition the corpus
+    val total = rows.map(_._2).sum
+    val corpus = Tables.df(spark, TestSpark.Sf, "embeddings").count()
+    assert(total == corpus, s"silhouette covered $total of $corpus")
+    // a trained (non-random) quantizer separates better than chance:
+    // the population-weighted mean is positive
+    val wmean = rows.map { case (_, n, s) => n * s }.sum / total
+    assert(wmean > 0, s"weighted mean silhouette $wmean not positive")
+  }
 }
