@@ -531,6 +531,105 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Longest candidate phrase RAKE keeps (the standard cap — unbounded
+    * runs degenerate into whole-clause "phrases" whose degree swamps
+    * the ranking) and the ranked keyphrase count served. */
+  val RakeMaxLen = 4
+  val RakeTopN = 100
+
+  /** RAKE keyphrase extraction (Rose et al. 2010), corpus-level: split
+    * token streams into candidate phrases at STOPWORD boundaries
+    * (gaps-and-islands over the non-stopword positions), score each
+    * word w by deg(w)/freq(w) over all phrase occurrences (degree =
+    * summed length of phrases containing w, so words living in longer
+    * collocations outrank bare frequency), and rank phrases by the sum
+    * of their word scores — the phrase-level complement of
+    * `text_tfidf_topterms`' unigram view, and the cheap keyphrase
+    * miner pipelines run before embedding-based labelers.
+    *
+    * Scale shape: one tokenize pass, one per-doc window (islands), two
+    * vocabulary-keyed aggregates (freq/deg — map-side combined), one
+    * broadcastable word-score join back, one phrase-keyed aggregate.
+    * Determinism: deg/freq are exact ints; a word's score is ONE
+    * division; a phrase's score folds its word scores in POSITION
+    * order (sorted-struct fold both engines), so identical phrase text
+    * scores identically everywhere. */
+  val textRakeKeyphrases: Q = Q.df(
+    "text_rake_keyphrases", {
+      val stops = Text.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""with idx as (
+         |  select doc_id, l, unnest(range(1, len(l) + 1)) as i
+         |  from (select doc_id, string_split(text, ' ') as l
+         |        from documents)),
+         |toks as (select doc_id, i - 1 as p, l[i] as tok from idx),
+         |ns as (select doc_id, p, tok,
+         |    p - row_number() over (partition by doc_id order by p) as isl
+         |  from toks where tok not in ($stops) and tok <> ''),
+         |phr as (select doc_id, isl,
+         |    list(tok order by p) as words,
+         |    array_to_string(list(tok order by p), ' ') as phrase,
+         |    cast(count(*) as bigint) as len
+         |  from ns group by doc_id, isl
+         |  having count(*) <= $RakeMaxLen),
+         |wo as (select doc_id, isl, phrase, len, j, words[j] as word
+         |  from phr, unnest(range(1, len(words) + 1)) t(j)),
+         |ws as (select word, cast(count(*) as bigint) as freq,
+         |    cast(sum(len) as bigint) as deg
+         |  from wo group by word),
+         |sc as (select wo.doc_id, wo.isl, wo.phrase, wo.len,
+         |    list(cast(ws.deg as double) / cast(ws.freq as double)
+         |      order by wo.j) as ss
+         |  from wo join ws on ws.word = wo.word
+         |  group by wo.doc_id, wo.isl, wo.phrase, wo.len),
+         |ps as (select phrase, len,
+         |    list_reduce(list_prepend(cast(0 as double), ss),
+         |      (a, x) -> a + x) as score
+         |  from sc)
+         |select phrase, cast(max(len) as bigint) as n_words,
+         |  cast(count(*) as bigint) as n_occ,
+         |  round(min(score), 6) as score
+         |from ps group by phrase
+         |order by min(score) desc, phrase limit $RakeTopN""".stripMargin
+    }) { (s, dir) =>
+    val stops = Text.stopwords("en")
+    val toks = Tables.df(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("p", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val ns = toks
+      .filter(!col("tok").isin(stops.map(x => x: Any): _*) &&
+        col("tok") =!= "")
+      .withColumn("isl", col("p") - row_number().over(w))
+    val phr = ns.groupBy(col("doc_id"), col("isl"))
+      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("ws"),
+        count(lit(1)).as("len"))
+      .filter(col("len") <= RakeMaxLen)
+      .select(col("doc_id"), col("isl"), col("len"),
+        expr("transform(ws, x -> x.tok)").as("words"),
+        array_join(expr("transform(ws, x -> x.tok)"), " ").as("phrase"))
+    val wo = phr.select(col("doc_id"), col("isl"), col("phrase"), col("len"),
+      posexplode(col("words")).as(Seq("j", "word")))
+    val wstat = wo.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    val sc = wo.join(broadcast(wstat), Seq("word"))
+      .withColumn("wscore",
+        col("deg").cast("double") / col("freq").cast("double"))
+      .groupBy(col("doc_id"), col("isl"), col("phrase"), col("len"))
+      .agg(sort_array(collect_list(struct(col("j"), col("wscore"))))
+        .as("ss"))
+      .select(col("phrase"), col("len"),
+        aggregate(col("ss"), lit(0.0d),
+          (a, x) => a + x.getField("wscore")).as("score"))
+    sc.groupBy(col("phrase"))
+      .agg(max(col("len")).as("n_words"), count(lit(1)).as("n_occ"),
+        min(col("score")).as("s"))
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        round(col("s"), 6).as("score"), col("s"))
+      .orderBy(col("s").desc, col("phrase")).limit(RakeTopN)
+      .drop("s")
+  }
+
   /** Within-document repetition (Gopher-style quality rule): the
     * fraction of duplicate word trigrams inside each document. Heavily
     * templated/looping text scores high and is dropped before training.
@@ -1832,7 +1931,8 @@ object TextAnalysis {
 
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
-      textRollingFingerprint, textPiiFlags, textPiiRedact, textRepetition,
+      textRollingFingerprint, textPiiFlags, textPiiRedact,
+      textRakeKeyphrases, textRepetition,
       jsonExtractProps, jsonBuild, exprVariant, textEntropy, textLmScore,
       textWinnow,
       textLmBigram, textFeatureHash, textClassifierScore, textClassifierAuc,

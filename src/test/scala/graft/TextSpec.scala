@@ -237,4 +237,28 @@ class TextSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("RAKE keyphrases: stopword-free, capped length, positive " +
+    "descending scores, multi-word collocations surface") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.textRakeKeyphrases.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val stops = graft.functions.Text.stopwords("en").toSet
+    rows.foreach { case (phrase, nWords, nOcc, score) =>
+      val ws = phrase.split(" ").toSeq
+      assert(ws.size == nWords && nWords <= TextAnalysis.RakeMaxLen)
+      assert(ws.forall(t => !stops.contains(t) && t.nonEmpty),
+        s"stopword inside candidate phrase '$phrase'")
+      assert(nOcc >= 1 && score > 0)
+    }
+    // ranked: scores non-increasing down the list
+    val ss = rows.map(_._4)
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    // RAKE's whole point: degree rewards collocations, so the top of
+    // the ranking is dominated by multi-word phrases
+    assert(rows.take(20).count(_._2 >= 2) >= 15,
+      "top RAKE phrases unexpectedly unigram-dominated")
+  }
 }
