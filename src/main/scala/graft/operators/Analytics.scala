@@ -1363,18 +1363,24 @@ object Analytics {
     * (verified: a 2-element fold agrees, the 3rd step reads a wrong
     * `a.l`) — the recursion states the identical double expressions and
     * matches Spark bit-for-bit. */
+  /** Indexed-daily-series CTEs shared by the Holt oracle and the
+    * forecast-eval oracle: `di(event_type, cnt, i)` (time-indexed
+    * daily counts) and `n(event_type, n_days)`. */
+  private def holtDailyCtes: String =
+    """daily as (
+      |  select event_type, cast(ts as date) as day,
+      |    cast(count(*) as bigint) as cnt
+      |  from events group by event_type, cast(ts as date)),
+      |di as (select event_type, cnt,
+      |    cast(row_number() over (partition by event_type order by day)
+      |      as bigint) as i
+      |  from daily),
+      |n as (select event_type, cast(count(*) as bigint) as n_days
+      |      from di group by event_type)""".stripMargin
+
   val eventsHolt: Q = Q.df(
     "events_holt_trend",
-    s"""with recursive daily as (
-       |  select event_type, cast(ts as date) as day,
-       |    cast(count(*) as bigint) as cnt
-       |  from events group by event_type, cast(ts as date)),
-       |di as (select event_type, cnt,
-       |    cast(row_number() over (partition by event_type order by day)
-       |      as bigint) as i
-       |  from daily),
-       |n as (select event_type, cast(count(*) as bigint) as n_days
-       |      from di group by event_type),
+    s"""with recursive $holtDailyCtes,
        |h as (
        |  select event_type, cast(1 as bigint) as i, cast(cnt as double) as l,
        |    cast(0.0 as double) as t
@@ -1421,6 +1427,77 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** FORECAST BACKTEST — the model-QA discipline (classifier_eval_*,
+    * retrieval_eval_ndcg) applied to the forecasting family: replay
+    * each type's daily series, emit the ONE-STEP-AHEAD Holt forecast
+    * f_t = l_{t−1}+t_{t−1} before folding x_t in, and score
+    * MAE(holt) against MAE(naive carry-forward x_{t−1}) — the baseline
+    * any forecaster must beat to justify its state. One 5-field
+    * accumulator per series (level, trend, prev, Σ|err|, Σ|naive err|),
+    * time-ordered fold in Spark ≡ recursive CTE in the oracle, error
+    * sums accumulated in the same time order both sides. */
+  val eventsForecastEval: Q = Q.df(
+    "events_forecast_eval",
+    s"""with recursive $holtDailyCtes,
+       |h as (
+       |  select event_type, cast(1 as bigint) as i, cast(cnt as double) as l,
+       |    cast(0.0 as double) as t, cast(cnt as double) as prev,
+       |    cast(0.0 as double) as se, cast(0.0 as double) as sn
+       |  from di where i = 1
+       |  union all
+       |  select d.event_type, h.i + 1,
+       |    cast($HoltAlpha * cast(d.cnt as double)
+       |      + ${1 - HoltAlpha} * (h.l + h.t) as double),
+       |    cast($HoltBeta * (($HoltAlpha * cast(d.cnt as double)
+       |        + ${1 - HoltAlpha} * (h.l + h.t)) - h.l)
+       |      + ${1 - HoltBeta} * h.t as double),
+       |    cast(d.cnt as double),
+       |    cast(h.se + abs(cast(d.cnt as double) - (h.l + h.t)) as double),
+       |    cast(h.sn + abs(cast(d.cnt as double) - h.prev) as double)
+       |  from h join di d on d.event_type = h.event_type and d.i = h.i + 1)
+       |select h.event_type, n.n_days - 1 as n_evals,
+       |  round(h.se / cast(n.n_days - 1 as double), 6) as holt_mae,
+       |  round(h.sn / cast(n.n_days - 1 as double), 6) as naive_mae,
+       |  h.se < h.sn as holt_beats_naive
+       |from h join n on n.event_type = h.event_type and h.i = n.n_days
+       |order by h.event_type""".stripMargin) { (s, dir) =>
+    def F(a: org.apache.spark.sql.Column, f: String) = a.getField(f)
+    Tables.df(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("s"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        aggregate(
+          expr("slice(s, 2, size(s) - 1)"),
+          struct(
+            element_at(col("s"), 1).getField("cnt").cast("double").as("l"),
+            lit(0.0d).as("t"),
+            element_at(col("s"), 1).getField("cnt").cast("double")
+              .as("prev"),
+            lit(0.0d).as("se"), lit(0.0d).as("sn")),
+          (a, x) => {
+            val xv = x.getField("cnt").cast("double")
+            val lp = lit(HoltAlpha) * xv +
+              lit(1 - HoltAlpha) * (F(a, "l") + F(a, "t"))
+            struct(lp.as("l"),
+              (lit(HoltBeta) * (lp - F(a, "l")) +
+                lit(1 - HoltBeta) * F(a, "t")).as("t"),
+              xv.as("prev"),
+              (F(a, "se") + abs(xv - (F(a, "l") + F(a, "t")))).as("se"),
+              (F(a, "sn") + abs(xv - F(a, "prev"))).as("sn"))
+          }).as("st"))
+      .select(col("event_type"), (col("n_days") - 1).as("n_evals"),
+        round(col("st.se") / (col("n_days") - 1).cast("double"), 6)
+          .as("holt_mae"),
+        round(col("st.sn") / (col("n_days") - 1).cast("double"), 6)
+          .as("naive_mae"),
+        (col("st.se") < col("st.sn")).as("holt_beats_naive"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
@@ -1428,6 +1505,7 @@ object Analytics {
     eventsTransitions,
     eventsPathPattern, eventsStreaks,
     eventsChangepoint, eventsSeasonality, eventsEwma, eventsHolt,
+    eventsForecastEval,
     eventsAbLift,
     windowSessionNative,
     eventsBotRegularity)

@@ -190,6 +190,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("forecast backtest: flag consistent with the MAEs, both " +
+    "positive, one eval per post-first day") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.eventsForecastEval.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val nDays = Tables.df(spark, TestSpark.Sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (ty, n, hm, nm, beats) =>
+      assert(n == nDays(ty) - 1, s"$ty evals $n != days-1")
+      assert(hm > 0 && nm > 0, s"$ty degenerate MAE")
+      assert(beats == (hm < nm) || math.abs(hm - nm) < 2e-6,
+        s"$ty flag inconsistent: $hm vs $nm")
+    }
+  }
+
   test("Neyman allocation: within budget, monotone in N_h*S_h") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Corpus.sampleNeymanQ.run(spark, TestSpark.Sf)
