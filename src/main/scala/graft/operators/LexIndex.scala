@@ -32,8 +32,9 @@ import graft.{Q, Tables}
   * [[textIndexIncrementalQ]] makes that exactness an oracle-gated
   * claim: its oracle is the SAME full-corpus SQL as the full index's.
   *
-  * Reference: doradb-index's stored-structure lifecycle is the
-  * capability target (build/persist/serve); the postings layout and
+  * Reference: the stored-index-structure lifecycle (build once, serve
+  * from frozen blocks, mutate via deltas) is the capability shape of
+  * doradb-storage/src/index/block_index.rs; the postings layout and
   * the BM25 serve are standard IR (Robertson/Spärck Jones), expressed
   * Spark-first as partitioned parquet + broadcast joins.
   */
