@@ -549,7 +549,9 @@ object TextAnalysis {
     *
     * Scale shape: one tokenize pass, one per-doc window (islands), two
     * vocabulary-keyed aggregates (freq/deg — map-side combined), one
-    * broadcastable word-score join back, one phrase-keyed aggregate.
+    * word-keyed equi-join back (VOCABULARY-sized — broadcastable at
+    * fixture scale but not at web scale, so the plan leaves the
+    * strategy to AQE), one phrase-keyed aggregate.
     * Determinism: deg/freq are exact ints; a word's score is ONE
     * division; a phrase's score folds its word scores in POSITION
     * order (sorted-struct fold both engines), so identical phrase text
@@ -612,7 +614,7 @@ object TextAnalysis {
       posexplode(col("words")).as(Seq("j", "word")))
     val wstat = wo.groupBy(col("word"))
       .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
-    val sc = wo.join(broadcast(wstat), Seq("word"))
+    val sc = wo.join(wstat, Seq("word"))
       .withColumn("wscore",
         col("deg").cast("double") / col("freq").cast("double"))
       .groupBy(col("doc_id"), col("isl"), col("phrase"), col("len"))
