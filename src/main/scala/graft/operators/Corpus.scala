@@ -541,11 +541,16 @@ object Corpus {
       .withColumn("w", col("nh").cast("double") * col("sd"))
     val tot = g.agg(aggregate(sort_array(collect_list(col("w"))),
       lit(0.0d), (a, x) => a + x).as("tw"))
+    // degenerate-corpus guard: if every surviving stratum has zero
+    // within-stratum variance, tw = 0 and the ratio would be 0/0 —
+    // emit alloc 0 (no variance signal → nothing to optimize) instead
+    // of NaN; the oracle carries the same case expression
     g.crossJoin(broadcast(tot))
       .select(col("source"), col("nh").as("n_docs"),
         round(col("sd"), 6).as("sd"),
-        floor(lit(budget.toDouble) * col("w") / col("tw")).cast("long")
-          .as("alloc"))
+        when(col("tw") > 0d,
+          floor(lit(budget.toDouble) * col("w") / col("tw")).cast("long"))
+          .otherwise(lit(0L)).as("alloc"))
   }
 
   val sampleNeymanQ: Q = Q.df(
@@ -566,7 +571,9 @@ object Corpus {
        |    list_prepend(cast(0.0 as double), list_sort(list(w))),
        |    (a, x) -> a + x) as tw from w)
        |select source, nh as n_docs, round(sd, 6) as sd,
-       |  cast(floor(${NeymanBudget}.0 * w.w / tot.tw) as bigint) as alloc
+       |  case when tot.tw > 0
+       |    then cast(floor(${NeymanBudget}.0 * w.w / tot.tw) as bigint)
+       |    else 0 end as alloc
        |from w cross join tot
        |order by source""".stripMargin) { (s, dir) =>
     sampleNeyman(Tables.df(s, dir, "documents"), NeymanBudget)

@@ -1185,9 +1185,18 @@ object Dml {
     * [[TimeTravelYears]] batches — released (tree deleted) on family
     * drain, so timed runs measure the versioned READ, which is the
     * operator. */
+  // Release order is load-bearing: a SHALLOW CLONE's v0 manifest embeds
+  // ABSOLUTE paths into this tree (the zero-copy pointer semantics), so
+  // evicting the source must first evict its dependents — otherwise an
+  // individual timeTravelCache.clear() would leave cloneCache serving
+  // dangling pointers into a deleted tree. (Memo.drainAll's all-at-once
+  // sweep happened to keep them in sync; this makes it structural.)
   private val timeTravelCache =
     new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
-      graft.plans.Scratch.deleteTree)
+      { root =>
+        cloneCache.clear()
+        graft.plans.Scratch.deleteTree(root)
+      })
 
   /** Build the full versioned tree (base g0 + the [[TimeTravelYears]]
     * upsert batches + the final U/I/D CDC generation) under a fresh

@@ -241,8 +241,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.map { m =>
       val n = m.payload.length
+      // Long product: idx*n overflows Int past ~30 MB payloads (idx up
+      // to 71), and the oracle's position arithmetic is int64
       def byteAt(idx: Int): Int =
-        if (n == 0) 0 else (m.payload((idx * n) / HashSamples) & 0xff)
+        if (n == 0) 0
+        else (m.payload(((idx.toLong * n) / HashSamples).toInt) & 0xff)
       var hi = 0L
       var lo = 0L
       var k = 0
@@ -281,8 +284,13 @@ object Multimodal {
   def mediaWithVariants(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     val base = mediaTable(spark, dir)
+    // payloads must be LONGER than the sampling grid for the Hamming≤2
+    // guarantee: with n > HashSamples the perturbed byte is sampled by
+    // at most one grid cell; a 1..72-byte payload would let one byte
+    // feed several cells and break the pair contract silently
     val variants = base
-      .filter(col("doc_id") % VariantMod === 0 && length(col("payload")) > 0)
+      .filter(col("doc_id") % VariantMod === 0 &&
+        length(col("payload")) > HashSamples)
       .map { m =>
         val p = m.payload.clone()
         val i = p.length / 2
@@ -345,7 +353,7 @@ object Multimodal {
          |    substring(hx, 1, 2 * (n // 2))
          |      || printf('%02X', (${sqlByteAt("hx", "n // 2")} + 128) % 256)
          |      || substring(hx, 2 * (n // 2) + 3) as hx, n
-         |  from base where doc_id % $VariantMod = 0 and n > 0),
+         |  from base where doc_id % $VariantMod = 0 and n > $HashSamples),
          |h as (select * from base union all select * from var),
          |g as (select doc_id, hx, n, unnest(range(0, 64)) as k from h),
          |bits as (select doc_id, k,
