@@ -61,6 +61,27 @@ object LexIndex {
     * [[Similarity.AnnBatchMod]]. */
   val BatchMod = 7
 
+  /** Docs per skip block for the block-max metadata (blk =
+    * doc_id div this). At corpus scale this knob grows with DOC COUNT
+    * so the block table stays bounded (the per-block row is the
+    * skip-pointer granularity, exactly Lucene's block-max postings /
+    * the reference's PSMA zone width — doradb-storage/src/col/sma.rs:
+    * 9-44); at fixture scale 8 gives enough blocks for the skip gate
+    * to bite at every shipped sf. */
+  val DocBlock = 8
+
+  /** Result depth of the PRUNED top-k serve — deliberately ≪ corpus so
+    * the threshold prunes (a top-N that is most of the corpus cannot
+    * skip anything, at any engine). */
+  val PrunedTopN = 10
+
+  /** Blocks scored exactly in pass 1 to establish the running-kth
+    * threshold θ. Sized ≥ [[PrunedTopN]] so the seed can exhibit k
+    * docs driven by the selective term (each top-UB block holds at
+    * least one), giving θ the rare-term magnitude that makes
+    * common-term-only blocks prunable. */
+  val SeedBlocks = 12
+
   private def toks(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
 
@@ -75,16 +96,30 @@ object LexIndex {
       toks(docs).groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("c")))
     try {
+      // postings carry the skip-block id and are SORTED by (tok, blk)
+      // within each bucket file, so a blk predicate prunes at parquet
+      // row-group granularity — the stored form of block-max skip data
       tf.withColumn("b",
           pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int"))
+        .withColumn("blk", expr(s"doc_id div $DocBlock"))
+        .sortWithinPartitions(col("tok"), col("blk"))
         .write.mode("overwrite").partitionBy("b")
         .parquet(s"$root/$seg/postings")
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
       dl.write.mode("overwrite").parquet(s"$root/$seg/doclen")
-      tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$root/$seg/df")
-      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-        .write.mode("overwrite").parquet(s"$root/$seg/stats")
+      val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      dfr.write.mode("overwrite").parquet(s"$root/$seg/df")
+      val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      st.write.mode("overwrite").parquet(s"$root/$seg/stats")
+      // block-max metadata: per (term, block) the EXACT max BM25
+      // impact any posting in the block can contribute (df/dl/stats
+      // are this segment's, the same numbers the serve scores with) —
+      // the WAND/MaxScore upper bound, (vocabulary × blocks)-sized
+      tf.withColumn("blk", expr(s"doc_id div $DocBlock"))
+        .join(dfr, "tok").join(dl, "doc_id").crossJoin(broadcast(st))
+        .groupBy(col("tok"), col("blk"))
+        .agg(max(TextAnalysis.bm25ScoreExpr).as("max_s"))
+        .write.mode("overwrite").parquet(s"$root/$seg/blockmax")
     } finally graft.plans.Checkpoints.free(tf)
   }
 
@@ -102,14 +137,19 @@ object LexIndex {
     * multi-segment serve ≡ single-segment serve over the union. */
   private[graft] def serveBm25(s: SparkSession, root: String,
       segs: Seq[String],
-      tombstones: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      tombstones: Option[org.apache.spark.sql.Column] = None,
+      blkFilter: Option[org.apache.spark.sql.Column] = None,
+      topN: Int = ServeTopN,
+      mixedTerms: Boolean = false): DataFrame = {
     import s.implicits._
     def read(t: String): DataFrame =
       segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
-    val terms: Seq[(String, Long)] = read("df")
+    val dfAgg = read("df")
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-      .orderBy(col("df").desc, col("tok").asc).limit(QTerms)
-      .as[(String, Long)].collect().toSeq
+    val terms: Seq[(String, Long)] =
+      (if (mixedTerms) mixedQueryTerms(dfAgg)
+       else dfAgg.orderBy(col("df").desc, col("tok").asc).limit(QTerms))
+        .as[(String, Long)].collect().toSeq
     val buckets = terms.map(_._1).toDF("tok")
       .select(pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
         .as("b"))
@@ -119,9 +159,10 @@ object LexIndex {
     // corpus stats keep counting deleted docs until a merge reclaims
     // them — Lucene's documented semantics (docFreq includes
     // deletions), which is what keeps delete O(1) at write time
-    val postings = tombstones.foldLeft(read("postings")
-      .filter(col("b").isin(buckets: _*) &&
-        col("tok").isin(terms.map(_._1): _*)))((p, dead) => p.filter(!dead))
+    val postings = (tombstones.map(d => !d) ++ blkFilter)
+      .foldLeft(read("postings")
+        .filter(col("b").isin(buckets: _*) &&
+          col("tok").isin(terms.map(_._1): _*)))((p, f) => p.filter(f))
     postings
       .join(broadcast(terms.toDF("tok", "df")), "tok")
       .join(read("doclen"), "doc_id")
@@ -134,7 +175,7 @@ object LexIndex {
         round(aggregate(col("ss"), lit(0.0d), (acc, x) => acc + x), 6)
           .as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(ServeTopN)
+      .limit(topN)
   }
 
   /** One stored full-corpus index per (session, dir), and one
@@ -274,10 +315,12 @@ object LexIndex {
     * fold) re-ranked by relevance. Rank order uses the ROUNDED score
     * (both engines rank the same 6-decimal values; doc_id breaks
     * ties). */
-  private def serveOracle: String =
+  private def serveOracle: String = serveOracleN(ServeTopN)
+
+  private def serveOracleN(n: Int): String =
     s"""with ${TextAnalysis.bm25CoreCtes}
        |select doc_id, n_terms, bm25
-       |from scored order by bm25 desc, doc_id limit $ServeTopN"""
+       |from scored order by bm25 desc, doc_id limit $n"""
       .stripMargin
 
   /** Serve the hottest-terms query from the stored full index: prune
@@ -289,6 +332,93 @@ object LexIndex {
   val textIndexServeQ: Q = Q.df(
     "text_index_serve", serveOracle) { (s, dir) =>
     serveBm25(s, fullIndexRoot(s, dir), Seq("full"))
+  }
+
+  /** The pruned entry's query: the 2 hottest terms plus the 1 RAREST
+    * term (distinct union — ties by token asc) over the merged term
+    * dictionary. This is the query shape WAND exists for: a selective
+    * term sets a high threshold that makes the common terms' blocks
+    * prunable; an all-stopword query (the hottest-3 serve) saturates
+    * every block's upper bound and legitimately prunes nothing — true
+    * of every block-max engine, not a fixture artifact. */
+  private def mixedQueryTerms(dfAgg: DataFrame): DataFrame =
+    dfAgg.orderBy(col("df").desc, col("tok").asc).limit(QTerms - 1)
+      .unionByName(
+        dfAgg.orderBy(col("df").asc, col("tok").asc).limit(1))
+      .distinct()
+
+  private def mixedQSql: String =
+    s"""select * from (select tok, df from df
+       |      order by df desc, tok asc limit ${QTerms - 1})
+       |    union
+       |    select * from (select tok, df from df
+       |      order by df asc, tok asc limit 1)""".stripMargin
+
+  /** Plan the block-max-pruned top-[[PrunedTopN]] serve over the full
+    * segment (the WAND/MaxScore discipline on the stored layout):
+    *
+    *  1. per-block upper bound UB(blk) = Σ over query terms of the
+    *     stored max impact (a term absent from a block contributes 0 —
+    *     still an upper bound, since its postings there score 0);
+    *  2. pass 1 scores the [[SeedBlocks]] highest-UB blocks EXACTLY and
+    *     takes the kth best score as the threshold θ;
+    *  3. survivors = seed blocks ∪ blocks with UB ≥ θ − ε (ε absorbs
+    *     the 6-decimal rounding of served scores; ties kept, never cut).
+    *
+    * EXACTNESS: pass 1 exhibits k docs scoring ≥ θ, and any doc in a
+    * skipped block scores ≤ UB(blk) < θ, so it cannot displace the true
+    * top-k — pruned serve ≡ unpruned serve bit-for-bit, which is why
+    * the entry's oracle is the plain full-ranking SQL. Returns
+    * (survivor blocks, total candidate blocks) — candidates are blocks
+    * holding ≥ 1 query-term posting, the set the UNPRUNED serve reads.
+    * All collects are model-sized: block ids and one threshold double,
+    * never postings. */
+  private[graft] def prunedBlockPlan(s: SparkSession,
+      root: String): (Seq[Long], Long) = {
+    import s.implicits._
+    val terms: Seq[String] =
+      mixedQueryTerms(s.read.parquet(s"$root/full/df"))
+        .select(col("tok")).as[String].collect().toSeq
+    val ub = s.read.parquet(s"$root/full/blockmax")
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("blk")).agg(sum(col("max_s")).as("ub"))
+    val nBlocks = ub.count()
+    val seed: Seq[Long] = ub.orderBy(col("ub").desc, col("blk"))
+      .limit(SeedBlocks).select(col("blk")).as[Long].collect().toSeq
+    val seedScores = serveBm25(s, root, Seq("full"),
+        blkFilter = Some(col("blk").isin(seed: _*)), topN = PrunedTopN,
+        mixedTerms = true)
+      .select(col("bm25")).as[Double].collect()
+    if (seedScores.length < PrunedTopN)
+      // pass 1 could not exhibit k docs: no sound threshold, no pruning
+      (ub.select(col("blk")).as[Long].collect().toSeq, nBlocks)
+    else {
+      val theta = seedScores.min
+      val survivors = ub.filter(col("ub") >= theta - 1e-6)
+        .select(col("blk")).as[Long].collect().toSeq
+      ((survivors ++ seed).distinct, nBlocks)
+    }
+  }
+
+  /** Top-k serve with block-max pruning: score only surviving blocks'
+    * postings; the blk predicate lands on the stored sorted column, so
+    * parquet row-group stats skip the pruned blocks inside each bucket
+    * file — the stored-index analogue of the reference's PSMA segment
+    * elimination. Oracle = the UNPRUNED full ranking (exactness is the
+    * entry's claim); [[graft.TextIndexSpec]] pins blocks-skipped > 0
+    * and pruned ≡ unpruned bit-equality. */
+  val textIndexTopkPrunedQ: Q = Q.df(
+    "text_index_topk_pruned", {
+      s"""with ${TextAnalysis.bm25CoreCtesWithQ(mixedQSql)}
+         |select doc_id, n_terms, bm25
+         |from scored order by bm25 desc, doc_id limit $PrunedTopN"""
+        .stripMargin
+    }) { (s, dir) =>
+    val root = fullIndexRoot(s, dir)
+    val (survivors, _) = prunedBlockPlan(s, root)
+    serveBm25(s, root, Seq("full"),
+      blkFilter = Some(col("blk").isin(survivors: _*)),
+      topN = PrunedTopN, mixedTerms = true)
   }
 
   /** Serve base ∪ delta with summed statistics — and the oracle is the
@@ -360,5 +490,6 @@ object LexIndex {
 
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
-      textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ)
+      textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ,
+      textIndexTopkPrunedQ)
 }

@@ -512,22 +512,30 @@ object TextAnalysis {
     * (proven since the flags entry). One codegen'd scan pass, zero
     * shuffle at any corpus size — redaction cost is O(bytes), which is
     * why it rides the same pass as quality scoring in a real pipeline. */
+  // n_redacted counts phone matches on the EMAIL-REDACTED text, not the
+  // raw text, so the count always equals the substitutions present in
+  // red_text — a phone-shaped substring consumed by the email pass
+  // (e.g. '555-123-4567@host.com') must not inflate the count.
   val textPiiRedact: Q = Q.df(
     "text_pii_redact",
-    s"""select doc_id,
-       |  cast(len(regexp_extract_all(text, '$EmailRe')) as bigint)
-       |    + cast(len(regexp_extract_all(text, '$PhoneRe')) as bigint)
+    s"""with er as (select doc_id,
+       |    regexp_replace(text, '$EmailRe', '[EMAIL]', 'g') as et,
+       |    cast(len(regexp_extract_all(text, '$EmailRe')) as bigint)
+       |      as n_email
+       |  from documents)
+       |select doc_id,
+       |  n_email
+       |    + cast(len(regexp_extract_all(et, '$PhoneRe')) as bigint)
        |    as n_redacted,
-       |  regexp_replace(regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
-       |    '$PhoneRe', '[PHONE]', 'g') as red_text
-       |from documents order by doc_id""".stripMargin) { (s, dir) =>
+       |  regexp_replace(et, '$PhoneRe', '[PHONE]', 'g') as red_text
+       |from er order by doc_id""".stripMargin) { (s, dir) =>
     Tables.df(s, dir, "documents")
+      .withColumn("et", regexp_replace(col("text"), EmailRe, "[EMAIL]"))
       .select(col("doc_id"),
         (regexp_count(col("text"), lit(EmailRe)) +
-          regexp_count(col("text"), lit(PhoneRe))).cast("long")
+          regexp_count(col("et"), lit(PhoneRe))).cast("long")
           .as("n_redacted"),
-        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]").as("red_text"))
+        regexp_replace(col("et"), PhoneRe, "[PHONE]").as("red_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -1194,7 +1202,14 @@ object TextAnalysis {
     * below and [[LexIndex]]'s stored-index serve oracles (which swap
     * the tail for a relevance-ranked top-N). */
   private[operators] val bm25CoreCtes: String =
-    """toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+    bm25CoreCtesWithQ(
+      "select tok, df from df order by df desc, tok asc limit 3")
+
+  /** [[bm25CoreCtes]] with a caller-supplied query-term CTE body (the
+    * stored-index pruned serve queries a rare+common term mix instead
+    * of the hottest-3). */
+  private[operators] def bm25CoreCtesWithQ(qSql: String): String =
+    s"""toks as (select doc_id, unnest(string_split(text, ' ')) as tok
         |              from documents),
         |tf as (select doc_id, tok, cast(count(*) as bigint) as c
         |       from toks group by doc_id, tok),
@@ -1204,7 +1219,7 @@ object TextAnalysis {
         |              cast(sum(dl) as bigint) as tot from dl),
         |df as (select tok, cast(count(*) as bigint) as df
         |       from tf group by tok),
-        |q as (select tok, df from df order by df desc, tok asc limit 3),
+        |q as ($qSql),
         |per as (select t.doc_id,
         |    ln((cast(st.n - q.df as double) + 0.5)
         |         / (cast(q.df as double) + 0.5) + 1.0)

@@ -156,6 +156,32 @@ class TextIndexSpec extends AnyFunSuite {
       s"positions scan read $scanned bucket dirs (> 2)")
   }
 
+  test("block-max pruned top-k: bit-equal to the unpruned serve, " +
+    "artifact untouched, and blocks actually skipped at sf0.01") {
+    // bit-equality + frozen files at the spec fixture
+    val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val before = inventory(s"$root/full")
+    val pruned = rows(LexIndex.textIndexTopkPrunedQ.run(spark, TestSpark.Sf))
+    assert(inventory(s"$root/full") == before,
+      "pruned serve rewrote the stored index files")
+    val unpruned = rows(LexIndex.serveBm25(spark, root, Seq("full"),
+      topN = LexIndex.PrunedTopN, mixedTerms = true))
+    assert(pruned.nonEmpty && pruned == unpruned,
+      "block-max pruning changed the top-k result")
+    // the skip gate needs a corpus where topN ≪ docs: at sf0.01 the
+    // 63-block layout must leave blocks under the threshold unread
+    val sf01 = "/root/testdata/sf0.01"
+    val root01 = LexIndex.fullIndexRoot(spark, sf01)
+    val (survivors, total) = LexIndex.prunedBlockPlan(spark, root01)
+    assert(total > survivors.size,
+      s"no blocks skipped: $total candidate blocks, " +
+        s"${survivors.size} survivors")
+    val p01 = rows(LexIndex.textIndexTopkPrunedQ.run(spark, sf01))
+    val u01 = rows(LexIndex.serveBm25(spark, root01, Seq("full"),
+      topN = LexIndex.PrunedTopN, mixedTerms = true))
+    assert(p01 == u01, "sf0.01 pruned serve diverged from unpruned")
+  }
+
   test("persist inventory matches a direct corpus recount") {
     val got = LexIndex.textIndexPersistQ.run(spark, TestSpark.Sf)
       .collect().head
