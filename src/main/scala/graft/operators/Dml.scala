@@ -1066,7 +1066,7 @@ object Dml {
     * tsv (partition-count lines); readers attach the partition column
     * from the manifest key since `partitionBy` leaves it out of the
     * files. */
-  private def writeManifest(root: String, k: Int,
+  private[graft] def writeManifest(root: String, k: Int,
       entries: Map[Int, String]): Unit = {
     val dir = java.nio.file.Paths.get(s"$root/manifests")
     java.nio.file.Files.createDirectories(dir)
@@ -1623,6 +1623,186 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- optimistic concurrency on the versioned target ---------------------
+
+  /** Atomically publish manifest k — the commit CAS. The body is
+    * written to a hidden temp file first, then hard-LINKED to
+    * `v<k>.tsv`: link creation is atomic and fails (loser) if the name
+    * exists, so a manifest either doesn't exist or is complete — no
+    * reader ever observes a partially-written version, and two racing
+    * writers serialize on the filesystem's namespace, the same
+    * primitive Delta's log-store contract ("mutual exclusion on object
+    * creation") builds on. */
+  private[graft] def casManifest(root: String, k: Int,
+      entries: Map[Int, String]): Boolean = {
+    val dir = java.nio.file.Paths.get(s"$root/manifests")
+    java.nio.file.Files.createDirectories(dir)
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (y, d) => s"$y\t$d" }.mkString("\n")
+    val tmp = java.nio.file.Files.createTempFile(dir, s".v$k-", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp, body)
+      try { java.nio.file.Files.createLink(dir.resolve(s"v$k.tsv"), tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+  }
+
+  /** Merge one upsert batch against manifest `baseK`, writing touched
+    * partitions under `data/<genDir>/` — [[applyTimeTravelBatch]]'s
+    * data plane split from its manifest publish, so an optimistic
+    * writer can prepare its generation BEFORE knowing whether it wins
+    * the commit. Returns the manifest entries the commit would
+    * publish. The gen dir is writer-and-attempt-unique: a losing
+    * attempt's dir is simply never referenced (exactly the orphan
+    * class [[vacuumTimeTravel]] reclaims — its referenced-set sweep
+    * deletes unreferenced dirs whatever produced them). */
+  private[graft] def prepareCommit(s: org.apache.spark.sql.SparkSession,
+      root: String, baseK: Int, genDir: String,
+      batch: org.apache.spark.sql.DataFrame): Map[Int, String] = {
+    val prev = readManifest(root, baseK)
+    val touched = batch.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return prev
+    val existing = touched.flatMap { y =>
+      prev.get(y).map(d => s.read.parquet(resolveDir(root, d))
+        .withColumn("yr", lit(y).cast("int")))
+    }.reduceOption(_ unionByName _)
+      .getOrElse(batch.select(col("o_orderkey"), col("cents"),
+        col("yr")).limit(0))
+    val merged = existing
+      .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch.select(col("o_orderkey"), col("cents"), col("yr")))
+    merged.write.partitionBy("yr").parquet(s"$root/data/$genDir")
+    val written = touched.filter(y => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/data/$genDir/yr=$y")))
+    prev -- touched.filterNot(written.contains) ++
+      written.map(y => y -> s"data/$genDir/yr=$y")
+  }
+
+  final case class CommitOutcome(version: Int, attempts: Int)
+
+  /** OPTIMISTIC-CONCURRENCY commit: read the latest version, prepare
+    * the merge against it, CAS the next manifest. On CAS loss, diff
+    * every manifest committed since the read base against its
+    * predecessor; if any intervening commit touched one of THIS
+    * batch's partitions, abort (true write-write conflict — the caller
+    * must re-derive its batch from fresh state); if all are disjoint,
+    * re-prepare against the new head and retry — the winner's
+    * partitions are carried forward untouched, so the retried commit
+    * is exactly the serial apply. This is the Delta/Iceberg optimistic
+    * protocol: at 100 TB each attempt costs O(this batch's churn) in
+    * data and O(manifest) in metadata, never O(table), and
+    * non-overlapping daily loads never block each other.
+    *
+    * `preCommit(attempt)` is a test seam: the spec installs a barrier
+    * at attempt 1 so both writers provably hold the same base when
+    * they race the CAS — making "exactly one retry" a witnessed fact,
+    * not a scheduling accident. */
+  private[graft] def commitOptimistic(s: org.apache.spark.sql.SparkSession,
+      root: String, writer: String,
+      batch: org.apache.spark.sql.DataFrame,
+      maxAttempts: Int = 5,
+      preCommit: Int => Unit = _ => ()): CommitOutcome = {
+    val touched = batch.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = timeTravelVersions(root).max
+      val entries = prepareCommit(s, root, base,
+        s"g${base + 1}-$writer-a$attempt", batch)
+      preCommit(attempt)
+      if (casManifest(root, base + 1, entries))
+        return CommitOutcome(base + 1, attempt)
+      val head = timeTravelVersions(root).max
+      for (v <- base + 1 to head) {
+        val a = readManifest(root, v - 1)
+        val b = readManifest(root, v)
+        val changed = (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
+        val overlap = changed & touched
+        if (overlap.nonEmpty) throw new IllegalStateException(
+          s"write-write conflict: version $v touched partitions " +
+            s"${overlap.toSeq.sorted.mkString(", ")}")
+      }
+    }
+    throw new IllegalStateException(s"commit retries exhausted ($maxAttempts)")
+  }
+
+  /** Two writers race [[commitOptimistic]] on a private versioned
+    * root: disjoint-year batches, a barrier guaranteeing both prepare
+    * against v0, so exactly one CAS loss and one successful retry
+    * happen EVERY build (the require pins it). Final state is
+    * order-independent (disjoint partitions commute), which is what
+    * lets the oracle replay the two batches serially. */
+  private val concurrentCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def concurrentRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    concurrentCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-ccwrite").toString
+      val base = mergePrunedBase(s, dir)
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      writeManifest(root, 0, years.map(y => y -> s"data/g0/yr=$y").toMap)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val outcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[Throwable, CommitOutcome]]()
+      val threads = Seq(TimeTravelYears(0) -> "w1", TimeTravelYears(1) -> "w2")
+        .map { case (y, w) =>
+          val t = new Thread(() =>
+            outcomes.add(
+              try Right(commitOptimistic(s, root, w, mergePrunedBatch(base, y),
+                preCommit = a => if (a == 1) {
+                  barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+                }))
+              catch { case e: Throwable => Left(e) }))
+          t.start(); t
+        }
+      threads.foreach(_.join())
+      val done = outcomes.toArray(Array.empty[Either[Throwable, CommitOutcome]])
+      done.collectFirst { case Left(e) => e }.foreach(throw _)
+      val attempts = done.collect { case Right(o) => o.attempts }.sorted.toSeq
+      require(attempts == Seq(1, 2),
+        s"expected one clean commit and one retry, got attempts $attempts")
+      root
+    }
+
+  /** Read the state both racing writers produced — provably ≡ the
+    * serial apply of both batches (the oracle replays them as one
+    * upsert union, valid because the years are disjoint). The losing
+    * attempt's generation dir is left orphaned on disk, referenced by
+    * no manifest — [[vacuumTimeTravel]]'s reclaim class, which
+    * [[graft.ConcurrentWriterSpec]] proves. */
+  val dmlConcurrentWriters: Q = Q.df(
+    "dml_concurrent_writers",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr in (${TimeTravelYears.take(2).mkString(", ")})
+       |    and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = concurrentRoot(s, dir)
+    readVersionAsOf(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlMergePruned, dmlMergeCdcOps, dmlCompactRewrite,
     joinBucketed,
@@ -1631,5 +1811,6 @@ object Dml {
     sourceSchemaEvolution, sourceCorruptTolerant, dmlIncrementalRollup,
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
-    dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow)
+    dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
+    dmlConcurrentWriters)
 }
