@@ -2379,18 +2379,19 @@ object Similarity {
     * a graph 1/8 the size; everything stays deterministic, so the
     * oracle chains the two walks (two graph builds, two unrolled
     * round chains) and hash-verifies the whole hierarchy. */
-  def hnswLayeredTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+  /** The two-layer walk over ARBITRARY edge relations and layer-1
+    * entry list — shared by the in-session entry (memoized graphs) and
+    * the persisted entry (stored parquet artifacts). */
+  private def hnswLayeredWalk(s: org.apache.spark.sql.SparkSession,
+      dir: String, e0: DataFrame, e1: DataFrame, entries1: DataFrame,
       k: Int): DataFrame = {
     DotProduct.ensureRegistered(s)
-    val e0 = sharedNeighborGraph(s, dir)
-    val e1 = sharedLayerGraph(s, dir)
     val vecs = withUnit(Tables.df(s, dir, "embeddings"))
     val queries = vecs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     val corpus = vecs.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
     val seeds1 = queries.select(col("query_id"))
-      .crossJoin(broadcast(corpus.select(col("neighbor_id"))
-        .filter(col("neighbor_id").isin(L1Entries: _*))))
+      .crossJoin(broadcast(entries1.select(col("neighbor_id"))))
     val v1 = beamWalk(queries, corpus, e1, seeds1, L1Rounds)
     val seeds0 = v1
       .withColumn("rn", row_number().over(
@@ -2404,6 +2405,15 @@ object Similarity {
     graft.plans.Checkpoints.free(v1)
     topKOf(v0, k)
   }
+
+  def hnswLayeredTopK(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int): DataFrame =
+    hnswLayeredWalk(s, dir,
+      sharedNeighborGraph(s, dir), sharedLayerGraph(s, dir),
+      Tables.df(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"))
+        .filter(col("neighbor_id").isin(L1Entries: _*)),
+      k)
 
   private def hnswLayeredOracle: String =
     s"""$beamPreludeSql,
@@ -2428,6 +2438,52 @@ object Similarity {
   val annHnswLayered: Q = Q.df("ann_hnsw_layered", hnswLayeredOracle) {
     (s, dir) =>
       hnswLayeredTopK(s, dir, TopK).orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The HIERARCHICAL graph persisted as ONE serving artifact: base
+    * edges, upper-layer edges, AND the layer-1 routing entry list —
+    * everything a serving fleet mounts (a stored HNSW ships its entry
+    * points and all layers, not just layer 0; the flat
+    * [[graphIndexRoot]] covered only the base graph). Index size is
+    * O(n·M) + O(n·M/[[LayerMod]]) + O(1); the serve stays
+    * O(q·B·M·(R₁+R₀)) over id-keyed joins. */
+  private val hnswIndexCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def hnswIndexRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hnswIndexCache.once((s, dir)) {
+      val root = tempIndexRoot("hnsw")
+      sharedNeighborGraph(s, dir)
+        .write.mode("overwrite").parquet(s"$root/edges0")
+      sharedLayerGraph(s, dir)
+        .write.mode("overwrite").parquet(s"$root/edges1")
+      // routing entries are model-sized (a handful of ids): one file
+      Tables.df(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"))
+        .filter(col("neighbor_id").isin(L1Entries: _*))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/entries1")
+      root
+    }
+
+  /** Serve the standard query set ENTIRELY from the stored two-layer
+    * artifact — the fresh-process read path for the hierarchical
+    * index. The walk is deterministic and long/double columns
+    * round-trip parquet exactly, so results are bit-equal to
+    * [[hnswLayeredTopK]] and the SAME two-walk unrolled oracle
+    * verifies the store+serve round trip; [[graft.GraphIndexSpec]]
+    * pins bit-equality and the frozen-file witness directly. */
+  val annHnswPersist: Q = Q.df("ann_hnsw_persist", hnswLayeredOracle) {
+    (s, dir) =>
+      val root = hnswIndexRoot(s, dir)
+      hnswLayeredWalk(s, dir,
+        s.read.parquet(s"$root/edges0"),
+        s.read.parquet(s"$root/edges1"),
+        s.read.parquet(s"$root/entries1"),
+        TopK)
+        .orderBy(col("query_id"), col("rnk"))
   }
 
   // ---- binary (sign-bit) quantization + Hamming rerank --------------------
@@ -2817,7 +2873,8 @@ object Similarity {
       annPq, annPqRerank,
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
-      annGraphBeam, annGraphFiltered, annHnswLayered, annBinaryHamming,
+      annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
+      annBinaryHamming,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)

@@ -79,6 +79,41 @@ class GraphIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("two-layer persist: stored-artifact serve is bit-equal to the " +
+    "memoized layered walk, files frozen, both layers + routing shipped") {
+    val root = Similarity.hnswIndexRoot(spark, TestSpark.Sf)
+    // the artifact ships BOTH layers and the routing entries
+    def files(sub: String): Seq[(String, Long, Long, String)] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map { f =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (f.getName, f.length(), f.lastModified(), md5)
+        }.sortBy(_._1)
+    val before = Seq("edges0", "edges1", "entries1").map(files)
+    assert(before.forall(_.nonEmpty), "a layer of the artifact is missing")
+    // the upper layer is the sparse one: only layer-1 nodes appear
+    val l1nodes = spark.read.parquet(s"$root/edges1")
+      .select(col("src")).distinct().collect().map(_.getLong(0))
+    assert(l1nodes.nonEmpty &&
+      l1nodes.forall(_ % Similarity.LayerMod == 0),
+      "upper-layer edge table contains non-layer-1 nodes")
+    val entries = spark.read.parquet(s"$root/entries1")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(entries == Similarity.L1Entries.sorted,
+      s"stored routing entries $entries != ${Similarity.L1Entries}")
+    val fromStore = rows(Similarity.annHnswPersist.run(spark, TestSpark.Sf))
+    assert(Seq("edges0", "edges1", "entries1").map(files) == before,
+      "serve rewrote the stored two-layer artifact")
+    val inMemory = rows(
+      Similarity.hnswLayeredTopK(spark, TestSpark.Sf, Similarity.TopK))
+    assert(fromStore.nonEmpty && fromStore == inMemory,
+      "stored two-layer serving diverged from the memoized walk")
+  }
+
   test("graph compaction: physical delete serves bit-equal to " +
     "tombstone-filtered serving and shrinks the stored edge table") {
     val del = rows(Similarity.annGraphDelete.run(spark, TestSpark.Sf))
