@@ -998,10 +998,15 @@ object Graph {
     * carried by level 1; see `graph_modularity_exact` for the measured
     * ladder) — while the oracle still replays the full contraction +
     * weighted-ascent algebra. */
-  def louvainHierarchy(und: DataFrame, seed: DataFrame): DataFrame = {
+  /** Phase 2 alone — contraction of partition `l1(node, lbl)` into the
+    * community graph, level-2 exact-integer ascent, back-projection —
+    * split out so the Leiden path can feed a REFINED partition into
+    * the identical contraction algebra. Frees its intermediates; does
+    * NOT free `l1` (callers own it); the returned frame is
+    * materialized and owned by the caller. */
+  private def contractAscend(und: DataFrame, m2: Long,
+      l1: DataFrame): DataFrame = {
     import graft.plans.Checkpoints
-    val m2 = und.count() // 2m — invariant under contraction
-    val l1 = ascend(und.withColumn("w", lit(1L)), m2, seed, LouvainRounds)
     val cg = Checkpoints.materialize(und
       .join(l1.select(col("node").as("src"), col("lbl").as("csrc")),
         Seq("src"))
@@ -1018,7 +1023,16 @@ object Graph {
         .join(h.select(col("node").as("c1"), col("lbl").as("community")),
           Seq("c1"))
         .select(col("node"), col("community")))
-    Seq(l1, cg, h0, h).foreach(Checkpoints.free)
+    Seq(cg, h0, h).foreach(Checkpoints.free)
+    out
+  }
+
+  def louvainHierarchy(und: DataFrame, seed: DataFrame): DataFrame = {
+    import graft.plans.Checkpoints
+    val m2 = und.count() // 2m — invariant under contraction
+    val l1 = ascend(und.withColumn("w", lit(1L)), m2, seed, LouvainRounds)
+    val out = contractAscend(und, m2, l1)
+    Checkpoints.free(l1)
     out
   }
 
@@ -1027,11 +1041,16 @@ object Graph {
     * ends at `hfinal(node, community)`) — the hierarchy entry and the
     * modularity metric verify the SAME contraction algebra by
     * construction. */
-  private def contractionSql: String =
+  private def contractionSql: String = contractionSqlOver(s"g$LouvainRounds")
+
+  /** The same fragment over an arbitrary partition relation
+    * `rel(node, lbl)` — the Leiden oracle contracts the REFINED
+    * partition through the identical algebra. */
+  private def contractionSqlOver(rel: String): String =
     s"""cg as materialized (
        |  select ls.lbl as src, ld.lbl as dst, cast(count(*) as bigint) as w
-       |  from und join g$LouvainRounds ls on ls.node = und.src
-       |           join g$LouvainRounds ld on ld.node = und.dst
+       |  from und join $rel ls on ls.node = und.src
+       |           join $rel ld on ld.node = und.dst
        |  group by ls.lbl, ld.lbl),
        |cdeg as materialized (
        |  select src as node, cast(sum(w) as bigint) as k
@@ -1042,7 +1061,7 @@ object Graph {
        |${ascendRoundsSql("h", "cg", "cdeg", HierarchyRounds)},
        |hfinal as materialized (
        |  select g.node, h.lbl as community
-       |  from g$LouvainRounds g join hg$HierarchyRounds h
+       |  from $rel g join hg$HierarchyRounds h
        |    on h.node = g.lbl)""".stripMargin
 
   private def louvainHierarchyOracle: String =
@@ -1227,9 +1246,211 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  // ---- Leiden-style refinement --------------------------------------------
+
+  /** Min-label propagation rounds for the refinement's intra-community
+    * connected components. Fixpoint is bounded by the largest
+    * component's min-label eccentricity — measured ≤ 5 at every
+    * shipped fixture scale; 8 carries margin, and the oracle unrolls
+    * the SAME count so cross-engine equality holds at any depth. */
+  val RefineRounds = 8
+
+  /** LEIDEN REFINEMENT (Traag et al. 2019's fix to Louvain's defect):
+    * modularity can bless a community whose induced subgraph is
+    * DISCONNECTED — moves elsewhere sever an internal bridge and the
+    * label stays behind. Refinement splits every community into its
+    * intra-community connected components before contraction, so the
+    * guarantee "every community is internally connected" holds by
+    * construction. Components are computed as min-label propagation
+    * restricted to INTRA-community edges ([[RefineRounds]] synchronous
+    * rounds, the [[connectedComponents]] algebra gated by the
+    * partition); the refined label is the component's min node id —
+    * globally unique because components are node-disjoint.
+    *
+    * Splitting a disconnected community never removes an intra edge
+    * (the parts share none), so Σe is unchanged while Σtot² strictly
+    * falls — refinement can only RAISE exact modularity, the
+    * non-regression [[graft.GraphSpec]] gates. Scale shape: one
+    * label join to build the intra relation, then per-round one
+    * edge⋈label + node-keyed min — the CC cost profile on a subgraph
+    * of the edges. */
+  def leidenRefine(und: DataFrame, labels: DataFrame): DataFrame = {
+    import graft.plans.Checkpoints
+    val l = labels.select(col("node"), col("community"))
+    val intra = Checkpoints.materialize(und
+      .join(l.select(col("node").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(l.select(col("node").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .filter(col("cs") === col("cd"))
+      .select(col("src"), col("dst")))
+    var ref = Checkpoints.materialize(
+      l.select(col("node"), col("node").as("c")))
+    for (_ <- 1 to RefineRounds) {
+      val nbrMin = intra
+        .join(ref.select(col("node").as("dst"), col("c")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("c")).as("nc"))
+      val next = Checkpoints.materialize(ref
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("c"), coalesce(col("nc"), col("c"))).as("c")))
+      Checkpoints.free(ref)
+      ref = next
+    }
+    val out = Checkpoints.materialize(
+      ref.select(col("node"), col("c").as("community")))
+    Seq(intra, ref).foreach(Checkpoints.free)
+    out
+  }
+
+  /** Refined partition and its phase-2 hierarchy — shared artifacts of
+    * (session, dir) like the other partitions (node-sized, released on
+    * family drain). */
+  private val leidenRefinedCache =
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+  private val leidenHierCache =
+    new graft.plans.Memo[(SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  def sharedLeidenRefined(s: SparkSession, dir: String): DataFrame =
+    leidenRefinedCache.once((s, dir))(
+      leidenRefine(sharedLpaUndirected(s, dir), sharedLouvainLocal(s, dir)))
+
+  def sharedLeidenHierarchy(s: SparkSession, dir: String): DataFrame =
+    leidenHierCache.once((s, dir)) {
+      val und = sharedLpaUndirected(s, dir)
+      contractAscend(und, und.count(),
+        sharedLeidenRefined(s, dir)
+          .select(col("node"), col("community").as("lbl")))
+    }
+
+  /** Partition-level conductance index: Σ cut / Σ least(vol, 2m−vol)
+    * over all communities — the one-row summary of
+    * [[conductanceExact]]'s per-community view, exact ints to the one
+    * surface division (guarded: a whole-graph partition has den 0). */
+  def conductanceSummary(und: DataFrame, labels: DataFrame,
+      tag: String): DataFrame = {
+    val l = labels.select(col("node"), col("community"))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    val m2 = und.agg(count(lit(1)).as("v"))
+    val den = l.join(deg, Seq("node")).groupBy(col("community"))
+      .agg(sum(col("k")).as("vol"))
+      .crossJoin(broadcast(m2))
+      .agg(sum(least(col("vol"), col("v") - col("vol"))).as("den"))
+    val cut = und
+      .join(l.select(col("node").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(l.select(col("node").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .agg(count(lit(1)).as("num"))
+    cut.crossJoin(den)
+      .select(lit(tag).as("plabel"), lit("conductance").as("metric"),
+        col("num"), col("den"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .otherwise(lit(0.0d)).as("q"))
+  }
+
+  private def withModularityMetric(df: DataFrame): DataFrame =
+    df.select(col("plabel"), lit("modularity").as("metric"),
+      col("num"), col("den"), col("q"))
+
+  /** Unrolled refinement rounds in DuckDB over `intra(src, dst)`,
+    * seed `refr0(node, c)`; ends at `refr$RefineRounds`. */
+  private def refineRoundsSql: String =
+    (1 to RefineRounds).map { i =>
+      s"""refr$i as materialized (
+         |  select r.node, least(r.c, coalesce(m.nc, r.c)) as c
+         |  from refr${i - 1} r left join (
+         |    select i.src as node, min(rc.c) as nc
+         |    from intra i join refr${i - 1} rc on rc.node = i.dst
+         |    group by i.src) m on m.node = r.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** Conductance-summary fragment over partition relation
+    * `rel(node, community)`; emits `${t}cmet(plabel, metric, num,
+    * den)`. `deg` / `m2` from the ascent prelude. */
+  private def conductanceSummarySql(t: String, rel: String,
+      tag: String): String =
+    s"""${t}ccut as (
+       |  select cast(count(*) as bigint) as num
+       |  from und join $rel l1 on l1.node = und.src
+       |           join $rel l2 on l2.node = und.dst
+       |  where l1.community <> l2.community),
+       |${t}cden as (
+       |  select cast(sum(least(x.vol, m2.v - x.vol)) as bigint) as den
+       |  from (select cast(sum(d.k) as bigint) as vol
+       |        from $rel p join deg d on d.node = p.node
+       |        group by p.community) x cross join m2),
+       |${t}cmet as (select '$tag' as plabel, 'conductance' as metric,
+       |  ${t}ccut.num as num, ${t}cden.den as den
+       |  from ${t}ccut, ${t}cden)""".stripMargin
+
+  /** Leiden refinement as an oracle-checked LADDER: exact modularity
+    * and the conductance index for the local partition, the refined
+    * partition, and the hierarchy built FROM the refined partition —
+    * quality deltas as verified data, the discipline
+    * `graph_modularity_exact` set. The oracle replays the entire
+    * chain: LPA seed → ascent → intra-community min-label components →
+    * contraction of the refined partition → level-2 ascent → six
+    * metric rows. */
+  val leidenRefineQ: Q = Q.df(
+    "graph_leiden_refine", {
+      s"""$ascendPreludeSql,
+         |localp as materialized (
+         |  select node, lbl as community from g$LouvainRounds),
+         |intra as materialized (
+         |  select und.src, und.dst from und
+         |  join localp l1 on l1.node = und.src
+         |  join localp l2 on l2.node = und.dst
+         |  where l1.community = l2.community),
+         |refr0 as materialized (select node, node as c from localp),
+         |$refineRoundsSql,
+         |refp as materialized (
+         |  select node, c as community from refr$RefineRounds),
+         |refl as materialized (select node, c as lbl from refr$RefineRounds),
+         |${contractionSqlOver("refl")},
+         |${modularityMetricSql("lm", "localp", "louvain_local")},
+         |${modularityMetricSql("rm", "refp", "leiden_refined")},
+         |${modularityMetricSql("hm", "hfinal", "leiden_hierarchy")},
+         |${conductanceSummarySql("lc", "localp", "louvain_local")},
+         |${conductanceSummarySql("rc", "refp", "leiden_refined")},
+         |${conductanceSummarySql("hc", "hfinal", "leiden_hierarchy")}
+         |select plabel, metric, num, den,
+         |  case when den > 0
+         |    then round(cast(num as double) / cast(den as double), 6)
+         |    else cast(0.0 as double) end as q
+         |from (
+         |  select plabel, 'modularity' as metric, num, den from lmmet
+         |  union all
+         |  select plabel, 'modularity' as metric, num, den from rmmet
+         |  union all
+         |  select plabel, 'modularity' as metric, num, den from hmmet
+         |  union all select plabel, metric, num, den from lccmet
+         |  union all select plabel, metric, num, den from rccmet
+         |  union all select plabel, metric, num, den from hccmet) t
+         |order by plabel, metric""".stripMargin
+    }) { (s, dir) =>
+    val und = sharedLpaUndirected(s, dir)
+    val local = sharedLouvainLocal(s, dir)
+    val refined = sharedLeidenRefined(s, dir)
+    val hier = sharedLeidenHierarchy(s, dir)
+    withModularityMetric(modularityExact(und, local, "louvain_local"))
+      .unionByName(withModularityMetric(
+        modularityExact(und, refined, "leiden_refined")))
+      .unionByName(withModularityMetric(
+        modularityExact(und, hier, "leiden_hierarchy")))
+      .unionByName(conductanceSummary(und, local, "louvain_local"))
+      .unionByName(conductanceSummary(und, refined, "leiden_refined"))
+      .unionByName(conductanceSummary(und, hier, "leiden_hierarchy"))
+      .orderBy(col("plabel"), col("metric"))
+  }
+
   val queries: Seq[Q] =
     Seq(pageRankQ, pprQ, trianglesQ, bfsQ, ssspQ, commonNeighborsQ,
       resourceAllocationQ, kcoreQ, conductanceQ,
       connectedComponentsQ, communitiesQ, louvainQ, louvainHierarchyQ,
-      modularityExactQ)
+      modularityExactQ, leidenRefineQ)
 }

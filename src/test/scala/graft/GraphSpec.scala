@@ -271,6 +271,48 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.exists(r => r._1 % Graph.PprSeedMod != 0 && r._2 > 0))
   }
 
+  test("leiden refinement: splits a disconnected community, is " +
+    "idempotent (every refined community internally connected), and " +
+    "never lowers exact modularity") {
+    val und = Graph.sharedLpaUndirected(spark, TestSpark.Sf)
+    val local = Graph.sharedLouvainLocal(spark, TestSpark.Sf)
+    val refined = Graph.sharedLeidenRefined(spark, TestSpark.Sf)
+    def nComms(p: org.apache.spark.sql.DataFrame): Long =
+      p.select(col("community")).distinct().count()
+    // the sf0.001 local partition carries a disconnected community
+    // (measured), so refinement must actually split here
+    assert(nComms(refined) > nComms(local),
+      "refinement split nothing — the fixture's disconnected community " +
+        "was not separated")
+    // same node set, finer partition: every refined community sits
+    // inside exactly one local community
+    val cross = refined.withColumnRenamed("community", "rc")
+      .join(local.withColumnRenamed("community", "lc"), Seq("node"))
+      .groupBy(col("rc")).agg(countDistinct(col("lc")).as("n"))
+    assert(cross.filter(col("n") > 1).count() == 0,
+      "a refined community straddles two local communities")
+    // idempotence IS the Leiden guarantee: re-refining finds every
+    // refined community already connected (labels are component min
+    // ids, so a second pass reproduces them exactly)
+    val again = Graph.leidenRefine(und, refined)
+    try {
+      val a = refined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, "refinement is not idempotent — a refined " +
+        "community is still internally disconnected")
+    } finally graft.plans.Checkpoints.free(again)
+    // exact-integer modularity non-regression (same (2m)² denominator)
+    def num(p: org.apache.spark.sql.DataFrame, tag: String): Long =
+      Graph.modularityExact(und, p, tag).collect().head.getLong(1)
+    assert(num(refined, "r") >= num(local, "l"),
+      "refinement lowered exact modularity")
+    // and the entry's ladder row set is complete
+    val rows = Graph.leidenRefineQ.run(spark, TestSpark.Sf).collect()
+    assert(rows.length == 6 &&
+      rows.map(_.getString(0)).distinct.sorted.toSeq ==
+        Seq("leiden_hierarchy", "leiden_refined", "louvain_local"))
+  }
+
   test("sharedCcUndirected memoizes one materialized symmetric relation") {
     val a = Graph.sharedCcUndirected(spark, TestSpark.Sf)
     val b = Graph.sharedCcUndirected(spark, TestSpark.Sf)
