@@ -72,7 +72,8 @@ object ScaleCurve {
     "ann_graph_persist",          // serving from the STORED edge table
     "ann_graph_incremental",      // frozen-graph insert: O(batch·B·M·R)
     "text_index_serve",           // stored postings: 3 of 16 buckets read
-    "ann_pq_rerank")              // corpus ADC + broadcast 4k exact refine
+    "ann_pq_rerank",              // corpus ADC + broadcast 4k exact refine
+    "text_index_incremental")     // per-batch segment append + merged serve
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.
@@ -81,9 +82,14 @@ object ScaleCurve {
   // the per-batch insert contract itself (batch = the fixture's 10%
   // corpus slice → the batch term scales 10× per decade like the
   // corpus term).
+  // text_index_incremental: same discipline for the lexical index —
+  // the delta segment append is rebuilt every sample, so the audit
+  // measures the O(batch) ingest contract, not the memoized serve.
   val AuditOverrides: Map[String, (SparkSession, String) => Unit] = Map(
     "ann_graph_incremental" ->
-      ((s, d) => graft.operators.Similarity.auditIncrementalInsert(s, d)))
+      ((s, d) => graft.operators.Similarity.auditIncrementalInsert(s, d)),
+    "text_index_incremental" ->
+      ((s, d) => graft.operators.LexIndex.auditIncrementalAppend(s, d)))
   // stream_merge_pruned is NOT audited: its 3-batch CDC apply is
   // scale-independent by design (fixed batch count, fixed streaming
   // setup per run), so neither the alpha fit nor the per-batch gate
@@ -148,6 +154,10 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional args restrict the audited cells (local iteration on a
+    // new row; the recorded PASS is always the full run)
+    val only = args.toSet
+    val audited = if (only.isEmpty) Cells else Cells.filter(only)
     val spark = Session.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -166,9 +176,9 @@ object ScaleCurve {
 
     // session-level warm-up at the smallest scale: JVM/codegen cost
     // must not be billed to the first audited cell
-    try exec(Cells.head, Scales.head._1) catch { case _: Throwable => () }
+    try exec(audited.head, Scales.head._1) catch { case _: Throwable => () }
 
-    val rows: Seq[(String, Seq[Double], Double, Seq[Long])] = Cells.map { name =>
+    val rows: Seq[(String, Seq[Double], Double, Seq[Long])] = audited.map { name =>
       val measured = Scales.map { case (dir, _) =>
         try {
           exec(name, dir) // untimed: artifact builds + per-scale codegen

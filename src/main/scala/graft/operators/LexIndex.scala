@@ -431,6 +431,27 @@ object LexIndex {
     serveBm25(s, incrIndexRoot(s, dir), Seq("base", "delta"))
   }
 
+  /** Scale-audit drive ([[graft.ScaleCurve]]): rebuild the DELTA
+    * segment append EVERY timed sample — bypassing the memo, which
+    * exists to amortize serving sessions — then serve base ∪ the fresh
+    * delta. The measured quantity is the per-batch append contract
+    * itself (tokenize the batch, four segment writes, serve), the
+    * claim behind "a 100 TB ingest appends small segments forever":
+    * the fixture's batch is a 10% corpus slice, so append work scales
+    * 10× per decade exactly like the corpus term and a super-linear
+    * append surfaces in the decade-ratio gate. The audit delta is
+    * written BESIDE the entry's own segments (same memoized root, own
+    * name, overwritten per sample, reclaimed with the root on drain);
+    * base files are never rewritten. */
+  private[graft] def auditIncrementalAppend(s: SparkSession,
+      dir: String): Unit = {
+    val root = incrIndexRoot(s, dir)
+    writeSegment(Tables.df(s, dir, "documents")
+      .filter(col("doc_id") % 10 === BatchMod), root, "delta_audit")
+    serveBm25(s, root, Seq("base", "delta_audit"))
+      .write.format("noop").mode("overwrite").save()
+  }
+
   /** Segment COMPACTION (Lucene's merge): base ∪ delta rewritten as
     * one `merged` segment under the incremental root — postings rows
     * union directly (disjoint doc sets: no row can collide), df sums
