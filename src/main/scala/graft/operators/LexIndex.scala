@@ -141,19 +141,42 @@ object LexIndex {
       blkFilter: Option[org.apache.spark.sql.Column] = None,
       topN: Int = ServeTopN,
       mixedTerms: Boolean = false): DataFrame = {
+    def read(t: String): DataFrame =
+      segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
+    val (terms, buckets) = termsAndBuckets(
+      read("df").groupBy(col("tok")).agg(sum(col("df")).as("df")),
+      mixedTerms)
+    scoreTail(s, root, segs, terms, buckets, tombstones, blkFilter, topN)
+  }
+
+  /** One model-sized driver job resolving the query: the picked terms
+    * with summed df AND their postings buckets in a single collect
+    * (terms and their hash buckets, never postings). */
+  private def termsAndBuckets(dfAgg: DataFrame,
+      mixed: Boolean): (Seq[(String, Long)], Seq[Int]) = {
+    val picked =
+      if (mixed) mixedQueryTerms(dfAgg)
+      else dfAgg.orderBy(col("df").desc, col("tok").asc).limit(QTerms)
+    val rows = picked.select(col("tok"), col("df"),
+        pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
+          .as("b"))
+      .collect()
+    (rows.map(r => (r.getString(0), r.getLong(1))).toSeq,
+      rows.map(_.getInt(2)).distinct.toSeq)
+  }
+
+  /** The scoring tail over resolved query terms: prune the postings
+    * scan to the terms' buckets (planning-time), apply tombstone/block
+    * filters, score with [[TextAnalysis.bm25ScoreExpr]] against the
+    * summed broadcast stats, fold per doc, rank. */
+  private def scoreTail(s: SparkSession, root: String, segs: Seq[String],
+      terms: Seq[(String, Long)], buckets: Seq[Int],
+      tombstones: Option[org.apache.spark.sql.Column],
+      blkFilter: Option[org.apache.spark.sql.Column],
+      topN: Int): DataFrame = {
     import s.implicits._
     def read(t: String): DataFrame =
       segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
-    val dfAgg = read("df")
-      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    val terms: Seq[(String, Long)] =
-      (if (mixedTerms) mixedQueryTerms(dfAgg)
-       else dfAgg.orderBy(col("df").desc, col("tok").asc).limit(QTerms))
-        .as[(String, Long)].collect().toSeq
-    val buckets = terms.map(_._1).toDF("tok")
-      .select(pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
-        .as("b"))
-      .collect().map(_.getInt(0)).distinct.toSeq
     val st = read("stats").agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
     // deletes serve as TOMBSTONES on the postings rows only: df and the
     // corpus stats keep counting deleted docs until a merge reclaims
@@ -369,35 +392,37 @@ object LexIndex {
     * skipped block scores ≤ UB(blk) < θ, so it cannot displace the true
     * top-k — pruned serve ≡ unpruned serve bit-for-bit, which is why
     * the entry's oracle is the plain full-ranking SQL. Returns
-    * (survivor blocks, total candidate blocks) — candidates are blocks
-    * holding ≥ 1 query-term posting, the set the UNPRUNED serve reads.
-    * All collects are model-sized: block ids and one threshold double,
-    * never postings. */
-  private[graft] def prunedBlockPlan(s: SparkSession,
-      root: String): (Seq[Long], Long) = {
+    * (terms, buckets, survivor blocks, total candidate blocks) —
+    * candidates are blocks holding ≥ 1 query-term posting, the set the
+    * UNPRUNED serve reads. The whole plan costs THREE model-sized
+    * driver jobs (terms+buckets, the block-bound table, the seed
+    * scores) — block ids, bounds, and one threshold, never postings. */
+  private[graft] def prunedPlan(s: SparkSession, root: String)
+      : (Seq[(String, Long)], Seq[Int], Seq[Long], Long) = {
     import s.implicits._
-    val terms: Seq[String] =
-      mixedQueryTerms(s.read.parquet(s"$root/full/df"))
-        .select(col("tok")).as[String].collect().toSeq
-    val ub = s.read.parquet(s"$root/full/blockmax")
-      .filter(col("tok").isin(terms: _*))
+    val (terms, buckets) = termsAndBuckets(
+      s.read.parquet(s"$root/full/df")
+        .groupBy(col("tok")).agg(sum(col("df")).as("df")),
+      mixed = true)
+    val ubRows: Seq[(Long, Double)] = s.read
+      .parquet(s"$root/full/blockmax")
+      .filter(col("tok").isin(terms.map(_._1): _*))
       .groupBy(col("blk")).agg(sum(col("max_s")).as("ub"))
-    val nBlocks = ub.count()
-    val seed: Seq[Long] = ub.orderBy(col("ub").desc, col("blk"))
-      .limit(SeedBlocks).select(col("blk")).as[Long].collect().toSeq
-    val seedScores = serveBm25(s, root, Seq("full"),
-        blkFilter = Some(col("blk").isin(seed: _*)), topN = PrunedTopN,
-        mixedTerms = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val seed = ubRows.sortBy { case (b, u) => (-u, b) }
+      .take(SeedBlocks).map(_._1)
+    val seedScores = scoreTail(s, root, Seq("full"), terms, buckets,
+        None, Some(col("blk").isin(seed: _*)), PrunedTopN)
       .select(col("bm25")).as[Double].collect()
-    if (seedScores.length < PrunedTopN)
-      // pass 1 could not exhibit k docs: no sound threshold, no pruning
-      (ub.select(col("blk")).as[Long].collect().toSeq, nBlocks)
-    else {
-      val theta = seedScores.min
-      val survivors = ub.filter(col("ub") >= theta - 1e-6)
-        .select(col("blk")).as[Long].collect().toSeq
-      ((survivors ++ seed).distinct, nBlocks)
-    }
+    val survivors =
+      if (seedScores.length < PrunedTopN)
+        // pass 1 could not exhibit k docs: no sound threshold, no pruning
+        ubRows.map(_._1)
+      else {
+        val theta = seedScores.min
+        (ubRows.filter(_._2 >= theta - 1e-6).map(_._1) ++ seed).distinct
+      }
+    (terms, buckets, survivors, ubRows.size.toLong)
   }
 
   /** Top-k serve with block-max pruning: score only surviving blocks'
@@ -415,10 +440,9 @@ object LexIndex {
         .stripMargin
     }) { (s, dir) =>
     val root = fullIndexRoot(s, dir)
-    val (survivors, _) = prunedBlockPlan(s, root)
-    serveBm25(s, root, Seq("full"),
-      blkFilter = Some(col("blk").isin(survivors: _*)),
-      topN = PrunedTopN, mixedTerms = true)
+    val (terms, buckets, survivors, _) = prunedPlan(s, root)
+    scoreTail(s, root, Seq("full"), terms, buckets, None,
+      Some(col("blk").isin(survivors: _*)), PrunedTopN)
   }
 
   /** Serve base ∪ delta with summed statistics — and the oracle is the

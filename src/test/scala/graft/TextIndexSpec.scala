@@ -172,7 +172,7 @@ class TextIndexSpec extends AnyFunSuite {
     // 63-block layout must leave blocks under the threshold unread
     val sf01 = "/root/testdata/sf0.01"
     val root01 = LexIndex.fullIndexRoot(spark, sf01)
-    val (survivors, total) = LexIndex.prunedBlockPlan(spark, root01)
+    val (_, _, survivors, total) = LexIndex.prunedPlan(spark, root01)
     assert(total > survivors.size,
       s"no blocks skipped: $total candidate blocks, " +
         s"${survivors.size} survivors")
