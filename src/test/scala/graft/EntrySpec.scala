@@ -39,9 +39,16 @@ class EntrySpec extends AnyFunSuite {
       .phashNearDups(Multimodal.mediaWithVariants(spark, TestSpark.Sf),
         Multimodal.HamThreshold)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the variant-eligibility predicate (incl. the payload-length
+    // precondition of the Hamming≤2 guarantee) must match
+    // mediaWithVariants exactly — a fixture with short payloads drops
+    // those variants rather than silently breaking the pair contract
     val nVariants = Multimodal.mediaTable(spark, TestSpark.Sf)
       .filter(org.apache.spark.sql.functions.col("doc_id")
-        % Multimodal.VariantMod === 0)
+        % Multimodal.VariantMod === 0 &&
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("payload"))
+          > Multimodal.HashSamples)
       .count()
     // one pair per variant, each source↔variant (a one-byte edit flips
     // at most 2 gradient bits), no cross-object false positives (the
