@@ -2813,6 +2813,177 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- incremental insert into the stored TWO-LAYER graph -----------------
+
+  /** Batch modulus for the hierarchical incremental entry. NOT
+    * [[AnnBatchMod]] (9): layer-1 eligibility is vec_id % [[LayerMod]]
+    * = 0, and 9 (mod 10) ∩ 0 (mod 8) is EMPTY (2k ≡ 7 mod 8 has no
+    * solution), so a mod-9 batch could never exercise the upper-layer
+    * insert path. With 8, vec_ids ≡ 8 (mod 40) are batch AND
+    * layer-eligible — the entry inserts into both layers every run. */
+  val HnswBatchMod = 8
+
+  /** Frozen two-layer BASE artifact (corpus minus the mod-
+    * [[HnswBatchMod]] batch): both edge tables + the routing entries,
+    * the hierarchical twin of [[graphBaseRoot]]. */
+  private val hnswBaseCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def hnswBaseRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hnswBaseCache.once((s, dir)) {
+      val root = tempIndexRoot("hnswbase")
+      val emb = Tables.df(s, dir, "embeddings")
+      neighborGraph(emb.filter(col("vec_id") % 10 =!= HnswBatchMod))
+        .write.mode("overwrite").parquet(s"$root/edges0")
+      neighborGraph(emb.filter(col("vec_id") % 10 =!= HnswBatchMod &&
+          col("vec_id") % LayerMod === 0))
+        .write.mode("overwrite").parquet(s"$root/edges1")
+      emb.select(col("vec_id").as("neighbor_id"))
+        .filter(col("neighbor_id").isin(L1Entries: _*))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/entries1")
+      root
+    }
+
+  /** The HNSW insert, faithful to the paper's shape: each batch node
+    * ROUTES through the frozen upper layer (the L1 walk from the
+    * stored entries) to query-adaptive L0 entry points, beam-searches
+    * the frozen base graph from them, and links to its top-[[GraphM]]
+    * visited; nodes drawn into layer 1 (vec_id % [[LayerMod]] = 0)
+    * additionally search the frozen L1 graph and link there too. Both
+    * link tables are batch-sized; the stored artifact is never
+    * rewritten; batch-parallel inserts link only to the frozen graphs
+    * (the deterministic distributed form, as in the flat entry).
+    * Returns the materialized links with a `layer` column. */
+  private val hnswIncrCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  private[graft] def hnswIncrEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    hnswIncrCache.once((s, dir)) {
+      DotProduct.ensureRegistered(s)
+      val root = hnswBaseRoot(s, dir)
+      val stored0 = s.read.parquet(s"$root/edges0")
+      val stored1 = s.read.parquet(s"$root/edges1")
+      val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+      val corpus = vecs.select(col("vec_id").as("neighbor_id"),
+        col("u").as("cv"))
+      val batch = vecs.filter(col("vec_id") % 10 === HnswBatchMod)
+        .select(col("vec_id").as("query_id"), col("u").as("qv"))
+      val entries = s.read.parquet(s"$root/entries1")
+      def seedsOf(q: DataFrame): DataFrame = q.select(col("query_id"))
+        .crossJoin(broadcast(entries.select(col("neighbor_id"))))
+      // route: L1 walk from the stored entries → L0 entry points
+      val v1 = beamWalk(batch, corpus, stored1, seedsOf(batch), L1Rounds)
+      val seeds0 = v1
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rn") <= GraphEntryPoints)
+        .select(col("query_id"), col("neighbor_id"))
+      val v0 = beamWalk(batch, corpus, stored0, seeds0, InsertRounds)
+      def topLinks(v: DataFrame, layer: Int): DataFrame = v
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rn") <= GraphM)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+          lit(layer).as("layer"))
+      // layer-1 draw: those batch nodes also search + link the L1 graph
+      val batch1 = batch.filter(col("query_id") % LayerMod === 0)
+      val v1b = beamWalk(batch1, corpus, stored1, seedsOf(batch1),
+        InsertRounds)
+      val links = graft.plans.Checkpoints.materialize(
+        topLinks(v0, 0).unionByName(topLinks(v1b, 1)))
+      Seq(v1, v0, v1b).foreach(graft.plans.Checkpoints.free)
+      links
+    }
+
+  /** Serve the standard query set over frozen-base ∪ freshly-inserted
+    * edges on BOTH layers (links symmetrized, stored files untouched)
+    * — the hierarchical index keeps accepting nodes without a rebuild,
+    * per-batch work O(batch·B·M·R) on each layer it touches. */
+  val annHnswIncremental: Q = Q.df(
+    "ann_hnsw_incremental", hnswIncrementalOracle) { (s, dir) =>
+    val root = hnswBaseRoot(s, dir)
+    val links = hnswIncrEdges(s, dir)
+    def combined(layer: Int, stored: DataFrame): DataFrame = {
+      val n = links.filter(col("layer") === layer)
+        .select(col("src"), col("dst"))
+      stored.unionByName(n)
+        .unionByName(n.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    hnswLayeredWalk(s, dir,
+      combined(0, s.read.parquet(s"$root/edges0")),
+      combined(1, s.read.parquet(s"$root/edges1")),
+      s.read.parquet(s"$root/entries1"),
+      TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle for [[annHnswIncremental]]: both base builds over filtered
+    * key sets, the routed L0 insert walk (L1 route → L0 search → top-M
+    * links), the L1 insert walk for the layer-eligible batch subset,
+    * then the full two-layer serve over the combined edge relations —
+    * every visited-set decision of build, insert, and serve replayed
+    * and hash-verified. */
+  private def hnswIncrementalOracle: String =
+    s"""$beamPreludeSql,
+       |keysb as materialized (
+       |  select * from keys where vec_id % 10 <> $HnswBatchMod),
+       |keysb1 as materialized (
+       |  select * from keysb where vec_id % $LayerMod = 0),
+       |${graphBuildSql("b0", "keysb")},
+       |${graphBuildSql("b1", "keysb1")},
+       |bq as (select vec_id as query_id, u from u
+       |       where vec_id % 10 = $HnswBatchMod),
+       |iv0 as materialized (
+       |  select bq.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("bq", "c")} as cos
+       |  from bq cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})),
+       |${beamRoundsSql("i", "b1edges", L1Rounds)}jv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from iv$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("j", "b0edges", InsertRounds)}newe0 as materialized (
+       |  select query_id as src, neighbor_id as dst from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from jv$InsertRounds) t
+       |  where rn <= $GraphM),
+       |kv0 as materialized (
+       |  select * from iv0 where query_id % $LayerMod = 0),
+       |${beamRoundsSql("k", "b1edges", InsertRounds)}newe1 as materialized (
+       |  select query_id as src, neighbor_id as dst from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from kv$InsertRounds) t
+       |  where rn <= $GraphM),
+       |all0 as materialized (
+       |  select src, dst from b0edges
+       |  union all select src, dst from newe0
+       |  union all select dst as src, src as dst from newe0),
+       |all1 as materialized (
+       |  select src, dst from b1edges
+       |  union all select src, dst from newe1
+       |  union all select dst as src, src as dst from newe1),
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |sv0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})),
+       |${beamRoundsSql("s", "all1", L1Rounds)}tv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from sv$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("t", "all0", BeamRounds)}${beamFinalSql(s"tv$BeamRounds")}"""
+      .stripMargin
+
   /** Oracle for [[annGraphIncremental]]: base build over the filtered
     * key set, unrolled insert walk for the batch nodes, top-M link
     * selection, then the serve walk over the combined edges. */
@@ -2874,6 +3045,7 @@ object Similarity {
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
+      annHnswIncremental,
       annBinaryHamming,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,

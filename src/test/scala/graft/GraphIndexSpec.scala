@@ -114,6 +114,40 @@ class GraphIndexSpec extends AnyFunSuite {
       "stored two-layer serving diverged from the memoized walk")
   }
 
+  test("two-layer incremental: frozen base untouched, both layers " +
+    "gain links, batch nodes become servable") {
+    val root = Similarity.hnswBaseRoot(spark, TestSpark.Sf)
+    def files(sub: String): Seq[(String, Long, Long, String)] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map { f =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (f.getName, f.length(), f.lastModified(), md5)
+        }.sortBy(_._1)
+    val before = Seq("edges0", "edges1", "entries1").map(files)
+    assert(before.forall(_.nonEmpty), "base two-layer artifact missing")
+    val served = rows(Similarity.annHnswIncremental.run(spark, TestSpark.Sf))
+    assert(Seq("edges0", "edges1", "entries1").map(files) == before,
+      "hierarchical insert rewrote the frozen base artifact")
+    assert(served.nonEmpty)
+    // the insert exercised BOTH layers: L0 links for every batch node,
+    // L1 links for the layer-eligible subset (vec_id ≡ 8 mod 40)
+    val links = Similarity.hnswIncrEdges(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byLayer = links.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byLayer.getOrElse(0, 0) > 0 && byLayer.getOrElse(1, 0) > 0,
+      s"expected links on both layers, got $byLayer")
+    assert(links.filter(_._3 == 1).forall(l =>
+      l._1 % Similarity.LayerMod == 0 && l._1 % 10 == Similarity.HnswBatchMod),
+      "an upper-layer link came from a non-eligible node")
+    // inserted nodes are reachable through the serve
+    assert(served.exists(_._2 % 10 == Similarity.HnswBatchMod),
+      "no batch node served — frozen-graph insert unreachable")
+  }
+
   test("graph compaction: physical delete serves bit-equal to " +
     "tombstone-filtered serving and shrinks the stored edge table") {
     val del = rows(Similarity.annGraphDelete.run(spark, TestSpark.Sf))
