@@ -89,6 +89,49 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** The same multiplicative bucket, keyed by the near-dup CLUSTER's
+    * canonical id instead of the doc id. */
+  private[operators] val ClusterSplitExpr =
+    "(cluster_id * 2654435761) % 4294967296 % 100"
+
+  /** LEAKAGE-SAFE train/val/test split: the defect [[sampleSplit]]'s
+    * per-doc hash carries is that two NEAR-DUPLICATE documents can
+    * land in different splits — the eval set then contains
+    * paraphrases of training data and every benchmark number is
+    * contaminated (the reason decontamination suites exist). The fix
+    * is group-aware assignment: hash the near-dup CLUSTER's canonical
+    * id (the [[Dedup.sharedDupClusters]] label — connected components
+    * over the verified trigram-Jaccard pair graph), so a whole dup
+    * family moves as one unit and train/eval leakage through near
+    * duplication is impossible BY CONSTRUCTION, not by a post-hoc
+    * decontamination scan. Cost over the plain split is exactly the
+    * cluster map the dedup pass already produced (memoized here,
+    * a stored two-column table in production); the assignment itself
+    * stays one integer hash — deterministic under retries, stable
+    * across jobs, oracle-able bit-for-bit. Singletons hash by their
+    * own id, so on a dup-free corpus this DEGRADES to [[sampleSplit]]
+    * exactly. */
+  val sampleLeakageSafeSplit: Q = Q.df(
+    "sample_leakage_safe_split",
+    s"""with recursive
+       |${graft.operators.Dedup.dupClusterCtes},
+       |lab as (select id as doc_id, min(r) as cluster_id from reach
+       |        group by id)
+       |select doc_id, cluster_id,
+       |  cast($ClusterSplitExpr as bigint) as bucket,
+       |  case when $ClusterSplitExpr < $TrainPct then 'train'
+       |       when $ClusterSplitExpr < ${TrainPct + ValPct} then 'val'
+       |       else 'test' end as split
+       |from lab order by doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.sharedDupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        expr(ClusterSplitExpr).cast("long").as("bucket"),
+        when(expr(ClusterSplitExpr) < TrainPct, lit("train"))
+          .when(expr(ClusterSplitExpr) < TrainPct + ValPct, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- TF-IDF key terms --------------------------------------------------
 
   val TopTerms = 3
@@ -1314,7 +1357,8 @@ object Corpus {
     klDrift(Tables.df(s, dir, "documents")).orderBy(col("source"))
   }
 
-  val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit, tfidf, dedupIncremental,
+  val queries: Seq[Q] = Seq(vocabGrowthQ, textChunks, sampleSplit,
+    sampleLeakageSafeSplit, tfidf, dedupIncremental,
     sampleBudget, packSeqs, decontaminateNgram, freqNgrams, sampleStratified,
     corpusStats, sourceOverlapQ, sampleReservoir, decontaminateBloomQ,
     sampleTemperature, corpusShardShuffle, pruneHotTokensQ, snapshotDiff,

@@ -722,10 +722,12 @@ object Dedup {
         dupClusters(Tables.df(s, dir, "documents"), JaccardThreshold,
           sharedBase = Some(sharedShingleArrays(s, dir)))))
 
-  val dedupClusters: Q = Q.df(
-    "dedup_clusters",
-    s"""with recursive
-       |toks as (select doc_id, string_split(text, ' ') as t from documents),
+  /** The near-dup cluster derivation as a recursive-CTE chain (ends at
+    * `reach(id, r)`; caller appends its tail) — shared by the three
+    * cluster-consuming oracles (`dedup_clusters`,
+    * `dedup_cluster_sizes`, `sample_leakage_safe_split`). */
+  private[operators] def dupClusterCtes: String =
+    s"""toks as (select doc_id, string_split(text, ' ') as t from documents),
        |sh as (select distinct doc_id,
        |         unnest(${Text.sqlTrigramList("t")}) as s
        |       from toks),
@@ -742,7 +744,13 @@ object Dedup {
        |reach(id, r) as (
        |  select doc_id, doc_id from documents
        |  union
-       |  select reach.id, e.b from reach join edges e on reach.r = e.a)
+       |  select reach.id, e.b from reach join edges e on reach.r = e.a)"""
+      .stripMargin
+
+  val dedupClusters: Q = Q.df(
+    "dedup_clusters",
+    s"""with recursive
+       |$dupClusterCtes
        |select id as doc_id, min(r) as cluster_id from reach
        |group by id order by doc_id""".stripMargin) { (s, dir) =>
     sharedDupClusters(s, dir)
@@ -760,24 +768,7 @@ object Dedup {
   val dedupClusterSizes: Q = Q.df(
     "dedup_cluster_sizes",
     s"""with recursive
-       |toks as (select doc_id, string_split(text, ' ') as t from documents),
-       |sh as (select distinct doc_id,
-       |         unnest(${Text.sqlTrigramList("t")}) as s
-       |       from toks),
-       |cnt as (select doc_id, count(*) as n from sh group by doc_id),
-       |common as (select a.doc_id as d1, b.doc_id as d2, count(*) as c
-       |           from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
-       |           group by 1, 2),
-       |pairs as (
-       |  select d1, d2 from common
-       |  join cnt x on d1 = x.doc_id join cnt y on d2 = y.doc_id
-       |  where cast(c as double) / cast(x.n + y.n - c as double) >= $JaccardThreshold),
-       |edges as (select d1 as a, d2 as b from pairs
-       |          union select d2, d1 from pairs),
-       |reach(id, r) as (
-       |  select doc_id, doc_id from documents
-       |  union
-       |  select reach.id, e.b from reach join edges e on reach.r = e.a),
+       |$dupClusterCtes,
        |clusters as (select id, min(r) as cluster_id from reach group by id),
        |sizes as (select cluster_id, cast(count(*) as bigint) as cluster_size
        |          from clusters group by cluster_id)

@@ -138,4 +138,27 @@ class CorpusSpec extends AnyFunSuite {
     // that keeps the corpus single-pass also truncates lineage, so a
     // plan-string assertion here would only ever see the LogicalRDD.
   }
+
+  test("leakage-safe split: a near-dup cluster never straddles splits, " +
+    "and singletons degrade to the per-doc split exactly") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.sampleLeakageSafeSplit.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.nonEmpty)
+    // the leakage guarantee: one split per cluster
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(perCluster.forall(_._2.size == 1),
+      "a near-dup cluster straddles two splits — eval contamination")
+    // the fixture has real multi-doc clusters, so the guarantee is
+    // exercised, not vacuous
+    assert(out.groupBy(_._2).exists(_._2.length > 1),
+      "no multi-doc cluster in the fixture — the test proves nothing")
+    // degradation: a singleton's cluster_id IS its doc_id, so its
+    // assignment equals sample_split_assign's
+    val plain = Corpus.sampleSplit.run(spark, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    out.filter { case (d, c, _) => d == c }.foreach { case (d, _, sp) =>
+      assert(plain(d) == sp, s"singleton $d diverged from the plain split")
+    }
+  }
 }
