@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -508,8 +509,150 @@ object Approx {
       .orderBy(col("user_id"))
   }
 
+  /** KMV/theta sketch size (nominal k). */
+  val KmvK = 64
+
+  /** The two populations the set algebra runs over: custkeys ordering
+    * in each of these years. */
+  val ThetaYears: Seq[Int] = Seq(1996, 1997)
+
+  /** Hash range for the KMV sketch: the Knuth multiplicative mixer mod
+    * 2³² (the [[graft.operators.Corpus]] split hash) — the count-min
+    * affine family does NOT wrap on fixture-sized keys (131·custkey
+    * never exceeds p), leaving minima correlated with key order and
+    * the estimator biased; the 2654435761 multiplier equidistributes
+    * mod 2³² and stays exact int64 in both engines. */
+  val KmvRange = 4294967296L
+  val KmvMult = 2654435761L
+
+  /** THETA-SKETCH SET OPERATIONS (the Dataiku/DataSketches theta
+    * family; KMV estimator, Bar-Yossef et al. 2002): a distinct-count
+    * sketch that — unlike HLL — supports INTERSECTION and DIFFERENCE,
+    * the set algebra audience-overlap / retention queries need. Each
+    * population keeps its k smallest hash values; θ = the kth smallest
+    * (or the full hash range when the set is smaller than k — the
+    * sketch then IS the set and every estimate is exact). A sketch is
+    * the retained sample {h < θ}, and every operation is sample
+    * algebra at a combined θ = min(θ_A, θ_B): union merges samples,
+    * intersection intersects them, difference anti-joins — each
+    * estimate is |S|·p/θ, ONE division.
+    *
+    * The hash is the replayable Knuth multiplicative mixer
+    * (`(k · 2654435761) mod 2³²`), so the ORACLE REPLAYS THE SKETCH
+    * ITSELF and the estimates hash-match. Exact per-op cardinalities
+    * ship beside the estimates (error visible as data).
+    *
+    * Scale shape: the k-smallest sample is `orderBy(h).limit(k)` —
+    * Spark's TakeOrderedAndProject, a map-side partial top-k per
+    * partition merged on one reducer with k rows per partition in
+    * flight, never a global sort; everything after operates on ≤ 2k-row
+    * broadcast frames. Exactly how a sketch library shards: per-split
+    * k-minima, mergeable by re-taking k smallest. */
+  val thetaSetops: Q = Q.df(
+    "approx_theta_setops", {
+      val (y1, y2) = (ThetaYears.head, ThetaYears(1))
+      val h = s"((o_custkey * $KmvMult) % $KmvRange)"
+      def est(ns: String, th: String) =
+        s"round(cast($ns * $KmvRange as double) / cast($th as double), 4)"
+      s"""with oy as (select distinct $h as h, year(o_orderdate) as yr
+         |  from orders where year(o_orderdate) in ($y1, $y2)),
+         |ha as (select h from oy where yr = $y1),
+         |hb as (select h from oy where yr = $y2),
+         |sa as (select h from ha order by h limit $KmvK),
+         |sb as (select h from hb order by h limit $KmvK),
+         |ta as (select case when (select count(*) from sa) >= $KmvK
+         |         then (select max(h) from sa) else $KmvRange end as th),
+         |tb as (select case when (select count(*) from sb) >= $KmvK
+         |         then (select max(h) from sb) else $KmvRange end as th),
+         |ra as (select h from sa, ta where h < ta.th),
+         |rb as (select h from sb, tb where h < tb.th),
+         |tm as (select least(ta.th, tb.th) as th from ta, tb),
+         |ru as (select distinct h
+         |       from (select h from ra union all select h from rb) u, tm
+         |       where h < tm.th),
+         |ri as (select ra.h from ra join rb using (h), tm
+         |       where ra.h < tm.th),
+         |rd as (select ra.h from ra left join rb using (h), tm
+         |       where rb.h is null and ra.h < tm.th),
+         |ex as (select
+         |    (select count(*) from ha) as e_a,
+         |    (select count(*) from hb) as e_b,
+         |    (select count(*) from (select h from ha union
+         |                           select h from hb)) as e_u,
+         |    (select count(*) from ha join hb using (h)) as e_i,
+         |    (select count(*) from ha left join hb using (h)
+         |     where hb.h is null) as e_d)
+         |select op, n_retained, theta,
+         |  ${est("n_retained", "theta")} as est_distinct, exact_distinct
+         |from (
+         |  select 'a' as op, (select count(*) from ra) as n_retained,
+         |    ta.th as theta, ex.e_a as exact_distinct from ta, ex
+         |  union all
+         |  select 'b', (select count(*) from rb), tb.th, ex.e_b
+         |  from tb, ex
+         |  union all
+         |  select 'union', (select count(*) from ru), tm.th, ex.e_u
+         |  from tm, ex
+         |  union all
+         |  select 'intersect', (select count(*) from ri), tm.th, ex.e_i
+         |  from tm, ex
+         |  union all
+         |  select 'diff', (select count(*) from rd), tm.th, ex.e_d
+         |  from tm, ex) t
+         |order by op""".stripMargin
+    }) { (s, dir) =>
+    val (y1, y2) = (ThetaYears.head, ThetaYears(1))
+    val orders = Tables.df(s, dir, "orders")
+    def hashes(y: Int): DataFrame = orders
+      .filter(year(col("o_orderdate")) === y)
+      .select(((col("o_custkey") * KmvMult) % KmvRange).as("h"))
+      .distinct()
+    val ha = hashes(y1)
+    val hb = hashes(y2)
+    // TakeOrderedAndProject: per-partition k-minima, one k-row merge
+    def sketch(hs: DataFrame): (DataFrame, DataFrame) = {
+      val sample = hs.orderBy(col("h")).limit(KmvK)
+      val theta = sample
+        .agg(count(lit(1)).as("n"), max(col("h")).as("mx"))
+        .select(when(col("n") >= KmvK, col("mx")).otherwise(lit(KmvRange))
+          .as("th"))
+      val retained = sample.crossJoin(broadcast(theta))
+        .filter(col("h") < col("th")).select(col("h"))
+      (retained, theta)
+    }
+    val (ra, ta) = sketch(ha)
+    val (rb, tb) = sketch(hb)
+    val tm = ta.select(col("th").as("tha"))
+      .crossJoin(tb.select(col("th").as("thb")))
+      .select(least(col("tha"), col("thb")).as("th"))
+    def under(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(tm)).filter(col("h") < col("th"))
+        .select(col("h"))
+    val ru = under(ra.unionByName(rb)).distinct()
+    val ri = under(ra.join(rb, Seq("h"), "left_semi"))
+    val rd = under(ra.join(rb, Seq("h"), "left_anti"))
+    def row(op: String, retained: DataFrame, theta: DataFrame,
+        exact: DataFrame): DataFrame =
+      retained.agg(count(lit(1)).as("n_retained"))
+        .crossJoin(theta).crossJoin(exact)
+        .select(lit(op).as("op"), col("n_retained"), col("th").as("theta"),
+          round((col("n_retained") * KmvRange).cast("double") /
+            col("th").cast("double"), 4).as("est_distinct"),
+          col("e").as("exact_distinct"))
+    def cnt(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("e"))
+    row("a", ra, ta, cnt(ha))
+      .unionByName(row("b", rb, tb, cnt(hb)))
+      .unionByName(row("union", ru, tm,
+        cnt(ha.unionByName(hb).distinct())))
+      .unionByName(row("intersect", ri, tm,
+        cnt(ha.join(hb, Seq("h"), "left_semi"))))
+      .unionByName(row("diff", rd, tm,
+        cnt(ha.join(hb, Seq("h"), "left_anti"))))
+      .orderBy(col("op"))
+  }
+
   val queries: Seq[Q] =
     Seq(approxDistinct, approxPercentile, statsMoments, approxHeavyHitters,
       approxMergeable, bitmapDistinct, approxSketchRollup, approxTopKRollup,
-      misraGriesHitters, countMinPoint)
+      misraGriesHitters, countMinPoint, thetaSetops)
 }

@@ -172,4 +172,39 @@ class ApproxSpec extends AnyFunSuite {
         s"key $k overshoot ${est - exact} beyond the sketch bound")
     }
   }
+
+  test("theta setops: sample algebra is internally consistent and the " +
+    "estimates land near the exact cardinalities") {
+    import graft.operators.Approx
+    // sf0.01: both yearly sets ≈ 1170 ≫ k = 64, so the ESTIMATOR path
+    // is exercised (sf0.001's sets would ride the exact path)
+    val rows = Approx.thetaSetops.run(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("a", "b", "union", "intersect", "diff"))
+    val (_, thA, _, _) = rows("a")
+    val (_, thB, _, _) = rows("b")
+    // the combined θ is the min, shared by all derived ops
+    Seq("union", "intersect", "diff").foreach { op =>
+      assert(rows(op)._2 == math.min(thA, thB), s"$op theta wrong")
+    }
+    // retained counts: singles < k (θ excludes the kth), union ≤ sum
+    assert(rows("a")._1 < Approx.KmvK && rows("b")._1 < Approx.KmvK)
+    assert(rows("intersect")._1 + rows("diff")._1 <=
+      math.min(rows("a")._1, rows("b")._1 + rows("diff")._1))
+    // estimator quality: within 35% on every op with real support
+    // (k = 64 gives ~1/√62 ≈ 13% standard error; 35% ≈ 2.5σ)
+    rows.foreach { case (op, (_, _, est, exact)) =>
+      if (exact >= 100)
+        assert(math.abs(est - exact) / exact.toDouble <= 0.35,
+          s"$op estimate $est too far from exact $exact")
+    }
+    // inclusion-exclusion on the EXACT columns (sanity of the truth
+    // the estimates are judged against)
+    assert(rows("a")._4 + rows("b")._4 - rows("intersect")._4 ==
+      rows("union")._4)
+    assert(rows("a")._4 - rows("intersect")._4 == rows("diff")._4)
+  }
 }
