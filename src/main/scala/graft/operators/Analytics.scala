@@ -1498,7 +1498,117 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** Administrative-censoring margin: the study window ends this many
+    * days before the corpus end. A user whose first purchase falls
+    * after the cutoff is right-CENSORED at the cutoff — their
+    * conversion time is known only to exceed the observed span. */
+  val KmCensorDays = 3
+
+  /** KAPLAN–MEIER time-to-conversion (survival analysis for the
+    * funnel): "how long from first touch to first purchase" with the
+    * estimator that handles RIGHT-CENSORING correctly — naive
+    * conversion-time averages silently drop (or worse, count as
+    * failures) the users whose purchase the study window simply hasn't
+    * seen yet. Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over distinct conversion
+    * times; censored users leave the risk set at the cutoff without
+    * registering a conversion. Everything to the fold is exact
+    * integers: times are day diffs, dᵢ/nᵢ are counts (the at-risk
+    * count nᵢ is one descending cumulative window over the time
+    * histogram), each factor is ONE division, and the product folds in
+    * ascending-time order via the sorted-list discipline
+    * ([[eventsHolt]]'s), so the doubles are bit-identical
+    * cross-engine.
+    *
+    * Scale shape: two user-keyed map-side-combined aggregates, then
+    * everything operates on the time HISTOGRAM — rows bounded by the
+    * day span, never the user count; the windows run on that
+    * ≤ span-sized frame. */
+  val eventsSurvivalKm: Q = Q.df(
+    "events_survival_km",
+    s"""with ev as (select user_id, event_type, cast(ts as date) as d
+       |           from events),
+       |u as (select user_id, min(d) as f from ev group by user_id),
+       |p as (select user_id, min(d) as fp from ev
+       |      where event_type = 'purchase' group by user_id),
+       |h as (select date_add(max(d), -$KmCensorDays) as hcut from ev),
+       |lv as (select u.user_id,
+       |    cast(case when p.fp is not null and p.fp <= h.hcut
+       |         then date_diff('day', u.f, p.fp)
+       |         else date_diff('day', u.f, h.hcut) end as bigint) as life,
+       |    p.fp is null or p.fp > h.hcut as censored
+       |  from u left join p on p.user_id = u.user_id
+       |  cross join h
+       |  where u.f <= h.hcut),
+       |hist as (select life, cast(count(*) as bigint) as n_all,
+       |    cast(sum(case when not censored then 1 else 0 end) as bigint)
+       |      as n_churn
+       |  from lv group by life),
+       |risk as (select life, n_churn,
+       |    cast(sum(n_all) over (order by life desc) as bigint) as n_risk
+       |  from hist),
+       |km as (select life as t_day, n_risk, n_churn,
+       |    cast(n_risk - n_churn as double) / cast(n_risk as double) as fac
+       |  from risk where n_churn > 0),
+       |fold as (select t_day, n_risk, n_churn,
+       |    list([cast(t_day as double), fac]) over
+       |      (order by t_day rows between unbounded preceding
+       |       and current row) as fs
+       |  from km)
+       |select t_day, n_risk, n_churn,
+       |  round(list_reduce(list_prepend(cast(1.0 as double),
+       |    list_transform(list_sort(fs), x -> x[2])), (a, y) -> a * y), 6)
+       |    as km_surv
+       |from fold order by t_day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.df(s, dir, "events")
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+    val u = ev.groupBy(col("user_id")).agg(min(col("d")).as("f"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("d")).as("fp"))
+    val h = ev.agg(date_add(max(col("d")), -KmCensorDays).as("hcut"))
+    val hist = u.join(p, Seq("user_id"), "left")
+      .crossJoin(broadcast(h))
+      .filter(col("f") <= col("hcut"))
+      .select(
+        when(col("fp").isNotNull && col("fp") <= col("hcut"),
+          datediff(col("fp"), col("f")))
+          .otherwise(datediff(col("hcut"), col("f")))
+          .cast("long").as("life"),
+        (col("fp").isNull || col("fp") > col("hcut")).as("censored"))
+    kmCurve(hist)
+  }
+
+  /** The KM estimator over per-subject `(life, censored)` rows —
+    * exposed so the censored-branch algebra is unit-testable on a
+    * hand-computed dataset (the fixture's users all convert inside the
+    * window, so the entry alone would leave censoring unexercised). */
+  private[graft] def kmCurve(lv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = lv
+      .groupBy(col("life"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churn"))
+    // the windows below run on the lifetime histogram — day-span-sized
+    val wDesc = Window.orderBy(col("life").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("n_risk", sum(col("n_all")).over(wDesc))
+      .filter(col("n_churn") > 0)
+      .select(col("life").as("t_day"), col("n_risk"), col("n_churn"),
+        ((col("n_risk") - col("n_churn")).cast("double") /
+          col("n_risk").cast("double")).as("fac"))
+      .withColumn("fs", collect_list(
+        array(col("t_day").cast("double"), col("fac"))).over(wAsc))
+      .select(col("t_day"), col("n_risk"), col("n_churn"),
+        round(aggregate(
+          expr("transform(array_sort(fs), x -> x[1])"),
+          lit(1.0d), (a, y) => a * y), 6).as("km_surv"))
+      .orderBy(col("t_day"))
+  }
+
   val queries: Seq[Q] = Seq(eventsFunnel, eventsCohort, eventsPaths,
+    eventsSurvivalKm,
     eventsAnomaly, eventsRfm, eventsActiveUsers, eventsFunnelWindowed,
     eventsWinsorize, eventsDistinctRunning, eventsMadOutliers,
     eventsAttribution, eventsMarkovAttribution, eventsShapley,

@@ -226,4 +226,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(byW.zip(byW.tail).forall { case (a, b) => a <= b },
       "allocation not monotone in stratum weight")
   }
+
+  test("Kaplan-Meier: censored subjects leave the risk set without " +
+    "registering an event (textbook hand-computed curve)") {
+    import spark.implicits._
+    // classic 5-subject example: events at t=1,3,4; censored at t=2,5.
+    // t=1: n=5 d=1 -> 4/5 = 0.8
+    // t=3: n=3 d=1 -> 0.8 * 2/3 = 0.533333
+    // t=4: n=2 d=1 -> 0.533333... * 1/2 = 0.266667
+    val lv = Seq((1L, false), (2L, true), (3L, false), (4L, false),
+      (5L, true)).toDF("life", "censored")
+    val got = Analytics.kmCurve(lv).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 5L, 1L, 0.8), (3L, 3L, 1L, 0.533333),
+      (4L, 2L, 1L, 0.266667)),
+      s"KM curve diverged from the hand computation: $got")
+    // no-censoring degeneration: KM equals the empirical survivor fn
+    val all = Seq((1L, false), (1L, false), (2L, false), (3L, false))
+      .toDF("life", "censored")
+    val gotAll = Analytics.kmCurve(all).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(gotAll == Seq((1L, 0.5), (2L, 0.25), (3L, 0.0)))
+    // and the entry's fixture curve is monotone nonincreasing from < 1
+    val curve = Analytics.eventsSurvivalKm.run(spark, TestSpark.Sf)
+      .collect().map(_.getDouble(3)).toSeq
+    assert(curve.nonEmpty && curve.head < 1.0 &&
+      curve.zip(curve.tail).forall { case (a, b) => b <= a })
+  }
 }
