@@ -111,14 +111,21 @@ object LexIndex {
       dfr.write.mode("overwrite").parquet(s"$root/$seg/df")
       val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
       st.write.mode("overwrite").parquet(s"$root/$seg/stats")
-      // block-max metadata: per (term, block) the EXACT max BM25
-      // impact any posting in the block can contribute (df/dl/stats
-      // are this segment's, the same numbers the serve scores with) —
-      // the WAND/MaxScore upper bound, (vocabulary × blocks)-sized
+      // block-max metadata, two bound families per (term, block):
+      //  - max_s: the EXACT max BM25 impact under THIS segment's
+      //    df/dl/stats — the tightest bound, used by the
+      //    single-segment pruned serve;
+      //  - max_c / min_dl: the raw COMPONENTS, from which a valid
+      //    bound is computable under ANY statistics (BM25 impact is
+      //    increasing in c and decreasing in dl, so s(max_c, min_dl)
+      //    dominates every posting) — what keeps block skipping alive
+      //    across segment APPENDS, where df/stats sum and the stored
+      //    per-segment max_s no longer bounds anything.
       tf.withColumn("blk", expr(s"doc_id div $DocBlock"))
         .join(dfr, "tok").join(dl, "doc_id").crossJoin(broadcast(st))
         .groupBy(col("tok"), col("blk"))
-        .agg(max(TextAnalysis.bm25ScoreExpr).as("max_s"))
+        .agg(max(TextAnalysis.bm25ScoreExpr).as("max_s"),
+          max(col("c")).as("max_c"), min(col("dl")).as("min_dl"))
         .write.mode("overwrite").parquet(s"$root/$seg/blockmax")
     } finally graft.plans.Checkpoints.free(tf)
   }
@@ -425,6 +432,71 @@ object LexIndex {
     (terms, buckets, survivors, ubRows.size.toLong)
   }
 
+  /** MULTI-SEGMENT pruned plan (the append regime): the stored
+    * per-segment `max_s` is useless once statistics merge — summed df
+    * changes every idf — so the bound is recomputed from the stored
+    * COMPONENTS at serve time: per (term, block) take max_c across
+    * segments and min_dl, evaluate the BM25 impact expression at
+    * (max_c, min_dl) under the MERGED df/stats (monotone in both
+    * arguments, hence a valid upper bound for every posting however
+    * segments are combined), then run the same seed-θ-survivors flow.
+    * This is what keeps WAND alive on an index that appends segments
+    * forever without rebuilding — bounds stay sound under exact
+    * statistic merging, only looser (components decouple), never
+    * wrong. */
+  private[graft] def prunedPlanMulti(s: SparkSession, root: String,
+      segs: Seq[String]): (Seq[(String, Long)], Seq[Int], Seq[Long], Long) = {
+    import s.implicits._
+    def read(t: String): DataFrame =
+      segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
+    val (terms, buckets) = termsAndBuckets(
+      read("df").groupBy(col("tok")).agg(sum(col("df")).as("df")),
+      mixed = true)
+    val st = read("stats")
+      .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+    val ubRows: Seq[(Long, Double)] = read("blockmax")
+      .filter(col("tok").isin(terms.map(_._1): _*))
+      .groupBy(col("tok"), col("blk"))
+      .agg(max(col("max_c")).as("c"), min(col("min_dl")).as("dl"))
+      .join(broadcast(terms.toDF("tok", "df")), "tok")
+      .crossJoin(broadcast(st))
+      .select(col("blk"), TextAnalysis.bm25ScoreExpr.as("bound"))
+      .groupBy(col("blk")).agg(sum(col("bound")).as("ub"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val seed = ubRows.sortBy { case (b, u) => (-u, b) }
+      .take(SeedBlocks).map(_._1)
+    val seedScores = scoreTail(s, root, segs, terms, buckets,
+        None, Some(col("blk").isin(seed: _*)), PrunedTopN)
+      .select(col("bm25")).as[Double].collect()
+    val survivors =
+      if (seedScores.length < PrunedTopN) ubRows.map(_._1)
+      else {
+        val theta = seedScores.min
+        (ubRows.filter(_._2 >= theta - 1e-6).map(_._1) ++ seed).distinct
+      }
+    (terms, buckets, survivors, ubRows.size.toLong)
+  }
+
+  /** Pruned top-k over the APPENDED index (base ∪ delta with summed
+    * statistics) — same oracle as the single-segment pruned entry
+    * (base ∪ delta IS the full corpus; exactness is again the claim),
+    * proving the component bound survives the segment-append regime.
+    * [[graft.TextIndexSpec]] pins skipped > 0 and bit-equality with
+    * the unpruned two-segment serve. */
+  val textIndexTopkPrunedIncrQ: Q = Q.df(
+    "text_index_topk_pruned_incr", {
+      s"""with ${TextAnalysis.bm25CoreCtesWithQ(mixedQSql)}
+         |select doc_id, n_terms, bm25
+         |from scored order by bm25 desc, doc_id limit $PrunedTopN"""
+        .stripMargin
+    }) { (s, dir) =>
+    val root = incrIndexRoot(s, dir)
+    val segs = Seq("base", "delta")
+    val (terms, buckets, survivors, _) = prunedPlanMulti(s, root, segs)
+    scoreTail(s, root, segs, terms, buckets, None,
+      Some(col("blk").isin(survivors: _*)), PrunedTopN)
+  }
+
   /** Top-k serve with block-max pruning: score only surviving blocks'
     * postings; the blk predicate lands on the stored sorted column, so
     * parquet row-group stats skip the pruned blocks inside each bucket
@@ -536,5 +608,5 @@ object LexIndex {
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
       textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ,
-      textIndexTopkPrunedQ)
+      textIndexTopkPrunedQ, textIndexTopkPrunedIncrQ)
 }

@@ -182,6 +182,46 @@ class TextIndexSpec extends AnyFunSuite {
     assert(p01 == u01, "sf0.01 pruned serve diverged from unpruned")
   }
 
+  test("multi-segment block-max: the component bound dominates the " +
+    "exact per-segment bound, prunes the appended index, and stays " +
+    "bit-equal to the unpruned two-segment serve") {
+    // bound domination on the full segment: evaluating the impact
+    // expression at (max_c, min_dl) under the segment's own stats must
+    // be >= the stored exact per-posting max (monotonicity made data)
+    val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val st = spark.read.parquet(s"$root/full/stats")
+    val dfr = spark.read.parquet(s"$root/full/df")
+    val viol = spark.read.parquet(s"$root/full/blockmax")
+      .join(dfr, "tok")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(st))
+      .select(col("tok"), col("blk"), col("max_s"),
+        col("max_c").as("c"), col("min_dl").as("dl"),
+        col("df"), col("n"), col("tot"))
+      .withColumn("bound",
+        org.apache.spark.sql.functions.expr(
+          "ln((cast(n - df as double) + 0.5d) / " +
+            "(cast(df as double) + 0.5d) + 1.0d) * " +
+            "(cast(c as double) * 2.2d) / (cast(c as double) + " +
+            "1.2d * (0.25d + 0.75d * (cast(dl as double) * " +
+            "cast(n as double) / cast(tot as double))))"))
+      .filter(col("bound") < col("max_s") - 1e-12)
+      .count()
+    assert(viol == 0, s"$viol blocks where the component bound " +
+      "fails to dominate the exact max impact")
+    // the appended index: pruning bites at sf0.01 and stays exact
+    val sf01 = "/root/testdata/sf0.01"
+    val iroot = LexIndex.incrIndexRoot(spark, sf01)
+    val (_, _, surv, total) =
+      LexIndex.prunedPlanMulti(spark, iroot, Seq("base", "delta"))
+    assert(total > surv.size,
+      s"append-regime pruning skipped nothing: $total vs ${surv.size}")
+    val p = rows(LexIndex.textIndexTopkPrunedIncrQ.run(spark, sf01))
+    val u = rows(LexIndex.serveBm25(spark, iroot, Seq("base", "delta"),
+      topN = LexIndex.PrunedTopN, mixedTerms = true))
+    assert(p.nonEmpty && p == u,
+      "append-regime pruned serve diverged from unpruned")
+  }
+
   test("persist inventory matches a direct corpus recount") {
     val got = LexIndex.textIndexPersistQ.run(spark, TestSpark.Sf)
       .collect().head
