@@ -107,7 +107,12 @@ object LexIndex {
         .parquet(s"$root/$seg/postings")
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
       dl.write.mode("overwrite").parquet(s"$root/$seg/doclen")
-      val dfr = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df carries BOTH dictionary statistics: document frequency (the
+      // BM25 idf input) and collection frequency cf (the LM-Dirichlet
+      // background model input) — integer counts, so both merge
+      // exactly across segments
+      val dfr = tf.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"))
       dfr.write.mode("overwrite").parquet(s"$root/$seg/df")
       val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
       st.write.mode("overwrite").parquet(s"$root/$seg/stats")
@@ -432,6 +437,95 @@ object LexIndex {
     (terms, buckets, survivors, ubRows.size.toLong)
   }
 
+  /** Dirichlet smoothing mass μ, sized to the fixture's mean doc
+    * length (~60 tokens); the standard 2000 of TREC-scale corpora
+    * would drown these short docs in the background model. */
+  val LmMu = 100.0
+
+  /** DIRICHLET-SMOOTHED QUERY LIKELIHOOD from the SAME stored index
+    * (Zhai/Lafferty 2001) — the second classic relevance model, served
+    * without touching the corpus: rank-equivalently decomposed as
+    * Σ_{t ∈ q∩d} ln(1 + c·|C| / (μ·cf_t))  +  |q|·ln(μ / (dl + μ)),
+    * so matched terms need only the PRUNED postings (term-bucket scan,
+    * exactly the BM25 serve's shape) while the second term needs only
+    * doclen — docs matching NO query term still rank by their length
+    * prior, which is why the left join runs doclen-side (the full-QL
+    * semantics, not a matched-docs-only approximation). cf comes from
+    * the stored term dictionary; every input is an exactly-merged
+    * integer, the per-term logs fold in sorted order, and one add
+    * joins the two halves — bit-identical cross-engine. */
+  private[graft] def serveLmDirichlet(s: SparkSession, root: String,
+      segs: Seq[String]): DataFrame = {
+    def read(t: String): DataFrame =
+      segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
+    val rows = read("df").groupBy(col("tok"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .orderBy(col("df").desc, col("tok").asc).limit(QTerms)
+      .select(col("tok"), col("cf"),
+        pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
+          .as("b"))
+      .collect()
+    val terms = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val buckets = rows.map(_.getInt(2)).distinct.toSeq
+    val st = read("stats").agg(sum(col("tot")).as("tot"))
+    import s.implicits._
+    val matched = read("postings")
+      .filter(col("b").isin(buckets: _*) &&
+        col("tok").isin(terms.map(_._1): _*))
+      .join(broadcast(terms.toDF("tok", "cf")), "tok")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"),
+        log(lit(1.0d) + (col("c").cast("double") * col("tot").cast("double"))
+          / (lit(LmMu) * col("cf").cast("double"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        sort_array(collect_list(col("s"))).as("ss"))
+      .select(col("doc_id"), col("nt"),
+        aggregate(col("ss"), lit(0.0d), (a, x) => a + x).as("bonus"))
+    read("doclen")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_terms"),
+        round(lit(QTerms.toDouble) *
+          log(lit(LmMu) / (col("dl").cast("double") + lit(LmMu))) +
+          coalesce(col("bonus"), lit(0.0d)), 6).as("ql"))
+      .orderBy(col("ql").desc, col("doc_id"))
+      .limit(ServeTopN)
+  }
+
+  val textIndexLmdirQ: Q = Q.df(
+    "text_index_lmdir",
+    s"""with toks as (select doc_id, unnest(string_split(text, ' ')) as tok
+       |              from documents),
+       |tf as (select doc_id, tok, cast(count(*) as bigint) as c
+       |       from toks group by doc_id, tok),
+       |dl as (select doc_id, cast(sum(c) as bigint) as dl
+       |       from tf group by doc_id),
+       |st as (select cast(sum(dl) as bigint) as tot from dl),
+       |dfq as (select tok, cast(count(*) as bigint) as df,
+       |               cast(sum(c) as bigint) as cf
+       |        from tf group by tok),
+       |q as (select tok, cf from dfq order by df desc, tok asc
+       |      limit $QTerms),
+       |per as (select t.doc_id,
+       |    ln(1.0 + (cast(t.c as double) * cast(st.tot as double))
+       |        / ($LmMu * cast(q.cf as double))) as s
+       |  from tf t join q on q.tok = t.tok cross join st),
+       |agg as (select doc_id, cast(count(*) as bigint) as nt,
+       |          list_sort(list(s)) as ss from per group by doc_id),
+       |bon as (select doc_id, nt,
+       |    list_reduce(list_prepend(cast(0.0 as double), ss),
+       |      (a, x) -> a + x) as bonus from agg)
+       |select d.doc_id,
+       |  cast(coalesce(b.nt, 0) as bigint) as n_terms,
+       |  round(${QTerms}.0 * ln($LmMu / (cast(d.dl as double) + $LmMu))
+       |    + coalesce(b.bonus, cast(0.0 as double)), 6) as ql
+       |from dl d left join bon b on b.doc_id = d.doc_id
+       |order by ql desc, d.doc_id limit $ServeTopN""".stripMargin) {
+    (s, dir) =>
+      serveLmDirichlet(s, fullIndexRoot(s, dir), Seq("full"))
+  }
+
   /** MULTI-SEGMENT pruned plan (the append regime): the stored
     * per-segment `max_s` is useless once statistics merge — summed df
     * changes every idf — so the bound is recomputed from the stored
@@ -570,7 +664,8 @@ object LexIndex {
         .write.mode("overwrite").partitionBy("b")
         .parquet(s"$root/merged/postings")
       read("doclen").write.mode("overwrite").parquet(s"$root/merged/doclen")
-      read("df").groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      read("df").groupBy(col("tok"))
+        .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
         .write.mode("overwrite").parquet(s"$root/merged/df")
       read("stats").agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
         .write.mode("overwrite").parquet(s"$root/merged/stats")
@@ -608,5 +703,5 @@ object LexIndex {
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
       textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ,
-      textIndexTopkPrunedQ, textIndexTopkPrunedIncrQ)
+      textIndexTopkPrunedQ, textIndexTopkPrunedIncrQ, textIndexLmdirQ)
 }
