@@ -1623,6 +1623,120 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- incremental maintenance of a JOIN view -----------------------------
+
+  /** The year whose orders the join-view delta batch touches. */
+  private[graft] val MvJoinYear: Int = MergeYears.head
+
+  private def mvJoinBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.df(s, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      (graft.functions.Money.m(col("o_totalprice")) * lit(100))
+        .cast("long").as("cents"),
+      year(col("o_orderdate")).cast("int").as("yr"))
+
+  /** The delta batch, custkey-preserving: ×2 updates on the key slice
+    * plus minted inserts that inherit the source row's customer. */
+  private[graft] def mvJoinBatch(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hit = base.filter(col("yr") === MvJoinYear &&
+      col("o_orderkey") % 20 === 0)
+    hit.select(col("o_orderkey"), col("o_custkey"),
+        (col("cents") * 2).as("cents"))
+      .unionByName(hit.select((-col("o_orderkey") - 1).as("o_orderkey"),
+        col("o_custkey"), (col("cents") + 7).as("cents")))
+  }
+
+  /** The stored JOIN view V = orders ⋈ customer (projected), built and
+    * persisted once per (session, dir). */
+  private val mvJoinCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def mvJoinRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    mvJoinCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-mvjoin").toString
+      mvJoinBase(s, dir)
+        .join(Tables.df(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey").as("nat")),
+          Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("nat"))
+        .write.mode("overwrite").parquet(s"$root/v0")
+      root
+    }
+
+  /** The delta is the refresh's INPUT (a CDC feed delivers it in
+    * production) — materialized once per (session, dir) so the
+    * maintained view's plan provably contains NO scan of the base
+    * fact table; deriving it inline would re-read orders every
+    * refresh and void the IVM claim. Batch-sized frame, released on
+    * family drain. */
+  private val mvJoinBatchCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame](graft.plans.Checkpoints.free)
+
+  private[graft] def sharedMvJoinBatch(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    mvJoinBatchCache.once((s, dir))(graft.plans.Checkpoints.materialize(
+      mvJoinBatch(mvJoinBase(s, dir))))
+
+  /** INCREMENTAL VIEW MAINTENANCE for a JOIN view (the delta-rule
+    * discipline aggregate MVs got in `mv_incremental_rewrite`,
+    * extended to joins): for a key-preserving upsert Δ against the
+    * orders side of V = orders ⋈ customer, the maintained view is
+    * (V ∖ₖ Δ) ∪ (Δ ⋈ customer) — retract the updated keys' old view
+    * rows with one keyed anti join, derive the new rows by joining
+    * ONLY the delta against the dimension. The base fact table is
+    * NEVER rescanned and the big join never re-runs: per refresh the
+    * work is O(|V| serve scan + |Δ|·broadcast), which is the entire
+    * point of IVM at 100 TB — a daily delta maintains a
+    * billion-row join view for the cost of the delta. The oracle
+    * recomputes the view from scratch over the upserted base; the
+    * spec additionally pins the PLAN property (no orders scan
+    * anywhere in the maintained view) and the stored V0 untouched. */
+  val dmlMvJoinDelta: Q = Q.df(
+    "dml_mv_join_delta",
+    s"""with base as (
+       |  select o_orderkey, o_custkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = $MvJoinYear and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, o_custkey, cents * 2 as cents from hit
+       |  union all
+       |  select -o_orderkey - 1, o_custkey, cents + 7 from hit),
+       |upd as (
+       |  select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |    coalesce(u.o_custkey, b.o_custkey) as o_custkey,
+       |    coalesce(u.cents, b.cents) as cents
+       |  from base b full outer join batch u
+       |    on b.o_orderkey = u.o_orderkey)
+       |select u.o_orderkey, u.o_custkey, u.cents,
+       |  c.c_nationkey as nat
+       |from upd u join customer c on c.c_custkey = u.o_custkey
+       |order by u.o_orderkey""".stripMargin) { (s, dir) =>
+    val v0 = s.read.parquet(s"${mvJoinRoot(s, dir)}/v0")
+    val batch = sharedMvJoinBatch(s, dir)
+    val dim = Tables.df(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nat"))
+    v0.join(broadcast(batch.select(col("o_orderkey"))),
+        Seq("o_orderkey"), "left_anti")
+      .unionByName(batch.join(broadcast(dim), Seq("o_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("nat")))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---- optimistic concurrency on the versioned target ---------------------
 
   /** Atomically publish manifest k — the commit CAS. The body is
@@ -1812,5 +1926,5 @@ object Dml {
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
-    dmlConcurrentWriters)
+    dmlConcurrentWriters, dmlMvJoinDelta)
 }

@@ -156,4 +156,47 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(scanPaths(q).exists(_.endsWith("orders.parquet")) && !scansMv(q),
       scanPaths(q))
   }
+
+  test("join-view IVM: maintained view equals the full recompute, the " +
+    "base fact table is never rescanned, and the stored view is frozen") {
+    import graft.operators.Dml
+    val df = Dml.dmlMvJoinDelta.run(spark, TestSpark.Sf)
+    // the IVM plan property: no orders scan anywhere — the refresh
+    // reads the stored view, the materialized delta, and the dimension
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("graft-mvjoin")),
+      s"maintained view does not read the stored view: $paths")
+    assert(!paths.exists(_.endsWith("orders.parquet")),
+      s"IVM rescanned the base fact table: $paths")
+    val root = Dml.mvJoinRoot(spark, TestSpark.Sf)
+    def inv(): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$root/v0").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_"))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    val before = inv()
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inv() == before, "refresh rewrote the stored view")
+    // full recompute over the upserted base — the delta rules' truth
+    val base = Tables.df(spark, TestSpark.Sf, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (graft.functions.Money.m(col("o_totalprice")) * lit(100))
+        .cast("long").as("cents"),
+      org.apache.spark.sql.functions.year(col("o_orderdate")).cast("int")
+        .as("yr"))
+    val batch = Dml.sharedMvJoinBatch(spark, TestSpark.Sf)
+    val upserted = base
+      .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      .unionByName(batch)
+    val want = upserted
+      .join(Tables.df(spark, TestSpark.Sf, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("nat")), Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == want,
+      "incrementally maintained view diverged from the recompute")
+  }
 }
