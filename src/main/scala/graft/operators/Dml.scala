@@ -1623,6 +1623,104 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- table history + timestamp-based time travel ------------------------
+
+  /** Logical commit date of version k: the batch cadence is daily, so
+    * commit k carries 2026-01-01 + k. In production this is the wall
+    * clock recorded at commit; the fixture derives it from the version
+    * so the oracle can replay timestamp resolution deterministically
+    * (the RESOLUTION logic — greatest version at-or-before the asked
+    * instant — is the surface under test, not the clock). */
+  private[graft] def commitDate(k: Int): java.time.LocalDate =
+    java.time.LocalDate.of(2026, 1, 1).plusDays(k.toLong)
+
+  /** `VERSION AS OF TIMESTAMP t`: the greatest committed version whose
+    * commit instant is ≤ t — Delta's documented rule (asking before
+    * the first commit is an error; asking after the last resolves to
+    * the latest). O(versions) metadata work, no data touched until
+    * the resolved manifest is read. */
+  private[graft] def resolveAsOfTimestamp(root: String,
+      t: java.time.LocalDate): Int = {
+    val vs = timeTravelVersions(root)
+    val ok = vs.filter(k => !commitDate(k).isAfter(t))
+    require(ok.nonEmpty,
+      s"timestamp $t precedes the first commit ${commitDate(vs.min)}")
+    ok.max
+  }
+
+  /** The instant the entry asks for: between commit 2 and commit 3, so
+    * resolution must pick version 2 — the same state
+    * [[dmlTimeTravel]] pins by number. */
+  private[graft] val AsOfInstant: java.time.LocalDate =
+    commitDate(TimeTravelAsOf)
+
+  /** Read the versioned target AS OF a TIMESTAMP (resolved, then
+    * served through the ordinary manifest read). Oracle = the 2-batch
+    * replay, identical to the by-version entry's — the timestamp path
+    * must land on exactly the same bytes. */
+  val dmlTimeTravelAsOfTs: Q = Q.df(
+    "dml_time_travel_as_of_ts",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr in (${TimeTravelYears.take(TimeTravelAsOf).mkString(", ")})
+       |    and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = timeTravelRoot(s, dir)
+    readVersionAsOf(s, root, resolveAsOfTimestamp(root, AsOfInstant))
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DESCRIBE HISTORY as a queryable surface: one row per committed
+    * version — commit date, operation kind, and the partition count
+    * read from the ACTUAL manifest (metadata-only: O(versions ×
+    * manifest), data never touched). The oracle derives the same rows
+    * from the raw table: the upsert/CDC batches of this tree touch
+    * only existing years and delete no year completely, so every
+    * version spans exactly the base table's year set — which is itself
+    * the snapshot-sharing claim (manifests repoint, they never shrink
+    * here). */
+  val dmlTableHistory: Q = Q.df(
+    "dml_table_history", {
+      val n = TimeTravelYears.size
+      s"""with y as (select count(distinct year(o_orderdate)) as ny
+         |           from orders)
+         |select k.version,
+         |  cast(date '2026-01-01' + interval (k.version) day as date)
+         |    as commit_date,
+         |  case when k.version = 0 then 'BASE'
+         |       when k.version <= $n then 'MERGE'
+         |       else 'CDC' end as operation,
+         |  cast(y.ny as bigint) as n_partitions
+         |from (select unnest(range(0, ${n + 2})) as version) k
+         |cross join y
+         |order by k.version""".stripMargin
+    }) { (s, dir) =>
+    val root = timeTravelRoot(s, dir)
+    import s.implicits._
+    val n = TimeTravelYears.size
+    timeTravelVersions(root)
+      .map { k =>
+        (k.toLong, java.sql.Date.valueOf(commitDate(k)),
+          if (k == 0) "BASE" else if (k <= n) "MERGE" else "CDC",
+          readManifest(root, k).size.toLong)
+      }
+      .toDF("version", "commit_date", "operation", "n_partitions")
+      .orderBy(col("version"))
+  }
+
   // ---- incremental maintenance of a JOIN view -----------------------------
 
   /** The year whose orders the join-view delta batch touches. */
@@ -1926,5 +2024,6 @@ object Dml {
     dmlScd2, sourceCustomDsv2, sourceAggPushdown, sinkCustomDsv2,
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
-    dmlConcurrentWriters, dmlMvJoinDelta)
+    dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
+    dmlTableHistory)
 }

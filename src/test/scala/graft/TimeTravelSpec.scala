@@ -244,4 +244,38 @@ class TimeTravelSpec extends AnyFunSuite {
         Seq(s"yr=${Dml.TimeTravelYears(1)}"),
       "clone generation not partition-pruned")
   }
+
+  test("timestamp resolution: at-or-before rule, latest after the " +
+    "last commit, error before the first") {
+    val root = Dml.timeTravelRoot(spark, TestSpark.Sf)
+    val latest = Dml.timeTravelVersions(root).max
+    // an instant exactly ON a commit resolves to that commit
+    (0 to latest).foreach { k =>
+      assert(Dml.resolveAsOfTimestamp(root, Dml.commitDate(k)) == k)
+    }
+    // between commits k and k+1 → k
+    assert(Dml.resolveAsOfTimestamp(root,
+      Dml.commitDate(latest - 1)) == latest - 1)
+    // far in the future → latest
+    assert(Dml.resolveAsOfTimestamp(root,
+      Dml.commitDate(latest).plusYears(1)) == latest)
+    // before the first commit → error (Delta's rule)
+    intercept[IllegalArgumentException] {
+      Dml.resolveAsOfTimestamp(root, Dml.commitDate(0).minusDays(1))
+    }
+    // the timestamp entry serves bytes identical to the by-version read
+    val byTs = Dml.dmlTimeTravelAsOfTs.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val byK = Dml.dmlTimeTravel.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(byTs.nonEmpty && byTs == byK,
+      "AS OF TIMESTAMP diverged from VERSION AS OF")
+    // and history's partition counts reflect the actual manifests
+    val hist = Dml.dmlTableHistory.run(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
+    assert(hist.keySet == (0 to latest).toSet)
+    hist.foreach { case (k, np) =>
+      assert(np == Dml.readManifest(root, k).size.toLong)
+    }
+  }
 }
