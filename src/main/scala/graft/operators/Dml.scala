@@ -1726,7 +1726,7 @@ object Dml {
   /** The year whose orders the join-view delta batch touches. */
   private[graft] val MvJoinYear: Int = MergeYears.head
 
-  private def mvJoinBase(s: org.apache.spark.sql.SparkSession,
+  private[graft] def mvJoinBase(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Tables.df(s, dir, "orders").select(
       col("o_orderkey"),
@@ -1833,6 +1833,62 @@ object Dml {
         .select(col("o_orderkey"), col("o_custkey"), col("cents"),
           col("nat")))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Managed, yr-PARTITIONED copy of the join view — the streaming
+    * maintenance target ([[graft.streaming.EventsStream]] drives it). */
+  private[graft] val MvJoinStreamTarget = "graft_mvjoin_stream"
+
+  private[graft] def createMvJoinStreamTarget(
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    dropManaged(s, MvJoinStreamTarget)
+    mvJoinBase(s, dir)
+      .join(Tables.df(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("nat")),
+        Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+        col("nat"), col("yr"))
+      .write.partitionBy("yr").format("parquet")
+      .saveAsTable(MvJoinStreamTarget)
+  }
+
+  /** One micro-batch of join-view maintenance, PARTITION-PRUNED: the
+    * delta rules of [[dmlMvJoinDelta]] applied through the dynamic-
+    * overwrite discipline of [[applyMergePrunedBatch]] — only the
+    * yr partitions the delta touches are rewritten, the new view rows
+    * come from delta ⋈ broadcast dimension, and the apply is
+    * IDEMPOTENT (re-applying anti-joins the same keys back out), so
+    * streaming replay needs no generation guard. */
+  private[graft] def applyMvJoinStreamBatch(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val touched = batch.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val dim = Tables.df(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("nat"))
+      val existing = s.table(MvJoinStreamTarget)
+        .filter(col("yr").isin(touched.map(Integer.valueOf): _*))
+      val merged = existing
+        .join(batch.select(col("o_orderkey")), Seq("o_orderkey"),
+          "left_anti")
+        .unionByName(batch.join(broadcast(dim), Seq("o_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            col("nat"), col("yr")))
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("nat"), col("yr"))
+      val m = graft.plans.Checkpoints.materialize(merged)
+      m.write.mode("overwrite").insertInto(MvJoinStreamTarget)
+      graft.plans.Checkpoints.free(m)
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   // ---- optimistic concurrency on the versioned target ---------------------

@@ -1250,6 +1250,63 @@ object EventsStream {
     runMergePrunedStream(s, dir).orderBy(col("o_orderkey"))
   }
 
+  /** STREAMING join-view maintenance: the [[graft.operators.Dml]]
+    * delta rules (`dml_mv_join_delta`) driven by the real streaming
+    * runtime — the view delta arrives as a file-source CDC stream (one
+    * file per trigger), and each micro-batch's `foreachBatch` applies
+    * (V ∖ₖ Δ) ∪ (Δ ⋈ dim) through dynamic partition overwrite, so
+    * each batch rewrites ONLY the yr partitions its keys touch while
+    * the fact table is never rescanned. The apply is idempotent (the
+    * anti-join removes the same keys a replay would re-insert), so
+    * exactly-once needs no generation guard. The final view must
+    * equal the one-shot batch maintenance — any dropped or doubled
+    * micro-batch breaks the key set. */
+  def runMvJoinStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Dml
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_").toString
+      Dml.createMvJoinStreamTarget(s, dir)
+      val delta = Dml.mvJoinBatch(Dml.mvJoinBase(s, dir))
+        .withColumn("yr", lit(Dml.MvJoinYear))
+      val cdcDir = s"$tmp/cdc"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
+      // three key-sliced delta files, admitted one per trigger
+      (0 until 3).foreach { i =>
+        val stage = s"$tmp/stage$i"
+        delta.filter(pmod(col("o_orderkey"), lit(3)) === i)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+      }
+      val schema = s.read.parquet(cdcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(cdcDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dml.applyMvJoinStreamBatch(s, dir, batch)
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally deleteTree(tmp)
+      s.table(Dml.MvJoinStreamTarget)
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("nat"))
+    }
+
+  val mvJoinStreamed: Q = Q.df(
+    "stream_mv_join_delta",
+    graft.operators.Dml.dmlMvJoinDelta.oracle.get) { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    runMvJoinStream(s, dir).orderBy(col("o_orderkey"))
+  }
+
   /** Execute [[sessions]] through the REAL streaming runtime. Session
     * windows are the one windowed aggregation whose streaming state
     * MERGES: an arriving event can bridge two open sessions into one,
@@ -1389,7 +1446,7 @@ object EventsStream {
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,
       transformWithStateQ, timerSessionsStreamed, staticJoinStreamed,
-      mergeUpsertStreamed, mergePrunedStreamed,
+      mergeUpsertStreamed, mergePrunedStreamed, mvJoinStreamed,
       intervalJoinStreamed, intervalJoinOuterStreamed,
       intervalJoinFullStreamed, intervalJoinRightStreamed,
       intervalJoinSemiStreamed,

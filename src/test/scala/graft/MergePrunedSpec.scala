@@ -76,4 +76,44 @@ class MergePrunedSpec extends AnyFunSuite {
     Dml.applyMergePrunedBatch(spark, batch)
     assert(snap() == once, "replayed batch changed the partition")
   }
+
+  test("streamed join-view maintenance: untouched partitions stay " +
+    "byte-identical, the final view equals the one-shot batch rules, " +
+    "and a replayed delta batch is idempotent") {
+    Tables.registerAll(spark, TestSpark.Sf)
+    // drive the full stream (3 micro-batches over the key-sliced delta)
+    val streamed = graft.streaming.EventsStream
+      .runMvJoinStream(spark, TestSpark.Sf)
+      .orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // the batch-maintained view (delta rules in one shot) is the truth
+    val oneShot = Dml.dmlMvJoinDelta.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(streamed.nonEmpty && streamed == oneShot,
+      "streamed view maintenance diverged from the one-shot delta rules")
+    // partition discipline on the streamed target: only the delta's
+    // year was ever rewritten (rebuild + snapshot + replay one batch)
+    Dml.createMvJoinStreamTarget(spark, TestSpark.Sf)
+    val before = Dml.partitionInventory(spark, Dml.MvJoinStreamTarget)
+    val delta = Dml.mvJoinBatch(Dml.mvJoinBase(spark, TestSpark.Sf))
+      .withColumn("yr", lit(Dml.MvJoinYear))
+    Dml.applyMvJoinStreamBatch(spark, TestSpark.Sf, delta)
+    val after = Dml.partitionInventory(spark, Dml.MvJoinStreamTarget)
+    val touched = s"yr=${Dml.MvJoinYear}"
+    assert(after(touched) != before(touched),
+      "touched view partition was not rewritten")
+    (before.keySet - touched).foreach { p =>
+      assert(after(p) == before(p),
+        s"untouched view partition $p changed")
+    }
+    // idempotence: the same delta applied again converges
+    def snap() = spark.table(Dml.MvJoinStreamTarget)
+      .filter(col("yr") === Dml.MvJoinYear)
+      .select("o_orderkey", "cents").orderBy("o_orderkey").collect().toSeq
+    val once = snap()
+    Dml.applyMvJoinStreamBatch(spark, TestSpark.Sf, delta)
+    assert(snap() == once, "replayed view delta changed the partition")
+  }
 }
