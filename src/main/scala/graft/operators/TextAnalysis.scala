@@ -1946,8 +1946,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Collocations below this bigram count are noise (a single rare
+    * co-occurrence maximizes PMI vacuously — the classic PMI failure
+    * mode a count floor fixes). */
+  val PmiMinCount = 5
+  val PmiTopN = 50
+
+  /** PMI COLLOCATION MINING (Church & Hanks 1990): rank adjacent word
+    * pairs by pointwise mutual information
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ), with bigram probability
+    * over the bigram total and unigram probabilities over the token
+    * total — the standard first pass for multiword-expression
+    * discovery in corpus curation (feeding tokenizer merges and
+    * phrase dictionaries). All counts are exact integers from two
+    * map-side-combined aggregates (bigrams via the per-doc lead
+    * window, unigrams from the token stream); the PMI is ONE ln of
+    * one division with both products spelled in fixed double order,
+    * so the ranking is bit-identical cross-engine. Vocabulary-sized
+    * state throughout — the bigram table is |V|²-bounded, in practice
+    * token-bounded. */
+  val textPmiCollocations: Q = Q.df(
+    "text_pmi_collocations",
+    s"""with idx as (
+       |  select doc_id, l, unnest(range(1, len(l) + 1)) as i
+       |  from (select doc_id, string_split(text, ' ') as l
+       |        from documents)),
+       |toks as (select doc_id, i - 1 as p, l[i] as tok, l[i + 1] as nxt
+       |         from idx),
+       |uni as (select tok, cast(count(*) as bigint) as c
+       |        from toks group by tok),
+       |tt as (select cast(sum(c) as bigint) as t from uni),
+       |bg as (select tok as t1, nxt as t2, cast(count(*) as bigint) as c_ab
+       |       from toks where nxt is not null group by tok, nxt),
+       |bt as (select cast(sum(c_ab) as bigint) as b from bg)
+       |select bg.t1, bg.t2, bg.c_ab,
+       |  round(ln((cast(bg.c_ab as double) * cast(tt.t as double)
+       |      * cast(tt.t as double))
+       |    / (cast(bt.b as double) * cast(ua.c as double)
+       |      * cast(ub.c as double))), 6) as pmi
+       |from bg join uni ua on ua.tok = bg.t1
+       |        join uni ub on ub.tok = bg.t2
+       |cross join tt cross join bt
+       |where bg.c_ab >= $PmiMinCount
+       |order by pmi desc, bg.t1, bg.t2 limit $PmiTopN""".stripMargin) {
+    (s, dir) =>
+      val toks = Tables.df(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("p", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("p"))
+      val withNext = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tt = uni.agg(sum(col("c")).as("t"))
+      val bg = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+        .agg(count(lit(1)).as("c_ab"))
+      val bt = bg.agg(sum(col("c_ab")).as("b"))
+      bg.filter(col("c_ab") >= PmiMinCount)
+        .join(uni.select(col("tok").as("t1"), col("c").as("ca")), "t1")
+        .join(uni.select(col("tok").as("t2"), col("c").as("cb")), "t2")
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(bt))
+        .select(col("t1"), col("t2"), col("c_ab"),
+          round(log((col("c_ab").cast("double") * col("t").cast("double")
+              * col("t").cast("double"))
+            / (col("b").cast("double") * col("ca").cast("double")
+              * col("cb").cast("double"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("t1"), col("t2"))
+        .limit(PmiTopN)
+  }
+
   val queries: Seq[Q] =
     Seq(textTokens, textLangId, textQuality, textFingerprint,
+      textPmiCollocations,
       textRollingFingerprint, textPiiFlags, textPiiRedact,
       textRakeKeyphrases, textRepetition,
       jsonExtractProps, jsonBuild, exprVariant, textEntropy, textLmScore,
