@@ -2587,6 +2587,100 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- scalar (int8) quantization + asymmetric rerank ---------------------
+
+  /** Candidate budget of the int8 first pass before the exact rerank. */
+  val SqCandidates = 50
+
+  /** SCALAR-QUANTIZED (SQ8) serving — the third compression point in
+    * the taxonomy, between raw floats and PQ/binary: each unit vector
+    * stores 64 int8 codes + one scale (max-abs symmetric grid, the
+    * `embed_quantize_int8` transform made a SERVING pass), an 8×
+    * compression whose first-pass score is the ASYMMETRIC distance
+    * scale·Σ qᵢ·codeᵢ — the float query never quantizes, which is why
+    * SQ8 loses almost no recall (only the corpus side rounds). Top
+    * [[SqCandidates]] per query then pay the exact rerank. Codes are
+    * exact integers, the dot folds in index order, and the one scale
+    * multiply comes last, so every approx score is bit-identical
+    * cross-engine and the ORACLE REPLAYS the quantized scan itself. */
+  def sqTopK(emb: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(emb.sparkSession)
+    val unit = withUnit(emb)
+    val codes = unit
+      .withColumn("m", array_max(transform(col("u"), x => abs(x))))
+      .select(col("vec_id"),
+        transform(col("u"),
+          x => floor(x * lit(127.0d) / col("m") + lit(0.5d))).as("qv"),
+        (col("m") / lit(127.0d)).as("scale"))
+    val queries = unit.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val cand = codes.select(col("vec_id").as("neighbor_id"),
+        col("qv"), col("scale"))
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("scale") *
+        aggregate(zip_with(col("qv"), col("qu"), (c, q) => c * q),
+          lit(0.0d), (a, x) => a + x))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("crn") <= SqCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    cand
+      .join(broadcast(unit.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qv2"))),
+        Seq("query_id"))
+      .join(unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv2"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"),
+        round(col("approx"), 6).as("sq_cos"))
+  }
+
+  private def sqOracle: String =
+    s"""with u as materialized ($sqlUnit),
+       |c8 as materialized (
+       |  select vec_id,
+       |    list_transform(u, x -> floor(x * 127.0 / m + 0.5)) as qv,
+       |    m / 127.0 as scale
+       |  from (select vec_id, u,
+       |          list_max(list_transform(u, x -> abs(x))) as m
+       |        from u) t),
+       |q as (select vec_id as query_id, u from u
+       |      where vec_id < $NumQueries),
+       |ap as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    c.scale * list_sum(list_transform(range(1, len(q.u) + 1),
+       |      i -> c.qv[i] * q.u[i])) as approx
+       |  from q cross join c8 c where c.vec_id <> q.query_id),
+       |cand as materialized (
+       |  select query_id, neighbor_id, approx from (
+       |    select *, row_number() over (partition by query_id
+       |      order by approx desc, neighbor_id) as crn from ap) t
+       |  where crn <= $SqCandidates),
+       |pairs as (
+       |  select cand.query_id, cand.neighbor_id, cand.approx,
+       |    ${sqlDotU("uq", "uc")} as cos
+       |  from cand join u uq on uq.vec_id = cand.query_id
+       |            join u uc on uc.vec_id = cand.neighbor_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim,
+       |  round(approx, 6) as sq_cos
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+
+  val annSqTopK: Q = Q.df("ann_sq_topk", sqOracle) { (s, dir) =>
+    sqTopK(Tables.df(s, dir, "embeddings"), TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- stored NSW graph lifecycle: persist / incremental / delete ---------
 
   /** The neighbor graph persisted as the serving ARTIFACT — a parquet
@@ -3046,7 +3140,7 @@ object Similarity {
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
       annHnswIncremental,
-      annBinaryHamming,
+      annBinaryHamming, annSqTopK,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)
