@@ -1158,6 +1158,32 @@ object Relational {
       .orderBy(col("k"), col("pos"))
   }
 
+  /** OUTER explode: a row whose array is EMPTY survives with a NULL
+    * element (plain explode silently drops it — the lateral-view bug
+    * class every ETL hits once). Arrays here are each nation's key
+    * repeated (key % 3) times, so keys ≡ 0 (mod 3) produce empty
+    * arrays and the outer form provably emits them. DuckDB has no
+    * unnest-outer; the oracle spells the semantics directly: pad
+    * empty arrays with [NULL], then unnest. Ordering coalesces NULL
+    * to '' so both engines' null placement agrees. */
+  val exprExplodeOuter: Q = Q.df(
+    "expr_explode_outer",
+    """with b as (select n_nationkey as k,
+      |    list_transform(range(0, n_nationkey % 3),
+      |      i -> 'v' || cast(n_nationkey as varchar)) as xs from nation),
+      |p as (select k, case when len(xs) = 0
+      |        then [cast(null as varchar)] else xs end as xs from b)
+      |select k, unnest(xs) as x from p
+      |order by k, coalesce(x, '')""".stripMargin) { (s, dir) =>
+    val k = col("n_nationkey")
+    Tables.df(s, dir, "nation")
+      .select(k.as("k"),
+        array_repeat(concat(lit("v"), k.cast("string")),
+          (k % 3).cast("int")).as("xs"))
+      .select(col("k"), explode_outer(col("xs")).as("x"))
+      .orderBy(col("k"), coalesce(col("x"), lit("")))
+  }
+
   /** Compound/nested types — the reference's PreciseType declares
     * Compound "currently not support" (doradb-datatype/src/lib.rs:60-61);
     * Spark's array/struct columns execute them natively, so this engine
@@ -1956,7 +1982,8 @@ object Relational {
     exprCase, exprCast, exprExtract, exprString, exprArith, exprMath,
     exprMathTrig, exprNullFuncs, exprDateFuncs2, exprArraySetops,
     exprHashEncode, exprRegexpFuncs, exprString3, exprMapFuncs,
-    exprExplodePos, exprTryArith, aggStatsRegression, exprTimestampFuncs,
+    exprExplodePos, exprExplodeOuter, exprTryArith, aggStatsRegression,
+    exprTimestampFuncs,
     exprDateFuncs3,
     exprRoundModes, exprInterval,
     exprComplexTypes, exprTryCast,

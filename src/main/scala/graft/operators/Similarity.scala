@@ -2681,6 +2681,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Recall@k audit for the QUANTIZED serving family (SQ8 + binary) —
+    * the [[annRecall]] discipline extended to the compression points
+    * it didn't cover: overlap of each method's top-k with the exact
+    * top-k, per query, as oracle-checked data. The numbers document
+    * the compression/recall trade the taxonomy claims: 8× SQ8 should
+    * sit near 1.0 (only the corpus side rounds), 32× sign-bit codes
+    * lower — measured, not asserted ([[graft.SimilaritySpec]] gates
+    * the ordering). */
+  val annRecallQuantized: Q = Q.df(
+    "ann_recall_quantized", {
+      s"""with exact as (select query_id, neighbor_id
+         |  from ($bruteForceOracle) t),
+         |sqk as (select query_id, neighbor_id from ($sqOracle) t),
+         |bink as (select query_id, neighbor_id
+         |  from ($binaryHammingOracle) t)
+         |select exact.query_id,
+         |  round(cast(sum(case when s.neighbor_id is not null
+         |          then 1 else 0 end) as double)
+         |    / cast($TopK as double), 6) as sq_recall,
+         |  round(cast(sum(case when b.neighbor_id is not null
+         |          then 1 else 0 end) as double)
+         |    / cast($TopK as double), 6) as bin_recall
+         |from exact
+         |left join sqk s on s.query_id = exact.query_id
+         |  and s.neighbor_id = exact.neighbor_id
+         |left join bink b on b.query_id = exact.query_id
+         |  and b.neighbor_id = exact.neighbor_id
+         |group by exact.query_id
+         |order by exact.query_id""".stripMargin
+    }) { (s, dir) =>
+    val emb = Tables.df(s, dir, "embeddings")
+    val keys = Seq("query_id", "neighbor_id")
+    val exact = bruteForceTopK(emb, TopK).select("query_id", "neighbor_id")
+    val sq = sqTopK(emb, TopK).select("query_id", "neighbor_id")
+      .withColumn("in_sq", lit(1))
+    val bin = binaryHammingTopK(emb, TopK).select("query_id", "neighbor_id")
+      .withColumn("in_bin", lit(1))
+    exact
+      .join(sq, keys, "left")
+      .join(bin, keys, "left")
+      .groupBy(col("query_id"))
+      .agg(
+        round(sum(coalesce(col("in_sq"), lit(0))).cast("double")
+          / lit(TopK).cast("double"), 6).as("sq_recall"),
+        round(sum(coalesce(col("in_bin"), lit(0))).cast("double")
+          / lit(TopK).cast("double"), 6).as("bin_recall"))
+      .orderBy(col("query_id"))
+  }
+
   // ---- stored NSW graph lifecycle: persist / incremental / delete ---------
 
   /** The neighbor graph persisted as the serving ARTIFACT — a parquet
@@ -3140,7 +3189,7 @@ object Similarity {
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
       annHnswIncremental,
-      annBinaryHamming, annSqTopK,
+      annBinaryHamming, annSqTopK, annRecallQuantized,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)

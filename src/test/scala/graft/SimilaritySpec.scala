@@ -401,4 +401,19 @@ class SimilaritySpec extends AnyFunSuite {
       || plan.contains("BroadcastExchange"),
       s"bench side must broadcast in:\n$plan")
   }
+
+  test("quantized recall: SQ8 (8x, asymmetric) dominates sign-bit " +
+    "codes (32x), and sits near exact") {
+    val rows = Similarity.annRecallQuantized.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == Similarity.NumQueries)
+    val meanSq = rows.map(_._1).sum / rows.length
+    val meanBin = rows.map(_._2).sum / rows.length
+    // the compression/recall trade the taxonomy claims, as data: the
+    // float-query asymmetric scan barely loses; 1-bit codes pay
+    assert(meanSq >= meanBin,
+      f"SQ8 recall $meanSq%.2f below binary $meanBin%.2f")
+    assert(meanSq >= 0.9, f"SQ8 mean recall $meanSq%.2f under 0.9 — " +
+      "the asymmetric-scan claim does not hold")
+  }
 }
