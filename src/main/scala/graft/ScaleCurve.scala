@@ -73,7 +73,9 @@ object ScaleCurve {
     "ann_graph_incremental",      // frozen-graph insert: O(batch·B·M·R)
     "text_index_serve",           // stored postings: 3 of 16 buckets read
     "ann_pq_rerank",              // corpus ADC + broadcast 4k exact refine
-    "text_index_incremental")     // per-batch segment append + merged serve
+    "text_index_incremental",     // per-batch segment append + merged serve
+    "text_index_topk_pruned",     // block-max serve: survivors only
+    "ann_sq_topk")                // int8 asymmetric scan + bounded rerank
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.
