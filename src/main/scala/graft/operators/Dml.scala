@@ -1623,6 +1623,98 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- deletion vectors (merge-on-read deletes) ----------------------------
+
+  /** The two delete batches' key slices (o_orderkey % 20 ∈ these). */
+  private[graft] val DvMods = Seq(5, 11)
+
+  /** DELETION VECTORS — the merge-on-read delete (Delta DVs / Iceberg
+    * positional deletes): a DELETE publishes only a key sidecar
+    * (`dv/b<i>/`), the data files stay byte-identical, and readers
+    * anti-join the union of sidecars at scan time. This is the other
+    * half of the delete design space from [[dmlUpdateDeleteRewrite]]'s
+    * copy-on-write: at 100 TB a GDPR-delete of a million keys writes
+    * megabytes instead of rewriting terabytes, trading a
+    * delete-set-sized broadcast anti-join on every read until
+    * compaction folds the vectors in. Sidecars ACCUMULATE (b0, b1, …)
+    * exactly like index tombstones; [[dvCompactRoot]] is the fold. */
+  private val dvCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def dvRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dvCache.once((s, dir)) {
+      val root = java.nio.file.Files.createTempDirectory("graft-dv").toString
+      val base = mergePrunedBase(s, dir)
+      base.write.partitionBy("yr").parquet(s"$root/data")
+      DvMods.zipWithIndex.foreach { case (m, i) =>
+        base.filter(col("o_orderkey") % 20 === m)
+          .select(col("o_orderkey"))
+          .write.parquet(s"$root/dv/b$i")
+      }
+      root
+    }
+
+  /** Merge-on-read scan: data ∖ (∪ sidecars). The DV union is
+    * delete-sized, broadcast into the anti-join — the read-side cost
+    * DVs trade for O(keys) deletes. */
+  private[graft] def readWithDv(s: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val dvs = Option(new java.io.File(s"$root/dv").listFiles()).toSeq
+      .flatten.filter(_.isDirectory).map(_.getName).sorted
+      .map(b => s.read.parquet(s"$root/dv/$b"))
+      .reduceOption(_ unionByName _)
+    val data = s.read.parquet(s"$root/data")
+    dvs.fold(data)(dv =>
+      data.join(broadcast(dv), Seq("o_orderkey"), "left_anti"))
+  }
+
+  private def dvOracle: String =
+    s"""select o_orderkey,
+       |  cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |  cast(year(o_orderdate) as int) as yr
+       |from orders
+       |where o_orderkey % 20 not in (${DvMods.mkString(", ")})
+       |order by o_orderkey""".stripMargin
+
+  /** Read through two accumulated deletion vectors; the spec proves
+    * the data files stayed byte-identical through both deletes and
+    * that the sidecars are delete-sized. */
+  val dmlDeletionVectors: Q = Q.df(
+    "dml_deletion_vectors", dvOracle) { (s, dir) =>
+    readWithDv(s, dvRoot(s, dir))
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** DV COMPACTION (the merge-on-read → copy-on-write fold, Delta's
+    * `REORG TABLE … APPLY (PURGE)`): rewrite the data applying the
+    * vectors, publish WITHOUT sidecars — reads drop the per-scan
+    * anti-join. Written beside the source root (a fold never mutates
+    * its inputs until retention). Same oracle: compaction must be
+    * invisible to queries. */
+  private val dvCompactCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def dvCompactRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dvCompactCache.once((s, dir)) {
+      val src = dvRoot(s, dir)
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-dvcompact").toString
+      readWithDv(s, src).write.partitionBy("yr").parquet(s"$root/data")
+      root
+    }
+
+  val dmlDvCompaction: Q = Q.df(
+    "dml_dv_compaction", dvOracle) { (s, dir) =>
+    readWithDv(s, dvCompactRoot(s, dir))
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---- table history + timestamp-based time travel ------------------------
 
   /** Logical commit date of version k: the batch cadence is daily, so
@@ -2081,5 +2173,5 @@ object Dml {
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
-    dmlTableHistory)
+    dmlTableHistory, dmlDeletionVectors, dmlDvCompaction)
 }

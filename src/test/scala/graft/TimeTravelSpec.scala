@@ -278,4 +278,57 @@ class TimeTravelSpec extends AnyFunSuite {
       assert(np == Dml.readManifest(root, k).size.toLong)
     }
   }
+
+  test("deletion vectors: deletes are sidecar-sized and never touch " +
+    "data files; compaction folds them invisibly") {
+    def inventory(p: String): Seq[(String, Long, Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map { f =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (f.getPath, f.length(), f.lastModified(), md5)
+        }.sortBy(_._1)
+    }
+    // the delete-side witness on a private tree: writing a sidecar
+    // leaves every data file byte-identical (the DV mechanism itself)
+    val priv = java.nio.file.Files.createTempDirectory("graft-dv-spec")
+      .toString
+    try {
+      val base = Dml.mergePrunedBase(spark, TestSpark.Sf)
+      base.write.partitionBy("yr").parquet(s"$priv/data")
+      val before = inventory(s"$priv/data")
+      base.filter(col("o_orderkey") % 20 === Dml.DvMods.head)
+        .select(col("o_orderkey")).write.parquet(s"$priv/dv/b0")
+      assert(inventory(s"$priv/data") == before,
+        "a DV delete touched the data files")
+    } finally graft.plans.Scratch.deleteTree(priv)
+    // the served root: reads mutate nothing, sidecars are delete-sized
+    val root = Dml.dvRoot(spark, TestSpark.Sf)
+    val dataBefore = inventory(s"$root/data")
+    val served = Dml.dmlDeletionVectors.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inventory(s"$root/data") == dataBefore,
+      "merge-on-read scan rewrote data files")
+    assert(!served.exists(r => Dml.DvMods.contains((r._1 % 20).toInt)),
+      "a deleted key survived the DV anti-join")
+    val dataBytes = dataBefore.map(_._2).sum
+    val dvBytes = inventory(s"$root/dv").map(_._2).sum
+    assert(dvBytes > 0 && dvBytes < dataBytes / 5,
+      s"sidecars not delete-sized: $dvBytes vs data $dataBytes")
+    // compaction: bit-equal read, sidecars gone, deleted rows physical
+    val compacted = Dml.dmlDvCompaction.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(compacted == served,
+      "DV compaction changed the served result")
+    val croot = Dml.dvCompactRoot(spark, TestSpark.Sf)
+    assert(!new java.io.File(s"$croot/dv").exists(),
+      "compaction kept sidecars")
+    assert(spark.read.parquet(s"$croot/data").count() == served.length,
+      "compacted data row count != served rows")
+  }
 }
