@@ -1623,6 +1623,90 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- CHECK constraints on the versioned write path ----------------------
+
+  /** The target's table constraint (Delta `ADD CONSTRAINT` semantics):
+    * enforced at WRITE time — a batch with any violating row aborts
+    * before a manifest publishes, so no reader at any version ever
+    * observes invalid data. Validation is one O(batch) filtered count
+    * (the batch is the small side by construction); the table itself
+    * is never re-validated, which is what makes constraints free at
+    * 100 TB — the invariant is carried by induction from the validated
+    * base. */
+  private[graft] val CentsPositive: org.apache.spark.sql.Column =
+    col("cents") > 0 && col("o_orderkey").isNotNull
+
+  private[graft] def commitWithConstraint(
+      s: org.apache.spark.sql.SparkSession, root: String, k: Int,
+      batch: org.apache.spark.sql.DataFrame): Unit = {
+    val bad = batch.filter(!CentsPositive).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"CHECK constraint cents_positive violated by $bad batch row(s); " +
+        "commit aborted, no version published")
+    applyTimeTravelBatch(s, root, k, batch)
+  }
+
+  /** Versioned tree whose every commit passed the constraint gate: a
+    * VIOLATING batch is attempted between the two valid ones and must
+    * leave no version behind — the entry's final read proves the two
+    * valid batches landed as v1/v2 with nothing in between (the oracle
+    * replays exactly two batches; an extra or missing version breaks
+    * the hash). */
+  private val constraintCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def constraintRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    constraintCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-check").toString
+      val base = mergePrunedBase(s, dir)
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      writeManifest(root, 0, years.map(y => y -> s"data/g0/yr=$y").toMap)
+      commitWithConstraint(s, root, 1,
+        mergePrunedBatch(base, TimeTravelYears.head))
+      // the poisoned batch: negated cents violate cents_positive
+      val poisoned = mergePrunedBatch(base, TimeTravelYears(1))
+        .withColumn("cents", -col("cents"))
+      val rejected =
+        try { commitWithConstraint(s, root, 2, poisoned); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "constraint gate admitted a violating batch")
+      require(timeTravelVersions(root).max == 1,
+        "a version appeared despite the aborted commit")
+      commitWithConstraint(s, root, 2,
+        mergePrunedBatch(base, TimeTravelYears(1)))
+      root
+    }
+
+  val dmlConstraintCheck: Q = Q.df(
+    "dml_constraint_check",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr in (${TimeTravelYears.take(2).mkString(", ")})
+       |    and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = constraintRoot(s, dir)
+    readVersionAsOf(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---- deletion vectors (merge-on-read deletes) ----------------------------
 
   /** The two delete batches' key slices (o_orderkey % 20 ∈ these). */
@@ -2173,5 +2257,6 @@ object Dml {
     sourceCatalogTable, dmlTimeTravel, dmlTimeTravelChanges,
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
-    dmlTableHistory, dmlDeletionVectors, dmlDvCompaction)
+    dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
+    dmlConstraintCheck)
 }
