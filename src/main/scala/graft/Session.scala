@@ -40,6 +40,7 @@ object Session {
       .withExtensions(graft.plans.AsOfJoinNative.inject)
       .withExtensions(graft.plans.NormalizeRules.inject)
       .withExtensions(graft.plans.MvRewrite.inject)
+      .withExtensions(graft.plans.MvJoinRewrite.inject)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

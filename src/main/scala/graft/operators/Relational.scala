@@ -1935,6 +1935,25 @@ object Relational {
       .orderBy(col("l_linestatus"))
   }
 
+  /** Automatic JOIN-view rewrite ([[graft.plans.MvJoinRewrite]]): the
+    * query spells the raw orders ⋈ customer join; the injected rule
+    * redirects it to the stored pre-joined artifact — the plan scans
+    * ONLY the view (spec-pinned), the dominant fact-side shuffle gone.
+    * Oracle = the raw join (the rewrite must be invisible in values). */
+  val mvJoinRewriteQ: Q = Q.df(
+    "mv_join_rewrite",
+    """select o.o_orderkey, o.o_custkey, c.c_nationkey as nat
+      |from orders o join customer c on o.o_custkey = c.c_custkey
+      |order by o.o_orderkey""".stripMargin) { (s, dir) =>
+    graft.plans.MvJoinRewrite.ensure(s, dir)
+    Tables.df(s, dir, "orders")
+      .join(Tables.df(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_nationkey").as("nat"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** SQL SCRIPTING (Spark 4's procedural surface: BEGIN…END compound
     * statements, DECLAREd local variables, WHILE control flow): the
     * script partitions the orders count across five loop iterations by
@@ -1964,7 +1983,8 @@ object Relational {
   }
 
   val queries: Seq[Q] = Seq(
-    mvRewriteRollup, mvIncrementalRewrite, sqlScriptingLoop,
+    mvRewriteRollup, mvIncrementalRewrite, mvJoinRewriteQ,
+    sqlScriptingLoop,
     exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,
     setopUnionAll, setopUnionDistinct, setopUnionByName,

@@ -157,6 +157,49 @@ class MvRewriteSpec extends AnyFunSuite {
       scanPaths(q))
   }
 
+  test("join-MV automatic rewrite: eligible joins scan only the view; " +
+    "outer joins, interposed filters, and non-view columns veto") {
+    import graft.plans.MvJoinRewrite
+    MvJoinRewrite.ensure(spark, TestSpark.Sf)
+    val orders = Tables.df(spark, TestSpark.Sf, "orders")
+    val customer = Tables.df(spark, TestSpark.Sf, "customer")
+    def eligible = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_nationkey").as("nat"))
+    val q = eligible
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains("mv_orders_customer")),
+      s"rewrite did not fire: $paths")
+    assert(!paths.exists(p => p.endsWith("orders.parquet") ||
+      p.endsWith("customer.parquet")),
+      s"rewritten plan still scans a base table: $paths")
+    // invisible in values: rule off must agree bit-for-bit
+    val got = q.orderBy(col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    spark.conf.set(MvJoinRewrite.EnabledKey, "false")
+    val want =
+      try eligible.orderBy(col("o_orderkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      finally spark.conf.set(MvJoinRewrite.EnabledKey, "true")
+    assert(got.nonEmpty && got == want, "rewrite changed the answer")
+    // vetoes — each must keep scanning the base tables
+    def scansBase(df: DataFrame): Boolean =
+      scanPaths(df).exists(_.endsWith("orders.parquet"))
+    assert(scansBase(orders
+      .join(customer, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("c_nationkey"))),
+      "outer join was rewritten")
+    assert(scansBase(orders.filter(col("o_orderkey") > 100)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))),
+      "a filtered join was rewritten")
+    assert(scansBase(orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("c_nationkey"))),
+      "a non-view column was rewritten")
+  }
+
   test("join-view IVM: maintained view equals the full recompute, the " +
     "base fact table is never rescanned, and the stored view is frozen") {
     import graft.operators.Dml
