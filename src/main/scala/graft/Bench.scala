@@ -142,10 +142,23 @@ object Bench {
     // line before (BENCH_r02 lost the TPC-H cells); a repo-relative file
     // keeps the full record regardless of how stdout is handled.
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write target/bench_last.json: $e")
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_last.json"), json + "\n")
+        // Clobber-proof record of record: APPEND every full run to a
+        // history log (r16: the driver's hot post-hoc run overwrote the
+        // only green bench_last.json via the fixed path above — a later
+        // run must never be able to destroy an earlier record). Each
+        // line is self-describing: wall-clock stamp + the full record.
+        val stamped = s"""{"recorded_at_ms":${System.currentTimeMillis},""" +
+          json.drop(1) + "\n"
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("target/bench_history.jsonl"),
+          stamped.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not self-record: $e")
       }
     println(json)
     System.out.flush()

@@ -150,7 +150,7 @@ object LexIndex {
   private[graft] def serveBm25(s: SparkSession, root: String,
       segs: Seq[String],
       tombstones: Option[org.apache.spark.sql.Column] = None,
-      blkFilter: Option[org.apache.spark.sql.Column] = None,
+      blkSurvivors: Option[DataFrame] = None,
       topN: Int = ServeTopN,
       mixedTerms: Boolean = false): DataFrame = {
     def read(t: String): DataFrame =
@@ -158,7 +158,7 @@ object LexIndex {
     val (terms, buckets) = termsAndBuckets(
       read("df").groupBy(col("tok")).agg(sum(col("df")).as("df")),
       mixedTerms)
-    scoreTail(s, root, segs, terms, buckets, tombstones, blkFilter, topN)
+    scoreTail(s, root, segs, terms, buckets, tombstones, blkSurvivors, topN)
   }
 
   /** One model-sized driver job resolving the query: the picked terms
@@ -178,13 +178,16 @@ object LexIndex {
   }
 
   /** The scoring tail over resolved query terms: prune the postings
-    * scan to the terms' buckets (planning-time), apply tombstone/block
-    * filters, score with [[TextAnalysis.bm25ScoreExpr]] against the
-    * summed broadcast stats, fold per doc, rank. */
+    * scan to the terms' buckets (planning-time), apply tombstone
+    * filters, restrict to surviving blocks via a semi-join against the
+    * (model-per-term but df-proportional-in-aggregate) survivor block
+    * relation — IN-PLAN, never a driver-materialized literal list —
+    * score with [[TextAnalysis.bm25ScoreExpr]] against the summed
+    * broadcast stats, fold per doc, rank. */
   private def scoreTail(s: SparkSession, root: String, segs: Seq[String],
       terms: Seq[(String, Long)], buckets: Seq[Int],
       tombstones: Option[org.apache.spark.sql.Column],
-      blkFilter: Option[org.apache.spark.sql.Column],
+      blkSurvivors: Option[DataFrame],
       topN: Int): DataFrame = {
     import s.implicits._
     def read(t: String): DataFrame =
@@ -194,10 +197,15 @@ object LexIndex {
     // corpus stats keep counting deleted docs until a merge reclaims
     // them — Lucene's documented semantics (docFreq includes
     // deletions), which is what keeps delete O(1) at write time
-    val postings = (tombstones.map(d => !d) ++ blkFilter)
+    val tombed = tombstones.map(d => !d)
       .foldLeft(read("postings")
         .filter(col("b").isin(buckets: _*) &&
           col("tok").isin(terms.map(_._1): _*)))((p, f) => p.filter(f))
+    // survivor restriction as LEFT SEMI on blk: the bound table stays
+    // an executor-side relation (broadcast by AQE when small), so a
+    // hot term's df/8 block rows never land on the driver
+    val postings = blkSurvivors.foldLeft(tombed)((p, sv) =>
+      p.join(sv.select(col("blk")).distinct(), Seq("blk"), "left_semi"))
     postings
       .join(broadcast(terms.toDF("tok", "df")), "tok")
       .join(read("doclen"), "doc_id")
@@ -404,37 +412,58 @@ object LexIndex {
     * skipped block scores ≤ UB(blk) < θ, so it cannot displace the true
     * top-k — pruned serve ≡ unpruned serve bit-for-bit, which is why
     * the entry's oracle is the plain full-ranking SQL. Returns
-    * (terms, buckets, survivor blocks, total candidate blocks) —
-    * candidates are blocks holding ≥ 1 query-term posting, the set the
-    * UNPRUNED serve reads. The whole plan costs THREE model-sized
-    * driver jobs (terms+buckets, the block-bound table, the seed
-    * scores) — block ids, bounds, and one threshold, never postings. */
+    * (terms, buckets, survivor blocks, candidate blocks) — candidates
+    * are blocks holding ≥ 1 query-term posting, the set the UNPRUNED
+    * serve reads; both are RELATIONS, never driver lists. The plan
+    * costs TWO model-sized driver jobs (terms+buckets; the single
+    * count+θ row) — the bound table itself stays distributed end to
+    * end, since for a hot term its (blk, ub) rows are df/8, i.e.
+    * corpus-proportional at 100 TB. */
   private[graft] def prunedPlan(s: SparkSession, root: String)
-      : (Seq[(String, Long)], Seq[Int], Seq[Long], Long) = {
-    import s.implicits._
+      : (Seq[(String, Long)], Seq[Int], DataFrame, DataFrame) = {
     val (terms, buckets) = termsAndBuckets(
       s.read.parquet(s"$root/full/df")
         .groupBy(col("tok")).agg(sum(col("df")).as("df")),
       mixed = true)
-    val ubRows: Seq[(Long, Double)] = s.read
+    val ub = s.read
       .parquet(s"$root/full/blockmax")
       .filter(col("tok").isin(terms.map(_._1): _*))
       .groupBy(col("blk")).agg(sum(col("max_s")).as("ub"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val seed = ubRows.sortBy { case (b, u) => (-u, b) }
-      .take(SeedBlocks).map(_._1)
-    val seedScores = scoreTail(s, root, Seq("full"), terms, buckets,
-        None, Some(col("blk").isin(seed: _*)), PrunedTopN)
-      .select(col("bm25")).as[Double].collect()
+    survivorBlocks(s, root, Seq("full"), terms, buckets, ub)
+  }
+
+  /** The DISTRIBUTED seed-θ-survivor tail shared by both pruned plans
+    * (r16 gate fix: the bound table is df/8 rows per hot term —
+    * corpus-proportional at 100 TB — so it must never be collected):
+    *
+    *  - seed = top-[[SeedBlocks]] bound rows via orderBy+limit
+    *    (TakeOrderedAndProject — distributed for free);
+    *  - θ = the kth-best exact seed score, read as ONE scalar row
+    *    (count + min over a [[PrunedTopN]]-row frame — model-sized by
+    *    construction, the only driver materialization in the plan);
+    *  - survivors = bound table filtered by the broadcast-θ predicate
+    *    ∪ seed, returned as a RELATION the serve semi-joins in-plan.
+    *
+    * Returns (terms, buckets, survivor blocks, candidate blocks); the
+    * 4th element is lazy — entries that discard it never run its job. */
+  private def survivorBlocks(s: SparkSession, root: String,
+      segs: Seq[String], terms: Seq[(String, Long)], buckets: Seq[Int],
+      ub: DataFrame)
+      : (Seq[(String, Long)], Seq[Int], DataFrame, DataFrame) = {
+    val seed = ub.orderBy(col("ub").desc, col("blk").asc)
+      .limit(SeedBlocks).select(col("blk"))
+    val ks = scoreTail(s, root, segs, terms, buckets,
+        None, Some(seed), PrunedTopN)
+      .agg(count(lit(1)).as("k"), min(col("bm25")).as("theta"))
+      .head()
     val survivors =
-      if (seedScores.length < PrunedTopN)
+      if (ks.getLong(0) < PrunedTopN)
         // pass 1 could not exhibit k docs: no sound threshold, no pruning
-        ubRows.map(_._1)
-      else {
-        val theta = seedScores.min
-        (ubRows.filter(_._2 >= theta - 1e-6).map(_._1) ++ seed).distinct
-      }
-    (terms, buckets, survivors, ubRows.size.toLong)
+        ub.select(col("blk"))
+      else
+        ub.filter(col("ub") >= ks.getDouble(1) - 1e-6).select(col("blk"))
+          .unionByName(seed).distinct()
+    (terms, buckets, survivors, ub)
   }
 
   /** Dirichlet smoothing mass μ, sized to the fixture's mean doc
@@ -539,7 +568,8 @@ object LexIndex {
     * statistic merging, only looser (components decouple), never
     * wrong. */
   private[graft] def prunedPlanMulti(s: SparkSession, root: String,
-      segs: Seq[String]): (Seq[(String, Long)], Seq[Int], Seq[Long], Long) = {
+      segs: Seq[String])
+      : (Seq[(String, Long)], Seq[Int], DataFrame, DataFrame) = {
     import s.implicits._
     def read(t: String): DataFrame =
       segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
@@ -548,7 +578,7 @@ object LexIndex {
       mixed = true)
     val st = read("stats")
       .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
-    val ubRows: Seq[(Long, Double)] = read("blockmax")
+    val ub = read("blockmax")
       .filter(col("tok").isin(terms.map(_._1): _*))
       .groupBy(col("tok"), col("blk"))
       .agg(max(col("max_c")).as("c"), min(col("min_dl")).as("dl"))
@@ -556,19 +586,7 @@ object LexIndex {
       .crossJoin(broadcast(st))
       .select(col("blk"), TextAnalysis.bm25ScoreExpr.as("bound"))
       .groupBy(col("blk")).agg(sum(col("bound")).as("ub"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val seed = ubRows.sortBy { case (b, u) => (-u, b) }
-      .take(SeedBlocks).map(_._1)
-    val seedScores = scoreTail(s, root, segs, terms, buckets,
-        None, Some(col("blk").isin(seed: _*)), PrunedTopN)
-      .select(col("bm25")).as[Double].collect()
-    val survivors =
-      if (seedScores.length < PrunedTopN) ubRows.map(_._1)
-      else {
-        val theta = seedScores.min
-        (ubRows.filter(_._2 >= theta - 1e-6).map(_._1) ++ seed).distinct
-      }
-    (terms, buckets, survivors, ubRows.size.toLong)
+    survivorBlocks(s, root, segs, terms, buckets, ub)
   }
 
   /** Pruned top-k over the APPENDED index (base ∪ delta with summed
@@ -588,7 +606,7 @@ object LexIndex {
     val segs = Seq("base", "delta")
     val (terms, buckets, survivors, _) = prunedPlanMulti(s, root, segs)
     scoreTail(s, root, segs, terms, buckets, None,
-      Some(col("blk").isin(survivors: _*)), PrunedTopN)
+      Some(survivors), PrunedTopN)
   }
 
   /** Top-k serve with block-max pruning: score only surviving blocks'
@@ -608,7 +626,7 @@ object LexIndex {
     val root = fullIndexRoot(s, dir)
     val (terms, buckets, survivors, _) = prunedPlan(s, root)
     scoreTail(s, root, Seq("full"), terms, buckets, None,
-      Some(col("blk").isin(survivors: _*)), PrunedTopN)
+      Some(survivors), PrunedTopN)
   }
 
   /** Serve base ∪ delta with summed statistics — and the oracle is the

@@ -2681,6 +2681,118 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // ---- IVF + SQ8 composed (sublinear probes over 8× codes) ----------------
+
+  /** IVF-SQ8 — the FAISS `IVFx,SQ8` shape: the shared trained coarse
+    * quantizer restricts candidates to [[NProbe]] probed cells (the
+    * [[ivfPqTopK]] composition) while the corpus side exists only as
+    * per-cell SQ8 codes (the [[sqTopK]] representation), so a query
+    * scores (NProbe/C) of the corpus at 8× compression with the
+    * near-exact recall flat SQ8 measured ([[annRecallQuantized]] ≈1.0)
+    * minus only the probe loss — the best recall/compression point the
+    * taxonomy offers, now sublinear. One encode pass (cell + codes +
+    * scale per vector, zero shuffle); candidate generation is the
+    * broadcast probe join; the asymmetric scale·Σ qᵢ·codeᵢ first pass
+    * feeds the exact top-[[SqCandidates]] rerank. Codes are exact
+    * integers and the fold order matches [[sqTopK]]'s, so the ORACLE
+    * REPLAYS assignment, probing, the quantized scan, and the rerank
+    * bit-for-bit (late-bound trained centroids, as [[ivfOracle]]). */
+  def ivfSqTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
+    val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
+    import spark.implicits._
+    val cm = trainedCentroids(emb, dir)
+    lastTrained = cm
+    val unit = withUnit(emb).as[(Long, Array[Double])]
+    // corpus representation: cell id + 64 int8 codes + one scale
+    val codes = unit
+      .map { case (id, u) =>
+        val m = u.map(math.abs).max
+        (id, nearestCentroids(u, 1, cm)(0),
+          u.map(x => math.floor(x * 127.0 / m + 0.5)), m / 127.0)
+      }
+      .toDF("neighbor_id", "cid", "qv", "scale")
+    // queries: raw unit vectors (ADC is asymmetric) × probed cells
+    val queries = unit.filter(_._1 < NumQueries)
+      .flatMap { case (id, u) =>
+        nearestCentroids(u, NProbe, cm).iterator.map(c => (id, c, u))
+      }
+      .toDF("query_id", "cid", "qu")
+    val cand = codes
+      .join(broadcast(queries), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("scale") *
+        aggregate(zip_with(col("qv"), col("qu"), (c, q) => c * q),
+          lit(0.0d), (a, x) => a + x))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("approx").desc, col("neighbor_id"))))
+      .filter(col("crn") <= SqCandidates)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    val u = withUnit(emb)
+    cand
+      .join(broadcast(u.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("u").as("qv2"))),
+        Seq("query_id"))
+      .join(u.select(col("vec_id").as("neighbor_id"), col("u").as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosExpr(col("qv2"), col("cv")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cos_sim"),
+        round(col("approx"), 6).as("sq_cos"))
+  }
+
+  /** Late-bound IVF-SQ8 oracle: [[sqlAssignProbeCtes]] (shared with
+    * IVF/IVFPQ) composed with [[sqOracle]]'s encode CTE, the probed
+    * quantized scan, and the exact rerank tail. */
+  private def ivfSqOracle: String = {
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    s"""with ${sqlCentroidValues(cm)},
+       |e as ($sqlUnit),
+       |$sqlAssignProbeCtes,
+       |c8 as materialized (
+       |  select vec_id,
+       |    list_transform(u, x -> floor(x * 127.0 / m + 0.5)) as qv,
+       |    m / 127.0 as scale
+       |  from (select vec_id, u,
+       |          list_max(list_transform(u, x -> abs(x))) as m
+       |        from e) t),
+       |ap as materialized (
+       |  select p.vec_id as query_id, c8.vec_id as neighbor_id,
+       |    c8.scale * list_sum(list_transform(range(1, len(p.u) + 1),
+       |      i -> c8.qv[i] * p.u[i])) as approx
+       |  from probes p
+       |  join assign a on a.cid = p.cid
+       |  join c8 on c8.vec_id = a.vec_id
+       |  where a.vec_id <> p.vec_id),
+       |cand as materialized (
+       |  select query_id, neighbor_id, approx from (
+       |    select *, row_number() over (partition by query_id
+       |      order by approx desc, neighbor_id) as crn from ap) t
+       |  where crn <= $SqCandidates),
+       |pairs as (
+       |  select cand.query_id, cand.neighbor_id, cand.approx,
+       |    ${sqlDotU("uq", "uc")} as cos
+       |  from cand join e uq on uq.vec_id = cand.query_id
+       |            join e uc on uc.vec_id = cand.neighbor_id)
+       |select query_id, neighbor_id, rnk, round(cos, 6) as cos_sim,
+       |  round(approx, 6) as sq_cos
+       |from (select *, cast(row_number() over (partition by query_id
+       |        order by cos desc, neighbor_id) as bigint) as rnk
+       |      from pairs) t
+       |where rnk <= $TopK
+       |order by query_id, rnk""".stripMargin
+  }
+
+  val annIvfSq: Q = Q.df("ann_ivfsq_topk", ivfSqOracle) { (s, dir) =>
+    ivfSqTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Recall@k audit for the QUANTIZED serving family (SQ8 + binary) —
     * the [[annRecall]] discipline extended to the compression points
     * it didn't cover: overlap of each method's top-k with the exact
@@ -2695,19 +2807,26 @@ object Similarity {
          |  from ($bruteForceOracle) t),
          |sqk as (select query_id, neighbor_id from ($sqOracle) t),
          |bink as (select query_id, neighbor_id
-         |  from ($binaryHammingOracle) t)
+         |  from ($binaryHammingOracle) t),
+         |ivfsqk as (select query_id, neighbor_id
+         |  from ($ivfSqOracle) t)
          |select exact.query_id,
          |  round(cast(sum(case when s.neighbor_id is not null
          |          then 1 else 0 end) as double)
          |    / cast($TopK as double), 6) as sq_recall,
          |  round(cast(sum(case when b.neighbor_id is not null
          |          then 1 else 0 end) as double)
-         |    / cast($TopK as double), 6) as bin_recall
+         |    / cast($TopK as double), 6) as bin_recall,
+         |  round(cast(sum(case when v.neighbor_id is not null
+         |          then 1 else 0 end) as double)
+         |    / cast($TopK as double), 6) as ivfsq_recall
          |from exact
          |left join sqk s on s.query_id = exact.query_id
          |  and s.neighbor_id = exact.neighbor_id
          |left join bink b on b.query_id = exact.query_id
          |  and b.neighbor_id = exact.neighbor_id
+         |left join ivfsqk v on v.query_id = exact.query_id
+         |  and v.neighbor_id = exact.neighbor_id
          |group by exact.query_id
          |order by exact.query_id""".stripMargin
     }) { (s, dir) =>
@@ -2718,15 +2837,20 @@ object Similarity {
       .withColumn("in_sq", lit(1))
     val bin = binaryHammingTopK(emb, TopK).select("query_id", "neighbor_id")
       .withColumn("in_bin", lit(1))
+    val ivfsq = ivfSqTopK(emb, TopK, dir).select("query_id", "neighbor_id")
+      .withColumn("in_ivfsq", lit(1))
     exact
       .join(sq, keys, "left")
       .join(bin, keys, "left")
+      .join(ivfsq, keys, "left")
       .groupBy(col("query_id"))
       .agg(
         round(sum(coalesce(col("in_sq"), lit(0))).cast("double")
           / lit(TopK).cast("double"), 6).as("sq_recall"),
         round(sum(coalesce(col("in_bin"), lit(0))).cast("double")
-          / lit(TopK).cast("double"), 6).as("bin_recall"))
+          / lit(TopK).cast("double"), 6).as("bin_recall"),
+        round(sum(coalesce(col("in_ivfsq"), lit(0))).cast("double")
+          / lit(TopK).cast("double"), 6).as("ivfsq_recall"))
       .orderBy(col("query_id"))
   }
 
@@ -3127,6 +3251,110 @@ object Similarity {
        |${beamRoundsSql("t", "all0", BeamRounds)}${beamFinalSql(s"tv$BeamRounds")}"""
       .stripMargin
 
+  // ---- two-layer lifecycle completion: delete + compact -------------------
+
+  /** Tombstone-delete on the stored TWO-LAYER artifact ([[annGraphDelete]]
+    * one level up, closing the r16 lifecycle asymmetry): the tombstone
+    * set (vec_id % 7 = [[AnnDeleteMod]]) is excluded from BOTH endpoints
+    * of BOTH layers' edge tables and from the layer-1 routing entries
+    * before the walk — a deleted node is neither routable in L1 nor
+    * returnable from L0 (every served id is an entry seed, an L1 edge
+    * dst, or an L0 edge dst — all filtered), the stored files never
+    * rewrite, deletes stay O(1). Entry id 24 (≡ 3 mod 7) is itself
+    * tombstoned, so the route also runs on a reduced entry set. Oracle:
+    * the layered chain over the filtered relations. */
+  val annHnswDelete: Q = Q.df("ann_hnsw_delete", hnswDeleteOracle) {
+    (s, dir) =>
+      val root = hnswIndexRoot(s, dir)
+      val live = (c: String) => col(c) % 7 =!= AnnDeleteMod
+      hnswLayeredWalk(s, dir,
+        s.read.parquet(s"$root/edges0")
+          .filter(live("src") && live("dst")),
+        s.read.parquet(s"$root/edges1")
+          .filter(live("src") && live("dst")),
+        s.read.parquet(s"$root/entries1").filter(live("neighbor_id")),
+        TopK)
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Compacted two-layer root: BOTH edge tables rewritten without
+    * edges touching tombstoned nodes, plus the surviving entry list —
+    * the OPTIMIZE pass [[annHnswDelete]]'s lazy tombstones defer to,
+    * completing the hierarchical index's lifecycle (build → persist →
+    * incremental → delete → compact) exactly as [[graphCompactRoot]]
+    * did for the flat graph. Serving mounts the artifact with no
+    * tombstone predicate anywhere: deleted nodes are physically
+    * unroutable (L1), unreturnable (L0), and unseedable (entries). */
+  private val hnswCompactCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def hnswCompactRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hnswCompactCache.once((s, dir)) {
+      val full = hnswIndexRoot(s, dir)
+      val root = tempIndexRoot("hnswcompact")
+      val live = (c: String) => col(c) % 7 =!= AnnDeleteMod
+      Seq("edges0", "edges1").foreach { t =>
+        s.read.parquet(s"$full/$t")
+          .filter(live("src") && live("dst"))
+          .write.mode("overwrite").parquet(s"$root/$t")
+      }
+      s.read.parquet(s"$full/entries1")
+        .filter(live("neighbor_id"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/entries1")
+      root
+    }
+
+  /** Serve the standard query set from the COMPACTED two-layer
+    * artifact — edges of both layers and the routing entries all come
+    * from the store, no tombstone predicate anywhere. The oracle is
+    * [[annHnswDelete]]'s, so compact-then-serve ≡ tombstone-filtered-
+    * serve is hash-verified end to end; [[graft.GraphIndexSpec]] adds
+    * bit-equality, both layers' edge-count shrink, and the
+    * full-artifact-untouched witness. */
+  val annHnswCompact: Q = Q.df("ann_hnsw_compact", hnswDeleteOracle) {
+    (s, dir) =>
+      val root = hnswCompactRoot(s, dir)
+      hnswLayeredWalk(s, dir,
+        s.read.parquet(s"$root/edges0"),
+        s.read.parquet(s"$root/edges1"),
+        s.read.parquet(s"$root/entries1"),
+        TopK)
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle for [[annHnswDelete]] / [[annHnswCompact]]: the layered
+    * chain ([[hnswLayeredOracle]]) with the tombstone filter applied to
+    * both layers' edge relations and the entry seeds. */
+  private def hnswDeleteOracle: String =
+    s"""$beamPreludeSql,
+       |keys1 as materialized (
+       |  select * from keys where vec_id % $LayerMod = 0),
+       |${graphBuildSql("", "keys")},
+       |${graphBuildSql("l1", "keys1")},
+       |d0 as materialized (
+       |  select src, dst from edges
+       |  where src % 7 <> $AnnDeleteMod and dst % 7 <> $AnnDeleteMod),
+       |d1 as materialized (
+       |  select src, dst from l1edges
+       |  where src % 7 <> $AnnDeleteMod and dst % 7 <> $AnnDeleteMod),
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |av0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})
+       |    and c.vec_id % 7 <> $AnnDeleteMod),
+       |${beamRoundsSql("a", "d1", L1Rounds)}bv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from av$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("b", "d0", BeamRounds)}${beamFinalSql(s"bv$BeamRounds")}"""
+      .stripMargin
+
   /** Oracle for [[annGraphIncremental]]: base build over the filtered
     * key set, unrolled insert walk for the batch nodes, top-M link
     * selection, then the serve walk over the combined edges. */
@@ -3188,8 +3416,8 @@ object Similarity {
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
-      annHnswIncremental,
-      annBinaryHamming, annSqTopK, annRecallQuantized,
+      annHnswIncremental, annHnswDelete, annHnswCompact,
+      annBinaryHamming, annSqTopK, annIvfSq, annRecallQuantized,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)

@@ -1246,7 +1246,7 @@ object TextAnalysis {
     * spelled in exactly the oracle's left-to-right order, shared with
     * [[LexIndex]]'s stored-index serve so batch scoring and index
     * serving produce bit-identical doubles. */
-  private[operators] def bm25ScoreExpr: org.apache.spark.sql.Column =
+  private[graft] def bm25ScoreExpr: org.apache.spark.sql.Column =
     log((col("n").minus(col("df")).cast("double") + lit(0.5d))
         / (col("df").cast("double") + lit(0.5d)) + lit(1.0d)) *
       (col("c").cast("double") * lit(2.2d)) /

@@ -148,6 +148,57 @@ class GraphIndexSpec extends AnyFunSuite {
       "no batch node served — frozen-graph insert unreachable")
   }
 
+  test("two-layer delete + compaction: tombstones honored on BOTH " +
+    "layers, compact serves bit-equal, both edge tables shrink, full " +
+    "artifact untouched") {
+    val full = Similarity.hnswIndexRoot(spark, TestSpark.Sf)
+    def files(root: String, sub: String): Seq[(String, Long, Long, String)] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map { f =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (f.getName, f.length(), f.lastModified(), md5)
+        }.sortBy(_._1)
+    val before = Seq("edges0", "edges1", "entries1").map(files(full, _))
+    val del = rows(Similarity.annHnswDelete.run(spark, TestSpark.Sf))
+    assert(Seq("edges0", "edges1", "entries1").map(files(full, _)) == before,
+      "two-layer tombstone delete rewrote the stored artifact")
+    assert(del.nonEmpty)
+    assert(!del.exists(_._2 % 7 == Similarity.AnnDeleteMod),
+      "tombstoned neighbor served through the layered walk")
+    del.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size == Similarity.TopK, s"query $q served ${rs.size} rows")
+    }
+    val comp = rows(Similarity.annHnswCompact.run(spark, TestSpark.Sf))
+    assert(comp == del,
+      "two-layer compact-then-serve diverged from tombstone serve")
+    // BOTH layers' rewrites dropped exactly the tombstone-touching
+    // edges, and the routing entries survive tombstone-free
+    val croot = Similarity.hnswCompactRoot(spark, TestSpark.Sf)
+    Seq("edges0", "edges1").foreach { t =>
+      val orig = spark.read.parquet(s"$full/$t")
+      val kept = spark.read.parquet(s"$croot/$t")
+      val expect = orig
+        .filter(col("src") % 7 =!= Similarity.AnnDeleteMod &&
+          col("dst") % 7 =!= Similarity.AnnDeleteMod)
+        .count()
+      assert(kept.count() == expect,
+        s"$t compacted count ${kept.count()} != filtered $expect")
+      assert(expect < orig.count(), s"$t compaction reclaimed nothing")
+    }
+    val entries = spark.read.parquet(s"$croot/entries1")
+      .collect().map(_.getLong(0))
+    assert(entries.nonEmpty &&
+      entries.forall(_ % 7 != Similarity.AnnDeleteMod))
+    // entry 24 (≡ 3 mod 7) was itself tombstoned out of the routing set
+    assert(!entries.contains(24L) &&
+      entries.length < Similarity.L1Entries.length,
+      "tombstoned routing entry survived compaction")
+  }
+
   test("graph compaction: physical delete serves bit-equal to " +
     "tombstone-filtered serving and shrinks the stored edge table") {
     val del = rows(Similarity.annGraphDelete.run(spark, TestSpark.Sf))

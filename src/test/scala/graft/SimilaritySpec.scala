@@ -403,17 +403,46 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("quantized recall: SQ8 (8x, asymmetric) dominates sign-bit " +
-    "codes (32x), and sits near exact") {
+    "codes (32x), sits near exact, and IVF-SQ8 pays only the probe loss") {
     val rows = Similarity.annRecallQuantized.run(spark, TestSpark.Sf)
-      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     assert(rows.length == Similarity.NumQueries)
     val meanSq = rows.map(_._1).sum / rows.length
     val meanBin = rows.map(_._2).sum / rows.length
+    val meanIvfSq = rows.map(_._3).sum / rows.length
     // the compression/recall trade the taxonomy claims, as data: the
     // float-query asymmetric scan barely loses; 1-bit codes pay
     assert(meanSq >= meanBin,
       f"SQ8 recall $meanSq%.2f below binary $meanBin%.2f")
     assert(meanSq >= 0.9, f"SQ8 mean recall $meanSq%.2f under 0.9 — " +
       "the asymmetric-scan claim does not hold")
+    // the composed index scans (NProbe/C) of the corpus: it can only
+    // lose flat SQ8's recall through the probe restriction, and must
+    // keep the same floor IVFPQ is held to
+    assert(meanIvfSq <= meanSq + 1e-9,
+      f"IVF-SQ8 recall $meanIvfSq%.2f above flat SQ8 $meanSq%.2f — " +
+        "probe restriction cannot ADD recall")
+    assert(meanIvfSq > 0.15, f"IVF-SQ8 mean recall $meanIvfSq%.2f too low")
+    info(f"recall: sq8=$meanSq%.3f ivfsq8=$meanIvfSq%.3f bin=$meanBin%.3f")
+  }
+
+  test("IVF-SQ8 composes the coarse quantizer with SQ8 codes: " +
+    "candidates a subset of the probed cells, k stays full") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val ivfsq = Similarity.ivfSqTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivfsq.nonEmpty)
+    ivfsq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == Similarity.TopK,
+        s"query $q served ${rs.length} rows")
+    }
+    // every served pair must come from a probed cell — the pairs plain
+    // IVF could have scored (the IVFPQ subset discipline)
+    val ivfAll = Similarity.ivfTopK(emb, 1000000, TestSpark.Sf)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfsq.toSet.subsetOf(ivfAll),
+      "IVF-SQ8 returned a neighbor outside the probed cells")
   }
 }

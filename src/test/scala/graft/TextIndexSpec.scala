@@ -172,10 +172,19 @@ class TextIndexSpec extends AnyFunSuite {
     // 63-block layout must leave blocks under the threshold unread
     val sf01 = "/root/testdata/sf0.01"
     val root01 = LexIndex.fullIndexRoot(spark, sf01)
-    val (_, _, survivors, total) = LexIndex.prunedPlan(spark, root01)
-    assert(total > survivors.size,
-      s"no blocks skipped: $total candidate blocks, " +
-        s"${survivors.size} survivors")
+    val (_, _, survivors, cand) = LexIndex.prunedPlan(spark, root01)
+    val (nSurv, nCand) = (survivors.count(), cand.count())
+    assert(nCand > nSurv,
+      s"no blocks skipped: $nCand candidate blocks, $nSurv survivors")
+    // r16 gate fix: survivor selection must be IN-PLAN (a semi-join on
+    // blk), never a driver-collected literal block list — the bound
+    // table is df/8 rows per hot term, corpus-proportional at scale
+    val servedPlan = LexIndex.textIndexTopkPrunedQ.run(spark, sf01)
+      .queryExecution.optimizedPlan.toString
+    assert(servedPlan.contains("LeftSemi"),
+      "pruned serve lost the in-plan survivor semi-join:\n" + servedPlan)
+    assert("""blk#\d+L? IN \(""".r.findFirstIn(servedPlan).isEmpty,
+      "pruned serve regressed to a driver-materialized block list")
     val p01 = rows(LexIndex.textIndexTopkPrunedQ.run(spark, sf01))
     val u01 = rows(LexIndex.serveBm25(spark, root01, Seq("full"),
       topN = LexIndex.PrunedTopN, mixedTerms = true))
@@ -191,19 +200,17 @@ class TextIndexSpec extends AnyFunSuite {
     val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
     val st = spark.read.parquet(s"$root/full/stats")
     val dfr = spark.read.parquet(s"$root/full/df")
+    // the bound column is the SERVE's own scoring expression with
+    // (c, dl) rebound to (max_c, min_dl) — one shared definition, so a
+    // formula change can never leave this domination check validating
+    // a stale spelling (r16 advice)
     val viol = spark.read.parquet(s"$root/full/blockmax")
       .join(dfr, "tok")
       .crossJoin(org.apache.spark.sql.functions.broadcast(st))
       .select(col("tok"), col("blk"), col("max_s"),
         col("max_c").as("c"), col("min_dl").as("dl"),
         col("df"), col("n"), col("tot"))
-      .withColumn("bound",
-        org.apache.spark.sql.functions.expr(
-          "ln((cast(n - df as double) + 0.5d) / " +
-            "(cast(df as double) + 0.5d) + 1.0d) * " +
-            "(cast(c as double) * 2.2d) / (cast(c as double) + " +
-            "1.2d * (0.25d + 0.75d * (cast(dl as double) * " +
-            "cast(n as double) / cast(tot as double))))"))
+      .withColumn("bound", graft.operators.TextAnalysis.bm25ScoreExpr)
       .filter(col("bound") < col("max_s") - 1e-12)
       .count()
     assert(viol == 0, s"$viol blocks where the component bound " +
@@ -211,10 +218,11 @@ class TextIndexSpec extends AnyFunSuite {
     // the appended index: pruning bites at sf0.01 and stays exact
     val sf01 = "/root/testdata/sf0.01"
     val iroot = LexIndex.incrIndexRoot(spark, sf01)
-    val (_, _, surv, total) =
+    val (_, _, surv, cand) =
       LexIndex.prunedPlanMulti(spark, iroot, Seq("base", "delta"))
-    assert(total > surv.size,
-      s"append-regime pruning skipped nothing: $total vs ${surv.size}")
+    val (nSurv, nCand) = (surv.count(), cand.count())
+    assert(nCand > nSurv,
+      s"append-regime pruning skipped nothing: $nCand vs $nSurv")
     val p = rows(LexIndex.textIndexTopkPrunedIncrQ.run(spark, sf01))
     val u = rows(LexIndex.serveBm25(spark, iroot, Seq("base", "delta"),
       topN = LexIndex.PrunedTopN, mixedTerms = true))
