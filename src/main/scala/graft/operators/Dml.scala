@@ -1075,16 +1075,42 @@ object Dml {
     java.nio.file.Files.writeString(dir.resolve(s"v$k.tsv"), body)
   }
 
-  private[graft] def readManifest(root: String, k: Int): Map[Int, String] = {
+  private[graft] def readManifest(root: String, k: Int): Map[Int, String] =
+    readManifestFull(root, k).map { case (y, e) => y -> e.data }
+
+  /** One manifest partition entry: the data dir plus the DV sidecar
+    * dirs accumulated against it since its last rewrite (the Delta
+    * shape — a DV is a manifest-tracked file, not a side registry). */
+  private[graft] final case class PartEntry(data: String, dvs: Seq[String])
+
+  /** Manifest line format: `year<TAB>dataDir[<TAB>dv1,dv2,…]` — the
+    * third field is optional, so every pre-DV manifest parses
+    * unchanged and [[readManifest]] (data dirs only) stays valid on
+    * DV-carrying manifests. */
+  private[graft] def readManifestFull(root: String,
+      k: Int): Map[Int, PartEntry] = {
     val p = java.nio.file.Paths.get(s"$root/manifests/v$k.tsv")
     require(java.nio.file.Files.exists(p),
       s"version $k not retained (vacuumed or never written)")
     java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
       .filter(_.nonEmpty)
       .map { line =>
-        val Array(y, d) = line.split("\t", 2)
-        y.toInt -> d
+        val f = line.split("\t", -1)
+        f(0).toInt -> PartEntry(f(1),
+          if (f.length > 2 && f(2).nonEmpty) f(2).split(",").toSeq else Nil)
       }.toMap
+  }
+
+  private[graft] def writeManifestFull(root: String, k: Int,
+      entries: Map[Int, PartEntry]): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/manifests")
+    java.nio.file.Files.createDirectories(dir)
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (y, e) =>
+        val dv = if (e.dvs.isEmpty) "" else "\t" + e.dvs.mkString(",")
+        s"$y\t${e.data}$dv"
+      }.mkString("\n")
+    java.nio.file.Files.writeString(dir.resolve(s"v$k.tsv"), body)
   }
 
   private[graft] def timeTravelVersions(root: String): Seq[Int] =
@@ -1165,12 +1191,18 @@ object Dml {
   private[graft] def vacuumTimeTravel(root: String, retain: Int): Unit = {
     val versions = timeTravelVersions(root)
     val keep = versions.takeRight(retain).toSet
+    // referenced = every data dir AND dv sidecar some retained manifest
+    // still spans — a sidecar folded by compaction falls out of the
+    // head manifest and is reclaimed here once no retained version
+    // references it (the GDPR completion: the deleted keys' bytes go)
     val referenced = versions.filter(keep)
-      .flatMap(k => readManifest(root, k).values).toSet
-    val dataRoot = new java.io.File(s"$root/data")
-    for (g <- Option(dataRoot.listFiles()).toSeq.flatten if g.isDirectory;
+      .flatMap(k => readManifestFull(root, k).values
+        .flatMap(e => e.data +: e.dvs)).toSet
+    for (sub <- Seq("data", "dv");
+         g <- Option(new java.io.File(s"$root/$sub").listFiles())
+           .toSeq.flatten if g.isDirectory;
          p <- Option(g.listFiles()).toSeq.flatten if p.isDirectory) {
-      val rel = s"data/${g.getName}/${p.getName}"
+      val rel = s"$sub/${g.getName}/${p.getName}"
       if (!referenced.contains(rel))
         graft.plans.Scratch.deleteTree(p.toString)
     }
@@ -1745,8 +1777,15 @@ object Dml {
     * DVs trade for O(keys) deletes. */
   private[graft] def readWithDv(s: org.apache.spark.sql.SparkSession,
       root: String): org.apache.spark.sql.DataFrame = {
-    val dvs = Option(new java.io.File(s"$root/dv").listFiles()).toSeq
-      .flatten.filter(_.isDirectory).map(_.getName).sorted
+    // sidecars enumerated through the root's own Hadoop FileSystem —
+    // the data reads already go through it, and a java.io listing
+    // would silently apply ZERO deletes on any non-local scheme
+    val dvPath = new org.apache.hadoop.fs.Path(s"$root/dv")
+    val fs = dvPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dvs = (if (fs.exists(dvPath))
+        fs.listStatus(dvPath).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).sorted
+      else Nil)
       .map(b => s.read.parquet(s"$root/dv/$b"))
       .reduceOption(_ unionByName _)
     val data = s.read.parquet(s"$root/data")
@@ -1795,6 +1834,145 @@ object Dml {
   val dmlDvCompaction: Q = Q.df(
     "dml_dv_compaction", dvOracle) { (s, dir) =>
     readWithDv(s, dvCompactRoot(s, dir))
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---- deletion vectors INSIDE the versioned target ------------------------
+
+  /** Partitions the versioned DV commit tombstones (the first two of
+    * the three batch years: one that version 1's upsert rewrote, one
+    * still on its base generation). */
+  private[graft] val DvVersionedYears = TimeTravelYears.take(2)
+
+  /** The DV key slice: o_orderkey % 20 = [[DvMods]].head. Version 1's
+    * minted insert keys are negative (−k−1 ≡ −1 mod 20 in both
+    * engines' sign-of-dividend semantics), so they never match. */
+  private[graft] val DvVersionedMod = DvMods.head
+
+  /** `VERSION AS OF k` through deletion vectors: each manifest entry's
+    * data dir minus the union of ITS sidecars — per-version, because
+    * the sidecar list is part of the entry ([[PartEntry]]), which is
+    * what makes time travel correct across DV commits: version k−1
+    * (before the DV commit) reads the same data dirs with no
+    * anti-join, version k reads data ∖ DV, and the compacted version
+    * k+1 reads the folded rewrite — all three from one manifest
+    * lineage. */
+  private[graft] def readVersionWithDv(s: org.apache.spark.sql.SparkSession,
+      root: String, k: Int): org.apache.spark.sql.DataFrame =
+    readManifestFull(root, k).toSeq.sortBy(_._1)
+      .map { case (y, e) => readEntryWithDv(s, root, y, e) }
+      .reduce(_ unionByName _)
+
+  /** Publish version k as a DV-ONLY commit: for each target partition,
+    * write the keys matching `pred` in its CURRENT visible state as a
+    * sidecar under `dv/g<k>/`, and append that sidecar to the entry —
+    * data dirs untouched (byte-identical, spec-witnessed), commit cost
+    * O(deleted keys) + O(manifest). This is the versioned form of
+    * [[dvRoot]]'s standalone sidecars: the manifest carries the DV, so
+    * OCC ([[commitOptimistic]]'s full-entry diff) scopes the commit to
+    * exactly its partitions, time travel keeps pre-delete versions
+    * readable, and [[vacuumTimeTravel]] reclaims the sidecar once
+    * compaction folds it out of every retained manifest. */
+  private[graft] def applyDvDelete(s: org.apache.spark.sql.SparkSession,
+      root: String, k: Int, years: Seq[Int],
+      pred: org.apache.spark.sql.Column): Unit = {
+    val prev = readManifestFull(root, k - 1)
+    val touched = years.filter(prev.contains)
+    val written = touched.filter { y =>
+      val keys = readEntryWithDv(s, root, y, prev(y))
+        .filter(pred).select(col("o_orderkey"))
+      // cheap existence probe is the write itself: an empty key set
+      // writes an empty parquet dir we simply don't reference
+      keys.write.parquet(s"$root/dv/g$k/yr=$y")
+      keys.limit(1).count() > 0
+    }
+    writeManifestFull(root, k, prev ++ written.map(y =>
+      y -> prev(y).copy(dvs = prev(y).dvs :+ s"dv/g$k/yr=$y")))
+  }
+
+  /** Publish version k as the COMPACTION of every DV-carrying
+    * partition: rewrite data ∖ DV to a fresh generation, entry drops
+    * its sidecar list — the background fold that ends the per-scan
+    * anti-join and (after vacuum) physically reclaims the deleted
+    * keys. Partitions without sidecars are carried forward untouched
+    * (byte-shared, the snapshot discipline). */
+  private[graft] def applyDvCompaction(s: org.apache.spark.sql.SparkSession,
+      root: String, k: Int): Unit = {
+    val prev = readManifestFull(root, k - 1)
+    val folded = prev.filter(_._2.dvs.nonEmpty).keys.toSeq.sorted
+    folded.foreach { y =>
+      readEntryWithDv(s, root, y, prev(y)).drop("yr")
+        .write.parquet(s"$root/data/g$k/yr=$y")
+    }
+    writeManifestFull(root, k, prev ++ folded.map(y =>
+      y -> PartEntry(s"data/g$k/yr=$y", Nil)))
+  }
+
+  /** Versioned root with the full DV lifecycle in its history:
+    * v0 base → v1 pruned upsert (year 1996) → v2 DV-only delete
+    * ([[DvVersionedYears]] × key slice, data untouched) → v3
+    * compaction fold. Built once per (session, dir); the vacuum spec
+    * runs on its own private tree. */
+  private val dvVersionedCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def buildDvVersionedTree(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-dvver").toString
+    val base = mergePrunedBase(s, dir)
+    base.write.partitionBy("yr").parquet(s"$root/data/g0")
+    val years = base.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    writeManifestFull(root, 0,
+      years.map(y => y -> PartEntry(s"data/g0/yr=$y", Nil)).toMap)
+    applyTimeTravelBatch(s, root, 1,
+      mergePrunedBatch(base, TimeTravelYears.head))
+    applyDvDelete(s, root, 2, DvVersionedYears,
+      col("o_orderkey") % 20 === DvVersionedMod)
+    applyDvCompaction(s, root, 3)
+    root
+  }
+
+  private[graft] def dvVersionedRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dvVersionedCache.once((s, dir))(buildDvVersionedTree(s, dir))
+
+  private def dvVersionedOracle: String =
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = ${TimeTravelYears.head} and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit),
+       |v1 as (
+       |  select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |    coalesce(u.cents, b.cents) as cents,
+       |    coalesce(b.yr, u.yr) as yr
+       |  from base b full outer join batch u on b.o_orderkey = u.o_orderkey)
+       |select o_orderkey, cents, yr from v1
+       |where not (yr in (${DvVersionedYears.mkString(", ")})
+       |  and o_orderkey % 20 = $DvVersionedMod)
+       |order by o_orderkey""".stripMargin
+
+  /** Read the DV-commit version (v2) of the versioned target: the
+    * upserted state minus the tombstoned key slice, served through the
+    * manifest-tracked sidecars with the v1 data files byte-identical
+    * on disk. [[graft.TimeTravelSpec]] pins the lineage contracts the
+    * values can't show: v1 reads pre-delete, v3 ≡ v2 (compaction
+    * invisible), data untouched by the DV commit, vacuum reclaims the
+    * folded sidecar, and the DV-only commit's manifest diff names
+    * exactly its partitions (the OCC scope). */
+  val dmlDvVersioned: Q = Q.df(
+    "dml_dv_versioned", dvVersionedOracle) { (s, dir) =>
+    readVersionWithDv(s, dvVersionedRoot(s, dir), 2)
       .select(col("o_orderkey"), col("cents"), col("yr"))
       .orderBy(col("o_orderkey"))
   }
@@ -2078,11 +2256,14 @@ object Dml {
     * primitive Delta's log-store contract ("mutual exclusion on object
     * creation") builds on. */
   private[graft] def casManifest(root: String, k: Int,
-      entries: Map[Int, String]): Boolean = {
+      entries: Map[Int, PartEntry]): Boolean = {
     val dir = java.nio.file.Paths.get(s"$root/manifests")
     java.nio.file.Files.createDirectories(dir)
     val body = entries.toSeq.sortBy(_._1)
-      .map { case (y, d) => s"$y\t$d" }.mkString("\n")
+      .map { case (y, e) =>
+        val dv = if (e.dvs.isEmpty) "" else "\t" + e.dvs.mkString(",")
+        s"$y\t${e.data}$dv"
+      }.mkString("\n")
     val tmp = java.nio.file.Files.createTempFile(dir, s".v$k-", ".tmp")
     try {
       java.nio.file.Files.writeString(tmp, body)
@@ -2102,14 +2283,15 @@ object Dml {
     * deletes unreferenced dirs whatever produced them). */
   private[graft] def prepareCommit(s: org.apache.spark.sql.SparkSession,
       root: String, baseK: Int, genDir: String,
-      batch: org.apache.spark.sql.DataFrame): Map[Int, String] = {
-    val prev = readManifest(root, baseK)
+      batch: org.apache.spark.sql.DataFrame): Map[Int, PartEntry] = {
+    val prev = readManifestFull(root, baseK)
     val touched = batch.select(col("yr")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return prev
+    // existing = data ∖ DV per entry (merge-on-read); the rewrite
+    // FOLDS any accumulated sidecars, so its new entry carries none
     val existing = touched.flatMap { y =>
-      prev.get(y).map(d => s.read.parquet(resolveDir(root, d))
-        .withColumn("yr", lit(y).cast("int")))
+      prev.get(y).map(e => readEntryWithDv(s, root, y, e))
     }.reduceOption(_ unionByName _)
       .getOrElse(batch.select(col("o_orderkey"), col("cents"),
         col("yr")).limit(0))
@@ -2120,7 +2302,19 @@ object Dml {
     val written = touched.filter(y => java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/data/$genDir/yr=$y")))
     prev -- touched.filterNot(written.contains) ++
-      written.map(y => y -> s"data/$genDir/yr=$y")
+      written.map(y => y -> PartEntry(s"data/$genDir/yr=$y", Nil))
+  }
+
+  /** One partition's VISIBLE rows: its data dir minus the union of its
+    * DV sidecars (delete-sized, broadcast into the anti-join). */
+  private def readEntryWithDv(s: org.apache.spark.sql.SparkSession,
+      root: String, y: Int, e: PartEntry): org.apache.spark.sql.DataFrame = {
+    val data = s.read.parquet(resolveDir(root, e.data))
+      .withColumn("yr", lit(y).cast("int"))
+    e.dvs.map(d => s.read.parquet(resolveDir(root, d)))
+      .reduceOption(_ unionByName _)
+      .fold(data)(dv =>
+        data.join(broadcast(dv), Seq("o_orderkey"), "left_anti"))
   }
 
   final case class CommitOutcome(version: Int, attempts: Int)
@@ -2160,8 +2354,11 @@ object Dml {
         return CommitOutcome(base + 1, attempt)
       val head = timeTravelVersions(root).max
       for (v <- base + 1 to head) {
-        val a = readManifest(root, v - 1)
-        val b = readManifest(root, v)
+        // FULL entries (data dir + dv list): a DV-only commit changes
+        // only its partitions' dv fields, so it conflicts with exactly
+        // the writers that touch those partitions — and no others
+        val a = readManifestFull(root, v - 1)
+        val b = readManifestFull(root, v)
         val changed = (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
         val overlap = changed & touched
         if (overlap.nonEmpty) throw new IllegalStateException(
@@ -2258,5 +2455,5 @@ object Dml {
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
     dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
-    dmlConstraintCheck)
+    dmlDvVersioned, dmlConstraintCheck)
 }

@@ -331,4 +331,71 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$croot/data").count() == served.length,
       "compacted data row count != served rows")
   }
+
+  test("DV-versioned lineage: time travel across a DV-only commit, " +
+    "compaction invisible, OCC scope = its partitions, vacuum reclaims " +
+    "the folded sidecar") {
+    val root = Dml.dvVersionedRoot(spark, TestSpark.Sf)
+    def readDv(k: Int): Seq[(Long, Long, Int)] =
+      Dml.readVersionWithDv(spark, root, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    // v1 reads PRE-delete (exactly the 1-batch replay); v2 = v1 minus
+    // the tombstoned slice; v3 (compacted) ≡ v2
+    val v1 = readDv(1)
+    assert(v1 == replay(1), "v1 through the DV reader diverged")
+    val v2 = readDv(2)
+    val expected = v1.filterNot(r =>
+      Dml.DvVersionedYears.contains(r._3) &&
+        r._1 % 20 == Dml.DvVersionedMod)
+    assert(v2 == expected, "v2 != v1 minus the DV slice")
+    assert(v2.size < v1.size, "the DV commit deleted nothing")
+    assert(readDv(3) == v2, "compaction changed the served state")
+    // the DV-only commit repointed NO data dir — only dv lists grew;
+    // its manifest diff names exactly its partitions (the OCC scope)
+    val m1 = Dml.readManifestFull(root, 1)
+    val m2 = Dml.readManifestFull(root, 2)
+    assert(m1.keySet == m2.keySet)
+    val changed = m1.keySet.filter(y => m1(y) != m2(y))
+    assert(changed == Dml.DvVersionedYears.toSet,
+      s"DV commit diff $changed != ${Dml.DvVersionedYears.toSet}")
+    m2.foreach { case (y, e) =>
+      assert(e.data == m1(y).data, s"DV commit repointed data of $y")
+      if (Dml.DvVersionedYears.contains(y))
+        assert(e.dvs == Seq(s"dv/g2/yr=$y"), s"year $y missing sidecar")
+      else assert(e.dvs.isEmpty)
+    }
+    // v3 folded the sidecars: fresh data dirs, empty dv lists
+    val m3 = Dml.readManifestFull(root, 3)
+    Dml.DvVersionedYears.foreach { y =>
+      assert(m3(y).data == s"data/g3/yr=$y" && m3(y).dvs.isEmpty,
+        s"compaction did not fold year $y")
+    }
+    // sidecars are delete-sized relative to their partitions' data
+    Dml.DvVersionedYears.foreach { y =>
+      val dvRows = spark.read.parquet(s"$root/dv/g2/yr=$y").count()
+      val dataRows = spark.read.parquet(
+        Dml.resolveDir(root, m2(y).data)).count()
+      assert(dvRows > 0 && dvRows < dataRows / 5,
+        s"year $y sidecar not delete-sized: $dvRows of $dataRows")
+    }
+    // vacuum on a PRIVATE tree: retaining only the compacted head
+    // reclaims the folded sidecar generation (the GDPR completion)
+    val priv = Dml.buildDvVersionedTree(spark, TestSpark.Sf)
+    try {
+      val head = Dml.timeTravelVersions(priv).max
+      val before = Dml.readVersionWithDv(spark, priv, head)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+      Dml.vacuumTimeTravel(priv, retain = 1)
+      assert(!new java.io.File(s"$priv/dv/g2").exists() ||
+        Option(new java.io.File(s"$priv/dv/g2").listFiles())
+          .toSeq.flatten.isEmpty,
+        "vacuum kept the folded DV sidecars")
+      val after = Dml.readVersionWithDv(spark, priv, head)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+      assert(after == before, "vacuum changed the head read")
+    } finally graft.plans.Scratch.deleteTree(priv)
+  }
 }
