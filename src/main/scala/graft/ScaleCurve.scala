@@ -75,7 +75,10 @@ object ScaleCurve {
     "ann_pq_rerank",              // corpus ADC + broadcast 4k exact refine
     "text_index_incremental",     // per-batch segment append + merged serve
     "text_index_topk_pruned",     // block-max serve: survivors only
-    "ann_sq_topk")                // int8 asymmetric scan + bounded rerank
+    "ann_sq_topk",                // int8 asymmetric scan + bounded rerank
+    "ann_ivfsq_topk",             // probed cells × SQ8 codes (r17 scale path)
+    "text_index_phrase_incr",     // positional base ∪ delta phrase serve
+    "dml_dv_versioned")           // versioned read through DV sidecars
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.
@@ -159,6 +162,12 @@ object ScaleCurve {
     // optional args restrict the audited cells (local iteration on a
     // new row; the recorded PASS is always the full run)
     val only = args.toSet
+    // fail fast on typos: a silently-dropped unknown name would leave
+    // `audited` empty and die later with a bare NoSuchElementException
+    val unknown = only -- Cells.toSet
+    require(unknown.isEmpty,
+      s"unknown cell(s): ${unknown.toSeq.sorted.mkString(", ")}\n" +
+        s"known cells: ${Cells.mkString(", ")}")
     val audited = if (only.isEmpty) Cells else Cells.filter(only)
     val spark = Session.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1311,6 +1311,22 @@ object Graph {
       Checkpoints.free(ref)
       ref = next
     }
+    // CONVERGENCE WITNESS (not just margin): one extra propagation
+    // round must change no label — otherwise [[RefineRounds]] under-ran
+    // the largest component's min-label eccentricity and the "every
+    // refined community internally connected" guarantee (and the
+    // idempotence GraphSpec relies on) would be silently void. One
+    // node-keyed join + a limit-1 count, component-CC-shaped cost.
+    val nbrMin = intra
+      .join(ref.select(col("node").as("dst"), col("c")), Seq("dst"))
+      .groupBy(col("src").as("node")).agg(min(col("c")).as("nc"))
+    val unconverged = ref
+      .join(nbrMin, Seq("node"), "left")
+      .filter(least(col("c"), coalesce(col("nc"), col("c"))) =!= col("c"))
+      .limit(1).count()
+    require(unconverged == 0,
+      s"leidenRefine: labels still moving after $RefineRounds rounds — " +
+        "a component's min-label eccentricity exceeds the unroll")
     val out = Checkpoints.materialize(
       ref.select(col("node"), col("c").as("community")))
     Seq(intra, ref).foreach(Checkpoints.free)

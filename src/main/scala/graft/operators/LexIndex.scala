@@ -269,17 +269,23 @@ object LexIndex {
     * the position join (t2 at p+1 of t1) — Lucene's phrase scorer as
     * one equi-join on (doc, position). */
   private[graft] def servePhrase(s: SparkSession, root: String,
-      seg: String): DataFrame = {
+      segs: Seq[String]): DataFrame = {
     import s.implicits._
-    val (t1, t2) = s.read.parquet(s"$root/$seg/bigrams")
+    def read(t: String): DataFrame =
+      segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
+    // adjacency counts SUM exactly across segments (disjoint doc
+    // sets, integer counts), so the merged dictionary's hottest bigram
+    // is the full corpus's — the postings-lifecycle statistic-merge
+    // discipline on the positional tables
+    val (t1, t2) = read("bigrams")
+      .groupBy(col("t1"), col("t2")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(1)
       .select(col("t1"), col("t2")).as[(String, String)].collect().head
     val buckets = Seq(t1, t2).toDF("tok")
       .select(pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
         .as("b"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val posT = s.read.parquet(s"$root/$seg/positions")
-      .filter(col("b").isin(buckets: _*))
+    val posT = read("positions").filter(col("b").isin(buckets: _*))
     val p1 = posT.filter(col("tok") === t1).select(col("doc_id"), col("p"))
     val p2 = posT.filter(col("tok") === t2)
       .select(col("doc_id"), (col("p") - 1).as("p"))
@@ -288,8 +294,10 @@ object LexIndex {
       .orderBy(col("n_phrase").desc, col("doc_id")).limit(PhraseTopN)
   }
 
-  val textIndexPhraseQ: Q = Q.df(
-    "text_index_phrase",
+  /** Both phrase entries share one oracle: the full-corpus phrase
+    * ranking (base ∪ delta IS the corpus; exact positional merge is
+    * the incremental entry's claim). */
+  private def phraseOracle: String =
     s"""with idx as (
        |  select doc_id, l, unnest(range(1, len(l) + 1)) as i
        |  from (select doc_id, string_split(text, ' ') as l
@@ -303,8 +311,38 @@ object LexIndex {
        |         from pos p join top t on p.tok = t.t1 and p.nxt = t.t2
        |         group by p.doc_id)
        |select doc_id, n_phrase from hits
-       |order by n_phrase desc, doc_id limit $PhraseTopN""".stripMargin) {
-    (s, dir) => servePhrase(s, fullIndexRoot(s, dir), "full")
+       |order by n_phrase desc, doc_id limit $PhraseTopN""".stripMargin
+
+  val textIndexPhraseQ: Q = Q.df("text_index_phrase", phraseOracle) {
+    (s, dir) => servePhrase(s, fullIndexRoot(s, dir), Seq("full"))
+  }
+
+  /** Positional segments under the APPEND regime: the delta docs'
+    * positions and bigram dictionary are written as their OWN segment
+    * (base files never rewritten — the Lucene `.pos`-per-segment
+    * discipline the postings lifecycle already follows), and the
+    * phrase serve runs over base ∪ delta with adjacency counts summed
+    * at query time. Closes the one stored-index family that had no
+    * incremental-append story. */
+  private val posIncrCache =
+    new graft.plans.Memo[(SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def posIncrRoot(s: SparkSession, dir: String): String =
+    posIncrCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-lexposincr").toString
+      val docs = Tables.df(s, dir, "documents")
+      writePositions(docs.filter(col("doc_id") % 10 =!= BatchMod),
+        root, "base")
+      writePositions(docs.filter(col("doc_id") % 10 === BatchMod),
+        root, "delta")
+      root
+    }
+
+  val textIndexPhraseIncrQ: Q = Q.df(
+    "text_index_phrase_incr", phraseOracle) { (s, dir) =>
+    servePhrase(s, posIncrRoot(s, dir), Seq("base", "delta"))
   }
 
   private[graft] def fullIndexRoot(s: SparkSession, dir: String): String =
@@ -721,5 +759,6 @@ object LexIndex {
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
       textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ,
+      textIndexPhraseIncrQ,
       textIndexTopkPrunedQ, textIndexTopkPrunedIncrQ, textIndexLmdirQ)
 }

@@ -1954,6 +1954,49 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The registry's SECOND join view served automatically: the same
+    * rule dispatches supplier ⋈ nation to its own stored artifact —
+    * multi-view dispatch as a verified surface, not a code path
+    * ([[graft.plans.MvJoinRewrite.JoinViewDesc]] registry). */
+  val mvJoinRegistryQ: Q = Q.df(
+    "mv_join_registry",
+    """select s.s_suppkey, s.s_nationkey, n.n_name
+      |from supplier s join nation n on s.s_nationkey = n.n_nationkey
+      |order by s.s_suppkey""".stripMargin) { (s, dir) =>
+    graft.plans.MvJoinRewrite.ensure(s, dir)
+    Tables.df(s, dir, "supplier")
+      .join(Tables.df(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** The COMPOSED join+aggregate rewrite: the query spells
+    * orders ⋈ customer + GROUP BY, the rule redirects it to the
+    * pre-aggregated join summary and re-aggregates the stored partials
+    * (grouping by a SUBSET of the summary dims — the roll-up case).
+    * Oracle recomputes from the raw tables, so the compare proves the
+    * whole chain (join match → summary → partial roll-up) exact; the
+    * plan shape (summary scanned, both base scans gone) is pinned in
+    * [[graft.MvRewriteSpec]]. */
+  val mvJoinAggRewriteQ: Q = Q.df(
+    "mv_join_agg_rewrite",
+    """select c.c_nationkey, cast(count(*) as bigint) as n_orders,
+      |  cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+      |    as sum_price
+      |from orders o join customer c on o.o_custkey = c.c_custkey
+      |group by c.c_nationkey
+      |order by c.c_nationkey""".stripMargin) { (s, dir) =>
+    graft.plans.MvJoinRewrite.ensure(s, dir)
+    Tables.df(s, dir, "orders")
+      .join(Tables.df(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(m(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** SQL SCRIPTING (Spark 4's procedural surface: BEGIN…END compound
     * statements, DECLAREd local variables, WHILE control flow): the
     * script partitions the orders count across five loop iterations by
@@ -1984,6 +2027,7 @@ object Relational {
 
   val queries: Seq[Q] = Seq(
     mvRewriteRollup, mvIncrementalRewrite, mvJoinRewriteQ,
+    mvJoinRegistryQ, mvJoinAggRewriteQ,
     sqlScriptingLoop,
     exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,

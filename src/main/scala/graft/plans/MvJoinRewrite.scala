@@ -2,34 +2,50 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.internal.SQLConf
 
-/** Automatic rewrite onto a stored JOIN view — [[MvRewrite]]'s
-  * discipline applied to the other expensive plan family: a query that
-  * inner-joins the registered fact and dimension tables on the view's
-  * equi-key, projecting only view columns, is redirected to the
-  * pre-joined parquet artifact. At 100 TB this removes the dominant
-  * shuffle of every such query (the fact-side exchange); together with
-  * `dml_mv_join_delta` (incremental maintenance) it completes the join
-  * MV's lifecycle: build once, maintain by delta, answer automatically.
+/** Automatic rewrite onto stored JOIN views — [[MvRewrite]]'s
+  * discipline applied to the other expensive plan family, generalized
+  * from one hardcoded view to a REGISTRY of view descriptors plus the
+  * COMPOSED join+aggregate form:
   *
-  * Match discipline (all-or-nothing, fail closed — the
-  * [[MvRewrite]] contract):
-  *  - the join must be INNER with exactly the recorded equi-condition
-  *    (`o_custkey = c_custkey`, either operand order);
-  *  - both children must be the registered base relations (path-pinned
-  *    via conf, suffix-compared like MvRewrite), possibly under
-  *    attribute-only projections — any Filter between vetoes (the view
-  *    stores no predicate, so pushing one through would need predicate
-  *    re-derivation this rule does not claim);
-  *  - every projected expression's references must be view columns;
-  *    the expressions themselves pass through re-bound (scalar work on
-  *    view columns is answerable — the aggFree convention).
+  *  - a query that inner-joins a registered fact/dim pair on the
+  *    view's equi-key, projecting only view columns, is redirected to
+  *    the pre-joined parquet artifact (the dominant fact-side shuffle
+  *    gone);
+  *  - an AGGREGATE over such a join whose grouping keys are the
+  *    registered summary's dimensions and whose aggregates are
+  *    recognized partial roll-ups (`count(1)`, `sum` over the exact
+  *    Money cast) is redirected to the PRE-AGGREGATED join summary and
+  *    re-aggregated — [[MvRewrite]]'s roll-up logic chained behind the
+  *    join match, the materialized-view case warehouses actually
+  *    serve: at 100 TB a fact⋈dim+GROUP BY collapses from a
+  *    600-billion-row shuffle to a dimension-cardinality scan.
+  *
+  * Match discipline (all-or-nothing, fail closed — the [[MvRewrite]]
+  * contract):
+  *  - the join must be INNER with exactly the descriptor's recorded
+  *    equi-condition (either operand order);
+  *  - both children must be the registered base relations — rootPaths
+  *    compared by PATH EQUALITY (not suffix — a nested fixture dir can
+  *    never false-positive) — possibly under attribute-only
+  *    projections; any Filter between vetoes (the view stores no
+  *    predicate);
+  *  - FRESHNESS: each descriptor records a build fingerprint (file
+  *    name/length/mtime inventory) of both base relations at
+  *    [[ensure]] time; the rewrite re-fingerprints at match time and
+  *    vetoes when the files no longer match — a base-table change can
+  *    silence the rule but never serve stale bytes;
+  *  - projections must reference only view columns (expressions pass
+  *    through re-bound); aggregates must ALL be recognized roll-ups
+  *    with grouping keys all summary dimensions — one miss vetoes the
+  *    whole rewrite.
   * Output names and exprIds are preserved, so parent operators are
   * untouched. Rewritten plans scan ONLY the view artifact (spec-pinned
   * by scan paths).
@@ -37,91 +53,194 @@ import org.apache.spark.sql.internal.SQLConf
 object MvJoinRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "graft.mvjoin.enabled"
-  val PathKey = "graft.mvjoin.path"
-  val FactKey = "graft.mvjoin.fact"
-  val DimKey = "graft.mvjoin.dim"
 
-  /** The view's column set: fact keys + the dimension payload. */
-  val ViewCols: Set[String] =
-    Set("o_orderkey", "o_custkey", "o_totalprice", "c_nationkey")
+  /** Comma-joined registered view names this session serves. */
+  val ViewsKey = "graft.mvjoin.views"
 
-  private val built = new Memo[String, String]
+  /** One registered join view: base-relation pins (absolute paths +
+    * build fingerprints), the equi-key (with the dim-side key's
+    * canonical view name — the join equality makes them one column),
+    * the flat view's columns and artifact, and optionally a
+    * pre-aggregated summary (its dims + measures with `cnt` /
+    * `sum_<measure>` partial columns). */
+  final case class JoinViewDesc(
+      name: String,
+      factSrc: String, dimSrc: String,
+      factFp: String, dimFp: String,
+      keyPair: Set[String],
+      canonKey: Map[String, String],
+      viewCols: Set[String],
+      viewPath: String,
+      aggPath: Option[String] = None,
+      aggDims: Set[String] = Set.empty,
+      aggMeasures: Set[String] = Set.empty)
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, JoinViewDesc]()
+
+  private[graft] def register(d: JoinViewDesc): Unit = {
+    registry.put(d.name, d); ()
+  }
+
+  /** Build inventory fingerprint of a base relation's files — listed
+    * through the path's own Hadoop FileSystem (the same layer the
+    * reads go through). */
+  private[graft] def fingerprint(s: SparkSession, src: String): String = {
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val items = fs.listStatus(p).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted
+    s"${items.length}:${items.mkString("|").hashCode}"
+  }
+
+  private val built = new Memo[String, Seq[JoinViewDesc]]
   private val mvPlans = new Memo[String, LogicalPlan]
 
-  /** Build (once per dir) the stored join view over RAW columns and
-    * point the rule at it. Session-scoped enable, the MvRewrite
-    * rationale: eligibility is exact by construction, so a rewritten
-    * query can only get faster, never different. */
+  /** Build (once per dir) the registered join views + the aggregation
+    * summary and enable them for this session. Session-scoped enable,
+    * the MvRewrite rationale: eligibility is exact by construction
+    * (and freshness-guarded), so a rewritten query can only get
+    * faster, never different. */
   def ensure(s: SparkSession, dir: String): Unit = {
-    val path = built.once(dir) {
-      val p = java.nio.file.Files.createTempDirectory("graft_mvjoin_")
-        .toString + "/mv_orders_customer"
-      graft.Tables.df(s, dir, "orders")
+    val descs = built.once(dir) {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvjoin_")
+        .toString
+      import graft.functions.Money.m
+      // view 1: orders ⋈ customer, plus its (nationkey, mktsegment)
+      // pre-aggregated summary
+      val oc = graft.Tables.df(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .join(graft.Tables.df(s, dir, "customer")
           .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("c_nationkey"))
-        .write.mode("overwrite").parquet(p)
-      p
+      oc.write.mode("overwrite").parquet(s"$root/mv_orders_customer")
+      graft.Tables.df(s, dir, "orders")
+        .join(graft.Tables.df(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(m(col("o_totalprice"))).as("sum_o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/mv_oc_agg")
+      // view 2: supplier ⋈ nation — the registry's second entry, so
+      // multi-view dispatch is a served surface, not a code path
+      graft.Tables.df(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(graft.Tables.df(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$root/mv_supplier_nation")
+      val ordersSrc = s"$dir/orders.parquet"
+      val customerSrc = s"$dir/customer.parquet"
+      val supplierSrc = s"$dir/supplier.parquet"
+      val nationSrc = s"$dir/nation.parquet"
+      Seq(
+        JoinViewDesc("orders_customer",
+          ordersSrc, customerSrc,
+          fingerprint(s, ordersSrc), fingerprint(s, customerSrc),
+          Set("o_custkey", "c_custkey"),
+          Map("c_custkey" -> "o_custkey"),
+          Set("o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"),
+          s"$root/mv_orders_customer",
+          aggPath = Some(s"$root/mv_oc_agg"),
+          aggDims = Set("c_nationkey", "c_mktsegment"),
+          aggMeasures = Set("o_totalprice")),
+        JoinViewDesc("supplier_nation",
+          supplierSrc, nationSrc,
+          fingerprint(s, supplierSrc), fingerprint(s, nationSrc),
+          Set("s_nationkey", "n_nationkey"),
+          Map("n_nationkey" -> "s_nationkey"),
+          Set("s_suppkey", "s_nationkey", "n_name"),
+          s"$root/mv_supplier_nation"))
     }
-    s.conf.set(PathKey, path)
-    s.conf.set(FactKey, s"$dir/orders.parquet")
-    s.conf.set(DimKey, s"$dir/customer.parquet")
+    descs.foreach(register)
+    s.conf.set(ViewsKey, descs.map(_.name).mkString(","))
     s.conf.set(EnabledKey, "true")
   }
 
   private def conf(key: String): String =
     SQLConf.get.getConfString(key, "")
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf(EnabledKey) != "true" || conf(PathKey).isEmpty) plan
-    else plan.transform {
-      case p @ Project(_, j: Join) =>
-        tryRewrite(p, j).getOrElse(p)
-    }
+  private def activeViews: Seq[JoinViewDesc] =
+    conf(ViewsKey).split(",").toSeq.filter(_.nonEmpty)
+      .flatMap(n => Option(registry.get(n)))
 
-  /** The named base relation under attribute-only projections. */
-  private def isRel(p: LogicalPlan, srcConf: String): Boolean = p match {
-    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      isRel(ch, srcConf)
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: HadoopFsRelation =>
-          val src = conf(srcConf)
-          src.nonEmpty &&
-            fs.location.rootPaths.exists(_.toString.endsWith(src))
-        case _ => false
-      }
-    case _ => false
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf(EnabledKey) != "true") return plan
+    val views = activeViews
+    if (views.isEmpty) return plan
+    plan.transform {
+      case agg: Aggregate =>
+        views.view.flatMap(v => tryAggRewrite(agg, v)).headOption
+          .getOrElse(agg)
+      case p @ Project(_, j: Join) =>
+        views.view.flatMap(v => tryRewrite(p, j, v)).headOption
+          .getOrElse(p)
+    }
   }
 
-  private def tryRewrite(p: Project, j: Join): Option[LogicalPlan] = {
-    if (j.joinType != Inner) return None
+  /** The named base relation under attribute-only projections —
+    * rootPaths compared by exact path, and the file inventory must
+    * still match the descriptor's build fingerprint. */
+  private def isRel(p: LogicalPlan, src: String, fp: String): Boolean =
+    p match {
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        isRel(ch, src, fp)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toUri.getPath == src) &&
+              fingerprint(SparkSession.active, src) == fp
+          case _ => false
+        }
+      case _ => false
+    }
+
+  /** Inner join on exactly the descriptor's key over its two pinned
+    * base relations (either side order). */
+  private def joinMatches(j: Join, v: JoinViewDesc): Boolean = {
+    if (j.joinType != Inner) return false
     val keyPair = j.condition match {
       case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
         Set(a.name, b.name)
-      case _ => return None
+      case _ => return false
     }
-    if (keyPair != Set("o_custkey", "c_custkey")) return None
-    val sidesOk =
-      (isRel(j.left, FactKey) && isRel(j.right, DimKey)) ||
-        (isRel(j.left, DimKey) && isRel(j.right, FactKey))
-    if (!sidesOk) return None
-    // the join key equality makes c_custkey ≡ o_custkey in the view
-    def viewName(n: String): String =
-      if (n == "c_custkey") "o_custkey" else n
-    if (!p.projectList.forall(_.references.forall(r =>
-        ViewCols.contains(viewName(r.name))))) return None
-    val mvCached = mvPlans.once(conf(PathKey))(
-      SparkSession.active.read.parquet(conf(PathKey))
-        .queryExecution.analyzed)
-    val mv = mvCached match {
+    keyPair == v.keyPair &&
+      ((isRel(j.left, v.factSrc, v.factFp) &&
+          isRel(j.right, v.dimSrc, v.dimFp)) ||
+        (isRel(j.left, v.dimSrc, v.dimFp) &&
+          isRel(j.right, v.factSrc, v.factFp)))
+  }
+
+  /** Fresh-instance analyzed scan of a stored artifact (exprIds
+    * re-minted per splice — see MvRewrite's rationale). */
+  private def artifactScan(path: String): LogicalPlan = {
+    val cached = mvPlans.once(path)(
+      SparkSession.active.read.parquet(path).queryExecution.analyzed)
+    cached match {
       case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
         m.newInstance()
       case other => other
     }
+  }
+
+  private def tryRewrite(p: Project, j: Join,
+      v: JoinViewDesc): Option[LogicalPlan] = {
+    if (!joinMatches(j, v)) return None
+    // the join key equality makes the dim key ≡ the fact key in the view
+    def viewName(n: String): String = v.canonKey.getOrElse(n, n)
+    if (!p.projectList.forall(_.references.forall(r =>
+        v.viewCols.contains(viewName(r.name))))) return None
+    val mv = artifactScan(v.viewPath)
     def mvAttr(n: String): Attribute =
       mv.output.find(_.name == viewName(n)).get
     val rebound: Seq[NamedExpression] = p.projectList.map {
@@ -134,6 +253,88 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
       case _ => return None
     }
     Some(Project(rebound, mv))
+  }
+
+  /** Aggregate over an eligible join → the pre-aggregated summary,
+    * partials re-aggregated ([[MvRewrite]]'s roll-up forms): grouping
+    * by any SUBSET of the summary dims; `count(1)` → Sum(cnt) (null
+    * restored to 0 for schema parity), `sum` over exactly the Money
+    * cast of a registered measure → Sum of the stored partial, cast
+    * back. A Filter anywhere, a non-dim key, or one unrecognized
+    * aggregate vetoes. */
+  private def tryAggRewrite(agg: Aggregate,
+      v: JoinViewDesc): Option[LogicalPlan] = {
+    val aggPath = v.aggPath.getOrElse(return None)
+    val join = stripAttrProjects(agg.child) match {
+      case j: Join => j
+      case _ => return None
+    }
+    if (!joinMatches(join, v)) return None
+    val groupNames = agg.groupingExpressions.map {
+      case a: AttributeReference => a.name
+      case _ => return None
+    }
+    if (groupNames.isEmpty || !groupNames.forall(v.aggDims.contains))
+      return None
+    val mv = artifactScan(aggPath)
+    def mvAttr(n: String): Attribute = mv.output.find(_.name == n).get
+
+    def rollup(e: Expression): Option[Expression] = e match {
+      case c: Cast =>
+        rollup(c.child).map(r => c.withNewChildren(Seq(r)))
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count if c.children == Seq(Literal(1)) =>
+            Some(Coalesce(Seq(
+              Sum(mvAttr("cnt")).toAggregateExpression(), Literal(0L))))
+          case s: Sum =>
+            moneyMeasure(s.child, v).map { a =>
+              Cast(Sum(mvAttr("sum_" + a)).toAggregateExpression(),
+                ae.dataType)
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(child, name) =>
+        rollup(child) match {
+          case Some(r) => Alias(r, name)(exprId = al.exprId)
+          case None =>
+            val aggFree = child.collectFirst {
+              case ae: AggregateExpression => ae }.isEmpty
+            if (aggFree &&
+                child.references.forall(r => groupNames.contains(r.name)))
+              Alias(child.transform {
+                case a: AttributeReference => mvAttr(a.name)
+              }, name)(exprId = al.exprId)
+            else return None
+        }
+      case _ => return None
+    }
+    Some(Aggregate(groupNames.map(mvAttr), newAggs, mv, None))
+  }
+
+  /** The exact-Money-cast measure (MvRewrite's veto rationale: any
+    * other scale rounds per row, unreproducible from partials). */
+  private def moneyMeasure(e: Expression,
+      v: JoinViewDesc): Option[String] = e match {
+    case c: Cast if c.dataType == graft.functions.Money.M =>
+      c.child match {
+        case a: AttributeReference if v.aggMeasures.contains(a.name) =>
+          Some(a.name)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def stripAttrProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripAttrProjects(ch)
+    case other => other
   }
 
   val inject: SparkSessionExtensions => Unit =

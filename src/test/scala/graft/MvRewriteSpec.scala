@@ -200,6 +200,91 @@ class MvRewriteSpec extends AnyFunSuite {
       "a non-view column was rewritten")
   }
 
+  test("join+agg composed rewrite: summary scanned, partials rolled " +
+    "up exactly; non-dim keys, foreign aggregates, DISTINCT, and " +
+    "filtered joins all veto; a stale fingerprint silences the rule") {
+    import graft.plans.MvJoinRewrite
+    MvJoinRewrite.ensure(spark, TestSpark.Sf)
+    val orders = Tables.df(spark, TestSpark.Sf, "orders")
+    val customer = Tables.df(spark, TestSpark.Sf, "customer")
+    def joined = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+    def eligible = joined.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), dsum(m(col("o_totalprice"))).as("sp"))
+    val q = eligible
+    val paths = scanPaths(q)
+    assert(paths.exists(_.contains("mv_oc_agg")),
+      s"agg rewrite did not fire: $paths")
+    assert(!paths.exists(p => p.endsWith("orders.parquet") ||
+      p.endsWith("customer.parquet")),
+      s"rewritten agg still scans a base table: $paths")
+    // invisible in values (exact decimal partial roll-up)
+    val got = q.orderBy(col("c_nationkey")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.conf.set(MvJoinRewrite.EnabledKey, "false")
+    val want =
+      try eligible.orderBy(col("c_nationkey")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      finally spark.conf.set(MvJoinRewrite.EnabledKey, "true")
+    assert(got.nonEmpty && got == want, "agg rewrite changed the answer")
+    // full-dims grouping rewrites too (exact-match case)
+    val full = joined.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    assert(scanPaths(full).exists(_.contains("mv_oc_agg")),
+      scanPaths(full))
+    // vetoes — each must keep scanning the base fact
+    def scansOrders(df: DataFrame): Boolean =
+      scanPaths(df).exists(_.endsWith("orders.parquet"))
+    // a non-dimension grouping key vetoes the SUMMARY — and then falls
+    // back to the flat join view (the chained composition): grouping
+    // over the pre-joined rows is always answerable, pre-aggregation
+    // only when the keys are summary dims
+    val nonDim = joined.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanPaths(nonDim).exists(_.contains("mv_oc_agg")),
+      "a non-dimension grouping key was served from the summary")
+    assert(scanPaths(nonDim).exists(_.contains("mv_orders_customer")),
+      "the flat-view fallback did not fire under the vetoed aggregate")
+    // unrecognized aggregates likewise veto the summary (values could
+    // differ — avg needs both partials, DISTINCT and per-row-rounded
+    // sums are unreproducible) while the flat view stays fair game
+    def summaryVetoed(df: DataFrame, what: String): Unit =
+      assert(!scanPaths(df).exists(_.contains("mv_oc_agg")),
+        s"$what was served from the pre-aggregated summary")
+    summaryVetoed(joined.groupBy(col("c_nationkey"))
+      .agg(avg(col("o_totalprice")).as("a")), "a foreign aggregate (avg)")
+    summaryVetoed(joined.groupBy(col("c_nationkey"))
+      .agg(countDistinct(col("o_custkey")).as("n")), "a DISTINCT aggregate")
+    summaryVetoed(joined.groupBy(col("c_nationkey"))
+      .agg(sum(col("o_totalprice")).as("s")),
+      "a raw-double sum (no Money cast)")
+    assert(scansOrders(orders.filter(col("o_orderkey") > 100)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))),
+      "a filtered join's aggregate was rewritten")
+    // freshness guard: a descriptor whose recorded fingerprint no
+    // longer matches the base files must veto (fail closed)
+    val live = spark.conf.get(MvJoinRewrite.ViewsKey)
+    val realFp = MvJoinRewrite.fingerprint(
+      spark, s"${TestSpark.Sf}/orders.parquet")
+    assert(realFp != "stale" && realFp != "absent")
+    MvJoinRewrite.register(MvJoinRewrite.JoinViewDesc(
+      "stale_oc",
+      s"${TestSpark.Sf}/orders.parquet",
+      s"${TestSpark.Sf}/customer.parquet",
+      "stale", "stale",
+      Set("o_custkey", "c_custkey"),
+      Map("c_custkey" -> "o_custkey"),
+      Set("o_orderkey", "o_custkey", "o_totalprice", "c_nationkey"),
+      paths.find(_.contains("mv_oc_agg")).get))
+    spark.conf.set(MvJoinRewrite.ViewsKey, "stale_oc")
+    try {
+      val v = joined.select(col("o_orderkey"), col("c_nationkey"))
+      assert(scansOrders(v),
+        "a stale-fingerprint view served the rewrite")
+    } finally spark.conf.set(MvJoinRewrite.ViewsKey, live)
+  }
+
   test("join-view IVM: maintained view equals the full recompute, the " +
     "base fact table is never rescanned, and the stored view is frozen") {
     import graft.operators.Dml

@@ -82,6 +82,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(merged == full, "segment-merged serve diverged from full rebuild")
   }
 
+  test("positional delta append: base positions/bigrams byte-identical, " +
+    "merged phrase serve equals the full-segment serve") {
+    val root = LexIndex.posIncrRoot(spark, TestSpark.Sf)
+    val baseBefore = inventory(s"$root/base")
+    assert(baseBefore.nonEmpty && inventory(s"$root/delta").nonEmpty,
+      "positional segments missing")
+    val merged = LexIndex.textIndexPhraseIncrQ.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inventory(s"$root/base") == baseBefore,
+      "phrase serve or delta append rewrote the base positional segment")
+    // exact positional merge: summed adjacency counts make base ∪
+    // delta bit-equal to the single-segment phrase serve
+    val full = LexIndex.textIndexPhraseQ.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged.nonEmpty && merged == full,
+      "merged phrase serve diverged from the full segment")
+    // the segments really split the corpus: delta holds exactly the
+    // batch slice's occurrences
+    val deltaDocs = spark.read.parquet(s"$root/delta/positions")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0))
+    assert(deltaDocs.nonEmpty &&
+      deltaDocs.forall(_ % 10 == LexIndex.BatchMod),
+      "a non-batch doc leaked into the delta positional segment")
+  }
+
   test("segment compaction: merged serve is bit-equal to two-segment " +
     "serve, and the source segments stay byte-identical") {
     val root = LexIndex.incrIndexRoot(spark, TestSpark.Sf)
@@ -125,7 +151,7 @@ class TextIndexSpec extends AnyFunSuite {
     "recount, scan pruned to the two terms' buckets") {
     val root = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
     val before = inventory(s"$root/full")
-    val df = LexIndex.servePhrase(spark, root, "full")
+    val df = LexIndex.servePhrase(spark, root, Seq("full"))
     val served = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(inventory(s"$root/full") == before,
       "phrase serve rewrote the stored index")
