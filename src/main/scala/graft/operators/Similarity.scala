@@ -2382,9 +2382,9 @@ object Similarity {
   /** The two-layer walk over ARBITRARY edge relations and layer-1
     * entry list — shared by the in-session entry (memoized graphs) and
     * the persisted entry (stored parquet artifacts). */
-  private def hnswLayeredWalk(s: org.apache.spark.sql.SparkSession,
-      dir: String, e0: DataFrame, e1: DataFrame, entries1: DataFrame,
-      k: Int): DataFrame = {
+  private def hnswLayeredVisited(s: org.apache.spark.sql.SparkSession,
+      dir: String, e0: DataFrame, e1: DataFrame,
+      entries1: DataFrame): DataFrame = {
     DotProduct.ensureRegistered(s)
     val vecs = withUnit(Tables.df(s, dir, "embeddings"))
     val queries = vecs.filter(col("vec_id") < NumQueries)
@@ -2403,8 +2403,13 @@ object Similarity {
     // beamWalk materialized score(seeds0) eagerly, so the layer-1
     // visited set can be released before the result is consumed
     graft.plans.Checkpoints.free(v1)
-    topKOf(v0, k)
+    v0
   }
+
+  private def hnswLayeredWalk(s: org.apache.spark.sql.SparkSession,
+      dir: String, e0: DataFrame, e1: DataFrame, entries1: DataFrame,
+      k: Int): DataFrame =
+    topKOf(hnswLayeredVisited(s, dir, e0, e1, entries1), k)
 
   def hnswLayeredTopK(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int): DataFrame =
@@ -3325,6 +3330,54 @@ object Similarity {
         .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** FILTERED two-layer search — [[annGraphFiltered]]'s query shape on
+    * the hierarchical index: the walk routes through EVERY node on
+    * both layers (pre-filtering fragments connectivity — the reason
+    * filtered-HNSW engines route through non-matching nodes), and only
+    * the visited set is restricted to the metadata predicate before
+    * the final top-k. Completes the serving-feature matrix: the
+    * predicate now composes with all three index families (IVF, flat
+    * NSW, layered HNSW). */
+  val annHnswFiltered: Q = Q.df("ann_hnsw_filtered", hnswFilteredOracle) {
+    (s, dir) =>
+      val emb = Tables.df(s, dir, "embeddings")
+      val visited = hnswLayeredVisited(s, dir,
+        sharedNeighborGraph(s, dir), sharedLayerGraph(s, dir),
+        emb.select(col("vec_id").as("neighbor_id"))
+          .filter(col("neighbor_id").isin(L1Entries: _*)))
+      val allowed = emb.filter(filteredPred)
+        .select(col("vec_id").as("neighbor_id"))
+      topKOf(visited.join(allowed, Seq("neighbor_id")), TopK)
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle for [[annHnswFiltered]]: the layered chain with the
+    * metadata filter applied to the visited set before the final
+    * ranking — both walks replayed unfiltered, exactly the Spark
+    * plan's route-everywhere/filter-at-emission semantics. */
+  private def hnswFilteredOracle: String =
+    s"""$beamPreludeSql,
+       |keys1 as materialized (
+       |  select * from keys where vec_id % $LayerMod = 0),
+       |${graphBuildSql("", "keys")},
+       |${graphBuildSql("l1", "keys1")},
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |av0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})),
+       |${beamRoundsSql("a", "l1edges", L1Rounds)}bv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from av$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("b", "edges", BeamRounds)}fv as (
+       |  select v.* from bv$BeamRounds v
+       |  join embeddings em on em.vec_id = v.neighbor_id
+       |  where em.$sqlFilteredPred),
+       |${beamFinalSql("fv")}""".stripMargin
+
   /** Oracle for [[annHnswDelete]] / [[annHnswCompact]]: the layered
     * chain ([[hnswLayeredOracle]]) with the tombstone filter applied to
     * both layers' edge relations and the entry seeds. */
@@ -3416,7 +3469,7 @@ object Similarity {
       annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
-      annHnswIncremental, annHnswDelete, annHnswCompact,
+      annHnswIncremental, annHnswDelete, annHnswCompact, annHnswFiltered,
       annBinaryHamming, annSqTopK, annIvfSq, annRecallQuantized,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,

@@ -426,6 +426,22 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"recall: sq8=$meanSq%.3f ivfsq8=$meanIvfSq%.3f bin=$meanBin%.3f")
   }
 
+  test("layered filtered search: predicate honored, k stays full, " +
+    "and routing stayed unfiltered (matches pass only at emission)") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val rows = Similarity.annHnswFiltered.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val allowed = emb.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { case (q, n) =>
+      assert(allowed.contains(n), s"query $q served filtered-out id $n")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size == Similarity.TopK, s"query $q served ${rs.size} rows")
+    }
+  }
+
   test("IVF-SQ8 composes the coarse quantizer with SQ8 codes: " +
     "candidates a subset of the probed cells, k stays full") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
