@@ -269,14 +269,18 @@ object LexIndex {
     * the position join (t2 at p+1 of t1) — Lucene's phrase scorer as
     * one equi-join on (doc, position). */
   private[graft] def servePhrase(s: SparkSession, root: String,
-      segs: Seq[String]): DataFrame = {
+      segs: Seq[String],
+      tombstones: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import s.implicits._
     def read(t: String): DataFrame =
       segs.map(g => s.read.parquet(s"$root/$g/$t")).reduce(_ unionByName _)
     // adjacency counts SUM exactly across segments (disjoint doc
     // sets, integer counts), so the merged dictionary's hottest bigram
     // is the full corpus's — the postings-lifecycle statistic-merge
-    // discipline on the positional tables
+    // discipline on the positional tables. The DICTIONARY keeps
+    // counting tombstoned docs (Lucene's docFreq semantics — the
+    // query's bigram pick is a statistic, reclaimed only at merge);
+    // tombstones filter the POSITION rows, the phrase scorer's input.
     val (t1, t2) = read("bigrams")
       .groupBy(col("t1"), col("t2")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("t1"), col("t2")).limit(1)
@@ -285,7 +289,9 @@ object LexIndex {
       .select(pmod(xxhash64(col("tok")), lit(IdxBuckets.toLong)).cast("int")
         .as("b"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val posT = read("positions").filter(col("b").isin(buckets: _*))
+    val posT = tombstones.map(d => !d)
+      .foldLeft(read("positions").filter(col("b").isin(buckets: _*)))(
+        (p, f) => p.filter(f))
     val p1 = posT.filter(col("tok") === t1).select(col("doc_id"), col("p"))
     val p2 = posT.filter(col("tok") === t2)
       .select(col("doc_id"), (col("p") - 1).as("p"))
@@ -294,10 +300,12 @@ object LexIndex {
       .orderBy(col("n_phrase").desc, col("doc_id")).limit(PhraseTopN)
   }
 
-  /** Both phrase entries share one oracle: the full-corpus phrase
-    * ranking (base ∪ delta IS the corpus; exact positional merge is
-    * the incremental entry's claim). */
-  private def phraseOracle: String =
+  /** The phrase entries share one oracle family: the full-corpus
+    * phrase ranking (base ∪ delta IS the corpus; exact positional
+    * merge is the incremental entry's claim), with an optional
+    * tombstone predicate on the HITS side only — the bigram pick stays
+    * a full-corpus statistic, the docFreq semantics. */
+  private def phraseOracleWhere(hitsWhere: String): String =
     s"""with idx as (
        |  select doc_id, l, unnest(range(1, len(l) + 1)) as i
        |  from (select doc_id, string_split(text, ' ') as l
@@ -309,9 +317,12 @@ object LexIndex {
        |top as (select t1, t2 from bg order by cnt desc, t1, t2 limit 1),
        |hits as (select p.doc_id, cast(count(*) as bigint) as n_phrase
        |         from pos p join top t on p.tok = t.t1 and p.nxt = t.t2
+       |         $hitsWhere
        |         group by p.doc_id)
        |select doc_id, n_phrase from hits
        |order by n_phrase desc, doc_id limit $PhraseTopN""".stripMargin
+
+  private def phraseOracle: String = phraseOracleWhere("")
 
   val textIndexPhraseQ: Q = Q.df("text_index_phrase", phraseOracle) {
     (s, dir) => servePhrase(s, fullIndexRoot(s, dir), Seq("full"))
@@ -343,6 +354,45 @@ object LexIndex {
   val textIndexPhraseIncrQ: Q = Q.df(
     "text_index_phrase_incr", phraseOracle) { (s, dir) =>
     servePhrase(s, posIncrRoot(s, dir), Seq("base", "delta"))
+  }
+
+  /** Positional tombstone DELETE: tombstoned docs' occurrences are
+    * excluded from the phrase scorer's input while the bigram
+    * dictionary keeps counting them until a merge — the
+    * [[textIndexDeleteQ]] semantics on the positional tables, O(1) at
+    * write time, artifact untouched (spec-witnessed). */
+  val textIndexPhraseDeleteQ: Q = Q.df(
+    "text_index_phrase_delete",
+    phraseOracleWhere(s"where p.doc_id % 7 <> $DeleteMod")) { (s, dir) =>
+    servePhrase(s, fullIndexRoot(s, dir), Seq("full"),
+      tombstones = Some(col("doc_id") % 7 === DeleteMod))
+  }
+
+  /** Positional segment COMPACTION (the Lucene merge on the `.pos`
+    * tables): base ∪ delta positions rewritten as one `merged` segment
+    * beside its sources (same bucket partitioning), bigram counts
+    * summed once at merge time — serve then reads one segment with no
+    * query-time dictionary fold. Sources never mutate. */
+  private val posCompactCache =
+    new graft.plans.Memo[(SparkSession, String), String]
+
+  private[graft] def posMergedRoot(s: SparkSession, dir: String): String =
+    posCompactCache.once((s, dir)) {
+      val root = posIncrRoot(s, dir)
+      def read(t: String): DataFrame =
+        Seq("base", "delta").map(g => s.read.parquet(s"$root/$g/$t"))
+          .reduce(_ unionByName _)
+      read("positions").write.mode("overwrite").partitionBy("b")
+        .parquet(s"$root/merged/positions")
+      read("bigrams").groupBy(col("t1"), col("t2"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$root/merged/bigrams")
+      root
+    }
+
+  val textIndexPhraseCompactQ: Q = Q.df(
+    "text_index_phrase_compact", phraseOracle) { (s, dir) =>
+    servePhrase(s, posMergedRoot(s, dir), Seq("merged"))
   }
 
   private[graft] def fullIndexRoot(s: SparkSession, dir: String): String =
@@ -759,6 +809,6 @@ object LexIndex {
   val queries: Seq[Q] =
     Seq(textIndexPersistQ, textIndexServeQ, textIndexIncrementalQ,
       textIndexCompactQ, textIndexDeleteQ, textIndexPhraseQ,
-      textIndexPhraseIncrQ,
+      textIndexPhraseIncrQ, textIndexPhraseDeleteQ, textIndexPhraseCompactQ,
       textIndexTopkPrunedQ, textIndexTopkPrunedIncrQ, textIndexLmdirQ)
 }

@@ -50,6 +50,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   val PathKey = "graft.mv.path"
   val SrcKey = "graft.mv.src"
 
+  /** Build fingerprint of the base relation's files at ensure() time
+    * (the MvJoinRewrite freshness discipline): re-checked at match
+    * time, so a base-table change can silence the rule but never serve
+    * stale partials. */
+  val SrcFpKey = "graft.mv.srcfp"
+
   /** MV dimensions (grouping keys the summary can serve). */
   val Dims: Seq[String] = Seq("l_returnflag", "l_linestatus", "l_shipdate")
 
@@ -114,6 +120,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     s.conf.set(PathKey, path)
     s.conf.set(SrcKey, s"$dir/lineitem.parquet")
+    s.conf.set(SrcFpKey,
+      MvJoinRewrite.fingerprint(s, s"$dir/lineitem.parquet"))
     s.conf.set(EnabledKey, "true")
   }
 
@@ -153,6 +161,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     s.conf.set(PathKey, path)
     s.conf.set(SrcKey, s"$dir/lineitem.parquet")
+    s.conf.set(SrcFpKey,
+      MvJoinRewrite.fingerprint(s, s"$dir/lineitem.parquet"))
     s.conf.set(EnabledKey, "true")
   }
 
@@ -167,9 +177,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
   /** The registered base relation, possibly under an attribute-only
-    * projection (column pruning). Path equality is suffix-based: the
-    * scan reports file:-qualified roots, the conf records the raw
-    * fixture path. */
+    * projection (column pruning). rootPaths compared by exact PATH
+    * (the scan reports file:-qualified roots; the URI path strips the
+    * scheme — no nested-dir suffix false-positives), and the file
+    * inventory must still match the ensure()-time fingerprint. */
   private def isBase(p: LogicalPlan): Boolean = p match {
     case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       isBase(ch)
@@ -178,7 +189,9 @@ object MvRewrite extends Rule[LogicalPlan] {
         case fs: HadoopFsRelation =>
           val src = conf(SrcKey)
           src.nonEmpty &&
-            fs.location.rootPaths.exists(_.toString.endsWith(src))
+            fs.location.rootPaths.exists(_.toUri.getPath == src) &&
+            MvJoinRewrite.fingerprint(SparkSession.active, src) ==
+              conf(SrcFpKey)
         case _ => false
       }
     case _ => false

@@ -108,6 +108,47 @@ class TextIndexSpec extends AnyFunSuite {
       "a non-batch doc leaked into the delta positional segment")
   }
 
+  test("positional delete + compaction: tombstoned docs unserved with " +
+    "the artifact untouched; merged positional serve bit-equal to " +
+    "two-segment, sources frozen") {
+    // delete: tombstones filter the scorer's input, never the files
+    val froot = LexIndex.fullIndexRoot(spark, TestSpark.Sf)
+    val before = inventory(s"$froot/full")
+    val del = LexIndex.textIndexPhraseDeleteQ.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inventory(s"$froot/full") == before,
+      "positional delete rewrote the stored index")
+    assert(del.nonEmpty)
+    assert(!del.exists(_._1 % 7 == LexIndex.DeleteMod),
+      "tombstoned doc served from the positional index")
+    // surviving docs' phrase counts identical to the undeleted serve
+    val undeleted = LexIndex.textIndexPhraseQ.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 7 != LexIndex.DeleteMod).toMap
+    del.foreach { case (d, n) =>
+      undeleted.get(d).foreach(u => assert(u == n,
+        s"doc $d phrase count changed under tombstones: $n vs $u"))
+    }
+    // compaction: one merged segment, sources byte-identical, bit-equal
+    val iroot = LexIndex.posIncrRoot(spark, TestSpark.Sf)
+    val srcBefore = inventory(s"$iroot/base") ++ inventory(s"$iroot/delta")
+    val merged = LexIndex.textIndexPhraseCompactQ.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inventory(s"$iroot/base") ++ inventory(s"$iroot/delta")
+      == srcBefore, "positional compaction mutated a source segment")
+    val two = LexIndex.servePhrase(spark, iroot, Seq("base", "delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(merged.nonEmpty && merged == two,
+      "compacted positional serve diverged from two-segment serve")
+    // merged bigram dictionary = summed inputs (one real segment)
+    val mCnt = spark.read.parquet(s"$iroot/merged/bigrams")
+      .agg(sum(col("cnt"))).collect().head.getLong(0)
+    val sCnt = Seq("base", "delta").map(g =>
+      spark.read.parquet(s"$iroot/$g/bigrams")
+        .agg(sum(col("cnt"))).collect().head.getLong(0)).sum
+    assert(mCnt == sCnt, s"merged bigram mass $mCnt != summed $sCnt")
+  }
+
   test("segment compaction: merged serve is bit-equal to two-segment " +
     "serve, and the source segments stay byte-identical") {
     val root = LexIndex.incrIndexRoot(spark, TestSpark.Sf)
