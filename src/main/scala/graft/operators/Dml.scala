@@ -2352,19 +2352,65 @@ object Dml {
       preCommit(attempt)
       if (casManifest(root, base + 1, entries))
         return CommitOutcome(base + 1, attempt)
-      val head = timeTravelVersions(root).max
-      for (v <- base + 1 to head) {
-        // FULL entries (data dir + dv list): a DV-only commit changes
-        // only its partitions' dv fields, so it conflicts with exactly
-        // the writers that touch those partitions — and no others
-        val a = readManifestFull(root, v - 1)
-        val b = readManifestFull(root, v)
-        val changed = (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
-        val overlap = changed & touched
-        if (overlap.nonEmpty) throw new IllegalStateException(
-          s"write-write conflict: version $v touched partitions " +
-            s"${overlap.toSeq.sorted.mkString(", ")}")
+      conflictCheck(root, base, touched)
+    }
+    throw new IllegalStateException(s"commit retries exhausted ($maxAttempts)")
+  }
+
+  /** On CAS loss: diff every manifest committed since the read base
+    * against its predecessor over FULL entries (data dir + dv list —
+    * a DV-only commit changes only its partitions' dv fields, so it
+    * conflicts with exactly the writers touching those partitions and
+    * no others); throw on overlap with `touched`, return for a
+    * disjoint retry. */
+  private def conflictCheck(root: String, base: Int,
+      touched: Set[Int]): Unit = {
+    val head = timeTravelVersions(root).max
+    for (v <- base + 1 to head) {
+      val a = readManifestFull(root, v - 1)
+      val b = readManifestFull(root, v)
+      val changed = (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
+      val overlap = changed & touched
+      if (overlap.nonEmpty) throw new IllegalStateException(
+        s"write-write conflict: version $v touched partitions " +
+          s"${overlap.toSeq.sorted.mkString(", ")}")
+    }
+  }
+
+  /** OPTIMISTIC DV-ONLY commit: prepare the sidecars against the read
+    * base's visible state into an attempt-unique `dv/` generation,
+    * CAS the manifest with the sidecar paths APPENDED to the touched
+    * entries (data dirs untouched — the commit is O(deleted keys) +
+    * O(manifest)); on loss, the same full-entry conflict scoping —
+    * a disjoint winner's partitions carry forward and the retry
+    * re-derives its sidecars from the NEW head's visible state (a
+    * concurrent rewrite of an untouched partition never invalidates
+    * this delete). The losing attempt's sidecar dir is orphaned,
+    * vacuum's reclaim class. */
+  private[graft] def commitDvOptimistic(s: org.apache.spark.sql.SparkSession,
+      root: String, writer: String, years: Seq[Int],
+      pred: org.apache.spark.sql.Column,
+      maxAttempts: Int = 5,
+      preCommit: Int => Unit = _ => ()): CommitOutcome = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = timeTravelVersions(root).max
+      val prev = readManifestFull(root, base)
+      val touched = years.filter(prev.contains)
+      val gen = s"g${base + 1}-$writer-a$attempt"
+      val written = touched.filter { y =>
+        val keys = readEntryWithDv(s, root, y, prev(y))
+          .filter(pred).select(col("o_orderkey"))
+        keys.write.parquet(s"$root/dv/$gen/yr=$y")
+        keys.limit(1).count() > 0
       }
+      val entries = prev ++ written.map(y =>
+        y -> prev(y).copy(dvs = prev(y).dvs :+ s"dv/$gen/yr=$y"))
+      preCommit(attempt)
+      if (casManifest(root, base + 1, entries))
+        return CommitOutcome(base + 1, attempt)
+      conflictCheck(root, base, years.toSet)
     }
     throw new IllegalStateException(s"commit retries exhausted ($maxAttempts)")
   }
@@ -2444,6 +2490,83 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  /** A MERGE writer and a DV-ONLY delete writer race the versioned
+    * target on disjoint partitions (upsert on 1998, DV delete on
+    * 1996), both pinned to the same base by a barrier — exactly one
+    * CAS loss and one successful retry every build, and the DV-only
+    * commit conflicts with NOTHING it didn't touch (the full-entry
+    * diff scope made an executed fact). Final state is
+    * order-independent; the losing attempt's dir (data gen or dv
+    * sidecar, whichever writer lost) is orphaned — vacuum's class. */
+  private val dvConcurrentCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def dvConcurrentRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    dvConcurrentCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-ccdv").toString
+      val base = mergePrunedBase(s, dir)
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      writeManifestFull(root, 0,
+        years.map(y => y -> PartEntry(s"data/g0/yr=$y", Nil)).toMap)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val gate: Int => Unit = a => if (a == 1) {
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+      val outcomes =
+        new java.util.concurrent.ConcurrentLinkedQueue[
+          Either[Throwable, CommitOutcome]]()
+      val threads = Seq(
+        new Thread(() => outcomes.add(
+          try Right(commitOptimistic(s, root, "up",
+            mergePrunedBatch(base, TimeTravelYears(1)), preCommit = gate))
+          catch { case e: Throwable => Left(e) })),
+        new Thread(() => outcomes.add(
+          try Right(commitDvOptimistic(s, root, "dv",
+            Seq(TimeTravelYears.head),
+            col("o_orderkey") % 20 === DvVersionedMod, preCommit = gate))
+          catch { case e: Throwable => Left(e) })))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val done = outcomes.toArray(Array.empty[Either[Throwable, CommitOutcome]])
+      done.collectFirst { case Left(e) => e }.foreach(throw _)
+      val attempts = done.collect { case Right(o) => o.attempts }.sorted.toSeq
+      require(attempts == Seq(1, 2),
+        s"expected one clean commit and one retry, got attempts $attempts")
+      root
+    }
+
+  val dmlDvConcurrent: Q = Q.df(
+    "dml_dv_concurrent",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = ${TimeTravelYears(1)} and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit),
+       |v as (
+       |  select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |    coalesce(u.cents, b.cents) as cents,
+       |    coalesce(b.yr, u.yr) as yr
+       |  from base b full outer join batch u on b.o_orderkey = u.o_orderkey)
+       |select o_orderkey, cents, yr from v
+       |where not (yr = ${TimeTravelYears.head}
+       |  and o_orderkey % 20 = $DvVersionedMod)
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = dvConcurrentRoot(s, dir)
+    readVersionWithDv(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Seq[Q] = Seq(dmlCtasInsert, dmlUpdateDeleteRewrite,
     dmlMergeUpsert, dmlMergePruned, dmlMergeCdcOps, dmlCompactRewrite,
     joinBucketed,
@@ -2455,5 +2578,5 @@ object Dml {
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
     dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
-    dmlDvVersioned, dmlConstraintCheck)
+    dmlDvVersioned, dmlDvConcurrent, dmlConstraintCheck)
 }

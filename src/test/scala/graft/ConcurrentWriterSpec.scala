@@ -114,6 +114,66 @@ class ConcurrentWriterSpec extends AnyFunSuite {
     } finally graft.plans.Scratch.deleteTree(root)
   }
 
+  test("DV-only writer races a MERGE writer: disjoint partitions both " +
+    "commit (one retry), the DV commit's diff names only its " +
+    "partition, and an OVERLAPPING DV delete aborts") {
+    // the executed disjoint race lives in the entry's memoized root
+    // (its build REQUIRES attempts == Seq(1, 2)); here re-verify the
+    // lineage and the diff scope on it
+    val root = Dml.dvConcurrentRoot(spark, TestSpark.Sf)
+    assert(Dml.timeTravelVersions(root) == Seq(0, 1, 2))
+    val diffs = (1 to 2).map { v =>
+      val a = Dml.readManifestFull(root, v - 1)
+      val b = Dml.readManifestFull(root, v)
+      (a.keySet ++ b.keySet).filter(y => a.get(y) != b.get(y))
+    }
+    // one version's diff is the upsert's partition, the other's the
+    // DV's — each exactly one year, disjoint
+    assert(diffs.map(_.size) == Seq(1, 1) && diffs(0) != diffs(1),
+      s"unexpected commit scopes: $diffs")
+    assert(diffs.flatten.toSet ==
+      Set(Dml.TimeTravelYears.head, Dml.TimeTravelYears(1)))
+    // the DV commit appended a sidecar and repointed no data dir
+    val dvYear = Dml.TimeTravelYears.head
+    val withDv = (1 to 2).find(v =>
+      Dml.readManifestFull(root, v)(dvYear).dvs.nonEmpty).get
+    val e = Dml.readManifestFull(root, withDv)(dvYear)
+    assert(e.data == s"data/g0/yr=$dvYear",
+      "the DV-only commit repointed its partition's data dir")
+    // overlap: a DV delete on the SAME year as a racing upsert aborts
+    val root2 = freshRoot()
+    try {
+      val y = Dml.TimeTravelYears(1)
+      val base = Dml.mergePrunedBase(spark, TestSpark.Sf)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val gate: Int => Unit = a => if (a == 1) {
+        barrier.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, Dml.CommitOutcome]]()
+      val threads = Seq(
+        new Thread(() => out.add(
+          try Right(Dml.commitOptimistic(spark, root2, "up",
+            Dml.mergePrunedBatch(base, y), preCommit = gate))
+          catch { case ex: Throwable => Left(ex) })),
+        new Thread(() => out.add(
+          try Right(Dml.commitDvOptimistic(spark, root2, "dv", Seq(y),
+            col("o_orderkey") % 20 === Dml.DvVersionedMod,
+            preCommit = gate))
+          catch { case ex: Throwable => Left(ex) })))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val res = out.toArray(
+        Array.empty[Either[Throwable, Dml.CommitOutcome]]).toSeq
+      val oks = res.collect { case Right(o) => o }
+      val errs = res.collect { case Left(ex) => ex }
+      assert(oks.size == 1 && errs.size == 1,
+        s"expected one winner and one abort, got $res")
+      assert(errs.head.getMessage.contains("write-write conflict"),
+        s"unexpected abort: ${errs.head}")
+      assert(Dml.timeTravelVersions(root2).max == 1)
+    } finally graft.plans.Scratch.deleteTree(root2)
+  }
+
   test("overlapping writers: one commits, the other aborts with a " +
     "write-write conflict, and the winner's state stands") {
     val root = freshRoot()
