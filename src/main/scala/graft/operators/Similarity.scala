@@ -2703,20 +2703,36 @@ object Similarity {
     * REPLAYS assignment, probing, the quantized scan, and the rerank
     * bit-for-bit (late-bound trained centroids, as [[ivfOracle]]). */
   def ivfSqTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
-    val spark = emb.sparkSession
-    DotProduct.ensureRegistered(spark)
-    import spark.implicits._
     val cm = trainedCentroids(emb, dir)
     lastTrained = cm
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    // corpus representation: cell id + 64 int8 codes + one scale
-    val codes = unit
+    ivfSqServe(emb, k, cm, ivfSqEncode(emb, cm))
+  }
+
+  /** One encode pass: cell id + 64 int8 codes + one scale per vector
+    * (zero shuffle — the write's partitioning is the scan's). */
+  private def ivfSqEncode(emb: DataFrame,
+      cm: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    withUnit(emb).as[(Long, Array[Double])]
       .map { case (id, u) =>
         val m = u.map(math.abs).max
         (id, nearestCentroids(u, 1, cm)(0),
           u.map(x => math.floor(x * 127.0 / m + 0.5)), m / 127.0)
       }
       .toDF("neighbor_id", "cid", "qv", "scale")
+  }
+
+  /** The probed asymmetric scan + exact rerank over an ARBITRARY codes
+    * relation — shared by the in-session entry and the persisted one
+    * (the codes side may be freshly encoded or read back from the
+    * stored artifact). */
+  private def ivfSqServe(emb: DataFrame, k: Int,
+      cm: Array[Array[Double]], codes: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    DotProduct.ensureRegistered(spark)
+    import spark.implicits._
+    val unit = withUnit(emb).as[(Long, Array[Double])]
     // queries: raw unit vectors (ADC is asymmetric) × probed cells
     val queries = unit.filter(_._1 < NumQueries)
       .flatMap { case (id, u) =>
@@ -2796,6 +2812,46 @@ object Similarity {
   val annIvfSq: Q = Q.df("ann_ivfsq_topk", ivfSqOracle) { (s, dir) =>
     ivfSqTopK(Tables.df(s, dir, "embeddings"), TopK, dir)
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The IVF-SQ8 index PERSISTED as a servable artifact: the trained
+    * centroid table + the encoded corpus (cell, 64 int8 codes, scale —
+    * 8×-compressed, the corpus-sized piece) as parquet under a
+    * memoized temp root, the [[writeIndex]] discipline for the SQ
+    * family. Serving reads BOTH back (models from the model table, not
+    * memory — the fresh-process read path); int codes and doubles
+    * round-trip parquet exactly, so stored serve ≡ in-memory serve
+    * bit-for-bit and the SAME late-bound oracle verifies the round
+    * trip. [[graft.SimilaritySpec]] pins bit-equality + frozen files. */
+  private val ivfsqIndexCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def ivfsqIndexRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfsqIndexCache.once((s, dir)) {
+      val root = tempIndexRoot("ivfsq")
+      val emb = Tables.df(s, dir, "embeddings")
+      val cm = trainedCentroids(emb, dir)
+      import s.implicits._
+      cm.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      ivfSqEncode(emb, cm).write.mode("overwrite").parquet(s"$root/codes")
+      root
+    }
+
+  val annIvfSqPersist: Q = Q.df("ann_ivfsq_persist", ivfSqOracle) {
+    (s, dir) =>
+      import s.implicits._
+      val root = ivfsqIndexRoot(s, dir)
+      val cm = s.read.parquet(s"$root/centroids")
+        .select(col("cid"), col("cv")).as[(Int, Array[Double])]
+        .collect().sortBy(_._1).map(_._2)
+      lastTrained = cm
+      ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
+        s.read.parquet(s"$root/codes"))
+        .orderBy(col("query_id"), col("rnk"))
   }
 
   /** Recall@k audit for the QUANTIZED serving family (SQ8 + binary) —
@@ -3470,7 +3526,8 @@ object Similarity {
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
       annHnswIncremental, annHnswDelete, annHnswCompact, annHnswFiltered,
-      annBinaryHamming, annSqTopK, annIvfSq, annRecallQuantized,
+      annBinaryHamming, annSqTopK, annIvfSq, annIvfSqPersist,
+      annRecallQuantized,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,
       hardNegativesQ, marginPairsQ, embedDecontamQ)

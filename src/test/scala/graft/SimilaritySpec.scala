@@ -442,6 +442,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-SQ8: stored artifact serves bit-equal to the " +
+    "in-memory composition, files frozen") {
+    val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
+    val root = Similarity.ivfsqIndexRoot(spark, TestSpark.Sf)
+    def inv(sub: String): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    val before = Seq("centroids", "codes").map(inv)
+    assert(before.forall(_.nonEmpty), "stored IVF-SQ8 artifact missing")
+    val stored = Similarity.annIvfSqPersist.run(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(Seq("centroids", "codes").map(inv) == before,
+      "serving rewrote the stored IVF-SQ8 artifact")
+    val mem = Similarity.ivfSqTopK(emb, Similarity.TopK, TestSpark.Sf)
+      .orderBy(col("query_id"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stored.nonEmpty && stored == mem,
+      "stored IVF-SQ8 serving diverged from the in-memory composition")
+  }
+
   test("IVF-SQ8 composes the coarse quantizer with SQ8 codes: " +
     "candidates a subset of the probed cells, k stays full") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
