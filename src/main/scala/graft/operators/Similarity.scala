@@ -2770,8 +2770,14 @@ object Similarity {
   /** Late-bound IVF-SQ8 oracle: [[sqlAssignProbeCtes]] (shared with
     * IVF/IVFPQ) composed with [[sqOracle]]'s encode CTE, the probed
     * quantized scan, and the exact rerank tail. */
-  private def ivfSqOracle: String = {
-    val cm = Option(lastTrained).getOrElse(initCentroids)
+  private def ivfSqOracle: String =
+    ivfSqOracleFor(Option(lastTrained).getOrElse(initCentroids))
+
+  /** [[ivfSqOracle]] rendered against an EXPLICIT centroid matrix and
+    * an optional candidate predicate — the lifecycle entries embed
+    * their own (stored / base-trained) model and tombstone filter. */
+  private def ivfSqOracleFor(cm: Array[Array[Double]],
+      candidateWhere: String = ""): String = {
     s"""with ${sqlCentroidValues(cm)},
        |e as ($sqlUnit),
        |$sqlAssignProbeCtes,
@@ -2789,7 +2795,7 @@ object Similarity {
        |  from probes p
        |  join assign a on a.cid = p.cid
        |  join c8 on c8.vec_id = a.vec_id
-       |  where a.vec_id <> p.vec_id),
+       |  where a.vec_id <> p.vec_id$candidateWhere),
        |cand as materialized (
        |  select query_id, neighbor_id, approx from (
        |    select *, row_number() over (partition by query_id
@@ -2841,16 +2847,122 @@ object Similarity {
       root
     }
 
+  /** Stored centroid table read back (sorted by cid — doubles
+    * round-trip parquet exactly, the [[readModels]] discipline). */
+  private def readCentroids(s: org.apache.spark.sql.SparkSession,
+      root: String): Array[Array[Double]] = {
+    import s.implicits._
+    s.read.parquet(s"$root/centroids")
+      .select(col("cid"), col("cv")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+  }
+
   val annIvfSqPersist: Q = Q.df("ann_ivfsq_persist", ivfSqOracle) {
     (s, dir) =>
-      import s.implicits._
       val root = ivfsqIndexRoot(s, dir)
-      val cm = s.read.parquet(s"$root/centroids")
-        .select(col("cid"), col("cv")).as[(Int, Array[Double])]
-        .collect().sortBy(_._1).map(_._2)
+      val cm = readCentroids(s, root)
       lastTrained = cm
       ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
         s.read.parquet(s"$root/codes"))
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Tombstone-delete on the stored IVF-SQ8 index: deleted vectors'
+    * code rows are excluded BEFORE list probing (the [[annIndexDelete]]
+    * semantics — pre-filter, k stays full, artifact untouched, O(1) at
+    * write time). */
+  val annIvfSqDelete: Q = Q.df(
+    "ann_ivfsq_delete",
+    ivfSqOracleFor(Option(lastTrained).getOrElse(initCentroids),
+      s" and a.vec_id % 7 <> $AnnDeleteMod")) { (s, dir) =>
+    val root = ivfsqIndexRoot(s, dir)
+    val cm = readCentroids(s, root)
+    lastTrained = cm
+    ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
+      s.read.parquet(s"$root/codes")
+        .filter(col("neighbor_id") % 7 =!= AnnDeleteMod))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Compacted IVF-SQ8 root: code table rewritten without tombstoned
+    * rows, centroids copied by exact parquet round trip — the OPTIMIZE
+    * fold, [[compactIndexRoot]]'s economics on the SQ family. */
+  private val ivfsqCompactCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def ivfsqCompactRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfsqCompactCache.once((s, dir)) {
+      val full = ivfsqIndexRoot(s, dir)
+      val root = tempIndexRoot("ivfsqcompact")
+      s.read.parquet(s"$full/centroids").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      s.read.parquet(s"$full/codes")
+        .filter(col("neighbor_id") % 7 =!= AnnDeleteMod)
+        .write.mode("overwrite").parquet(s"$root/codes")
+      root
+    }
+
+  /** Serve from the COMPACTED IVF-SQ8 index, no tombstone predicate
+    * anywhere — oracle is [[annIvfSqDelete]]'s, so compact-then-serve
+    * ≡ tombstone-filtered-serve is hash-verified. */
+  val annIvfSqCompact: Q = Q.df(
+    "ann_ivfsq_compact",
+    ivfSqOracleFor(Option(lastTrained).getOrElse(initCentroids),
+      s" and a.vec_id % 7 <> $AnnDeleteMod")) { (s, dir) =>
+    val root = ivfsqCompactRoot(s, dir)
+    val cm = readCentroids(s, root)
+    lastTrained = cm
+    ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
+      s.read.parquet(s"$root/codes"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Base-trained centroids of the SQ incremental entry's late-bound
+    * oracle (the [[lastBaseCm]] contract for this family). */
+  @volatile private var lastIvfSqBaseCm: Array[Array[Double]] = null
+
+  /** Frozen SQ base index: centroids trained on the corpus MINUS the
+    * mod-[[AnnBatchMod]] batch, base slice encoded and stored. */
+  private val ivfsqBaseCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def ivfsqBaseRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    ivfsqBaseCache.once((s, dir)) {
+      val root = tempIndexRoot("ivfsqbase")
+      val base = Tables.df(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 =!= AnnBatchMod)
+      val cm = trainCentroids(base)
+      import s.implicits._
+      cm.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/centroids")
+      ivfSqEncode(base, cm).write.mode("overwrite").parquet(s"$root/codes")
+      root
+    }
+
+  /** Incremental add without retrain: the incoming batch encodes
+    * against the STORED base-trained centroids (read back, frozen —
+    * per-batch work is one encode pass over the batch; the per-vector
+    * SQ scale is self-contained, so SQ has no other model to freeze)
+    * and serving unions stored ∪ batch codes. The oracle embeds the
+    * base-trained centroids and encodes the WHOLE corpus against them
+    * — exactly what stored-base ∪ encoded-batch amounts to, so
+    * frozen-model ingestion is hash-verified, not asserted. */
+  val annIvfSqIncremental: Q = Q.df(
+    "ann_ivfsq_incremental",
+    ivfSqOracleFor(Option(lastIvfSqBaseCm).getOrElse(initCentroids))) {
+    (s, dir) =>
+      val root = ivfsqBaseRoot(s, dir)
+      val cm = readCentroids(s, root)
+      lastIvfSqBaseCm = cm
+      val batch = ivfSqEncode(Tables.df(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === AnnBatchMod), cm)
+      ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
+        s.read.parquet(s"$root/codes").unionByName(batch))
         .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3527,6 +3639,7 @@ object Similarity {
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
       annHnswIncremental, annHnswDelete, annHnswCompact, annHnswFiltered,
       annBinaryHamming, annSqTopK, annIvfSq, annIvfSqPersist,
+      annIvfSqIncremental, annIvfSqDelete, annIvfSqCompact,
       annRecallQuantized,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,

@@ -464,6 +464,48 @@ class SimilaritySpec extends AnyFunSuite {
       "stored IVF-SQ8 serving diverged from the in-memory composition")
   }
 
+  test("IVF-SQ8 lifecycle: tombstone delete filters pre-probe with the " +
+    "artifact untouched, compaction serves bit-equal and shrinks the " +
+    "codes, incremental add never touches the frozen base") {
+    def inv(root: String, sub: String): Seq[(String, Long, Long)] =
+      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    def rows3(q: graft.Q): Seq[(Long, Long, Long)] =
+      q.run(spark, TestSpark.Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Similarity.ivfsqIndexRoot(spark, TestSpark.Sf)
+    val before = Seq("centroids", "codes").map(inv(full, _))
+    val del = rows3(Similarity.annIvfSqDelete)
+    assert(Seq("centroids", "codes").map(inv(full, _)) == before,
+      "SQ tombstone delete rewrote the stored index")
+    assert(del.nonEmpty &&
+      !del.exists(_._2 % 7 == Similarity.AnnDeleteMod),
+      "tombstoned neighbor served from the SQ index")
+    del.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size == Similarity.TopK, s"query $q served ${rs.size}")
+    }
+    val comp = rows3(Similarity.annIvfSqCompact)
+    assert(comp == del,
+      "SQ compact-then-serve diverged from tombstone serve")
+    val croot = Similarity.ivfsqCompactRoot(spark, TestSpark.Sf)
+    val fullN = spark.read.parquet(s"$full/codes").count()
+    val compN = spark.read.parquet(s"$croot/codes").count()
+    val expectN = spark.read.parquet(s"$full/codes")
+      .filter(col("neighbor_id") % 7 =!= Similarity.AnnDeleteMod).count()
+    assert(compN == expectN && compN < fullN,
+      s"SQ compaction kept $compN of $fullN (expected $expectN)")
+    // incremental: frozen base untouched, batch nodes become servable
+    val broot = Similarity.ivfsqBaseRoot(spark, TestSpark.Sf)
+    val bBefore = Seq("centroids", "codes").map(inv(broot, _))
+    val incr = rows3(Similarity.annIvfSqIncremental)
+    assert(Seq("centroids", "codes").map(inv(broot, _)) == bBefore,
+      "SQ incremental add rewrote the frozen base index")
+    assert(incr.exists(_._2 % 10 == Similarity.AnnBatchMod),
+      "no batch vector served after the SQ incremental add")
+  }
+
   test("IVF-SQ8 composes the coarse quantizer with SQ8 codes: " +
     "candidates a subset of the probed cells, k stays full") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
