@@ -1997,6 +1997,51 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Filter COMPOSED with the join-view rewrite: the predicate (pushed
+    * below the join by the optimizer) references only view columns, so
+    * the rule collects it from the relation side and re-applies it on
+    * the stored view — an inner equi-join preserves single-side row
+    * predicates. The query never scans a base table (spec-pinned);
+    * oracle = the raw filtered join. */
+  val mvJoinFilterRewriteQ: Q = Q.df(
+    "mv_join_filter_rewrite",
+    """select o.o_orderkey, c.c_nationkey as nat
+      |from orders o join customer c on o.o_custkey = c.c_custkey
+      |where o.o_totalprice > 150000
+      |order by o.o_orderkey""".stripMargin) { (s, dir) =>
+    graft.plans.MvJoinRewrite.ensure(s, dir)
+    Tables.df(s, dir, "orders")
+      .join(Tables.df(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_orderkey"), col("c_nationkey").as("nat"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Dim filter COMPOSED with the join+aggregate rewrite: the
+    * predicate references only summary dimensions, so it drops whole
+    * partial groups exactly as it drops their base rows — the query is
+    * served from the pre-aggregated summary, filtered and rolled up. */
+  val mvJoinAggFilterRewriteQ: Q = Q.df(
+    "mv_join_agg_filter_rewrite",
+    """select c.c_nationkey, cast(count(*) as bigint) as n_orders,
+      |  cast(sum(cast(o_totalprice as decimal(12,2))) as double)
+      |    as sum_price
+      |from orders o join customer c on o.o_custkey = c.c_custkey
+      |where c.c_mktsegment = 'BUILDING'
+      |group by c.c_nationkey
+      |order by c.c_nationkey""".stripMargin) { (s, dir) =>
+    graft.plans.MvJoinRewrite.ensure(s, dir)
+    Tables.df(s, dir, "orders")
+      .join(Tables.df(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(m(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** SQL SCRIPTING (Spark 4's procedural surface: BEGIN…END compound
     * statements, DECLAREd local variables, WHILE control flow): the
     * script partitions the orders count across five loop iterations by
@@ -2028,6 +2073,7 @@ object Relational {
   val queries: Seq[Q] = Seq(
     mvRewriteRollup, mvIncrementalRewrite, mvJoinRewriteQ,
     mvJoinRegistryQ, mvJoinAggRewriteQ,
+    mvJoinFilterRewriteQ, mvJoinAggFilterRewriteQ,
     sqlScriptingLoop,
     exprUrlFuncs,
     windowIgnoreNulls, predNotInNullTrap,

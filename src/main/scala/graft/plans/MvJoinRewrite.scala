@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, sum}
@@ -183,42 +183,65 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
         views.view.flatMap(v => tryAggRewrite(agg, v)).headOption
           .getOrElse(agg)
       case p @ Project(_, j: Join) =>
-        views.view.flatMap(v => tryRewrite(p, j, v)).headOption
+        views.view.flatMap(v => tryRewrite(p, j, v, None)).headOption
           .getOrElse(p)
+      // a Filter ABOVE the join on view columns is answerable (the
+      // view holds every joined row; only filters BETWEEN a base
+      // relation and the join veto — those drop rows the view kept)
+      case p @ Project(_, f @ Filter(_, j: Join)) =>
+        views.view
+          .flatMap(v => tryRewrite(p, j, v, Some(f.condition)))
+          .headOption.getOrElse(p)
     }
   }
 
-  /** The named base relation under attribute-only projections —
-    * rootPaths compared by exact path, and the file inventory must
-    * still match the descriptor's build fingerprint. */
-  private def isRel(p: LogicalPlan, src: String, fp: String): Boolean =
+  /** The named base relation under attribute-only projections and
+    * ANSWERABLE filters — rootPaths compared by exact path, the file
+    * inventory still matching the descriptor's build fingerprint.
+    * Returns the collected filter predicates to re-apply on the view
+    * (an INNER equi-join preserves single-side row predicates: every
+    * view row carries exactly one base row of each side, so filtering
+    * base rows ≡ filtering view rows by the same predicate), or None
+    * if this isn't the pinned relation or a predicate isn't
+    * answerable — a non-answerable filter still vetoes, fail closed. */
+  private def relFilters(p: LogicalPlan, src: String, fp: String,
+      answerable: Expression => Boolean): Option[Seq[Expression]] =
     p match {
       case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        isRel(ch, src, fp)
+        relFilters(ch, src, fp, answerable)
+      case Filter(cond, ch) if answerable(cond) =>
+        relFilters(ch, src, fp, answerable).map(cond +: _)
       case lr: LogicalRelation =>
         lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.exists(_.toUri.getPath == src) &&
-              fingerprint(SparkSession.active, src) == fp
-          case _ => false
+          case fs: HadoopFsRelation
+              if fs.location.rootPaths.exists(_.toUri.getPath == src) &&
+                fingerprint(SparkSession.active, src) == fp =>
+            Some(Nil)
+          case _ => None
         }
-      case _ => false
+      case _ => None
     }
 
   /** Inner join on exactly the descriptor's key over its two pinned
-    * base relations (either side order). */
-  private def joinMatches(j: Join, v: JoinViewDesc): Boolean = {
-    if (j.joinType != Inner) return false
+    * base relations (either side order); returns the answerable
+    * filters collected from both children (pushed-down predicates the
+    * rewrite re-applies on the view side). */
+  private def joinFilters(j: Join, v: JoinViewDesc,
+      answerable: Expression => Boolean): Option[Seq[Expression]] = {
+    if (j.joinType != Inner) return None
     val keyPair = j.condition match {
       case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
         Set(a.name, b.name)
-      case _ => return false
+      case _ => return None
     }
-    keyPair == v.keyPair &&
-      ((isRel(j.left, v.factSrc, v.factFp) &&
-          isRel(j.right, v.dimSrc, v.dimFp)) ||
-        (isRel(j.left, v.dimSrc, v.dimFp) &&
-          isRel(j.right, v.factSrc, v.factFp)))
+    if (keyPair != v.keyPair) return None
+    def sides(f: String, d: String, ff: String, df: String) =
+      for {
+        lf <- relFilters(j.left, f, ff, answerable)
+        rf <- relFilters(j.right, d, df, answerable)
+      } yield lf ++ rf
+    sides(v.factSrc, v.dimSrc, v.factFp, v.dimFp)
+      .orElse(sides(v.dimSrc, v.factSrc, v.dimFp, v.factFp))
   }
 
   /** Fresh-instance analyzed scan of a stored artifact (exprIds
@@ -233,26 +256,32 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  private def tryRewrite(p: Project, j: Join,
-      v: JoinViewDesc): Option[LogicalPlan] = {
-    if (!joinMatches(j, v)) return None
+  private def tryRewrite(p: Project, j: Join, v: JoinViewDesc,
+      filter: Option[Expression]): Option[LogicalPlan] = {
     // the join key equality makes the dim key ≡ the fact key in the view
     def viewName(n: String): String = v.canonKey.getOrElse(n, n)
-    if (!p.projectList.forall(_.references.forall(r =>
-        v.viewCols.contains(viewName(r.name))))) return None
+    def answerable(e: Expression): Boolean =
+      e.references.forall(r => v.viewCols.contains(viewName(r.name)))
+    val sideFilters = joinFilters(j, v, answerable).getOrElse(return None)
+    if (!p.projectList.forall(answerable)) return None
+    if (!filter.forall(answerable)) return None
     val mv = artifactScan(v.viewPath)
     def mvAttr(n: String): Attribute =
       mv.output.find(_.name == viewName(n)).get
+    def rebind(e: Expression): Expression = e.transform {
+      case a: AttributeReference => mvAttr(a.name)
+    }
+    val child: LogicalPlan = (sideFilters ++ filter)
+      .map(rebind).reduceOption(And)
+      .map(c => Filter(c, mv)).getOrElse(mv)
     val rebound: Seq[NamedExpression] = p.projectList.map {
       case a: AttributeReference =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(child, name) =>
-        Alias(child.transform {
-          case a: AttributeReference => mvAttr(a.name)
-        }, name)(exprId = al.exprId)
+      case al @ Alias(ch, name) =>
+        Alias(rebind(ch), name)(exprId = al.exprId)
       case _ => return None
     }
-    Some(Project(rebound, mv))
+    Some(Project(rebound, child))
   }
 
   /** Aggregate over an eligible join → the pre-aggregated summary,
@@ -265,11 +294,29 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
   private def tryAggRewrite(agg: Aggregate,
       v: JoinViewDesc): Option[LogicalPlan] = {
     val aggPath = v.aggPath.getOrElse(return None)
-    val join = stripAttrProjects(agg.child) match {
-      case j: Join => j
+    // an optional Filter between the Aggregate and the Join is
+    // answerable iff it references only summary DIMS: the summary's
+    // rows are per-dim-value partials, so a dim predicate drops whole
+    // groups exactly as it drops their base rows; any measure
+    // reference vetoes (partials cannot re-filter rows)
+    def dimOnly(e: Expression): Boolean =
+      e.references.forall(r => v.aggDims.contains(r.name))
+    val (aboveFilter, join) = stripAttrProjects(agg.child) match {
+      case j: Join => (None, j)
+      case Filter(cond, ch) if dimOnly(cond) =>
+        stripAttrProjects(ch) match {
+          case j: Join => (Some(cond), j)
+          case _ => return None
+        }
       case _ => return None
     }
-    if (!joinMatches(join, v)) return None
+    // pushed-down side filters are answerable iff they reference only
+    // summary DIMS (summary rows are per-dim-value partials, so a dim
+    // predicate drops whole groups exactly as it drops their base
+    // rows); any measure reference vetoes the summary — the flat-view
+    // fallback then has its chance
+    val sideFilters = joinFilters(join, v, dimOnly).getOrElse(return None)
+    val dimFilter = (sideFilters ++ aboveFilter).reduceOption(And)
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name
       case _ => return None
@@ -315,7 +362,12 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
         }
       case _ => return None
     }
-    Some(Aggregate(groupNames.map(mvAttr), newAggs, mv, None))
+    val child: LogicalPlan = dimFilter
+      .map(c => Filter(c.transform {
+        case a: AttributeReference => mvAttr(a.name)
+      }, mv))
+      .getOrElse(mv)
+    Some(Aggregate(groupNames.map(mvAttr), newAggs, child, None))
   }
 
   /** The exact-Money-cast measure (MvRewrite's veto rationale: any

@@ -190,10 +190,29 @@ class MvRewriteSpec extends AnyFunSuite {
       .join(customer, col("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"), col("c_nationkey"))),
       "outer join was rewritten")
-    assert(scansBase(orders.filter(col("o_orderkey") > 100)
+    // an ANSWERABLE filter (view columns only) no longer vetoes: the
+    // inner join preserves single-side row predicates, so the rewrite
+    // re-applies it on the view — and stays value-invisible
+    def filtered = orders.filter(col("o_orderkey") > 100)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    assert(scanPaths(filtered).exists(_.contains("mv_orders_customer")) &&
+      !scansBase(filtered),
+      s"answerable filtered join not rewritten: ${scanPaths(filtered)}")
+    val gotF = filtered.orderBy(col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    spark.conf.set(MvJoinRewrite.EnabledKey, "false")
+    val wantF =
+      try filtered.orderBy(col("o_orderkey")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      finally spark.conf.set(MvJoinRewrite.EnabledKey, "true")
+    assert(gotF.nonEmpty && gotF == wantF,
+      "filtered rewrite changed the answer")
+    // a NON-view-column filter still vetoes (fail closed)
+    assert(scansBase(orders.filter(col("o_orderdate") > "1995-01-01")
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))),
-      "a filtered join was rewritten")
+      "a non-view-column filter was rewritten")
     assert(scansBase(orders
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"), col("c_nationkey"))),
@@ -258,10 +277,40 @@ class MvRewriteSpec extends AnyFunSuite {
     summaryVetoed(joined.groupBy(col("c_nationkey"))
       .agg(sum(col("o_totalprice")).as("s")),
       "a raw-double sum (no Money cast)")
-    assert(scansOrders(orders.filter(col("o_orderkey") > 100)
+    // a DIM filter composes with the summary (per-dim-value partials
+    // drop whole groups exactly as base rows drop) — and stays exact
+    def dimFiltered = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), dsum(m(col("o_totalprice"))).as("sp"))
+    assert(scanPaths(dimFiltered).exists(_.contains("mv_oc_agg")),
+      s"dim-filtered aggregate not served from the summary: " +
+        s"${scanPaths(dimFiltered)}")
+    val gotD = dimFiltered.orderBy(col("c_nationkey")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.conf.set(MvJoinRewrite.EnabledKey, "false")
+    val wantD =
+      try dimFiltered.orderBy(col("c_nationkey")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      finally spark.conf.set(MvJoinRewrite.EnabledKey, "true")
+    assert(gotD.nonEmpty && gotD == wantD,
+      "dim-filtered summary rewrite changed the answer")
+    // a MEASURE filter vetoes the summary (partials can't re-filter
+    // rows) but falls back to the flat view (answerable there)
+    val measureFiltered = orders.filter(col("o_totalprice") > 1000)
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    assert(!scanPaths(measureFiltered).exists(_.contains("mv_oc_agg")),
+      "a measure-filtered aggregate was served from the summary")
+    assert(scanPaths(measureFiltered)
+      .exists(_.contains("mv_orders_customer")),
+      "the flat-view fallback did not fire under the measure filter")
+    // a NON-view-column filter vetoes everything
+    assert(scansOrders(orders.filter(col("o_orderdate") > "1995-01-01")
       .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))),
-      "a filtered join's aggregate was rewritten")
+      "a non-view-column filter's aggregate was rewritten")
     // freshness guard: a descriptor whose recorded fingerprint no
     // longer matches the base files must veto (fail closed)
     val live = spark.conf.get(MvJoinRewrite.ViewsKey)
