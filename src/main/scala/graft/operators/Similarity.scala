@@ -1100,8 +1100,14 @@ object Similarity {
     * This is the artifact a real deployment ships: the corpus-sized
     * piece is `codes` at (id, cell, M one-byte codes) ≈ 32×-compressed;
     * the two model tables are KB-sized. Encoding is the same primitive
-    * flatMap as [[ivfPqTopK]] — one pass, zero shuffle (the write's
-    * partitioning is the scan's). */
+    * flatMap as [[ivfPqTopK]] — one pass, zero shuffle. The code table
+    * is laid out CELL-PARTITIONED (`partitionBy("cid")` — one
+    * directory per inverted list, the [[graft.operators.LexIndex]]
+    * bucket discipline and the reference's PSMA intent,
+    * doradb-storage/src/col/sma.rs:9-44): a serve that probes NProbe
+    * cells per query then reads only the probed cells' FILES, not the
+    * whole corpus — at 100 TB the index I/O per query batch is
+    * ~NProbe/C of the index bytes instead of all of them. */
   private def writeIndex(emb: DataFrame, cm: Array[Array[Double]],
       cb: Array[Array[Array[Double]]], root: String): Unit = {
     val spark = emb.sparkSession
@@ -1119,7 +1125,23 @@ object Similarity {
           .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
       }
       .toDF("neighbor_id", "cid", "m", "code")
-      .write.mode("overwrite").parquet(s"$root/codes")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$root/codes")
+  }
+
+  /** The probed-cell set of the standard query batch, as a PARTITION
+    * predicate on a cell-partitioned stored code table. Driver-known
+    * by construction — the coarse quantizer is a collected model and
+    * the batch probes ≤ [[NumQueries]]·[[NProbe]] cells — so the
+    * collect is bounded by the query batch, never the corpus, and the
+    * resulting `isInCollection` filter prunes the parquet scan to the
+    * probed cells' directories (spec-counted in
+    * [[graft.AnnIndexLayoutSpec]], the `TextIndexSpec` discipline). */
+  private def probedCellFilter(queries: DataFrame): org.apache.spark.sql.Column = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // ≤ NumQueries×NProbe values (≤ C): a model-sized collect
+    val probed = queries.select(col("cid")).distinct().as[Int].collect().toSeq
+    col("cid").isInCollection(probed)
   }
 
   /** Read a stored model pair back. Doubles round-trip parquet exactly,
@@ -1147,7 +1169,7 @@ object Similarity {
     * read path. Queries (raw vectors — ADC is asymmetric) carry probed
     * cells × subvectors against the read-back centroids; scoring is
     * the shared [[adcTopK]] tail. */
-  private def serveFromIndex(s: org.apache.spark.sql.SparkSession,
+  private[graft] def serveFromIndex(s: org.apache.spark.sql.SparkSession,
       dir: String, root: String,
       k: Int,
       tombstones: Option[org.apache.spark.sql.Column] = None): (DataFrame,
@@ -1155,14 +1177,6 @@ object Similarity {
     DotProduct.ensureRegistered(s)
     import s.implicits._
     val (cm, cb) = readModels(s, root)
-    // deletes are served as TOMBSTONES: the stored code rows of deleted
-    // vectors are excluded BEFORE list probing (pre-filter — the
-    // ann_filtered_topk lesson: post-filtering the ranked list starves
-    // k), so the index files never rewrite on delete and a compaction
-    // job can drop tombstoned codes lazily — the standard
-    // vector-store delete path
-    val codes = tombstones.foldLeft(s.read.parquet(s"$root/codes"))(
-      (c, dead) => c.filter(!dead))
     val cbDf = s.read.parquet(s"$root/codebooks")
     val queries = withUnit(Tables.df(s, dir, "embeddings"))
       .as[(Long, Array[Double])]
@@ -1174,6 +1188,17 @@ object Similarity {
         } yield (id, c, m, subOf(u, m))
       }
       .toDF("query_id", "cid", "m", "qv")
+    // deletes are served as TOMBSTONES: the stored code rows of deleted
+    // vectors are excluded BEFORE list probing (pre-filter — the
+    // ann_filtered_topk lesson: post-filtering the ranked list starves
+    // k), so the index files never rewrite on delete and a compaction
+    // job can drop tombstoned codes lazily — the standard
+    // vector-store delete path. The probed-cell predicate lands on the
+    // PARTITION column of the cell-partitioned code table, so the scan
+    // reads only the probed cells' directories.
+    val codes = tombstones.foldLeft(s.read.parquet(s"$root/codes")
+        .filter(probedCellFilter(queries)))(
+      (c, dead) => c.filter(!dead))
     (adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
       .join(broadcast(queries), Seq("cid", "m")), k), (cm, cb))
   }
@@ -1283,7 +1308,7 @@ object Similarity {
           .write.mode("overwrite").parquet(s"$root/$t"))
       s.read.parquet(s"$full/codes")
         .filter(col("neighbor_id") % 7 =!= AnnDeleteMod)
-        .write.mode("overwrite").parquet(s"$root/codes")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$root/codes")
       root
     }
 
@@ -1335,7 +1360,6 @@ object Similarity {
           .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
       }
       .toDF("neighbor_id", "cid", "m", "code")
-    val codes = s.read.parquet(s"$root/codes").unionByName(batchCodes)
     val cbDf = s.read.parquet(s"$root/codebooks")
     val queries = withUnit(Tables.df(s, dir, "embeddings"))
       .as[(Long, Array[Double])]
@@ -1347,6 +1371,11 @@ object Similarity {
         } yield (id, c, m, subOf(u, m))
       }
       .toDF("query_id", "cid", "m", "qv")
+    // probed-cell predicate prunes the stored (cell-partitioned) base
+    // segment's scan; the fresh batch side gets the same row filter
+    val probed = probedCellFilter(queries)
+    val codes = s.read.parquet(s"$root/codes").filter(probed)
+      .unionByName(batchCodes.filter(probed))
     adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
       .join(broadcast(queries), Seq("cid", "m")), TopK)
       .orderBy(col("query_id"), col("rnk"))
@@ -2727,7 +2756,7 @@ object Similarity {
     * relation — shared by the in-session entry and the persisted one
     * (the codes side may be freshly encoded or read back from the
     * stored artifact). */
-  private def ivfSqServe(emb: DataFrame, k: Int,
+  private[graft] def ivfSqServe(emb: DataFrame, k: Int,
       cm: Array[Array[Double]], codes: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     DotProduct.ensureRegistered(spark)
@@ -2739,7 +2768,11 @@ object Similarity {
         nearestCentroids(u, NProbe, cm).iterator.map(c => (id, c, u))
       }
       .toDF("query_id", "cid", "qu")
-    val cand = codes
+    // the probed-cell predicate reaches the codes relation BEFORE the
+    // join: on a stored (cell-partitioned) code table it is a partition
+    // filter — the scan reads only probed cells' files; on a fresh
+    // encode it is a cheap row filter
+    val cand = codes.filter(probedCellFilter(queries))
       .join(broadcast(queries), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", col("scale") *
@@ -2843,13 +2876,28 @@ object Similarity {
       cm.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("cid", "cv").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/centroids")
-      ivfSqEncode(emb, cm).write.mode("overwrite").parquet(s"$root/codes")
+      ivfSqEncode(emb, cm).write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$root/codes")
       root
     }
 
+  /** Distinct probed cells of the standard query batch against the
+    * centroid table stored at `root` — spec support: the expected
+    * `selectedPartitions` count of a pruned code-table scan
+    * ([[graft.AnnIndexLayoutSpec]]). Query-batch-sized. */
+  private[graft] def probedCellsOf(s: org.apache.spark.sql.SparkSession,
+      dir: String, root: String): Seq[Int] = {
+    import s.implicits._
+    val cm = readCentroids(s, root)
+    withUnit(Tables.df(s, dir, "embeddings")).as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries)
+      .flatMap { case (_, u) => nearestCentroids(u, NProbe, cm).iterator }
+      .distinct().collect().toSeq.sorted
+  }
+
   /** Stored centroid table read back (sorted by cid — doubles
     * round-trip parquet exactly, the [[readModels]] discipline). */
-  private def readCentroids(s: org.apache.spark.sql.SparkSession,
+  private[graft] def readCentroids(s: org.apache.spark.sql.SparkSession,
       root: String): Array[Array[Double]] = {
     import s.implicits._
     s.read.parquet(s"$root/centroids")
@@ -2900,7 +2948,7 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$root/centroids")
       s.read.parquet(s"$full/codes")
         .filter(col("neighbor_id") % 7 =!= AnnDeleteMod)
-        .write.mode("overwrite").parquet(s"$root/codes")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$root/codes")
       root
     }
 
@@ -2940,7 +2988,8 @@ object Similarity {
       cm.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("cid", "cv").coalesce(1)
         .write.mode("overwrite").parquet(s"$root/centroids")
-      ivfSqEncode(base, cm).write.mode("overwrite").parquet(s"$root/codes")
+      ivfSqEncode(base, cm).write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$root/codes")
       root
     }
 

@@ -446,11 +446,15 @@ class SimilaritySpec extends AnyFunSuite {
     "in-memory composition, files frozen") {
     val emb = Tables.df(spark, TestSpark.Sf, "embeddings")
     val root = Similarity.ivfsqIndexRoot(spark, TestSpark.Sf)
-    def inv(sub: String): Seq[(String, Long, Long)] =
-      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    def inv(sub: String): Seq[(String, Long, Long)] = {
+      // recursive: the code table is cell-partitioned (cid= subdirs)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/$sub"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
     val before = Seq("centroids", "codes").map(inv)
     assert(before.forall(_.nonEmpty), "stored IVF-SQ8 artifact missing")
     val stored = Similarity.annIvfSqPersist.run(spark, TestSpark.Sf)
@@ -467,11 +471,14 @@ class SimilaritySpec extends AnyFunSuite {
   test("IVF-SQ8 lifecycle: tombstone delete filters pre-probe with the " +
     "artifact untouched, compaction serves bit-equal and shrinks the " +
     "codes, incremental add never touches the frozen base") {
-    def inv(root: String, sub: String): Seq[(String, Long, Long)] =
-      Option(new java.io.File(s"$root/$sub").listFiles()).toSeq.flatten
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1)
+    def inv(root: String, sub: String): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/$sub"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
     def rows3(q: graft.Q): Seq[(Long, Long, Long)] =
       q.run(spark, TestSpark.Sf).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
