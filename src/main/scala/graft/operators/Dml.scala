@@ -1079,26 +1079,40 @@ object Dml {
     readManifestFull(root, k).map { case (y, e) => y -> e.data }
 
   /** One manifest partition entry: the data dir plus the DV sidecar
-    * dirs accumulated against it since its last rewrite (the Delta
-    * shape — a DV is a manifest-tracked file, not a side registry). */
-  private[graft] final case class PartEntry(data: String, dvs: Seq[String])
+    * dirs (row tombstones) and DELTA dirs (merge-on-read inserts)
+    * accumulated against it since its last rewrite (the Delta shape —
+    * DVs and deltas are manifest-tracked files, not a side registry).
+    * Visible rows = data ∖ dvs ∪ deltas. */
+  private[graft] final case class PartEntry(data: String,
+      dvs: Seq[String], deltas: Seq[String] = Nil)
 
-  /** Manifest line format: `year<TAB>dataDir[<TAB>dv1,dv2,…]` — the
-    * third field is optional, so every pre-DV manifest parses
-    * unchanged and [[readManifest]] (data dirs only) stays valid on
-    * DV-carrying manifests. */
+  /** Manifest line format:
+    * `year<TAB>dataDir[<TAB>dv1,dv2,…[<TAB>delta1,delta2,…]]` — the
+    * third and fourth fields are optional, so every pre-DV manifest
+    * parses unchanged and [[readManifest]] (data dirs only) stays
+    * valid on DV/delta-carrying manifests. */
   private[graft] def readManifestFull(root: String,
       k: Int): Map[Int, PartEntry] = {
     val p = java.nio.file.Paths.get(s"$root/manifests/v$k.tsv")
     require(java.nio.file.Files.exists(p),
       s"version $k not retained (vacuumed or never written)")
     java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val f = line.split("\t", -1)
-        f(0).toInt -> PartEntry(f(1),
-          if (f.length > 2 && f(2).nonEmpty) f(2).split(",").toSeq else Nil)
+        def list(i: Int): Seq[String] =
+          if (f.length > i && f(i).nonEmpty) f(i).split(",").toSeq else Nil
+        f(0).toInt -> PartEntry(f(1), list(2), list(3))
       }.toMap
+  }
+
+  private[graft] def renderEntry(y: Int, e: PartEntry): String = {
+    val tail =
+      if (e.deltas.nonEmpty)
+        s"\t${e.dvs.mkString(",")}\t${e.deltas.mkString(",")}"
+      else if (e.dvs.nonEmpty) s"\t${e.dvs.mkString(",")}"
+      else ""
+    s"$y\t${e.data}$tail"
   }
 
   private[graft] def writeManifestFull(root: String, k: Int,
@@ -1106,11 +1120,63 @@ object Dml {
     val dir = java.nio.file.Paths.get(s"$root/manifests")
     java.nio.file.Files.createDirectories(dir)
     val body = entries.toSeq.sortBy(_._1)
-      .map { case (y, e) =>
-        val dv = if (e.dvs.isEmpty) "" else "\t" + e.dvs.mkString(",")
-        s"$y\t${e.data}$dv"
-      }.mkString("\n")
+      .map { case (y, e) => renderEntry(y, e) }.mkString("\n")
     java.nio.file.Files.writeString(dir.resolve(s"v$k.tsv"), body)
+  }
+
+  /** Write manifest k with a `#schema` header — the version's full
+    * output schema as `name:type` pairs. Schema is VERSIONED METADATA:
+    * an ADD COLUMN is a manifest-only commit (entries carried forward
+    * verbatim, zero data written), and every version serves under ITS
+    * schema — readers NULL-fill columns a generation predates. Header
+    * lines are `#`-prefixed, so [[readManifestFull]] (and every
+    * pre-schema manifest consumer) parses schema-carrying manifests
+    * unchanged. */
+  private[graft] def writeManifestWithSchema(root: String, k: Int,
+      entries: Map[Int, PartEntry], schema: Seq[(String, String)]): Unit = {
+    val dir = java.nio.file.Paths.get(s"$root/manifests")
+    java.nio.file.Files.createDirectories(dir)
+    val header =
+      s"#schema\t${schema.map { case (n, t) => s"$n:$t" }.mkString(",")}"
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (y, e) => renderEntry(y, e) }.mkString("\n")
+    java.nio.file.Files.writeString(dir.resolve(s"v$k.tsv"),
+      s"$header\n$body")
+  }
+
+  private[graft] def readManifestSchema(root: String,
+      k: Int): Option[Seq[(String, String)]] = {
+    val p = java.nio.file.Paths.get(s"$root/manifests/v$k.tsv")
+    require(java.nio.file.Files.exists(p),
+      s"version $k not retained (vacuumed or never written)")
+    java.nio.file.Files.readAllLines(p).toArray(Array.empty[String]).toSeq
+      .find(_.startsWith("#schema\t"))
+      .map(_.split("\t", 2)(1).split(",").toSeq
+        .map { f => val Array(n, t) = f.split(":", 2); (n, t) })
+  }
+
+  /** `VERSION AS OF k` under version k's OWN schema: each entry's
+    * visible rows ([[readEntryWithDv]]) conformed to the manifest's
+    * schema header — columns a generation predates NULL-fill, column
+    * order is the schema's. This is how an ADD COLUMN serves history:
+    * generation g0 files never carry the column; every post-evolution
+    * read synthesizes it as NULL at plan time (a metadata projection,
+    * zero rewrite — at 100 TB, evolving a 3000-partition table costs
+    * one manifest line). */
+  private[graft] def readVersionWithSchema(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val schema = readManifestSchema(root, k).getOrElse(
+      sys.error(s"version $k carries no schema header"))
+    def conform(df: org.apache.spark.sql.DataFrame) =
+      schema.foldLeft(df) { case (d, (n, t)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(t))
+      }.select(schema.map { case (n, _) => col(n) }: _*)
+    readManifestFull(root, k).toSeq.sortBy(_._1)
+      .map { case (y, e) => conform(readEntryWithDv(s, root, y, e)) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(conform(
+        readVersionWithDv(s, root, k).limit(0)))
   }
 
   private[graft] def timeTravelVersions(root: String): Seq[Int] =
@@ -1125,16 +1191,17 @@ object Dml {
   private[graft] def resolveDir(root: String, d: String): String =
     if (d.startsWith("/")) d else s"$root/$d"
 
-  /** `VERSION AS OF k`: read manifest k, scan each partition's data
-    * dir, re-attach the partition column from the manifest key. */
+  /** `VERSION AS OF k`: read manifest k, scan each partition entry's
+    * VISIBLE rows (data ∖ DV sidecars ∪ deltas — [[readEntryWithDv]]),
+    * re-attach the partition column from the manifest key. Delegates
+    * to [[readVersionWithDv]] so a DV-only or merge-on-read commit in
+    * the lineage is honored by every time-travel read, not only the
+    * DV-aware entry points (the r17 composition gap: a plain
+    * `VERSION AS OF` over a DV-carrying version must not resurrect
+    * the tombstoned rows). */
   private[graft] def readVersionAsOf(s: org.apache.spark.sql.SparkSession,
       root: String, k: Int): org.apache.spark.sql.DataFrame =
-    readManifest(root, k).toSeq.sortBy(_._1)
-      .map { case (y, d) =>
-        s.read.parquet(resolveDir(root, d))
-          .withColumn("yr", lit(y).cast("int"))
-      }
-      .reduce(_ unionByName _)
+    readVersionWithDv(s, root, k)
 
   /** Apply one upsert batch as generation k: merge only the touched
     * partitions (read through the PREVIOUS manifest), write them to
@@ -1155,15 +1222,19 @@ object Dml {
       s: org.apache.spark.sql.SparkSession, root: String, k: Int,
       batch: org.apache.spark.sql.DataFrame,
       inserts: org.apache.spark.sql.DataFrame): Unit = {
-    val prev = readManifest(root, k - 1)
+    // FULL manifest: untouched entries carry their DV sidecars and
+    // deltas forward verbatim (a data-only read here would silently
+    // strip them and resurrect deleted rows — the fail-open this
+    // routing closes); touched entries read through the DV/delta-
+    // applying path and their rewrite FOLDS the sidecars
+    val prev = readManifestFull(root, k - 1)
     val touched = batch.select(col("yr")).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) { writeManifest(root, k, prev); return }
+    if (touched.isEmpty) { writeManifestFull(root, k, prev); return }
     // a touched year absent from the previous manifest is a NEW
     // partition (routine CDC insert case): its existing side is empty
     val existing = touched.flatMap { y =>
-      prev.get(y).map(d => s.read.parquet(resolveDir(root, d))
-        .withColumn("yr", lit(y).cast("int")))
+      prev.get(y).map(e => readEntryWithDv(s, root, y, e))
     }.reduceOption(_ unionByName _)
       .getOrElse(inserts.select(col("o_orderkey"), col("cents"),
         col("yr")).limit(0))
@@ -1178,9 +1249,9 @@ object Dml {
     // later version read. Survivors repoint to this generation.
     val written = touched.filter(y => java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$root/data/g$k/yr=$y")))
-    writeManifest(root, k,
+    writeManifestFull(root, k,
       prev -- touched.filterNot(written.contains) ++
-        written.map(y => y -> s"data/g$k/yr=$y"))
+        written.map(y => y -> PartEntry(s"data/g$k/yr=$y", Nil)))
   }
 
   /** Retention: keep the last `retain` manifests; delete every
@@ -1197,8 +1268,8 @@ object Dml {
     // references it (the GDPR completion: the deleted keys' bytes go)
     val referenced = versions.filter(keep)
       .flatMap(k => readManifestFull(root, k).values
-        .flatMap(e => e.data +: e.dvs)).toSet
-    for (sub <- Seq("data", "dv");
+        .flatMap(e => e.data +: (e.dvs ++ e.deltas))).toSet
+    for (sub <- Seq("data", "dv", "delta");
          g <- Option(new java.io.File(s"$root/$sub").listFiles())
            .toSeq.flatten if g.isDirectory;
          p <- Option(g.listFiles()).toSeq.flatten if p.isDirectory) {
@@ -1304,7 +1375,9 @@ object Dml {
     * restore transition as the value-level inverse of what it undoes). */
   private[graft] def restoreVersion(root: String, toVersion: Int): Int = {
     val k = timeTravelVersions(root).max + 1
-    writeManifest(root, k, readManifest(root, toVersion))
+    // full entries: restoring to a DV/delta-carrying version must
+    // carry its sidecar lists, not strip them
+    writeManifestFull(root, k, readManifestFull(root, toVersion))
     k
   }
 
@@ -1377,17 +1450,20 @@ object Dml {
   private[graft] def versionChanges(s: org.apache.spark.sql.SparkSession,
       root: String, k: Int): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val before = readManifest(root, k - 1)
-    val after = readManifest(root, k)
+    // FULL entries: a DV-only or merge-on-read commit changes only a
+    // partition's sidecar/delta lists (data dirs byte-identical) — a
+    // data-dir diff would prune it out entirely and the feed would
+    // silently emit zero rows for its deletes. Reads go through the
+    // DV/delta-applying path so both sides are VISIBLE states.
+    val before = readManifestFull(root, k - 1)
+    val after = readManifestFull(root, k)
     // symmetric diff of the manifests: an entry present in k−1 but
     // ABSENT from k is a fully-deleted partition and must surface as
     // delete rows, not be skipped (its pre side reads, post is empty)
     val changed = (before.keySet ++ after.keySet)
       .filter(y => before.get(y) != after.get(y)).toSeq.sorted
-    def readDirs(m: Map[Int, String]) = changed
-      .flatMap(y => m.get(y).map(d =>
-        s.read.parquet(resolveDir(root, d))
-          .withColumn("yr", lit(y).cast("int"))))
+    def readDirs(m: Map[Int, PartEntry]) = changed
+      .flatMap(y => m.get(y).map(e => readEntryWithDv(s, root, y, e)))
       .reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(Long, Long, Int)].toDF("o_orderkey", "cents", "yr"))
     val pre = readDirs(before).select(col("o_orderkey"),
@@ -1584,9 +1660,14 @@ object Dml {
     * cloning exists for. */
   private[graft] def shallowClone(srcRoot: String, cloneRoot: String): Unit = {
     val latest = timeTravelVersions(srcRoot).max
-    writeManifest(cloneRoot, 0,
-      readManifest(srcRoot, latest).map { case (y, d) =>
-        y -> resolveDir(srcRoot, d)
+    // full entries, every component absolute-resolved into the source:
+    // a clone of a DV/delta-carrying head keeps serving data ∖ DV ∪
+    // delta through the source's sidecar files (zero-copy)
+    writeManifestFull(cloneRoot, 0,
+      readManifestFull(srcRoot, latest).map { case (y, e) =>
+        y -> PartEntry(resolveDir(srcRoot, e.data),
+          e.dvs.map(resolveDir(srcRoot, _)),
+          e.deltas.map(resolveDir(srcRoot, _)))
       })
   }
 
@@ -1859,10 +1940,17 @@ object Dml {
     * k+1 reads the folded rewrite — all three from one manifest
     * lineage. */
   private[graft] def readVersionWithDv(s: org.apache.spark.sql.SparkSession,
-      root: String, k: Int): org.apache.spark.sql.DataFrame =
+      root: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // reduceOption: a version that deleted every row of every
+    // partition has an EMPTY manifest and must read as zero rows, not
+    // throw ([[applyTimeTravelBatch]] legitimately drops all entries)
     readManifestFull(root, k).toSeq.sortBy(_._1)
       .map { case (y, e) => readEntryWithDv(s, root, y, e) }
-      .reduce(_ unionByName _)
+      .reduceOption(_ unionByName _)
+      .getOrElse(
+        Seq.empty[(Long, Long, Int)].toDF("o_orderkey", "cents", "yr"))
+  }
 
   /** Publish version k as a DV-ONLY commit: for each target partition,
     * write the keys matching `pred` in its CURRENT visible state as a
@@ -1887,8 +1975,151 @@ object Dml {
       keys.write.parquet(s"$root/dv/g$k/yr=$y")
       keys.limit(1).count() > 0
     }
-    writeManifestFull(root, k, prev ++ written.map(y =>
-      y -> prev(y).copy(dvs = prev(y).dvs :+ s"dv/g$k/yr=$y")))
+    writeManifestFull(root, k, prev ++ written.map { y =>
+      val e = prev(y)
+      // DVs bind to the DATA dir only; delta layers are maintained
+      // PRE-FILTERED, so a tombstoning commit on a delta-carrying
+      // entry folds its batch-sized delta dirs through the same
+      // predicate — O(accumulated batches), never O(partition)
+      val deltas =
+        if (e.deltas.isEmpty) e.deltas
+        else {
+          e.deltas.map(d => sread(s, root, d))
+            .reduce(_ unionByName _)
+            .withColumn("yr", lit(y).cast("int")).filter(!pred).drop("yr")
+            .write.parquet(s"$root/delta/g$k-fold/yr=$y")
+          Seq(s"delta/g$k-fold/yr=$y")
+        }
+      y -> e.copy(dvs = e.dvs :+ s"dv/g$k/yr=$y", deltas = deltas)
+    })
+  }
+
+  private def sread(s: org.apache.spark.sql.SparkSession, root: String,
+      d: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(resolveDir(root, d))
+
+  /** MERGE-ON-READ MERGE — the Iceberg/Delta MoR commit shape: version
+    * k publishes a CDC batch at cost O(batch) + O(manifest), reading
+    * and rewriting NO existing data file. Per touched partition, the
+    * batch's matched keys become a DV sidecar (an unmatched key
+    * anti-joins to nothing, so tombstoning ALL batch keys needs no
+    * probe of existing data) and the surviving rows a DELTA dir, both
+    * APPENDED to the entry; read = data ∖ DV ∪ delta
+    * ([[readEntryWithDv]]); [[applyDvCompaction]] folds to a fresh
+    * generation when the sidecar fraction justifies one partition
+    * pass. Because DVs bind to the data dir only, a commit onto an
+    * entry that already carries delta layers folds those (batch-sized)
+    * layers through the new key set — stacked MoR commits compose
+    * exactly (spec-pinned by the stacked replay in
+    * [[graft.TimeTravelSpec]]). Contrast [[applyTimeTravelBatch]]:
+    * that is copy-on-write (O(partition churn) per commit, zero read
+    * amplification); this is merge-on-read (O(batch) per commit, one
+    * broadcast anti-join per read until compaction) — the write- vs
+    * read-optimized trade every lakehouse exposes. */
+  private[graft] def applyMergeMoR(s: org.apache.spark.sql.SparkSession,
+      root: String, k: Int,
+      batch: org.apache.spark.sql.DataFrame): Unit =
+    applyMergeMoR(s, root, k, batch,
+      batch.select(col("o_orderkey"), col("cents"), col("yr")))
+
+  /** The CDC-op-capable form ([[applyTimeTravelBatch]]'s split):
+    * `batch` supplies matched keys + touched partitions; `inserts` is
+    * what survives into the delta (all rows for an upsert, the
+    * non-delete rows for a U/I/D batch). */
+  private[graft] def applyMergeMoR(s: org.apache.spark.sql.SparkSession,
+      root: String, k: Int,
+      batch: org.apache.spark.sql.DataFrame,
+      inserts: org.apache.spark.sql.DataFrame): Unit = {
+    val prev = readManifestFull(root, k - 1)
+    val touched = batch.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) { writeManifestFull(root, k, prev); return }
+    val entries = touched.map { y =>
+      val keys = batch.filter(col("yr") === y).select(col("o_orderkey"))
+      val rows = inserts.filter(col("yr") === y)
+        .select(col("o_orderkey"), col("cents"))
+      prev.get(y) match {
+        case Some(e) =>
+          keys.write.parquet(s"$root/dv/g$k/yr=$y")
+          rows.write.parquet(s"$root/delta/g$k/yr=$y")
+          val folded =
+            if (e.deltas.isEmpty) Nil
+            else {
+              e.deltas.map(d => sread(s, root, d))
+                .reduce(_ unionByName _)
+                .join(broadcast(keys), Seq("o_orderkey"), "left_anti")
+                .write.parquet(s"$root/delta/g$k-fold/yr=$y")
+              Seq(s"delta/g$k-fold/yr=$y")
+            }
+          y -> e.copy(dvs = e.dvs :+ s"dv/g$k/yr=$y",
+            deltas = folded :+ s"delta/g$k/yr=$y")
+        case None =>
+          // brand-new partition: the delta IS the data dir
+          rows.write.parquet(s"$root/data/g$k/yr=$y")
+          y -> PartEntry(s"data/g$k/yr=$y", Nil)
+      }
+    }
+    writeManifestFull(root, k, prev ++ entries)
+  }
+
+  /** MoR-versioned target: base g0, then the [[TimeTravelYears]]
+    * upsert batches applied MERGE-ON-READ — after the build the data
+    * dir still holds ONLY generation 0 (byte-identical, spec-
+    * witnessed); every subsequent byte lives under `dv/` and `delta/`. */
+  private val morCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def buildMergeMoRTree(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-mor").toString
+    val base = mergePrunedBase(s, dir)
+    base.write.partitionBy("yr").parquet(s"$root/data/g0")
+    val years = base.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    writeManifestFull(root, 0,
+      years.map(y => y -> PartEntry(s"data/g0/yr=$y", Nil)).toMap)
+    TimeTravelYears.zipWithIndex.foreach { case (y, i) =>
+      applyMergeMoR(s, root, i + 1, mergePrunedBatch(base, y))
+    }
+    root
+  }
+
+  private[graft] def morRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    morCache.once((s, dir))(buildMergeMoRTree(s, dir))
+
+  /** Read the MoR target's head — bit-equal to the copy-on-write
+    * pruned-MERGE result (the oracle replays the same batches as one
+    * full-outer upsert; disjoint years make sequential ≡ combined),
+    * with every pre-existing data file byte-identical on disk and
+    * each commit having written only its batch-sized dv + delta pair
+    * ([[graft.TimeTravelSpec]] pins both file contracts and the
+    * stacked-commit replay). */
+  val dmlMergeMoR: Q = Q.df(
+    "dml_merge_mor",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr in (${TimeTravelYears.mkString(", ")})
+       |    and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = morRoot(s, dir)
+    readVersionWithDv(s, root, timeTravelVersions(root).max)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
   }
 
   /** Publish version k as the COMPACTION of every DV-carrying
@@ -1900,7 +2131,9 @@ object Dml {
   private[graft] def applyDvCompaction(s: org.apache.spark.sql.SparkSession,
       root: String, k: Int): Unit = {
     val prev = readManifestFull(root, k - 1)
-    val folded = prev.filter(_._2.dvs.nonEmpty).keys.toSeq.sorted
+    val folded = prev
+      .filter(e => e._2.dvs.nonEmpty || e._2.deltas.nonEmpty)
+      .keys.toSeq.sorted
     folded.foreach { y =>
       readEntryWithDv(s, root, y, prev(y)).drop("yr")
         .write.parquet(s"$root/data/g$k/yr=$y")
@@ -1974,6 +2207,143 @@ object Dml {
     "dml_dv_versioned", dvVersionedOracle) { (s, dir) =>
     readVersionWithDv(s, dvVersionedRoot(s, dir), 2)
       .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Change feed ACROSS the DV-only commit (v1 → v2 of the versioned
+    * DV tree): the data dirs are byte-identical between the two
+    * versions — only the entries' sidecar lists changed — so a
+    * data-dir manifest diff would prune every partition out and the
+    * feed would silently emit ZERO rows. The full-entry diff names
+    * exactly the DV'd partitions, both sides read through the
+    * DV-applying path, and the value diff emits exactly the
+    * tombstoned keys as `delete` rows (the oracle replays the v1
+    * state and selects the tombstone slice). This is the composition
+    * a Delta user exercises the week after adopting DVs: CDF must
+    * see merge-on-read deletes. */
+  val dmlDvChanges: Q = Q.df(
+    "dml_dv_changes",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = ${TimeTravelYears.head} and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit),
+       |v1 as (
+       |  select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |    coalesce(u.cents, b.cents) as cents,
+       |    coalesce(b.yr, u.yr) as yr
+       |  from base b full outer join batch u on b.o_orderkey = u.o_orderkey)
+       |select cast(2 as int) as version, 'delete' as change_type,
+       |  o_orderkey, cents, yr
+       |from v1
+       |where yr in (${DvVersionedYears.mkString(", ")})
+       |  and o_orderkey % 20 = $DvVersionedMod
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    versionChanges(s, dvVersionedRoot(s, dir), 2)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Versioned schema evolution: v0 base under (o_orderkey, cents,
+    * yr) → v1 `ADD COLUMN note string` (METADATA-ONLY: entries carried
+    * forward verbatim, no data dir written — spec-witnessed by file
+    * inventory) → v2 an upsert batch whose rows CARRY note, merged
+    * copy-on-write into its partition under the evolved schema. Each
+    * version serves under its own schema: v0 has no note column at
+    * all, v1 NULL-fills it everywhere, v2 carries values on the batch
+    * keys and NULLs on rows whose generation predates the column. */
+  private val schemaEvoCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] val SchemaV0: Seq[(String, String)] =
+    Seq("o_orderkey" -> "bigint", "cents" -> "bigint", "yr" -> "int")
+  private[graft] val SchemaV1: Seq[(String, String)] =
+    SchemaV0 :+ ("note" -> "string")
+
+  /** The v2 batch: the standard pruned-MERGE hit slice, each row
+    * carrying a derived `note` ('u'+key for updates, 'i'+key for the
+    * minted inserts) so the oracle can replay the values exactly. */
+  private[graft] def schemaEvoBatch(base: org.apache.spark.sql.DataFrame,
+      y: Int): org.apache.spark.sql.DataFrame = {
+    val hit = base.filter(col("yr") === y && col("o_orderkey") % 20 === 0)
+    hit.select(col("o_orderkey"), (col("cents") * 2).as("cents"),
+        col("yr"), concat(lit("u"), col("o_orderkey").cast("string"))
+          .as("note"))
+      .unionByName(hit.select((-col("o_orderkey") - 1).as("o_orderkey"),
+        (col("cents") + 7).as("cents"), col("yr"),
+        concat(lit("i"), (-col("o_orderkey") - 1).cast("string"))
+          .as("note")))
+  }
+
+  private[graft] def buildSchemaEvoTree(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-schemaevo").toString
+    val base = mergePrunedBase(s, dir)
+    base.write.partitionBy("yr").parquet(s"$root/data/g0")
+    val years = base.select(col("yr")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    writeManifestWithSchema(root, 0,
+      years.map(y => y -> PartEntry(s"data/g0/yr=$y", Nil)).toMap, SchemaV0)
+    // v1: ADD COLUMN — one manifest line, zero data written
+    writeManifestWithSchema(root, 1, readManifestFull(root, 0), SchemaV1)
+    // v2: copy-on-write merge of the batch's partition under the
+    // EVOLVED schema (existing rows NULL-fill note at read)
+    val y = TimeTravelYears.head
+    val batch = schemaEvoBatch(base, y)
+    val existing = readVersionWithSchema(s, root, 1)
+      .filter(col("yr") === y)
+    existing
+      .join(batch.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch)
+      .drop("yr")
+      .write.parquet(s"$root/data/g2/yr=$y")
+    writeManifestWithSchema(root, 2,
+      readManifestFull(root, 1) +
+        (y -> PartEntry(s"data/g2/yr=$y", Nil)), SchemaV1)
+    root
+  }
+
+  private[graft] def schemaEvoRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    schemaEvoCache.once((s, dir))(buildSchemaEvoTree(s, dir))
+
+  /** Read the evolved target's head (v2): rows from generation 0 were
+    * written BEFORE the column existed and serve NULL; the v2 batch's
+    * rows carry values — the oracle replays the upsert with its
+    * derived notes. [[graft.TimeTravelSpec]] pins the contracts the
+    * values can't show: the ADD COLUMN commit wrote no data file, v0
+    * serves WITHOUT the column, v1 serves it all-NULL. */
+  val dmlSchemaEvolutionVersioned: Q = Q.df(
+    "dml_schema_evolution_versioned",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = ${TimeTravelYears.head} and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr,
+       |    'u' || cast(o_orderkey as varchar) as note from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr,
+       |    'i' || cast(-o_orderkey - 1 as varchar) from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr,
+       |  u.note as note
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    val root = schemaEvoRoot(s, dir)
+    readVersionWithSchema(s, root, 2)
+      .select(col("o_orderkey"), col("cents"), col("yr"), col("note"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -2260,10 +2630,7 @@ object Dml {
     val dir = java.nio.file.Paths.get(s"$root/manifests")
     java.nio.file.Files.createDirectories(dir)
     val body = entries.toSeq.sortBy(_._1)
-      .map { case (y, e) =>
-        val dv = if (e.dvs.isEmpty) "" else "\t" + e.dvs.mkString(",")
-        s"$y\t${e.data}$dv"
-      }.mkString("\n")
+      .map { case (y, e) => renderEntry(y, e) }.mkString("\n")
     val tmp = java.nio.file.Files.createTempFile(dir, s".v$k-", ".tmp")
     try {
       java.nio.file.Files.writeString(tmp, body)
@@ -2306,15 +2673,20 @@ object Dml {
   }
 
   /** One partition's VISIBLE rows: its data dir minus the union of its
-    * DV sidecars (delete-sized, broadcast into the anti-join). */
+    * DV sidecars (delete-sized, broadcast into the anti-join), plus
+    * the union of its merge-on-read DELTA dirs (batch-sized appended
+    * inserts — data ∖ DV ∪ delta, the Iceberg/Delta MoR read). */
   private def readEntryWithDv(s: org.apache.spark.sql.SparkSession,
       root: String, y: Int, e: PartEntry): org.apache.spark.sql.DataFrame = {
     val data = s.read.parquet(resolveDir(root, e.data))
       .withColumn("yr", lit(y).cast("int"))
-    e.dvs.map(d => s.read.parquet(resolveDir(root, d)))
+    val alive = e.dvs.map(d => s.read.parquet(resolveDir(root, d)))
       .reduceOption(_ unionByName _)
       .fold(data)(dv =>
         data.join(broadcast(dv), Seq("o_orderkey"), "left_anti"))
+    e.deltas.map(d => s.read.parquet(resolveDir(root, d))
+        .withColumn("yr", lit(y).cast("int")))
+      .foldLeft(alive)(_ unionByName _)
   }
 
   final case class CommitOutcome(version: Int, attempts: Int)
@@ -2400,6 +2772,13 @@ object Dml {
       val touched = years.filter(prev.contains)
       val gen = s"g${base + 1}-$writer-a$attempt"
       val written = touched.filter { y =>
+        // fail loudly rather than fail open: the optimistic DV path
+        // appends a sidecar WITHOUT folding delta layers (dvs bind to
+        // the data dir only) — racing it onto a MoR entry would leave
+        // matching delta rows alive; route such deletes through
+        // [[applyDvDelete]]'s folding form instead
+        require(prev(y).deltas.isEmpty,
+          s"optimistic DV delete on a delta-carrying entry (yr=$y)")
         val keys = readEntryWithDv(s, root, y, prev(y))
           .filter(pred).select(col("o_orderkey"))
         keys.write.parquet(s"$root/dv/$gen/yr=$y")
@@ -2578,5 +2957,6 @@ object Dml {
     dmlTimeTravelRestore, dmlVacuumRetention, dmlCloneShallow,
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
     dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
-    dmlDvVersioned, dmlDvConcurrent, dmlConstraintCheck)
+    dmlDvVersioned, dmlDvConcurrent, dmlDvChanges, dmlMergeMoR,
+    dmlSchemaEvolutionVersioned, dmlConstraintCheck)
 }

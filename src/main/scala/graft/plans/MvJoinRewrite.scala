@@ -78,26 +78,55 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, JoinViewDesc]()
 
-  private[graft] def register(d: JoinViewDesc): Unit = {
-    registry.put(d.name, d); ()
+  /** Register under an explicit token — [[ensure]] qualifies by
+    * fixture dir so descriptors for two dirs coexist (a second
+    * `ensure` must never clobber the first dir's entries: sessions
+    * still pointed at it would silently lose their rewrites). */
+  private[graft] def register(key: String, d: JoinViewDesc): Unit = {
+    registry.put(key, d); ()
   }
 
+  private[graft] def register(d: JoinViewDesc): Unit = register(d.name, d)
+
   /** Build inventory fingerprint of a base relation's files — listed
-    * through the path's own Hadoop FileSystem (the same layer the
-    * reads go through). */
+    * RECURSIVELY through the path's own Hadoop FileSystem (the same
+    * layer the reads go through), so a hive-partitioned base (files in
+    * subdirs) fingerprints its leaves rather than an empty listing.
+    * Value is `<fileCount>:<sha256 of the path:len:mtime inventory>` —
+    * a content digest, not a 32-bit hash, so a same-length overwrite
+    * cannot collide the freshness guard. */
   private[graft] def fingerprint(s: SparkSession, src: String): String = {
     val p = new org.apache.hadoop.fs.Path(src)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
-    val items = fs.listStatus(p).toSeq
-      .filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted
-    s"${items.length}:${items.mkString("|").hashCode}"
+    val rootPath = fs.makeQualified(p).toUri.getPath
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toUri.getPath
+      val rel = full.stripPrefix(rootPath)
+      // skip Spark bookkeeping files/dirs anywhere under the root
+      if (!rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")))
+        buf += s"$rel:${st.getLen}:${st.getModificationTime}"
+    }
+    val items = buf.sorted
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(items.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${items.length}:$digest"
+  }
+
+  /** One-listing-per-source fingerprint view for a SINGLE rule
+    * invocation: freshness is still re-checked on every optimizer pass
+    * (no TTL — no cross-query staleness window), but the candidate ×
+    * plan-node fan-out within one pass shares one filesystem listing
+    * per base relation instead of re-listing per match attempt — the
+    * object-store round trips the rewrite exists to save. */
+  private[graft] def fpOnce(s: SparkSession): String => String = {
+    val cache = scala.collection.mutable.HashMap.empty[String, String]
+    src => cache.getOrElseUpdate(src, fingerprint(s, src))
   }
 
   private val built = new Memo[String, Seq[JoinViewDesc]]
@@ -162,8 +191,10 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
           Set("s_suppkey", "s_nationkey", "n_name"),
           s"$root/mv_supplier_nation"))
     }
-    descs.foreach(register)
-    s.conf.set(ViewsKey, descs.map(_.name).mkString(","))
+    // dir-qualified tokens: descriptors for a second fixture dir
+    // coexist with (never clobber) the first's
+    descs.foreach(d => register(s"$dir::${d.name}", d))
+    s.conf.set(ViewsKey, descs.map(d => s"$dir::${d.name}").mkString(","))
     s.conf.set(EnabledKey, "true")
   }
 
@@ -178,19 +209,20 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     if (conf(EnabledKey) != "true") return plan
     val views = activeViews
     if (views.isEmpty) return plan
+    val look = fpOnce(SparkSession.active)
     plan.transform {
       case agg: Aggregate =>
-        views.view.flatMap(v => tryAggRewrite(agg, v)).headOption
+        views.view.flatMap(v => tryAggRewrite(agg, v, look)).headOption
           .getOrElse(agg)
       case p @ Project(_, j: Join) =>
-        views.view.flatMap(v => tryRewrite(p, j, v, None)).headOption
+        views.view.flatMap(v => tryRewrite(p, j, v, None, look)).headOption
           .getOrElse(p)
       // a Filter ABOVE the join on view columns is answerable (the
       // view holds every joined row; only filters BETWEEN a base
       // relation and the join veto — those drop rows the view kept)
       case p @ Project(_, f @ Filter(_, j: Join)) =>
         views.view
-          .flatMap(v => tryRewrite(p, j, v, Some(f.condition)))
+          .flatMap(v => tryRewrite(p, j, v, Some(f.condition), look))
           .headOption.getOrElse(p)
     }
   }
@@ -205,17 +237,18 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     * if this isn't the pinned relation or a predicate isn't
     * answerable — a non-answerable filter still vetoes, fail closed. */
   private def relFilters(p: LogicalPlan, src: String, fp: String,
-      answerable: Expression => Boolean): Option[Seq[Expression]] =
+      answerable: Expression => Boolean,
+      look: String => String): Option[Seq[Expression]] =
     p match {
       case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        relFilters(ch, src, fp, answerable)
+        relFilters(ch, src, fp, answerable, look)
       case Filter(cond, ch) if answerable(cond) =>
-        relFilters(ch, src, fp, answerable).map(cond +: _)
+        relFilters(ch, src, fp, answerable, look).map(cond +: _)
       case lr: LogicalRelation =>
         lr.relation match {
           case fs: HadoopFsRelation
               if fs.location.rootPaths.exists(_.toUri.getPath == src) &&
-                fingerprint(SparkSession.active, src) == fp =>
+                look(src) == fp =>
             Some(Nil)
           case _ => None
         }
@@ -227,7 +260,8 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     * filters collected from both children (pushed-down predicates the
     * rewrite re-applies on the view side). */
   private def joinFilters(j: Join, v: JoinViewDesc,
-      answerable: Expression => Boolean): Option[Seq[Expression]] = {
+      answerable: Expression => Boolean,
+      look: String => String): Option[Seq[Expression]] = {
     if (j.joinType != Inner) return None
     val keyPair = j.condition match {
       case Some(EqualTo(a: AttributeReference, b: AttributeReference)) =>
@@ -237,8 +271,8 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     if (keyPair != v.keyPair) return None
     def sides(f: String, d: String, ff: String, df: String) =
       for {
-        lf <- relFilters(j.left, f, ff, answerable)
-        rf <- relFilters(j.right, d, df, answerable)
+        lf <- relFilters(j.left, f, ff, answerable, look)
+        rf <- relFilters(j.right, d, df, answerable, look)
       } yield lf ++ rf
     sides(v.factSrc, v.dimSrc, v.factFp, v.dimFp)
       .orElse(sides(v.dimSrc, v.factSrc, v.dimFp, v.factFp))
@@ -257,12 +291,14 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(p: Project, j: Join, v: JoinViewDesc,
-      filter: Option[Expression]): Option[LogicalPlan] = {
+      filter: Option[Expression],
+      look: String => String): Option[LogicalPlan] = {
     // the join key equality makes the dim key ≡ the fact key in the view
     def viewName(n: String): String = v.canonKey.getOrElse(n, n)
     def answerable(e: Expression): Boolean =
       e.references.forall(r => v.viewCols.contains(viewName(r.name)))
-    val sideFilters = joinFilters(j, v, answerable).getOrElse(return None)
+    val sideFilters =
+      joinFilters(j, v, answerable, look).getOrElse(return None)
     if (!p.projectList.forall(answerable)) return None
     if (!filter.forall(answerable)) return None
     val mv = artifactScan(v.viewPath)
@@ -291,8 +327,8 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     * cast of a registered measure → Sum of the stored partial, cast
     * back. A Filter anywhere, a non-dim key, or one unrecognized
     * aggregate vetoes. */
-  private def tryAggRewrite(agg: Aggregate,
-      v: JoinViewDesc): Option[LogicalPlan] = {
+  private def tryAggRewrite(agg: Aggregate, v: JoinViewDesc,
+      look: String => String): Option[LogicalPlan] = {
     val aggPath = v.aggPath.getOrElse(return None)
     // an optional Filter between the Aggregate and the Join is
     // answerable iff it references only summary DIMS: the summary's
@@ -315,7 +351,8 @@ object MvJoinRewrite extends Rule[LogicalPlan] {
     // predicate drops whole groups exactly as it drops their base
     // rows); any measure reference vetoes the summary — the flat-view
     // fallback then has its chance
-    val sideFilters = joinFilters(join, v, dimOnly).getOrElse(return None)
+    val sideFilters =
+      joinFilters(join, v, dimOnly, look).getOrElse(return None)
     val dimFilter = (sideFilters ++ aboveFilter).reduceOption(And)
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference => a.name

@@ -171,9 +171,14 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf(EnabledKey) != "true" || conf(PathKey).isEmpty) plan
-    else plan.transform {
-      case agg: Aggregate if isBase(agg.child) =>
-        tryRewrite(agg).getOrElse(agg)
+    else {
+      // one freshness listing per base per rule invocation (the fpOnce
+      // contract) — candidate relations share it instead of re-listing
+      val look = MvJoinRewrite.fpOnce(SparkSession.active)
+      plan.transform {
+        case agg: Aggregate if isBase(agg.child, look) =>
+          tryRewrite(agg).getOrElse(agg)
+      }
     }
 
   /** The registered base relation, possibly under an attribute-only
@@ -181,21 +186,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     * (the scan reports file:-qualified roots; the URI path strips the
     * scheme — no nested-dir suffix false-positives), and the file
     * inventory must still match the ensure()-time fingerprint. */
-  private def isBase(p: LogicalPlan): Boolean = p match {
-    case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      isBase(ch)
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: HadoopFsRelation =>
-          val src = conf(SrcKey)
-          src.nonEmpty &&
-            fs.location.rootPaths.exists(_.toUri.getPath == src) &&
-            MvJoinRewrite.fingerprint(SparkSession.active, src) ==
-              conf(SrcFpKey)
-        case _ => false
-      }
-    case _ => false
-  }
+  private def isBase(p: LogicalPlan, look: String => String): Boolean =
+    p match {
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        isBase(ch, look)
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            val src = conf(SrcKey)
+            src.nonEmpty &&
+              fs.location.rootPaths.exists(_.toUri.getPath == src) &&
+              look(src) == conf(SrcFpKey)
+          case _ => false
+        }
+      case _ => false
+    }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val groupNames = agg.groupingExpressions.map {

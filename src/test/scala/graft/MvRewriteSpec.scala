@@ -376,4 +376,62 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       "incrementally maintained view diverged from the recompute")
   }
+
+  test("fingerprint is recursive and content-digested: a hive-partitioned " +
+    "base lists its leaf files, and a new leaf in a subdir flips it") {
+    import graft.plans.MvJoinRewrite
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fp_part_").toString
+    spark.range(10).select(col("id"), (col("id") % 2).as("p"))
+      .write.partitionBy("p").parquet(s"$root/t")
+    val fp1 = MvJoinRewrite.fingerprint(spark, s"$root/t")
+    assert(fp1 != "absent" && !fp1.startsWith("0:"),
+      s"partitioned base fingerprinted as empty inventory: $fp1")
+    // a change INSIDE a partition subdir (top-level listing unchanged)
+    // must flip the digest — the r17 gap: a non-recursive listing saw
+    // an empty inventory here and staleness was invisible
+    spark.range(3).select(lit(99L).as("id"))
+      .write.mode("append").parquet(s"$root/t/p=0")
+    val fp2 = MvJoinRewrite.fingerprint(spark, s"$root/t")
+    assert(fp2 != fp1, "leaf append under a partition dir did not change " +
+      "the fingerprint")
+  }
+
+  test("join-view rewrite over a hive-partitioned base: serves the view " +
+    "while fresh, vetoes (fail closed) after a leaf changes") {
+    import graft.plans.MvJoinRewrite
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fp_veto_").toString
+    val fact = s"$root/fact"
+    val dim = s"$root/dim"
+    spark.range(20).select(col("id").as("f_k"), (col("id") * 2).as("f_v"),
+      (col("id") % 2).as("p")).write.partitionBy("p").parquet(fact)
+    spark.range(5).select(col("id").as("d_k"), (col("id") + 7).as("d_v"))
+      .write.parquet(dim)
+    spark.read.parquet(fact)
+      .join(spark.read.parquet(dim), col("f_k") === col("d_k"))
+      .select(col("f_k"), col("f_v"), col("d_v"))
+      .write.parquet(s"$root/mv_part_fd")
+    MvJoinRewrite.register(s"$root::part_fd", MvJoinRewrite.JoinViewDesc(
+      "part_fd", fact, dim,
+      MvJoinRewrite.fingerprint(spark, fact),
+      MvJoinRewrite.fingerprint(spark, dim),
+      Set("f_k", "d_k"), Map("d_k" -> "f_k"),
+      Set("f_k", "f_v", "d_v"), s"$root/mv_part_fd"))
+    val live = spark.conf.getOption(MvJoinRewrite.ViewsKey).getOrElse("")
+    spark.conf.set(MvJoinRewrite.ViewsKey, s"$root::part_fd")
+    spark.conf.set(MvJoinRewrite.EnabledKey, "true")
+    try {
+      def q = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim), col("f_k") === col("d_k"))
+        .select(col("f_k"), col("f_v"), col("d_v"))
+      assert(scanPaths(q).exists(_.contains("mv_part_fd")),
+        s"fresh partitioned base did not serve the view: ${scanPaths(q)}")
+      // invalidate a LEAF under a partition dir; top-level names same
+      spark.range(1).select(lit(77L).as("f_k"), lit(0L).as("f_v"))
+        .write.mode("append").parquet(s"$fact/p=1")
+      assert(!scanPaths(q).exists(_.contains("mv_part_fd")),
+        "stale partitioned base still served the view (fail-open)")
+    } finally spark.conf.set(MvJoinRewrite.ViewsKey, live)
+  }
 }

@@ -398,4 +398,158 @@ class TimeTravelSpec extends AnyFunSuite {
       assert(after == before, "vacuum changed the head read")
     } finally graft.plans.Scratch.deleteTree(priv)
   }
+
+  test("plain VERSION AS OF honors DV sidecars, and the change feed " +
+    "across a DV-only commit emits exactly the tombstoned keys") {
+    val root = Dml.dvVersionedRoot(spark, TestSpark.Sf)
+    // readVersionAsOf (the generic entry point) must apply the v2
+    // entries' sidecars — a data-dir-only read here would resurrect
+    // the deleted rows (the r17 composition gap)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select(col("o_orderkey"), col("cents"), col("yr"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq.sorted
+    val asOf = rows(Dml.readVersionAsOf(spark, root, 2))
+    assert(asOf == rows(Dml.readVersionWithDv(spark, root, 2)),
+      "VERSION AS OF diverged from the DV-applying read on a DV commit")
+    assert(!asOf.exists(r => Dml.DvVersionedYears.contains(r._3) &&
+        r._1 % 20 == Dml.DvVersionedMod),
+      "VERSION AS OF resurrected DV-tombstoned rows")
+    // feed v1 → v2: data dirs byte-identical, only sidecar lists
+    // changed — the full-entry diff must surface the deletes
+    val feed = Dml.versionChanges(spark, root, 2).collect()
+    assert(feed.nonEmpty, "CDF across the DV-only commit emitted zero rows")
+    assert(feed.forall(_.getString(1) == "delete"),
+      "DV-only commit produced non-delete change rows")
+    val keys = feed.map(_.getLong(2)).toSet
+    val expect = rows(Dml.readVersionWithDv(spark, root, 1))
+      .filter(r => Dml.DvVersionedYears.contains(r._3) &&
+        r._1 % 20 == Dml.DvVersionedMod)
+      .map(_._1).toSet
+    assert(keys == expect,
+      s"feed keys ${keys.size} != tombstone slice ${expect.size}")
+  }
+
+  test("restore of a DV-carrying version keeps its sidecar lists " +
+    "(metadata-only, deletes stay deleted)") {
+    // private tree: restore mutates its lineage
+    val priv = Dml.buildDvVersionedTree(spark, TestSpark.Sf)
+    try {
+      val restored = Dml.restoreVersion(priv, 2)
+      assert(Dml.readManifestFull(priv, restored) ==
+        Dml.readManifestFull(priv, 2),
+        "restore dropped entry components (dvs/deltas)")
+      val rows = Dml.readVersionAsOf(spark, priv, restored)
+        .collect().map(r => (r.getLong(0), r.getInt(2)))
+      assert(!rows.exists(r => Dml.DvVersionedYears.contains(r._2) &&
+          r._1 % 20 == Dml.DvVersionedMod),
+        "restore to the DV version resurrected tombstoned rows")
+    } finally graft.plans.Scratch.deleteTree(priv)
+  }
+
+  test("merge-on-read MERGE: O(batch) commits never rewrite a " +
+    "pre-existing file, stacked commits replay exactly, compaction " +
+    "folds invisibly, and a DV delete folds the delta layers") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-morspec").toString
+    try {
+      val base = Dml.mergePrunedBase(spark, TestSpark.Sf)
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      Dml.writeManifestFull(root, 0,
+        years.map(y => y -> Dml.PartEntry(s"data/g0/yr=$y", Nil)).toMap)
+      def inv(): Set[(String, Long, Long)] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(root))
+          .filter(f => !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".") && !f.getPath.contains("/manifests/"))
+          .map(f => (f.getPath, f.length(), f.lastModified())).toSet
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+        df.select(col("o_orderkey"), col("cents"), col("yr"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSeq.sorted
+      val before = inv()
+      val y1 = Dml.TimeTravelYears.head
+      val b1 = Dml.mergePrunedBatch(base, y1)
+      Dml.applyMergeMoR(spark, root, 1, b1)
+      val after1 = inv()
+      assert(before.subsetOf(after1),
+        "a MoR commit rewrote a pre-existing data file")
+      val fresh = (after1 -- before).map(_._1)
+      assert(fresh.nonEmpty && fresh.forall(pth =>
+          pth.contains("/dv/g1/") || pth.contains("/delta/g1/")),
+        s"MoR commit wrote outside dv/delta: $fresh")
+      // commit-size contract: the sidecar pair is batch-sized
+      val nb = b1.count()
+      assert(spark.read.parquet(s"$root/dv/g1/yr=$y1").count() == nb)
+      assert(spark.read.parquet(s"$root/delta/g1/yr=$y1").count() == nb)
+      // stacked commit on the SAME partition, updating keys that live
+      // ONLY in the v1 delta layer (the minted negative keys) — the
+      // fold must keep exactly one version of each key
+      val b2 = b1.select(col("o_orderkey"),
+        (col("cents") + 11).as("cents"), col("yr"))
+      Dml.applyMergeMoR(spark, root, 2, b2)
+      val got = rows(Dml.readVersionWithDv(spark, root, 2))
+      val expect = rows(base
+        .join(b2.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .unionByName(b2))
+      assert(got == expect,
+        "stacked MoR commits diverged from the sequential replay")
+      assert(before.subsetOf(inv()), "v2 touched a pre-existing file")
+      // compaction folds invisibly and empties the sidecar lists
+      Dml.applyDvCompaction(spark, root, 3)
+      assert(rows(Dml.readVersionWithDv(spark, root, 3)) == got,
+        "MoR compaction changed the visible state")
+      assert(Dml.readManifestFull(root, 3).values
+          .forall(e => e.dvs.isEmpty && e.deltas.isEmpty),
+        "compaction left sidecar references")
+      // a DV-only delete on a delta-carrying entry folds the layers:
+      // the minted keys live only in v4's delta and must die
+      Dml.applyMergeMoR(spark, root, 4, b1)
+      Dml.applyDvDelete(spark, root, 5, Seq(y1), col("o_orderkey") < 0)
+      val v5 = rows(Dml.readVersionWithDv(spark, root, 5))
+      assert(v5.nonEmpty && !v5.exists(_._1 < 0),
+        "DV delete left delta-layer rows alive")
+      // and the feed across the MoR commit is non-empty (full-entry diff)
+      assert(Dml.versionChanges(spark, root, 1).limit(1).count() == 1,
+        "CDF across a MoR commit emitted zero rows")
+    } finally graft.plans.Scratch.deleteTree(root)
+  }
+
+  test("versioned schema evolution: ADD COLUMN is metadata-only, and " +
+    "each version serves under its own schema") {
+    val root = Dml.schemaEvoRoot(spark, TestSpark.Sf)
+    // metadata-only: v1's entries are v0's verbatim (no data written
+    // for the evolution commit) and only the schema header differs
+    assert(Dml.readManifestFull(root, 1) == Dml.readManifestFull(root, 0),
+      "ADD COLUMN commit changed partition entries")
+    assert(Dml.readManifestSchema(root, 0).get == Dml.SchemaV0)
+    assert(Dml.readManifestSchema(root, 1).get == Dml.SchemaV1)
+    assert(!new java.io.File(s"$root/data/g1").exists(),
+      "ADD COLUMN commit wrote a data generation")
+    // v0 serves WITHOUT the column
+    val v0 = Dml.readVersionWithSchema(spark, root, 0)
+    assert(!v0.columns.contains("note"),
+      "v0 read leaked the post-evolution column")
+    // v1 serves it all-NULL over the same rows
+    val v1 = Dml.readVersionWithSchema(spark, root, 1)
+    assert(v1.columns.contains("note"))
+    assert(v1.filter(col("note").isNotNull).limit(1).count() == 0,
+      "pre-evolution generations served non-NULL note values")
+    assert(v1.count() == v0.count(), "ADD COLUMN changed the row set")
+    // v2: exactly the batch rows carry values, old generations NULL
+    val v2 = Dml.readVersionWithSchema(spark, root, 2)
+    val withNote = v2.filter(col("note").isNotNull)
+    val batch = Dml.schemaEvoBatch(
+      Dml.mergePrunedBase(spark, TestSpark.Sf), Dml.TimeTravelYears.head)
+    assert(withNote.count() == batch.count(),
+      "note values did not match the batch row set")
+    assert(v2.filter(col("yr") =!= Dml.TimeTravelYears.head)
+        .filter(col("note").isNotNull).limit(1).count() == 0,
+      "an untouched partition served note values")
+  }
 }
