@@ -417,6 +417,40 @@ object LexIndex {
       root
     }
 
+  /** Replay-guarded STREAMING segment append: one lexical segment per
+    * micro-batch under `root/seg<bid>/`, guarded by the transactional
+    * batch-id high-watermark idiom
+    * ([[graft.streaming.EventsStream.applyMergeBatch]]'s discipline) —
+    * a replayed batch id at or below the recorded watermark is
+    * skipped, so per-batch work is SEGMENT-sized exactly once even
+    * under restart-and-replay. (A segment write is overwrite-
+    * idempotent by itself; the guard is what keeps a replay from
+    * re-tokenizing the batch at all — the contract that matters when
+    * the batch is a day of corpus.) */
+  private[graft] def appendSegmentGuarded(s: SparkSession, root: String,
+      batch: DataFrame, bid: Long): Boolean = {
+    val wmPath = java.nio.file.Paths.get(s"$root/append_watermark")
+    val wm =
+      if (java.nio.file.Files.exists(wmPath))
+        java.nio.file.Files.readString(wmPath).trim.toLong
+      else -1L
+    if (bid <= wm) false
+    else {
+      writeSegment(batch, root, s"seg$bid")
+      java.nio.file.Files.writeString(wmPath, bid.toString)
+      true
+    }
+  }
+
+  /** Served segment names under a streaming-append root: `base` first,
+    * then the streamed segments in batch order. */
+  private[graft] def segmentsOf(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName == "base" || f.getName.startsWith("seg")))
+      .map(_.getName)
+      .sortBy(n => if (n == "base") -1L else n.stripPrefix("seg").toLong)
+
   /** Build + persist, then prove the artifact: the returned row is the
     * postings-table inventory read back from the STORED files (posting
     * count, vocabulary size, doc count, token total), which the oracle
@@ -446,7 +480,7 @@ object LexIndex {
     * fold) re-ranked by relevance. Rank order uses the ROUNDED score
     * (both engines rank the same 6-decimal values; doc_id breaks
     * ties). */
-  private def serveOracle: String = serveOracleN(ServeTopN)
+  private[graft] def serveOracle: String = serveOracleN(ServeTopN)
 
   private def serveOracleN(n: Int): String =
     s"""with ${TextAnalysis.bm25CoreCtes}

@@ -3350,45 +3350,57 @@ object Similarity {
     new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
       graft.plans.Checkpoints.free)
 
+  /** The routed HNSW insert over ARBITRARY frozen relations (edge
+    * tables, routing entries, batch) — shared by the pristine-base
+    * incremental entry and the lifecycle CHAIN (insert onto an
+    * already-tombstoned artifact). Returns the materialized links
+    * with a `layer` column. */
+  private def hnswInsertLinks(s: org.apache.spark.sql.SparkSession,
+      dir: String, stored0: DataFrame, stored1: DataFrame,
+      entries: DataFrame, batch: DataFrame): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+    val corpus = vecs.select(col("vec_id").as("neighbor_id"),
+      col("u").as("cv"))
+    def seedsOf(q: DataFrame): DataFrame = q.select(col("query_id"))
+      .crossJoin(broadcast(entries.select(col("neighbor_id"))))
+    // route: L1 walk from the stored entries → L0 entry points
+    val v1 = beamWalk(batch, corpus, stored1, seedsOf(batch), L1Rounds)
+    val seeds0 = v1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= GraphEntryPoints)
+      .select(col("query_id"), col("neighbor_id"))
+    val v0 = beamWalk(batch, corpus, stored0, seeds0, InsertRounds)
+    def topLinks(v: DataFrame, layer: Int): DataFrame = v
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= GraphM)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        lit(layer).as("layer"))
+    // layer-1 draw: those batch nodes also search + link the L1 graph
+    val batch1 = batch.filter(col("query_id") % LayerMod === 0)
+    val v1b = beamWalk(batch1, corpus, stored1, seedsOf(batch1),
+      InsertRounds)
+    val links = graft.plans.Checkpoints.materialize(
+      topLinks(v0, 0).unionByName(topLinks(v1b, 1)))
+    Seq(v1, v0, v1b).foreach(graft.plans.Checkpoints.free)
+    links
+  }
+
   private[graft] def hnswIncrEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     hnswIncrCache.once((s, dir)) {
-      DotProduct.ensureRegistered(s)
       val root = hnswBaseRoot(s, dir)
-      val stored0 = s.read.parquet(s"$root/edges0")
-      val stored1 = s.read.parquet(s"$root/edges1")
-      val vecs = withUnit(Tables.df(s, dir, "embeddings"))
-      val corpus = vecs.select(col("vec_id").as("neighbor_id"),
-        col("u").as("cv"))
-      val batch = vecs.filter(col("vec_id") % 10 === HnswBatchMod)
+      val batch = withUnit(Tables.df(s, dir, "embeddings"))
+        .filter(col("vec_id") % 10 === HnswBatchMod)
         .select(col("vec_id").as("query_id"), col("u").as("qv"))
-      val entries = s.read.parquet(s"$root/entries1")
-      def seedsOf(q: DataFrame): DataFrame = q.select(col("query_id"))
-        .crossJoin(broadcast(entries.select(col("neighbor_id"))))
-      // route: L1 walk from the stored entries → L0 entry points
-      val v1 = beamWalk(batch, corpus, stored1, seedsOf(batch), L1Rounds)
-      val seeds0 = v1
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id"))))
-        .filter(col("rn") <= GraphEntryPoints)
-        .select(col("query_id"), col("neighbor_id"))
-      val v0 = beamWalk(batch, corpus, stored0, seeds0, InsertRounds)
-      def topLinks(v: DataFrame, layer: Int): DataFrame = v
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("cos").desc, col("neighbor_id"))))
-        .filter(col("rn") <= GraphM)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
-          lit(layer).as("layer"))
-      // layer-1 draw: those batch nodes also search + link the L1 graph
-      val batch1 = batch.filter(col("query_id") % LayerMod === 0)
-      val v1b = beamWalk(batch1, corpus, stored1, seedsOf(batch1),
-        InsertRounds)
-      val links = graft.plans.Checkpoints.materialize(
-        topLinks(v0, 0).unionByName(topLinks(v1b, 1)))
-      Seq(v1, v0, v1b).foreach(graft.plans.Checkpoints.free)
-      links
+      hnswInsertLinks(s, dir,
+        s.read.parquet(s"$root/edges0"),
+        s.read.parquet(s"$root/edges1"),
+        s.read.parquet(s"$root/entries1"), batch)
     }
 
   /** Serve the standard query set over frozen-base ∪ freshly-inserted
@@ -3625,6 +3637,136 @@ object Similarity {
        |${beamRoundsSql("b", "d0", BeamRounds)}${beamFinalSql(s"bv$BeamRounds")}"""
       .stripMargin
 
+  // ---- two-layer lifecycle CHAIN: delete → insert → compact → serve -------
+
+  /** The composed lifecycle the per-stage entries exercise only from a
+    * pristine base: the stored two-layer BASE artifact is first
+    * tombstoned (vec_id % 7 = [[AnnDeleteMod]], lazy — files
+    * untouched), the mod-[[HnswBatchMod]] batch is then inserted ONTO
+    * the tombstoned artifact (route and search run over live edges and
+    * the reduced entry set, so no new link can point at a deleted
+    * node; tombstoned batch members do not insert), and a compaction
+    * folds (live base ∪ inserted links, symmetrized) into a fresh
+    * chained artifact whose serve carries no tombstone predicate
+    * anywhere. The oracle replays the whole chain — base builds,
+    * live-filtered insert walks, combined-edge serve — so stage
+    * COMPOSITION is hash-verified, not assumed from per-stage greens;
+    * [[graft.GraphIndexSpec]] adds the frozen-base witness and the
+    * no-dead-endpoint invariant on the chained artifact. */
+  private val hnswChainCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def hnswChainRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    hnswChainCache.once((s, dir)) {
+      val base = hnswBaseRoot(s, dir)
+      val root = tempIndexRoot("hnswchain")
+      val live = (c: String) => col(c) % 7 =!= AnnDeleteMod
+      val live0 = s.read.parquet(s"$base/edges0")
+        .filter(live("src") && live("dst"))
+      val live1 = s.read.parquet(s"$base/edges1")
+        .filter(live("src") && live("dst"))
+      val entries = s.read.parquet(s"$base/entries1")
+        .filter(live("neighbor_id"))
+      val batch = withUnit(Tables.df(s, dir, "embeddings"))
+        .filter(col("vec_id") % 10 === HnswBatchMod &&
+          col("vec_id") % 7 =!= AnnDeleteMod)
+        .select(col("vec_id").as("query_id"), col("u").as("qv"))
+      val links = hnswInsertLinks(s, dir, live0, live1, entries, batch)
+      def combined(layer: Int, stored: DataFrame): DataFrame = {
+        val n = links.filter(col("layer") === layer)
+          .select(col("src"), col("dst"))
+        stored.unionByName(n)
+          .unionByName(n.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      combined(0, live0).write.mode("overwrite").parquet(s"$root/edges0")
+      combined(1, live1).write.mode("overwrite").parquet(s"$root/edges1")
+      entries.coalesce(1).write.mode("overwrite").parquet(s"$root/entries1")
+      graft.plans.Checkpoints.free(links)
+      root
+    }
+
+  val annHnswLifecycleChain: Q = Q.df(
+    "ann_hnsw_lifecycle_chain", hnswChainOracle) { (s, dir) =>
+    val root = hnswChainRoot(s, dir)
+    hnswLayeredWalk(s, dir,
+      s.read.parquet(s"$root/edges0"),
+      s.read.parquet(s"$root/edges1"),
+      s.read.parquet(s"$root/entries1"),
+      TopK)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle for [[annHnswLifecycleChain]]: base builds over the
+    * batch-less key sets, tombstone-filtered edge relations, the
+    * LIVE batch's routed insert walks over them, then the two-layer
+    * serve over (live base ∪ inserted links symmetrized) with the
+    * reduced entry set — the walk oracle over (frozen ∪ inserted) ∖
+    * tombstones, every stage's visited-set decision replayed. */
+  private def hnswChainOracle: String =
+    s"""$beamPreludeSql,
+       |keysb as materialized (
+       |  select * from keys where vec_id % 10 <> $HnswBatchMod),
+       |keysb1 as materialized (
+       |  select * from keysb where vec_id % $LayerMod = 0),
+       |${graphBuildSql("b0", "keysb")},
+       |${graphBuildSql("b1", "keysb1")},
+       |live0 as materialized (
+       |  select src, dst from b0edges
+       |  where src % 7 <> $AnnDeleteMod and dst % 7 <> $AnnDeleteMod),
+       |live1 as materialized (
+       |  select src, dst from b1edges
+       |  where src % 7 <> $AnnDeleteMod and dst % 7 <> $AnnDeleteMod),
+       |bq as (select vec_id as query_id, u from u
+       |       where vec_id % 10 = $HnswBatchMod
+       |         and vec_id % 7 <> $AnnDeleteMod),
+       |iv0 as materialized (
+       |  select bq.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("bq", "c")} as cos
+       |  from bq cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})
+       |    and c.vec_id % 7 <> $AnnDeleteMod),
+       |${beamRoundsSql("i", "live1", L1Rounds)}jv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from iv$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("j", "live0", InsertRounds)}newe0 as materialized (
+       |  select query_id as src, neighbor_id as dst from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from jv$InsertRounds) t
+       |  where rn <= $GraphM),
+       |kv0 as materialized (
+       |  select * from iv0 where query_id % $LayerMod = 0),
+       |${beamRoundsSql("k", "live1", InsertRounds)}newe1 as materialized (
+       |  select query_id as src, neighbor_id as dst from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from kv$InsertRounds) t
+       |  where rn <= $GraphM),
+       |all0 as materialized (
+       |  select src, dst from live0
+       |  union all select src, dst from newe0
+       |  union all select dst as src, src as dst from newe0),
+       |all1 as materialized (
+       |  select src, dst from live1
+       |  union all select src, dst from newe1
+       |  union all select dst as src, src as dst from newe1),
+       |q as (select vec_id as query_id, u from u where vec_id < $NumQueries),
+       |sv0 as materialized (
+       |  select q.query_id, c.vec_id as neighbor_id,
+       |    ${sqlDotU("q", "c")} as cos
+       |  from q cross join u c
+       |  where c.vec_id in (${L1Entries.mkString(", ")})
+       |    and c.vec_id % 7 <> $AnnDeleteMod),
+       |${beamRoundsSql("s", "all1", L1Rounds)}tv0 as materialized (
+       |  select query_id, neighbor_id, cos from (
+       |    select *, row_number() over (partition by query_id
+       |      order by cos desc, neighbor_id) as rn from sv$L1Rounds) t
+       |  where rn <= $GraphEntryPoints),
+       |${beamRoundsSql("t", "all0", BeamRounds)}${beamFinalSql(s"tv$BeamRounds")}"""
+      .stripMargin
+
   /** Oracle for [[annGraphIncremental]]: base build over the filtered
     * key set, unrolled insert walk for the batch nodes, top-M link
     * selection, then the serve walk over the combined edges. */
@@ -3687,6 +3829,7 @@ object Similarity {
       annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
       annHnswIncremental, annHnswDelete, annHnswCompact, annHnswFiltered,
+      annHnswLifecycleChain,
       annBinaryHamming, annSqTopK, annIvfSq, annIvfSqPersist,
       annIvfSqIncremental, annIvfSqDelete, annIvfSqCompact,
       annRecallQuantized,

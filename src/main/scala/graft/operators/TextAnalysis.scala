@@ -478,6 +478,247 @@ object TextAnalysis {
       .orderBy(col("bin"))
   }
 
+  // ---- on-engine classifier TRAINING (fixed-point distillation loop) ------
+
+  /** Training rounds / fixed-point target scale / damping (the Jacobi
+    * step is divided by H·[[TrainDamp]]) / train-test split modulus for
+    * [[classifierTrain]]. Six rounds at damp 64 converge on every
+    * fixture scale (mistakes strictly decreasing, spec-pinned). */
+  val TrainRounds = 6
+  val TrainScale: Long = 1L << 20
+  val TrainDamp: Long = 64L
+  val TrainSplitMod = 5
+
+  /** Hashed-feature rows (doc_id, bucket, c) over the SAME
+    * unigram+adjacent-bigram space the deployed classifier scores —
+    * one kernel pass, map-side combined into per-doc-bucket counts. */
+  private def trainFeatures(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val bs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def b(f: String): Int =
+          ((Text.fnv64(f) & 0xFFFFFFFFL) % ClassifierBuckets).toInt
+        toks.foreach(t => bs += b(t))
+        var i = 0
+        while (i < toks.length - 1) { bs += b(toks(i) + "_" + toks(i + 1)); i += 1 }
+        bs.groupBy(identity).iterator
+          .map { case (k, v) => (id, k, v.size.toLong) }
+      }
+      .toDF("doc_id", "bucket", "c")
+  }
+
+  /** Supervised labels for the training demo: a deterministic CONTENT
+    * rule (more `fast` tokens than `slow` — near-balanced on the
+    * fixture), the stand-in for human quality labels exactly as
+    * `doc_id % 3` stands in for relevance in the eval family; content-
+    * derived so the label is actually LEARNABLE from the n-gram
+    * features (an id-derived label has no signal to train on). */
+  private def trainLabels(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      when(expr("size(filter(split(text, ' '), x -> x = 'fast'))") >
+          expr("size(filter(split(text, ' '), x -> x = 'slow'))"), 1L)
+        .otherwise(-1L).as("y"))
+
+  /** TRAIN the quality classifier ON-ENGINE — the pipeline stage the
+    * inference entry ([[classifierScore]], formula weights) left to an
+    * external trainer. Logistic-regression shape in its exactly-
+    * replayable fixed-point form: per round, one distributed pass
+    * computes the least-squares gradient against ±[[TrainScale]]
+    * targets (the IRLS working response of the logistic fit, held
+    * fixed) and the update divides per-bucket by the DIAGONAL
+    * curvature H_b = Σ c² times [[TrainDamp]] — a Jacobi/diagonal-
+    * Newton step whose division is symmetric integer floor-division,
+    * so every round replays bit-exact in the oracle's unrolled CTEs
+    * (the `text_bpe_merge_loop` discipline applied to a supervised
+    * loop; a transcendental sigmoid would not replay cross-engine,
+    * the diagonal-quadratic surrogate does).
+    *
+    * Scale shape: the MODEL is bucket-sized (≤ [[ClassifierBuckets]]
+    * rows — broadcast into every join), the per-round work is one
+    * feature-table join + two map-side-combined aggregations (the
+    * treeAggregate shape), and the driver sees only per-round scalar
+    * diagnostics — never a corpus-sized row. At 100 TB the same six
+    * rounds are six scans of the (hash-bucketed) feature table.
+    * Output: the training TRACE (round, training mistakes, model L1
+    * mass) — strictly decreasing mistakes spec-pinned; held-out AUC ≥
+    * floor pinned via the [[classifierAuc]] machinery in
+    * [[graft.TextSpec]]. */
+  def classifierTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.df(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % TrainSplitMod =!= 0)
+    val cnt = graft.plans.Checkpoints.materialize(trainFeatures(train))
+    val lab = graft.plans.Checkpoints.materialize(
+      trainLabels(train).select(col("doc_id"), col("y")))
+    val hd = graft.plans.Checkpoints.materialize(
+      cnt.groupBy(col("bucket")).agg(sum(col("c") * col("c")).as("h")))
+    try {
+      var w: org.apache.spark.sql.DataFrame = null
+      val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+      def zOf(wt: org.apache.spark.sql.DataFrame) =
+        cnt.join(broadcast(wt), Seq("bucket"))
+          .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z"))
+      for (t <- 1 to TrainRounds) {
+        val z =
+          if (w == null) lab.select(col("doc_id"), lit(0L).as("z"))
+          else zOf(w)
+        val g = cnt.join(z, Seq("doc_id")).join(lab, Seq("doc_id"))
+          .groupBy(col("bucket"))
+          .agg(sum((col("z") - col("y") * lit(TrainScale)) * col("c"))
+            .as("gw"))
+        // symmetric floor division (both branches divide nonnegatives,
+        // so Spark's truncating `div` ≡ DuckDB's `//` exactly)
+        val step = expr(s"case when gw >= 0 then gw div (h * $TrainDamp) " +
+          s"else -((-gw) div (h * $TrainDamp)) end")
+        val prevW = if (w == null) lit(0L) else col("w")
+        val wNext = graft.plans.Checkpoints.materialize(
+          (if (w == null) g.join(hd, Seq("bucket"))
+           else g.join(hd, Seq("bucket")).join(w, Seq("bucket")))
+            .select(col("bucket"), (prevW - step).as("w")))
+        if (w != null) graft.plans.Checkpoints.free(w)
+        w = wNext
+        // per-round scalar diagnostics only reach the driver
+        val mist = lab.join(zOf(w), Seq("doc_id"))
+          .filter(col("y") * col("z") <= 0).count()
+        val l1 = w.agg(sum(abs(col("w")))).first().getLong(0)
+        trace += ((t, mist, l1))
+      }
+      graft.plans.Checkpoints.free(w)
+      trace.toSeq.toDF("round", "mistakes", "w_l1")
+        .select(col("round").cast("int"), col("mistakes"), col("w_l1"))
+    } finally Seq(cnt, lab, hd).foreach(graft.plans.Checkpoints.free)
+  }
+
+  /** The trained model (bucket, w) after [[TrainRounds]] rounds — spec
+    * support for the held-out AUC floor ([[graft.TextSpec]]). Same
+    * loop, model returned instead of the trace. */
+  private[graft] def trainedModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.df(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % TrainSplitMod =!= 0)
+    val cnt = graft.plans.Checkpoints.materialize(trainFeatures(train))
+    val lab = trainLabels(train).select(col("doc_id"), col("y"))
+    val hd = cnt.groupBy(col("bucket")).agg(sum(col("c") * col("c")).as("h"))
+    try {
+      var w: org.apache.spark.sql.DataFrame =
+        null
+      for (_ <- 1 to TrainRounds) {
+        val z =
+          if (w == null)
+            lab.select(col("doc_id"), lit(0L).as("z"))
+          else cnt.join(broadcast(w), Seq("bucket"))
+            .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z"))
+        val g = cnt.join(z, Seq("doc_id")).join(lab, Seq("doc_id"))
+          .groupBy(col("bucket"))
+          .agg(sum((col("z") - col("y") * lit(TrainScale)) * col("c"))
+            .as("gw"))
+        val step = expr(s"case when gw >= 0 then gw div (h * $TrainDamp) " +
+          s"else -((-gw) div (h * $TrainDamp)) end")
+        val prevW = if (w == null) lit(0L) else col("w")
+        val wNext = graft.plans.Checkpoints.materialize(
+          (if (w == null) g.join(hd, Seq("bucket"))
+           else g.join(hd, Seq("bucket")).join(w, Seq("bucket")))
+            .select(col("bucket"), (prevW - step).as("w")))
+        if (w != null) graft.plans.Checkpoints.free(w)
+        w = wNext
+      }
+      w
+    } finally graft.plans.Checkpoints.free(cnt)
+  }
+
+  /** Held-out labels + scores under the trained model — the
+    * [[classifierAuc]] machinery's inputs for the floor spec. */
+  private[graft] def trainedHeldOutScores(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.df(s, dir, "documents")
+    val held = docs.filter(col("doc_id") % TrainSplitMod === 0)
+    val w = trainedModel(s, dir)
+    val scores = trainFeatures(held).join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z"))
+    val out = trainLabels(held).join(scores, Seq("doc_id"))
+    out
+  }
+
+  /** Oracle: the training loop unrolled round by round — features,
+    * labels, curvature, then per round gradient → Jacobi step →
+    * mistakes + L1 trace, every integer decision replayed. */
+  private def trainOracle: String = {
+    val S = TrainScale
+    val D = TrainDamp
+    def sdiv(x: String, h: String) =
+      s"case when $x >= 0 then $x // ($h * $D) else -((-($x)) // ($h * $D)) end"
+    val rounds = (1 to TrainRounds).map { t =>
+      val prevW = if (t == 1) "cast(0 as bigint)" else s"w${t - 1}.w"
+      val joinPrev = if (t == 1) "" else s" join w${t - 1} using (bucket)"
+      s"""g$t as materialized (
+         |  select cnt.bucket,
+         |    sum((z$t.z - lab.y * $S) * cnt.c) as gw
+         |  from cnt join z$t using (doc_id) join lab using (doc_id)
+         |  group by cnt.bucket),
+         |w$t as materialized (
+         |  select g$t.bucket,
+         |    cast($prevW - ${sdiv(s"g$t.gw", "hd.h")} as bigint) as w
+         |  from g$t join hd using (bucket)$joinPrev),
+         |z${t + 1} as materialized (
+         |  select cnt.doc_id, cast(sum(cnt.c * w$t.w) as bigint) as z
+         |  from cnt join w$t using (bucket) group by cnt.doc_id),
+         |m$t as (
+         |  select cast(count(*) as bigint) as mistakes
+         |  from z${t + 1} join lab using (doc_id)
+         |  where lab.y * z${t + 1}.z <= 0),
+         |l$t as (select cast(sum(abs(w)) as bigint) as w_l1 from w$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to TrainRounds)
+      .map(t => s"select cast($t as int) as round, mistakes, w_l1 " +
+        s"from m$t, l$t")
+      .mkString("\nunion all\n")
+    s"""with tok as (
+       |  select doc_id, unnest(string_split(text, ' ')) as tok,
+       |    generate_subscripts(string_split(text, ' '), 1) as pos
+       |  from documents where doc_id % $TrainSplitMod <> 0),
+       |feats as (
+       |  select doc_id, tok as feat from tok
+       |  union all
+       |  select doc_id, feat from (
+       |    select doc_id, tok || '_' || lead(tok) over
+       |      (partition by doc_id order by pos) as feat from tok)
+       |  where feat is not null),
+       |cnt as materialized (
+       |  select doc_id,
+       |    cast(${Text.sqlFnv64("feat")} % 4294967296::hugeint
+       |         % $ClassifierBuckets as bigint) as bucket,
+       |    cast(count(*) as bigint) as c
+       |  from feats group by 1, 2),
+       |lab as materialized (
+       |  select doc_id,
+       |    case when len(list_filter(string_split(text, ' '),
+       |           x -> x = 'fast'))
+       |         > len(list_filter(string_split(text, ' '),
+       |           x -> x = 'slow'))
+       |      then 1 else -1 end as y
+       |  from documents where doc_id % $TrainSplitMod <> 0),
+       |hd as materialized (
+       |  select bucket, cast(sum(c * c) as bigint) as h
+       |  from cnt group by bucket),
+       |z1 as (select doc_id, cast(0 as bigint) as z from lab),
+       |$rounds
+       |$out
+       |order by round""".stripMargin
+  }
+
+  val classifierTrainLogreg: Q = Q.df(
+    "classifier_train_logreg", trainOracle) { (s, dir) =>
+    classifierTrain(s, dir).orderBy(col("round"))
+  }
+
   /** PII-pattern flags — the filter a training-data pipeline runs before
     * anything else. Pure regexp column expressions (no lookbehind, so
     * the patterns behave identically under Java regex and RE2). */
@@ -2027,5 +2268,6 @@ object TextAnalysis {
       textNormalizeUnicode, textBm25, textBpePairs, textBpeMergeLoop,
       textBpeEncodeStats, textUnigramPruneLoop, textUnigramEncodeStats,
       qualityPerplexityBuckets, langConfusion, gopherRules,
-      textChunkWindows, textClassifierPrf, textClassifierReliability)
+      textChunkWindows, textClassifierPrf, textClassifierReliability,
+      classifierTrainLogreg)
 }

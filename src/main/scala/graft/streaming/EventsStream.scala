@@ -1442,6 +1442,69 @@ object EventsStream {
       batches.get()
     }
 
+  /** STREAMING segment ingestion into the STORED lexical index — the
+    * batch `text_index_incremental` contract driven by the real
+    * streaming runtime: the incoming corpus slice (doc_id % 10 =
+    * [[graft.operators.LexIndex.BatchMod]]) arrives as a file-source
+    * CDC stream admitted ONE file per trigger, and each micro-batch's
+    * `foreachBatch` appends ONE lexical segment (tokenize the batch,
+    * four segment-table writes — nothing corpus-sized recomputes)
+    * through the replay-guarded
+    * [[graft.operators.LexIndex.appendSegmentGuarded]] (the
+    * [[applyMergeBatch]] high-watermark discipline). Serving reads
+    * base ∪ streamed segments; integer segment statistics sum exactly,
+    * so the drained index serves bit-equal to the full single-segment
+    * rebuild — which is the oracle. At 100 TB this is the ingest shape
+    * a live search deployment runs: micro-batches append bounded
+    * segments forever, a background compaction
+    * ([[graft.operators.LexIndex.mergedSegmentRoot]]'s fold) bounds
+    * the segment count. */
+  def runIndexAppendStream(s: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.LexIndex
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_").toString
+      val idx = s"$tmp/idx"
+      val docs = graft.Tables.df(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      LexIndex.writeSegment(
+        docs.filter(col("doc_id") % 10 =!= LexIndex.BatchMod), idx, "base")
+      // stage the incoming slice as 3 name-ordered files (sub-sliced
+      // by doc_id div 10 mod 3), admitted one per trigger
+      val inDir = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      (0 until 3).foreach { i =>
+        val stage = s"$tmp/stage$i"
+        docs.filter(col("doc_id") % 10 === LexIndex.BatchMod &&
+            pmod(expr("doc_id div 10"), lit(3)) === i)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
+      }
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          LexIndex.appendSegmentGuarded(s, idx, batch, bid)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      LexIndex.serveBm25(s, idx, LexIndex.segmentsOf(idx))
+    }
+
+  val indexAppendStreamed: Q = Q.df(
+    "stream_index_append", graft.operators.LexIndex.serveOracle) {
+    (s, dir) => runIndexAppendStream(s, dir)
+  }
+
   val queries: Seq[Q] =
     Seq(sessionizeEvents, sessionDynamicGap, watermarkLateness,
       hourlyCountsStreamed, dedupStreamed, userActivityState,
@@ -1450,5 +1513,5 @@ object EventsStream {
       intervalJoinStreamed, intervalJoinOuterStreamed,
       intervalJoinFullStreamed, intervalJoinRightStreamed,
       intervalJoinSemiStreamed,
-      customSourceStreamed, sessionWindowStreamed)
+      customSourceStreamed, sessionWindowStreamed, indexAppendStreamed)
 }

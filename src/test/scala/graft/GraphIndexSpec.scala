@@ -226,4 +226,46 @@ class GraphIndexSpec extends AnyFunSuite {
     assert(entries.nonEmpty &&
       entries.forall(_ % 7 != Similarity.AnnDeleteMod))
   }
+
+  test("HNSW lifecycle CHAIN: tombstoned base -> insert -> compact " +
+    "composes — no dead endpoint anywhere, inserted links present, " +
+    "base artifact untouched") {
+    def walk(root: String): Seq[(String, Long, Long)] = {
+      def w(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(w)
+        else Seq(f)
+      w(new java.io.File(root))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val base = Similarity.hnswBaseRoot(spark, TestSpark.Sf)
+    val baseBefore = walk(base)
+    val chain = Similarity.hnswChainRoot(spark, TestSpark.Sf)
+    assert(walk(base) == baseBefore,
+      "the chain build rewrote the frozen base artifact")
+    for (t <- Seq("edges0", "edges1")) {
+      val ends = spark.read.parquet(s"$chain/$t")
+        .select(col("src"), col("dst")).collect()
+        .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      assert(ends.nonEmpty &&
+        !ends.exists(_ % 7 == Similarity.AnnDeleteMod),
+        s"$t carries a tombstoned endpoint after the chained compact")
+    }
+    val entries = spark.read.parquet(s"$chain/entries1")
+      .collect().map(_.getLong(0))
+    assert(entries.nonEmpty &&
+      entries.forall(_ % 7 != Similarity.AnnDeleteMod),
+      "a tombstoned routing entry survived the chain")
+    // inserted links present: some edge endpoint is a live batch node
+    val batchSrc = spark.read.parquet(s"$chain/edges0")
+      .filter(col("src") % 10 === Similarity.HnswBatchMod &&
+        col("src") % 7 =!= Similarity.AnnDeleteMod)
+    assert(batchSrc.limit(1).count() == 1,
+      "no inserted batch links in the chained artifact")
+    // and the serve returns full k for every query
+    val served = Similarity.annHnswLifecycleChain.run(spark, TestSpark.Sf)
+      .collect()
+    assert(served.length == Similarity.NumQueries * Similarity.TopK,
+      s"chained serve starved k: ${served.length} rows")
+  }
 }

@@ -311,4 +311,47 @@ class TextIndexSpec extends AnyFunSuite {
       got.getLong(3) == exp.getLong(3),
       s"stored postings inventory $got != corpus recount $exp")
   }
+
+  test("streaming segment append: replay-guarded, per-batch work " +
+    "segment-sized, base frozen, drained serve equals the full rebuild") {
+    import graft.operators.LexIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamidx").toString
+    try {
+      val docs = Tables.df(spark, TestSpark.Sf, "documents")
+        .select(col("doc_id"), col("text"))
+      LexIndex.writeSegment(
+        docs.filter(col("doc_id") % 10 =!= LexIndex.BatchMod), root, "base")
+      val baseBefore = inventory(s"$root/base")
+      val slice = docs.filter(col("doc_id") % 10 === LexIndex.BatchMod)
+      // batch 0 applies; a REPLAY of batch 0 is skipped by the guard
+      assert(LexIndex.appendSegmentGuarded(spark, root, slice, 0L))
+      val segAfter0 = inventory(s"$root/seg0")
+      assert(!LexIndex.appendSegmentGuarded(spark, root, slice, 0L),
+        "replayed batch id was not skipped")
+      assert(inventory(s"$root/seg0") == segAfter0,
+        "a skipped replay still rewrote the segment")
+      assert(inventory(s"$root/base") == baseBefore,
+        "segment append touched the base segment")
+      // per-batch work is segment-sized: the appended postings count
+      // the batch slice's (doc, tok) pairs, nothing corpus-sized
+      val expect = slice
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+        .groupBy(col("doc_id"), col("t")).count().count()
+      assert(spark.read.parquet(s"$root/seg0/postings").count() == expect,
+        "appended segment is not batch-sized")
+      // drained serve (base u segments) == single-segment full rebuild
+      assert(LexIndex.segmentsOf(root) == Seq("base", "seg0"))
+      val merged = rows(LexIndex.serveBm25(spark, root,
+        LexIndex.segmentsOf(root)))
+      val full = rows(LexIndex.textIndexServeQ.run(spark, TestSpark.Sf))
+      assert(merged.nonEmpty && merged == full,
+        "streamed segment serve diverged from the full rebuild")
+      // end to end through the real streaming runtime
+      val streamed = rows(graft.streaming.EventsStream
+        .runIndexAppendStream(spark, TestSpark.Sf))
+      assert(streamed == full,
+        "streaming-runtime drained index diverged from the full rebuild")
+    } finally graft.plans.Scratch.deleteTree(root)
+  }
 }

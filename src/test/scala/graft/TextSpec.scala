@@ -261,4 +261,36 @@ class TextSpec extends AnyFunSuite {
     assert(rows.take(20).count(_._2 >= 2) >= 15,
       "top RAKE phrases unexpectedly unigram-dominated")
   }
+
+  test("on-engine classifier training: mistakes strictly decrease and " +
+    "the held-out AUC clears the floor") {
+    import graft.operators.TextAnalysis
+    val trace = TextAnalysis.classifierTrain(spark, TestSpark.Sf)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(trace.length == TextAnalysis.TrainRounds)
+    val mist = trace.map(_._2)
+    assert(mist.zip(mist.tail).forall { case (a, b) => b < a },
+      s"training mistakes did not strictly decrease: ${mist.toSeq}")
+    // held-out AUC via the Mann-Whitney machinery (classifier_eval_auc
+    // discipline): rank the held-out scores, average ranks over ties
+    val scored = TextAnalysis.trainedHeldOutScores(spark, TestSpark.Sf)
+      .withColumn("pos", (col("y") === 1L).cast("long"))
+    val byZ = org.apache.spark.sql.expressions.Window.orderBy(col("z"))
+    val tie = org.apache.spark.sql.expressions.Window.partitionBy(col("z"))
+    val r = scored
+      .withColumn("min_rank", rank().over(byZ).cast("long"))
+      .withColumn("tie_cnt", count(lit(1)).over(tie))
+      .withColumn("avg_rank2",
+        lit(2L) * col("min_rank") + col("tie_cnt") - lit(1L))
+      .agg(sum(col("pos")).as("np"),
+        sum(lit(1L) - col("pos")).as("nn"),
+        sum(when(col("pos") === 1L, col("avg_rank2")).otherwise(0L))
+          .as("r2p"))
+      .first()
+    val (np, nn, r2p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(np > 0 && nn > 0, "degenerate held-out split")
+    val auc = (r2p - np * (np + 1)).toDouble / (2.0 * np * nn)
+    assert(auc >= 0.65, s"held-out AUC $auc below the 0.65 floor")
+  }
 }
