@@ -78,7 +78,14 @@ object ScaleCurve {
     "ann_sq_topk",                // int8 asymmetric scan + bounded rerank
     "ann_ivfsq_topk",             // probed cells × SQ8 codes (r17 scale path)
     "text_index_phrase_incr",     // positional base ∪ delta phrase serve
-    "dml_dv_versioned")           // versioned read through DV sidecars
+    "dml_dv_versioned",           // versioned read through DV sidecars
+    "ann_ivfsq_persist",          // stored SQ8 serve: probed-cell PARTITIONS only (r18)
+    "ann_hnsw_lifecycle_chain",   // serve from the chained (delete→insert→compact) artifact
+    "dml_merge_mor",              // merge-on-read read: data ∖ DV ∪ delta per entry
+    "dml_dv_changes",             // CDF across a DV-only commit (full-entry diff)
+    "dml_schema_evolution_versioned", // NULL-fill read under the versioned schema
+    "classifier_train_logreg",    // 6 gradient rounds over the hashed feature table
+    "stream_index_append")        // per-micro-batch segment append (3 fixed batches)
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.

@@ -1128,20 +1128,21 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$root/codes")
   }
 
-  /** The probed-cell set of the standard query batch, as a PARTITION
-    * predicate on a cell-partitioned stored code table. Driver-known
-    * by construction — the coarse quantizer is a collected model and
-    * the batch probes ≤ [[NumQueries]]·[[NProbe]] cells — so the
-    * collect is bounded by the query batch, never the corpus, and the
-    * resulting `isInCollection` filter prunes the parquet scan to the
-    * probed cells' directories (spec-counted in
-    * [[graft.AnnIndexLayoutSpec]], the `TextIndexSpec` discipline). */
-  private def probedCellFilter(queries: DataFrame): org.apache.spark.sql.Column = {
-    val spark = queries.sparkSession
+  /** The standard query batch's unit vectors, collected ONCE — a
+    * model-sized collect ([[NumQueries]] rows × 64 doubles; doubles
+    * survive a JVM collect exactly). From it every stored serve
+    * derives (a) the probed-cell set as a PARTITION predicate on the
+    * cell-partitioned code table (≤ [[NumQueries]]·[[NProbe]] values,
+    * spec-counted in [[graft.AnnIndexLayoutSpec]] — the
+    * `TextIndexSpec` bucket-pruning discipline) and (b) the probed
+    * query rows as a LOCAL relation, so the serve job scans no
+    * embeddings at all — the planner sees literal cells to prune to,
+    * and the broadcast side costs nothing to compute. */
+  private def collectedQueryBatch(emb: DataFrame): Seq[(Long, Array[Double])] = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    // ≤ NumQueries×NProbe values (≤ C): a model-sized collect
-    val probed = queries.select(col("cid")).distinct().as[Int].collect().toSeq
-    col("cid").isInCollection(probed)
+    withUnit(emb).as[(Long, Array[Double])]
+      .filter(_._1 < NumQueries).collect().toSeq.sortBy(_._1)
   }
 
   /** Read a stored model pair back. Doubles round-trip parquet exactly,
@@ -1178,16 +1179,16 @@ object Similarity {
     import s.implicits._
     val (cm, cb) = readModels(s, root)
     val cbDf = s.read.parquet(s"$root/codebooks")
-    val queries = withUnit(Tables.df(s, dir, "embeddings"))
-      .as[(Long, Array[Double])]
-      .filter(_._1 < NumQueries)
-      .flatMap { case (id, u) =>
-        for {
-          c <- nearestCentroids(u, NProbe, cm).iterator
-          m <- (0 until PqM).iterator
-        } yield (id, c, m, subOf(u, m))
-      }
-      .toDF("query_id", "cid", "m", "qv")
+    val batch = collectedQueryBatch(Tables.df(s, dir, "embeddings"))
+    val probed = batch
+      .flatMap { case (_, u) => nearestCentroids(u, NProbe, cm) }
+      .distinct.sorted
+    val queries = batch.flatMap { case (id, u) =>
+      for {
+        c <- nearestCentroids(u, NProbe, cm)
+        m <- 0 until PqM
+      } yield (id, c, m, subOf(u, m))
+    }.toDF("query_id", "cid", "m", "qv")
     // deletes are served as TOMBSTONES: the stored code rows of deleted
     // vectors are excluded BEFORE list probing (pre-filter — the
     // ann_filtered_topk lesson: post-filtering the ranked list starves
@@ -1197,7 +1198,7 @@ object Similarity {
     // PARTITION column of the cell-partitioned code table, so the scan
     // reads only the probed cells' directories.
     val codes = tombstones.foldLeft(s.read.parquet(s"$root/codes")
-        .filter(probedCellFilter(queries)))(
+        .filter(col("cid").isInCollection(probed)))(
       (c, dead) => c.filter(!dead))
     (adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
       .join(broadcast(queries), Seq("cid", "m")), k), (cm, cb))
@@ -1361,19 +1362,19 @@ object Similarity {
       }
       .toDF("neighbor_id", "cid", "m", "code")
     val cbDf = s.read.parquet(s"$root/codebooks")
-    val queries = withUnit(Tables.df(s, dir, "embeddings"))
-      .as[(Long, Array[Double])]
-      .filter(_._1 < NumQueries)
-      .flatMap { case (id, u) =>
-        for {
-          c <- nearestCentroids(u, NProbe, cm).iterator
-          m <- (0 until PqM).iterator
-        } yield (id, c, m, subOf(u, m))
-      }
-      .toDF("query_id", "cid", "m", "qv")
+    val batch2 = collectedQueryBatch(Tables.df(s, dir, "embeddings"))
+    val probedCells = batch2
+      .flatMap { case (_, u) => nearestCentroids(u, NProbe, cm) }
+      .distinct.sorted
+    val queries = batch2.flatMap { case (id, u) =>
+      for {
+        c <- nearestCentroids(u, NProbe, cm)
+        m <- 0 until PqM
+      } yield (id, c, m, subOf(u, m))
+    }.toDF("query_id", "cid", "m", "qv")
     // probed-cell predicate prunes the stored (cell-partitioned) base
     // segment's scan; the fresh batch side gets the same row filter
-    val probed = probedCellFilter(queries)
+    val probed = col("cid").isInCollection(probedCells)
     val codes = s.read.parquet(s"$root/codes").filter(probed)
       .unionByName(batchCodes.filter(probed))
     adcTopK(codes.join(broadcast(cbDf), Seq("m", "code"))
@@ -2761,18 +2762,20 @@ object Similarity {
     val spark = emb.sparkSession
     DotProduct.ensureRegistered(spark)
     import spark.implicits._
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    // queries: raw unit vectors (ADC is asymmetric) × probed cells
-    val queries = unit.filter(_._1 < NumQueries)
-      .flatMap { case (id, u) =>
-        nearestCentroids(u, NProbe, cm).iterator.map(c => (id, c, u))
-      }
-      .toDF("query_id", "cid", "qu")
+    // queries: raw unit vectors (ADC is asymmetric) × probed cells —
+    // built as a LOCAL relation from the collected query batch
+    val batch = collectedQueryBatch(emb)
+    val probed = batch
+      .flatMap { case (_, u) => nearestCentroids(u, NProbe, cm) }
+      .distinct.sorted
+    val queries = batch.flatMap { case (id, u) =>
+      nearestCentroids(u, NProbe, cm).map(c => (id, c, u))
+    }.toDF("query_id", "cid", "qu")
     // the probed-cell predicate reaches the codes relation BEFORE the
     // join: on a stored (cell-partitioned) code table it is a partition
     // filter — the scan reads only probed cells' files; on a fresh
     // encode it is a cheap row filter
-    val cand = codes.filter(probedCellFilter(queries))
+    val cand = codes.filter(col("cid").isInCollection(probed))
       .join(broadcast(queries), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", col("scale") *
