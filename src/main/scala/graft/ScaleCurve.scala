@@ -85,7 +85,9 @@ object ScaleCurve {
     "dml_dv_changes",             // CDF across a DV-only commit (full-entry diff)
     "dml_schema_evolution_versioned", // NULL-fill read under the versioned schema
     "classifier_train_logreg",    // 6 gradient rounds over the hashed feature table
-    "stream_index_append")        // per-micro-batch segment append (3 fixed batches)
+    "stream_index_append",        // per-micro-batch segment append (3 fixed batches)
+    "stream_ann_append",          // per-micro-batch IVF-SQ8 encode vs frozen base
+    "dml_merge_mor_cdc")          // U/I/D MoR read: data ∖ DV ∪ delta
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.

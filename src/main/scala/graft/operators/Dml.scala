@@ -2249,6 +2249,54 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Merge-on-read with the FULL U/I/D op set: the CDC batch's
+    * matched keys (updates + deletes + minted inserts) become the DV
+    * sidecar, only the non-delete rows survive into the delta — a
+    * DELETE under MoR is literally "in the DV, not in the delta",
+    * zero data-file writes for it. Same O(batch) commit contract as
+    * [[applyMergeMoR]]'s upsert form; oracle = the CDC replay
+    * ([[ttCdcStateSql]]) against the base. */
+  private val morCdcCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private[graft] def morCdcRoot(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    morCdcCache.once((s, dir)) {
+      val root =
+        java.nio.file.Files.createTempDirectory("graft-morcdc").toString
+      val base = mergePrunedBase(s, dir)
+      base.write.partitionBy("yr").parquet(s"$root/data/g0")
+      val years = base.select(col("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      writeManifestFull(root, 0,
+        years.map(y => y -> PartEntry(s"data/g0/yr=$y", Nil)).toMap)
+      val cdc = mergeCdcBatch(base, TimeTravelYears.head)
+      applyMergeMoR(s, root, 1, cdc,
+        cdc.filter(col("op") =!= "D")
+          .select(col("o_orderkey"), col("cents"), col("yr")))
+      root
+    }
+
+  val dmlMergeMoRCdc: Q = Q.df(
+    "dml_merge_mor_cdc", {
+      val y1 = TimeTravelYears.head
+      s"""with base as materialized (
+         |  select o_orderkey,
+         |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+         |    cast(year(o_orderdate) as int) as yr
+         |  from orders),
+         |s0 as (select * from base),
+         |${ttCdcStateSql(0, y1)}
+         |select o_orderkey, cents, yr from s1
+         |order by o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    val root = morCdcRoot(s, dir)
+    readVersionWithDv(s, root, 1)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Versioned schema evolution: v0 base under (o_orderkey, cents,
     * yr) → v1 `ADD COLUMN note string` (METADATA-ONLY: entries carried
     * forward verbatim, no data dir written — spec-witnessed by file
@@ -2958,5 +3006,5 @@ object Dml {
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
     dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
     dmlDvVersioned, dmlDvConcurrent, dmlDvChanges, dmlMergeMoR,
-    dmlSchemaEvolutionVersioned, dmlConstraintCheck)
+    dmlMergeMoRCdc, dmlSchemaEvolutionVersioned, dmlConstraintCheck)
 }

@@ -2740,7 +2740,7 @@ object Similarity {
 
   /** One encode pass: cell id + 64 int8 codes + one scale per vector
     * (zero shuffle — the write's partitioning is the scan's). */
-  private def ivfSqEncode(emb: DataFrame,
+  private[graft] def ivfSqEncode(emb: DataFrame,
       cm: Array[Array[Double]]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -3015,6 +3015,38 @@ object Similarity {
         .filter(col("vec_id") % 10 === AnnBatchMod), cm)
       ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
         s.read.parquet(s"$root/codes").unionByName(batch))
+        .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Late-bound oracle + model hook for the STREAMING IVF-SQ8 ingest
+    * entry (the runtime drive lives in
+    * [[graft.streaming.EventsStream.runAnnAppendStream]]; the oracle
+    * must live here with the models). Same contract as
+    * [[annIvfSqIncremental]]: the base-trained centroids encode the
+    * whole corpus. */
+  private[graft] def ivfSqBaseOracle: String =
+    ivfSqOracleFor(Option(lastIvfSqBaseCm).getOrElse(initCentroids))
+
+  private[graft] def noteIvfSqBaseCm(cm: Array[Array[Double]]): Unit =
+    lastIvfSqBaseCm = cm
+
+  /** STREAMING segment ingestion for the stored IVF-SQ8 index — the
+    * [[graft.streaming.EventsStream]] runtime driving
+    * [[ivfSqEncode]]-per-micro-batch appends against the FROZEN
+    * stored base (the `stream_index_append` discipline on the vector
+    * family): each admitted file's batch encodes against the stored
+    * base-trained centroids into its own cell-partitioned delta
+    * segment (replay-guarded), and serving unions base ∪ segments
+    * through the probed-cell-pruned [[ivfSqServe]]. Results are
+    * bit-equal to [[annIvfSqIncremental]] (same rows, same ranking
+    * keys — union order is irrelevant under the deterministic
+    * tie-break), so the SAME late-bound oracle verifies the streamed
+    * ingest end to end. */
+  val annIvfSqStream: Q = Q.df(
+    "stream_ann_append",
+    ivfSqOracleFor(Option(lastIvfSqBaseCm).getOrElse(initCentroids))) {
+    (s, dir) =>
+      graft.streaming.EventsStream.runAnnAppendStream(s, dir)
         .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3834,7 +3866,7 @@ object Similarity {
       annHnswIncremental, annHnswDelete, annHnswCompact, annHnswFiltered,
       annHnswLifecycleChain,
       annBinaryHamming, annSqTopK, annIvfSq, annIvfSqPersist,
-      annIvfSqIncremental, annIvfSqDelete, annIvfSqCompact,
+      annIvfSqIncremental, annIvfSqDelete, annIvfSqCompact, annIvfSqStream,
       annRecallQuantized,
       annGraphPersist, annGraphIncremental, annGraphDelete, annGraphCompact,
       hybridRrf, retrievalEvalNdcg, prfExpansion, knnPropagateQ,

@@ -1500,6 +1500,73 @@ object EventsStream {
       LexIndex.serveBm25(s, idx, LexIndex.segmentsOf(idx))
     }
 
+  /** STREAMING segment ingestion for the stored IVF-SQ8 index — the
+    * [[runIndexAppendStream]] discipline on the VECTOR family: the
+    * incoming embedding slice (vec_id % 10 =
+    * [[graft.operators.Similarity.AnnBatchMod]]) arrives one file per
+    * trigger; each micro-batch encodes against the FROZEN stored
+    * base-trained centroids into its own cell-partitioned delta
+    * segment (replay-guarded batch-id high-watermark — per-batch work
+    * is one encode pass over the batch, nothing corpus-sized); the
+    * drained serve unions base ∪ segments through the probed-cell-
+    * pruned serve. Entry + oracle live at
+    * [[graft.operators.Similarity.annIvfSqStream]]. */
+  def runAnnAppendStream(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    withStreamPartitions(s) {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.Similarity
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_").toString
+      val root = Similarity.ivfsqBaseRoot(s, dir)
+      val cm = Similarity.readCentroids(s, root)
+      Similarity.noteIvfSqBaseCm(cm)
+      val emb = graft.Tables.df(s, dir, "embeddings")
+      val inDir = s"$tmp/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      (0 until 3).foreach { i =>
+        val stage = s"$tmp/stage$i"
+        emb.filter(col("vec_id") % 10 === Similarity.AnnBatchMod &&
+            pmod(expr("vec_id div 10"), lit(3)) === i)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
+      }
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          // replay guard: the applyMergeBatch high-watermark idiom —
+          // a replayed batch id never re-encodes
+          val wmPath = java.nio.file.Paths.get(s"$tmp/delta_watermark")
+          val wm =
+            if (java.nio.file.Files.exists(wmPath))
+              java.nio.file.Files.readString(wmPath).trim.toLong
+            else -1L
+          if (bid > wm) {
+            Similarity.ivfSqEncode(b, cm)
+              .write.mode("overwrite").partitionBy("cid")
+              .parquet(s"$tmp/delta/b$bid")
+            java.nio.file.Files.writeString(wmPath, bid.toString)
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val deltaDirs = Option(new java.io.File(s"$tmp/delta").listFiles())
+        .toSeq.flatten.filter(_.isDirectory).map(_.getPath).sorted
+      val codes = (Seq(s"$root/codes") ++ deltaDirs)
+        .map(d => s.read.parquet(d))
+        .reduce(_ unionByName _)
+      Similarity.ivfSqServe(emb, Similarity.TopK, cm, codes)
+    }
+
   val indexAppendStreamed: Q = Q.df(
     "stream_index_append", graft.operators.LexIndex.serveOracle) {
     (s, dir) => runIndexAppendStream(s, dir)

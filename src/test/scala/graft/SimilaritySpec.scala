@@ -532,4 +532,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfsq.toSet.subsetOf(ivfAll),
       "IVF-SQ8 returned a neighbor outside the probed cells")
   }
+
+  test("streaming IVF-SQ8 ingest: drained serve bit-equal to the batch " +
+    "incremental path, frozen base untouched") {
+    val root = Similarity.ivfsqBaseRoot(spark, TestSpark.Sf)
+    def inv(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/codes"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = inv()
+    def rows3(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.orderBy(col("query_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = rows3(graft.streaming.EventsStream
+      .runAnnAppendStream(spark, TestSpark.Sf))
+    assert(inv() == before,
+      "streaming ingest touched the frozen base code table")
+    val batch = rows3(Similarity.annIvfSqIncremental.run(spark, TestSpark.Sf))
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed IVF-SQ8 ingest diverged from the batch incremental serve")
+  }
 }

@@ -552,4 +552,27 @@ class TimeTravelSpec extends AnyFunSuite {
         .filter(col("note").isNotNull).limit(1).count() == 0,
       "an untouched partition served note values")
   }
+
+  test("MoR CDC: a DELETE is pure DV membership — the partition's data " +
+    "dir survives from g0, deleted keys never enter the delta") {
+    val root = Dml.morCdcRoot(spark, TestSpark.Sf)
+    val e = Dml.readManifestFull(root, 1)(Dml.TimeTravelYears.head)
+    assert(e.data.contains("g0"),
+      "the MoR CDC commit rewrote its partition's data dir")
+    assert(e.dvs.nonEmpty && e.deltas.nonEmpty, "missing sidecar pair")
+    val dv = spark.read.parquet(s"$root/${e.dvs.head}")
+      .collect().map(_.getLong(0)).toSet
+    assert(dv.exists(k => k >= 0 && k % 20 == 5),
+      "deleted slice missing from the DV sidecar")
+    val delta = spark.read.parquet(s"$root/${e.deltas.head}")
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    assert(!delta.exists(k => k >= 0 && k % 20 == 5),
+      "a deleted key survived into the delta")
+    // the visible read drops the deleted slice for the touched year
+    val y = Dml.TimeTravelYears.head
+    val gone = Dml.readVersionWithDv(spark, root, 1)
+      .filter(col("yr") === y && col("o_orderkey") >= 0 &&
+        col("o_orderkey") % 20 === 5)
+    assert(gone.limit(1).count() == 0, "deleted rows still visible")
+  }
 }
