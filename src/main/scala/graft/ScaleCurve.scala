@@ -87,7 +87,8 @@ object ScaleCurve {
     "classifier_train_logreg",    // 6 gradient rounds over the hashed feature table
     "stream_index_append",        // per-micro-batch segment append (3 fixed batches)
     "stream_ann_append",          // per-micro-batch IVF-SQ8 encode vs frozen base
-    "dml_merge_mor_cdc")          // U/I/D MoR read: data ∖ DV ∪ delta
+    "dml_merge_mor_cdc",          // U/I/D MoR read: data ∖ DV ∪ delta
+    "dml_mor_changes")            // CDF across the full MoR lineage
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.

@@ -2249,6 +2249,41 @@ object Dml {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Change feed across the whole MERGE-ON-READ lineage: every
+    * transition of [[morRoot]]'s history changed only its entries'
+    * SIDECAR lists (data dirs byte-identical throughout — the MoR
+    * contract), so a data-dir manifest diff would emit zero rows for
+    * every version; the full-entry diff + DV/delta-applying reads
+    * reconstruct the exact same value-based feed the copy-on-write
+    * lineage produces — which is the oracle: the 3-batch replay's
+    * per-transition diffs, verbatim. CDF is storage-layout-invariant
+    * by construction, now hash-verified. */
+  val dmlMoRChanges: Q = Q.df(
+    "dml_mor_changes", {
+      val states = TimeTravelYears.zipWithIndex
+        .map { case (y, i) => ttStateSql(i + 1, y) }.mkString(",\n")
+      val diffs = (1 to TimeTravelYears.size).map(ttDiffSql)
+        .mkString(",\n")
+      s"""with base as materialized (
+         |  select o_orderkey,
+         |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+         |    cast(year(o_orderdate) as int) as yr
+         |  from orders),
+         |s0 as materialized (select * from base),
+         |$states,
+         |$diffs
+         |select version, change_type, o_orderkey, cents, yr
+         |from (${(1 to TimeTravelYears.size).map(k => s"select * from d$k")
+            .mkString(" union all ")}) t
+         |order by version, change_type, o_orderkey""".stripMargin
+    }) { (s, dir) =>
+    val root = morRoot(s, dir)
+    timeTravelVersions(root).filter(_ >= 1)
+      .map(versionChanges(s, root, _))
+      .reduce(_ unionByName _)
+      .orderBy(col("version"), col("change_type"), col("o_orderkey"))
+  }
+
   /** Merge-on-read with the FULL U/I/D op set: the CDC batch's
     * matched keys (updates + deletes + minted inserts) become the DV
     * sidecar, only the non-delete rows survive into the delta — a
@@ -3006,5 +3041,6 @@ object Dml {
     dmlConcurrentWriters, dmlMvJoinDelta, dmlTimeTravelAsOfTs,
     dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
     dmlDvVersioned, dmlDvConcurrent, dmlDvChanges, dmlMergeMoR,
-    dmlMergeMoRCdc, dmlSchemaEvolutionVersioned, dmlConstraintCheck)
+    dmlMergeMoRCdc, dmlMoRChanges, dmlSchemaEvolutionVersioned,
+    dmlConstraintCheck)
 }
