@@ -517,6 +517,25 @@ class TimeTravelSpec extends AnyFunSuite {
       // and the feed across the MoR commit is non-empty (full-entry diff)
       assert(Dml.versionChanges(spark, root, 1).limit(1).count() == 1,
         "CDF across a MoR commit emitted zero rows")
+      // vacuum reclaims the folded sidecars: retain only the head (v5);
+      // v1-v4's dv/delta generations fall out of every retained
+      // manifest... except those v5 still references (v4's pair + v5's
+      // dv — v5 appended to v4's entry). Unreferenced ones go.
+      val headBefore = rows(Dml.readVersionWithDv(spark, root, 5))
+      Dml.vacuumTimeTravel(root, 1)
+      val kept = Dml.readManifestFull(root, 5).values
+        .flatMap(e => e.data +: (e.dvs ++ e.deltas)).toSet
+      // the sweep reclaims at PARTITION-dir granularity (empty
+      // generation shells may remain): every surviving partition dir
+      // must be referenced by the retained manifest
+      for (sub <- Seq("dv", "delta");
+           g <- Option(new java.io.File(s"$root/$sub").listFiles())
+             .toSeq.flatten.filter(_.isDirectory);
+           pd <- Option(g.listFiles()).toSeq.flatten.filter(_.isDirectory))
+        assert(kept.contains(s"$sub/${g.getName}/${pd.getName}"),
+          s"vacuum left unreferenced $sub/${g.getName}/${pd.getName}")
+      assert(rows(Dml.readVersionWithDv(spark, root, 5)) == headBefore,
+        "vacuum changed the retained MoR head read")
     } finally graft.plans.Scratch.deleteTree(root)
   }
 
