@@ -2390,6 +2390,11 @@ object Dml {
     writeManifestWithSchema(root, 2,
       readManifestFull(root, 1) +
         (y -> PartEntry(s"data/g2/yr=$y", Nil)), SchemaV1)
+    // v3: DROP COLUMN note — metadata-only again (entries verbatim,
+    // schema reverts): generation g2's files still CARRY the column
+    // physically; v3 reads project it away, v2 time travel still
+    // serves it — drop is as free as add, and as reversible
+    writeManifestWithSchema(root, 3, readManifestFull(root, 2), SchemaV0)
     root
   }
 
@@ -2427,6 +2432,34 @@ object Dml {
     val root = schemaEvoRoot(s, dir)
     readVersionWithSchema(s, root, 2)
       .select(col("o_orderkey"), col("cents"), col("yr"), col("note"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Read the post-DROP head (v3): the same rows as v2 but served
+    * under the reverted schema — the physically-present `note` bytes
+    * in generation g2 are projected away at plan time, and `VERSION
+    * AS OF 2` still serves them (spec-pinned). Oracle = the upsert
+    * replay without the column. */
+  val dmlSchemaDropColumn: Q = Q.df(
+    "dml_schema_drop_column",
+    s"""with base as (
+       |  select o_orderkey,
+       |    cast(o_totalprice::DECIMAL(12,2) * 100 as bigint) as cents,
+       |    cast(year(o_orderdate) as int) as yr
+       |  from orders),
+       |hit as (select * from base
+       |  where yr = ${TimeTravelYears.head} and o_orderkey % 20 = 0),
+       |batch as (
+       |  select o_orderkey, cents * 2 as cents, yr from hit
+       |  union all
+       |  select -o_orderkey - 1, cents + 7, yr from hit)
+       |select coalesce(b.o_orderkey, u.o_orderkey) as o_orderkey,
+       |  coalesce(u.cents, b.cents) as cents,
+       |  coalesce(b.yr, u.yr) as yr
+       |from base b full outer join batch u on b.o_orderkey = u.o_orderkey
+       |order by o_orderkey""".stripMargin) { (s, dir) =>
+    readVersionWithSchema(s, schemaEvoRoot(s, dir), 3)
+      .select(col("o_orderkey"), col("cents"), col("yr"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -3042,5 +3075,5 @@ object Dml {
     dmlTableHistory, dmlDeletionVectors, dmlDvCompaction,
     dmlDvVersioned, dmlDvConcurrent, dmlDvChanges, dmlMergeMoR,
     dmlMergeMoRCdc, dmlMoRChanges, dmlSchemaEvolutionVersioned,
-    dmlConstraintCheck)
+    dmlSchemaDropColumn, dmlConstraintCheck)
 }

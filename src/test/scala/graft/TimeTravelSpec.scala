@@ -570,6 +570,19 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(v2.filter(col("yr") =!= Dml.TimeTravelYears.head)
         .filter(col("note").isNotNull).limit(1).count() == 0,
       "an untouched partition served note values")
+    // v3 DROP COLUMN: metadata-only (entries verbatim), the reverted
+    // schema hides the physically-present g2 column, and v2 time
+    // travel still serves it
+    assert(Dml.readManifestFull(root, 3) == Dml.readManifestFull(root, 2),
+      "DROP COLUMN commit changed partition entries")
+    assert(Dml.readManifestSchema(root, 3).get == Dml.SchemaV0)
+    val v3 = Dml.readVersionWithSchema(spark, root, 3)
+    assert(!v3.columns.contains("note"),
+      "v3 read still serves the dropped column")
+    assert(v3.count() == v2.count(), "DROP COLUMN changed the row set")
+    assert(Dml.readVersionWithSchema(spark, root, 2)
+        .filter(col("note").isNotNull).limit(1).count() == 1,
+      "time travel across the drop lost the column values")
   }
 
   test("MoR CDC: a DELETE is pure DV membership — the partition's data " +
