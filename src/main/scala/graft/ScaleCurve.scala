@@ -88,7 +88,8 @@ object ScaleCurve {
     "stream_index_append",        // per-micro-batch segment append (3 fixed batches)
     "stream_ann_append",          // per-micro-batch IVF-SQ8 encode vs frozen base
     "dml_merge_mor_cdc",          // U/I/D MoR read: data ∖ DV ∪ delta
-    "dml_mor_changes")            // CDF across the full MoR lineage
+    "dml_mor_changes",            // CDF across the full MoR lineage
+    "dml_schema_drop_column")     // post-DROP read: projection-only schema serve
   // Cells whose audited quantity differs from their serving entry run
   // a dedicated drive instead of SparkEntry.queries — declarative, like
   // StreamCells, so the dispatch below doesn't accrete name checks.
