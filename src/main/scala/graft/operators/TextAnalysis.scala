@@ -564,10 +564,15 @@ object TextAnalysis {
       def zOf(wt: org.apache.spark.sql.DataFrame) =
         cnt.join(broadcast(wt), Seq("bucket"))
           .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z"))
+      // z is MATERIALIZED once per round and reused by BOTH its
+      // consumers — the mistake diagnostic of round t and the gradient
+      // of round t+1 previously each re-ran the full feature-table ⋈
+      // model join (the loop's one corpus-sized pass) for the same
+      // values; this halves the per-round feature-table work.
+      var z: org.apache.spark.sql.DataFrame = null
+      var zOwned = false
       for (t <- 1 to TrainRounds) {
-        val z =
-          if (w == null) lab.select(col("doc_id"), lit(0L).as("z"))
-          else zOf(w)
+        if (z == null) z = lab.select(col("doc_id"), lit(0L).as("z"))
         val g = cnt.join(z, Seq("doc_id")).join(lab, Seq("doc_id"))
           .groupBy(col("bucket"))
           .agg(sum((col("z") - col("y") * lit(TrainScale)) * col("c"))
@@ -583,13 +588,21 @@ object TextAnalysis {
             .select(col("bucket"), (prevW - step).as("w")))
         if (w != null) graft.plans.Checkpoints.free(w)
         w = wNext
-        // per-round scalar diagnostics only reach the driver
-        val mist = lab.join(zOf(w), Seq("doc_id"))
-          .filter(col("y") * col("z") <= 0).count()
-        val l1 = w.agg(sum(abs(col("w")))).first().getLong(0)
-        trace += ((t, mist, l1))
+        val zNext = graft.plans.Checkpoints.materialize(zOf(w))
+        if (zOwned) graft.plans.Checkpoints.free(z)
+        z = zNext; zOwned = true
+        // per-round scalar diagnostics only reach the driver — both
+        // scalars fused into ONE action (they were two driver
+        // round-trips per round)
+        val row = lab.join(z, Seq("doc_id"))
+          .filter(col("y") * col("z") <= 0)
+          .agg(count(lit(1)).as("m"))
+          .crossJoin(w.agg(sum(abs(col("w"))).as("l1")))
+          .first()
+        trace += ((t, row.getLong(0), row.getLong(1)))
       }
       graft.plans.Checkpoints.free(w)
+      if (zOwned) graft.plans.Checkpoints.free(z)
       trace.toSeq.toDF("round", "mistakes", "w_l1")
         .select(col("round").cast("int"), col("mistakes"), col("w_l1"))
     } finally Seq(cnt, lab, hd).foreach(graft.plans.Checkpoints.free)

@@ -12,6 +12,30 @@ object Scratch {
   /** Recursively delete `root` if it exists; never throws (a scratch
     * delete racing the OS tmp cleaner or a stopped session's FS is not
     * an error worth failing a bench family boundary over). */
+  /** Recreate `src`'s file tree under `dst` via HARDLINKS (copy
+    * fallback for cross-device): metadata-only duplication of a stored
+    * artifact template into a run-private working dir, so an entry that
+    * mutates its index root (segment appends, compactions) can start
+    * from a memoized immutable base without re-deriving or re-copying
+    * the bytes. */
+  def linkTree(src: String, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(dp)
+    java.nio.file.Files.walk(sp).iterator().asScala.foreach { f =>
+      val t = dp.resolve(sp.relativize(f))
+      if (java.nio.file.Files.isDirectory(f))
+        java.nio.file.Files.createDirectories(t)
+      else
+        try java.nio.file.Files.createLink(t, f)
+        catch { case _: Throwable =>
+          java.nio.file.Files.copy(f, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    }
+  }
+
   def deleteTree(root: String): Unit =
     try {
       val p = java.nio.file.Paths.get(root)
