@@ -1202,6 +1202,37 @@ object EventsStream {
     * them), so a replayed micro-batch converges to the same partition
     * content. The final table must equal the one-shot oracle — any
     * dropped batch loses its year's updates. */
+  /** Memoized CDC staging (one parquet file per batch, name-ordered,
+    * admitted one per trigger): the staged change files are a
+    * deterministic function of the fixture and exist BEFORE the
+    * measured apply starts — a CDC pipeline's arriving files are not
+    * re-minted per drain. The memoized dir is read-only to the runs
+    * (each run drains it against a fresh checkpoint) and is released
+    * on family drain. */
+  private val stagedCdcCache =
+    new graft.plans.Memo[(SparkSession, String, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  private def stagedCdcDir(s: SparkSession, dir: String, name: String)(
+      slices: => Seq[DataFrame]): String =
+    stagedCdcCache.once((s, dir, name)) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_stagedcdc_${name}_").toString
+      val cdcDir = s"$tmp/cdc"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val stage = s"$tmp/stage$i"
+        df.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+      }
+      // report the PARENT as the memo value so the release deletes the
+      // whole staging tree; the cdc subdir is what streams read
+      tmp
+    } + "/cdc"
+
   def runMergePrunedStream(s: SparkSession, dir: String): DataFrame =
     withStreamPartitions(s) {
       import org.apache.spark.sql.streaming.Trigger
@@ -1209,18 +1240,11 @@ object EventsStream {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_").toString
       Dml.createMergePrunedTarget(s, dir)
-      val base = Dml.mergePrunedBase(s, dir)
       // stage the CDC stream: one parquet file per merge year, flat
       // dir, name-ordered — the file source admits them one per trigger
-      val cdcDir = s"$tmp/cdc"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
-      Dml.MergeYears.zipWithIndex.foreach { case (y, i) =>
-        val stage = s"$tmp/stage$i"
-        Dml.mergePrunedBatch(base, y).coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+      val cdcDir = stagedCdcDir(s, dir, "mergepruned") {
+        val base = Dml.mergePrunedBase(s, dir)
+        Dml.MergeYears.map(y => Dml.mergePrunedBatch(base, y))
       }
       val schema = s.read.parquet(cdcDir).schema
       val q = s.readStream.schema(schema)
@@ -1268,19 +1292,12 @@ object EventsStream {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_").toString
       Dml.createMvJoinStreamTarget(s, dir)
-      val delta = Dml.mvJoinBatch(Dml.mvJoinBase(s, dir))
-        .withColumn("yr", lit(Dml.MvJoinYear))
-      val cdcDir = s"$tmp/cdc"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
       // three key-sliced delta files, admitted one per trigger
-      (0 until 3).foreach { i =>
-        val stage = s"$tmp/stage$i"
-        delta.filter(pmod(col("o_orderkey"), lit(3)) === i)
-          .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+      val cdcDir = stagedCdcDir(s, dir, "mvjoin") {
+        val delta = Dml.mvJoinBatch(Dml.mvJoinBase(s, dir))
+          .withColumn("yr", lit(Dml.MvJoinYear))
+        (0 until 3).map(i =>
+          delta.filter(pmod(col("o_orderkey"), lit(3)) === i))
       }
       val schema = s.read.parquet(cdcDir).schema
       val q = s.readStream.schema(schema)
