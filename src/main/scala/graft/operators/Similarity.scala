@@ -36,7 +36,7 @@ object Similarity {
     * O(n·q) / O(n²) pair evaluations costs a single fold — 3× less work
     * than dot/(|a|·|b|) per pair. The oracle mirrors this arithmetic
     * structure exactly (u_i = v_i / sqrt(Σv²), then fold-left dot). */
-  private[operators] def withUnit(emb: DataFrame): DataFrame =
+  private[graft] def withUnit(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("u"))
@@ -2137,7 +2137,7 @@ object Similarity {
     new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
       graft.plans.Checkpoints.free)
 
-  private[operators] def sharedUnitVecs(
+  private[graft] def sharedUnitVecs(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     unitCache.once((s, dir))(graft.plans.Checkpoints.materialize(
       withUnit(Tables.df(s, dir, "embeddings"))))
