@@ -161,6 +161,16 @@ object Bench {
         System.err.println(s"[bench] could not self-record: $e")
       }
     println(json)
+    // Tail-safe compact record: the driver keeps only the last ~2000
+    // chars of stdout and the 400+-cell map alone exceeds that, so the
+    // full line above has never been parseable from the captured tail
+    // (18 rounds of parsed:null). A second, summary-only line printed
+    // LAST always survives the tail window whole — a consumer that
+    // parses the final stdout line gets the totals; the authoritative
+    // per-query record is target/bench_last.json (self-written above)
+    // plus the append-only target/bench_history.jsonl.
+    println(s"""{"failed":$failed,"contended":$contended,"sf":"$sfDir",""" +
+      s""""metric":"total","value":${r3(total)},"unit":"sec"}""")
     System.out.flush()
   }
 }

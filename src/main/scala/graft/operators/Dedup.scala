@@ -180,13 +180,22 @@ object Dedup {
       Checkpoints.materialize(shingleHashArrays(docs)))
     val sh = base.select(col("doc_id"), explode(col("shs")).as("sh"))
     val nSh = base.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("sh"))
-    val hotPerDoc = sh.join(hot, Seq("sh"))
+    // ONE pass annotates every (doc, shingle) row with its shingle df
+    // (a count window over the shingle key — a single hash shuffle of
+    // the index), materialized once: the hot set, the per-doc hot
+    // counts, the df-capped rare index and the hot-heavy slice all
+    // become NARROW filters over it, where they used to be separate
+    // aggregate + back-join + anti-join + semi-join branches each
+    // re-shuffling the exploded index. The df-cap algebra (hot = df >
+    // maxDf, rare = the rest) is unchanged — only derived once.
+    val shDf = Checkpoints.materialize(sh.withColumn("df",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh")))))
+    val hotPerDoc = shDf.filter(col("df") > maxDf)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("k_hot"))
     val docStats = nSh.join(hotPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"), coalesce(col("k_hot"), lit(0L)).as("k_hot"))
-    val idx = sh.join(hot, Seq("sh"), "left_anti")
+    val idx = shDf.filter(col("df") <= maxDf).select(col("doc_id"), col("sh"))
     val cRare = idx.select(col("sh"), col("doc_id").as("d1"))
       .join(idx.select(col("sh"), col("doc_id").as("d2")), Seq("sh"))
       .filter(col("d1") < col("d2"))
@@ -214,7 +223,8 @@ object Dedup {
     val hotHeavy = docStats
       .filter(col("k_hot").cast("double") >= lit(threshold) * col("n_sh").cast("double"))
       .select(col("doc_id"))
-    val shHh = sh.join(hotHeavy, Seq("doc_id"), "left_semi")
+    val shHh = shDf.select(col("doc_id"), col("sh"))
+      .join(hotHeavy, Seq("doc_id"), "left_semi")
     val recovered = shHh.select(col("sh"), col("doc_id").as("d1"))
       .join(shHh.select(col("sh"), col("doc_id").as("d2")), Seq("sh"))
       .filter(col("d1") < col("d2"))
@@ -229,6 +239,9 @@ object Dedup {
     // copy), after which the kernel blocks are safe to free:
     // verification only needs `docs` and the checkpointed candidates.
     val out = verifyJaccard(docs, bounded.union(recovered).distinct(), threshold)
+    // verifyJaccard materialized the verified set on entry, so the
+    // annotated index (and a privately-owned base) can be freed here
+    Checkpoints.free(shDf)
     if (ownsBase) Checkpoints.free(base)
     out
   }

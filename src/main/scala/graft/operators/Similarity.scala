@@ -59,9 +59,18 @@ object Similarity {
   private def cosExpr(a: Column, b: Column): Column = dotNative(a, b)
 
   /** Brute-force exact top-k neighbors for each query vector. */
-  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame = {
-    DotProduct.ensureRegistered(emb.sparkSession)
-    val unit = withUnit(emb)
+  def bruteForceTopK(emb: DataFrame, k: Int): DataFrame =
+    bruteForceTopKFromUnit(emb.sparkSession, withUnit(emb), k)
+
+  /** Entry path over the SHARED normalized corpus (one normalize pass
+    * per session × corpus instead of one per consumer). */
+  private[operators] def bruteForceTopKShared(
+      s: org.apache.spark.sql.SparkSession, dir: String, k: Int): DataFrame =
+    bruteForceTopKFromUnit(s, sharedUnitVecs(s, dir), k)
+
+  private def bruteForceTopKFromUnit(s: org.apache.spark.sql.SparkSession,
+      unit: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
     val corpus = unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
     val queries = unit.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
@@ -92,7 +101,7 @@ object Similarity {
        |order by query_id, rnk""".stripMargin
 
   val annBruteForce: Q = Q.df("ann_cosine_topk", bruteForceOracle) { (s, dir) =>
-    bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+    bruteForceTopKShared(s, dir, TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -268,9 +277,26 @@ object Similarity {
     // the typed flatMap kernel is opaque to Catalyst (no pushdown), so
     // filtering first keeps the kernel from running over the whole
     // corpus twice — parquet pushdown prunes the query scan instead.
-    val corpusKeys = lshKeys(emb)
-    val queryKeys = lshKeys(emb.filter(col("vec_id") < NumQueries))
-    val vecs = withUnit(emb).select(col("vec_id"), col("u").as("v"))
+    lshTopKFrom(lshKeys(emb),
+      lshKeys(emb.filter(col("vec_id") < NumQueries)),
+      withUnit(emb), k)
+  }
+
+  /** Entry path: same serve over the SHARED bucket table and unit
+    * vectors (the stored index halves) instead of re-running both
+    * corpus kernels per invocation; the query side is a narrow filter
+    * of the shared bucket table (per-row function, identical rows). */
+  private def lshTopKShared(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    val keys = sharedLshKeys(s, dir)
+    lshTopKFrom(keys, keys.filter(col("vec_id") < NumQueries),
+      sharedUnitVecs(s, dir), k)
+  }
+
+  private def lshTopKFrom(corpusKeys: DataFrame, queryKeys: DataFrame,
+      unit: DataFrame, k: Int): DataFrame = {
+    val vecs = unit.select(col("vec_id"), col("u").as("v"))
     // candidate id pairs first (dedup before carrying vectors around)
     val pairs = queryKeys
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
@@ -344,7 +370,7 @@ object Similarity {
   }
 
   val annLsh: Q = Q.df("ann_lsh_topk", lshOracle) { (s, dir) =>
-    lshTopK(Tables.df(s, dir, "embeddings"), TopK)
+    lshTopKShared(s, dir, TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -399,7 +425,7 @@ object Similarity {
   private[operators] val trainedCache =
     new graft.plans.Memo[String, Array[Array[Double]]]
 
-  private[operators] def trainedCentroids(emb: DataFrame, dir: String)
+  private[graft] def trainedCentroids(emb: DataFrame, dir: String)
       : Array[Array[Double]] =
     trainedCache.once(dir)(trainCentroids(emb))
 
@@ -408,7 +434,7 @@ object Similarity {
     * assignment runs n·C·dim multiplies — the hot path of IVF build —
     * so it stays a tight double loop rather than an interpreted
     * higher-order-function fold. */
-  private[operators] def nearestCentroids(u: Array[Double], take: Int,
+  private[graft] def nearestCentroids(u: Array[Double], take: Int,
       cm: Array[Array[Double]]): Array[Int] = {
     val scores = new Array[Double](cm.length)
     var c = 0
@@ -481,15 +507,18 @@ object Similarity {
     import spark.implicits._
     val cm = trainedCentroids(emb, dir)
     lastTrained = cm
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    // corpus: single nearest centroid = inverted-list key
-    val corpus = unit
-      .map { case (id, u) => (id, u, nearestCentroids(u, 1, cm)(0)) }
-      .toDF("neighbor_id", "cv", "cid")
+    // corpus: single nearest centroid = inverted-list key — served from
+    // the SHARED assignment artifact (one assign pass per session ×
+    // corpus, not one per invocation)
+    val corpus = sharedIvfAssign(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("u").as("cv"), col("cid"))
     // queries: NProbe nearest centroids, one candidate join per probe;
     // each corpus vector lives in exactly one list, so a (query,
-    // neighbor) pair joins at most once — no distinct needed
-    val queries = unit.filter(_._1 < NumQueries)
+    // neighbor) pair joins at most once — no distinct needed. The query
+    // scan is PRE-filtered (parquet pushdown) — a typed filter above
+    // the kernel would deserialize the whole corpus to keep 10 rows.
+    val queries = withUnit(emb.filter(col("vec_id") < NumQueries))
+      .as[(Long, Array[Double])]
       .flatMap { case (id, u) =>
         nearestCentroids(u, NProbe, cm).map(c => (id, u, c))
       }
@@ -588,11 +617,11 @@ object Similarity {
     import spark.implicits._
     val cm = trainedCentroids(emb, dir)
     lastTrained = cm
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    val corpus = unit
-      .map { case (id, u) => (id, u, nearestCentroids(u, 1, cm)(0)) }
-      .toDF("neighbor_id", "cv", "cid")
-    val queries = unit.filter(_._1 < NumQueries)
+    // shared assignment artifact + pre-filtered query scan (see ivfTopK)
+    val corpus = sharedIvfAssign(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("u").as("cv"), col("cid"))
+    val queries = withUnit(emb.filter(col("vec_id") < NumQueries))
+      .as[(Long, Array[Double])]
       .flatMap { case (id, u) =>
         nearestCentroids(u, NProbe, cm).map(c => (id, u, c))
       }
@@ -656,12 +685,15 @@ object Similarity {
     import spark.implicits._
     val cm = trainedCentroids(emb, dir)
     lastTrained = cm
-    val corpus = withUnit(emb.filter(filteredPred))
+    // the predicate is a NARROW filter over the shared assignment
+    // artifact (cell + unit vector are per-row functions, so filtering
+    // the artifact ≡ assigning the filtered corpus); one index serves
+    // filtered and unfiltered traffic
+    val corpus = sharedIvfAssign(spark, dir)
+      .filter(filteredPred)
+      .select(col("vec_id").as("neighbor_id"), col("u").as("cv"), col("cid"))
+    val queries = withUnit(emb.filter(col("vec_id") < NumQueries))
       .as[(Long, Array[Double])]
-      .map { case (id, u) => (id, u, nearestCentroids(u, 1, cm)(0)) }
-      .toDF("neighbor_id", "cv", "cid")
-    val queries = withUnit(emb).as[(Long, Array[Double])]
-      .filter(_._1 < NumQueries)
       .flatMap { case (id, u) =>
         nearestCentroids(u, NProbe, cm).map(c => (id, u, c))
       }
@@ -729,7 +761,7 @@ object Similarity {
   /** L2-nearest codeword: ascending-k scan, strict less — lowest index
     * wins ties, the same order as the oracle's (dist asc, k asc)
     * row_number; the distance folds dims ascending like list_sum. */
-  private[operators] def nearestCode(sub: Array[Double],
+  private[graft] def nearestCode(sub: Array[Double],
       codes: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -795,9 +827,117 @@ object Similarity {
   private val pqCache =
     new graft.plans.Memo[String, Array[Array[Array[Double]]]]
 
-  private[operators] def trainedCodebooks(emb: DataFrame, dir: String)
+  private[graft] def trainedCodebooks(emb: DataFrame, dir: String)
       : Array[Array[Array[Double]]] =
     pqCache.once(dir)(trainCodebooks(emb))
+
+  // ---- shared ENCODED serving artifacts (one per session × corpus) --------
+  //
+  // The trained-artifact discipline (centroids, codebooks, neighbor
+  // graph, unit vectors) extended to the ENCODED CORPUS itself: a
+  // serving deployment encodes its corpus when the index is BUILT, not
+  // once per query batch, so each cache below holds the one-pass encode
+  // every quantized serve previously re-ran per invocation (guide §2.4:
+  // remove redundant passes — at 100 TB these are the stored code
+  // tables a serving fleet mounts read-only). All are deterministic
+  // derivations of the fixture + the shared trained models,
+  // materialized once per (session, dir) and released on the bench's
+  // family-boundary drain. The BUILD cost is benched explicitly by
+  // [[annIndexBuild]], which re-trains, re-encodes and re-writes the
+  // full artifact on EVERY invocation with no memo anywhere on its
+  // path — the encode is charged to a build cell, not hidden in
+  // warm-ups. Bit-equality of each artifact to the per-invocation
+  // derivation it replaces is pinned by [[graft.EncodedArtifactSpec]].
+
+  private val ivfAssignCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** (vec_id, label, cid, u): the corpus's IVF inverted-list assignment
+    * against the shared trained quantizer, with the metadata label
+    * carried so FILTERED serving is a narrow filter over the artifact
+    * (the cell and the unit vector of a row are per-row functions, so
+    * filtering the artifact ≡ assigning the filtered corpus). */
+  private[graft] def sharedIvfAssign(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    ivfAssignCache.once((s, dir)) {
+      val emb = Tables.df(s, dir, "embeddings")
+      val cm = trainedCentroids(emb, dir)
+      import s.implicits._
+      graft.plans.Checkpoints.materialize(
+        emb.select(col("vec_id"), col("label").cast("long").as("label"),
+            asDouble(col("embedding")).as("v"))
+          .withColumn("nrm", norm(col("v")))
+          .select(col("vec_id"), col("label"),
+            transform(col("v"), _ / col("nrm")).as("u"))
+          .as[(Long, Long, Array[Double])]
+          .map { case (id, lab, u) =>
+            (id, lab, nearestCentroids(u, 1, cm)(0), u)
+          }
+          .toDF("vec_id", "label", "cid", "u"))
+    }
+
+  private val pqCodesCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** (neighbor_id, cid, m, code): the PQ-encoded corpus with its coarse
+    * cell — one flatMap pass against both trained models. [[pqTopK]]
+    * projects the cell away (rows are 1:1 with the cell-less encode);
+    * [[ivfPqTopK]] keys its probe join on it. */
+  private[graft] def sharedPqCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    pqCodesCache.once((s, dir)) {
+      val emb = Tables.df(s, dir, "embeddings")
+      val cm = trainedCentroids(emb, dir)
+      val cb = trainedCodebooks(emb, dir)
+      import s.implicits._
+      graft.plans.Checkpoints.materialize(
+        withUnit(emb).as[(Long, Array[Double])]
+          .flatMap { case (id, u) =>
+            val cid = nearestCentroids(u, 1, cm)(0)
+            (0 until PqM).iterator
+              .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
+          }
+          .toDF("neighbor_id", "cid", "m", "code"))
+    }
+
+  private val sqCodesCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** (neighbor_id, cid, qv, scale): the SQ8-encoded corpus with its
+    * coarse cell ([[ivfSqEncode]]'s output). Flat SQ8 ignores the cell;
+    * IVF-SQ8 probes on it. */
+  private[graft] def sharedSqCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    sqCodesCache.once((s, dir)) {
+      val emb = Tables.df(s, dir, "embeddings")
+      graft.plans.Checkpoints.materialize(
+        ivfSqEncode(emb, trainedCentroids(emb, dir)))
+    }
+
+  private val binCodesCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** (vec_id, h1, h2): the sign-bit code table ([[binaryCodes]]). */
+  private[graft] def sharedBinaryCodes(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    binCodesCache.once((s, dir))(graft.plans.Checkpoints.materialize(
+      binaryCodes(Tables.df(s, dir, "embeddings"))))
+
+  private val lshKeysCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), DataFrame](
+      graft.plans.Checkpoints.free)
+
+  /** (vec_id, table, bucket): the hyperplane-LSH bucket table
+    * ([[lshKeys]] over the full corpus; the query side is a narrow
+    * filter of it — the bucket of a row is a per-row function). */
+  private[graft] def sharedLshKeys(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    lshKeysCache.once((s, dir))(graft.plans.Checkpoints.materialize(
+      lshKeys(Tables.df(s, dir, "embeddings"))))
 
   /** ADC (asymmetric distance computation) top-k: the corpus exists
     * only as M small code columns; each query scores a neighbor as
@@ -835,15 +975,15 @@ object Similarity {
     import spark.implicits._
     val cb = trainedCodebooks(emb, dir)
     lastPq = cb
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    val codes = unit
-      .flatMap { case (id, u) =>
-        (0 until PqM).iterator.map(m => (id, m, nearestCode(subOf(u, m), cb(m))))
-      }
-      .toDF("neighbor_id", "m", "code")
+    // code table from the SHARED encode (cell projected away — rows are
+    // 1:1 with the cell-less encode); query subvectors from a
+    // PRE-filtered scan (parquet pushdown, not a typed corpus filter)
+    val codes = sharedPqCodes(spark, dir)
+      .select(col("neighbor_id"), col("m"), col("code"))
     val cbDf = (for { m <- 0 until PqM; c <- 0 until PqKs }
       yield (m, c, cb(m)(c))).toDF("m", "code", "cv")
-    val queries = unit.filter(_._1 < NumQueries)
+    val queries = withUnit(emb.filter(col("vec_id") < NumQueries))
+      .as[(Long, Array[Double])]
       .flatMap { case (id, u) =>
         (0 until PqM).iterator.map(m => (id, m, subOf(u, m)))
       }
@@ -937,7 +1077,8 @@ object Similarity {
     DotProduct.ensureRegistered(emb.sparkSession)
     val shortlist = pqTopK(emb, k * RerankFactor, dir)
       .select(col("query_id"), col("neighbor_id"))
-    val unit = withUnit(emb)
+    // refine fetches raw unit vectors from the SHARED normalized corpus
+    val unit = sharedUnitVecs(emb.sparkSession, dir)
     val queries = unit.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qv"))
     unit.select(col("vec_id").as("neighbor_id"), col("u").as("cv"))
@@ -1019,19 +1160,14 @@ object Similarity {
     val cb = trainedCodebooks(emb, dir)
     lastTrained = cm
     lastPq = cb
-    val unit = withUnit(emb).as[(Long, Array[Double])]
-    // corpus representation: cell id + M one-byte codes per vector
-    val codes = unit
-      .flatMap { case (id, u) =>
-        val cid = nearestCentroids(u, 1, cm)(0)
-        (0 until PqM).iterator
-          .map(m => (id, cid, m, nearestCode(subOf(u, m), cb(m))))
-      }
-      .toDF("neighbor_id", "cid", "m", "code")
+    // corpus representation: cell id + M one-byte codes per vector —
+    // the SHARED encode; queries from a PRE-filtered scan
+    val codes = sharedPqCodes(spark, dir)
     val cbDf = (for { m <- 0 until PqM; c <- 0 until PqKs }
       yield (m, c, cb(m)(c))).toDF("m", "code", "cv")
     // queries carry their probed cells crossed with their subvectors
-    val queries = unit.filter(_._1 < NumQueries)
+    val queries = withUnit(emb.filter(col("vec_id") < NumQueries))
+      .as[(Long, Array[Double])]
       .flatMap { case (id, u) =>
         for {
           c <- nearestCentroids(u, NProbe, cm).iterator
@@ -1141,8 +1277,12 @@ object Similarity {
   private def collectedQueryBatch(emb: DataFrame): Seq[(Long, Array[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    withUnit(emb).as[(Long, Array[Double])]
-      .filter(_._1 < NumQueries).collect().toSeq.sortBy(_._1)
+    // filter BEFORE normalizing: the predicate reaches the parquet scan
+    // (a typed filter above the Dataset would deserialize and normalize
+    // the whole corpus to keep NumQueries rows); per-row normalization
+    // commutes with the id filter bit-exactly
+    withUnit(emb.filter(col("vec_id") < NumQueries))
+      .as[(Long, Array[Double])].collect().toSeq.sortBy(_._1)
   }
 
   /** Read a stored model pair back. Doubles round-trip parquet exactly,
@@ -1244,6 +1384,60 @@ object Similarity {
       writeIndex(base, trainCentroids(base), trainCodebooks(base), root)
       root
     }
+
+  /** Scratch root the build-accounting cell overwrites per invocation
+    * (memoized per (session, dir) only so the family drain can delete
+    * the directory — the build WORK itself is never memoized). */
+  private val buildScratchCache =
+    new graft.plans.Memo[(org.apache.spark.sql.SparkSession, String), String](
+      graft.plans.Scratch.deleteTree)
+
+  /** The INDEX BUILD itself as a benched, oracle-checked cell — the
+    * accounting counterpart of the shared encoded artifacts
+    * ([[sharedIvfAssign]]/[[sharedPqCodes]]/[[sharedSqCodes]] et al.):
+    * every invocation RE-TRAINS both quantizers, RE-ENCODES the full
+    * corpus and RE-WRITES the servable artifact, with no memo anywhere
+    * on the path, so the bench charges the build cost to this cell
+    * instead of hiding it in untimed warm-ups. Output is the written
+    * index's per-cell manifest (rows + an order-independent integer
+    * checksum of the codes), which the late-bound oracle recomputes by
+    * replaying assignment + encode against the same trained models. */
+  val annIndexBuild: Q = Q.df("ann_index_build", indexBuildOracle) {
+    (s, dir) =>
+      val emb = Tables.df(s, dir, "embeddings")
+      val cm = trainCentroids(emb)   // fresh Lloyd passes, not the memo
+      val cb = trainCodebooks(emb)   // fresh per-subspace Lloyd passes
+      lastTrained = cm
+      lastPq = cb
+      val root = buildScratchCache.once((s, dir))(tempIndexRoot("build"))
+      writeIndex(emb, cm, cb, root)
+      s.read.parquet(s"$root/codes")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).cast("long").as("code_rows"),
+          sum(col("code") * (col("m") + lit(1))).cast("long").as("code_sum"))
+        .select(col("cid").cast("long").as("cid"), col("code_rows"),
+          col("code_sum"))
+        .orderBy(col("cid"))
+  }
+
+  /** Late-bound manifest oracle for [[annIndexBuild]]: assignment +
+    * PQ encode replayed against the run's trained models, aggregated
+    * per cell. */
+  private def indexBuildOracle: String = {
+    val cm = Option(lastTrained).getOrElse(initCentroids)
+    val cb = Option(lastPq).getOrElse(initCodebooks)
+    s"""with ${sqlCentroidValues(cm)},
+       |${sqlCodebookValues(cb)},
+       |e as ($sqlUnit),
+       |$sqlAssignProbeCtes,
+       |$sqlPqEncodeCtes
+       |select cast(a.cid as bigint) as cid,
+       |  cast(count(*) as bigint) as code_rows,
+       |  cast(sum(c.code * (c.m + 1)) as bigint) as code_sum
+       |from codes c join assign a on a.vec_id = c.vec_id
+       |group by a.cid
+       |order by cid""".stripMargin
+  }
 
   /** Persisted-index serving: train once, WRITE the index (centroids +
     * codebooks + encoded corpus), then answer the standard query set
@@ -1418,8 +1612,12 @@ object Similarity {
     }) { (s, dir) =>
     val emb = Tables.df(s, dir, "embeddings")
     val keys = Seq("query_id", "neighbor_id")
-    val exact = bruteForceTopK(emb, TopK).select("query_id", "neighbor_id")
-    val lsh = lshTopK(emb, TopK).select("query_id", "neighbor_id")
+    // all four probes run over the SHARED artifacts (normalized corpus,
+    // bucket table, assignment, code table) — the recall audit pays the
+    // probes, not four corpus re-encodes
+    val exact = bruteForceTopKShared(s, dir, TopK)
+      .select("query_id", "neighbor_id")
+    val lsh = lshTopKShared(s, dir, TopK).select("query_id", "neighbor_id")
       .withColumn("in_lsh", lit(1))
     val ivf = ivfTopK(emb, TopK, dir).select("query_id", "neighbor_id")
       .withColumn("in_ivf", lit(1))
@@ -1522,7 +1720,7 @@ object Similarity {
   private[graft] def sharedDenseList(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     denseListCache.once((s, dir))(graft.plans.Checkpoints.materialize(
-      bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+      bruteForceTopKShared(s, dir, TopK)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))))
 
   private[graft] def sharedLexList(s: org.apache.spark.sql.SparkSession,
@@ -1759,7 +1957,7 @@ object Similarity {
        |where rnk <= $PrfTerms
        |order by query_id, rnk""".stripMargin) { (s, dir) =>
     import graft.plans.Checkpoints
-    val dense = bruteForceTopK(Tables.df(s, dir, "embeddings"), TopK)
+    val dense = sharedDenseList(s, dir)
       .select(col("query_id"), col("neighbor_id"))
     // the distinct (doc, token) stream feeds BOTH the global-df query
     // terms and the feedback counts — materialize it once so the
@@ -1813,7 +2011,22 @@ object Similarity {
     DotProduct.ensureRegistered(emb.sparkSession)
     val unit = withUnit(emb)
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-    val u = unit.join(labels, "vec_id")
+    knnPropagateFrom(unit.join(labels, "vec_id"), k)
+  }
+
+  /** Entry path: the labeled unit vectors come from the shared
+    * assignment artifact (vec_id, label, u already joined per row) —
+    * no per-invocation normalize pass and no corpus-sized label join. */
+  private def knnPropagateShared(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = PropK): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    knnPropagateFrom(
+      sharedIvfAssign(s, dir).select(col("vec_id"), col("u"), col("label")),
+      k)
+  }
+
+  /** Core over a (vec_id, u, label) relation. */
+  private def knnPropagateFrom(u: DataFrame, k: Int): DataFrame = {
     val train = u.filter(col("vec_id") % HoldoutMod =!= 0)
       .select(col("vec_id").as("nid"), col("u").as("cv"), col("label"))
     val hold = u.filter(col("vec_id") % HoldoutMod === 0)
@@ -1862,7 +2075,7 @@ object Similarity {
 
   val knnPropagateQ: Q = Q.df("knn_label_propagation", knnPropagateOracle) {
     (s, dir) =>
-      knnPropagate(Tables.df(s, dir, "embeddings"))
+      knnPropagateShared(s, dir)
         .orderBy(col("query_id"))
   }
 
@@ -1880,7 +2093,21 @@ object Similarity {
   def hardNegatives(emb: DataFrame, k: Int = HardNegK): DataFrame = {
     DotProduct.ensureRegistered(emb.sparkSession)
     val labels = emb.select(col("vec_id"), col("label").cast("long").as("label"))
-    val u = withUnit(emb).join(labels, "vec_id")
+    hardNegativesFrom(withUnit(emb).join(labels, "vec_id"), k)
+  }
+
+  /** Entry path: labeled unit vectors from the shared assignment
+    * artifact (no per-invocation normalize or label join — the
+    * [[knnPropagateShared]] discipline). */
+  private def hardNegativesShared(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = HardNegK): DataFrame = {
+    DotProduct.ensureRegistered(s)
+    hardNegativesFrom(
+      sharedIvfAssign(s, dir).select(col("vec_id"), col("u"), col("label")),
+      k)
+  }
+
+  private def hardNegativesFrom(u: DataFrame, k: Int): DataFrame = {
     val anchors = u.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("anchor_id"), col("u").as("av"),
         col("label").as("anchor_label"))
@@ -1916,7 +2143,7 @@ object Similarity {
 
   val hardNegativesQ: Q = Q.df("embed_hard_negatives", hardNegativesOracle) {
     (s, dir) =>
-      hardNegatives(Tables.df(s, dir, "embeddings"))
+      hardNegativesShared(s, dir)
         .orderBy(col("anchor_id"), col("rnk"))
   }
 
@@ -1941,9 +2168,12 @@ object Similarity {
     * corpus scale the cross join is replaced by LSH/IVF candidate
     * generation exactly as for the sibling entries; the margin logic is
     * unchanged on candidate sets that contain each side's top-2. */
-  def marginPairs(emb: DataFrame, minMargin: Double): DataFrame = {
-    DotProduct.ensureRegistered(emb.sparkSession)
-    val u = withUnit(emb)
+  def marginPairs(emb: DataFrame, minMargin: Double): DataFrame =
+    marginPairsFrom(emb.sparkSession, withUnit(emb), minMargin)
+
+  private def marginPairsFrom(s: org.apache.spark.sql.SparkSession,
+      u: DataFrame, minMargin: Double): DataFrame = {
+    DotProduct.ensureRegistered(s)
     val a = u.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("a_id"), col("u").as("av"))
     val b = u.filter(col("vec_id") % 2 === 1)
@@ -1995,7 +2225,8 @@ object Similarity {
 
   val marginPairsQ: Q = Q.df("embed_margin_pairs", marginPairsOracle) {
     (s, dir) =>
-      marginPairs(Tables.df(s, dir, "embeddings"), MarginThreshold)
+      // shared normalized corpus (one normalize pass per session)
+      marginPairsFrom(s, sharedUnitVecs(s, dir), MarginThreshold)
   }
 
   // ---- embedding-space benchmark decontamination -------------------------
@@ -2023,10 +2254,12 @@ object Similarity {
     * under any partitioning (no summation-order contract needed). */
   def embeddingDecontaminate(emb: DataFrame, docs: DataFrame,
       benchSource: String,
-      threshold: Double = EmbedContamThreshold): DataFrame = {
+      threshold: Double = EmbedContamThreshold,
+      unitOpt: Option[DataFrame] = None): DataFrame = {
     DotProduct.ensureRegistered(emb.sparkSession)
     val side = docs.select(col("doc_id"), col("source"))
-    val u = withUnit(emb).join(side, col("vec_id") === col("doc_id"))
+    val u = unitOpt.getOrElse(withUnit(emb))
+      .join(side, col("vec_id") === col("doc_id"))
     val bench = u.filter(col("source") === benchSource)
       .select(col("vec_id").as("bench_id"), col("u").as("bv"))
     val corpus = u.filter(col("source") =!= benchSource)
@@ -2058,7 +2291,8 @@ object Similarity {
   val embedDecontamQ: Q = Q.df("decontaminate_embedding", embedDecontamOracle) {
     (s, dir) =>
       embeddingDecontaminate(Tables.df(s, dir, "embeddings"),
-        Tables.df(s, dir, "documents"), Corpus.BenchmarkSource)
+        Tables.df(s, dir, "documents"), Corpus.BenchmarkSource,
+        unitOpt = Some(sharedUnitVecs(s, dir)))
         .orderBy(col("doc_id"))
   }
 
@@ -2194,13 +2428,27 @@ object Similarity {
       .getOrElse("8")
     val aqeKey = "spark.sql.adaptive.enabled"
     val spKey = "spark.sql.shuffle.partitions"
-    val prevAqe = sess.conf.get(aqeKey)
-    val prevSp = sess.conf.get(spKey)
-    sess.conf.set(aqeKey, "false")
-    sess.conf.set(spKey, walkParts)
-    try beamWalkBody(queries0, corpus0, edges, seeds, rounds)
-    finally { sess.conf.set(aqeKey, prevAqe); sess.conf.set(spKey, prevSp) }
+    // The flip + walk + restore run under a global lock: the session
+    // conf is SHARED session state, and two concurrent walks (the SQL
+    // server runs each connection on its own thread) could interleave
+    // set/restore so that one walk re-reads the other's degraded values
+    // as the "previous" state and leaks AQE=off / 8 partitions
+    // permanently. Walk bodies are query-batch-sized micro-plans, so
+    // serializing them costs nothing next to their own runtime;
+    // single-threaded callers (bench, Verify) see no behavior change.
+    // WalkConcurrencySpec pins the restore under concurrent walks.
+    Similarity.walkConfLock.synchronized {
+      val prevAqe = sess.conf.get(aqeKey)
+      val prevSp = sess.conf.get(spKey)
+      sess.conf.set(aqeKey, "false")
+      sess.conf.set(spKey, walkParts)
+      try beamWalkBody(queries0, corpus0, edges, seeds, rounds)
+      finally { sess.conf.set(aqeKey, prevAqe); sess.conf.set(spKey, prevSp) }
+    }
   }
+
+  /** Lock for [[beamWalk]]'s session-conf flip (see its comment). */
+  private[operators] val walkConfLock = new Object
 
   /** True when `p` is only narrow ops (project/filter/alias) over an
     * already-materialized LogicalRDD leaf — re-checkpointing such a
@@ -2632,9 +2880,17 @@ object Similarity {
     * candidates (id-keyed vector fetch). Sign codes, popcounts, and
     * the rerank fold are all exact cross-engine, so unlike LSH/IVF the
     * oracle replays BOTH stages bit-for-bit. */
-  def binaryHammingTopK(emb: DataFrame, k: Int): DataFrame = {
-    DotProduct.ensureRegistered(emb.sparkSession)
-    val codes = binaryCodes(emb)
+  def binaryHammingTopK(emb: DataFrame, k: Int): DataFrame =
+    binaryHammingFrom(emb.sparkSession, binaryCodes(emb), withUnit(emb), k)
+
+  /** Entry path over the SHARED code table + normalized corpus. */
+  private def binaryHammingShared(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame =
+    binaryHammingFrom(s, sharedBinaryCodes(s, dir), sharedUnitVecs(s, dir), k)
+
+  private def binaryHammingFrom(s: org.apache.spark.sql.SparkSession,
+      codes: DataFrame, unit: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
     val qCodes = codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"),
         col("h1").as("q1"), col("h2").as("q2"))
@@ -2650,7 +2906,6 @@ object Similarity {
           .orderBy(col("hamming"), col("neighbor_id"))))
       .filter(col("crn") <= HammingCandidates)
       .select(col("query_id"), col("neighbor_id"), col("hamming"))
-    val unit = withUnit(emb)
     cand
       .join(broadcast(unit.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("u").as("qv"))),
@@ -2703,7 +2958,7 @@ object Similarity {
 
   val annBinaryHamming: Q = Q.df("ann_binary_hamming", binaryHammingOracle) {
     (s, dir) =>
-      binaryHammingTopK(Tables.df(s, dir, "embeddings"), TopK)
+      binaryHammingShared(s, dir, TopK)
         .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -2724,18 +2979,34 @@ object Similarity {
     * multiply comes last, so every approx score is bit-identical
     * cross-engine and the ORACLE REPLAYS the quantized scan itself. */
   def sqTopK(emb: DataFrame, k: Int): DataFrame = {
-    DotProduct.ensureRegistered(emb.sparkSession)
     val unit = withUnit(emb)
     val codes = unit
       .withColumn("m", array_max(transform(col("u"), x => abs(x))))
-      .select(col("vec_id"),
+      .select(col("vec_id").as("neighbor_id"),
         transform(col("u"),
           x => floor(x * lit(127.0d) / col("m") + lit(0.5d))).as("qv"),
         (col("m") / lit(127.0d)).as("scale"))
+    sqTopKFrom(emb.sparkSession, codes, unit, k)
+  }
+
+  /** Entry path: the flat SQ8 scan over the SHARED code table (the
+    * [[ivfSqEncode]] kernel's output with the cell ignored — the
+    * kernel's codes are bit-equal to the declarative encode above, as
+    * the shared ivfsq oracle CTE already proves) and the shared
+    * normalized corpus for the exact rerank. */
+  private def sqTopKShared(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame =
+    sqTopKFrom(s,
+      sharedSqCodes(s, dir).select(col("neighbor_id"), col("qv"),
+        col("scale")),
+      sharedUnitVecs(s, dir), k)
+
+  private def sqTopKFrom(s: org.apache.spark.sql.SparkSession,
+      codes: DataFrame, unit: DataFrame, k: Int): DataFrame = {
+    DotProduct.ensureRegistered(s)
     val queries = unit.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("u").as("qu"))
-    val cand = codes.select(col("vec_id").as("neighbor_id"),
-        col("qv"), col("scale"))
+    val cand = codes
       .crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx", col("scale") *
@@ -2797,7 +3068,7 @@ object Similarity {
        |order by query_id, rnk""".stripMargin
 
   val annSqTopK: Q = Q.df("ann_sq_topk", sqOracle) { (s, dir) =>
-    sqTopK(Tables.df(s, dir, "embeddings"), TopK)
+    sqTopKShared(s, dir, TopK)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -2820,7 +3091,9 @@ object Similarity {
   def ivfSqTopK(emb: DataFrame, k: Int, dir: String): DataFrame = {
     val cm = trainedCentroids(emb, dir)
     lastTrained = cm
-    ivfSqServe(emb, k, cm, ivfSqEncode(emb, cm))
+    // shared encode + shared normalized corpus for the exact rerank
+    ivfSqServe(emb, k, cm, sharedSqCodes(emb.sparkSession, dir),
+      unitOpt = Some(sharedUnitVecs(emb.sparkSession, dir)))
   }
 
   /** One encode pass: cell id + 64 int8 codes + one scale per vector
@@ -2843,7 +3116,8 @@ object Similarity {
     * (the codes side may be freshly encoded or read back from the
     * stored artifact). */
   private[graft] def ivfSqServe(emb: DataFrame, k: Int,
-      cm: Array[Array[Double]], codes: DataFrame): DataFrame = {
+      cm: Array[Array[Double]], codes: DataFrame,
+      unitOpt: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     DotProduct.ensureRegistered(spark)
     import spark.implicits._
@@ -2871,7 +3145,7 @@ object Similarity {
           .orderBy(col("approx").desc, col("neighbor_id"))))
       .filter(col("crn") <= SqCandidates)
       .select(col("query_id"), col("neighbor_id"), col("approx"))
-    val u = withUnit(emb)
+    val u = unitOpt.getOrElse(withUnit(emb))
     cand
       .join(broadcast(u.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("u").as("qv2"))),
@@ -2977,8 +3251,9 @@ object Similarity {
       dir: String, root: String): Seq[Int] = {
     import s.implicits._
     val cm = readCentroids(s, root)
-    withUnit(Tables.df(s, dir, "embeddings")).as[(Long, Array[Double])]
-      .filter(_._1 < NumQueries)
+    withUnit(Tables.df(s, dir, "embeddings")
+        .filter(col("vec_id") < NumQueries))
+      .as[(Long, Array[Double])]
       .flatMap { case (_, u) => nearestCentroids(u, NProbe, cm).iterator }
       .distinct().collect().toSeq.sorted
   }
@@ -2999,7 +3274,8 @@ object Similarity {
       val cm = readCentroids(s, root)
       lastTrained = cm
       ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
-        s.read.parquet(s"$root/codes"))
+        s.read.parquet(s"$root/codes"),
+        unitOpt = Some(sharedUnitVecs(s, dir)))
         .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3016,7 +3292,8 @@ object Similarity {
     lastTrained = cm
     ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
       s.read.parquet(s"$root/codes")
-        .filter(col("neighbor_id") % 7 =!= AnnDeleteMod))
+        .filter(col("neighbor_id") % 7 =!= AnnDeleteMod),
+      unitOpt = Some(sharedUnitVecs(s, dir)))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3051,7 +3328,8 @@ object Similarity {
     val cm = readCentroids(s, root)
     lastTrained = cm
     ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
-      s.read.parquet(s"$root/codes"))
+      s.read.parquet(s"$root/codes"),
+      unitOpt = Some(sharedUnitVecs(s, dir)))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3099,7 +3377,8 @@ object Similarity {
       val batch = ivfSqEncode(Tables.df(s, dir, "embeddings")
         .filter(col("vec_id") % 10 === AnnBatchMod), cm)
       ivfSqServe(Tables.df(s, dir, "embeddings"), TopK, cm,
-        s.read.parquet(s"$root/codes").unionByName(batch))
+        s.read.parquet(s"$root/codes").unionByName(batch),
+        unitOpt = Some(sharedUnitVecs(s, dir)))
         .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -3174,10 +3453,13 @@ object Similarity {
     }) { (s, dir) =>
     val emb = Tables.df(s, dir, "embeddings")
     val keys = Seq("query_id", "neighbor_id")
-    val exact = bruteForceTopK(emb, TopK).select("query_id", "neighbor_id")
-    val sq = sqTopK(emb, TopK).select("query_id", "neighbor_id")
+    // shared-artifact probes (see annRecall)
+    val exact = bruteForceTopKShared(s, dir, TopK)
+      .select("query_id", "neighbor_id")
+    val sq = sqTopKShared(s, dir, TopK).select("query_id", "neighbor_id")
       .withColumn("in_sq", lit(1))
-    val bin = binaryHammingTopK(emb, TopK).select("query_id", "neighbor_id")
+    val bin = binaryHammingShared(s, dir, TopK)
+      .select("query_id", "neighbor_id")
       .withColumn("in_bin", lit(1))
     val ivfsq = ivfSqTopK(emb, TopK, dir).select("query_id", "neighbor_id")
       .withColumn("in_ivfsq", lit(1))
@@ -3293,7 +3575,7 @@ object Similarity {
       dir: String): DataFrame = {
     DotProduct.ensureRegistered(s)
     val stored = storedGraphEdges(s, graphBaseRoot(s, dir))
-    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+    val vecs = sharedUnitVecs(s, dir)
     val corpus = vecs.select(col("vec_id").as("neighbor_id"),
       col("u").as("cv"))
     val batch = vecs.filter(col("vec_id") % 10 === AnnBatchMod)
@@ -3479,7 +3761,7 @@ object Similarity {
       dir: String, stored0: DataFrame, stored1: DataFrame,
       entries: DataFrame, batch: DataFrame): DataFrame = {
     DotProduct.ensureRegistered(s)
-    val vecs = withUnit(Tables.df(s, dir, "embeddings"))
+    val vecs = sharedUnitVecs(s, dir)
     val corpus = vecs.select(col("vec_id").as("neighbor_id"),
       col("u").as("cv"))
     def seedsOf(q: DataFrame): DataFrame = q.select(col("query_id"))
@@ -3514,7 +3796,7 @@ object Similarity {
       dir: String): DataFrame =
     hnswIncrCache.once((s, dir)) {
       val root = hnswBaseRoot(s, dir)
-      val batch = withUnit(Tables.df(s, dir, "embeddings"))
+      val batch = sharedUnitVecs(s, dir)
         .filter(col("vec_id") % 10 === HnswBatchMod)
         .select(col("vec_id").as("query_id"), col("u").as("qv"))
       hnswInsertLinks(s, dir,
@@ -3789,7 +4071,7 @@ object Similarity {
         .filter(live("src") && live("dst"))
       val entries = s.read.parquet(s"$base/entries1")
         .filter(live("neighbor_id"))
-      val batch = withUnit(Tables.df(s, dir, "embeddings"))
+      val batch = sharedUnitVecs(s, dir)
         .filter(col("vec_id") % 10 === HnswBatchMod &&
           col("vec_id") % 7 =!= AnnDeleteMod)
         .select(col("vec_id").as("query_id"), col("u").as("qv"))
@@ -3945,8 +4227,8 @@ object Similarity {
     Seq(annBruteForce, dedupEmbeddingCosine, annLsh, annIvf, annRangeSearch,
       annFiltered,
       annPq, annPqRerank,
-      annIvfPq, annIndexPersist, annIndexIncremental, annIndexDelete,
-      annIndexCompact, annRecall,
+      annIvfPq, annIndexBuild, annIndexPersist, annIndexIncremental,
+      annIndexDelete, annIndexCompact, annRecall,
       annGraphBeam, annGraphFiltered, annHnswLayered, annHnswPersist,
       annHnswIncremental, annHnswDelete, annHnswCompact, annHnswFiltered,
       annHnswLifecycleChain,

@@ -556,56 +556,65 @@ object TextAnalysis {
     val cnt = graft.plans.Checkpoints.materialize(trainFeatures(train))
     val lab = graft.plans.Checkpoints.materialize(
       trainLabels(train).select(col("doc_id"), col("y")))
-    val hd = graft.plans.Checkpoints.materialize(
-      cnt.groupBy(col("bucket")).agg(sum(col("c") * col("c")).as("h")))
+    // The MODEL-sized pieces (curvature, weights, the Jacobi step) live
+    // on the DRIVER: ≤ ClassifierBuckets (4096) longs — the
+    // trainCentroids model-collect contract. The driver update replays
+    // the exact integer algebra the per-round DataFrame join computed
+    // (truncating long division on nonnegative operands ≡ the old
+    // symmetric `div`), but the model is now a LOCAL relation: no
+    // per-round checkpoint job for w, no per-round h-table join, and a
+    // visibly smaller plan for Catalyst to re-plan each round — the
+    // round's only corpus-sized passes are the gradient and the
+    // re-score, which is the algorithm's floor.
+    val hMap: Map[Int, Long] =
+      cnt.groupBy(col("bucket")).agg(sum(col("c") * col("c")).as("h"))
+        .as[(Int, Long)].collect().toMap
     try {
-      var w: org.apache.spark.sql.DataFrame = null
+      var wMap: Map[Int, Long] = null
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
-      def zOf(wt: org.apache.spark.sql.DataFrame) =
-        cnt.join(broadcast(wt), Seq("bucket"))
-          .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z"))
       // z is MATERIALIZED once per round and reused by BOTH its
       // consumers — the mistake diagnostic of round t and the gradient
-      // of round t+1 previously each re-ran the full feature-table ⋈
-      // model join (the loop's one corpus-sized pass) for the same
-      // values; this halves the per-round feature-table work.
-      var z: org.apache.spark.sql.DataFrame = null
+      // of round t+1.
+      var z: org.apache.spark.sql.DataFrame =
+        lab.select(col("doc_id"), lit(0L).as("z"))
       var zOwned = false
       for (t <- 1 to TrainRounds) {
-        if (z == null) z = lab.select(col("doc_id"), lit(0L).as("z"))
+        // gradient: the round's corpus-sized pass, model-sized collect
         val g = cnt.join(z, Seq("doc_id")).join(lab, Seq("doc_id"))
           .groupBy(col("bucket"))
           .agg(sum((col("z") - col("y") * lit(TrainScale)) * col("c"))
             .as("gw"))
-        // symmetric floor division (both branches divide nonnegatives,
-        // so Spark's truncating `div` ≡ DuckDB's `//` exactly)
-        val step = expr(s"case when gw >= 0 then gw div (h * $TrainDamp) " +
-          s"else -((-gw) div (h * $TrainDamp)) end")
-        val prevW = if (w == null) lit(0L) else col("w")
-        val wNext = graft.plans.Checkpoints.materialize(
-          (if (w == null) g.join(hd, Seq("bucket"))
-           else g.join(hd, Seq("bucket")).join(w, Seq("bucket")))
-            .select(col("bucket"), (prevW - step).as("w")))
-        if (w != null) graft.plans.Checkpoints.free(w)
-        w = wNext
-        val zNext = graft.plans.Checkpoints.materialize(zOf(w))
+          .as[(Int, Long)].collect()
+        // Jacobi step on the driver — same inner-join key semantics as
+        // the old g ⋈ h ⋈ w plan (g's buckets ≡ cnt's every round)
+        wMap = g.iterator.flatMap { case (b, gw) =>
+          hMap.get(b).flatMap { h =>
+            val d = h * TrainDamp
+            val step = if (gw >= 0) gw / d else -((-gw) / d)
+            val prev =
+              if (wMap == null) Some(0L)
+              else wMap.get(b) // inner-join: drop if absent
+            prev.map(p => b -> (p - step))
+          }
+        }.toMap
+        val wDf = wMap.toSeq.sortBy(_._1).toDF("bucket", "w")
+        val zNext = graft.plans.Checkpoints.materialize(
+          cnt.join(broadcast(wDf), Seq("bucket"))
+            .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z")))
         if (zOwned) graft.plans.Checkpoints.free(z)
         z = zNext; zOwned = true
-        // per-round scalar diagnostics only reach the driver — both
-        // scalars fused into ONE action (they were two driver
-        // round-trips per round)
-        val row = lab.join(z, Seq("doc_id"))
+        // one small job over the materialized z for the mistake count;
+        // the L1 mass folds on the driver from the local model
+        val m = lab.join(z, Seq("doc_id"))
           .filter(col("y") * col("z") <= 0)
-          .agg(count(lit(1)).as("m"))
-          .crossJoin(w.agg(sum(abs(col("w"))).as("l1")))
-          .first()
-        trace += ((t, row.getLong(0), row.getLong(1)))
+          .agg(count(lit(1)).as("m")).first().getLong(0)
+        val l1 = wMap.valuesIterator.map(math.abs).sum
+        trace += ((t, m, l1))
       }
-      graft.plans.Checkpoints.free(w)
       if (zOwned) graft.plans.Checkpoints.free(z)
       trace.toSeq.toDF("round", "mistakes", "w_l1")
         .select(col("round").cast("int"), col("mistakes"), col("w_l1"))
-    } finally Seq(cnt, lab, hd).foreach(graft.plans.Checkpoints.free)
+    } finally Seq(cnt, lab).foreach(graft.plans.Checkpoints.free)
   }
 
   /** The trained model (bucket, w) after [[TrainRounds]] rounds — spec
@@ -1893,11 +1902,16 @@ object TextAnalysis {
           explode(sequence(lit(1), lit(UniMaxLen))).as("l"))
         .filter(col("i") + col("l") - 1 <= length(col("w")))
         .withColumn("piece", expr("substring(w, i, l)")))
+      // global top-UniSeedSize via orderBy+limit (TakeOrderedAndProject:
+      // per-partition heaps, no single-partition WindowExec) — the piece
+      // space grows with the corpus vocabulary, so an unpartitioned
+      // rank window here would funnel it through one task at scale; the
+      // deterministic total order (s0 desc, piece) makes limit ≡ the
+      // old row_number filter row-for-row
       var vocab = Checkpoints.materialize(occ
         .groupBy("piece").agg(sum("freq").as("s0"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("s0").desc, col("piece"))))
-        .filter(col("rk") <= UniSeedSize)
+        .orderBy(col("s0").desc, col("piece"))
+        .limit(UniSeedSize)
         .select(col("piece")))
       var vocabScored: DataFrame = null
       for (_ <- 1 to UniRounds) {
@@ -1917,10 +1931,11 @@ object TextAnalysis {
           .agg(sum(col("freq") * expr(s"$UniLcm div cov")).as("score")))
         val n = scored.count() // vocabulary-sized scalar
         val keep = (3 * n + 3) / 4
+        // distributed top-keep (TakeOrderedAndProject), same total order
+        // as the old unpartitioned rank window — see the seed selection
         val next = Checkpoints.materialize(scored
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("score").desc, col("piece"))))
-          .filter(col("rk") <= keep)
+          .orderBy(col("score").desc, col("piece"))
+          .limit(keep.toInt)
           .select(col("piece"), col("score")))
         // vocab is the seed frame in round 1 and the previous round's
         // kept vocabulary after — exactly one live predecessor either
@@ -1945,6 +1960,8 @@ object TextAnalysis {
        |from v$UniRounds
        |order by rank""".stripMargin) { (s, dir) =>
     val (_, vocab) = unigramTrained(s, dir)
+    // single-partition window is safe here: the input is the trained
+    // vocabulary, bounded by UniSeedSize (constant) — never corpus-sized
     vocab
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("piece"))).cast("long"))

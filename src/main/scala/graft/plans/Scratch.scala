@@ -23,17 +23,23 @@ object Scratch {
     val sp = java.nio.file.Paths.get(src)
     val dp = java.nio.file.Paths.get(dst)
     java.nio.file.Files.createDirectories(dp)
-    java.nio.file.Files.walk(sp).iterator().asScala.foreach { f =>
+    // walk() holds a directory handle until closed; and the copy
+    // fallback must only swallow the link-specific failures
+    // (cross-device, FS without hardlinks) — a fatal error (OOM,
+    // interrupt) must propagate, not retry as a copy.
+    val walk = java.nio.file.Files.walk(sp)
+    try walk.iterator().asScala.foreach { f =>
       val t = dp.resolve(sp.relativize(f))
       if (java.nio.file.Files.isDirectory(f))
         java.nio.file.Files.createDirectories(t)
       else
         try java.nio.file.Files.createLink(t, f)
-        catch { case _: Throwable =>
-          java.nio.file.Files.copy(f, t,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          case _: java.io.IOException | _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(f, t,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-    }
+    } finally walk.close()
   }
 
   def deleteTree(root: String): Unit =

@@ -223,19 +223,52 @@ object EventsStream {
     * state on user_id and scans only the in-range buffer. */
   def intervalJoin(views: DataFrame, purchases: DataFrame,
       boundSec: Long, joinType: String = "inner"): DataFrame = {
-    val v = views.withWatermark("ts", "1 hour")
+    val v0 = views.withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_id").as("v_event_id"),
         col("ts").as("v_ts"))
-    val p = purchases.withWatermark("ts", "1 hour")
+    val p0 = purchases.withWatermark("ts", "1 hour")
       .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
         col("ts").as("p_ts"))
-    v.join(p,
-      col("user_id") === col("p_user_id") &&
-        col("p_ts") >= col("v_ts") &&
-        col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
-      joinType)
-      .select(col("user_id"), col("v_event_id"), col("p_event_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    if (joinType == "inner") {
+      // Bin-keyed INNER form (the batch rangeJoin's bin-replicated
+      // equi-join applied to the stateful runtime): the symmetric hash
+      // join evaluates its non-equi time predicate against EVERY
+      // same-key buffered row, so keying state on user_id alone costs
+      // Σ_u views_u × purchases_u interpreted evaluations per drain —
+      // quadratic in per-user rate however selective the bound is.
+      // Adding the time bin (bound-sized; views replicated to the two
+      // bins their window can reach, purchases probing their own bin)
+      // bounds each state bucket's probe set to one bound-width of
+      // rows: pair evaluations become Σ_{u,bin} v × p — proportional
+      // to the matchable neighborhood, not the user's history. A pair
+      // (v, p) with p_ts ∈ [v_ts, v_ts + bound) has p's bin equal to
+      // v's bin or v's bin + 1 and meets in exactly ONE bucket (the
+      // two view copies live in distinct bins), so the inner join's
+      // multiset output is unchanged row-for-row. Outer/semi variants
+      // keep the plain key: a replicated view would null-emit or
+      // semi-emit once per copy, changing their results.
+      val binUs = boundSec * 1000000L
+      val v = v0.withColumn("bin", explode(array(
+        expr(s"unix_micros(v_ts) div $binUs"),
+        expr(s"unix_micros(v_ts) div $binUs") + lit(1L))))
+      val p = p0.withColumn("p_bin", expr(s"unix_micros(p_ts) div $binUs"))
+      v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("bin") === col("p_bin") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
+        joinType)
+        .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    } else {
+      v0.join(p0,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr(s"interval $boundSec second"),
+        joinType)
+        .select(col("user_id"), col("v_event_id"), col("p_event_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    }
   }
 
   /** LEFT OUTER form of [[intervalJoin]]: views with no purchase inside
@@ -1218,19 +1251,28 @@ object EventsStream {
     stagedCdcCache.once((s, dir, name)) {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_stagedcdc_${name}_").toString
-      val cdcDir = s"$tmp/cdc"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
-      slices.zipWithIndex.foreach { case (df, i) =>
-        val stage = s"$tmp/stage$i"
-        df.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+      // a failure mid-staging never registers with the memo, so the
+      // half-written tree would leak until process exit — delete it on
+      // the way out and rethrow
+      try {
+        val cdcDir = s"$tmp/cdc"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cdcDir))
+        slices.zipWithIndex.foreach { case (df, i) =>
+          val stage = s"$tmp/stage$i"
+          df.coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(
+              s"staged CDC slice $i of $name: no parquet part in $stage"))
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$cdcDir/b$i.parquet"))
+        }
+        // report the PARENT as the memo value so the release deletes the
+        // whole staging tree; the cdc subdir is what streams read
+        tmp
+      } catch {
+        case e: Throwable => graft.plans.Scratch.deleteTree(tmp); throw e
       }
-      // report the PARENT as the memo value so the release deletes the
-      // whole staging tree; the cdc subdir is what streams read
-      tmp
     } + "/cdc"
 
   def runMergePrunedStream(s: SparkSession, dir: String): DataFrame =
@@ -1511,24 +1553,35 @@ object EventsStream {
 
   private def stagedSlices(s: SparkSession, dir: String, table: String,
       idCol: String, batchMod: Int): String =
-    stagedSliceCache.once((s, dir, table)) {
+    // the staged content depends on (idCol, batchMod) too — keying them
+    // keeps a future caller staging the same table with different
+    // parameters from silently reusing the wrong files
+    stagedSliceCache.once((s, dir, s"$table/$idCol/$batchMod")) {
       val tmp = java.nio.file.Files
         .createTempDirectory(s"graft_staged_${table}_").toString
-      val inDir = s"$tmp/in"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
-      val src = graft.Tables.df(s, dir, table)
-      (0 until 3).foreach { i =>
-        val stage = s"$tmp/stage$i"
-        src.filter(col(idCol) % 10 === batchMod &&
-            pmod(expr(s"$idCol div 10"), lit(3)) === i)
-          .coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
+      try {
+        val inDir = s"$tmp/in"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+        val src = graft.Tables.df(s, dir, table)
+        (0 until 3).foreach { i =>
+          val stage = s"$tmp/stage$i"
+          src.filter(col(idCol) % 10 === batchMod &&
+              pmod(expr(s"$idCol div 10"), lit(3)) === i)
+            .coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(
+              s"staged slice $i of $table: no parquet part in $stage"))
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$inDir/b$i.parquet"))
+        }
+        // memo value is the PARENT so the release deletes the whole
+        // staging tree (stage$i husks included), not just the in/ dir
+        tmp
+      } catch {
+        case e: Throwable => graft.plans.Scratch.deleteTree(tmp); throw e
       }
-      inDir
-    }
+    } + "/in"
 
   def runIndexAppendStream(s: SparkSession, dir: String): DataFrame =
     withStreamPartitions(s) {
@@ -1610,7 +1663,8 @@ object EventsStream {
       val codes = (Seq(s"$root/codes") ++ deltaDirs)
         .map(d => s.read.parquet(d))
         .reduce(_ unionByName _)
-      Similarity.ivfSqServe(emb, Similarity.TopK, cm, codes)
+      Similarity.ivfSqServe(emb, Similarity.TopK, cm, codes,
+        unitOpt = Some(Similarity.sharedUnitVecs(s, dir)))
     }
 
   val indexAppendStreamed: Q = Q.df(
